@@ -1,13 +1,256 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Driver contract — one `queries` entry per operator from SURVEY.md §2
+  * (IDs S, P, F, J cited per query), plus the extension surface (§7 phase
+  * D/E). Each query is Spark-first DataFrame composition; `oracleSql` holds
+  * the DuckDB-equivalent ANSI SQL over the same parquet tables.
+  *
+  * Numeric discipline: double-typed aggregates are computed by summing
+  * exact DECIMAL(18,2) casts and casting the exact result back to DOUBLE,
+  * on BOTH sides, so Spark and DuckDB produce bit-identical doubles
+  * regardless of summation order (float sums are order-dependent; decimal
+  * sums are exact and associative).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Exact decimal cast of a double column (inputs have <=2 decimals). */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Order-insensitive exact sum of a double column, returned as double. */
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Multi-table join chain + aggregation (SURVEY §2.4 J6 writ large). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_join_multi")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ----- S1 scan + P1/P2 projection with alias (database.py:231-263) -----
+    "q_scan_project" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("qty"))),
+
+    // ----- F1 equality filter on str column (database.py:443-458) -----
+    "q_filter_eq" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))),
+
+    // ----- F1 != filter (database.py:452-453) -----
+    "q_filter_neq" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderstatus") =!= "F")
+        .select(col("o_orderkey"), col("o_orderstatus"))),
+
+    // ----- F1 range ops + F3 AND conjunction (database.py:313-335) -----
+    "q_filter_range" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 30 && col("l_discount") < 0.05 &&
+          col("l_tax") <= 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_discount"))),
+
+    // ----- J1 equi join; dim side broadcast (database.py:526-537) -----
+    "q_join_equi" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))),
+
+    // ----- J2 != theta join (database.py:539-553) -----
+    "q_join_theta_neq" -> ((s, dir) =>
+      t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") =!= col("r_regionkey"))
+        .select(col("n_name"), col("r_name"))),
+
+    // ----- J3 range theta join + J7 self join (database.py:555-617) -----
+    "q_join_range" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      sup.as("a").join(broadcast(sup.as("b")),
+          col("a.s_acctbal") > col("b.s_acctbal"))
+        .select(col("a.s_suppkey").as("richer"),
+          col("b.s_suppkey").as("poorer"))
+    }),
+
+    // ----- J7 self equi join via aliases (database.py:213-219) -----
+    "q_join_self" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      n.as("n1").join(n.as("n2"),
+          col("n1.n_regionkey") === col("n2.n_regionkey") &&
+          col("n1.n_nationkey") < col("n2.n_nationkey"))
+        .select(col("n1.n_name").as("nation_a"),
+          col("n2.n_name").as("nation_b"))
+    }),
+
+    // ----- J5 compound join predicates, same pair (database.py:294-311) ---
+    "q_join_compound" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey") &&
+          col("l_quantity") > col("p_size"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))),
+
+    // ----- J6 multi-table join chain + agg (database.py:656-789) -----
+    "q_join_multi" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))),
+
+    // ----- Phase D: GROUP BY + COUNT/SUM (sql-to-json:146-181, disabled
+    // in the reference) as full TPC-H Q1 -----
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1)))
+            .as("avg_qty"),
+          (sum(dec(col("l_discount"))).cast("double") / count(lit(1)))
+            .as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    // ----- Aggregate + HAVING-style post-filter -----
+    "q_group_having" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("spend"))
+        .filter(col("cnt") >= 12)),
+
+    // ----- DISTINCT (dedup primitive, exact) -----
+    "q_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()),
+
+    // ----- Global aggregates, no grouping -----
+    "q_agg_global" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .agg(
+          count(lit(1)).as("cnt"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))),
+
+    // ----- ORDER BY + LIMIT (top-k; Spark plans TakeOrderedAndProject) ---
+    "q_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    // ----- Window function: per-customer top-3 orders -----
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+    })
+  )
+
+  /** DuckDB-equivalent SQL per query (same table names; same column
+    * aliases — the driver's compare sorts columns by name). Integer sums
+    * are CAST to BIGINT (DuckDB SUM(int) yields HUGEINT); decimal-exact
+    * double sums mirror the Spark side. */
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity AS qty FROM lineitem",
+    "q_filter_eq" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag
+         FROM lineitem WHERE l_returnflag = 'R'""",
+    "q_filter_neq" ->
+      "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus <> 'F'",
+    "q_filter_range" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+         FROM lineitem
+         WHERE l_quantity >= 30 AND l_discount < 0.05 AND l_tax <= 0.05""",
+    "q_join_equi" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+         FROM orders JOIN customer ON o_custkey = c_custkey""",
+    "q_join_theta_neq" ->
+      """SELECT n_name, r_name
+         FROM nation JOIN region ON n_regionkey <> r_regionkey""",
+    "q_join_range" ->
+      """SELECT a.s_suppkey AS richer, b.s_suppkey AS poorer
+         FROM supplier a JOIN supplier b ON a.s_acctbal > b.s_acctbal""",
+    "q_join_self" ->
+      """SELECT n1.n_name AS nation_a, n2.n_name AS nation_b
+         FROM nation n1 JOIN nation n2
+           ON n1.n_regionkey = n2.n_regionkey
+          AND n1.n_nationkey < n2.n_nationkey""",
+    "q_join_compound" ->
+      """SELECT p_brand, COUNT(*) AS cnt,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN part
+           ON l_partkey = p_partkey AND l_quantity > p_size
+         GROUP BY p_brand""",
+    "q_join_multi" ->
+      """SELECT r_name, n_name,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                  AS revenue,
+                COUNT(*) AS n_items
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+                CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+                COUNT(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q_group_having" ->
+      """SELECT o_custkey, COUNT(*) AS cnt,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+         FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12""",
+    "q_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q_agg_global" ->
+      """SELECT COUNT(*) AS cnt, COUNT(DISTINCT l_partkey) AS n_parts,
+                MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+         FROM lineitem""",
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+           SELECT o_custkey, o_orderkey,
+                  ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3"""
+  )
 }
