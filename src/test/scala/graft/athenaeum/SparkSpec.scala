@@ -1,0 +1,31 @@
+package graft.athenaeum
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for specs. */
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSpec.session
+
+  /** Directory containing the golden fixtures on the test classpath. */
+  def goldenDir: String =
+    new java.io.File(getClass.getResource("/golden/cities.table.json").toURI)
+      .getParent
+
+  def goldenText(name: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(goldenDir, name)), "UTF-8")
+}
+
+object SparkSpec {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-test").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
