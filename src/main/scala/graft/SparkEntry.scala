@@ -6,6 +6,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
+import graft.operators.{Dedup, Events, Similarity, TextAnalysis}
+import graft.functions.XFormulas
 
 /** Driver contract — one `queries` entry per operator from SURVEY.md §2
   * (IDs S, P, F, J cited per query), plus the extension surface (§7 phase
@@ -172,7 +174,66 @@ object SparkEntry {
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select(col("o_custkey"), col("o_orderkey"), col("rn"))
-    })
+    }),
+
+    // ================= extension surface (SURVEY §7 phase E) =============
+
+    // ----- text analysis: per-doc token stats (narrow, no shuffle) -----
+    "q_text_stats" -> ((s, dir) =>
+      TextAnalysis.stats(t(s, dir, "documents"), "doc_id", "text")),
+    "q_text_lang" -> ((s, dir) =>
+      TextAnalysis.langGuess(t(s, dir, "documents"), "doc_id", "text")),
+    "q_text_quality" -> ((s, dir) =>
+      TextAnalysis.quality(t(s, dir, "documents"), "doc_id", "text")),
+    "q_text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ----- dedup family -----
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("text"), col("keeper"), col("n_copies"))),
+    "q_dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text")),
+    "q_dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.2)),
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 6)),
+    "q_dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.35)),
+
+    // ----- similarity search over embeddings -----
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("cid"), col("cosine"), col("rank"))
+    }),
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3)
+        .select(col("qid"), col("cid"), col("cosine"), col("rank"))
+    }),
+
+    // ----- event-time windows (batch; streaming twins in graft.streaming)
+    "q_events_tumbling" -> ((s, dir) =>
+      Events.tumblingHourly(t(s, dir, "events"))),
+    "q_events_sliding" -> ((s, dir) =>
+      Events.slidingHourly(t(s, dir, "events"))),
+    "q_events_session" -> ((s, dir) =>
+      Events.sessionize(t(s, dir, "events"))),
+
+    // ----- multimodal plumbing: opaque binary + typed metadata -----
+    "q_media_meta" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("media", expr("encode(text, 'UTF-8')")) // opaque bytes
+        .selectExpr("doc_id",
+          "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind",
+          "CAST(octet_length(media) AS BIGINT) AS n_bytes",
+          "CAST(ascii(text) AS BIGINT) AS first_byte"))
   )
 
   /** DuckDB-equivalent SQL per query (same table names; same column
@@ -252,5 +313,127 @@ object SparkEntry {
                   ROW_NUMBER() OVER (PARTITION BY o_custkey
                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
            FROM orders) WHERE rn <= 3"""
-  )
+  ) ++ extensionOracleSql
+
+  // DuckDB twins of the extension queries, generated from the same
+  // XFormulas primitives as the Spark side (same hashes, same fold
+  // order, same IEEE expression trees — bit-identical by construction).
+  private def extensionOracleSql: Map[String, String] = {
+    import XFormulas._
+    val stop = duckStopHits("toks")
+    // shared candidate-generation CTE chain for the shingle family
+    val shingleCtes =
+      s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
+         sh AS (SELECT doc_id, list_distinct(${duckShingles("toks", 3)}) AS shingles FROM tk),
+         hs AS (SELECT doc_id, ${duckWordHashes("shingles")} AS hs FROM sh)"""
+    val minhashCtes =
+      s"""$shingleCtes,
+         sigs AS (SELECT doc_id, ${duckMinhash("hs", 12)} AS mh FROM hs),
+         buckets AS (SELECT doc_id, mh, band, ${duckBandBucket("mh", "band", 3)} AS bucket
+                     FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bands)"""
+    Map(
+      "q_text_stats" ->
+        s"""WITH tk AS (SELECT doc_id, text, ${duckTokens("text")} AS toks FROM documents)
+           SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                  CAST(length(text) AS BIGINT) AS text_len,
+                  CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks) AS avg_token_len,
+                  CAST($stop AS BIGINT) AS stop_hits
+           FROM tk""",
+      "q_text_lang" ->
+        s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents)
+           SELECT doc_id, CASE WHEN $stop >= 2 THEN 'en'
+                               WHEN $stop >= 1 THEN 'maybe_en'
+                               ELSE 'other' END AS lang_guess
+           FROM tk""",
+      "q_text_quality" ->
+        s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents)
+           SELECT doc_id,
+                  0.4 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) +
+                  0.3 * (CAST($stop AS DOUBLE) / len(toks)) +
+                  0.3 * (CAST(len(list_filter(toks, w -> length(w) <= 5)) AS DOUBLE) / len(toks)) AS quality
+           FROM tk""",
+      "q_text_fingerprint" ->
+        s"""SELECT doc_id, ${duckStrHash("text")} AS fp FROM documents""",
+      "q_dedup_exact" ->
+        "SELECT text, MIN(doc_id) AS keeper, COUNT(*) AS n_copies FROM documents GROUP BY text",
+      "q_dedup_minhash_lsh" ->
+        s"""$minhashCtes
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(len(list_filter(list_transform(range(1, 13), i -> a.mh[i] = b.mh[i]), v -> v)) AS DOUBLE) / 12 AS est_jaccard
+           FROM buckets a JOIN buckets b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""",
+      "q_dedup_jaccard" ->
+        s"""$minhashCtes,
+           cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM buckets a JOIN buckets b
+                       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+           SELECT * FROM (
+             SELECT c.doc_a, c.doc_b,
+                    ${duckJaccard("sa.shingles", "sb.shingles")} AS jaccard
+             FROM cands c
+             JOIN sh sa ON sa.doc_id = c.doc_a
+             JOIN sh sb ON sb.doc_id = c.doc_b)
+           WHERE jaccard >= 0.2""",
+      "q_dedup_simhash" ->
+        s"""$shingleCtes,
+           sigs AS (SELECT doc_id, ${duckSimhash("hs")} AS sh2 FROM hs),
+           blk AS (SELECT doc_id, sh2, (sh2 >> 24) AS blk FROM sigs)
+           SELECT * FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    CAST(bit_count(xor(a.sh2, b.sh2)) AS BIGINT) AS hamming
+             FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+           WHERE hamming <= 6""",
+      "q_dedup_embedding" ->
+        s"""WITH sigs AS (SELECT vec_id, embedding, ${duckSimSig("embedding", 8, 64)} AS sig FROM embeddings)
+           SELECT * FROM (
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                    ${duckCosine("a.embedding", "b.embedding")} AS cosine
+             FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+           WHERE cosine >= 0.35""",
+      "q_ann_topk" ->
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+           c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+           scored AS (SELECT qid, cid, ${duckCosine("qv", "cv")} AS cosine
+                      FROM q CROSS JOIN c WHERE qid <> cid),
+           r AS (SELECT qid, cid, cosine,
+                        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS "rank"
+                 FROM scored)
+           SELECT qid, cid, cosine, "rank" FROM r WHERE "rank" <= 5""",
+      "q_ann_lsh" ->
+        s"""WITH s AS (SELECT vec_id, embedding, ${duckSimSig("embedding", 8, 64)} AS sig FROM embeddings),
+           scored AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                             ${duckCosine("q.embedding", "c.embedding")} AS cosine
+                      FROM s q JOIN s c ON q.sig = c.sig AND q.vec_id <> c.vec_id
+                      WHERE q.vec_id < 10),
+           r AS (SELECT qid, cid, cosine,
+                        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS "rank"
+                 FROM scored)
+           SELECT qid, cid, cosine, "rank" FROM r WHERE "rank" <= 3""",
+      "q_events_tumbling" ->
+        """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
+                  COUNT(*) AS n_events,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           FROM events GROUP BY 1, 2""",
+      "q_events_sliding" ->
+        """SELECT ((epoch_us(ts) // 1800000000) - k) * 1800 AS wstart_s,
+                  event_type, COUNT(*) AS n_events
+           FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) offs
+           GROUP BY 1, 2""",
+      "q_events_session" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+           l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+           m AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new FROM l),
+           sess AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+           SELECT user_id, MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+                  COUNT(*) AS n_events,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           FROM sess GROUP BY user_id, sid""",
+      "q_media_meta" ->
+        """SELECT doc_id,
+                  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                  CAST(ord(substr(text, 1, 1)) AS BIGINT) AS first_byte
+           FROM documents"""
+    )
+  }
 }

@@ -1,0 +1,117 @@
+package graft.functions
+
+/** Cross-engine formula library: each text/hash primitive is defined ONCE
+  * here in both dialects — Spark SQL (higher-order functions, codegen-
+  * friendly, no UDFs) and DuckDB SQL (list functions) — so every operator
+  * built on them has an exact DuckDB oracle. All hashes are pure integer
+  * arithmetic mod P = 1e9+7 with multipliers sized so intermediates stay
+  * under 2^63 (Spark `sequence` is forced to BIGINT elements: INT
+  * multiplies would silently wrap).
+  *
+  * Determinism contract: fold order is left-to-right in both engines
+  * (Spark `aggregate` = DuckDB `list_reduce`), strings are ASCII
+  * (`ascii` = `ord`), and all arithmetic is 64-bit integer — results are
+  * bit-identical across engines by construction.
+  */
+object XFormulas {
+
+  val P = 1000000007L
+
+  // ---- tokenization: lowercase, split on spaces, drop empties ----
+  def sparkTokens(c: String): String =
+    s"filter(split(lower($c), ' +'), w -> w <> '')"
+  def duckTokens(c: String): String =
+    s"list_filter(string_split(lower($c), ' '), w -> w <> '')"
+
+  // ---- polynomial rolling hash of a string (document fingerprint) ----
+  // h = fold(chars, 0, (acc, ch) -> (acc*31 + code(ch)) % P)
+  def sparkStrHash(c: String): String =
+    s"aggregate(split($c, ''), 0L, (acc, ch) -> (acc * 31 + ascii(ch)) % $P)"
+  def duckStrHash(c: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($c, ''), ch -> ord(ch)::BIGINT)), (acc, x) -> (acc * 31 + x) % $P)"
+
+  // ---- per-token hashes of a token array expression ----
+  def sparkWordHashes(tokens: String): String =
+    s"transform($tokens, w -> ${sparkStrHash("w")})"
+  def duckWordHashes(tokens: String): String =
+    s"list_transform($tokens, w -> ${duckStrHash("w")})"
+
+  // ---- MinHash signature over a BIGINT hash-array expression ----
+  // mh_i = min over h of ((a_i*h + b_i) % P), i in 0..k-1
+  // a_i = (1103515245*i + 12345) % P  (≤1e9, so a_i*h ≤ 1e18 < 2^63)
+  // b_i = (1299709*i + 7919) % P
+  def sparkMinhash(hashes: String, k: Int): String =
+    s"transform(sequence(0L, ${k - 1}L), i -> array_min(transform($hashes, " +
+      s"h -> (((1103515245 * i + 12345) % $P) * h + ((1299709 * i + 7919) % $P)) % $P)))"
+  def duckMinhash(hashes: String, k: Int): String =
+    s"list_transform(range(0, $k), i -> list_min(list_transform($hashes, " +
+      s"h -> (((1103515245 * i + 12345) % $P) * h + ((1299709 * i + 7919) % $P)) % $P)))"
+
+  // ---- LSH band bucket: hash rows [band*r+1 .. band*r+r] of a signature
+  def sparkBandBucket(mh: String, band: String, r: Int): String =
+    s"aggregate(slice($mh, cast($band * $r + 1 as int), $r), 0L, (acc, x) -> (acc * 31 + x) % $P)"
+  def duckBandBucket(mh: String, band: String, r: Int): String =
+    s"list_reduce(list_prepend(0::BIGINT, ($mh)[($band * $r + 1):($band * $r + $r)]), (acc, x) -> (acc * 31 + x) % $P)"
+
+  // ---- 32-bit SimHash over a BIGINT hash-array expression ----
+  // bit j set iff sum over hashes of (2*((h>>j)&1) - 1) > 0
+  def sparkSimhash(hashes: String): String =
+    s"aggregate(sequence(0L, 31L), 0L, (acc, j) -> acc + IF(" +
+      s"aggregate($hashes, 0L, (s, h) -> s + IF((shiftright(h, cast(j as int)) & 1) = 1, 1L, -1L)) > 0, " +
+      s"shiftleft(1L, cast(j as int)), 0L))"
+  def duckSimhash(hashes: String): String =
+    s"CAST(list_sum(list_transform(range(0, 32), j -> CASE WHEN " +
+      s"list_sum(list_transform($hashes, h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)) > 0 " +
+      s"THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT)"
+
+  // ---- word n-gram shingles of a token-array expression ----
+  def sparkShingles(tokens: String, n: Int): String = {
+    val parts = (0 until n).map(o => s"element_at($tokens, cast(i + $o as int))")
+      .mkString(", ")
+    s"transform(sequence(1L, size($tokens) - ${n - 1}L), i -> concat_ws(' ', $parts))"
+  }
+  def duckShingles(tokens: String, n: Int): String = {
+    val parts = (0 until n).map(o => s"($tokens)[i + $o]").mkString(" || ' ' || ")
+    s"list_transform(range(1, len($tokens) - ${n - 2}), i -> $parts)"
+  }
+
+  // ---- exact Jaccard between two DISTINCT-element array expressions ----
+  def sparkJaccard(a: String, b: String): String =
+    s"CAST(size(array_intersect($a, $b)) AS DOUBLE) / size(array_union($a, $b))"
+  def duckJaccard(a: String, b: String): String =
+    s"CAST(len(list_intersect($a, $b)) AS DOUBLE) / len(list_distinct(list_concat($a, $b)))"
+
+  // ---- cosine similarity between two float-vector expressions ----
+  // Element-wise double products folded left-to-right: bit-identical
+  // across engines; DuckDB's list_cosine_similarity is NOT used (it
+  // computes in float and drifts).
+  def sparkDot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v)"
+  def duckDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0::DOUBLE, list_transform(range(1, len($a) + 1), i -> ($a)[i]::DOUBLE * ($b)[i]::DOUBLE)), (s, v) -> s + v)"
+  def sparkCosine(a: String, b: String): String =
+    s"${sparkDot(a, b)} / (sqrt(${sparkDot(a, a)}) * sqrt(${sparkDot(b, b)}))"
+  def duckCosine(a: String, b: String): String =
+    s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
+
+  // ---- random-hyperplane LSH signature (nbits) for a float vector ----
+  // plane p, dim j weight = ((p*73856093 + j*19349663 + 83492791) % 97) - 48
+  // (deterministic pseudo-random ints in [-48, 48])
+  private def planeWeight(p: String, j: String) =
+    s"((($p) * 73856093 + ($j) * 19349663 + 83492791) % 97) - 48"
+  def sparkSimSig(vec: String, nbits: Int, dim: Int): String =
+    s"aggregate(sequence(0L, ${nbits - 1}L), 0L, (acc, p) -> acc + IF(" +
+      s"aggregate(zip_with($vec, sequence(0L, ${dim - 1}L), (x, j) -> CAST(x AS DOUBLE) * (${planeWeight("p", "j")})), 0D, (s, v) -> s + v) > 0D, " +
+      s"shiftleft(1L, cast(p as int)), 0L))"
+  def duckSimSig(vec: String, nbits: Int, dim: Int): String =
+    s"CAST(list_sum(list_transform(range(0, $nbits), p -> CASE WHEN " +
+      s"list_reduce(list_prepend(0::DOUBLE, list_transform(range(0, $dim), j -> ($vec)[j + 1]::DOUBLE * (${planeWeight("p", "j")}))), (s, v) -> s + v) > 0 " +
+      s"THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT)"
+
+  // ---- English stopword hit count over a token array ----
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+  def sparkStopHits(tokens: String): String =
+    s"size(array_intersect($tokens, array(${stopwords.map("'" + _ + "'").mkString(",")})))"
+  def duckStopHits(tokens: String): String =
+    s"len(list_intersect($tokens, [${stopwords.map("'" + _ + "'").mkString(",")}]))"
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.XFormulas._
+
+/** Deduplication operators for large corpora.
+  *
+  * Scale design: every near-dup variant is CANDIDATE-GENERATION (LSH
+  * banding — a cheap shuffle on small (band, bucket, id) tuples followed
+  * by an equi-join) then exact verification on candidate pairs only.
+  * There is no all-pairs O(n²) stage anywhere: at 100 TB the banding
+  * shuffle is bounded by rows × bands, and bucket skew (a viral doc
+  * duplicated millions of times) is the one hotspot to watch — cap it
+  * with `spark.sql.adaptive.skewJoin` or a bucket-size limit filter.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical keys, keep the lowest id.
+    * Map-side partial aggregation makes this one shuffle of distinct
+    * keys, not rows. */
+  def exact(df: DataFrame, idCol: String, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** Per-doc MinHash signature over distinct word n-gram shingles. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 12, shingle: Int = 3): DataFrame =
+    df.selectExpr(idCol, s"${sparkTokens(textCol)} AS toks")
+      .selectExpr(idCol,
+        s"array_distinct(${sparkShingles("toks", shingle)}) AS shingles")
+      .selectExpr(idCol, s"${sparkWordHashes("shingles")} AS hs")
+      .selectExpr(idCol, s"${sparkMinhash("hs", k)} AS mh")
+
+  /** MinHash-LSH candidate pairs: docs sharing at least one band bucket,
+    * with the signature-estimated Jaccard. `bands * r` must equal `k`. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 12, bands: Int = 4, shingle: Int = 3): DataFrame = {
+    val r = k / bands
+    // persist: the signature expression is expensive and feeds BOTH sides
+    // of the self-join — without a materialization barrier Catalyst's
+    // projection collapse would inline it into the joined output and
+    // recompute it per candidate PAIR (quadratic; measured 640s → <5s on
+    // the simhash twin at sf0.1)
+    val sigs = minhashSignatures(df, idCol, textCol, k, shingle).persist()
+    val buckets = sigs
+      .selectExpr(idCol, "mh",
+        s"explode(sequence(0L, ${bands - 1}L)) AS band")
+      .selectExpr(idCol, "mh", "band",
+        s"${sparkBandBucket("mh", "band", r)} AS bucket")
+    val a = buckets.select(col(idCol).as("doc_a"), col("mh").as("mh_a"),
+      col("band"), col("bucket"))
+    val b = buckets.select(col(idCol).as("doc_b"), col("mh").as("mh_b"),
+      col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"CAST(size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), v -> v)) AS DOUBLE) / $k")
+          .as("est_jaccard"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard verification on the LSH candidate pairs. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 12, bands: Int = 4, shingle: Int = 3)
+      : DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, k, bands, shingle)
+      .select("doc_a", "doc_b")
+    // persist: joined twice (doc_a and doc_b sides) — see minhashCandidates
+    val sh = df.selectExpr(idCol, s"${sparkTokens(textCol)} AS toks")
+      .selectExpr(idCol,
+        s"array_distinct(${sparkShingles("toks", shingle)}) AS shingles")
+      .persist()
+    cands
+      .join(sh.select(col(idCol).as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col(idCol).as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr(sparkJaccard("sh_a", "sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Per-doc 32-bit SimHash over distinct shingle hashes. */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingle: Int = 3): DataFrame =
+    df.selectExpr(idCol, s"${sparkTokens(textCol)} AS toks")
+      .selectExpr(idCol,
+        s"array_distinct(${sparkShingles("toks", shingle)}) AS shingles")
+      .selectExpr(idCol, s"${sparkWordHashes("shingles")} AS hs")
+      .selectExpr(idCol, s"${sparkSimhash("hs")} AS sh")
+
+  /** SimHash near-dup pairs: block on the top `blockBits` bits, verify
+    * Hamming distance within the block. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, blockBits: Int = 8, shingle: Int = 3): DataFrame = {
+    // persist: see minhashCandidates — blocks the per-pair recompute
+    val sigs = simhashSignatures(df, idCol, textCol, shingle)
+      .withColumn("blk", expr(s"shiftright(sh, ${32 - blockBits})"))
+      .persist()
+    val a = sigs.select(col(idCol).as("doc_a"), col("sh").as("sh_a"), col("blk"))
+    val b = sigs.select(col(idCol).as("doc_b"), col("sh").as("sh_b"), col("blk"))
+    a.join(b, "blk")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup pairs: random-hyperplane LSH bucket join, then
+    * exact cosine verification above `threshold`. */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nbits: Int = 8, dim: Int = 64): DataFrame = {
+    // persist: see minhashCandidates — blocks the per-pair recompute
+    val sigs = df.selectExpr(idCol, vecCol,
+      s"${sparkSimSig(vecCol, nbits, dim)} AS sig").persist()
+    val a = sigs.select(col(idCol).as("id_a"), col(vecCol).as("v_a"), col("sig"))
+    val b = sigs.select(col(idCol).as("id_b"), col(vecCol).as("v_b"), col("sig"))
+    a.join(b, "sig")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr(sparkCosine("v_a", "v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

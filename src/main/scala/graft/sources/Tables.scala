@@ -15,9 +15,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Read one table from a scale-factor directory. */
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Read one table from a scale-factor directory.
+    *
+    * `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark 4 rejects
+    * by default (PARQUET_TYPE_ILLEGAL); `nanosAsLong` surfaces it as
+    * BIGINT epoch-nanos, which the window operators consume directly
+    * (integer bucket math — no timestamp semantics needed). */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Register all tables as temp views for spark.sql use. */
   def registerAll(spark: SparkSession, dir: String): Unit =

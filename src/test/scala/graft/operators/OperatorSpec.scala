@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.athenaeum.SparkSpec
+import graft.sources.Tables
+
+/** Operator-level sanity specs on the sf0.001 testdata. The heavyweight
+  * correctness gate is the driver's DuckDB oracle over SparkEntry
+  * (sf0.01); these specs pin structural invariants and catch regressions
+  * fast. */
+class OperatorSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = Tables(spark, dir, "documents")
+  private def emb = Tables(spark, dir, "embeddings")
+
+  test("exact dedup: no dups in documents -> every group size 1") {
+    val d = Dedup.exact(docs, "doc_id", "text")
+    assert(d.count() == 500)
+    assert(d.filter("n_copies > 1").count() == 0)
+  }
+
+  test("minhash signatures have k entries in [0, P)") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", k = 12)
+    val bad = sigs.selectExpr(
+      "size(mh) AS n",
+      "array_min(mh) AS lo", "array_max(mh) AS hi")
+      .filter("n <> 12 OR lo < 0 OR hi >= 1000000007")
+    assert(bad.count() == 0)
+  }
+
+  test("minhash est_jaccard is bounded and symmetric-pair-unique") {
+    val c = Dedup.minhashCandidates(docs, "doc_id", "text")
+    assert(c.filter("est_jaccard < 0 OR est_jaccard > 1").count() == 0)
+    assert(c.filter("doc_a >= doc_b").count() == 0)
+    // distinct: no (a, b) appears twice
+    assert(c.groupBy("doc_a", "doc_b").count().filter("count > 1").count() == 0)
+  }
+
+  test("jaccard verification only keeps pairs above threshold") {
+    val p = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.2)
+    assert(p.filter("jaccard < 0.2").count() == 0)
+  }
+
+  test("simhash hamming bounded by 32 and block-consistent") {
+    val p = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
+    assert(p.filter("hamming > 6 OR hamming < 0").count() == 0)
+  }
+
+  test("brute-force ANN returns k rows per query, ranked") {
+    val r = Similarity.bruteForceTopK(emb, emb.filter("vec_id < 5"),
+      "vec_id", "embedding", k = 4)
+    val counts = r.groupBy("qid").count().collect()
+    assert(counts.length == 5 && counts.forall(_.getLong(1) == 4))
+    // cosine non-increasing per rank
+    val viol = r.as("x").join(r.as("y"),
+      org.apache.spark.sql.functions.expr(
+        "x.qid = y.qid AND x.rank < y.rank AND x.cosine < y.cosine"))
+    assert(viol.count() == 0)
+  }
+
+  test("LSH ANN is a subset of brute-force candidates (same scoring)") {
+    val bf = Similarity.bruteForceTopK(emb, emb.filter("vec_id < 5"),
+      "vec_id", "embedding", k = 500)
+      .select("qid", "cid", "cosine")
+    val lsh = Similarity.lshTopK(emb, emb.filter("vec_id < 5"),
+      "vec_id", "embedding", k = 3)
+      .select("qid", "cid", "cosine")
+    assert(lsh.except(bf).count() == 0)
+  }
+
+  test("sessionize: session bounds ordered, counts positive") {
+    val s = Events.sessionize(Tables(spark, dir, "events"))
+    assert(s.filter("session_end_us < session_start_us").count() == 0)
+    assert(s.filter("n_events <= 0").count() == 0)
+  }
+
+  test("tumbling buckets partition the events exactly") {
+    val ev = Tables(spark, dir, "events")
+    val total = Events.tumblingHourly(ev)
+      .agg(org.apache.spark.sql.functions.sum("n_events")).collect()(0).getLong(0)
+    assert(total == ev.count())
+  }
+
+  test("multimodal stub: features deterministic, checksum matches text hash") {
+    val media = Multimodal.fromText(spark, docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.count() == 500)
+    val f = feats.filter("id = 0").collect()(0)
+    assert(f.n_bytes > 0 && f.features.length == Multimodal.FeatureDim)
+    // histogram fractions sum to ~1
+    assert(math.abs(f.features.sum - 1.0f) < 1e-3)
+    // same input -> same features (determinism)
+    val again = Multimodal.extractFeatures(media).filter("id = 0").collect()(0)
+    assert(again.checksum == f.checksum)
+  }
+}

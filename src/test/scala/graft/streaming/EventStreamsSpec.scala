@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.athenaeum.SparkSpec
+
+case class Ev(ts_us: Long, user_id: Long, event_type: String, value: Double)
+
+/** Structured Streaming specs: MemoryStream in → windowed aggs → memory
+  * sink. Append-mode windows only emit once the watermark passes their
+  * end, so each test feeds its events, then a far-future flush event in a
+  * SECOND batch to advance the watermark and close the real windows —
+  * exactly how late-data handling works in production. */
+class EventStreamsSpec extends SparkSpec {
+
+  private val H = 3600000000L // micros per hour
+  private val Flush = Ev(1000 * H, 99, "flush", 0.0)
+
+  /** Run two micro-batches (data, then watermark-advancing flush). */
+  private def runWindowed(name: String, mem: MemoryStream[Ev],
+      out: DataFrame, data: Seq[Ev]): Unit = {
+    mem.addData(data: _*)
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      mem.addData(Flush)
+      q.processAllAvailable()
+    } finally q.stop()
+  }
+
+  test("streaming tumbling counts match event-time buckets") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    runWindowed("tumb", mem, EventStreams.tumblingCounts(mem.toDF()), Seq(
+      Ev(10L, 1, "click", 1.0), Ev(H - 1, 1, "click", 1.0),
+      Ev(H + 5, 2, "view", 2.0)))
+    val got = spark.table("tumb")
+      .filter("event_type <> 'flush'")
+      .select("wstart_s", "event_type", "n_events").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((0L, "click", 2L), (3600L, "view", 1L)))
+  }
+
+  test("streaming sessions merge events within the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val G = 30L * 60 * 1000000 // 30 min gap
+    runWindowed("sess", mem, EventStreams.sessions(mem.toDF()), Seq(
+      Ev(0L, 7, "a", 0.0), Ev(G - 2, 7, "a", 0.0), // same session
+      Ev(3 * G, 7, "a", 0.0), // new session
+      Ev(0L, 8, "b", 0.0))) // other user
+    val got = spark.table("sess")
+      .filter("user_id <> 99")
+      .select("user_id", "session_start_s", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((7L, 0L, 2L), (7L, 5400L, 1L), (8L, 0L, 1L)))
+  }
+
+  test("streaming sliding windows double-count on the overlap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    runWindowed("slide", mem, EventStreams.slidingCounts(mem.toDF()),
+      Seq(Ev(H + 1, 1, "x", 0.0))) // 01:00:00.000001
+    val got = spark.table("slide")
+      .filter("event_type <> 'flush'")
+      .select("wstart_s", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // windows [00:30,01:30) and [01:00,02:00) both contain it
+    assert(got == Set((1800L, 1L), (3600L, 1L)))
+  }
+
+  test("late data beyond the watermark is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    mem.addData(Ev(10 * H, 1, "on_time", 1.0))
+    val out = EventStreams.tumblingCounts(mem.toDF(), watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("late")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable() // watermark -> 9h
+      mem.addData(Ev(H, 1, "too_late", 1.0)) // hours behind the watermark
+      q.processAllAvailable()
+      mem.addData(Flush)
+      q.processAllAvailable()
+    } finally q.stop()
+    val types = spark.table("late").select("event_type").collect()
+      .map(_.getString(0)).toSet
+    assert(types.contains("on_time") && !types.contains("too_late"))
+  }
+}
