@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.expressions._
+
+/** Column API + SQL registration for the native graft expressions.
+  *
+  * Two wiring paths, both supported:
+  *  - Library/Column use: `GraftFunctions.minhashSig(col, 12)` — builds
+  *    the Catalyst expression directly, no session config needed.
+  *  - SQL use: `GraftFunctions.register(spark)` (idempotent) or
+  *    `spark.sql.extensions=graft.functions.GraftExtensions`, then
+  *    `SELECT graft_simhash(shingles) …`.
+  */
+object GraftFunctions {
+
+  private def c(e: Expression): Column = GraftSqlBridge.column(e)
+  private def e(col: Column): Expression = GraftSqlBridge.expression(col)
+
+  def polyHash(col: Column): Column = c(PolyHash(e(col)))
+  def minhashSig(col: Column, k: Int): Column = c(MinHashSig(e(col), k))
+  def simhash32(col: Column): Column = c(SimHash32(e(col)))
+  def simSig(col: Column, nbits: Int): Column = c(SimSig(e(col), nbits))
+  def cosineSim(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
+
+  private[functions] val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_polyhash" -> (args => PolyHash(args.head)),
+    "graft_minhash" -> (args => MinHashSig(args.head,
+      args(1).asInstanceOf[Literal].value.asInstanceOf[Number].intValue)),
+    "graft_simhash" -> (args => SimHash32(args.head)),
+    "graft_simsig" -> (args => SimSig(args.head,
+      args(1).asInstanceOf[Literal].value.asInstanceOf[Number].intValue)),
+    "graft_cosine" -> (args => CosineSim(args.head, args(1))))
+
+  /** Register the SQL functions on an existing session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    fns.foreach { case (name, builder) =>
+      registry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        builder)
+    }
+  }
+}
+
+/** `spark.sql.extensions` injector: wires the graft functions into every
+  * session built with this extension — the deployment path for a cluster
+  * (no driver-side registration call needed). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.fns.foreach { case (name, builder) =>
+      ext.injectFunction(
+        (FunctionIdentifier(name), new ExpressionInfo("graft", name), builder))
+    }
+}

@@ -1,0 +1,226 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop implementations behind the native expressions. Called from
+  * both interpreted eval and generated Java (via the object's static
+  * forwarders), so interpreted and codegen paths share one body.
+  *
+  * ALGORITHM CONTRACT: these must stay bit-identical to the SQL
+  * higher-order-function formulations in [[graft.functions.XFormulas]] —
+  * the DuckDB oracle runs those. Poly hash folds over CODE POINTS
+  * (= `ascii()` / `ord()` semantics; equal to bytes on the ASCII corpus),
+  * MinHash/SimHash use the same (a_i, b_i, P) family, cosine folds
+  * element products left-to-right in doubles.
+  */
+object HashImpl {
+  final val P = 1000000007L
+
+  def polyHash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var acc = 0L
+    var i = 0
+    var ascii = true
+    while (i < bytes.length && ascii) {
+      if (bytes(i) < 0) ascii = false
+      else { acc = (acc * 31 + bytes(i)) % P; i += 1 }
+    }
+    if (ascii) acc
+    else { // non-ASCII fallback: code-point fold, matching ascii()/ord()
+      acc = 0L
+      val str = s.toString
+      var j = 0
+      while (j < str.length) {
+        val cp = str.codePointAt(j)
+        acc = (acc * 31 + cp) % P
+        j += Character.charCount(cp)
+      }
+      acc
+    }
+  }
+
+  def minhash(arr: ArrayData, k: Int): ArrayData = {
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = arr.numElements()
+    var w = 0
+    while (w < n) {
+      val h = polyHash(arr.getUTF8String(w))
+      var i = 0
+      while (i < k) {
+        val a = (1103515245L * i + 12345L) % P
+        val b = (1299709L * i + 7919L) % P
+        val v = (a * h + b) % P
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      w += 1
+    }
+    if (n == 0) java.util.Arrays.fill(mins, 0L) // empty doc: degenerate sig
+    new GenericArrayData(mins)
+  }
+
+  def simhash32(arr: ArrayData): Long = {
+    val counts = new Array[Int](32)
+    val n = arr.numElements()
+    var w = 0
+    while (w < n) {
+      val h = polyHash(arr.getUTF8String(w))
+      var j = 0
+      while (j < 32) {
+        if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      w += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 32) {
+      if (counts(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  /** Random-hyperplane LSH signature; weight formula and per-plane
+    * left-to-right double fold match XFormulas.sparkSimSig exactly. */
+  def simSig(vec: ArrayData, nbits: Int): Long = {
+    var out = 0L
+    val n = vec.numElements()
+    var p = 0
+    while (p < nbits) {
+      var s = 0d
+      var j = 0
+      while (j < n) {
+        val w = ((p.toLong * 73856093L + j.toLong * 19349663L + 83492791L) % 97L) - 48L
+        s += vec.getFloat(j).toDouble * w
+        j += 1
+      }
+      if (s > 0d) out |= (1L << p)
+      p += 1
+    }
+    out
+  }
+
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0d; var na = 0d; var nb = 0d
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      i += 1
+    }
+    i = 0
+    while (i < a.numElements()) { val x = a.getFloat(i).toDouble; na += x * x; i += 1 }
+    i = 0
+    while (i < b.numElements()) { val y = b.getFloat(i).toDouble; nb += y * y; i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** Polynomial rolling hash of a string, mod 1e9+7 (document
+  * fingerprint). Whole-stage-codegen'd; ~30x the interpreted HOF chain
+  * `aggregate(split(s, ''), …)` it replaces. */
+case class PolyHash(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_polyhash"
+  protected override def nullSafeEval(input: Any): Any =
+    HashImpl.polyHash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expressions.HashImpl.polyHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+/** MinHash signature (k permutations) over an array<string> of shingles. */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+  protected override def nullSafeEval(input: Any): Any =
+    HashImpl.minhash(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expressions.HashImpl.minhash($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** 32-bit SimHash over an array<string> of shingles. */
+case class SimHash32(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+  protected override def nullSafeEval(input: Any): Any =
+    HashImpl.simhash32(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expressions.HashImpl.simhash32($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+/** Random-hyperplane LSH signature (nbits) of a float vector. */
+case class SimSig(child: Expression, nbits: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simsig"
+  protected override def nullSafeEval(input: Any): Any =
+    HashImpl.simSig(input.asInstanceOf[ArrayData], nbits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expressions.HashImpl.simSig($c, $nbits)")
+  override protected def withNewChildInternal(newChild: Expression): SimSig =
+    copy(child = newChild)
+}
+
+/** Cosine similarity of two float vectors, accumulated in doubles
+  * left-to-right (same fold order as the HOF/oracle formulation). */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float> arguments, got $l and $r")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    HashImpl.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.HashImpl.cosine($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}

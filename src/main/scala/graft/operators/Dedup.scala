@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
 import graft.functions.XFormulas._
 
 /** Deduplication operators for large corpora.
@@ -29,8 +30,9 @@ object Dedup {
     df.selectExpr(idCol, s"${sparkTokens(textCol)} AS toks")
       .selectExpr(idCol,
         s"array_distinct(${sparkShingles("toks", shingle)}) AS shingles")
-      .selectExpr(idCol, s"${sparkWordHashes("shingles")} AS hs")
-      .selectExpr(idCol, s"${sparkMinhash("hs", k)} AS mh")
+      // native codegen'd expression; bit-identical to the XFormulas HOF
+      // form (HashExpressionsSpec) which the DuckDB oracle runs
+      .select(col(idCol), GraftFunctions.minhashSig(col("shingles"), k).as("mh"))
 
   /** MinHash-LSH candidate pairs: docs sharing at least one band bucket,
     * with the signature-estimated Jaccard. `bands * r` must equal `k`. */
@@ -85,8 +87,8 @@ object Dedup {
     df.selectExpr(idCol, s"${sparkTokens(textCol)} AS toks")
       .selectExpr(idCol,
         s"array_distinct(${sparkShingles("toks", shingle)}) AS shingles")
-      .selectExpr(idCol, s"${sparkWordHashes("shingles")} AS hs")
-      .selectExpr(idCol, s"${sparkSimhash("hs")} AS sh")
+      // native codegen'd expression (see minhashSignatures note)
+      .select(col(idCol), GraftFunctions.simhash32(col("shingles")).as("sh"))
 
   /** SimHash near-dup pairs: block on the top `blockBits` bits, verify
     * Hamming distance within the block. */
@@ -110,14 +112,14 @@ object Dedup {
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nbits: Int = 8, dim: Int = 64): DataFrame = {
     // persist: see minhashCandidates — blocks the per-pair recompute
-    val sigs = df.selectExpr(idCol, vecCol,
-      s"${sparkSimSig(vecCol, nbits, dim)} AS sig").persist()
+    val sigs = df.select(col(idCol), col(vecCol),
+      GraftFunctions.simSig(col(vecCol), nbits).as("sig")).persist()
     val a = sigs.select(col(idCol).as("id_a"), col(vecCol).as("v_a"), col("sig"))
     val b = sigs.select(col(idCol).as("id_b"), col(vecCol).as("v_b"), col("sig"))
     a.join(b, "sig")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        expr(sparkCosine("v_a", "v_b")).as("cosine"))
+        GraftFunctions.cosineSim(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

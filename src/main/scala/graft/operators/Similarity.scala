@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.GraftFunctions
 import graft.functions.XFormulas._
 
 /** Similarity search over an embedding column (`Array[Float]`).
@@ -24,7 +25,7 @@ object Similarity {
     val c = candidates.select(col(idCol).as("cid"), col(vecCol).as("cv"))
     val scored = q.crossJoin(c).filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        expr(sparkCosine("qv", "cv")).as("cosine"))
+        GraftFunctions.cosineSim(col("qv"), col("cv")).as("cosine"))
     val w = Window.partitionBy("qid")
       .orderBy(col("cosine").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -37,12 +38,12 @@ object Similarity {
       vecCol: String, k: Int, nbits: Int = 8, dim: Int = 64): DataFrame = {
     def sig(df: DataFrame, id: String, v: String) =
       df.select(col(idCol).as(id), col(vecCol).as(v),
-        expr(sparkSimSig(vecCol, nbits, dim)).as("sig"))
+        GraftFunctions.simSig(col(vecCol), nbits).as("sig"))
     val q = broadcast(sig(queries, "qid", "qv"))
     val c = sig(candidates, "cid", "cv")
     val scored = q.join(c, "sig").filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        expr(sparkCosine("qv", "cv")).as("cosine"))
+        GraftFunctions.cosineSim(col("qv"), col("cv")).as("cosine"))
     val w = Window.partitionBy("qid")
       .orderBy(col("cosine").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

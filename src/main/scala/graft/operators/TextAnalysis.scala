@@ -47,7 +47,9 @@ object TextAnalysis {
         "0.3 * (CAST(size(filter(toks, w -> length(w) <= 5)) AS DOUBLE) / size(toks)) " +
         "AS quality")
 
-  /** Polynomial rolling-hash fingerprint of the raw text. */
+  /** Polynomial rolling-hash fingerprint of the raw text (native
+    * codegen'd expression; bit-identical to the XFormulas HOF form). */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.selectExpr(idCol, s"${sparkStrHash(textCol)} AS fp")
+    df.select(col(idCol),
+      graft.functions.GraftFunctions.polyHash(col(textCol)).as("fp"))
 }

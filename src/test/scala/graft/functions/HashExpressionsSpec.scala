@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.functions.{col, expr}
+import graft.athenaeum.SparkSpec
+import graft.functions.XFormulas._
+import graft.sources.Tables
+
+/** The native codegen'd expressions must be BIT-IDENTICAL to the SQL
+  * higher-order-function formulations (XFormulas) — the DuckDB oracle
+  * runs the latter, so any drift here silently breaks the correctness
+  * gate. Checked over the full sf0.001 documents/embeddings tables. */
+class HashExpressionsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("PolyHash == HOF rolling hash on every document") {
+    val docs = Tables(spark, dir, "documents")
+    val mismatch = docs.select(
+      GraftFunctions.polyHash(col("text")).as("native"),
+      expr(sparkStrHash("text")).as("hof"))
+      .filter("native <> hof")
+    assert(mismatch.count() == 0)
+  }
+
+  test("MinHashSig == HOF minhash on every document") {
+    val docs = Tables(spark, dir, "documents")
+      .selectExpr("doc_id", s"${sparkTokens("text")} AS toks")
+      .selectExpr("doc_id", s"array_distinct(${sparkShingles("toks", 3)}) AS shingles")
+    val mismatch = docs.select(
+      GraftFunctions.minhashSig(col("shingles"), 12).as("native"),
+      expr(s"${sparkMinhash(sparkWordHashes("shingles"), 12)}").as("hof"))
+      .filter("native <> hof")
+    assert(mismatch.count() == 0)
+  }
+
+  test("SimHash32 == HOF simhash on every document") {
+    val docs = Tables(spark, dir, "documents")
+      .selectExpr("doc_id", s"${sparkTokens("text")} AS toks")
+      .selectExpr("doc_id", s"array_distinct(${sparkShingles("toks", 3)}) AS shingles")
+    val mismatch = docs.select(
+      GraftFunctions.simhash32(col("shingles")).as("native"),
+      expr(s"${sparkSimhash(sparkWordHashes("shingles"))}").as("hof"))
+      .filter("native <> hof")
+    assert(mismatch.count() == 0)
+  }
+
+  test("SimSig == HOF hyperplane signature on every embedding") {
+    val e = Tables(spark, dir, "embeddings")
+    val mismatch = e.select(
+      GraftFunctions.simSig(col("embedding"), 8).as("native"),
+      expr(sparkSimSig("embedding", 8, 64)).as("hof"))
+      .filter("native <> hof")
+    assert(mismatch.count() == 0)
+  }
+
+  test("CosineSim bit-equals the HOF cosine on embedding pairs") {
+    val e = Tables(spark, dir, "embeddings").limit(50)
+    val pairs = e.as("a").crossJoin(e.as("b"))
+      .select(col("a.embedding").as("va"), col("b.embedding").as("vb"))
+    val mismatch = pairs.select(
+      GraftFunctions.cosineSim(col("va"), col("vb")).as("native"),
+      expr(sparkCosine("va", "vb")).as("hof"))
+      .filter("native <> hof") // bitwise double equality
+    assert(mismatch.count() == 0)
+  }
+
+  test("SQL registration: graft_* functions usable from spark.sql") {
+    GraftFunctions.register(spark)
+    Tables(spark, dir, "documents").createOrReplaceTempView("docs_reg")
+    val r = spark.sql(
+      """SELECT graft_polyhash(text) AS h,
+                graft_simhash(array('a b c', 'b c d')) AS sh,
+                graft_minhash(array('a b c'), 4) AS mh,
+                graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+                             array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cs
+         FROM docs_reg LIMIT 1""").collect()(0)
+    assert(r.getLong(0) >= 0 && r.getSeq[Long](2).length == 4)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
+  }
+
+  test("codegen path active: explain contains no fallback for the exprs") {
+    val docs = Tables(spark, dir, "documents")
+    val plan = docs.select(GraftFunctions.polyHash(col("text")))
+      .queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark whole-stage-codegen stages in executedPlan
+    assert(plan.contains("*(1) Project [graft_polyhash"))
+  }
+}
