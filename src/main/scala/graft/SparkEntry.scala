@@ -226,6 +226,115 @@ object SparkEntry {
     "q_events_session" -> ((s, dir) =>
       Events.sessionize(t(s, dir, "events"))),
 
+    // ----- set operations -----
+    "q_union_all" -> ((s, dir) =>
+      t(s, dir, "region").select(col("r_name").as("name"))
+        .unionAll(t(s, dir, "nation").select(col("n_name").as("name")))),
+    "q_intersect" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))),
+    "q_except" -> ((s, dir) => // orders with no lineitems
+      t(s, dir, "orders").select(col("o_orderkey").as("ok"))
+        .except(t(s, dir, "lineitem").select(col("l_orderkey").as("ok")))),
+
+    // ----- outer / semi / anti joins -----
+    "q_outer_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
+          "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))),
+    "q_semi_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))),
+    "q_anti_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))),
+
+    // ----- rollup + pivot-style conditional aggregation -----
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n"))),
+    "q_pivot_flags" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("l_returnflag") === "A", dec(col("l_quantity"))))
+            .cast("double").as("qty_a"),
+          sum(when(col("l_returnflag") === "N", dec(col("l_quantity"))))
+            .cast("double").as("qty_n"),
+          sum(when(col("l_returnflag") === "R", dec(col("l_quantity"))))
+            .cast("double").as("qty_r"),
+          count(lit(1)).as("n"))),
+
+    // ----- scalar functions -----
+    "q_string_funcs" -> ((s, dir) =>
+      t(s, dir, "part").selectExpr(
+        "p_partkey",
+        "upper(p_name) AS uname",
+        "substr(p_type, 1, 5) AS t5",
+        "CAST(length(p_brand) AS BIGINT) AS blen",
+        "concat(p_brand, '#', p_type) AS tag")),
+    "q_date_funcs" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .selectExpr("CAST(year(o_orderdate) AS BIGINT) AS yr",
+          "CAST(month(o_orderdate) AS BIGINT) AS mo",
+          "date_format(o_orderdate, 'yyyy-MM') AS ym")
+        .groupBy("yr", "mo", "ym")
+        .agg(count(lit(1)).as("n"))),
+
+    // ----- more window shapes -----
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double")
+          .as("running_spend"))
+    }),
+    "q_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"))
+    }),
+    "q_ntile" -> ((s, dir) => {
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders").select(col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("tile"))
+    }),
+
+    // ----- scalar subquery (broadcast the 1-row aggregate) -----
+    "q_scalar_subquery" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val avgDf = orders.agg(
+        (sum(dec(col("o_totalprice"))).cast("double") / count(lit(1)))
+          .as("avg_price"))
+      orders.crossJoin(broadcast(avgDf))
+        .filter(col("o_totalprice") > col("avg_price"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // ----- as-of join (custom operator; Spark has no built-in) -----
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .selectExpr("user_id", "ts div 1000 AS t_us", "event_id")
+      val ord = t(s, dir, "orders")
+        .selectExpr("o_custkey",
+          "unix_micros(cast(o_orderdate as timestamp)) AS t_us", "o_orderkey")
+      graft.operators.AsOfJoin.asOf(
+        ev, "user_id", "t_us", "event_id",
+        ord, "o_custkey", "t_us", "o_orderkey")
+    }),
+
     // ----- multimodal plumbing: opaque binary + typed metadata -----
     "q_media_meta" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -428,6 +537,70 @@ object SparkEntry {
                   COUNT(*) AS n_events,
                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
            FROM sess GROUP BY user_id, sid""",
+      "q_union_all" ->
+        "SELECT r_name AS name FROM region UNION ALL SELECT n_name AS name FROM nation",
+      "q_intersect" ->
+        "SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey AS nk FROM supplier",
+      "q_except" ->
+        "SELECT o_orderkey AS ok FROM orders EXCEPT SELECT l_orderkey AS ok FROM lineitem",
+      "q_outer_join" ->
+        """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey""",
+      "q_semi_join" ->
+        """SELECT c_custkey, c_name FROM customer
+           WHERE EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey AND o_totalprice > 300000)""",
+      "q_anti_join" ->
+        """SELECT c_custkey, c_name FROM customer
+           WHERE NOT EXISTS (SELECT 1 FROM orders
+                             WHERE o_custkey = c_custkey AND o_totalprice > 400000)""",
+      "q_rollup" ->
+        """SELECT r_name, n_name, COUNT(*) AS n
+           FROM nation JOIN region ON n_regionkey = r_regionkey
+           GROUP BY ROLLUP(r_name, n_name)""",
+      "q_pivot_flags" ->
+        """SELECT l_linestatus,
+                  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_a,
+                  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_n,
+                  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_r,
+                  COUNT(*) AS n
+           FROM lineitem GROUP BY l_linestatus""",
+      "q_string_funcs" ->
+        """SELECT p_partkey, upper(p_name) AS uname, substr(p_type, 1, 5) AS t5,
+                  CAST(length(p_brand) AS BIGINT) AS blen,
+                  concat(p_brand, '#', p_type) AS tag
+           FROM part""",
+      "q_date_funcs" ->
+        """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                  CAST(month(o_orderdate) AS BIGINT) AS mo,
+                  strftime(o_orderdate, '%Y-%m') AS ym, COUNT(*) AS n
+           FROM orders GROUP BY 1, 2, 3""",
+      "q_window_running" ->
+        """SELECT o_custkey, o_orderkey,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+           FROM orders""",
+      "q_lag_lead" ->
+        """SELECT o_custkey, o_orderkey,
+                  lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+                  lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+           FROM orders""",
+      "q_ntile" ->
+        """SELECT o_orderkey,
+                  CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS tile
+           FROM orders""",
+      "q_scalar_subquery" ->
+        """SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders)""",
+      "q_asof_join" ->
+        """WITH o AS (SELECT o_custkey AS k, epoch_us(o_orderdate) AS t,
+                             MAX(o_orderkey) AS ref
+                      FROM orders GROUP BY 1, 2),
+           e AS (SELECT user_id AS k, epoch_us(ts) AS t, event_id FROM events)
+           SELECT e.event_id, e.k AS user_id, o.ref AS o_orderkey
+           FROM e ASOF JOIN o ON e.k = o.k AND e.t >= o.t""",
       "q_media_meta" ->
         """SELECT doc_id,
                   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of join: for each left row, the most recent right row with the same
+  * key whose time is <= the left row's time (inner form: unmatched left
+  * rows drop).
+  *
+  * Spark has no built-in as-of join; the scalable formulation is the
+  * classic tagged-union merge: union both sides ordered by (time, side),
+  * then a running `last(right_ref, ignoreNulls)` window carries the most
+  * recent right ref forward into each left row. Cost: ONE shuffle on the
+  * key + a per-key sort — same asymptotics as a sort-merge join, no
+  * range-condition nested loop (a naive `left.t >= right.t` join is a
+  * BroadcastNestedLoop that explodes quadratically per key).
+  *
+  * Right rows are pre-deduped to one ref per (key, time) — MAX(ref) — so
+  * ties are deterministic. At equal times the right row sorts BEFORE the
+  * left row (side desc), giving `left.t >= right.t` (inclusive) semantics,
+  * matching e.g. DuckDB's ASOF JOIN.
+  */
+object AsOfJoin {
+
+  /** @param left     probe side (e.g. events)
+    * @param right    reference side (e.g. orders)
+    * @return left ids with their matched right ref:
+    *         (leftId, key, matchedRef) */
+  def asOf(left: DataFrame, leftKey: String, leftTime: String, leftId: String,
+      right: DataFrame, rightKey: String, rightTime: String, rightRef: String)
+      : DataFrame = {
+    val r = right.groupBy(col(rightKey).as("k"), col(rightTime).as("t"))
+      .agg(max(col(rightRef)).as("ref"))
+      .select(col("k"), col("t"), lit(1).as("side"), col("ref"),
+        lit(null).cast("long").as("lid"))
+    val l = left.select(col(leftKey).as("k"), col(leftTime).as("t"),
+      lit(0).as("side"), lit(null).cast("long").as("ref"),
+      col(leftId).as("lid"))
+    val w = Window.partitionBy("k")
+      .orderBy(col("t").asc, col("side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionAll(l)
+      .withColumn("match_ref",
+        last(when(col("side") === 1, col("ref")), ignoreNulls = true).over(w))
+      .filter(col("side") === 0 && col("match_ref").isNotNull)
+      .select(col("lid").as(leftId), col("k").as(leftKey),
+        col("match_ref").as(rightRef))
+  }
+}
