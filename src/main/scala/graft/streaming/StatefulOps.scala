@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom-state streaming operators via
+  * `KeyValueGroupedDataset.flatMapGroupsWithState` — the escape hatch for
+  * semantics the built-in windowed aggregations can't express.
+  *
+  * State discipline at scale: state lives in the state store partitioned
+  * by key; every operator here registers an EVENT-TIME timeout so
+  * abandoned keys are evicted once the watermark passes — on an unbounded
+  * stream an un-evicted state store IS a memory leak. (Processing-time
+  * timeouts are deliberately avoided: they keep the micro-batch loop
+  * spinning even with no data, burning cluster time.)
+  */
+object StatefulOps {
+
+  case class Keyed(key: String, id: Long, ts_us: Long)
+  // public: Catalyst's generated SafeProjection must be able to construct it
+  case class KeyedE(key: String, id: Long, ts_us: Long, ets: Timestamp)
+  case class SessionAgg(key: String, n: Long, firstId: Long)
+
+  private def withWatermark(ds: Dataset[Keyed], watermark: String)
+      : Dataset[KeyedE] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.withColumn("ets", timestamp_micros(col("ts_us")))
+      .withWatermark("ets", watermark).as[KeyedE]
+  }
+
+  private val EvictAfterMs = 3600L * 1000
+
+  /** Streaming exact dedup: emit only the FIRST record seen per key.
+    * The batch twin is Dedup.exact (groupBy + min); here the state store
+    * remembers seen keys, evicted an hour past the watermark. */
+  def firstSeen(ds: Dataset[Keyed],
+      watermark: String = "1 hour"): Dataset[Keyed] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    withWatermark(ds, watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Boolean, Keyed](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[KeyedE], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) Iterator.empty // key already emitted
+          else {
+            state.update(true)
+            state.setTimeoutTimestamp(
+              state.getCurrentWatermarkMs() + EvictAfterMs)
+            val first = rows.next()
+            Iterator.single(Keyed(first.key, first.id, first.ts_us))
+          }
+      }
+  }
+
+  /** Running per-key count + first id, one updated row per key per batch
+    * — mapGroupsWithState shape. */
+  def runningCounts(ds: Dataset[Keyed],
+      watermark: String = "1 hour"): Dataset[SessionAgg] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    withWatermark(ds, watermark)
+      .groupByKey(_.key)
+      .mapGroupsWithState[SessionAgg, SessionAgg](
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[KeyedE], state: GroupState[SessionAgg]) =>
+          if (state.hasTimedOut) {
+            val last = state.get; state.remove(); last
+          } else {
+            val prev = state.getOption.getOrElse(SessionAgg(key, 0L, -1L))
+            val batch = rows.toSeq
+            val next = SessionAgg(key, prev.n + batch.size,
+              if (prev.firstId >= 0) prev.firstId
+              else batch.map(_.id).min)
+            state.update(next)
+            state.setTimeoutTimestamp(
+              state.getCurrentWatermarkMs() + EvictAfterMs)
+            next
+          }
+      }
+  }
+
+  /** Built-in streaming dedup twin: watermark-scoped exact dedup on a
+    * key column (state auto-evicted past the watermark). */
+  def dropDupesWithinWatermark(df: DataFrame, keyCol: String,
+      tsCol: String = "ets", watermark: String = "1 hour"): DataFrame =
+    df.withColumn("ets", timestamp_micros(col(tsCol)))
+      .withWatermark("ets", watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+}

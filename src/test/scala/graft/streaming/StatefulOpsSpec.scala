@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.athenaeum.SparkSpec
+import StatefulOps.Keyed
+
+class StatefulOpsSpec extends SparkSpec {
+
+  test("firstSeen emits exactly one row per key across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Keyed]
+    val q = StatefulOps.firstSeen(mem.toDS()).writeStream
+      .format("memory").queryName("first_seen")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Keyed("a", 1, 10), Keyed("b", 2, 11), Keyed("a", 3, 12))
+      q.processAllAvailable()
+      mem.addData(Keyed("a", 4, 20), Keyed("c", 5, 21))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("first_seen").as[Keyed].collect()
+      .map(k => (k.key, k.id)).toSet
+    // duplicate 'a' rows (ids 3, 4) suppressed; one row per key
+    assert(got == Set(("a", 1L), ("b", 2L), ("c", 5L)))
+  }
+
+  test("runningCounts accumulates state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Keyed]
+    val q = StatefulOps.runningCounts(mem.toDS()).writeStream
+      .format("memory").queryName("running")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(Keyed("u", 7, 1), Keyed("u", 8, 2), Keyed("v", 9, 3))
+      q.processAllAvailable()
+      mem.addData(Keyed("u", 10, 4))
+      q.processAllAvailable()
+    } finally q.stop()
+    import org.apache.spark.sql.functions._
+    // latest state per key: u has seen 3 rows (firstId 7), v one (firstId 9)
+    val latest = spark.table("running")
+      .groupBy("key").agg(max("n").as("n"), min("firstId").as("firstId"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(latest == Set(("u", 3L, 7L), ("v", 1L, 9L)))
+  }
+
+  test("dropDuplicatesWithinWatermark dedups a key column") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Keyed]
+    val q = StatefulOps.dropDupesWithinWatermark(
+        mem.toDF(), "key", tsCol = "ts_us").writeStream
+      .format("memory").queryName("dd")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Keyed("a", 1, 1000000), Keyed("a", 2, 2000000),
+        Keyed("b", 3, 1500000))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("dd").count() == 2)
+  }
+}
