@@ -24,6 +24,8 @@ object SparkSpec {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .appName("graft-test").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.athenaeum.SparkSpec
+import graft.sources.Tables
+
+/** Plan-level assertions for the scale techniques: salting preserves
+  * join results; bucketed tables join with no Exchange; partitioned
+  * writes prune at the scan. */
+class ScaleJoinsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("saltedJoin returns exactly the rows of the plain join") {
+    val li = Tables(spark, dir, "lineitem")
+    val part = Tables(spark, dir, "part")
+    val plain = li.join(part, li("l_partkey") === part("p_partkey"))
+      .select("l_orderkey", "l_linenumber", "p_partkey", "p_brand")
+    val salted = ScaleJoins.saltedJoin(
+        li.withColumnRenamed("l_partkey", "p_partkey"), part,
+        "p_partkey", buckets = 8, saltCol = "l_orderkey")
+      .select("l_orderkey", "l_linenumber", "p_partkey", "p_brand")
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("bucketed tables join without a shuffle on either side") {
+    ScaleJoins.writeBucketed(
+      Tables(spark, dir, "orders"), "orders_b", "o_custkey", 4)
+    ScaleJoins.writeBucketed(
+      Tables(spark, dir, "customer"), "customer_b", "c_custkey", 4)
+    // disable broadcast so the join would otherwise shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("orders_b").join(spark.table("customer_b"),
+        col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+      assert(joined.count() == 1500)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("partitioned write prunes partitions at the scan") {
+    val out = java.nio.file.Files.createTempDirectory("pw").toString + "/li"
+    ScaleJoins.writePartitioned(
+      Tables(spark, dir, "lineitem"), out, Seq("l_returnflag"))
+    val read = spark.read.parquet(out).filter(col("l_returnflag") === "R")
+    val scan = read.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      s"no partition filter in:\n$scan")
+    assert(read.count() ==
+      Tables(spark, dir, "lineitem").filter("l_returnflag = 'R'").count())
+  }
+}
