@@ -85,6 +85,34 @@ class EngineGoldenSpec extends SparkSpec {
     assert(err.msg == "Both sides of the filter are literals \"x\" and \"1\"\n")
   }
 
+  test("ambiguous column in a FILTER errors like the select path") {
+    val err = intercept[EngineError] {
+      Engine.runSql(spark, goldenDir,
+        "SELECT capital FROM countries, cities WHERE name = \"Tokyo\"")
+    }
+    assert(err.msg == "ERROR: Column reference \"name\" is ambiguous; " +
+      "present in multiple tables: \"countries\", \"cities\".")
+  }
+
+  test("ambiguous column in a JOIN condition errors the same way") {
+    val err = intercept[EngineError] {
+      Engine.runSql(spark, goldenDir,
+        "SELECT capital FROM countries, cities WHERE name = capital")
+    }
+    assert(err.msg == "ERROR: Column reference \"name\" is ambiguous; " +
+      "present in multiple tables: \"countries\", \"cities\".")
+  }
+
+  test("alias also makes the file-name key ambiguous (all_tables scan)") {
+    // FROM cities AS a registers BOTH "cities" and "a" (database.py:207-221),
+    // so an unqualified ref present in one physical table still reports two
+    val err = intercept[EngineError] {
+      Engine.runSql(spark, goldenDir, "SELECT name FROM cities AS a")
+    }
+    assert(err.msg == "ERROR: Column reference \"name\" is ambiguous; " +
+      "present in multiple tables: \"cities\", \"a\".")
+  }
+
   test("unknown column in table (database.py:246-248)") {
     val err = intercept[EngineError] {
       Engine.runSql(spark, goldenDir, "SELECT cities.mayor FROM cities")
