@@ -237,6 +237,14 @@ object SparkEntry {
       t(s, dir, "orders").select(col("o_orderkey").as("ok"))
         .except(t(s, dir, "lineitem").select(col("l_orderkey").as("ok")))),
 
+    "q_union_distinct" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .union(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+        .distinct()),
+    "q_except_all" -> ((s, dir) => // multiset semantics: keeps dup counts
+      t(s, dir, "lineitem").select(col("l_suppkey").as("sk"))
+        .exceptAll(t(s, dir, "supplier").select(col("s_suppkey").as("sk")))),
+
     // ----- outer / semi / anti joins -----
     "q_outer_join" -> ((s, dir) =>
       t(s, dir, "customer")
@@ -543,6 +551,12 @@ object SparkEntry {
         "SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey AS nk FROM supplier",
       "q_except" ->
         "SELECT o_orderkey AS ok FROM orders EXCEPT SELECT l_orderkey AS ok FROM lineitem",
+      "q_union_distinct" ->
+        """SELECT c_nationkey AS nk FROM customer
+           UNION SELECT s_nationkey AS nk FROM supplier""",
+      "q_except_all" ->
+        """SELECT l_suppkey AS sk FROM lineitem
+           EXCEPT ALL SELECT s_suppkey AS sk FROM supplier""",
       "q_outer_join" ->
         """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
