@@ -263,6 +263,19 @@ object SparkEntry {
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))),
 
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))),
+    "q_grouping_sets" -> ((s, dir) => {
+      // explicit grouping sets: (returnflag), (linestatus) — no (a,b), no ()
+      val li = t(s, dir, "lineitem")
+      li.createOrReplaceTempView("lineitem_gs")
+      s.sql("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+               FROM lineitem_gs
+               GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""")
+    }),
+
     // ----- rollup + pivot-style conditional aggregation -----
     "q_rollup" -> ((s, dir) =>
       t(s, dir, "nation")
@@ -569,6 +582,14 @@ object SparkEntry {
         """SELECT c_custkey, c_name FROM customer
            WHERE NOT EXISTS (SELECT 1 FROM orders
                              WHERE o_custkey = c_custkey AND o_totalprice > 400000)""",
+      "q_cube" ->
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+           FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+      "q_grouping_sets" ->
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+           FROM lineitem
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""",
       "q_rollup" ->
         """SELECT r_name, n_name, COUNT(*) AS n
            FROM nation JOIN region ON n_regionkey = r_regionkey

@@ -47,6 +47,27 @@ class StatefulOpsSpec extends SparkSpec {
     assert(latest == Set(("u", 3L, 7L), ("v", 1L, 9L)))
   }
 
+  test("firstSeen runs on the RocksDB state store (production provider)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Keyed]
+      val q = StatefulOps.firstSeen(mem.toDS()).writeStream
+        .format("memory").queryName("first_seen_rocks")
+        .outputMode(OutputMode.Append).start()
+      try {
+        mem.addData(Keyed("a", 1, 10), Keyed("a", 2, 11), Keyed("b", 3, 12))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("first_seen_rocks").as[Keyed].collect()
+        .map(k => (k.key, k.id)).toSet
+      assert(got == Set(("a", 1L), ("b", 3L)))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("dropDuplicatesWithinWatermark dedups a key column") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
