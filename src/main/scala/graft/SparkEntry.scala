@@ -63,6 +63,13 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_discount"))),
 
+    // ----- timestamp-predicate filter (pushes to parquet scan) -----
+    "q_filter_date" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1996-01-01" &&
+          col("l_shipdate") < "1997-01-01")
+        .select(col("l_orderkey"), col("l_linenumber"))),
+
     // ----- J1 equi join; dim side broadcast (database.py:526-537) -----
     "q_join_equi" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -387,6 +394,10 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
          FROM lineitem
          WHERE l_quantity >= 30 AND l_discount < 0.05 AND l_tax <= 0.05""",
+    "q_filter_date" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'""",
     "q_join_equi" ->
       """SELECT o_orderkey, c_name, o_totalprice
          FROM orders JOIN customer ON o_custkey = c_custkey""",
