@@ -112,6 +112,14 @@ object SparkEntry {
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))),
 
+    // ----- tolerance range join via bucketing (no nested loop) -----
+    "q_range_join" -> ((s, dir) =>
+      graft.operators.RangeJoin.bucketed(
+          t(s, dir, "lineitem"), "l_quantity",
+          t(s, dir, "part"), "p_size", 2.0)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_pairs"))),
+
     // ----- J6 multi-table join chain + agg (database.py:656-789) -----
     "q_join_multi" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -417,6 +425,10 @@ object SparkEntry {
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem JOIN part
            ON l_partkey = p_partkey AND l_quantity > p_size
+         GROUP BY p_brand""",
+    "q_range_join" ->
+      """SELECT p_brand, COUNT(*) AS n_pairs
+         FROM lineitem JOIN part ON abs(l_quantity - p_size) <= 2
          GROUP BY p_brand""",
     "q_join_multi" ->
       """SELECT r_name, n_name,
