@@ -152,6 +152,13 @@ object SparkEntry {
             .as("avg_disc"),
           count(lit(1)).as("count_order"))),
 
+    // ----- exact percentiles (interpolating; quantity domain is exact) --
+    "q_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("med_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"))),
+
     // ----- Aggregate + HAVING-style post-filter -----
     "q_group_having" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -452,6 +459,10 @@ object SparkEntry {
                 CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
                 COUNT(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q_percentile" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med_qty,
+                quantile_cont(l_quantity, 0.9) AS p90_qty
+         FROM lineitem GROUP BY l_returnflag""",
     "q_group_having" ->
       """SELECT o_custkey, COUNT(*) AS cnt,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
