@@ -112,13 +112,23 @@ object SparkEntry {
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))),
 
-    // ----- tolerance range join via bucketing (no nested loop) -----
-    "q_range_join" -> ((s, dir) =>
-      graft.operators.RangeJoin.bucketed(
-          t(s, dir, "lineitem"), "l_quantity",
-          t(s, dir, "part"), "p_size", 2.0)
+    // ----- tolerance range join via bucketing + factorized counting -----
+    // The quantity/size domains are tiny (~50 values), so materializing
+    // the matching PAIRS is inherently quadratic (~1.2B at sf0.1). For a
+    // count-style aggregate the scalable form is factorized: range-join
+    // the two value HISTOGRAMS (50 x ~1.2k rows) and multiply counts —
+    // identical result, pair materialization never happens.
+    "q_range_join" -> ((s, dir) => {
+      val liHist = t(s, dir, "lineitem")
+        .groupBy(col("l_quantity")).agg(count(lit(1)).as("cnt_l"))
+      val partHist = t(s, dir, "part")
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(count(lit(1)).as("cnt_p"))
+      graft.operators.RangeJoin.bucketed(liHist, "l_quantity",
+          partHist, "p_size", 2.0)
         .groupBy(col("p_brand"))
-        .agg(count(lit(1)).as("n_pairs"))),
+        .agg(sum(col("cnt_l") * col("cnt_p")).as("n_pairs"))
+    }),
 
     // ----- J6 multi-table join chain + agg (database.py:656-789) -----
     "q_join_multi" -> ((s, dir) =>
