@@ -146,6 +146,22 @@ object SparkEntry {
             .cast("double").as("revenue"),
           count(lit(1)).as("n_items"))),
 
+    // ----- TPC-H Q3-style shipping priority: selective join + agg + topk
+    "q3_shipping" -> ((s, dir) =>
+      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") < "1998-01-01"),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+            .filter(col("l_shipdate") > "1996-06-30"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)),
+
     // ----- Phase D: GROUP BY + COUNT/SUM (sql-to-json:146-181, disabled
     // in the reference) as full TPC-H Q1 -----
     "q1_agg" -> ((s, dir) =>
@@ -459,6 +475,18 @@ object SparkEntry {
          JOIN nation   ON c_nationkey = n_nationkey
          JOIN region   ON n_regionkey = r_regionkey
          GROUP BY r_name, n_name""",
+    "q3_shipping" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM customer
+         JOIN orders   ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1996-06-30'
+         GROUP BY o_orderkey, odate
+         ORDER BY revenue DESC, o_orderkey LIMIT 10""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -40,6 +40,25 @@ object EventStreams {
       .select(col("window.start").cast("long").as("wstart_s"),
         col("event_type"), col("n_events"))
 
+  /** Stream-stream inner join within a time bound: pairs events from two
+    * streams for the same user at most `boundSeconds` apart. Both sides
+    * carry watermarks, and the time-bound condition lets Spark evict
+    * buffered rows once the other side's watermark passes — without the
+    * bound (or the watermarks) state grows forever. */
+  def correlate(left: DataFrame, right: DataFrame,
+      boundSeconds: Long = 1800, watermark: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val l = withEventTime(left).withWatermark("ets", watermark)
+      .select(col("user_id").as("l_user"), col("ets").as("l_ets"),
+        col("event_type").as("l_type"))
+    val r = withEventTime(right).withWatermark("ets", watermark)
+      .select(col("user_id").as("r_user"), col("ets").as("r_ets"),
+        col("event_type").as("r_type"))
+    l.join(r, expr(
+      s"""l_user = r_user AND
+          r_ets BETWEEN l_ets AND l_ets + INTERVAL $boundSeconds SECONDS"""))
+  }
+
   /** Session windows per user with a gap timeout — the streaming
     * equivalent of the batch gaps-and-islands in Events.sessionize. */
   def sessions(events: DataFrame, gap: String = "30 minutes",

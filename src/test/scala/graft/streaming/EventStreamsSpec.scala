@@ -74,6 +74,32 @@ class EventStreamsSpec extends SparkSpec {
     assert(got == Set((1800L, 1L), (3600L, 1L)))
   }
 
+  test("stream-stream join pairs events within the time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val joined = EventStreams.correlate(clicks.toDF(), buys.toDF(),
+      boundSeconds = 1800)
+    val q = joined.writeStream.format("memory").queryName("corr")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // realistic (2024) event times: near-epoch-zero timestamps get
+      // silently dropped by the watermark/time-bound range filters,
+      // whose lower bounds fall before the epoch
+      val B = 1704067200000000L // 2024-01-01 00:00:00 in micros
+      clicks.addData(Ev(B, 1, "click", 0), Ev(B, 2, "click", 0))
+      buys.addData(
+        Ev(B + 60L * 1000000, 1, "buy", 0), // 1 min after click: in
+        Ev(B + 3000L * 1000000, 1, "buy", 0), // 50 min after: out of bound
+        Ev(B + 10L * 1000000, 3, "buy", 0)) // no matching user: out
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("corr").select("l_user", "r_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "buy")))
+  }
+
   test("late data beyond the watermark is dropped") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
