@@ -4,6 +4,28 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.NullNode
 import scala.jdk.CollectionConverters._
 
+/** String encoder byte-compatible with Python's
+  * `json.dumps(s, ensure_ascii=True)` (the reference serializes every
+  * string through it — `sql-to-json:397-438`): `\b \f \n \r \t` escape
+  * shortcuts, `\u00xx` for remaining control chars, and `\uxxxx` for
+  * EVERY char above 0x7E. Non-BMP chars are UTF-16 surrogate pairs in a
+  * Scala String, so each half escapes separately — exactly json.dumps'
+  * surrogate-pair output (verified against CPython). */
+private[athenaeum] object PyJson {
+  def dumps(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\b' => "\\b"
+      case '\f' => "\\f"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' || c > '~' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}
+
 /** AST mirroring the reference front end's JSON output
   * (`sql-to-json:135-245`): a single SELECT over FROM tables with a flat
   * AND-list of comparisons. GROUP BY / COUNT / SUM exist in the grammar as
@@ -86,7 +108,7 @@ object Ast {
 
   def toJson(q: SelectQuery): String = {
     val sb = new StringBuilder
-    def jstr(s: String): String = mapper.writeValueAsString(s)
+    def jstr(s: String): String = PyJson.dumps(s)
     def inline(ref: ColumnRef): String =
       s"""{"name": ${jstr(ref.name)}, "table": ${ref.table.map(jstr).getOrElse("null")}}"""
     def inlineTerm(t: Term): String = t match {

@@ -30,16 +30,7 @@ object SqlParser {
       ival: Long = 0)
 
   // JSON-style quoting used by the reference's `q()` (= json.dumps).
-  private def q(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  private def q(s: String): String = PyJson.dumps(s)
 
   def tokenize(query: String): Vector[Tok] = {
     val out = ArrayBuffer.empty[Tok]
@@ -81,7 +72,16 @@ object SqlParser {
               if (!cc.isDigit) done = true
             }
           }
-          val v = BigInt(query.substring(start, i))
+          // Digit-by-digit fold via Character.digit so Unicode decimal
+          // digits (category Nd) parse exactly like Python's int() in the
+          // reference; Nd chars Java can't map (none in practice) get a
+          // ParseException where the reference would crash with ValueError.
+          val v = query.substring(start, i).foldLeft(BigInt(0)) { (acc, ch) =>
+            val d = Character.digit(ch, 10)
+            if (d < 0) err(start, s"invalid integer literal: " +
+              q(query.substring(start, i)))
+            acc * 10 + d
+          }
           if (v > IntLitMax)
             err(start, s"integer literal too large: $v (max allowed: $IntLitMax)")
           out += Tok(line, col(start), "lit-int", ival = v.toLong)

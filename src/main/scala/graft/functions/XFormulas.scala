@@ -40,12 +40,15 @@ object XFormulas {
   // mh_i = min over h of ((a_i*h + b_i) % P), i in 0..k-1
   // a_i = (1103515245*i + 12345) % P  (≤1e9, so a_i*h ≤ 1e18 < 2^63)
   // b_i = (1299709*i + 7919) % P
+  // Empty-doc convention: an empty hash array yields an all-ZEROS
+  // signature (array_min/list_min over [] is NULL — coalesce to 0 so the
+  // HOF form matches HashImpl.minhash's degenerate-signature contract).
   def sparkMinhash(hashes: String, k: Int): String =
-    s"transform(sequence(0L, ${k - 1}L), i -> array_min(transform($hashes, " +
-      s"h -> (((1103515245 * i + 12345) % $P) * h + ((1299709 * i + 7919) % $P)) % $P)))"
+    s"transform(sequence(0L, ${k - 1}L), i -> coalesce(array_min(transform($hashes, " +
+      s"h -> (((1103515245 * i + 12345) % $P) * h + ((1299709 * i + 7919) % $P)) % $P)), 0L))"
   def duckMinhash(hashes: String, k: Int): String =
-    s"list_transform(range(0, $k), i -> list_min(list_transform($hashes, " +
-      s"h -> (((1103515245 * i + 12345) % $P) * h + ((1299709 * i + 7919) % $P)) % $P)))"
+    s"list_transform(range(0, $k), i -> coalesce(list_min(list_transform($hashes, " +
+      s"h -> (((1103515245 * i + 12345) % $P) * h + ((1299709 * i + 7919) % $P)) % $P)), 0::BIGINT))"
 
   // ---- LSH band bucket: hash rows [band*r+1 .. band*r+r] of a signature
   def sparkBandBucket(mh: String, band: String, r: Int): String =
@@ -65,10 +68,15 @@ object XFormulas {
       s"THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT)"
 
   // ---- word n-gram shingles of a token-array expression ----
+  // Guarded for docs shorter than n tokens: Spark's sequence(1, stop)
+  // steps DOWNWARD when stop < 1 (yielding [1, 0, …] and an
+  // INVALID_INDEX_OF_ZERO from element_at), while DuckDB's range()
+  // yields an empty list — both sides must produce [] for short docs.
   def sparkShingles(tokens: String, n: Int): String = {
     val parts = (0 until n).map(o => s"element_at($tokens, cast(i + $o as int))")
       .mkString(", ")
-    s"transform(sequence(1L, size($tokens) - ${n - 1}L), i -> concat_ws(' ', $parts))"
+    s"IF(size($tokens) < $n, array(), " +
+      s"transform(sequence(1L, size($tokens) - ${n - 1}L), i -> concat_ws(' ', $parts)))"
   }
   def duckShingles(tokens: String, n: Int): String = {
     val parts = (0 until n).map(o => s"($tokens)[i + $o]").mkString(" || ' ' || ")

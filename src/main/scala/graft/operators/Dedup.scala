@@ -17,6 +17,28 @@ import graft.functions.XFormulas._
   */
 object Dedup {
 
+  // Every persist() below is registered here so long-lived sessions can
+  // release the cached signature blocks once the consuming action has
+  // run — without a barrier the blocks accumulate until eviction
+  // pressure. Callers own the lifecycle: run the action, then
+  // releaseCaches().
+  private val cached =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  private def persistTracked(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    cached.add(p)
+    p
+  }
+
+  /** Unpersist every intermediate cached by the dedup operators since the
+    * last call (non-blocking). Safe to call any time after the consuming
+    * action; results already computed are unaffected. */
+  def releaseCaches(): Unit = {
+    var d = cached.poll()
+    while (d != null) { d.unpersist(blocking = false); d = cached.poll() }
+  }
+
   /** Exact dedup: group identical keys, keep the lowest id.
     * Map-side partial aggregation makes this one shuffle of distinct
     * keys, not rows. */
@@ -44,7 +66,7 @@ object Dedup {
     // projection collapse would inline it into the joined output and
     // recompute it per candidate PAIR (quadratic; measured 640s → <5s on
     // the simhash twin at sf0.1)
-    val sigs = minhashSignatures(df, idCol, textCol, k, shingle).persist()
+    val sigs = persistTracked(minhashSignatures(df, idCol, textCol, k, shingle))
     val buckets = sigs
       .selectExpr(idCol, "mh",
         s"explode(sequence(0L, ${bands - 1}L)) AS band")
@@ -69,10 +91,10 @@ object Dedup {
     val cands = minhashCandidates(df, idCol, textCol, k, bands, shingle)
       .select("doc_a", "doc_b")
     // persist: joined twice (doc_a and doc_b sides) — see minhashCandidates
-    val sh = df.selectExpr(idCol, s"${sparkTokens(textCol)} AS toks")
-      .selectExpr(idCol,
-        s"array_distinct(${sparkShingles("toks", shingle)}) AS shingles")
-      .persist()
+    val sh = persistTracked(
+      df.selectExpr(idCol, s"${sparkTokens(textCol)} AS toks")
+        .selectExpr(idCol,
+          s"array_distinct(${sparkShingles("toks", shingle)}) AS shingles"))
     cands
       .join(sh.select(col(idCol).as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sh.select(col(idCol).as("doc_b"), col("shingles").as("sh_b")), "doc_b")
@@ -95,9 +117,9 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int, blockBits: Int = 8, shingle: Int = 3): DataFrame = {
     // persist: see minhashCandidates — blocks the per-pair recompute
-    val sigs = simhashSignatures(df, idCol, textCol, shingle)
-      .withColumn("blk", expr(s"shiftright(sh, ${32 - blockBits})"))
-      .persist()
+    val sigs = persistTracked(
+      simhashSignatures(df, idCol, textCol, shingle)
+        .withColumn("blk", expr(s"shiftright(sh, ${32 - blockBits})")))
     val a = sigs.select(col(idCol).as("doc_a"), col("sh").as("sh_a"), col("blk"))
     val b = sigs.select(col(idCol).as("doc_b"), col("sh").as("sh_b"), col("blk"))
     a.join(b, "blk")
@@ -112,8 +134,8 @@ object Dedup {
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nbits: Int = 8, dim: Int = 64): DataFrame = {
     // persist: see minhashCandidates — blocks the per-pair recompute
-    val sigs = df.select(col(idCol), col(vecCol),
-      GraftFunctions.simSig(col(vecCol), nbits).as("sig")).persist()
+    val sigs = persistTracked(df.select(col(idCol), col(vecCol),
+      GraftFunctions.simSig(col(vecCol), nbits).as("sig")))
     val a = sigs.select(col(idCol).as("id_a"), col(vecCol).as("v_a"), col("sig"))
     val b = sigs.select(col(idCol).as("id_b"), col(vecCol).as("v_b"), col("sig"))
     a.join(b, "sig")

@@ -23,11 +23,14 @@ import scala.jdk.CollectionConverters._
   *
   * Supports column pruning (SupportsPushDownRequiredColumns): a
   * projection reaches the reader, which then materializes only the
-  * requested columns. Rows are split into `spark.default.parallelism`-
-  * sized slices so even a single file scans in parallel. The files the
-  * reference ships are small; at real scale this format would be
-  * converted to parquet at ingest — this source exists so reference
-  * datasets are first-class relations.
+  * requested columns. Rows are split into at most
+  * `spark.default.parallelism` slices of >=1000 rows so a single large
+  * file still scans in parallel; files under 1000 rows get ONE partition
+  * (the format is a single JSON array, so each slice must re-parse the
+  * whole file — the row floor bounds that redundancy, and small files
+  * parse exactly once). The files the reference ships are small; at real
+  * scale this format would be converted to parquet at ingest — this
+  * source exists so reference datasets are first-class relations.
   */
 class TableJsonDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "tablejson"
@@ -88,7 +91,9 @@ private[tablejson] class TableJsonScan(path: String, full: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val root = TableJsonIO.parse(path)
     val nRows = root.size - 1
-    val slices = math.max(1, math.min(8, nRows / 1000))
+    val maxSlices = org.apache.spark.sql.SparkSession.active
+      .sparkContext.defaultParallelism
+    val slices = math.max(1, math.min(maxSlices, nRows / 1000))
     val step = math.max(1, (nRows + slices - 1) / slices)
     (1 to nRows by step).map(start =>
       TableJsonPartition(path, start, math.min(start + step, nRows + 1))

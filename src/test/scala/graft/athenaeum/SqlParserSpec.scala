@@ -113,4 +113,31 @@ class SqlParserSpec extends AnyFunSuite {
     val ast = SqlParser.parse("-- leading comment\r\nSELECT a FROM t -- tail")
     assert(ast.select.size == 1 && ast.from.head.file == "t")
   }
+
+  // json.dumps(ensure_ascii=True) parity: the reference quotes offending
+  // input through q() = json.dumps, which escapes every char > 0x7E.
+  test("tokenizer: non-ASCII unexpected character escapes as \\uXXXX") {
+    val e = errOf("SELECT a FROM t WHERE a = \u20ac")
+    assert(e.message == "unexpected character \"\\u20ac\"")
+  }
+
+  test("tokenizer: non-ASCII char in string literal escapes as \\uXXXX") {
+    val e = errOf("SELECT a FROM t WHERE a = \"caf\u00e9\"")
+    assert(e.message == "invalid character in string literal: \"\\u00e9\"")
+  }
+
+  test("tokenizer: Unicode decimal digits parse like Python int()") {
+    // U+0661..0663 ARABIC-INDIC digits: isdigit in both engines; the
+    // reference's int() maps them to 123 — so do we (Character.digit).
+    val ast = SqlParser.parse("SELECT a FROM t WHERE a = \u0661\u0662\u0663")
+    assert(ast.where.head.right == Ast.IntLit(123))
+  }
+
+  test("non-ASCII identifier round-trips with ensure_ascii AST JSON") {
+    // 'é' is a lowercase letter in both tokenizers → valid ident; the AST
+    // JSON must escape it exactly like json.dumps.
+    val ast = SqlParser.parse("SELECT caf\u00e9 FROM t")
+    assert(Ast.toJson(ast).contains("\"caf\\u00e9\""))
+    assert(Ast.fromJson(Ast.toJson(ast)) == ast)
+  }
 }

@@ -64,6 +64,29 @@ class HashExpressionsSpec extends SparkSpec {
     assert(mismatch.count() == 0)
   }
 
+  test("short docs (0/1/2 tokens) yield empty shingles, zero signatures") {
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, "one"), (3L, "just two"), (4L, "now three tokens"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", s"${sparkTokens("text")} AS toks")
+      .selectExpr("doc_id", s"array_distinct(${sparkShingles("toks", 3)}) AS shingles")
+    val rows = docs.select(
+      col("doc_id"), col("shingles"),
+      GraftFunctions.minhashSig(col("shingles"), 12).as("native"),
+      expr(s"${sparkMinhash(sparkWordHashes("shingles"), 12)}").as("hof"),
+      GraftFunctions.simhash32(col("shingles")).as("nsim"),
+      expr(s"${sparkSimhash(sparkWordHashes("shingles"))}").as("hsim"))
+      .collect().sortBy(_.getLong(0))
+    rows.take(3).foreach { r =>
+      assert(r.getSeq[String](1).isEmpty, s"doc ${r.getLong(0)}: expected no shingles")
+      assert(r.getSeq[Long](2).forall(_ == 0L), "native minhash must be zeros")
+      assert(r.getSeq[Long](3).forall(_ == 0L), "HOF minhash must be zeros")
+      assert(r.getLong(4) == 0L && r.getLong(5) == 0L, "simhash must be 0")
+    }
+    assert(rows(3).getSeq[String](1).length == 1)
+    assert(rows(3).getSeq[Long](2) == rows(3).getSeq[Long](3))
+  }
+
   test("SQL registration: graft_* functions usable from spark.sql") {
     GraftFunctions.register(spark)
     Tables(spark, dir, "documents").createOrReplaceTempView("docs_reg")
