@@ -416,7 +416,153 @@ object SparkEntry {
         .selectExpr("doc_id",
           "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind",
           "CAST(octet_length(media) AS BIGINT) AS n_bytes",
-          "CAST(ascii(text) AS BIGINT) AS first_byte"))
+          "CAST(ascii(text) AS BIGINT) AS first_byte")),
+
+    // ----- multimodal frame sampling: fixed-size frame plumbing over the
+    // opaque payload (offset/length per frame; the decode itself is the
+    // stubbed step — see operators.Multimodal) -----
+    "q_media_frames" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("media", expr("encode(text, 'UTF-8')"))
+        .withColumn("n_bytes", expr("CAST(octet_length(media) AS BIGINT)"))
+        .withColumn("frame_idx",
+          explode(expr("sequence(0L, (n_bytes + 255) div 256 - 1)")))
+        .selectExpr("doc_id", "frame_idx",
+          "frame_idx * 256 AS frame_off",
+          "least(256L, n_bytes - frame_idx * 256) AS frame_len")),
+
+    // ----- TPC-H Q18-style: large-volume orders (agg → join → top-k) -----
+    "q18_big_orders" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_totalprice"),
+          col("sum_qty"))
+        .orderBy(col("sum_qty").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // ----- TPC-H Q5-style: regional revenue with co-located cust/supp -----
+    "q5_region_volume" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01")
+        .groupBy(col("n_name"))
+        .agg(expr(
+          "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+            "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)").as("revenue"),
+          count(lit(1)).as("n_items"))),
+
+    // ----- TPC-H Q10-style: top customers by returned-item revenue -----
+    "q10_returns" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("l_returnflag") === "R" &&
+          col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-07-01")
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(expr(
+          "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+            "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)),
+
+    // ----- approximate aggregates: HLL++ / quantile sketch, verified
+    // against the exact values (sketches differ across engines, so the
+    // oracle-comparable output is the exact value + an accuracy flag) -----
+    "q_approx_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          (abs(approx_count_distinct(col("l_partkey")).cast("double") /
+            countDistinct(col("l_partkey")).cast("double") - 1) < 0.1).as("cd_ok"),
+          (abs(expr("approx_percentile(l_quantity, 0.5, 1000)") /
+            expr("percentile(l_quantity, 0.5)") - 1) <= 0.05).as("med_ok"))),
+
+    // ----- MERGE INTO emulation: one full-outer shuffle on the key -----
+    "q_merge_upsert" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val upd = base.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (dec(col("o_totalprice")) + 10).cast("double").as("o_totalprice"))
+      val ins = base.filter(col("o_orderkey") % 11 === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          lit("I").as("o_orderstatus"), col("o_totalprice"))
+      graft.operators.Merge.upsert(base, upd.unionAll(ins), "o_orderkey")
+    }),
+
+    // ----- unpivot/melt (inverse of q_pivot_flags) -----
+    "q_unpivot" -> ((s, dir) =>
+      queries("q_pivot_flags")(s, dir)
+        .unpivot(Array(col("l_linestatus")),
+          Array(col("qty_a"), col("qty_n"), col("qty_r")), "flag", "qty")
+        .filter(col("qty").isNotNull)),
+
+    // ----- corpus word frequency: explode + count + top-k -----
+    "q_word_freq" -> ((s, dir) =>
+      TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+        .select(explode(col("toks")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(20)),
+
+    // ----- char-n-gram language-ID (profile density, no shuffle) -----
+    "q_text_lang_ngram" -> ((s, dir) =>
+      TextAnalysis.langCharNgram(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ----- deterministic stratified sample: fixed rows per stratum via
+    // hash-ordered row_number (reproducible across runs AND engines) -----
+    "q_stratified_sample" -> ((s, dir) => {
+      val hk = "(l_orderkey * 2654435761 + l_linenumber * 40503) % 1000000007"
+      t(s, dir, "lineitem")
+        .withColumn("hk", expr(hk))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("l_returnflag"))
+            .orderBy(col("hk"), col("l_orderkey"), col("l_linenumber")))
+          .cast("long"))
+        .filter(col("rn") <= 50)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("rn"))
+    }),
+
+    // ----- RANGE window frame: trailing-30-day per-customer stats -----
+    "q_window_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("t_us"))
+        .rangeBetween(-2592000000000L, Window.currentRow) // 30 days in µs
+      t(s, dir, "orders")
+        .withColumn("t_us", expr("unix_micros(cast(o_orderdate as timestamp))"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          count(lit(1)).over(w).as("n_trailing"),
+          sum(dec(col("o_totalprice"))).over(w).cast("double")
+            .as("spend_trailing"))
+    }),
+
+    // ----- max_by/arg_max with a deterministic composite tie-break -----
+    "q_argmax" -> ((s, dir) => {
+      // exact integer cents * 1e9 + orderkey: unique, so ties can't make
+      // the arg_max engine-dependent
+      val key = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+        "* 1000000000 + o_orderkey"
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(expr(s"max_by(o_orderkey, $key)").as("best_order"),
+          max(dec(col("o_totalprice"))).cast("double").as("top_price"),
+          count(lit(1)).as("n_orders"))
+    })
   )
 
   /** DuckDB-equivalent SQL per query (same table names; same column
@@ -742,7 +888,121 @@ object SparkEntry {
                   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                   CAST(ord(substr(text, 1, 1)) AS BIGINT) AS first_byte
-           FROM documents"""
+           FROM documents""",
+      "q_media_frames" ->
+        """WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+                      FROM documents),
+           f AS (SELECT doc_id, n_bytes,
+                        unnest(range(0, (n_bytes + 255) // 256)) AS frame_idx
+                 FROM m)
+           SELECT doc_id, frame_idx, frame_idx * 256 AS frame_off,
+                  least(256, n_bytes - frame_idx * 256) AS frame_len
+           FROM f""",
+      "q18_big_orders" ->
+        """WITH big AS (SELECT l_orderkey,
+                               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+                        FROM lineitem GROUP BY l_orderkey
+                        HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250)
+           SELECT c_name, o_orderkey, o_totalprice, sum_qty
+           FROM big
+           JOIN orders   ON o_orderkey = l_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           ORDER BY sum_qty DESC, o_orderkey LIMIT 100""",
+      "q5_region_volume" ->
+        """SELECT n_name,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+                  COUNT(*) AS n_items
+           FROM lineitem
+           JOIN orders   ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           JOIN nation   ON s_nationkey = n_nationkey
+           JOIN region   ON n_regionkey = r_regionkey
+           WHERE r_name = 'ASIA'
+             AND o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1997-01-01'
+           GROUP BY n_name""",
+      "q10_returns" ->
+        """SELECT c_custkey, c_name, n_name,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+           FROM customer
+           JOIN orders   ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+           JOIN nation   ON c_nationkey = n_nationkey
+           WHERE l_returnflag = 'R'
+             AND o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1996-07-01'
+           GROUP BY c_custkey, c_name, n_name
+           ORDER BY revenue DESC, c_custkey LIMIT 20""",
+      "q_approx_agg" ->
+        """SELECT l_returnflag,
+                  COUNT(DISTINCT l_partkey) AS exact_parts,
+                  abs(CAST(approx_count_distinct(l_partkey) AS DOUBLE) /
+                      COUNT(DISTINCT l_partkey) - 1) < 0.1 AS cd_ok,
+                  abs(approx_quantile(l_quantity, 0.5) /
+                      quantile_cont(l_quantity, 0.5) - 1) <= 0.05 AS med_ok
+           FROM lineitem GROUP BY l_returnflag""",
+      "q_merge_upsert" ->
+        """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+           upd AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+                          CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 10 AS DOUBLE) AS o_totalprice
+                   FROM base WHERE o_orderkey % 7 = 0),
+           ins AS (SELECT o_orderkey + 100000000 AS o_orderkey,
+                          'I' AS o_orderstatus, o_totalprice
+                   FROM base WHERE o_orderkey % 11 = 0),
+           delta AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+           SELECT coalesce(d.o_orderkey, b.o_orderkey) AS o_orderkey,
+                  coalesce(d.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+                  coalesce(d.o_totalprice, b.o_totalprice) AS o_totalprice
+           FROM base b FULL JOIN delta d ON b.o_orderkey = d.o_orderkey""",
+      "q_unpivot" ->
+        """WITH p AS (SELECT l_linestatus,
+                  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_a,
+                  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_n,
+                  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_r
+           FROM lineitem GROUP BY l_linestatus)
+           SELECT l_linestatus, 'qty_a' AS flag, qty_a AS qty FROM p WHERE qty_a IS NOT NULL
+           UNION ALL
+           SELECT l_linestatus, 'qty_n' AS flag, qty_n AS qty FROM p WHERE qty_n IS NOT NULL
+           UNION ALL
+           SELECT l_linestatus, 'qty_r' AS flag, qty_r AS qty FROM p WHERE qty_r IS NOT NULL""",
+      "q_word_freq" ->
+        s"""WITH tk AS (SELECT ${duckTokens("text")} AS toks FROM documents),
+           w AS (SELECT unnest(toks) AS word FROM tk)
+           SELECT word, COUNT(*) AS n FROM w
+           GROUP BY word ORDER BY n DESC, word LIMIT 20""",
+      "q_text_lang_ngram" ->
+        s"""WITH tg AS (SELECT doc_id, ${duckCharTrigrams("lower(text)")} AS tris FROM documents)
+           SELECT doc_id,
+                  CAST(${duckTrigramHits("tris")} AS DOUBLE) / len(tris) AS tri_score,
+                  CASE WHEN CAST(${duckTrigramHits("tris")} AS DOUBLE) / len(tris) >= 0.05 THEN 'en'
+                       WHEN CAST(${duckTrigramHits("tris")} AS DOUBLE) / len(tris) >= 0.02 THEN 'maybe_en'
+                       ELSE 'other' END AS lang3
+           FROM tg""",
+      "q_stratified_sample" ->
+        """SELECT l_returnflag, l_orderkey, l_linenumber, rn FROM (
+             SELECT l_returnflag, l_orderkey, l_linenumber,
+                    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                      ORDER BY (l_orderkey * 2654435761 + l_linenumber * 40503) % 1000000007,
+                               l_orderkey, l_linenumber) AS rn
+             FROM lineitem) WHERE rn <= 50""",
+      "q_window_range_frame" ->
+        """SELECT o_custkey, o_orderkey,
+                  COUNT(*) OVER w AS n_trailing,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_trailing
+           FROM (SELECT *, epoch_us(o_orderdate) AS t_us FROM orders)
+           WINDOW w AS (PARTITION BY o_custkey ORDER BY t_us
+                        RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)""",
+      "q_argmax" ->
+        """SELECT c_nationkey,
+                  arg_max(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                                      * 1000000000 + o_orderkey) AS best_order,
+                  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS top_price,
+                  COUNT(*) AS n_orders
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_nationkey"""
     )
   }
 }

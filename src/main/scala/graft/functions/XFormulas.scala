@@ -116,6 +116,26 @@ object XFormulas {
       s"list_reduce(list_prepend(0::DOUBLE, list_transform(range(0, $dim), j -> ($vec)[j + 1]::DOUBLE * (${planeWeight("p", "j")}))), (s, v) -> s + v) > 0 " +
       s"THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT)"
 
+  // ---- char trigrams of a string expression (language-ID profiles) ----
+  // Same short-input guard as sparkShingles: strings under 3 chars yield
+  // an empty list on both sides.
+  def sparkCharTrigrams(c: String): String =
+    s"IF(length($c) < 3, array(), transform(sequence(1L, length($c) - 2L), " +
+      s"i -> substring($c, cast(i AS int), 3)))"
+  def duckCharTrigrams(c: String): String =
+    s"list_transform(range(1, length($c) - 1), i -> substr($c, CAST(i AS INT), 3))"
+
+  /** High-frequency English char trigrams (from public letter-frequency
+    * tables); the per-occurrence hit DENSITY over a document's trigrams is
+    * the language score. */
+  val enTrigrams: Seq[String] = Seq(
+    "the", "he ", " th", "ing", "and", " an", "nd ", "ion", "ent",
+    " of", "of ", " to", "to ", "ed ", "er ", " in", "in ")
+  def sparkTrigramHits(tris: String): String =
+    s"size(filter($tris, t -> array_contains(array(${enTrigrams.map("'" + _ + "'").mkString(",")}), t)))"
+  def duckTrigramHits(tris: String): String =
+    s"len(list_filter($tris, t -> list_contains([${enTrigrams.map("'" + _ + "'").mkString(",")}], t)))"
+
   // ---- English stopword hit count over a token array ----
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
   def sparkStopHits(tokens: String): String =

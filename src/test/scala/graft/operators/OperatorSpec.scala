@@ -93,4 +93,43 @@ class OperatorSpec extends SparkSpec {
     val again = Multimodal.extractFeatures(media).filter("id = 0").collect()(0)
     assert(again.checksum == f.checksum)
   }
+
+  test("merge upsert: update wins, insert lands, untouched rows pass through") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val delta = Seq((2L, "B", 99.0), (4L, "d", 40.0)).toDF("k", "s", "v")
+    val out = Merge.upsert(base, delta, "k").orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "B", 99.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)))
+  }
+
+  test("merge upsert: NULL delta column inherits the base value") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0)).toDF("k", "s", "v")
+    val delta = Seq((1L, null.asInstanceOf[String], 99.0)).toDF("k", "s", "v")
+    val out = Merge.upsert(base, delta, "k")
+      .as[(Long, String, Double)].collect().head
+    assert(out == ((1L, "a", 99.0)))
+  }
+
+  test("char-n-gram lang-ID: scores in [0,1], labels consistent with score") {
+    val l = TextAnalysis.langCharNgram(docs, "doc_id", "text")
+    assert(l.count() == 500)
+    assert(l.filter("tri_score < 0 OR tri_score > 1").count() == 0)
+    assert(l.filter(
+      "(lang3 = 'en' AND tri_score < 0.05) OR " +
+        "(lang3 = 'maybe_en' AND (tri_score < 0.02 OR tri_score >= 0.05)) OR " +
+        "(lang3 = 'other' AND tri_score >= 0.02)").count() == 0)
+  }
+
+  test("char trigrams: short strings yield empty list, no crash") {
+    import spark.implicits._
+    import graft.functions.XFormulas._
+    val r = Seq("", "ab", "abc", "abcd").toDF("s")
+      .selectExpr(s"size(${sparkCharTrigrams("s")}) AS n")
+      .as[Int].collect().toSeq
+    assert(r == Seq(0, 0, 1, 2))
+  }
 }
