@@ -524,11 +524,22 @@ object SparkEntry {
       TextAnalysis.langCharNgram(t(s, dir, "documents"), "doc_id", "text")),
 
     // ----- deterministic stratified sample: fixed rows per stratum via
-    // hash-ordered row_number (reproducible across runs AND engines) -----
+    // hash-ordered row_number (reproducible across runs AND engines).
+    // Two-phase top-k: a stratum is a SINGLE window partition (3 distinct
+    // flags → 3 tasks → the whole table sorts on 3 cores at scale), so
+    // phase 1 takes the exact per-(stratum, hash-bucket) top-50 across 32
+    // buckets in parallel — any global top-50 row is in its bucket's
+    // top-50 — and phase 2 re-ranks only the ≤32×50 survivors per
+    // stratum. Identical output to the single-window form (the oracle
+    // runs that form). -----
     "q_stratified_sample" -> ((s, dir) => {
       val hk = "(l_orderkey * 2654435761 + l_linenumber * 40503) % 1000000007"
       t(s, dir, "lineitem")
         .withColumn("hk", expr(hk))
+        .withColumn("rn1", row_number().over(
+          Window.partitionBy(col("l_returnflag"), expr("hk % 32"))
+            .orderBy(col("hk"), col("l_orderkey"), col("l_linenumber"))))
+        .filter(col("rn1") <= 50)
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("l_returnflag"))
             .orderBy(col("hk"), col("l_orderkey"), col("l_linenumber")))

@@ -25,6 +25,9 @@ object GraftFunctions {
   def simhash32(col: Column): Column = c(SimHash32(e(col)))
   def simSig(col: Column, nbits: Int): Column = c(SimSig(e(col), nbits))
   def cosineSim(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
+  def bandBucket(sig: Column, band: Column, r: Int): Column =
+    c(BandBucket(e(sig), e(band), r))
+  def shingles(text: Column, n: Int): Column = c(Shingles(e(text), n))
 
   private[functions] val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_polyhash" -> (args => PolyHash(args.head)),
@@ -33,7 +36,11 @@ object GraftFunctions {
     "graft_simhash" -> (args => SimHash32(args.head)),
     "graft_simsig" -> (args => SimSig(args.head,
       args(1).asInstanceOf[Literal].value.asInstanceOf[Number].intValue)),
-    "graft_cosine" -> (args => CosineSim(args.head, args(1))))
+    "graft_cosine" -> (args => CosineSim(args.head, args(1))),
+    "graft_bandbucket" -> (args => BandBucket(args.head, args(1),
+      args(2).asInstanceOf[Literal].value.asInstanceOf[Number].intValue)),
+    "graft_shingles" -> (args => Shingles(args.head,
+      args(1).asInstanceOf[Literal].value.asInstanceOf[Number].intValue)))
 
   /** Register the SQL functions on an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {

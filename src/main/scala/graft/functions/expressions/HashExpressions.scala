@@ -65,6 +65,56 @@ object HashImpl {
     new GenericArrayData(mins)
   }
 
+  /** Distinct word n-gram shingles of a raw text: lowercase, split on
+    * runs of spaces, drop empties, join each n consecutive tokens with a
+    * single space, dedupe keeping first occurrence. Identical element SET
+    * and order to the XFormulas HOF chain
+    * `array_distinct(sparkShingles(sparkTokens(text), n))` (split on
+    * ' +' keeps no empty tokens; array_distinct keeps first occurrence). */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toLowerCase.toString
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      if (s.charAt(i) == ' ') i += 1
+      else {
+        val start = i
+        while (i < len && s.charAt(i) != ' ') i += 1
+        toks.add(s.substring(start, i))
+      }
+    }
+    val out = new java.util.LinkedHashSet[String]()
+    val m = toks.size - n + 1
+    var j = 0
+    while (j < m) {
+      val sb = new java.lang.StringBuilder(toks.get(j))
+      var o = 1
+      while (o < n) { sb.append(' ').append(toks.get(j + o)); o += 1 }
+      out.add(sb.toString)
+      j += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** LSH band-bucket hash: fold (acc*31 + x) % P over signature entries
+    * [band*r, band*r + r); same fold as XFormulas.sparkBandBucket /
+    * duckBandBucket (1-indexed slice there, 0-indexed here). */
+  def bandBucket(sig: ArrayData, band: Long, r: Int): Long = {
+    var acc = 0L
+    val start = band.toInt * r
+    var i = 0
+    while (i < r) {
+      acc = (acc * 31 + sig.getLong(start + i)) % P
+      i += 1
+    }
+    acc
+  }
+
   def simhash32(arr: ArrayData): Long = {
     val counts = new Array[Int](32)
     val n = arr.numElements()
@@ -145,6 +195,25 @@ case class PolyHash(child: Expression)
     copy(child = newChild)
 }
 
+/** Distinct word n-gram shingles of a raw text column (codegen'd; folds
+  * the whole tokenize → shingle → dedupe HOF chain into one call). */
+case class Shingles(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+  protected override def nullSafeEval(input: Any): Any =
+    HashImpl.shingles(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expressions.HashImpl.shingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Shingles =
+    copy(child = newChild)
+}
+
 /** MinHash signature (k permutations) over an array<string> of shingles. */
 case class MinHashSig(child: Expression, k: Int)
     extends UnaryExpression {
@@ -162,6 +231,30 @@ case class MinHashSig(child: Expression, k: Int)
       c => s"graft.functions.expressions.HashImpl.minhash($c, $k)")
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
+}
+
+/** LSH band-bucket hash over a MinHash signature: polynomial fold of the
+  * `r` signature entries of band `band` (0-based). Codegen'd; replaces
+  * the interpreted `aggregate(slice(…))` HOF chain in the banding
+  * self-join's hot path. */
+case class BandBucket(left: Expression, right: Expression, r: Int)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, rt) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, bigint), got $l and $rt")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bandbucket"
+  protected override def nullSafeEval(sig: Any, band: Any): Any =
+    HashImpl.bandBucket(sig.asInstanceOf[ArrayData], band.asInstanceOf[Long], r)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (sig, band) =>
+      s"graft.functions.expressions.HashImpl.bandBucket($sig, $band, $r)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BandBucket =
+    copy(left = newLeft, right = newRight)
 }
 
 /** 32-bit SimHash over an array<string> of shingles. */

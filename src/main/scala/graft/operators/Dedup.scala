@@ -46,15 +46,15 @@ object Dedup {
     df.groupBy(col(keyCol))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
-  /** Per-doc MinHash signature over distinct word n-gram shingles. */
+  /** Per-doc MinHash signature over distinct word n-gram shingles.
+    * Fully native codegen'd pipeline (shingle + sign); bit-identical to
+    * the XFormulas HOF forms (HashExpressionsSpec) which the DuckDB
+    * oracle runs. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       k: Int = 12, shingle: Int = 3): DataFrame =
-    df.selectExpr(idCol, s"${sparkTokens(textCol)} AS toks")
-      .selectExpr(idCol,
-        s"array_distinct(${sparkShingles("toks", shingle)}) AS shingles")
-      // native codegen'd expression; bit-identical to the XFormulas HOF
-      // form (HashExpressionsSpec) which the DuckDB oracle runs
-      .select(col(idCol), GraftFunctions.minhashSig(col("shingles"), k).as("mh"))
+    df.select(col(idCol),
+      GraftFunctions.minhashSig(
+        GraftFunctions.shingles(col(textCol), shingle), k).as("mh"))
 
   /** MinHash-LSH candidate pairs: docs sharing at least one band bucket,
     * with the signature-estimated Jaccard. `bands * r` must equal `k`. */
@@ -70,8 +70,10 @@ object Dedup {
     val buckets = sigs
       .selectExpr(idCol, "mh",
         s"explode(sequence(0L, ${bands - 1}L)) AS band")
-      .selectExpr(idCol, "mh", "band",
-        s"${sparkBandBucket("mh", "band", r)} AS bucket")
+      // native codegen'd fold; bit-identical to sparkBandBucket (the
+      // 1-indexed slice HOF the DuckDB oracle runs)
+      .select(col(idCol), col("mh"), col("band"),
+        GraftFunctions.bandBucket(col("mh"), col("band"), r).as("bucket"))
     val a = buckets.select(col(idCol).as("doc_a"), col("mh").as("mh_a"),
       col("band"), col("bucket"))
     val b = buckets.select(col(idCol).as("doc_b"), col("mh").as("mh_b"),
@@ -92,9 +94,8 @@ object Dedup {
       .select("doc_a", "doc_b")
     // persist: joined twice (doc_a and doc_b sides) — see minhashCandidates
     val sh = persistTracked(
-      df.selectExpr(idCol, s"${sparkTokens(textCol)} AS toks")
-        .selectExpr(idCol,
-          s"array_distinct(${sparkShingles("toks", shingle)}) AS shingles"))
+      df.select(col(idCol),
+        GraftFunctions.shingles(col(textCol), shingle).as("shingles")))
     cands
       .join(sh.select(col(idCol).as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sh.select(col(idCol).as("doc_b"), col("shingles").as("sh_b")), "doc_b")
@@ -103,14 +104,13 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Per-doc 32-bit SimHash over distinct shingle hashes. */
+  /** Per-doc 32-bit SimHash over distinct shingle hashes (fully native
+    * codegen'd pipeline — see minhashSignatures note). */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingle: Int = 3): DataFrame =
-    df.selectExpr(idCol, s"${sparkTokens(textCol)} AS toks")
-      .selectExpr(idCol,
-        s"array_distinct(${sparkShingles("toks", shingle)}) AS shingles")
-      // native codegen'd expression (see minhashSignatures note)
-      .select(col(idCol), GraftFunctions.simhash32(col("shingles")).as("sh"))
+    df.select(col(idCol),
+      GraftFunctions.simhash32(
+        GraftFunctions.shingles(col(textCol), shingle)).as("sh"))
 
   /** SimHash near-dup pairs: block on the top `blockBits` bits, verify
     * Hamming distance within the block. */

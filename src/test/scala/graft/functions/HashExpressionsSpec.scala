@@ -64,6 +64,33 @@ class HashExpressionsSpec extends SparkSpec {
     assert(mismatch.count() == 0)
   }
 
+  test("Shingles == HOF tokenize+shingle+distinct chain on every document") {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .unionAll(Seq((9001L, ""), (9002L, "one"), (9003L, "  two  tokens  "),
+        (9004L, "a b c a b c")).toDF("doc_id", "text"))
+    val mismatch = docs
+      .withColumn("toks", expr(sparkTokens("text")))
+      .select(
+        GraftFunctions.shingles(col("text"), 3).as("native"),
+        expr(s"array_distinct(${sparkShingles("toks", 3)})").as("hof"))
+      .filter("native <> hof")
+    assert(mismatch.count() == 0)
+  }
+
+  test("BandBucket == HOF band bucket for every (doc, band)") {
+    val sigs = Tables(spark, dir, "documents")
+      .selectExpr("doc_id", s"${sparkTokens("text")} AS toks")
+      .selectExpr("doc_id", s"array_distinct(${sparkShingles("toks", 3)}) AS shingles")
+      .select(col("doc_id"), GraftFunctions.minhashSig(col("shingles"), 12).as("mh"))
+      .selectExpr("doc_id", "mh", "explode(sequence(0L, 3L)) AS band")
+    val mismatch = sigs.select(
+      GraftFunctions.bandBucket(col("mh"), col("band"), 3).as("native"),
+      expr(sparkBandBucket("mh", "band", 3)).as("hof"))
+      .filter("native <> hof")
+    assert(mismatch.count() == 0)
+  }
+
   test("short docs (0/1/2 tokens) yield empty shingles, zero signatures") {
     import spark.implicits._
     val docs = Seq((1L, ""), (2L, "one"), (3L, "just two"), (4L, "now three tokens"))
