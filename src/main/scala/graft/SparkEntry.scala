@@ -265,6 +265,12 @@ object SparkEntry {
         "vec_id", "embedding", k = 3)
         .select(col("qid"), col("cid"), col("cosine"), col("rank"))
     }),
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3)
+        .select(col("qid"), col("cid"), col("cosine"), col("rank"))
+    }),
 
     // ----- event-time windows (batch; streaming twins in graft.streaming)
     "q_events_tumbling" -> ((s, dir) =>
@@ -768,6 +774,18 @@ object SparkEntry {
            scored AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
                              ${duckCosine("q.embedding", "c.embedding")} AS cosine
                       FROM s q JOIN s c ON q.sig = c.sig AND q.vec_id <> c.vec_id
+                      WHERE q.vec_id < 10),
+           r AS (SELECT qid, cid, cosine,
+                        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS "rank"
+                 FROM scored)
+           SELECT qid, cid, cosine, "rank" FROM r WHERE "rank" <= 3""",
+      "q_ann_ivf" ->
+        s"""WITH cells AS (SELECT vec_id, embedding,
+                  ${duckIvfCell(duckIvfScores("embedding", 16, 64))} AS cell
+                FROM embeddings),
+           scored AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                             ${duckCosine("q.embedding", "c.embedding")} AS cosine
+                      FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
                       WHERE q.vec_id < 10),
            r AS (SELECT qid, cid, cosine,
                         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS "rank"

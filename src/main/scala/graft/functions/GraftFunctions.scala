@@ -28,6 +28,7 @@ object GraftFunctions {
   def bandBucket(sig: Column, band: Column, r: Int): Column =
     c(BandBucket(e(sig), e(band), r))
   def shingles(text: Column, n: Int): Column = c(Shingles(e(text), n))
+  def ivfCell(vec: Column, nc: Int): Column = c(IvfCell(e(vec), nc))
 
   private[functions] val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_polyhash" -> (args => PolyHash(args.head)),
@@ -40,6 +41,8 @@ object GraftFunctions {
     "graft_bandbucket" -> (args => BandBucket(args.head, args(1),
       args(2).asInstanceOf[Literal].value.asInstanceOf[Number].intValue)),
     "graft_shingles" -> (args => Shingles(args.head,
+      args(1).asInstanceOf[Literal].value.asInstanceOf[Number].intValue)),
+    "graft_ivfcell" -> (args => IvfCell(args.head,
       args(1).asInstanceOf[Literal].value.asInstanceOf[Number].intValue)))
 
   /** Register the SQL functions on an existing session (idempotent). */

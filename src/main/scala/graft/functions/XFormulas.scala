@@ -136,6 +136,24 @@ object XFormulas {
   def duckTrigramHits(tris: String): String =
     s"len(list_filter($tris, t -> list_contains([${enTrigrams.map("'" + _ + "'").mkString(",")}], t)))"
 
+  // ---- IVF coarse quantizer: argmax-dot cell over deterministic
+  // pseudo-centroids (same weight family as the hyperplanes, offset so
+  // the centroid set differs from the SimSig planes) ----
+  private def centroidWeight(p: String, j: String) =
+    s"(((($p) + 37) * 73856093 + ($j) * 19349663 + 83492791) % 97) - 48"
+  def sparkIvfScores(vec: String, nc: Int, dim: Int): String =
+    s"transform(sequence(0L, ${nc - 1}L), p -> aggregate(zip_with($vec, " +
+      s"sequence(0L, ${dim - 1}L), (x, j) -> CAST(x AS DOUBLE) * " +
+      s"(${centroidWeight("p", "j")})), 0D, (s, v) -> s + v))"
+  def sparkIvfCell(scores: String): String =
+    s"array_position($scores, array_max($scores))"
+  def duckIvfScores(vec: String, nc: Int, dim: Int): String =
+    s"list_transform(range(0, $nc), p -> list_reduce(list_prepend(0::DOUBLE, " +
+      s"list_transform(range(0, $dim), j -> ($vec)[j + 1]::DOUBLE * " +
+      s"(${centroidWeight("p", "j")}))), (s, v) -> s + v))"
+  def duckIvfCell(scores: String): String =
+    s"list_position($scores, list_max($scores))"
+
   // ---- English stopword hit count over a token array ----
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
   def sparkStopHits(tokens: String): String =

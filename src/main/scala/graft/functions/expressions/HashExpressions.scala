@@ -157,6 +157,31 @@ object HashImpl {
     out
   }
 
+  /** IVF coarse-quantizer cell: 1-based index of the max-dot centroid
+    * (first occurrence on ties), centroid weights from the same
+    * deterministic family as simSig with a +37 plane offset — matches
+    * XFormulas.sparkIvfCell(sparkIvfScores(…)) bit-for-bit (identical
+    * left-to-right double folds). */
+  def ivfCell(vec: ArrayData, nc: Int): Long = {
+    val n = vec.numElements()
+    var best = Double.NegativeInfinity
+    var bestP = 0
+    var p = 0
+    while (p < nc) {
+      var s = 0d
+      var j = 0
+      while (j < n) {
+        val w = (((p.toLong + 37L) * 73856093L + j.toLong * 19349663L +
+          83492791L) % 97L) - 48L
+        s += vec.getFloat(j).toDouble * w
+        j += 1
+      }
+      if (s > best) { best = s; bestP = p }
+      p += 1
+    }
+    bestP + 1L
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0d; var na = 0d; var nb = 0d
@@ -292,6 +317,26 @@ case class SimSig(child: Expression, nbits: Int)
     defineCodeGen(ctx, ev,
       c => s"graft.functions.expressions.HashImpl.simSig($c, $nbits)")
   override protected def withNewChildInternal(newChild: Expression): SimSig =
+    copy(child = newChild)
+}
+
+/** IVF coarse-quantizer cell id (1-based argmax-dot centroid) of a float
+  * vector. */
+case class IvfCell(child: Expression, nc: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_ivfcell"
+  protected override def nullSafeEval(input: Any): Any =
+    HashImpl.ivfCell(input.asInstanceOf[ArrayData], nc)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expressions.HashImpl.ivfCell($c, $nc)")
+  override protected def withNewChildInternal(newChild: Expression): IvfCell =
     copy(child = newChild)
 }
 

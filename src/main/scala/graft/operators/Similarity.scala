@@ -32,6 +32,31 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-style approximate top-k: both sides are assigned to the
+    * argmax-dot cell of a fixed coarse-quantizer codebook (deterministic
+    * pseudo-centroids; a production build would k-means them), and each
+    * query probes ONLY its own cell (nprobe = 1). Versus LSH banding the
+    * candidate partition is data-adaptive: cells follow the vector
+    * distribution, so at 100 TB the per-query probe cost is ~|candidates|
+    * / ncells with one equi-join shuffle on the cell id — and skewed
+    * (hot) cells are visible to AQE's skew-join splitting as ordinary
+    * join-key skew. */
+  def ivfTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, ncells: Int = 16): DataFrame = {
+    def cell(df: DataFrame, id: String, v: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(v),
+        GraftFunctions.ivfCell(col(vecCol), ncells).as("cell"))
+    val q = broadcast(cell(queries, "qid", "qv"))
+    val c = cell(candidates, "cid", "cv")
+    val scored = q.join(c, "cell").filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        GraftFunctions.cosineSim(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Approximate top-k: only candidates whose LSH signature matches the
     * query's. Recall < 1; candidate work divided by ~2^nbits. */
   def lshTopK(candidates: DataFrame, queries: DataFrame, idCol: String,

@@ -53,6 +53,15 @@ class HashExpressionsSpec extends SparkSpec {
     assert(mismatch.count() == 0)
   }
 
+  test("IvfCell == HOF argmax-dot cell on every embedding") {
+    val e = Tables(spark, dir, "embeddings")
+    val mismatch = e.select(
+      GraftFunctions.ivfCell(col("embedding"), 16).as("native"),
+      expr(sparkIvfCell(sparkIvfScores("embedding", 16, 64))).as("hof"))
+      .filter("native <> hof")
+    assert(mismatch.count() == 0)
+  }
+
   test("CosineSim bit-equals the HOF cosine on embedding pairs") {
     val e = Tables(spark, dir, "embeddings").limit(50)
     val pairs = e.as("a").crossJoin(e.as("b"))

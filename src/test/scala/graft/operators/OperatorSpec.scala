@@ -68,6 +68,27 @@ class OperatorSpec extends SparkSpec {
     assert(lsh.except(bf).count() == 0)
   }
 
+  test("IVF ANN: cells cover all vectors, results subset of brute-force scoring") {
+    val cells = emb.select(
+      graft.functions.GraftFunctions.ivfCell(
+        org.apache.spark.sql.functions.col("embedding"), 16).as("cell"))
+    assert(cells.filter("cell < 1 OR cell > 16").count() == 0)
+    val ivf = Similarity.ivfTopK(emb, emb.filter("vec_id < 5"),
+      "vec_id", "embedding", k = 3)
+    assert(ivf.filter("rank > 3").count() == 0)
+    // every returned pair shares the query's cell by construction; scores
+    // must equal the brute-force cosine for the same pair
+    val bf = Similarity.bruteForceTopK(emb, emb.filter("vec_id < 5"),
+      "vec_id", "embedding", k = 1000)
+    val joined = ivf.select("qid", "cid", "cosine")
+      .join(bf.select(
+        org.apache.spark.sql.functions.col("qid"),
+        org.apache.spark.sql.functions.col("cid"),
+        org.apache.spark.sql.functions.col("cosine").as("bf_cos")),
+        Seq("qid", "cid"))
+    assert(joined.filter("cosine <> bf_cos").count() == 0)
+  }
+
   test("sessionize: session bounds ordered, counts positive") {
     val s = Events.sessionize(Tables(spark, dir, "events"))
     assert(s.filter("session_end_us < session_start_us").count() == 0)
