@@ -92,4 +92,18 @@ object StatefulOps {
     df.withColumn("ets", timestamp_micros(col(tsCol)))
       .withWatermark("ets", watermark)
       .dropDuplicatesWithinWatermark(keyCol)
+
+  /** Streaming CONTENT dedup for a document stream: exact dedup on the
+    * 64-bit polynomial fingerprint of the text (the same codegen'd
+    * expression the batch corpus pipeline groups on), watermark-scoped so
+    * state stays bounded. Per-row narrow fingerprint + the built-in
+    * dedup operator's keyed state — at scale the only shuffle is on the
+    * 8-byte fingerprint, never the payload. */
+  def dedupStreamByContent(docs: DataFrame, textCol: String,
+      tsCol: String = "ets", watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("fp",
+        graft.functions.GraftFunctions.polyHash(col(textCol)))
+      .withColumn("ets", timestamp_micros(col(tsCol)))
+      .withWatermark("ets", watermark)
+      .dropDuplicatesWithinWatermark("fp")
 }

@@ -42,6 +42,35 @@ class ScaleJoinsSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    // At 100 TB a selective dim-side filter should cut the fact-side
+    // shuffle BEFORE the join via Spark's runtime row-level bloom filter;
+    // production thresholds (10 GB probe-side scan) are lowered to fire on
+    // test data.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables(spark, dir, "lineitem")
+      val part = Tables(spark, dir, "part").filter(col("p_size") === 1)
+      val joined = li.join(part, li("l_partkey") === part("p_partkey"))
+        .select("l_orderkey", "p_brand")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"), s"no bloom filter in:\n$plan")
+      val expected = li.join(
+        Tables(spark, dir, "part").filter("p_size = 1"),
+        li("l_partkey") === col("p_partkey")).count()
+      assert(joined.count() == expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("partitioned write prunes partitions at the scan") {
     val out = java.nio.file.Files.createTempDirectory("pw").toString + "/li"
     ScaleJoins.writePartitioned(

@@ -83,4 +83,23 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
     assert(spark.table("dd").count() == 2)
   }
+
+  test("streaming content dedup keys on the text fingerprint") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(String, Long)]
+    val q = StatefulOps.dedupStreamByContent(
+        mem.toDF().toDF("text", "ts_us"), "text", tsCol = "ts_us")
+      .writeStream.format("memory").queryName("cdd")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(("same doc body", 1000000L), ("same doc body", 2000000L),
+        ("different body", 1500000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("cdd")
+    assert(rows.count() == 2)
+    // the survivor set is by CONTENT: one fp per distinct text
+    assert(rows.select("fp").distinct().count() == 2)
+  }
 }
