@@ -567,6 +567,104 @@ object SparkEntry {
             .as("spend_trailing"))
     }),
 
+    // ----- TPC-H Q2-style: rows matching a per-group max (correlated
+    // scalar subquery semantics via join-with-aggregate) -----
+    "q2_top_supplier" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val best = sup.groupBy(col("s_nationkey").as("nk"))
+        .agg(max(col("s_acctbal")).as("max_bal"))
+      sup.join(best, col("s_nationkey") === col("nk") &&
+          col("s_acctbal") === col("max_bal"))
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+    }),
+
+    // ----- TPC-H Q7-style: bilateral volume between two nations by year -----
+    "q7_nation_volume" -> ((s, dir) => {
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("s_nationkey") === col("sn_key"))
+        .join(n2, col("c_nationkey") === col("cn_key"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(expr(
+          "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+            "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // ----- TPC-H Q22-style: rich-but-quiet customers (scalar subquery
+    // threshold + conditional anti-join) -----
+    "q22_quiet_rich" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val avgPos = cust.filter(col("c_acctbal") > 0)
+        .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1)))
+          .as("avg_bal"))
+      val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 250000)
+        .select(col("o_custkey"))
+      cust.crossJoin(avgPos)
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_acctbal"))
+    }),
+
+    // ----- window: first/last/nth value over an explicit full frame -----
+    "q_window_firstlast" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_ok"),
+        last(col("o_orderkey")).over(w).as("last_ok"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+    }),
+
+    // ----- window: dense_rank / percent_rank / cume_dist -----
+    "q_window_ranks2" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders").select(col("o_orderkey"),
+        dense_rank().over(w).cast("long").as("drank"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"))
+    }),
+
+    // ----- array functions (string-joined outputs for the compare) -----
+    "q_array_funcs" -> ((s, dir) =>
+      TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+        .selectExpr("doc_id",
+          "CAST(size(toks) AS BIGINT) AS n_toks",
+          "array_join(slice(sort_array(toks), 1, 3), ',') AS first3",
+          "array_contains(toks, 'the') AS has_the",
+          "CAST(size(array_distinct(toks)) AS BIGINT) AS n_uniq")),
+
+    // ----- regular expressions (RE2-safe patterns) -----
+    "q_regexp" -> ((s, dir) =>
+      t(s, dir, "documents").selectExpr("doc_id",
+        "regexp_extract(text, '([a-z]+a[a-z]*)', 1) AS first_a_word",
+        "CAST(length(regexp_replace(text, '[aeiou]', '')) AS BIGINT) AS novowel_len",
+        "CAST(size(regexp_extract_all(text, '(ta[a-z]+)', 0)) AS BIGINT) AS n_ta")),
+
+    // ----- conditional expressions: CASE / NULLIF / COALESCE / LEAST -----
+    "q_conditional" -> ((s, dir) =>
+      t(s, dir, "lineitem").selectExpr("l_orderkey", "l_linenumber",
+        "CASE WHEN l_quantity >= 40 THEN 'bulk' WHEN l_quantity >= 10 THEN 'mid' ELSE 'small' END AS bucket",
+        "coalesce(nullif(l_returnflag, 'N'), 'none') AS flag2",
+        "least(l_quantity, l_discount * 1000) AS lo",
+        "greatest(l_quantity, l_tax * 100) AS hi")),
+
+    // ----- explicit cross join (J9: the reference hangs; we execute) -----
+    "q_cross_join" -> ((s, dir) =>
+      t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+        .select(col("r_name"), col("n_name"))),
+
     // ----- max_by/arg_max with a deterministic composite tie-break -----
     "q_argmax" -> ((s, dir) => {
       // exact integer cents * 1e9 + orderkey: unique, so ties can't make
@@ -1024,6 +1122,68 @@ object SparkEntry {
            FROM (SELECT *, epoch_us(o_orderdate) AS t_us FROM orders)
            WINDOW w AS (PARTITION BY o_custkey ORDER BY t_us
                         RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)""",
+      "q2_top_supplier" ->
+        """SELECT s_suppkey, s_name, s_nationkey FROM supplier s
+           WHERE s_acctbal = (SELECT MAX(s2.s_acctbal) FROM supplier s2
+                              WHERE s2.s_nationkey = s.s_nationkey)""",
+      "q7_nation_volume" ->
+        """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                  CAST(year(o_orderdate) AS BIGINT) AS yr,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+                  COUNT(*) AS n_items
+           FROM lineitem
+           JOIN orders   ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+           GROUP BY supp_nation, cust_nation, yr""",
+      "q22_quiet_rich" ->
+        """SELECT c_custkey, c_acctbal FROM customer
+           WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                              FROM customer WHERE c_acctbal > 0)
+             AND NOT EXISTS (SELECT 1 FROM orders
+                             WHERE o_custkey = c_custkey AND o_totalprice > 250000)""",
+      "q_window_firstlast" ->
+        """SELECT o_custkey, o_orderkey,
+                  first_value(o_orderkey) OVER w AS first_ok,
+                  last_value(o_orderkey) OVER w AS last_ok,
+                  nth_value(o_orderkey, 2) OVER w AS second_ok
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+      "q_window_ranks2" ->
+        """SELECT o_orderkey,
+                  CAST(dense_rank() OVER w AS BIGINT) AS drank,
+                  percent_rank() OVER w AS prank,
+                  cume_dist() OVER w AS cdist
+           FROM orders
+           WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)""",
+      "q_array_funcs" ->
+        s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents)
+           SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+                  array_to_string(list_sort(toks)[1:3], ',') AS first3,
+                  list_contains(toks, 'the') AS has_the,
+                  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq
+           FROM tk""",
+      "q_regexp" ->
+        """SELECT doc_id,
+                  regexp_extract(text, '([a-z]+a[a-z]*)', 1) AS first_a_word,
+                  CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS novowel_len,
+                  CAST(len(regexp_extract_all(text, '(ta[a-z]+)', 0)) AS BIGINT) AS n_ta
+           FROM documents""",
+      "q_conditional" ->
+        """SELECT l_orderkey, l_linenumber,
+                  CASE WHEN l_quantity >= 40 THEN 'bulk' WHEN l_quantity >= 10 THEN 'mid' ELSE 'small' END AS bucket,
+                  coalesce(nullif(l_returnflag, 'N'), 'none') AS flag2,
+                  least(l_quantity, l_discount * 1000) AS lo,
+                  greatest(l_quantity, l_tax * 100) AS hi
+           FROM lineitem""",
+      "q_cross_join" ->
+        "SELECT r_name, n_name FROM region CROSS JOIN nation",
       "q_argmax" ->
         """SELECT c_nationkey,
                   arg_max(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
