@@ -2,9 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Custom-state streaming operators via
   * `KeyValueGroupedDataset.flatMapGroupsWithState` — the escape hatch for
@@ -92,6 +93,50 @@ object StatefulOps {
     df.withColumn("ets", timestamp_micros(col(tsCol)))
       .withWatermark("ets", watermark)
       .dropDuplicatesWithinWatermark(keyCol)
+
+  case class KeyStats(key: String, n: Long, minId: Long, maxId: Long)
+
+  /** Spark 4 `transformWithState` shape: typed ValueState, declarative
+    * TTL when a ttl is given. Emits the updated running stats row for
+    * each key touched in the batch. Requires the RocksDB state store
+    * provider (the only provider the operator supports). */
+  private class RunningStatsProcessor(ttl: Option[java.time.Duration])
+      extends StatefulProcessor[String, Keyed, KeyStats] {
+    @transient private var state: ValueState[KeyStats] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[KeyStats]("stats",
+        Encoders.product[KeyStats],
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+    override def handleInputRows(key: String, rows: Iterator[Keyed],
+        timers: TimerValues): Iterator[KeyStats] = {
+      var s = Option(state.get()).getOrElse(
+        KeyStats(key, 0L, Long.MaxValue, Long.MinValue))
+      rows.foreach { r =>
+        s = KeyStats(key, s.n + 1, math.min(s.minId, r.id),
+          math.max(s.maxId, r.id))
+      }
+      state.update(s)
+      Iterator.single(s)
+    }
+  }
+
+  /** Running per-key stats via the Spark 4 arbitrary-state API
+    * (`transformWithState`): typed ValueState instead of hand-rolled
+    * GroupState bookkeeping. Pass a ttl for declarative state eviction
+    * in production (uses ProcessingTime mode — NOTE that processing-time
+    * semantics keep the micro-batch loop live, so tests that drive the
+    * stream with processAllAvailable must use the default no-TTL mode;
+    * same class of trap as ProcessingTimeTimeout in
+    * flatMapGroupsWithState). */
+  def runningStatsTws(ds: Dataset[Keyed],
+      ttl: Option[java.time.Duration] = None): Dataset[KeyStats] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .transformWithState(new RunningStatsProcessor(ttl),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Update())
+  }
 
   /** Streaming CONTENT dedup for a document stream: exact dedup on the
     * 64-bit polynomial fingerprint of the text (the same codegen'd

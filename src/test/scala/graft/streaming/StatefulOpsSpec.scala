@@ -84,6 +84,33 @@ class StatefulOpsSpec extends SparkSpec {
     assert(spark.table("dd").count() == 2)
   }
 
+  test("transformWithState running stats accumulate across batches (RocksDB)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Keyed]
+      val q = StatefulOps.runningStatsTws(mem.toDS()).writeStream
+        .format("memory").queryName("tws_stats")
+        .outputMode(OutputMode.Update).start()
+      try {
+        mem.addData(Keyed("a", 5, 10), Keyed("a", 2, 11), Keyed("b", 9, 12))
+        q.processAllAvailable()
+        mem.addData(Keyed("a", 7, 13))
+        q.processAllAvailable()
+      } finally q.stop()
+      // Update mode: last row per key wins
+      val last = spark.table("tws_stats").groupBy("key")
+        .agg(org.apache.spark.sql.functions.max("n").as("n"),
+          org.apache.spark.sql.functions.min("minId").as("minId"),
+          org.apache.spark.sql.functions.max("maxId").as("maxId"))
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(last == Set(("a", 3L, 2L, 7L), ("b", 1L, 9L, 9L)))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming content dedup keys on the text fingerprint") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
