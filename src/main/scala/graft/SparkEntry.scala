@@ -665,6 +665,17 @@ object SparkEntry {
       t(s, dir, "region").crossJoin(t(s, dir, "nation"))
         .select(col("r_name"), col("n_name"))),
 
+    // ----- custom whole-operator plan: exact top-k per group via
+    // partial/final map-side pruning (graft.plans.TopKPerGroup) -----
+    "q_topk_group" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.plans.TopK.topKPerGroup(li, Seq("l_partkey"),
+        Seq(li.col("l_extendedprice").desc, li.col("l_orderkey"),
+          li.col("l_linenumber")), 2)
+        .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+          col("rn"))
+    }),
+
     // ----- max_by/arg_max with a deterministic composite tie-break -----
     "q_argmax" -> ((s, dir) => {
       // exact integer cents * 1e9 + orderkey: unique, so ties can't make
@@ -1184,6 +1195,12 @@ object SparkEntry {
            FROM lineitem""",
       "q_cross_join" ->
         "SELECT r_name, n_name FROM region CROSS JOIN nation",
+      "q_topk_group" ->
+        """SELECT l_partkey, l_orderkey, l_linenumber, rn FROM (
+             SELECT l_partkey, l_orderkey, l_linenumber,
+                    ROW_NUMBER() OVER (PARTITION BY l_partkey
+                      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+             FROM lineitem) WHERE rn <= 2""",
       "q_argmax" ->
         """SELECT c_nationkey,
                   arg_max(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)

@@ -12,4 +12,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Wrap an analyzed logical plan back into a DataFrame (Spark 4 hides
+    * `Dataset.ofRows` behind `private[sql]`). Needed to hand custom
+    * logical operators (e.g. graft.plans.TopKPerGroup) to the planner. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -137,6 +137,18 @@ class HashExpressionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
   }
 
+  test("literal inputs constant-fold at optimization time") {
+    // deterministic + foldable children → Catalyst's ConstantFolding
+    // evaluates the native expressions once on the driver; the optimized
+    // plan must carry a Literal, not the expression
+    val docs = Tables(spark, dir, "documents")
+    val opt = docs.selectExpr("doc_id")
+      .select(GraftFunctions.polyHash(
+        org.apache.spark.sql.functions.lit("abc")).as("h"))
+      .queryExecution.optimizedPlan.toString
+    assert(!opt.contains("graft_polyhash"), s"not folded:\n$opt")
+  }
+
   test("codegen path active: explain contains no fallback for the exprs") {
     val docs = Tables(spark, dir, "documents")
     val plan = docs.select(GraftFunctions.polyHash(col("text")))
