@@ -676,6 +676,39 @@ object SparkEntry {
           col("rn"))
     }),
 
+    // ----- TPC-H Q6 through the spark.sql entry point (temp view) -----
+    "q6_forecast" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                           CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                  COUNT(*) AS n_items
+           FROM lineitem_v
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01'
+             AND l_discount >= 0.02 AND l_discount <= 0.06
+             AND l_quantity < 24""")
+    }),
+
+    // ----- JSON extraction (round-trip through a JSON string column) -----
+    "q_json_extract" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .selectExpr("o_orderkey",
+          """concat('{"status":"', o_orderstatus, '","price":',
+                    CAST(o_totalprice AS STRING), '}') AS js""")
+        .selectExpr("o_orderkey",
+          "get_json_object(js, '$.status') AS status",
+          "CAST(get_json_object(js, '$.price') AS DOUBLE) AS price")),
+
+    // ----- custom typed Aggregator UDAF: shard-level MinHash union -----
+    "q_minhash_union" -> ((s, dir) => {
+      val sigs = Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text")
+      sigs.withColumn("shard", col("doc_id") % 10)
+        .groupBy(col("shard"))
+        .agg(graft.functions.SigAgg.minhashUnion(col("mh")).as("u"))
+        .selectExpr("shard", "array_join(u, ',') AS union_sig")
+    }),
+
     // ----- max_by/arg_max with a deterministic composite tie-break -----
     "q_argmax" -> ((s, dir) => {
       // exact integer cents * 1e9 + orderkey: unique, so ties can't make
@@ -1195,6 +1228,30 @@ object SparkEntry {
            FROM lineitem""",
       "q_cross_join" ->
         "SELECT r_name, n_name FROM region CROSS JOIN nation",
+      "q6_forecast" ->
+        """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                           CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                  COUNT(*) AS n_items
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01'
+             AND l_discount >= 0.02 AND l_discount <= 0.06
+             AND l_quantity < 24""",
+      "q_json_extract" ->
+        """WITH j AS (SELECT o_orderkey,
+                  '{"status":"' || o_orderstatus || '","price":' ||
+                  CAST(o_totalprice AS VARCHAR) || '}' AS js FROM orders)
+           SELECT o_orderkey,
+                  json_extract_string(js, '$.status') AS status,
+                  CAST(json_extract_string(js, '$.price') AS DOUBLE) AS price
+           FROM j""",
+      "q_minhash_union" ->
+        s"""$minhashCtes,
+           g AS (SELECT doc_id % 10 AS shard, mh FROM sigs)
+           SELECT shard,
+                  array_to_string(list_transform(range(1, 13),
+                    i -> list_min(list_transform(list(mh), s -> s[i]))), ',') AS union_sig
+           FROM g GROUP BY shard""",
       "q_topk_group" ->
         """SELECT l_partkey, l_orderkey, l_linenumber, rn FROM (
              SELECT l_partkey, l_orderkey, l_linenumber,

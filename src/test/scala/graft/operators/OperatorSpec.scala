@@ -115,6 +115,22 @@ class OperatorSpec extends SparkSpec {
     assert(again.checksum == f.checksum)
   }
 
+  test("minhash-union UDAF: element-wise min, partial aggregation in plan") {
+    import org.apache.spark.sql.functions.col
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val agg = sigs.withColumn("shard", col("doc_id") % 10)
+      .groupBy("shard").agg(graft.functions.SigAgg.minhashUnion(col("mh")).as("u"))
+    // map-side partial: the Aggregator reduces before the exchange
+    assert(agg.queryExecution.executedPlan.toString.contains("partial_minsigunion"))
+    val rows = agg.collect()
+    assert(rows.length == 10)
+    // union signature is element-wise <= every member's signature
+    val one = sigs.filter("doc_id % 10 = 0").select("mh").collect()
+      .map(_.getSeq[Long](0))
+    val u = rows.find(_.getLong(0) == 0L).get.getSeq[Long](1)
+    one.foreach { m => u.indices.foreach(i => assert(u(i) <= m(i))) }
+  }
+
   test("merge upsert: update wins, insert lands, untouched rows pass through") {
     import spark.implicits._
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
