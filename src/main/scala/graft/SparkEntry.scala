@@ -676,6 +676,27 @@ object SparkEntry {
           col("rn"))
     }),
 
+    // ----- multiset intersection (INTERSECT ALL) -----
+    "q_intersect_all" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(col("l_suppkey").as("sk"))
+        .intersectAll(t(s, dir, "supplier").select(col("s_suppkey").as("sk")))),
+
+    // ----- positional explode (token positions, 1-based both engines) -----
+    "q_posexplode" -> ((s, dir) =>
+      TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos0", "word")))
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+          col("word"))),
+
+    // ----- recursive CTE (Spark 4 WITH RECURSIVE) -----
+    "q_recursive_cte" -> ((s, dir) =>
+      s.sql(
+        """WITH RECURSIVE s(n, f) AS (
+             SELECT 1, CAST(1 AS BIGINT)
+             UNION ALL
+             SELECT n + 1, f * (n + 1) FROM s WHERE n < 15)
+           SELECT n, f FROM s""")),
+
     // ----- TPC-H Q6 through the spark.sql entry point (temp view) -----
     "q6_forecast" -> ((s, dir) => {
       t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
@@ -1228,6 +1249,19 @@ object SparkEntry {
            FROM lineitem""",
       "q_cross_join" ->
         "SELECT r_name, n_name FROM region CROSS JOIN nation",
+      "q_intersect_all" ->
+        """SELECT l_suppkey AS sk FROM lineitem
+           INTERSECT ALL SELECT s_suppkey AS sk FROM supplier""",
+      "q_posexplode" ->
+        s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents)
+           SELECT doc_id, i AS pos, toks[CAST(i AS INT)] AS word
+           FROM tk, unnest(range(1, len(toks) + 1)) AS t(i)""",
+      "q_recursive_cte" ->
+        """WITH RECURSIVE s(n, f) AS (
+             SELECT 1, CAST(1 AS BIGINT)
+             UNION ALL
+             SELECT n + 1, f * (n + 1) FROM s WHERE n < 15)
+           SELECT n, f FROM s""",
       "q6_forecast" ->
         """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
                            CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
