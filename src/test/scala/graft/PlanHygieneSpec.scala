@@ -1,0 +1,42 @@
+package graft
+
+import graft.athenaeum.SparkSpec
+
+/** Meta-guard over EVERY SparkEntry query's physical plan: no query may
+  * silently regress to a nested-loop/cartesian shape (the classic
+  * 100 TB killer — a changed filter or join key turns a hash join into
+  * BroadcastNestedLoopJoin and nothing fails until production).
+  * Queries that use a cross join BY DESIGN are whitelisted with the
+  * reason pinned here.
+  */
+class PlanHygieneSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // deliberate cross/nested-loop joins: tiny or broadcast-scored by design
+  private val intentionalCross = Set(
+    "q_cross_join",     // J9 surface: 5x25 rows
+    "q_ann_topk",       // brute-force baseline: broadcast query set x candidates
+    "q22_quiet_rich",   // 1-row scalar aggregate crossed into the filter
+    "q_scalar_subquery", // 1-row subquery result joined in
+    // reference theta-join surface (J2/J3): inequality-only predicates
+    // have no equi key, so a nested loop is the ONLY plan; both queries
+    // run on dimension-sized inputs. The scale path for range predicates
+    // is the factorized/bucketed form (q_range_join, operators.RangeJoin).
+    "q_join_theta_neq", // nation <> region: 25x5
+    "q_join_range")     // supplier self range: dim x dim
+
+  test("no unintended BroadcastNestedLoopJoin / CartesianProduct in any query") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val plan = fn(spark, dir).queryExecution.executedPlan.toString
+          val nested = plan.contains("BroadcastNestedLoopJoin") ||
+            plan.contains("CartesianProduct")
+          if (nested && !intentionalCross(name)) Some(name) else None
+        } catch { case e: Throwable => Some(s"$name (plan failed: ${e.getMessage})") }
+    }
+    assert(offenders.isEmpty,
+      s"nested-loop plans in: ${offenders.mkString(", ")}")
+  }
+}
