@@ -676,6 +676,54 @@ object SparkEntry {
           col("rn"))
     }),
 
+    // ----- TPC-H Q4-style: order priority with a conditioned EXISTS -----
+    "q4_order_priority" -> ((s, dir) => {
+      val late = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-04-01")
+        .join(late, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
+    // ----- TPC-H Q14-style: promo revenue share (conditional ratio) -----
+    "q14_promo_share" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .filter(col("l_shipdate") >= "1996-03-01" && col("l_shipdate") < "1996-04-01")
+        .agg(
+          expr("CAST(SUM(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)")
+            .as("promo_rev"),
+          expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)")
+            .as("total_rev"))
+        .selectExpr("promo_rev", "total_rev",
+          "100 * promo_rev / total_rev AS promo_pct")),
+
+    // ----- TPC-H Q19-style: disjunctive multi-attribute predicates -----
+    "q19_disjunctive" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 30)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 40)))
+        .agg(expr(
+          "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+            "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)").as("revenue"),
+          count(lit(1)).as("n_items"))),
+
+    // ----- JSON props on the events table (real semi-structured column) -----
+    "q_events_props" -> ((s, dir) =>
+      t(s, dir, "events")
+        .selectExpr("event_type",
+          "CAST(get_json_object(props, '$.k') AS BIGINT) AS k")
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
+          count(lit(1)).as("n"))),
+
     // ----- multiset intersection (INTERSECT ALL) -----
     "q_intersect_all" -> ((s, dir) =>
       t(s, dir, "lineitem").select(col("l_suppkey").as("sk"))
@@ -1249,6 +1297,40 @@ object SparkEntry {
            FROM lineitem""",
       "q_cross_join" ->
         "SELECT r_name, n_name FROM region CROSS JOIN nation",
+      "q4_order_priority" ->
+        """SELECT o_orderpriority, COUNT(*) AS n_orders
+           FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1996-04-01'
+             AND EXISTS (SELECT 1 FROM lineitem
+                         WHERE l_orderkey = o_orderkey
+                           AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+           GROUP BY o_orderpriority""",
+      "q14_promo_share" ->
+        """WITH f AS (SELECT * FROM lineitem JOIN part ON l_partkey = p_partkey
+                      WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+                        AND l_shipdate < TIMESTAMP '1996-04-01'),
+           a AS (SELECT
+             CAST(SUM(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_rev,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_rev
+             FROM f)
+           SELECT promo_rev, total_rev, 100 * promo_rev / total_rev AS promo_pct
+           FROM a""",
+      "q19_disjunctive" ->
+        """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+                  COUNT(*) AS n_items
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                  AND l_quantity BETWEEN 1 AND 30)
+              OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+                  AND l_quantity BETWEEN 10 AND 40)""",
+      "q_events_props" ->
+        """SELECT event_type,
+                  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+                  COUNT(*) AS n
+           FROM events GROUP BY event_type""",
       "q_intersect_all" ->
         """SELECT l_suppkey AS sk FROM lineitem
            INTERSECT ALL SELECT s_suppkey AS sk FROM supplier""",
