@@ -59,6 +59,15 @@ object EventStreams {
           r_ets BETWEEN l_ets AND l_ets + INTERVAL $boundSeconds SECONDS"""))
   }
 
+  /** Stream-static enrichment: join the stream against a batch dimension
+    * table. The static side is broadcast per micro-batch (no state, no
+    * watermark needed on it) — the standard pattern for attaching slowly-
+    * changing reference data to an event stream at scale. */
+  def enrich(stream: DataFrame, dim: DataFrame, streamKey: String,
+      dimKey: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim),
+      col(streamKey) === col(dimKey), "left")
+
   /** Session windows per user with a gap timeout — the streaming
     * equivalent of the batch gaps-and-islands in Events.sessionize. */
   def sessions(events: DataFrame, gap: String = "30 minutes",

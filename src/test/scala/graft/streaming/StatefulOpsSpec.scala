@@ -111,6 +111,48 @@ class StatefulOpsSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("stream-static enrich broadcasts the dimension per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("dim_id", "tier")
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStreams.enrich(
+        mem.toDF().toDF("user_id", "event"), dim, "user_id", "dim_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((1L, "click"), (3L, "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("enriched")
+      .select("user_id", "tier").as[(Long, Option[String])].collect().toSet
+    assert(rows == Set((1L, Some("gold")), (3L, None)))
+  }
+
+  test("foreachBatch incremental upsert maintains a merged snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    var snapshot = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "s", "v")
+    val mem = MemoryStream[(Long, String, Double)]
+    val q = mem.toDF().toDF("k", "s", "v").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the standard streaming-merge pattern: apply each micro-batch as
+        // a delta over the running snapshot
+        snapshot = graft.operators.Merge.upsert(snapshot, batch, "k")
+          .localCheckpoint() // cut lineage so snapshots don't chain forever
+      }
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((2L, "B", 20.0), (3L, "c", 3.0))
+      q.processAllAvailable()
+      mem.addData((1L, "A", 10.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = snapshot.as[(Long, String, Double)].collect().toSet
+    assert(got == Set((1L, "A", 10.0), (2L, "B", 20.0), (3L, "c", 3.0)))
+  }
+
   test("streaming content dedup keys on the text fingerprint") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
