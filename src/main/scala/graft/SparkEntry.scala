@@ -410,6 +410,31 @@ object SparkEntry {
         ord, "o_custkey", "t_us", "o_orderkey")
     }),
 
+    // ----- forward as-of: earliest event at/after each order's date -----
+    "q_asof_forward" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .selectExpr("o_custkey",
+          "unix_micros(cast(o_orderdate as timestamp)) AS t_us", "o_orderkey")
+      val ev = t(s, dir, "events")
+        .selectExpr("user_id", "ts div 1000 AS t_us", "event_id")
+      graft.operators.AsOfJoin.asOfForward(
+        ord, "o_custkey", "t_us", "o_orderkey",
+        ev, "user_id", "t_us", "event_id")
+    }),
+
+    // ----- as-of with tolerance: latest purchase within 1h of each click -----
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .selectExpr("user_id", "ts div 1000 AS t_us", "event_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .selectExpr("user_id", "ts div 1000 AS t_us", "event_id AS p_id")
+      graft.operators.AsOfJoin.asOf(
+        clicks, "user_id", "t_us", "event_id",
+        purchases, "user_id", "t_us", "p_id",
+        toleranceMicros = Some(3600000000L))
+    }),
+
     // ----- end-to-end corpus cleaning (composition of the above) -----
     "q_corpus_clean" -> ((s, dir) =>
       graft.operators.CorpusPipeline.clean(
@@ -1099,6 +1124,24 @@ object SparkEntry {
            e AS (SELECT user_id AS k, epoch_us(ts) AS t, event_id FROM events)
            SELECT e.event_id, e.k AS user_id, o.ref AS o_orderkey
            FROM e ASOF JOIN o ON e.k = o.k AND e.t >= o.t""",
+      "q_asof_forward" ->
+        """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t,
+                             MAX(event_id) AS ref
+                      FROM events GROUP BY 1, 2),
+           o AS (SELECT o_custkey AS k, epoch_us(o_orderdate) AS t, o_orderkey
+                 FROM orders)
+           SELECT o.o_orderkey, o.k AS o_custkey, e.ref AS event_id
+           FROM o ASOF JOIN e ON o.k = e.k AND o.t <= e.t""",
+      "q_asof_tolerance" ->
+        """WITH p AS (SELECT user_id AS k, epoch_us(ts) AS t,
+                             MAX(event_id) AS ref
+                      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+           c AS (SELECT user_id AS k, epoch_us(ts) AS t, event_id FROM events
+                 WHERE event_type = 'click')
+           SELECT event_id, k AS user_id, ref AS p_id FROM (
+             SELECT c.event_id, c.k, p.ref, c.t AS ct, p.t AS pt
+             FROM c ASOF JOIN p ON c.k = p.k AND c.t >= p.t)
+           WHERE ct - pt <= 3600000000""",
       "q_corpus_clean" ->
         s"""WITH base AS (SELECT doc_id, text, ${duckTokens("text")} AS toks FROM documents),
            scored AS (

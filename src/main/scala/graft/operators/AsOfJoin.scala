@@ -25,11 +25,15 @@ object AsOfJoin {
 
   /** @param left     probe side (e.g. events)
     * @param right    reference side (e.g. orders)
+    * @param toleranceMicros if set, matches farther than this from the
+    *                 probe time are dropped (same semantics as pandas
+    *                 merge_asof tolerance: match the nearest first, THEN
+    *                 apply the distance cut)
     * @return left ids with their matched right ref:
     *         (leftId, key, matchedRef) */
   def asOf(left: DataFrame, leftKey: String, leftTime: String, leftId: String,
-      right: DataFrame, rightKey: String, rightTime: String, rightRef: String)
-      : DataFrame = {
+      right: DataFrame, rightKey: String, rightTime: String, rightRef: String,
+      toleranceMicros: Option[Long] = None): DataFrame = {
     val r = right.groupBy(col(rightKey).as("k"), col(rightTime).as("t"))
       .agg(max(col(rightRef)).as("ref"))
       .select(col("k"), col("t"), lit(1).as("side"), col("ref"),
@@ -40,11 +44,29 @@ object AsOfJoin {
     val w = Window.partitionBy("k")
       .orderBy(col("t").asc, col("side").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    r.unionAll(l)
+    val merged = r.unionAll(l)
       .withColumn("match_ref",
         last(when(col("side") === 1, col("ref")), ignoreNulls = true).over(w))
+      .withColumn("match_t",
+        last(when(col("side") === 1, col("t")), ignoreNulls = true).over(w))
       .filter(col("side") === 0 && col("match_ref").isNotNull)
-      .select(col("lid").as(leftId), col("k").as(leftKey),
-        col("match_ref").as(rightRef))
+    val cut = toleranceMicros match {
+      case Some(tol) => merged.filter(col("t") - col("match_t") <= tol)
+      case None => merged
+    }
+    cut.select(col("lid").as(leftId), col("k").as(leftKey),
+      col("match_ref").as(rightRef))
   }
+
+  /** Forward as-of: for each left row, the EARLIEST right row with the
+    * same key at or after the left time. Implemented as the backward
+    * join on negated times — ordering reverses, semantics flip, and the
+    * machinery (one shuffle + per-key sort) is shared. */
+  def asOfForward(left: DataFrame, leftKey: String, leftTime: String,
+      leftId: String, right: DataFrame, rightKey: String, rightTime: String,
+      rightRef: String, toleranceMicros: Option[Long] = None): DataFrame =
+    asOf(
+      left.withColumn("_neg_t", -col(leftTime)), leftKey, "_neg_t", leftId,
+      right.withColumn("_neg_t", -col(rightTime)), rightKey, "_neg_t",
+      rightRef, toleranceMicros)
 }
