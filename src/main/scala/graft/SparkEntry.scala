@@ -749,6 +749,28 @@ object SparkEntry {
         .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
           count(lit(1)).as("n"))),
 
+    // ----- null-safe equality and null-generating expressions -----
+    "q_null_semantics" -> ((s, dir) =>
+      t(s, dir, "lineitem").selectExpr("l_orderkey", "l_linenumber",
+        "nullif(l_returnflag, 'N') AS nflag",
+        "l_returnflag <=> nullif(l_returnflag, 'N') AS nsafe_eq",
+        "nullif(l_returnflag, 'N') IS NULL AS was_n")),
+
+    // ----- GROUPING(): rollup-null vs data-null disambiguation -----
+    "q_grouping_fn" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"))
+        .agg(grouping(col("l_returnflag")).cast("long").as("g"),
+          count(lit(1)).as("n"))),
+
+    // ----- date arithmetic: trunc, add_months, datediff, ISO weekday -----
+    "q_date_arith" -> ((s, dir) =>
+      t(s, dir, "orders").selectExpr("o_orderkey",
+        "date_format(date_trunc('month', o_orderdate), 'yyyy-MM-dd') AS mo",
+        "date_format(add_months(o_orderdate, 3), 'yyyy-MM-dd') AS plus3",
+        "CAST(datediff(o_orderdate, DATE '1995-01-01') AS BIGINT) AS dd",
+        "CAST(weekday(o_orderdate) + 1 AS BIGINT) AS isodow")),
+
     // ----- multiset intersection (INTERSECT ALL) -----
     "q_intersect_all" -> ((s, dir) =>
       t(s, dir, "lineitem").select(col("l_suppkey").as("sk"))
@@ -1374,6 +1396,23 @@ object SparkEntry {
                   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
                   COUNT(*) AS n
            FROM events GROUP BY event_type""",
+      "q_null_semantics" ->
+        """SELECT l_orderkey, l_linenumber,
+                  nullif(l_returnflag, 'N') AS nflag,
+                  l_returnflag IS NOT DISTINCT FROM nullif(l_returnflag, 'N') AS nsafe_eq,
+                  nullif(l_returnflag, 'N') IS NULL AS was_n
+           FROM lineitem""",
+      "q_grouping_fn" ->
+        """SELECT l_returnflag, CAST(GROUPING(l_returnflag) AS BIGINT) AS g,
+                  COUNT(*) AS n
+           FROM lineitem GROUP BY ROLLUP(l_returnflag)""",
+      "q_date_arith" ->
+        """SELECT o_orderkey,
+                  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS mo,
+                  strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3,
+                  CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS dd,
+                  CAST(isodow(o_orderdate) AS BIGINT) AS isodow
+           FROM orders""",
       "q_intersect_all" ->
         """SELECT l_suppkey AS sk FROM lineitem
            INTERSECT ALL SELECT s_suppkey AS sk FROM supplier""",
