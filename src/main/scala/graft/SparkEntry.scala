@@ -749,6 +749,14 @@ object SparkEntry {
         .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
           count(lit(1)).as("n"))),
 
+    // ----- token counting: whitespace vs BPE-ish subword regex -----
+    // (the regex mimics a byte-pair-style pre-tokenizer: letter runs,
+    // digit runs, or single punctuation marks)
+    "q_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").selectExpr("doc_id",
+        s"CAST(size(${XFormulas.sparkTokens("text")}) AS BIGINT) AS ws_tokens",
+        "CAST(size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT) AS bpe_tokens")),
+
     // ----- null-safe equality and null-generating expressions -----
     "q_null_semantics" -> ((s, dir) =>
       t(s, dir, "lineitem").selectExpr("l_orderkey", "l_linenumber",
@@ -1396,6 +1404,11 @@ object SparkEntry {
                   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
                   COUNT(*) AS n
            FROM events GROUP BY event_type""",
+      "q_token_count" ->
+        s"""SELECT doc_id,
+                  CAST(len(${XFormulas.duckTokens("text")}) AS BIGINT) AS ws_tokens,
+                  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
+           FROM documents""",
       "q_null_semantics" ->
         """SELECT l_orderkey, l_linenumber,
                   nullif(l_returnflag, 'N') AS nflag,

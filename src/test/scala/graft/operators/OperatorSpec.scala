@@ -131,6 +131,18 @@ class OperatorSpec extends SparkSpec {
     one.foreach { m => u.indices.foreach(i => assert(u(i) <= m(i))) }
   }
 
+  test("observe(): pipeline metrics ride the job without a second scan") {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions.{count, lit, min}
+    val obs = Observation("doc_stats")
+    val out = docs.observe(obs,
+      count(lit(1)).as("n_rows"), min("doc_id").as("min_id"))
+      .filter("doc_id >= 0").collect()
+    assert(out.length == 500)
+    val m = obs.get
+    assert(m("n_rows") == 500L && m("min_id") == 0L)
+  }
+
   test("merge upsert: update wins, insert lands, untouched rows pass through") {
     import spark.implicits._
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
