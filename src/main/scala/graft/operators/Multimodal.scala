@@ -64,6 +64,29 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: deterministic downsample of the opaque payload to a
+    * target (w, h) — picks one byte per output cell by stride (a real
+    * implementation decodes, interpolates, re-encodes; the byte-level
+    * determinism lets specs pin the plumbing). Output metadata reflects
+    * the new geometry, payload length is exactly w*h. */
+  def resizeStub(ds: Dataset[MediaRecord], w: Int, h: Int)
+      : Dataset[MediaRecord] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val out = new Array[Byte](w * h)
+        val n = r.bytes.length
+        var i = 0
+        while (i < out.length) {
+          out(i) = if (n == 0) 0 else r.bytes((i.toLong * n / out.length).toInt)
+          i += 1
+        }
+        MediaRecord(r.id, r.kind, out, w, h)
+      }
+    }
+  }
+
   /** Build a typed media Dataset from any table with an id + text column
     * (text bytes stand in for the opaque payload). */
   def fromText(spark: SparkSession, df: Dataset[_], idCol: String,

@@ -131,6 +131,18 @@ class OperatorSpec extends SparkSpec {
     one.foreach { m => u.indices.foreach(i => assert(u(i) <= m(i))) }
   }
 
+  test("multimodal resize stub: geometry + length change, deterministic bytes") {
+    val media = Multimodal.fromText(spark, docs, "doc_id", "text")
+    val resized = Multimodal.resizeStub(media, 16, 16)
+    val r = resized.filter("id = 1").collect()(0)
+    assert(r.width == 16 && r.height == 16 && r.bytes.length == 256)
+    val again = Multimodal.resizeStub(media, 16, 16).filter("id = 1").collect()(0)
+    assert(java.util.Arrays.equals(r.bytes, again.bytes))
+    // features still computable downstream of the resize
+    val f = Multimodal.extractFeatures(resized).filter("id = 1").collect()(0)
+    assert(f.n_bytes == 256)
+  }
+
   test("observe(): pipeline metrics ride the job without a second scan") {
     import org.apache.spark.sql.Observation
     import org.apache.spark.sql.functions.{count, lit, min}
