@@ -833,6 +833,20 @@ object SparkEntry {
         .selectExpr("shard", "array_join(u, ',') AS union_sig")
     }),
 
+    // ----- window twin of q_topk_group: same rows via row_number, so
+    // every bench round measures the custom operator against Spark's
+    // WindowGroupLimit path on identical data -----
+    "q_topk_group_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_partkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 2)
+        .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+          col("rn"))
+    }),
+
     // ----- max_by/arg_max with a deterministic composite tie-break -----
     "q_argmax" -> ((s, dir) => {
       // exact integer cents * 1e9 + orderkey: unique, so ties can't make
@@ -1464,6 +1478,12 @@ object SparkEntry {
                     i -> list_min(list_transform(list(mh), s -> s[i]))), ',') AS union_sig
            FROM g GROUP BY shard""",
       "q_topk_group" ->
+        """SELECT l_partkey, l_orderkey, l_linenumber, rn FROM (
+             SELECT l_partkey, l_orderkey, l_linenumber,
+                    ROW_NUMBER() OVER (PARTITION BY l_partkey
+                      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+             FROM lineitem) WHERE rn <= 2""",
+      "q_topk_group_window" ->
         """SELECT l_partkey, l_orderkey, l_linenumber, rn FROM (
              SELECT l_partkey, l_orderkey, l_linenumber,
                     ROW_NUMBER() OVER (PARTITION BY l_partkey
