@@ -84,8 +84,10 @@ object XFormulas {
   }
 
   // ---- exact Jaccard between two DISTINCT-element array expressions ----
+  // nullif guard: Spark 4 runs ANSI mode, where double/0 is IEEE NaN/Inf
+  // while DuckDB yields NULL — nullif makes both sides NULL on empty sets.
   def sparkJaccard(a: String, b: String): String =
-    s"CAST(size(array_intersect($a, $b)) AS DOUBLE) / size(array_union($a, $b))"
+    s"CAST(size(array_intersect($a, $b)) AS DOUBLE) / nullif(size(array_union($a, $b)), 0)"
   def duckJaccard(a: String, b: String): String =
     s"CAST(len(list_intersect($a, $b)) AS DOUBLE) / len(list_distinct(list_concat($a, $b)))"
 

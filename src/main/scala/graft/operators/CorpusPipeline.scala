@@ -29,8 +29,8 @@ object CorpusPipeline {
       .withColumn("stop_hits", expr(sparkStopHits("toks")))
       .withColumn("quality",
         expr("0.4 * least(CAST(size(toks) AS DOUBLE) / 50.0, 1.0) + " +
-          "0.3 * (CAST(stop_hits AS DOUBLE) / size(toks)) + " +
-          "0.3 * (CAST(size(filter(toks, w -> length(w) <= 5)) AS DOUBLE) / size(toks))"))
+          "0.3 * (CAST(stop_hits AS DOUBLE) / nullif(size(toks), 0)) + " +
+          "0.3 * (CAST(size(filter(toks, w -> length(w) <= 5)) AS DOUBLE) / nullif(size(toks), 0))"))
       .withColumn("fp", GraftFunctions.polyHash(col(textCol)))
       .filter(col("stop_hits") >= 1 && col("quality") >= minQuality)
 

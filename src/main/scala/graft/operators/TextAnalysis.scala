@@ -23,7 +23,7 @@ object TextAnalysis {
       "CAST(size(toks) AS BIGINT) AS n_tokens",
       s"CAST(length($textCol) AS BIGINT) AS text_len",
       // exact: int sum cast to double, then one division
-      "CAST(aggregate(toks, 0L, (acc, w) -> acc + length(w)) AS DOUBLE) / size(toks) AS avg_token_len",
+      "CAST(aggregate(toks, 0L, (acc, w) -> acc + length(w)) AS DOUBLE) / nullif(size(toks), 0) AS avg_token_len",
       s"CAST(${sparkStopHits("toks")} AS BIGINT) AS stop_hits")
 
   /** n-gram-free language-ID heuristic: stopword hits over the token set.
@@ -43,8 +43,8 @@ object TextAnalysis {
     withTokens(df, textCol).selectExpr(
       idCol,
       "0.4 * least(CAST(size(toks) AS DOUBLE) / 50.0, 1.0) + " +
-        s"0.3 * (CAST(${sparkStopHits("toks")} AS DOUBLE) / size(toks)) + " +
-        "0.3 * (CAST(size(filter(toks, w -> length(w) <= 5)) AS DOUBLE) / size(toks)) " +
+        s"0.3 * (CAST(${sparkStopHits("toks")} AS DOUBLE) / nullif(size(toks), 0)) + " +
+        "0.3 * (CAST(size(filter(toks, w -> length(w) <= 5)) AS DOUBLE) / nullif(size(toks), 0)) " +
         "AS quality")
 
   /** Char-n-gram language-ID: per-occurrence density of high-frequency
@@ -57,9 +57,9 @@ object TextAnalysis {
     df.withColumn("tris", expr(sparkCharTrigrams(s"lower($textCol)")))
       .selectExpr(
         idCol,
-        s"CAST(${sparkTrigramHits("tris")} AS DOUBLE) / size(tris) AS tri_score",
-        s"CASE WHEN CAST(${sparkTrigramHits("tris")} AS DOUBLE) / size(tris) >= 0.05 THEN 'en' " +
-          s"WHEN CAST(${sparkTrigramHits("tris")} AS DOUBLE) / size(tris) >= 0.02 THEN 'maybe_en' " +
+        s"CAST(${sparkTrigramHits("tris")} AS DOUBLE) / nullif(size(tris), 0) AS tri_score",
+        s"CASE WHEN CAST(${sparkTrigramHits("tris")} AS DOUBLE) / nullif(size(tris), 0) >= 0.05 THEN 'en' " +
+          s"WHEN CAST(${sparkTrigramHits("tris")} AS DOUBLE) / nullif(size(tris), 0) >= 0.02 THEN 'maybe_en' " +
           "ELSE 'other' END AS lang3")
 
   /** Polynomial rolling-hash fingerprint of the raw text (native

@@ -185,6 +185,22 @@ class OperatorSpec extends SparkSpec {
         "(lang3 = 'other' AND tri_score >= 0.02)").count() == 0)
   }
 
+  test("empty docs: ratio columns are NULL (never ANSI NaN/Infinity)") {
+    import spark.implicits._
+    val empty = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val st = TextAnalysis.stats(empty, "doc_id", "text").collect()
+    st.foreach(r => assert(r.isNullAt(r.fieldIndex("avg_token_len"))))
+    val q = TextAnalysis.quality(empty, "doc_id", "text").collect()
+    q.foreach(r => assert(r.isNullAt(r.fieldIndex("quality"))))
+    // under-3-char texts have NO trigrams -> NULL score, 'other' label
+    val short = Seq((1L, ""), (2L, "ab")).toDF("doc_id", "text")
+    val l = TextAnalysis.langCharNgram(short, "doc_id", "text").collect()
+    l.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("tri_score")))
+      assert(r.getString(r.fieldIndex("lang3")) == "other")
+    }
+  }
+
   test("char trigrams: short strings yield empty list, no crash") {
     import spark.implicits._
     import graft.functions.XFormulas._
