@@ -153,6 +153,38 @@ class StatefulOpsSpec extends SparkSpec {
     assert(got == Set((1L, "A", 10.0), (2L, "B", 20.0), (3L, "c", 3.0)))
   }
 
+  test("checkpoint restart: state survives, seen keys are not re-emitted") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("ckpt_out").toString
+    val mem = MemoryStream[Keyed]
+    // file sink: the production path that actually supports restart
+    def start() = StatefulOps.firstSeen(mem.toDS()).writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+
+    val q1 = start()
+    try {
+      mem.addData(Keyed("a", 1, 1000000), Keyed("b", 2, 1100000))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(spark.read.parquet(out).count() == 2)
+
+    // restart against the SAME checkpoint: "a" is already in state and
+    // must not re-emit; only the new key "c" appends
+    val q2 = start()
+    try {
+      mem.addData(Keyed("a", 3, 1200000), Keyed("c", 4, 1300000))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = spark.read.parquet(out).as[Keyed].collect()
+      .map(k => (k.key, k.id)).toSet
+    assert(got == Set(("a", 1L), ("b", 2L), ("c", 4L)),
+      s"state not recovered: $got")
+  }
+
   test("streaming content dedup keys on the text fingerprint") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
