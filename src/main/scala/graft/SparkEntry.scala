@@ -749,6 +749,47 @@ object SparkEntry {
         .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
           count(lit(1)).as("n"))),
 
+    // ----- salted skew join through the correctness gate: its contract
+    // is row-identical output to the plain equi join (the oracle runs
+    // the plain form) -----
+    "q_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").withColumnRenamed("l_partkey", "p_partkey")
+      graft.operators.ScaleJoins.saltedJoin(
+          li, t(s, dir, "part"), "p_partkey", buckets = 8,
+          saltCol = "l_orderkey")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+    }),
+
+    // ----- exact-moment statistics: stddev / correlation from EXACT
+    // decimal sums (built-in stddev/corr use order-dependent streaming
+    // co-moments that cannot hash-match across engines; decomposing into
+    // exact sums makes the doubles bit-identical by construction) -----
+    "q_stats_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).as("sx"),
+          sum(dec(col("l_extendedprice"))).as("sy"),
+          sum(dec(col("l_quantity")) * dec(col("l_quantity"))).as("sxx"),
+          sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice"))).as("syy"),
+          sum(dec(col("l_quantity")) * dec(col("l_extendedprice"))).as("sxy"))
+        .selectExpr("l_returnflag", "n",
+          "sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (n * (n - 1))) AS stddev_qty",
+          "(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+            "(sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+            " sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qp")),
+
+    // ----- bitwise aggregates -----
+    "q_bitwise_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("bit_and(o_orderkey)").as("band"),
+          expr("bit_or(o_orderkey)").as("bor"),
+          expr("bit_xor(o_orderkey)").as("bxor"),
+          count(lit(1)).as("n"))),
+
     // ----- token counting: whitespace vs BPE-ish subword regex -----
     // (the regex mimics a byte-pair-style pre-tokenizer: letter runs,
     // digit runs, or single punctuation marks)
@@ -1418,6 +1459,30 @@ object SparkEntry {
                   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
                   COUNT(*) AS n
            FROM events GROUP BY event_type""",
+      "q_salted_join" ->
+        """SELECT p_brand, COUNT(*) AS n,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY p_brand""",
+      "q_stats_agg" ->
+        """WITH a AS (SELECT l_returnflag, COUNT(*) AS n,
+                  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+                  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+                  SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+                  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+                  SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+           FROM lineitem GROUP BY l_returnflag)
+           SELECT l_returnflag, n,
+                  sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (n * (n - 1))) AS stddev_qty,
+                  (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                  (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                   sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qp
+           FROM a""",
+      "q_bitwise_agg" ->
+        """SELECT o_orderstatus,
+                  bit_and(o_orderkey) AS band, bit_or(o_orderkey) AS bor,
+                  bit_xor(o_orderkey) AS bxor, COUNT(*) AS n
+           FROM orders GROUP BY o_orderstatus""",
       "q_token_count" ->
         s"""SELECT doc_id,
                   CAST(len(${XFormulas.duckTokens("text")}) AS BIGINT) AS ws_tokens,
