@@ -749,6 +749,28 @@ object SparkEntry {
         .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
           count(lit(1)).as("n"))),
 
+    // ----- per-customer gap between first and second order (windows +
+    // date arithmetic composed) -----
+    "q_order_gap" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("next_date", lead(col("o_orderdate"), 1).over(w))
+        .filter(col("rn") === 1 && col("next_date").isNotNull)
+        .selectExpr("o_custkey",
+          "CAST(datediff(next_date, o_orderdate) AS BIGINT) AS gap_days")
+    }),
+
+    // ----- near-dup clusters: bounded min-label propagation over the
+    // LSH candidate pairs (rows-only check: iterative, not one SQL) -----
+    "q_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashCandidates(
+        t(s, dir, "documents"), "doc_id", "text").select("doc_a", "doc_b")
+      Dedup.clusters(pairs, "doc_a", "doc_b")
+        .withColumnRenamed("doc_a", "doc_id")
+    }),
+
     // ----- salted skew join through the correctness gate: its contract
     // is row-identical output to the plain equi join (the oracle runs
     // the plain form) -----
@@ -1459,6 +1481,37 @@ object SparkEntry {
                   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
                   COUNT(*) AS n
            FROM events GROUP BY event_type""",
+      "q_dedup_clusters" -> {
+        // 3 unrolled min-label-propagation rounds — same fixed iteration
+        // count as Dedup.clusters, so results are hash-identical
+        val rounds = (1 to 3).map { i =>
+          s"""l$i AS (SELECT n.id, least(n.label, coalesce(m.nm, n.label)) AS label
+                FROM l${i - 1} n LEFT JOIN (
+                  SELECT e.src, MIN(l.label) AS nm FROM edges e
+                  JOIN l${i - 1} l ON e.dst = l.id GROUP BY e.src) m
+                ON n.id = m.src)"""
+        }.mkString(",\n")
+        s"""$minhashCtes,
+           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM buckets a JOIN buckets b
+                      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+           edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                     UNION ALL SELECT doc_b AS src, doc_a AS dst FROM cand),
+           nodes AS (SELECT DISTINCT src AS id FROM edges),
+           l0 AS (SELECT id, id AS label FROM nodes),
+           $rounds
+           SELECT id AS doc_id, label AS cluster FROM l3"""
+      },
+      "q_order_gap" ->
+        """SELECT o_custkey, CAST(date_diff('day', d1, d2) AS BIGINT) AS gap_days
+           FROM (
+             SELECT o_custkey, o_orderdate AS d1,
+                    lead(o_orderdate) OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey) AS d2,
+                    ROW_NUMBER() OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey) AS rn
+             FROM orders)
+           WHERE rn = 1 AND d2 IS NOT NULL""",
       "q_salted_join" ->
         """SELECT p_brand, COUNT(*) AS n,
                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty

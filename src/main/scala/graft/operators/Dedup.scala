@@ -129,6 +129,40 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Near-dup CLUSTERS from candidate pairs: bounded min-label
+    * propagation (k rounds of "my label = min(label, neighbors'
+    * labels)"). After enough rounds every member of a connected
+    * component carries the component's minimum doc id — the keeper.
+    *
+    * Scale: each round is one groupBy shuffle over the edge list (edges
+    * ≪ docs after LSH); k bounds the longest chain collapsed — near-dup
+    * components are overwhelmingly stars/short chains, so small k (3-5)
+    * converges in practice, and the bound keeps the job DETERMINISTIC
+    * and finite (no driver-side convergence loop on unbounded data).
+    * Persisted per round via the caller-owned cache registry. */
+  def clusters(pairs: DataFrame, aCol: String, bCol: String,
+      rounds: Int = 3): DataFrame = {
+    // undirected edge list, both directions
+    val edges = persistTracked(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
+    val nodes = edges.select(col("src").as("id")).distinct()
+    var labels = nodes.withColumn("label", col("id"))
+    for (_ <- 1 to rounds) {
+      val nbr = edges
+        .join(labels.withColumnRenamed("id", "dst2"),
+          col("dst") === col("dst2"))
+        .groupBy(col("src"))
+        .agg(min(col("label")).as("nbr_min"))
+      labels = persistTracked(
+        labels.join(nbr, col("id") === col("src"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nbr_min"), col("label")))
+              .as("label")))
+    }
+    labels.select(col("id").as(aCol), col("label").as("cluster"))
+  }
+
   /** Embedding near-dup pairs: random-hyperplane LSH bucket join, then
     * exact cosine verification above `threshold`. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,

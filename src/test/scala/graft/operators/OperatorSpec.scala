@@ -115,6 +115,16 @@ class OperatorSpec extends SparkSpec {
     assert(again.checksum == f.checksum)
   }
 
+  test("clusters: min-label propagation finds component minima") {
+    import spark.implicits._
+    // components: {1,2,3} (chain), {10,11}, isolated nodes absent from pairs
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    Dedup.releaseCaches()
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("minhash-union UDAF: element-wise min, partial aggregation in plan") {
     import org.apache.spark.sql.functions.col
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
