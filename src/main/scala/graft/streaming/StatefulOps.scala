@@ -95,6 +95,61 @@ object StatefulOps {
       .dropDuplicatesWithinWatermark(keyCol)
 
   case class KeyStats(key: String, n: Long, minId: Long, maxId: Long)
+  case class SessState(startUs: Long, endUs: Long, n: Long, timerMs: Long)
+  case class SessionOut(key: String, start_us: Long, end_us: Long, n: Long)
+
+  /** Session windows on the Spark 4 arbitrary-state API with EVENT-TIME
+    * TIMERS: events accumulate into per-key session state; each batch
+    * (re)arms a timer at session-end + gap; when the WATERMARK passes the
+    * timer the session is emitted and the state cleared. This is the
+    * full transformWithState surface — typed state, registerTimer /
+    * deleteTimer, handleExpiredTimer — versus the built-in
+    * `session_window` aggregation (EventStreams.sessions): use this shape
+    * when the per-session output needs custom logic the built-in agg
+    * can't express. */
+  private class SessionProcessor(gapUs: Long)
+      extends StatefulProcessor[String, KeyedE, SessionOut] {
+    @transient private var state: ValueState[SessState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessState]("sess",
+        Encoders.product[SessState], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[KeyedE],
+        timers: TimerValues): Iterator[SessionOut] = {
+      var s = Option(state.get()).getOrElse(SessState(Long.MaxValue, 0L, 0L, -1L))
+      rows.foreach { r =>
+        s = SessState(math.min(s.startUs, r.ts_us), math.max(s.endUs, r.ts_us),
+          s.n + 1, s.timerMs)
+      }
+      if (s.timerMs >= 0) getHandle.deleteTimer(s.timerMs)
+      val timerMs = s.endUs / 1000 + gapUs / 1000
+      getHandle.registerTimer(timerMs)
+      state.update(s.copy(timerMs = timerMs))
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: String, timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessionOut] = {
+      val s = state.get()
+      if (s == null) Iterator.empty
+      else {
+        state.clear()
+        Iterator.single(SessionOut(key, s.startUs, s.endUs, s.n))
+      }
+    }
+  }
+
+  /** Sessionize with the timer-driven transformWithState processor;
+    * sessions close when the event-time watermark passes last-event +
+    * gap. */
+  def sessionsTws(ds: Dataset[Keyed], gapUs: Long,
+      watermark: String = "0 seconds"): Dataset[SessionOut] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    withWatermark(ds, watermark)
+      .groupByKey(_.key)
+      .transformWithState(new SessionProcessor(gapUs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 
   /** Spark 4 `transformWithState` shape: typed ValueState, declarative
     * TTL when a ttl is given. Emits the updated running stats row for

@@ -153,6 +153,38 @@ class StatefulOpsSpec extends SparkSpec {
     assert(got == Set((1L, "A", 10.0), (2L, "B", 20.0), (3L, "c", 3.0)))
   }
 
+  test("transformWithState sessions close via event-time timers (RocksDB)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Keyed]
+      val gapUs = 1800L * 1000000 // 30 min
+      val q = StatefulOps.sessionsTws(mem.toDS(), gapUs).writeStream
+        .format("memory").queryName("tws_sessions")
+        .outputMode(OutputMode.Append).start()
+      try {
+        val h = 3600L * 1000000
+        // key a: two events 10 min apart -> one session
+        mem.addData(Keyed("a", 1, h), Keyed("a", 2, h + 600L * 1000000))
+        q.processAllAvailable()
+        // far-future event pushes the watermark past a's session + gap
+        mem.addData(Keyed("b", 3, 10 * h))
+        q.processAllAvailable()
+        // one more batch so the expired timer fires with the new watermark
+        mem.addData(Keyed("b", 4, 10 * h + 1))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("tws_sessions")
+        .as[StatefulOps.SessionOut].collect()
+        .map(s => (s.key, s.start_us, s.end_us, s.n)).toSet
+      assert(got.contains(("a", 3600000000L, 4200000000L, 2L)),
+        s"session for 'a' not emitted: $got")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("checkpoint restart: state survives, seen keys are not re-emitted") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
