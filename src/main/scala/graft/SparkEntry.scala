@@ -440,6 +440,12 @@ object SparkEntry {
       graft.operators.CorpusPipeline.clean(
         t(s, dir, "documents"), "doc_id", "text")),
 
+    // ----- cluster-aware corpus cleaning: one representative per
+    // transitive near-dup component -----
+    "q_corpus_clean2" -> ((s, dir) =>
+      graft.operators.CorpusPipeline.cleanClustered(
+        t(s, dir, "documents"), "doc_id", "text")),
+
     // ----- multimodal plumbing: opaque binary + typed metadata -----
     "q_media_meta" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1273,6 +1279,45 @@ object SparkEntry {
                         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
            SELECT s.doc_id, s.fp, s.quality FROM survivors s
            WHERE s.doc_id NOT IN (SELECT doc_id FROM losers)""",
+      "q_corpus_clean2" -> {
+        val rounds = (1 to 3).map { i =>
+          s"""l$i AS (SELECT n.id, least(n.label, coalesce(m.nm, n.label)) AS label
+                FROM l${i - 1} n LEFT JOIN (
+                  SELECT e.src, MIN(l.label) AS nm FROM edges e
+                  JOIN l${i - 1} l ON e.dst = l.id GROUP BY e.src) m
+                ON n.id = m.src)"""
+        }.mkString(",\n")
+        s"""WITH base AS (SELECT doc_id, text, ${duckTokens("text")} AS toks FROM documents),
+           scored AS (
+             SELECT doc_id, text, toks,
+                    ${duckStopHits("toks")} AS stop_hits,
+                    0.4 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) +
+                    0.3 * (CAST(${duckStopHits("toks")} AS DOUBLE) / len(toks)) +
+                    0.3 * (CAST(len(list_filter(toks, w -> length(w) <= 5)) AS DOUBLE) / len(toks)) AS quality,
+                    ${duckStrHash("text")} AS fp
+             FROM base),
+           filtered AS (SELECT * FROM scored WHERE stop_hits >= 1 AND quality >= 0.5),
+           keepers AS (SELECT fp, MIN(doc_id) AS doc_id FROM filtered GROUP BY fp),
+           survivors AS (SELECT f.doc_id, f.fp, f.quality, f.toks
+                         FROM filtered f JOIN keepers k
+                           ON f.fp = k.fp AND f.doc_id = k.doc_id),
+           sh AS (SELECT doc_id, list_distinct(${duckShingles("toks", 3)}) AS shingles FROM survivors),
+           hs AS (SELECT doc_id, ${duckWordHashes("shingles")} AS hs FROM sh),
+           sigs AS (SELECT doc_id, ${duckMinhash("hs", 12)} AS mh FROM hs),
+           buckets AS (SELECT doc_id, band, ${duckBandBucket("mh", "band", 3)} AS bucket
+                       FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bands),
+           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM buckets a JOIN buckets b
+                      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+           edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                     UNION ALL SELECT doc_b AS src, doc_a AS dst FROM cand),
+           nodes AS (SELECT DISTINCT src AS id FROM edges),
+           l0 AS (SELECT id, id AS label FROM nodes),
+           $rounds
+           SELECT s.doc_id, s.fp, s.quality FROM survivors s
+           LEFT JOIN l3 ON s.doc_id = l3.id
+           WHERE l3.label IS NULL OR l3.label = s.doc_id"""
+      },
       "q_media_meta" ->
         """SELECT doc_id,
                   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

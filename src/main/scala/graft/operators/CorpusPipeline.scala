@@ -51,4 +51,38 @@ object CorpusPipeline {
       .select(col("doc_b").as(idCol)).distinct()
     survivors.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Cluster-aware variant of [[clean]]: instead of dropping the higher
+    * id of each candidate PAIR (which can drop every member of a chain
+    * a-b-c except `a`, but also drops `b` even when `a` was itself
+    * dropped by a third pair), connected components over the candidate
+    * graph elect ONE representative per near-dup cluster — the minimum
+    * id — so exactly one member of every transitive dup group survives. */
+  def cleanClustered(docs: DataFrame, idCol: String, textCol: String,
+      minQuality: Double = 0.5): DataFrame = {
+    val scored = docs
+      .withColumn("toks", expr(sparkTokens(textCol)))
+      .withColumn("stop_hits", expr(sparkStopHits("toks")))
+      .withColumn("quality",
+        expr("0.4 * least(CAST(size(toks) AS DOUBLE) / 50.0, 1.0) + " +
+          "0.3 * (CAST(stop_hits AS DOUBLE) / nullif(size(toks), 0)) + " +
+          "0.3 * (CAST(size(filter(toks, w -> length(w) <= 5)) AS DOUBLE) / nullif(size(toks), 0))"))
+      .withColumn("fp", GraftFunctions.polyHash(col(textCol)))
+      .filter(col("stop_hits") >= 1 && col("quality") >= minQuality)
+    val keepers = scored.groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
+    val survivors = scored
+      .join(keepers, Seq("fp", idCol))
+      .select(col(idCol), col("fp"), col("quality"))
+    val pairs = Dedup
+      .minhashCandidates(
+        survivors.join(docs.select(col(idCol), col(textCol)), idCol),
+        idCol, textCol)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = Dedup.clusters(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("doc_a", "__cid")
+    survivors
+      .join(labels, col(idCol) === col("__cid"), "left")
+      .filter(col("cluster").isNull || col("cluster") === col(idCol))
+      .select(col(idCol), col("fp"), col("quality"))
+  }
 }

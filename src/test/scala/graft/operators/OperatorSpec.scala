@@ -115,6 +115,19 @@ class OperatorSpec extends SparkSpec {
     assert(again.checksum == f.checksum)
   }
 
+  test("cleanClustered keeps a subset of clean (component minima only)") {
+    // a component's min id is never the doc_b of any candidate pair, so
+    // every clustered survivor also survives the pairwise form — the
+    // reverse does not hold (two docs sharing a dup but not each other)
+    val pairwise = CorpusPipeline.clean(docs, "doc_id", "text")
+      .select("doc_id")
+    val clustered = CorpusPipeline.cleanClustered(docs, "doc_id", "text")
+      .select("doc_id")
+    Dedup.releaseCaches()
+    assert(clustered.exceptAll(pairwise).count() == 0)
+    assert(clustered.count() > 0)
+  }
+
   test("clusters: min-label propagation finds component minima") {
     import spark.implicits._
     // components: {1,2,3} (chain), {10,11}, isolated nodes absent from pairs
