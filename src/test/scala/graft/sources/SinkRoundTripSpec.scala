@@ -8,6 +8,31 @@ class SinkRoundTripSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("orc round trip preserves rows and values") {
+    val orders = Tables(spark, dir, "orders")
+      .selectExpr("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val out = java.nio.file.Files.createTempDirectory("orc").toString + "/o"
+    orders.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(back.count() == orders.count())
+    assert(back.exceptAll(orders).count() == 0)
+    assert(orders.exceptAll(back).count() == 0)
+  }
+
+  test("from_xml parses typed structs out of an XML column") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val withXml = Tables(spark, dir, "orders").limit(100)
+      .selectExpr("o_orderkey",
+        """concat('<o><k>', o_orderkey, '</k><s>', o_orderstatus, '</s></o>')
+           AS xml""")
+      .withColumn("parsed",
+        expr("from_xml(xml, 'k BIGINT, s STRING')"))
+      .select(col("o_orderkey"), col("parsed.k").as("k"),
+        col("parsed.s").as("s"))
+    assert(withXml.filter("o_orderkey <> k").count() == 0)
+    assert(withXml.filter("s IS NULL").count() == 0)
+  }
+
   test("csv round trip preserves rows and values") {
     val orders = Tables(spark, dir, "orders")
       .selectExpr("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
