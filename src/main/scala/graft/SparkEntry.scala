@@ -440,6 +440,16 @@ object SparkEntry {
       graft.operators.CorpusPipeline.clean(
         t(s, dir, "documents"), "doc_id", "text")),
 
+    // ----- corpus shingle frequency via the custom GENERATOR expression
+    // (row-per-shingle UDTF shape: no intermediate array) -----
+    "q_shingle_freq" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(graft.functions.GraftFunctions
+          .shingleRows(col("text"), 3).as("shingle"))
+        .groupBy(col("shingle")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("shingle"))
+        .limit(20)),
+
     // ----- cluster-aware corpus cleaning: one representative per
     // transitive near-dup component -----
     "q_corpus_clean2" -> ((s, dir) =>
@@ -1279,6 +1289,12 @@ object SparkEntry {
                         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
            SELECT s.doc_id, s.fp, s.quality FROM survivors s
            WHERE s.doc_id NOT IN (SELECT doc_id FROM losers)""",
+      "q_shingle_freq" ->
+        s"""WITH tk AS (SELECT ${duckTokens("text")} AS toks FROM documents),
+           sh AS (SELECT list_distinct(${duckShingles("toks", 3)}) AS shingles FROM tk),
+           w AS (SELECT unnest(shingles) AS shingle FROM sh)
+           SELECT shingle, COUNT(*) AS n FROM w
+           GROUP BY shingle ORDER BY n DESC, shingle LIMIT 20""",
       "q_corpus_clean2" -> {
         val rounds = (1 to 3).map { i =>
           s"""l$i AS (SELECT n.id, least(n.label, coalesce(m.nm, n.label)) AS label

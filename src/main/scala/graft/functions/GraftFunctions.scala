@@ -29,6 +29,7 @@ object GraftFunctions {
     c(BandBucket(e(sig), e(band), r))
   def shingles(text: Column, n: Int): Column = c(Shingles(e(text), n))
   def ivfCell(vec: Column, nc: Int): Column = c(IvfCell(e(vec), nc))
+  def shingleRows(text: Column, n: Int): Column = c(ShingleRows(e(text), n))
 
   private[functions] val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_polyhash" -> (args => PolyHash(args.head)),

@@ -1,8 +1,11 @@
 package graft.functions.expressions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression,
+  Generator, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -236,6 +239,39 @@ case class Shingles(child: Expression, n: Int)
     defineCodeGen(ctx, ev,
       c => s"graft.functions.expressions.HashImpl.shingles($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): Shingles =
+    copy(child = newChild)
+}
+
+/** Table-generating (UDTF-shaped) variant of [[Shingles]]: one output ROW
+  * per distinct shingle, for consumers that explode anyway (word/shingle
+  * frequency, inverted indexes) — skips materializing the intermediate
+  * array per document. Runs in GenerateExec like the built-in explode
+  * (generators are not whole-stage-codegen'd; the per-shingle work is
+  * the same native loop). */
+case class ShingleRows(child: Expression, n: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def elementSchema: StructType =
+    StructType(StructField("shingle", StringType, nullable = false) :: Nil)
+  override def prettyName: String = "graft_shingle_rows"
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val t = child.eval(input)
+    if (t == null) Nil
+    else {
+      val arr = HashImpl.shingles(t.asInstanceOf[UTF8String], n)
+      val out = new Array[InternalRow](arr.numElements())
+      var i = 0
+      while (i < out.length) {
+        out(i) = InternalRow(arr.getUTF8String(i))
+        i += 1
+      }
+      out
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): ShingleRows =
     copy(child = newChild)
 }
 
