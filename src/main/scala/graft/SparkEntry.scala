@@ -440,6 +440,25 @@ object SparkEntry {
       graft.operators.CorpusPipeline.clean(
         t(s, dir, "documents"), "doc_id", "text")),
 
+    // ----- the Dataset.pivot API proper (q_pivot_flags is the manual
+    // CASE-sum form; same result, same oracle shape) -----
+    "q_pivot_api" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(dsum(col("l_quantity")))
+        .select(col("l_linestatus"), col("A").as("qty_a"),
+          col("N").as("qty_n"), col("R").as("qty_r"))),
+
+    // ----- collection aggregates with deterministic ordering -----
+    "q_collect_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          expr("array_join(slice(sort_array(collect_list(o_orderkey)), 1, 5), ',')")
+            .as("first5"),
+          expr("CAST(size(collect_set(o_custkey)) AS BIGINT)").as("n_cust"))),
+
     // ----- corpus shingle frequency via the custom GENERATOR expression
     // (row-per-shingle UDTF shape: no intermediate array) -----
     "q_shingle_freq" -> ((s, dir) =>
@@ -1289,6 +1308,17 @@ object SparkEntry {
                         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
            SELECT s.doc_id, s.fp, s.quality FROM survivors s
            WHERE s.doc_id NOT IN (SELECT doc_id FROM losers)""",
+      "q_pivot_api" ->
+        """SELECT l_linestatus,
+                  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_a,
+                  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_n,
+                  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_r
+           FROM lineitem GROUP BY l_linestatus""",
+      "q_collect_agg" ->
+        """SELECT o_orderstatus, COUNT(*) AS n,
+                  array_to_string(list_sort(list(o_orderkey))[1:5], ',') AS first5,
+                  CAST(len(list_distinct(list(o_custkey))) AS BIGINT) AS n_cust
+           FROM orders GROUP BY o_orderstatus""",
       "q_shingle_freq" ->
         s"""WITH tk AS (SELECT ${duckTokens("text")} AS toks FROM documents),
            sh AS (SELECT list_distinct(${duckShingles("toks", 3)}) AS shingles FROM tk),
