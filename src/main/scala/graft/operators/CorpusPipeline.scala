@@ -39,9 +39,12 @@ object CorpusPipeline {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as(idCol))
 
-    val survivors = scored
+    // persist: the survivor set feeds BOTH the near-dup candidate path
+    // and the final select — without a barrier the whole scoring chain
+    // recomputes per consumer (caller-owned cache: Dedup.releaseCaches)
+    val survivors = Dedup.persistTracked(scored
       .join(keepers, Seq("fp", idCol)) // semi: (fp, id) is the winner pair
-      .select(col(idCol), col("fp"), col("quality"))
+      .select(col(idCol), col("fp"), col("quality")))
 
     // suppress the higher id of every near-dup candidate pair
     val losers = Dedup
@@ -70,9 +73,11 @@ object CorpusPipeline {
       .withColumn("fp", GraftFunctions.polyHash(col(textCol)))
       .filter(col("stop_hits") >= 1 && col("quality") >= minQuality)
     val keepers = scored.groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
-    val survivors = scored
+    // persist: feeds the candidate path, the label join, and the final
+    // select (see clean)
+    val survivors = Dedup.persistTracked(scored
       .join(keepers, Seq("fp", idCol))
-      .select(col(idCol), col("fp"), col("quality"))
+      .select(col(idCol), col("fp"), col("quality")))
     val pairs = Dedup
       .minhashCandidates(
         survivors.join(docs.select(col(idCol), col(textCol)), idCol),

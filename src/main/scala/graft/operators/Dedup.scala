@@ -25,7 +25,7 @@ object Dedup {
   private val cached =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
 
-  private def persistTracked(df: DataFrame): DataFrame = {
+  private[operators] def persistTracked(df: DataFrame): DataFrame = {
     val p = df.persist()
     cached.add(p)
     p
@@ -147,18 +147,24 @@ object Dedup {
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
     val nodes = edges.select(col("src").as("id")).distinct()
-    var labels = nodes.withColumn("label", col("id"))
+    // localCheckpoint per round CUTS THE LINEAGE: without it every round's
+    // plan embeds the full upstream chain (scoring + LSH + all prior
+    // rounds) and optimizer time grows super-linearly with rounds — the
+    // label table is tiny (one row per paired doc), so materializing it
+    // is cheap. On a cluster with flaky executors use checkpoint() to
+    // durable storage instead.
+    var labels = nodes.withColumn("label", col("id")).localCheckpoint()
     for (_ <- 1 to rounds) {
       val nbr = edges
         .join(labels.withColumnRenamed("id", "dst2"),
           col("dst") === col("dst2"))
         .groupBy(col("src"))
         .agg(min(col("label")).as("nbr_min"))
-      labels = persistTracked(
-        labels.join(nbr, col("id") === col("src"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nbr_min"), col("label")))
-              .as("label")))
+      labels = labels.join(nbr, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("label"))
+        .localCheckpoint()
     }
     labels.select(col("id").as(aCol), col("label").as("cluster"))
   }
