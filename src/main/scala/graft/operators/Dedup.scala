@@ -151,8 +151,10 @@ object Dedup {
     // plan embeds the full upstream chain (scoring + LSH + all prior
     // rounds) and optimizer time grows super-linearly with rounds — the
     // label table is tiny (one row per paired doc), so materializing it
-    // is cheap. On a cluster with flaky executors use checkpoint() to
-    // durable storage instead.
+    // is cheap. The checkpointed RDD blocks are released by Spark's
+    // ContextCleaner once the intermediate Datasets are GC'd (each round
+    // drops the reference to the previous one). On a cluster with flaky
+    // executors use checkpoint() to durable storage instead.
     var labels = nodes.withColumn("label", col("id")).localCheckpoint()
     for (_ <- 1 to rounds) {
       val nbr = edges
