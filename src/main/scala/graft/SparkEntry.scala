@@ -686,6 +686,17 @@ object SparkEntry {
         nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
     }),
 
+    // ----- rank() with REAL ties (coarse dates): gaps after tie groups;
+    // every other ranking query uses a total order, this one exercises
+    // the tie semantics proper -----
+    "q_rank_ties" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_orderdate"))
+      t(s, dir, "orders").select(col("o_orderkey"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"))
+    }),
+
     // ----- window: dense_rank / percent_rank / cume_dist -----
     "q_window_ranks2" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_orderstatus"))
@@ -1509,6 +1520,12 @@ object SparkEntry {
            FROM orders
            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+      "q_rank_ties" ->
+        """SELECT o_orderkey,
+                  CAST("rank"() OVER w AS BIGINT) AS rnk,
+                  CAST(dense_rank() OVER w AS BIGINT) AS drnk
+           FROM orders
+           WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderdate)""",
       "q_window_ranks2" ->
         """SELECT o_orderkey,
                   CAST(dense_rank() OVER w AS BIGINT) AS drank,
