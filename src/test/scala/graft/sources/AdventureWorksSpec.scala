@@ -32,6 +32,31 @@ class AdventureWorksSpec extends SparkSpec {
     assert(totalRows == 244299L, s"total rows: $totalRows")
   }
 
+  test("differential: parity engine agrees with the DataFrame path on real data") {
+    import org.apache.spark.sql.functions.col
+    val base = dir.getAbsolutePath
+    def engineRows(sql: String): Int =
+      graft.athenaeum.Engine.runSql(spark, base, sql)
+        .linesIterator.count(l => l.nonEmpty && !l.startsWith("- Loaded")) - 2
+
+    val addr = spark.read.format("tablejson").load(s"$base/address.table.json")
+    val sp = spark.read.format("tablejson")
+      .load(s"$base/stateProvince.table.json")
+
+    // filter: engine text rows (minus header + rule) == DataFrame count
+    assert(engineRows(
+      """SELECT address_id FROM address WHERE city = "Seattle"""") ==
+      addr.filter(col("city") === "Seattle").count())
+
+    // join: implicit equi join in the dialect == DataFrame inner join
+    assert(engineRows(
+      """SELECT address.address_id, stateProvince.state_province_code
+         FROM address, stateProvince
+         WHERE address.state_province_id = stateProvince.state_province_id""") ==
+      addr.join(sp, addr("state_province_id") === sp("state_province_id"))
+        .count())
+  }
+
   test("spot-check values survive the int/str typing") {
     val addr = spark.read.format("tablejson")
       .load("/root/reference/tables/address.table.json")
