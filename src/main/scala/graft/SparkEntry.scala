@@ -858,6 +858,13 @@ object SparkEntry {
           expr("bit_xor(o_orderkey)").as("bxor"),
           count(lit(1)).as("n"))),
 
+    // ----- cryptographic content hashes (content-addressing for corpus
+    // snapshots; both engines emit lowercase hex) -----
+    "q_crypto_hash" -> ((s, dir) =>
+      t(s, dir, "documents").selectExpr("doc_id",
+        "md5(encode(text, 'UTF-8')) AS md5_hex",
+        "sha2(text, 256) AS sha256_hex")),
+
     // ----- token counting: whitespace vs BPE-ish subword regex -----
     // (the regex mimics a byte-pair-style pre-tokenizer: letter runs,
     // digit runs, or single punctuation marks)
@@ -1644,6 +1651,9 @@ object SparkEntry {
                   bit_and(o_orderkey) AS band, bit_or(o_orderkey) AS bor,
                   bit_xor(o_orderkey) AS bxor, COUNT(*) AS n
            FROM orders GROUP BY o_orderstatus""",
+      "q_crypto_hash" ->
+        """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex
+           FROM documents""",
       "q_token_count" ->
         s"""SELECT doc_id,
                   CAST(len(${XFormulas.duckTokens("text")}) AS BIGINT) AS ws_tokens,
