@@ -459,6 +459,41 @@ object SparkEntry {
             .as("first5"),
           expr("CAST(size(collect_set(o_custkey)) AS BIGINT)").as("n_cust"))),
 
+    // ----- inverted index: term -> deterministic posting list -----
+    "q_inverted_index" -> ((s, dir) =>
+      TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), explode(col("toks")).as("word"))
+        .groupBy(col("word"))
+        .agg(countDistinct(col("doc_id")).as("df"),
+          expr("array_join(slice(sort_array(collect_set(doc_id)), 1, 10), ',')")
+            .as("postings10"))
+        .orderBy(col("df").desc, col("word"))
+        .limit(50)),
+
+    // ----- TF-IDF-style ranking, log-free so the doubles are exact:
+    // score = tf * n_docs / df (rational idf — same ordering intent,
+    // bit-identical across engines; log() is only 1-ulp-accurate and
+    // cannot be hash-matched) -----
+    "q_tfidf_like" -> ((s, dir) => {
+      val words = TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), explode(col("toks")).as("word"))
+      val tf = words.groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = words.groupBy(col("word"))
+        .agg(countDistinct(col("doc_id")).as("dfq"))
+      // lazy 1-row scalar, cross-joined in (no driver-side action)
+      val nd = t(s, dir, "documents").agg(count(lit(1)).as("nd"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("word"))
+      tf.join(dfreq, "word")
+        .filter(col("doc_id") < 20)
+        .crossJoin(nd)
+        .withColumn("score", expr("CAST(tf * nd AS DOUBLE) / dfq"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("word"), col("score"), col("rn"))
+    }),
+
     // ----- corpus shingle frequency via the custom GENERATOR expression
     // (row-per-shingle UDTF shape: no intermediate array) -----
     "q_shingle_freq" -> ((s, dir) =>
@@ -1337,6 +1372,27 @@ object SparkEntry {
                   array_to_string(list_sort(list(o_orderkey))[1:5], ',') AS first5,
                   CAST(len(list_distinct(list(o_custkey))) AS BIGINT) AS n_cust
            FROM orders GROUP BY o_orderstatus""",
+      "q_inverted_index" ->
+        s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
+           w AS (SELECT doc_id, unnest(toks) AS word FROM tk)
+           SELECT word, COUNT(DISTINCT doc_id) AS df,
+                  array_to_string(list_sort(list_distinct(list(doc_id)))[1:10], ',') AS postings10
+           FROM w GROUP BY word ORDER BY df DESC, word LIMIT 50""",
+      "q_tfidf_like" ->
+        s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
+           w AS (SELECT doc_id, unnest(toks) AS word FROM tk),
+           tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+           dfq AS (SELECT word, COUNT(DISTINCT doc_id) AS dfq FROM w GROUP BY 1),
+           nd AS (SELECT COUNT(*) AS nd FROM documents),
+           scored AS (SELECT tf.doc_id, tf.word,
+                             CAST(tf.tf * nd.nd AS DOUBLE) / dfq.dfq AS score
+                      FROM tf JOIN dfq ON tf.word = dfq.word CROSS JOIN nd
+                      WHERE tf.doc_id < 20),
+           r AS (SELECT doc_id, word, score,
+                        ROW_NUMBER() OVER (PARTITION BY doc_id
+                          ORDER BY score DESC, word) AS rn
+                 FROM scored)
+           SELECT doc_id, word, score, rn FROM r WHERE rn <= 3""",
       "q_shingle_freq" ->
         s"""WITH tk AS (SELECT ${duckTokens("text")} AS toks FROM documents),
            sh AS (SELECT list_distinct(${duckShingles("toks", 3)}) AS shingles FROM tk),

@@ -19,6 +19,7 @@ class PlanHygieneSpec extends SparkSpec {
     "q_ann_topk",       // brute-force baseline: broadcast query set x candidates
     "q22_quiet_rich",   // 1-row scalar aggregate crossed into the filter
     "q_scalar_subquery", // 1-row subquery result joined in
+    "q_tfidf_like",     // 1-row corpus-size scalar crossed into the scoring
     // reference theta-join surface (J2/J3): inequality-only predicates
     // have no equi key, so a nested loop is the ONLY plan; both queries
     // run on dimension-sized inputs. The scale path for range predicates
