@@ -893,6 +893,14 @@ object SparkEntry {
           expr("bit_xor(o_orderkey)").as("bxor"),
           count(lit(1)).as("n"))),
 
+    // ----- value histogram (arithmetic bucketing; DuckDB 1.0 has no
+    // width_bucket) with exact decimal stats per bucket -----
+    "q_histogram" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .withColumn("bucket", expr("CAST(floor(l_quantity / 5) AS BIGINT)"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))),
+
     // ----- cryptographic content hashes (content-addressing for corpus
     // snapshots; both engines emit lowercase hex) -----
     "q_crypto_hash" -> ((s, dir) =>
@@ -1707,6 +1715,11 @@ object SparkEntry {
                   bit_and(o_orderkey) AS band, bit_or(o_orderkey) AS bor,
                   bit_xor(o_orderkey) AS bxor, COUNT(*) AS n
            FROM orders GROUP BY o_orderstatus""",
+      "q_histogram" ->
+        """SELECT CAST(floor(l_quantity / 5) AS BIGINT) AS bucket,
+                  COUNT(*) AS n,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           FROM lineitem GROUP BY 1""",
       "q_crypto_hash" ->
         """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex
            FROM documents""",

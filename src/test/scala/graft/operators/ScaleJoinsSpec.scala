@@ -71,6 +71,17 @@ class ScaleJoinsSpec extends SparkSpec {
     }
   }
 
+  test("repartitionByRange yields range partitioning (clustered layout)") {
+    // the write-time layout for range-pruned columnar files: co-locate
+    // value ranges so min/max row-group stats actually cut IO
+    val li = Tables(spark, dir, "lineitem")
+      .repartitionByRange(4, col("l_shipdate"))
+      .sortWithinPartitions("l_shipdate")
+    val plan = li.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning(l_shipdate"), plan)
+    assert(li.count() == Tables(spark, dir, "lineitem").count())
+  }
+
   test("partitioned write prunes partitions at the scan") {
     val out = java.nio.file.Files.createTempDirectory("pw").toString + "/li"
     ScaleJoins.writePartitioned(
