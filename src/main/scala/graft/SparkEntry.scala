@@ -893,6 +893,36 @@ object SparkEntry {
           expr("bit_xor(o_orderkey)").as("bxor"),
           count(lit(1)).as("n"))),
 
+    // ----- funnel analysis: ordered stage progression per user -----
+    "q_funnel" -> ((s, dir) =>
+      t(s, dir, "events")
+        .selectExpr("user_id", "event_type", "ts div 1000 AS t_us")
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("t_us"))).as("t_view"),
+          min(when(col("event_type") === "click", col("t_us"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("t_us"))).as("t_buy"))
+        .selectExpr("user_id",
+          """CAST(CASE
+               WHEN t_view IS NULL THEN 0
+               WHEN t_click IS NULL OR t_click <= t_view THEN 1
+               WHEN t_buy IS NULL OR t_buy <= t_click THEN 2
+               ELSE 3 END AS BIGINT) AS stage""")
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_users"))),
+
+    // ----- cohort retention: users active N days after first activity -----
+    "q_cohort_retention" -> ((s, dir) => {
+      val days = t(s, dir, "events")
+        .selectExpr("user_id", "(ts div 1000) div 86400000000 AS day")
+        .distinct()
+      val cohorts = days.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort"))
+      days.join(cohorts, "user_id")
+        .groupBy(col("cohort"), (col("day") - col("cohort")).as("age_days"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+    }),
+
     // ----- value histogram (arithmetic bucketing; DuckDB 1.0 has no
     // width_bucket) with exact decimal stats per bucket -----
     "q_histogram" -> ((s, dir) =>
@@ -1715,6 +1745,27 @@ object SparkEntry {
                   bit_and(o_orderkey) AS band, bit_or(o_orderkey) AS bor,
                   bit_xor(o_orderkey) AS bxor, COUNT(*) AS n
            FROM orders GROUP BY o_orderstatus""",
+      "q_funnel" ->
+        """WITH s AS (SELECT user_id,
+                  MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+                  MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+                  MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_buy
+           FROM events GROUP BY user_id),
+           staged AS (SELECT user_id,
+                  CAST(CASE
+                    WHEN t_view IS NULL THEN 0
+                    WHEN t_click IS NULL OR t_click <= t_view THEN 1
+                    WHEN t_buy IS NULL OR t_buy <= t_click THEN 2
+                    ELSE 3 END AS BIGINT) AS stage
+           FROM s)
+           SELECT stage, COUNT(*) AS n_users FROM staged GROUP BY stage""",
+      "q_cohort_retention" ->
+        """WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+           c AS (SELECT user_id, MIN(day) AS cohort FROM d GROUP BY user_id)
+           SELECT c.cohort, d.day - c.cohort AS age_days,
+                  COUNT(DISTINCT d.user_id) AS n_active
+           FROM d JOIN c ON d.user_id = c.user_id
+           GROUP BY c.cohort, age_days""",
       "q_histogram" ->
         """SELECT CAST(floor(l_quantity / 5) AS BIGINT) AS bucket,
                   COUNT(*) AS n,
