@@ -435,6 +435,20 @@ object SparkEntry {
         toleranceMicros = Some(3600000000L))
     }),
 
+    // ----- as-of carrying full right-row payload columns -----
+    "q_asof_payload" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .selectExpr("user_id", "ts div 1000 AS t_us", "event_id")
+      val ord = t(s, dir, "orders")
+        .selectExpr("o_custkey",
+          "unix_micros(cast(o_orderdate as timestamp)) AS t_us",
+          "o_orderkey", "o_totalprice", "o_orderstatus")
+      graft.operators.AsOfJoin.asOfPayload(
+        ev, "user_id", "t_us", "event_id",
+        ord, "o_custkey", "t_us", "o_orderkey",
+        Seq("o_totalprice", "o_orderstatus"))
+    }),
+
     // ----- end-to-end corpus cleaning (composition of the above) -----
     "q_corpus_clean" -> ((s, dir) =>
       graft.operators.CorpusPipeline.clean(
@@ -1375,6 +1389,16 @@ object SparkEntry {
              SELECT c.event_id, c.k, p.ref, c.t AS ct, p.t AS pt
              FROM c ASOF JOIN p ON c.k = p.k AND c.t >= p.t)
            WHERE ct - pt <= 3600000000""",
+      "q_asof_payload" ->
+        """WITH o AS (SELECT o_custkey AS k, epoch_us(o_orderdate) AS t,
+                             MAX(o_orderkey) AS ref
+                      FROM orders GROUP BY 1, 2),
+           o2 AS (SELECT o.k, o.t, o.ref, orders.o_totalprice, orders.o_orderstatus
+                  FROM o JOIN orders ON orders.o_orderkey = o.ref),
+           e AS (SELECT user_id AS k, epoch_us(ts) AS t, event_id FROM events)
+           SELECT e.event_id, e.k AS user_id, o2.ref AS o_orderkey,
+                  o2.o_totalprice, o2.o_orderstatus
+           FROM e ASOF JOIN o2 ON e.k = o2.k AND e.t >= o2.t""",
       "q_corpus_clean" ->
         s"""WITH base AS (SELECT doc_id, text, ${duckTokens("text")} AS toks FROM documents),
            scored AS (

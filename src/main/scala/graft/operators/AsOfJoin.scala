@@ -58,6 +58,35 @@ object AsOfJoin {
       col("match_ref").as(rightRef))
   }
 
+  /** As-of join carrying the matched right row's PAYLOAD columns, not
+    * just a ref: the right side packs (ref, payload…) into one struct —
+    * struct ordering is lexicographic and ref (unique) leads, so MAX
+    * deterministically picks the max-ref row's payload per (key, time) —
+    * and the running window carries the whole struct forward, unpacked at
+    * the end. Same one-shuffle cost as [[asOf]]. */
+  def asOfPayload(left: DataFrame, leftKey: String, leftTime: String,
+      leftId: String, right: DataFrame, rightKey: String, rightTime: String,
+      rightRef: String, payloadCols: Seq[String]): DataFrame = {
+    val pay = struct((col(rightRef) +: payloadCols.map(col)): _*)
+    val r = right.groupBy(col(rightKey).as("k"), col(rightTime).as("t"))
+      .agg(max(pay).as("pay"))
+      .select(col("k"), col("t"), lit(1).as("side"), col("pay"),
+        lit(null).cast("long").as("lid"))
+    val l = left.select(col(leftKey).as("k"), col(leftTime).as("t"),
+      lit(0).as("side"), lit(null).cast(r.schema("pay").dataType).as("pay"),
+      col(leftId).as("lid"))
+    val w = Window.partitionBy("k")
+      .orderBy(col("t").asc, col("side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionAll(l)
+      .withColumn("match_pay",
+        last(when(col("side") === 1, col("pay")), ignoreNulls = true).over(w))
+      .filter(col("side") === 0 && col("match_pay").isNotNull)
+      .select((Seq(col("lid").as(leftId), col("k").as(leftKey),
+        col(s"match_pay.$rightRef").as(rightRef)) ++
+        payloadCols.map(c => col(s"match_pay.$c").as(c))): _*)
+  }
+
   /** Forward as-of: for each left row, the EARLIEST right row with the
     * same key at or after the left time. Implemented as the backward
     * join on negated times — ordering reverses, semantics flip, and the
