@@ -907,6 +907,23 @@ object SparkEntry {
           expr("bit_xor(o_orderkey)").as("bxor"),
           count(lit(1)).as("n"))),
 
+    // ----- gaps-and-islands: order streaks (gap <= 60 days) per customer -----
+    "q_order_streaks" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull ||
+            expr("datediff(o_orderdate, prev) > 60"), 1).otherwise(0))
+        .withColumn("sid", sum(col("brk")).over(wRun))
+        .groupBy(col("o_custkey"), col("sid"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_streaks"), max(col("len")).as("longest"))
+    }),
+
     // ----- funnel analysis: ordered stage progression per user -----
     "q_funnel" -> ((s, dir) =>
       t(s, dir, "events")
@@ -1769,6 +1786,21 @@ object SparkEntry {
                   bit_and(o_orderkey) AS band, bit_or(o_orderkey) AS bor,
                   bit_xor(o_orderkey) AS bxor, COUNT(*) AS n
            FROM orders GROUP BY o_orderstatus""",
+      "q_order_streaks" ->
+        """WITH l AS (SELECT o_custkey, o_orderkey, o_orderdate,
+                  lag(o_orderdate) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS prev
+           FROM orders),
+           m AS (SELECT *, CASE WHEN prev IS NULL
+                    OR date_diff('day', prev, o_orderdate) > 60
+                  THEN 1 ELSE 0 END AS brk FROM l),
+           s AS (SELECT *, SUM(brk) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey
+                    ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+           g AS (SELECT o_custkey, sid, COUNT(*) AS len
+                 FROM s GROUP BY o_custkey, sid)
+           SELECT o_custkey, COUNT(*) AS n_streaks, MAX(len) AS longest
+           FROM g GROUP BY o_custkey""",
       "q_funnel" ->
         """WITH s AS (SELECT user_id,
                   MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
