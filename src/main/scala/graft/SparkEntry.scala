@@ -735,6 +735,16 @@ object SparkEntry {
         nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
     }),
 
+    // ----- bounded-frame moving average (exact decimal over the frame) -----
+    "q_moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-3, Window.currentRow)
+      t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        (sum(dec(col("o_totalprice"))).over(w).cast("double") /
+          count(lit(1)).over(w)).as("mavg4"))
+    }),
+
     // ----- rank() with REAL ties (coarse dates): gaps after tie groups;
     // every other ranking query uses a total order, this one exercises
     // the tie semantics proper -----
@@ -855,6 +865,23 @@ object SparkEntry {
         .filter(col("rn") === 1 && col("next_date").isNotNull)
         .selectExpr("o_custkey",
           "CAST(datediff(next_date, o_orderdate) AS BIGINT) AS gap_days")
+    }),
+
+    // ----- dedup POLICY variant: per near-dup cluster keep the LONGEST
+    // doc (ties -> max id) instead of the min id — the usual corpus
+    // curation choice when near-dups differ in completeness -----
+    "q_dedup_keep_longest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+        .select("doc_a", "doc_b")
+      val labels = Dedup.clusters(pairs, "doc_a", "doc_b")
+        .withColumnRenamed("doc_a", "doc_id")
+      val key = "CAST(length(text) AS BIGINT) * 10000000000 + doc_id"
+      docs.join(labels, "doc_id")
+        .groupBy(col("cluster"))
+        .agg(expr(s"max_by(doc_id, $key)").as("keeper"),
+          count(lit(1)).as("n_members"),
+          max(expr("CAST(length(text) AS BIGINT)")).as("max_len"))
     }),
 
     // ----- near-dup clusters: bounded min-label propagation over the
@@ -1662,6 +1689,14 @@ object SparkEntry {
            FROM orders
            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+      "q_moving_avg" ->
+        """SELECT o_custkey, o_orderkey,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                    / COUNT(*) OVER w AS mavg4
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""",
       "q_rank_ties" ->
         """SELECT o_orderkey,
                   CAST("rank"() OVER w AS BIGINT) AS rnk,
@@ -1731,6 +1766,30 @@ object SparkEntry {
                   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
                   COUNT(*) AS n
            FROM events GROUP BY event_type""",
+      "q_dedup_keep_longest" -> {
+        val rounds = (1 to 3).map { i =>
+          s"""l$i AS (SELECT n.id, least(n.label, coalesce(m.nm, n.label)) AS label
+                FROM l${i - 1} n LEFT JOIN (
+                  SELECT e.src, MIN(l.label) AS nm FROM edges e
+                  JOIN l${i - 1} l ON e.dst = l.id GROUP BY e.src) m
+                ON n.id = m.src)"""
+        }.mkString(",\n")
+        s"""$minhashCtes,
+           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM buckets a JOIN buckets b
+                      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+           edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                     UNION ALL SELECT doc_b AS src, doc_a AS dst FROM cand),
+           nodes AS (SELECT DISTINCT src AS id FROM edges),
+           l0 AS (SELECT id, id AS label FROM nodes),
+           $rounds
+           SELECT l3.label AS cluster,
+                  arg_max(d.doc_id, CAST(length(d.text) AS BIGINT) * 10000000000 + d.doc_id) AS keeper,
+                  COUNT(*) AS n_members,
+                  MAX(CAST(length(d.text) AS BIGINT)) AS max_len
+           FROM l3 JOIN documents d ON l3.id = d.doc_id
+           GROUP BY l3.label"""
+      },
       "q_dedup_clusters" -> {
         // 3 unrolled min-label-propagation rounds — same fixed iteration
         // count as Dedup.clusters, so results are hash-identical
