@@ -735,6 +735,34 @@ object SparkEntry {
         nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
     }),
 
+    // ----- share-of-total ratios (windowed denominator) -----
+    "q_share_of_total" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+        (dec(col("o_totalprice")).cast("double") /
+          sum(dec(col("o_totalprice"))).over(w).cast("double"))
+          .as("share"))
+    }),
+
+    // ----- several COUNT(DISTINCT …) in one aggregate (Expand plan) -----
+    "q_multi_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n"))),
+
+    // ----- inline VALUES dimension joined in (literal broadcast dim) -----
+    "q_values_join" -> ((s, dir) => {
+      import s.implicits._
+      val statusNames = Seq(("O", "open"), ("F", "fulfilled"), ("P", "pending"))
+        .toDF("code", "status_name")
+      t(s, dir, "orders")
+        .join(broadcast(statusNames), col("o_orderstatus") === col("code"))
+        .groupBy(col("status_name"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // ----- bounded-frame moving average (exact decimal over the frame) -----
     "q_moving_avg" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -1689,6 +1717,25 @@ object SparkEntry {
            FROM orders
            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+      "q_share_of_total" ->
+        """SELECT o_orderkey, o_orderstatus,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) /
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_orderstatus) AS DOUBLE) AS share
+           FROM orders""",
+      "q_multi_distinct" ->
+        """SELECT l_returnflag,
+                  COUNT(DISTINCT l_partkey) AS n_parts,
+                  COUNT(DISTINCT l_suppkey) AS n_supps,
+                  COUNT(*) AS n
+           FROM lineitem GROUP BY l_returnflag""",
+      "q_values_join" ->
+        """SELECT status_name, COUNT(*) AS n
+           FROM orders
+           JOIN (VALUES ('O', 'open'), ('F', 'fulfilled'), ('P', 'pending'))
+                AS dim(code, status_name)
+             ON o_orderstatus = code
+           GROUP BY status_name""",
       "q_moving_avg" ->
         """SELECT o_custkey, o_orderkey,
                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
