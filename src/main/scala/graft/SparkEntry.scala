@@ -895,6 +895,20 @@ object SparkEntry {
           "CAST(datediff(next_date, o_orderdate) AS BIGINT) AS gap_days")
     }),
 
+    // ----- triangle count on the near-dup candidate graph (ordered-edge
+    // join-chain — the standard distributed formulation) -----
+    "q_triangles" -> ((s, dir) => {
+      val cand = Dedup.minhashCandidates(
+        t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_a").as("a"), col("doc_b").as("b")) // a < b
+      val ab = cand
+      val bc = cand.select(col("a").as("b2"), col("b").as("c"))
+      val ac = cand.select(col("a").as("a3"), col("b").as("c3"))
+      ab.join(bc, col("b") === col("b2"))
+        .join(ac, col("a") === col("a3") && col("c") === col("c3"))
+        .agg(count(lit(1)).as("n_triangles"))
+    }),
+
     // ----- dedup POLICY variant: per near-dup cluster keep the LONGEST
     // doc (ties -> max id) instead of the min id — the usual corpus
     // curation choice when near-dups differ in completeness -----
@@ -1813,6 +1827,15 @@ object SparkEntry {
                   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
                   COUNT(*) AS n
            FROM events GROUP BY event_type""",
+      "q_triangles" ->
+        s"""$minhashCtes,
+           cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+                    FROM buckets a JOIN buckets b
+                      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+           SELECT COUNT(*) AS n_triangles
+           FROM cand ab
+           JOIN cand bc ON ab.b = bc.a
+           JOIN cand ac ON ab.a = ac.a AND bc.b = ac.b""",
       "q_dedup_keep_longest" -> {
         val rounds = (1 to 3).map { i =>
           s"""l$i AS (SELECT n.id, least(n.label, coalesce(m.nm, n.label)) AS label
