@@ -1,6 +1,60 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.collection.mutable.LinkedHashMap
+
+/** Benchmark main. Emits ONE JSON line:
+  *
+  * {{{
+  * {"metric":"total","value":<cold sec>,"unit":"sec",
+  *  "queries":{name:coldSec,...},          // cold pass (comparable to r1/r2)
+  *  "warm":{name:warmSec,...},             // second pass, JIT/codegen warm
+  *  "errors":{name:"Class: msg",...},      // failures surface here, not as timings
+  *  "sf":"<dir>"}
+  * }}}
+  *
+  * Two full passes over every query: the cold pass includes JIT/codegen cost
+  * for each query's distinct expressions; the warm pass isolates steady-state
+  * plan cost so a real regression can't hide behind JIT noise (and vice
+  * versa). A query that throws is recorded in `errors` (cold and warm run
+  * independently; a cold failure is still retried warm) and its timing slot
+  * is -1 so the `queries` map keeps a stable key set.
+  */
 object Bench {
+  private def runPass(
+      spark: SparkSession,
+      sfDir: String,
+      errors: LinkedHashMap[String, String]): LinkedHashMap[String, Double] = {
+    val out = LinkedHashMap.empty[String, Double]
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            // last error wins (warm overwrite of a cold error is fine: same bug)
+            errors(name) = (e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString).take(300)
+            false
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.operators.Dedup.releaseCaches() // cache lifecycle: caller-owned
+      out(name) = if (ok) dt else -1.0
+    }
+    out
+  }
+
+  private def jmap(m: LinkedHashMap[String, Double]): String =
+    m.map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
+      .mkString("{", ",", "}")
+
+  private def jescape(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -8,22 +62,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: JVM/codegen/catalog init otherwise lands on
-    // whichever query happens to run first (~4-5s skew)
+    // untimed JVM/catalog init so it doesn't land on the first cold query
     try SparkEntry.queries.get("q_scan_project")
       .foreach(_(spark, sfDir).count())
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      graft.operators.Dedup.releaseCaches() // cache lifecycle: caller-owned
-      name -> dt
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val errors = LinkedHashMap.empty[String, String]
+    val cold = runPass(spark, sfDir, errors)
+    val warm = runPass(spark, sfDir, errors)
+    val total = cold.values.filter(_ >= 0).sum
+    val warmTotal = warm.values.filter(_ >= 0).sum
+    val errJson = errors
+      .map { case (k, v) => "\"" + k + "\":\"" + jescape(v) + "\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(
+      s"""{"metric":"total","value":${math.rint(total * 100) / 100},"unit":"sec","warm_total":${math
+          .rint(warmTotal * 100) / 100},"queries":${jmap(cold)},"warm":${jmap(
+          warm)},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
