@@ -242,6 +242,11 @@ object SparkEntry {
         .select(col("text"), col("keeper"), col("n_copies"))),
     "q_dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text")),
+    // same candidates under the viral-bucket skew bound: (band, bucket)
+    // groups larger than 8 are dropped before the self-join
+    "q_dedup_capped" -> ((s, dir) =>
+      Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
+        maxBucket = 8)),
     "q_dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.2)),
@@ -1300,6 +1305,17 @@ object SparkEntry {
            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                   CAST(len(list_filter(list_transform(range(1, 13), i -> a.mh[i] = b.mh[i]), v -> v)) AS DOUBLE) / 12 AS est_jaccard
            FROM buckets a JOIN buckets b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""",
+      "q_dedup_capped" ->
+        s"""$minhashCtes,
+           capped AS (SELECT doc_id, mh, band, bucket FROM (
+                        SELECT doc_id, mh, band, bucket,
+                               COUNT(*) OVER (PARTITION BY band, bucket) AS bucket_n
+                        FROM buckets)
+                      WHERE bucket_n <= 8)
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(len(list_filter(list_transform(range(1, 13), i -> a.mh[i] = b.mh[i]), v -> v)) AS DOUBLE) / 12 AS est_jaccard
+           FROM capped a JOIN capped b
              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""",
       "q_dedup_jaccard" ->
         s"""$minhashCtes,

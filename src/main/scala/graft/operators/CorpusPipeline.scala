@@ -41,18 +41,22 @@ object CorpusPipeline {
 
     // persist: the survivor set feeds BOTH the near-dup candidate path
     // and the final select — without a barrier the whole scoring chain
-    // recomputes per consumer (caller-owned cache: Dedup.releaseCaches)
+    // recomputes per consumer (caller-owned cache: Dedup.releaseCaches).
+    // The MinHash signature is computed HERE, while textCol is still in
+    // scope, so candidate generation below reuses it instead of
+    // re-joining docs and re-scanning the text (a full extra join+scan).
     val survivors = Dedup.persistTracked(scored
       .join(keepers, Seq("fp", idCol)) // semi: (fp, id) is the winner pair
-      .select(col(idCol), col("fp"), col("quality")))
+      .select(col(idCol), col("fp"), col("quality"),
+        GraftFunctions.minhashSig(
+          GraftFunctions.shingles(col(textCol), 3), 12).as("mh")))
 
     // suppress the higher id of every near-dup candidate pair
     val losers = Dedup
-      .minhashCandidates(
-        survivors.join(docs.select(col(idCol), col(textCol)), idCol),
-        idCol, textCol)
+      .candidatesFromSignatures(survivors, idCol)
       .select(col("doc_b").as(idCol)).distinct()
     survivors.join(losers, Seq(idCol), "left_anti")
+      .select(col(idCol), col("fp"), col("quality"))
   }
 
   /** Cluster-aware variant of [[clean]]: instead of dropping the higher
@@ -74,14 +78,14 @@ object CorpusPipeline {
       .filter(col("stop_hits") >= 1 && col("quality") >= minQuality)
     val keepers = scored.groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
     // persist: feeds the candidate path, the label join, and the final
-    // select (see clean)
+    // select; signatures computed in-scope — see [[clean]]
     val survivors = Dedup.persistTracked(scored
       .join(keepers, Seq("fp", idCol))
-      .select(col(idCol), col("fp"), col("quality")))
+      .select(col(idCol), col("fp"), col("quality"),
+        GraftFunctions.minhashSig(
+          GraftFunctions.shingles(col(textCol), 3), 12).as("mh")))
     val pairs = Dedup
-      .minhashCandidates(
-        survivors.join(docs.select(col(idCol), col(textCol)), idCol),
-        idCol, textCol)
+      .candidatesFromSignatures(survivors, idCol)
       .select(col("doc_a"), col("doc_b"))
     val labels = Dedup.clusters(pairs, "doc_a", "doc_b")
       .withColumnRenamed("doc_a", "__cid")

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
 import graft.functions.XFormulas._
@@ -12,8 +13,8 @@ import graft.functions.XFormulas._
   * by an equi-join) then exact verification on candidate pairs only.
   * There is no all-pairs O(n²) stage anywhere: at 100 TB the banding
   * shuffle is bounded by rows × bands, and bucket skew (a viral doc
-  * duplicated millions of times) is the one hotspot to watch — cap it
-  * with `spark.sql.adaptive.skewJoin` or a bucket-size limit filter.
+  * duplicated millions of times) is the one hotspot to watch — bounded
+  * by the `maxBucket` cap on `minhashCandidates` (see there).
   */
 object Dedup {
 
@@ -57,23 +58,59 @@ object Dedup {
         GraftFunctions.shingles(col(textCol), shingle), k).as("mh"))
 
   /** MinHash-LSH candidate pairs: docs sharing at least one band bucket,
-    * with the signature-estimated Jaccard. `bands * r` must equal `k`. */
+    * with the signature-estimated Jaccard. `bands * r` must equal `k`.
+    *
+    * `maxBucket` is the SKEW BOUND for the band self-join: any
+    * (band, bucket) group larger than `maxBucket` rows is dropped before
+    * the join, capping that bucket's pair output at maxBucket² instead of
+    * letting one viral document duplicated millions of times produce a
+    * quadratic mega-bucket on a single reducer. Recall loss is confined
+    * to those pathological buckets — and byte-identical copies (the
+    * overwhelming content of a viral bucket) should be removed by
+    * `exact` dedup BEFORE near-dup LSH anyway, which is the pipeline
+    * order `CorpusPipeline` uses. Buckets at or under the cap are
+    * completely unaffected (DedupSpec proves both properties). The size
+    * count is a window over the same (band, bucket) key the join
+    * shuffles on, so capping adds no extra exchange of the text or
+    * signatures — only a sort within the already-shuffled partitions. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 12, bands: Int = 4, shingle: Int = 3): DataFrame = {
-    val r = k / bands
+      k: Int = 12, bands: Int = 4, shingle: Int = 3,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     // persist: the signature expression is expensive and feeds BOTH sides
     // of the self-join — without a materialization barrier Catalyst's
     // projection collapse would inline it into the joined output and
     // recompute it per candidate PAIR (quadratic; measured 640s → <5s on
     // the simhash twin at sf0.1)
     val sigs = persistTracked(minhashSignatures(df, idCol, textCol, k, shingle))
-    val buckets = sigs
+    candidatesFromSignatures(sigs, idCol, "mh", k, bands, maxBucket)
+  }
+
+  /** Candidate pairs from PRECOMPUTED signatures (`sigCol`: array of k
+    * hashes). Lets pipelines that already carry signatures (e.g.
+    * `CorpusPipeline`, which computes them while the text column is still
+    * in scope) skip a re-join against the raw documents. Callers must
+    * hand in a MATERIALIZED frame (persisted / checkpointed) when the
+    * signature expression is expensive — see the recompute note in
+    * [[minhashCandidates]]. */
+  def candidatesFromSignatures(sigs: DataFrame, idCol: String,
+      sigCol: String = "mh", k: Int = 12, bands: Int = 4,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val r = k / bands
+    val allBuckets = sigs
+      .select(col(idCol), col(sigCol).as("mh"))
       .selectExpr(idCol, "mh",
         s"explode(sequence(0L, ${bands - 1}L)) AS band")
       // native codegen'd fold; bit-identical to sparkBandBucket (the
       // 1-indexed slice HOF the DuckDB oracle runs)
       .select(col(idCol), col("mh"), col("band"),
         GraftFunctions.bandBucket(col("mh"), col("band"), r).as("bucket"))
+    val buckets =
+      if (maxBucket == Int.MaxValue) allBuckets
+      else allBuckets
+        .withColumn("bucket_n",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+        .filter(col("bucket_n") <= maxBucket)
+        .drop("bucket_n")
     val a = buckets.select(col(idCol).as("doc_a"), col("mh").as("mh_a"),
       col("band"), col("bucket"))
     val b = buckets.select(col(idCol).as("doc_b"), col("mh").as("mh_b"),
@@ -86,12 +123,14 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard verification on the LSH candidate pairs. */
+  /** Exact n-gram Jaccard verification on the LSH candidate pairs.
+    * `maxBucket` passes through to the candidate generation skew bound. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, k: Int = 12, bands: Int = 4, shingle: Int = 3)
-      : DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, k, bands, shingle)
-      .select("doc_a", "doc_b")
+      threshold: Double, k: Int = 12, bands: Int = 4, shingle: Int = 3,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val cands =
+      minhashCandidates(df, idCol, textCol, k, bands, shingle, maxBucket)
+        .select("doc_a", "doc_b")
     // persist: joined twice (doc_a and doc_b sides) — see minhashCandidates
     val sh = persistTracked(
       df.select(col(idCol),

@@ -18,9 +18,25 @@ import graft.functions.XFormulas._
   */
 object Similarity {
 
-  /** Exact top-k neighbors per query by cosine, ties broken by id. */
+  /** Exact top-k neighbors per query by cosine, ties broken by id.
+    *
+    * GUARD: the plan is O(|queries| × |candidates|) — correct only for
+    * small query sets. The query side is counted eagerly (one cheap job
+    * over the side that must be broadcast-sized anyway) and the call
+    * fails fast above `maxQueries` instead of silently launching a
+    * quadratic job; callers with large query sets should use [[lshTopK]]
+    * or [[ivfTopK]], whose candidate work is divided by the bucket count
+    * (auto-routing is deliberately NOT done — those paths are
+    * approximate, and silently degrading exact results would be a
+    * correctness surprise). */
   def bruteForceTopK(candidates: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int,
+      maxQueries: Long = 100000L): DataFrame = {
+    val nq = queries.count()
+    require(nq <= maxQueries,
+      s"bruteForceTopK: $nq queries exceeds maxQueries=$maxQueries; " +
+        "the crossJoin plan is quadratic — use lshTopK or ivfTopK for " +
+        "large query sets, or raise maxQueries explicitly")
     val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
     val c = candidates.select(col(idCol).as("cid"), col(vecCol).as("cv"))
     val scored = q.crossJoin(c).filter(col("qid") =!= col("cid"))

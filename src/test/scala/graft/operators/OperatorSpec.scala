@@ -41,9 +41,37 @@ class OperatorSpec extends SparkSpec {
     assert(p.filter("jaccard < 0.2").count() == 0)
   }
 
+  test("LSH bucket cap bounds a viral mega-bucket, normal buckets unchanged") {
+    // one doc duplicated 10k times: uncapped banding would emit ~50M
+    // candidate pairs from a single (band, bucket) group on one reducer
+    val viral = spark.range(1000000L, 1010000L).selectExpr(
+      "id AS doc_id",
+      "'viral spam chain letter viral spam chain letter viral spam' AS text")
+    val corpus = docs.select("doc_id", "text").unionAll(viral)
+    val capped =
+      Dedup.minhashCandidates(corpus, "doc_id", "text", maxBucket = 16)
+    // the mega-bucket (10k identical signatures, same bucket every band)
+    // is dropped entirely: zero viral-viral pairs survive
+    assert(capped.filter("doc_a >= 1000000 AND doc_b >= 1000000").count() == 0)
+    // buckets at or under the cap are byte-identical to the uncapped run
+    // on the clean corpus
+    val clean = Dedup.minhashCandidates(docs, "doc_id", "text")
+    assert(capped.exceptAll(clean).count() == 0)
+    assert(clean.exceptAll(capped).count() == 0)
+    Dedup.releaseCaches()
+  }
+
   test("simhash hamming bounded by 32 and block-consistent") {
     val p = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
     assert(p.filter("hamming > 6 OR hamming < 0").count() == 0)
+  }
+
+  test("brute-force ANN refuses a query set above maxQueries") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 4,
+        maxQueries = 10L)
+    }
+    assert(e.getMessage.contains("lshTopK"))
   }
 
   test("brute-force ANN returns k rows per query, ranked") {
