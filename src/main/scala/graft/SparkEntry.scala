@@ -276,6 +276,14 @@ object SparkEntry {
         "vec_id", "embedding", k = 3)
         .select(col("qid"), col("cid"), col("cosine"), col("rank"))
     }),
+    // learned k-means codebook (2 Lloyd iterations, deterministic init)
+    // with nprobe=2 multi-cell probing
+    "q_ann_ivf2" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfKmeansTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3, ncells = 8, iters = 2, nprobe = 2)
+        .select(col("qid"), col("cid"), col("cosine"), col("rank"))
+    }),
 
     // ----- event-time windows (batch; streaming twins in graft.streaming)
     "q_events_tumbling" -> ((s, dir) =>
@@ -550,6 +558,22 @@ object SparkEntry {
         .selectExpr("doc_id", "frame_idx",
           "frame_idx * 256 AS frame_off",
           "least(256L, n_bytes - frame_idx * 256) AS frame_len")),
+
+    // ----- multimodal REAL decode: synthesize a binary P6 PPM (4x3 RGB,
+    // body = first 36 text bytes, 'x'-padded) per document, decode it
+    // with the pure-JVM parser, emit geometry + per-channel means. The
+    // oracle replays the identical byte math in SQL. -----
+    "q_media_features" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = t(s, dir, "documents")
+        .selectExpr("doc_id",
+          "encode(concat('P6', chr(10), '4 3', chr(10), '255', chr(10), " +
+            "rpad(text, 36, 'x')), 'UTF-8') AS bytes")
+        .as[(Long, Array[Byte])]
+      graft.operators.Multimodal.ppmFeatures(payloads)
+        .selectExpr("id AS doc_id", "width", "height", "maxval",
+          "mean_r", "mean_g", "mean_b")
+    }),
 
     // ----- TPC-H Q18-style: large-volume orders (agg → join → top-k) -----
     "q18_big_orders" -> ((s, dir) => {
@@ -1376,6 +1400,51 @@ object SparkEntry {
                         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS "rank"
                  FROM scored)
            SELECT qid, cid, cosine, "rank" FROM r WHERE "rank" <= 3""",
+      "q_ann_ivf2" -> {
+        // unrolled Lloyd rounds (the label-propagation trick): assignN =
+        // nearest centroid by squared-L2 with ties to the lowest cell;
+        // centroid update = exact DECIMAL(28,14) per-position mean cast
+        // back to DOUBLE (order-independent, matches Spark bit-for-bit);
+        // empty cells inherit the previous centroid via COALESCE
+        def assign(cents: String, alias: String, filter: String) =
+          s"""$alias AS (SELECT vec_id, v, cell FROM (
+                SELECT d.vec_id, d.v, i.cell,
+                       ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                         ORDER BY ${duckSqDist("i.c", "d.v", 64)}, i.cell) AS rn
+                FROM dv d CROSS JOIN $cents i) WHERE rn = 1$filter)"""
+        def update(assigned: String, prev: String, alias: String) =
+          s"""${alias}s AS (SELECT cell, j AS pos,
+                  CAST(SUM(CAST(v[j] AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS cv
+                FROM $assigned CROSS JOIN (SELECT unnest(range(1, 65)) AS j) js
+                GROUP BY cell, j),
+              $alias AS (SELECT i.cell, COALESCE(n.c, i.c) AS c
+                FROM $prev i LEFT JOIN (SELECT cell, list(cv ORDER BY pos) AS c
+                                        FROM ${alias}s GROUP BY cell) n
+                  ON i.cell = n.cell)"""
+        s"""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                               embedding FROM embeddings),
+           init AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, v AS c
+                    FROM dv ORDER BY vec_id LIMIT 8),
+           ${assign("init", "a1", "")},
+           ${update("a1", "init", "c1")},
+           ${assign("c1", "a2", "")},
+           ${update("a2", "c1", "c2")},
+           ${assign("c2", "cc", "")},
+           qq AS (SELECT vec_id, cell FROM (
+                    SELECT d.vec_id, i.cell,
+                           ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                             ORDER BY ${duckSqDist("i.c", "d.v", 64)}, i.cell) AS rn
+                    FROM dv d CROSS JOIN c2 i) WHERE rn <= 2 AND vec_id < 10),
+           scored AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                             ${duckCosine("qe.embedding", "ce.embedding")} AS cosine
+                      FROM qq q JOIN cc c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+                      JOIN embeddings qe ON qe.vec_id = q.vec_id
+                      JOIN embeddings ce ON ce.vec_id = c.vec_id),
+           r AS (SELECT qid, cid, cosine,
+                        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS "rank"
+                 FROM scored)
+           SELECT qid, cid, cosine, "rank" FROM r WHERE "rank" <= 3"""
+      },
       "q_events_tumbling" ->
         """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
                   COUNT(*) AS n_events,
@@ -1617,6 +1686,16 @@ object SparkEntry {
            SELECT doc_id, frame_idx, frame_idx * 256 AS frame_off,
                   least(256, n_bytes - frame_idx * 256) AS frame_len
            FROM f""",
+      "q_media_features" ->
+        """WITH img AS (SELECT doc_id, rpad(text, 36, 'x') AS body FROM documents),
+           pix AS (SELECT doc_id, i, ord(substr(body, CAST(i AS INT), 1)) AS v
+                   FROM img CROSS JOIN (SELECT unnest(range(1, 37)) AS i) ii)
+           SELECT doc_id, CAST(4 AS BIGINT) AS width, CAST(3 AS BIGINT) AS height,
+                  CAST(255 AS BIGINT) AS maxval,
+                  CAST(SUM(CASE WHEN (i - 1) % 3 = 0 THEN v ELSE 0 END) AS DOUBLE) / 12 AS mean_r,
+                  CAST(SUM(CASE WHEN (i - 1) % 3 = 1 THEN v ELSE 0 END) AS DOUBLE) / 12 AS mean_g,
+                  CAST(SUM(CASE WHEN (i - 1) % 3 = 2 THEN v ELSE 0 END) AS DOUBLE) / 12 AS mean_b
+           FROM pix GROUP BY doc_id""",
       "q18_big_orders" ->
         """WITH big AS (SELECT l_orderkey,
                                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

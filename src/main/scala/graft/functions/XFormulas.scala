@@ -104,6 +104,16 @@ object XFormulas {
   def duckCosine(a: String, b: String): String =
     s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
 
+  // ---- squared L2 distance between two DOUBLE-vector expressions ----
+  // Same fold-order contract as sparkDot/duckDot: element-wise squared
+  // diffs in index order, left fold — bit-identical across engines.
+  // Both inputs must already be DOUBLE lists (widen floats first).
+  def sparkSqDist(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (s, v) -> s + v)"
+  def duckSqDist(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_prepend(0::DOUBLE, list_transform(range(1, ${dim + 1}), i -> " +
+      s"((($a)[i]) - (($b)[i])) * ((($a)[i]) - (($b)[i])))), (s, v) -> s + v)"
+
   // ---- random-hyperplane LSH signature (nbits) for a float vector ----
   // plane p, dim j weight = ((p*73856093 + j*19349663 + 83492791) % 97) - 48
   // (deterministic pseudo-random ints in [-48, 48])

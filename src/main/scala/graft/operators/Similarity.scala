@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.GraftFunctions
@@ -64,6 +64,106 @@ object Similarity {
         GraftFunctions.ivfCell(col(vecCol), ncells).as("cell"))
     val q = broadcast(cell(queries, "qid", "qv"))
     val c = cell(candidates, "cid", "cv")
+    val scored = q.join(c, "cell").filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        GraftFunctions.cosineSim(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Lloyd's k-means coarse-quantizer codebook over a vector column.
+    *
+    * Each iteration is one distributed pass: assign every vector to its
+    * nearest centroid (squared-L2, per-row HOF fold over a broadcast
+    * centroid literal — no join, no shuffle), then recompute centroids
+    * as per-(cell, position) means in a single partial/final aggregation.
+    * Only the ncells × dim codebook itself ever reaches the driver
+    * (standard k-means-on-Spark shape — the data never does), so the
+    * loop is iters × one-aggregation regardless of corpus size.
+    *
+    * Determinism contract (for the DuckDB oracle): init = the vectors of
+    * the `ncells` lowest ids; assignment ties break to the lowest cell;
+    * the mean is computed as an exact DECIMAL(28,14) sum cast back to
+    * DOUBLE — decimal addition is order-independent, so the result is
+    * bit-identical no matter how partitions combine (a raw double sum
+    * would drift with partition order and break hash-parity). Cells left
+    * empty by an iteration keep their previous centroid. */
+  def kmeansCodebook(vectors: DataFrame, idCol: String, vecCol: String,
+      ncells: Int = 8, iters: Int = 2): Array[Array[Double]] = {
+    val v = vectors.select(col(idCol).as("vid"),
+      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("dv"))
+    var cent: Array[Array[Double]] = v.orderBy("vid").limit(ncells)
+      .select("dv").collect()
+      .map(_.getSeq[Double](0).toArray)
+    for (_ <- 1 to iters) {
+      val assigned = v.select(col("vid"), col("dv"),
+        nearestCell(col("dv"), cent).as("cell"))
+      val updated = assigned
+        .select(col("cell"), posexplode(col("dv")).as(Seq("pos", "val")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("val").cast("decimal(28,14)")).cast("double") /
+          count(lit(1))).as("cv"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cv"))))
+          .as("pcs"))
+        .collect()
+      val next = cent.map(_.clone())
+      updated.foreach { row =>
+        val cell = row.getLong(0).toInt
+        next(cell) = row.getSeq[org.apache.spark.sql.Row](1)
+          .map(_.getDouble(1)).toArray
+      }
+      cent = next
+    }
+    cent
+  }
+
+  /** Squared-L2 distances from a double-vector column to each centroid of
+    * a codebook literal, in cell order. */
+  private def centroidDists(dv: Column,
+      cent: Array[Array[Double]]): Column =
+    transform(typedLit(cent.map(_.toSeq).toSeq),
+      c => aggregate(zip_with(c, dv, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (s, d) => s + d))
+
+  /** 0-based nearest-centroid cell, ties to the lowest cell (matches the
+    * oracle's ORDER BY dist, cell). */
+  private def nearestCell(dv: Column, cent: Array[Array[Double]]): Column = {
+    val d = centroidDists(dv, cent)
+    (array_position(d, array_min(d)) - 1).cast("long")
+  }
+
+  /** IVF top-k over a LEARNED k-means codebook with multi-cell probing:
+    * candidates are bucketed by their nearest centroid; each query probes
+    * its `nprobe` nearest cells. Versus [[ivfTopK]]'s fixed
+    * pseudo-centroids the codebook follows the actual vector
+    * distribution (balanced cells, data-adaptive recall), and nprobe > 1
+    * recovers neighbors that fall just across a cell boundary —
+    * per-query cost is ~nprobe/ncells of the corpus with one equi-join
+    * shuffle on the cell id; hot cells remain ordinary join-key skew for
+    * AQE. A candidate belongs to exactly one cell, so multi-probe never
+    * duplicates a (query, candidate) pair. */
+  def ivfKmeansTopK(candidates: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, ncells: Int = 8,
+      iters: Int = 2, nprobe: Int = 2): DataFrame = {
+    val cent = kmeansCodebook(candidates, idCol, vecCol, ncells, iters)
+    val dv = expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))")
+    val c = candidates.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+      nearestCell(dv, cent).as("cell"))
+    val probed = {
+      val d = centroidDists(dv, cent)
+      // sort (dist, cell) structs lexicographically, keep nprobe cells
+      val ranked = array_sort(zip_with(d,
+        sequence(lit(0L), lit(ncells - 1L)),
+        (dist, cell) => struct(dist.as("d"), cell.as("i"))))
+      transform(slice(ranked, 1, nprobe), s => s.getField("i"))
+    }
+    val q = broadcast(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        probed.as("cells")))
+      .withColumn("cell", explode(col("cells"))).drop("cells")
     val scored = q.join(c, "cell").filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         GraftFunctions.cosineSim(col("qv"), col("cv")).as("cosine"))

@@ -117,6 +117,25 @@ class OperatorSpec extends SparkSpec {
     assert(joined.filter("cosine <> bf_cos").count() == 0)
   }
 
+  test("k-means IVF: codebook shape, cell cover, recall@5 vs brute force") {
+    val cent = Similarity.kmeansCodebook(emb, "vec_id", "embedding",
+      ncells = 8, iters = 2)
+    assert(cent.length == 8 && cent.forall(_.length == 64))
+    val q = emb.filter("vec_id < 20")
+    val truth = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
+      k = 5).select("qid", "cid")
+    val approx = Similarity.ivfKmeansTopK(emb, q, "vec_id", "embedding",
+      k = 5, ncells = 8, iters = 2, nprobe = 2).select("qid", "cid")
+    val nTruth = truth.count().toDouble
+    val recall2 = truth.join(approx, Seq("qid", "cid")).count() / nTruth
+    // nprobe=1 candidates are a subset of nprobe=2's: recall must not drop
+    val approx1 = Similarity.ivfKmeansTopK(emb, q, "vec_id", "embedding",
+      k = 5, ncells = 8, iters = 2, nprobe = 1).select("qid", "cid")
+    val recall1 = truth.join(approx1, Seq("qid", "cid")).count() / nTruth
+    assert(recall2 >= recall1, s"nprobe=2 recall $recall2 < nprobe=1 $recall1")
+    assert(recall2 >= 0.4, s"recall@5 too low: $recall2 (nprobe=1: $recall1)")
+  }
+
   test("sessionize: session bounds ordered, counts positive") {
     val s = Events.sessionize(Tables(spark, dir, "events"))
     assert(s.filter("session_end_us < session_start_us").count() == 0)
@@ -141,6 +160,55 @@ class OperatorSpec extends SparkSpec {
     // same input -> same features (determinism)
     val again = Multimodal.extractFeatures(media).filter("id = 0").collect()(0)
     assert(again.checksum == f.checksum)
+  }
+
+  test("PPM decode: real header parse + channel means on a generated image") {
+    // 2x2 P6 with a comment line; channels R=10/20/30/40 G=50 B=200
+    val header = "P6\n# a comment\n2 2\n255\n".getBytes("ISO-8859-1")
+    val pix = Array(10, 50, 200, 20, 50, 200, 30, 50, 200, 40, 50, 200)
+      .map(_.toByte)
+    val f = Multimodal.decodePpm(7L, header ++ pix).get
+    assert(f.width == 2 && f.height == 2 && f.maxval == 255)
+    assert(f.mean_r == 25.0 && f.mean_g == 50.0 && f.mean_b == 200.0)
+    // truncated body and wrong magic are rejected, not mis-decoded
+    assert(Multimodal.decodePpm(7L, header ++ pix.take(11)).isEmpty)
+    assert(Multimodal.decodePpm(7L, "P5 2 2 255 ".getBytes ++ pix).isEmpty)
+    // extractFeatures routes a PPM payload to the real decoder
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRecord(7L, "image", header ++ pix, 2, 2)))
+    val feats = Multimodal.extractFeatures(ds).collect()(0)
+    assert(feats.features.take(6).sameElements(
+      Array(2f, 2f, 255f, 25f, 50f, 200f)))
+  }
+
+  test("WAV decode: RIFF chunk walk, duration and mean amplitude") {
+    // 1 channel, 8000 Hz, 16-bit PCM, 4 samples: +100 -100 +300 -300
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val data = Seq(100, -100, 300, -300).flatMap(le16).toArray
+    val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    val dataChunk = "data".getBytes ++ le32(data.length) ++ data
+    val body = "WAVE".getBytes ++ fmt ++ dataChunk
+    val wav = "RIFF".getBytes ++ le32(body.length) ++ body
+    val a = Multimodal.decodeWav(3L, wav).get
+    assert(a.channels == 1 && a.sample_rate == 8000 && a.bits == 16)
+    assert(a.n_samples == 4 && a.duration_s == 4.0 / 8000)
+    assert(a.mean_abs == 200.0)
+    // a stereo frame count halves the duration
+    val fmt2 = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++
+      le32(8000) ++ le32(32000) ++ le16(4) ++ le16(16)
+    val wav2 = "RIFF".getBytes ++ le32(body.length) ++ "WAVE".getBytes ++
+      fmt2 ++ dataChunk
+    assert(Multimodal.decodeWav(3L, wav2).get.duration_s == 2.0 / 8000)
+    // non-PCM bit width rejected
+    val fmt3 = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8)
+    val wav3 = "RIFF".getBytes ++ le32(body.length) ++ "WAVE".getBytes ++
+      fmt3 ++ dataChunk
+    assert(Multimodal.decodeWav(3L, wav3).isEmpty)
   }
 
   test("cleanClustered keeps a subset of clean (component minima only)") {
