@@ -129,6 +129,21 @@ object SparkEntry {
         .groupBy(col("p_brand"))
         .agg(sum(col("cnt_l") * col("cnt_p")).as("n_pairs"))
     }),
+    // same query through the OPTIMIZER RULE: a naive abs-tolerance theta
+    // join that BucketedRangeJoinRule rewrites to the bucketed equi join
+    // automatically (plan-asserted in RangeJoinSpec)
+    "q_range_join_auto" -> ((s, dir) => {
+      graft.operators.RangeJoin.enableAuto(s)
+      val liHist = t(s, dir, "lineitem")
+        .groupBy(col("l_quantity")).agg(count(lit(1)).as("cnt_l"))
+      val partHist = t(s, dir, "part")
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(count(lit(1)).as("cnt_p"))
+      liHist.join(partHist,
+          abs(col("l_quantity") - col("p_size")) <= 2)
+        .groupBy(col("p_brand"))
+        .agg(sum(col("cnt_l") * col("cnt_p")).as("n_pairs"))
+    }),
 
     // ----- J6 multi-table join chain + agg (database.py:656-789) -----
     "q_join_multi" -> ((s, dir) =>
@@ -1221,6 +1236,10 @@ object SparkEntry {
            ON l_partkey = p_partkey AND l_quantity > p_size
          GROUP BY p_brand""",
     "q_range_join" ->
+      """SELECT p_brand, COUNT(*) AS n_pairs
+         FROM lineitem JOIN part ON abs(l_quantity - p_size) <= 2
+         GROUP BY p_brand""",
+    "q_range_join_auto" ->
       """SELECT p_brand, COUNT(*) AS n_pairs
          FROM lineitem JOIN part ON abs(l_quantity - p_size) <= 2
          GROUP BY p_brand""",

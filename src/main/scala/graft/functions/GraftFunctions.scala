@@ -58,13 +58,16 @@ object GraftFunctions {
   }
 }
 
-/** `spark.sql.extensions` injector: wires the graft functions into every
-  * session built with this extension — the deployment path for a cluster
-  * (no driver-side registration call needed). */
+/** `spark.sql.extensions` injector: wires the graft functions plus the
+  * bucketed range-join optimizer rule into every session built with this
+  * extension — the deployment path for a cluster (no driver-side
+  * registration call needed). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.fns.foreach { case (name, builder) =>
       ext.injectFunction(
         (FunctionIdentifier(name), new ExpressionInfo("graft", name), builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.BucketedRangeJoinRule)
+  }
 }

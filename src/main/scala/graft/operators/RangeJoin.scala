@@ -17,6 +17,20 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Idempotently registers [[graft.plans.BucketedRangeJoinRule]] on the
+    * session, so a plain `l.join(r, abs(l.v - r.v) <= tol)` plans as the
+    * bucketed equi join automatically — no manual call to [[bucketed]]
+    * needed. Sessions built with `GraftExtensions` (the GraftSession
+    * default) already have the rule. */
+  def enableAuto(spark: org.apache.spark.sql.SparkSession): Unit =
+    synchronized {
+      if (!spark.experimental.extraOptimizations
+          .contains(graft.plans.BucketedRangeJoinRule))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+
+            graft.plans.BucketedRangeJoinRule
+    }
+
   def bucketed(left: DataFrame, leftVal: String, right: DataFrame,
       rightVal: String, tol: Double): DataFrame = {
     require(tol > 0, "tolerance must be positive")

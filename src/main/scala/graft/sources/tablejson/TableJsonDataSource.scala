@@ -25,30 +25,62 @@ import scala.jdk.CollectionConverters._
   * projection reaches the reader, which then materializes only the
   * requested columns. Rows are split into at most
   * `spark.default.parallelism` slices of >=1000 rows so a single large
-  * file still scans in parallel; files under 1000 rows get ONE partition
-  * (the format is a single JSON array, so each slice must re-parse the
-  * whole file — the row floor bounds that redundancy, and small files
-  * parse exactly once). The files the reference ships are small; at real
-  * scale this format would be converted to parquet at ingest — this
-  * source exists so reference datasets are first-class relations.
+  * file still scans in parallel; files under 1000 rows or 1 MB get ONE
+  * partition. The format is a single JSON array, so a slice cannot seek —
+  * but the parsed tree is held in a per-JVM soft-reference cache keyed by
+  * (path, length, mtime), so the file parses ONCE per JVM no matter how
+  * many slices, readers, or planning passes touch it (schema inference,
+  * partition planning, and every PartitionReader share the tree;
+  * TableJsonSourceSpec pins the parse count). Soft references let the
+  * JVM reclaim the tree under memory pressure rather than pinning it.
+  * The files the reference ships are small; at real scale this format
+  * would be converted to parquet at ingest — this source exists so
+  * reference datasets are first-class relations.
   */
 class TableJsonDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "tablejson"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    TableJsonIO.schemaOf(TableJsonIO.parse(options.get("path")))
+    TableJsonIO.schemaOf(TableJsonIO.cached(options.get("path")))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new TableJsonTable(properties.get("path"), schema)
 }
 
-private[tablejson] object TableJsonIO {
+private[sources] object TableJsonIO {
   private val mapper = new ObjectMapper()
 
-  def parse(path: String): com.fasterxml.jackson.databind.JsonNode = {
+  /** Number of ACTUAL file parses (cache misses) in this JVM — spec
+    * instrumentation for the parse-once contract. */
+  val parseCount = new java.util.concurrent.atomic.AtomicLong
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    String,
+    (Long, Long, java.lang.ref.SoftReference[
+      com.fasterxml.jackson.databind.JsonNode])]
+
+  private def parse(path: String): com.fasterxml.jackson.databind.JsonNode = {
     require(path != null, "tablejson requires a path")
+    parseCount.incrementAndGet()
     mapper.readTree(new java.io.File(path))
+  }
+
+  /** Parse-once-per-JVM: returns the cached tree while the file's
+    * (length, mtime) is unchanged and the soft reference is live. */
+  def cached(path: String): com.fasterxml.jackson.databind.JsonNode = {
+    require(path != null, "tablejson requires a path")
+    val f = new java.io.File(path)
+    val len = f.length(); val mt = f.lastModified()
+    val cur = cache.get(path)
+    if (cur != null && cur._1 == len && cur._2 == mt) {
+      val v = cur._3.get()
+      if (v != null) return v
+    }
+    val parsed = parse(path)
+    cache.put(path, (len, mt,
+      new java.lang.ref.SoftReference(parsed)))
+    parsed
   }
 
   def schemaOf(root: com.fasterxml.jackson.databind.JsonNode): StructType = {
@@ -89,11 +121,16 @@ private[tablejson] class TableJsonScan(path: String, full: StructType,
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val root = TableJsonIO.parse(path)
+    val root = TableJsonIO.cached(path)
     val nRows = root.size - 1
     val maxSlices = org.apache.spark.sql.SparkSession.active
       .sparkContext.defaultParallelism
-    val slices = math.max(1, math.min(maxSlices, nRows / 1000))
+    // single partition for small files: below 1 MB the scan is cheaper
+    // than the per-task overhead, and on a multi-executor cluster one
+    // slice means at most one executor ever parses the file
+    val small = new java.io.File(path).length() < (1 << 20)
+    val slices =
+      if (small) 1 else math.max(1, math.min(maxSlices, nRows / 1000))
     val step = math.max(1, (nRows + slices - 1) / slices)
     (1 to nRows by step).map(start =>
       TableJsonPartition(path, start, math.min(start + step, nRows + 1))
@@ -112,8 +149,9 @@ private[tablejson] class TableJsonReaderFactory(full: StructType,
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[TableJsonPartition]
     new PartitionReader[InternalRow] {
-      // executor-side parse of just this slice
-      private val root = TableJsonIO.parse(part.path)
+      // per-JVM cached tree: the file parses once no matter how many
+      // slices or readers touch it
+      private val root = TableJsonIO.cached(part.path)
       private val colIdx = required.fields.map(f => full.fieldIndex(f.name))
       private var i = part.start
       private var row: InternalRow = _

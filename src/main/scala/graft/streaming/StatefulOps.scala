@@ -193,6 +193,63 @@ object StatefulOps {
         OutputMode.Update())
   }
 
+  case class Valued(key: String, id: Long, value: Double)
+  case class TopKState(vs: Seq[Double], ids: Seq[Long])
+  case class TopKOut(key: String, id: Long, value: Double, rank: Long)
+
+  /** Continuously-maintained per-key top-k: the streaming twin of the
+    * batch `plans.TopKPerGroup` physical operator, with the same bounded
+    * min-heap discipline — state per key is AT MOST k (value, id) pairs,
+    * a new row displaces the heap minimum or is dropped, nothing is ever
+    * sorted beyond the k survivors. Out-of-order arrival is immaterial:
+    * membership in a top-k is order-independent, so a late high value
+    * simply displaces the current minimum when it shows up. Emits the
+    * refreshed top-k for every key touched in a batch (Update mode). */
+  private class TopKProcessor(k: Int, ttl: Option[java.time.Duration])
+      extends StatefulProcessor[String, Valued, TopKOut] {
+    @transient private var state: ValueState[TopKState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TopKState]("topk",
+        Encoders.product[TopKState],
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+    override def handleInputRows(key: String, rows: Iterator[Valued],
+        timers: TimerValues): Iterator[TopKOut] = {
+      // min-heap over (value asc, id desc): the root is the weakest
+      // member, exactly as in TopKHeaps for the batch operator
+      val weakestFirst: Ordering[(Double, Long)] =
+        Ordering.by[(Double, Long), (Double, Long)] {
+          case (v, id) => (-v, id)
+        }
+      val heap =
+        scala.collection.mutable.PriorityQueue.empty[(Double, Long)](weakestFirst)
+      Option(state.get()).foreach(s => s.vs.zip(s.ids).foreach(heap.enqueue(_)))
+      rows.foreach { r =>
+        if (heap.size < k) heap.enqueue((r.value, r.id))
+        else if (weakestFirst.lt(heap.head, (r.value, r.id))) ()
+        else { heap.dequeue(); heap.enqueue((r.value, r.id)) }
+      }
+      val top = heap.dequeueAll.reverse // strongest first
+      state.update(TopKState(top.map(_._1), top.map(_._2)))
+      top.iterator.zipWithIndex.map { case ((v, id), i) =>
+        TopKOut(key, id, v, i + 1L)
+      }
+    }
+  }
+
+  /** Per-key streaming top-k by value (desc, ties to the lower id) via
+    * `transformWithState`. Pass a ttl for declarative state eviction in
+    * production (ProcessingTime mode — see the runningStatsTws note on
+    * why tests must use the no-TTL mode). */
+  def topKTws(ds: Dataset[Valued], k: Int,
+      ttl: Option[java.time.Duration] = None): Dataset[TopKOut] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .transformWithState(new TopKProcessor(k, ttl),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Streaming CONTENT dedup for a document stream: exact dedup on the
     * 64-bit polynomial fingerprint of the text (the same codegen'd
     * expression the batch corpus pipeline groups on), watermark-scoped so

@@ -29,6 +29,31 @@ class TableJsonSourceSpec extends SparkSpec {
       .collect()(0).getLong(0) == 95687L)
   }
 
+  test("large file: multi-slice scan still parses the file once per JVM") {
+    val f = java.io.File.createTempFile("graft-big", ".table.json")
+    f.deleteOnExit()
+    val w = new java.io.PrintWriter(f)
+    w.print("""[[["id", "int"], ["name", "str"]]""")
+    (0 until 40000).foreach(i =>
+      w.print(s""",[$i, "padding-to-push-the-file-over-the-1mb-threshold-$i"]"""))
+    w.print("]")
+    w.close()
+    assert(f.length() > (1 << 20))
+    val before = graft.sources.tablejson.TableJsonIO.parseCount.get()
+    val df = spark.read.format("tablejson").load(f.getAbsolutePath)
+    assert(df.rdd.getNumPartitions > 1) // the slicing is real
+    assert(df.count() == 40000)
+    assert(df.agg(org.apache.spark.sql.functions.sum("id"))
+      .collect()(0).getLong(0) == 40000L * 39999 / 2)
+    val parses =
+      graft.sources.tablejson.TableJsonIO.parseCount.get() - before
+    assert(parses == 1, s"expected 1 parse, saw $parses")
+  }
+
+  test("small file gets a single partition") {
+    assert(cities.rdd.getNumPartitions == 1)
+  }
+
   test("joins against parquet relations work") {
     val countries = spark.read.format("tablejson")
       .load(s"$goldenDir/countries.table.json")

@@ -111,6 +111,44 @@ class StatefulOpsSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState top-k per key: bounded state, out-of-order input (RocksDB)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StatefulOps.Valued]
+      val q = StatefulOps.topKTws(mem.toDS(), k = 3).writeStream
+        .format("memory").queryName("tws_topk")
+        .outputMode(OutputMode.Update).start()
+      try {
+        // batch 1: key a has 4 values — only top-3 survive in state
+        mem.addData(
+          StatefulOps.Valued("a", 1, 10.0), StatefulOps.Valued("a", 2, 40.0),
+          StatefulOps.Valued("a", 3, 20.0), StatefulOps.Valued("a", 4, 30.0),
+          StatefulOps.Valued("b", 9, 5.0))
+        q.processAllAvailable()
+        // batch 2 arrives OUT OF ORDER: a late high value (50) and a late
+        // low value (1); 50 displaces the weakest (20), 1 is dropped; a
+        // tie on 30 breaks to the lower id
+        mem.addData(
+          StatefulOps.Valued("a", 5, 50.0), StatefulOps.Valued("a", 6, 1.0),
+          StatefulOps.Valued("a", 7, 30.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      // Update sink: take each key's latest emitted ranking (max batch)
+      val rows = spark.table("tws_topk").as[StatefulOps.TopKOut]
+        .collect()
+      val lastA = rows.filter(_.key == "a")
+        .groupBy(_.rank).map { case (r, xs) => r -> xs.last }.toSeq
+        .sortBy(_._1).map { case (r, o) => (r, o.id, o.value) }
+      assert(lastA == Seq((1L, 5L, 50.0), (2L, 2L, 40.0), (3L, 4L, 30.0)))
+      val lastB = rows.filter(_.key == "b").map(o => (o.rank, o.id, o.value))
+      assert(lastB.toSet == Set((1L, 9L, 5.0)))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stream-static enrich broadcasts the dimension per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
