@@ -682,6 +682,28 @@ object SparkEntry {
     "q_text_lang_ngram" -> ((s, dir) =>
       TextAnalysis.langCharNgram(t(s, dir, "documents"), "doc_id", "text")),
 
+    // ----- repetition / boilerplate metrics (per-row HOFs, no shuffle)
+    "q_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ----- composite quality gate with per-rule rejection flags -----
+    "q_quality_gate" -> ((s, dir) =>
+      TextAnalysis.qualityGate(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ----- benchmark decontamination: 5-gram hash collisions between
+    // the corpus (doc_id >= 20) and a benchmark set (doc_id < 20) -----
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.decontaminate(docs.filter(col("doc_id") >= 20),
+        docs.filter(col("doc_id") < 20), "doc_id", "text")
+    }),
+
+    // ----- corpus bigram LM: top-20 bigrams with conditional p(w2|w1)
+    "q_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLm(t(s, dir, "documents"), "text")
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)),
+
     // ----- deterministic stratified sample: fixed rows per stratum via
     // hash-ordered row_number (reproducible across runs AND engines).
     // Two-phase top-k: a stratum is a SINGLE window partition (3 distinct
@@ -1798,6 +1820,49 @@ object SparkEntry {
                        WHEN CAST(${duckTrigramHits("tris")} AS DOUBLE) / len(tris) >= 0.02 THEN 'maybe_en'
                        ELSE 'other' END AS lang3
            FROM tg""",
+      "q_repetition" ->
+        s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
+           tr AS (SELECT doc_id, toks, ${duckShingles("toks", 3)} AS tri FROM tk)
+           SELECT doc_id,
+                  CAST(len(toks) AS BIGINT) AS n_tokens,
+                  CAST(len(list_distinct(toks)) AS DOUBLE) / nullif(len(toks), 0) AS distinct_ratio,
+                  CAST(list_max(list_transform(list_distinct(toks), w -> len(list_filter(toks, x -> x = w)))) AS DOUBLE) / nullif(len(toks), 0) AS top_share,
+                  CAST(len(list_distinct(tri)) AS DOUBLE) / nullif(len(tri), 0) AS tri_ratio
+           FROM tr""",
+      "q_quality_gate" ->
+        s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
+           r AS (SELECT doc_id,
+                        len(toks) AS n_tokens,
+                        CAST(len(list_distinct(toks)) AS DOUBLE) / nullif(len(toks), 0) AS distinct_ratio,
+                        CAST(list_max(list_transform(list_distinct(toks), w -> len(list_filter(toks, x -> x = w)))) AS DOUBLE) / nullif(len(toks), 0) AS top_share
+                 FROM tk)
+           SELECT doc_id,
+                  (n_tokens >= 20 AND n_tokens <= 90) AS flag_len,
+                  (distinct_ratio >= 0.45) AS flag_diverse,
+                  (top_share <= 0.12) AS flag_rep,
+                  (n_tokens >= 20 AND n_tokens <= 90 AND distinct_ratio >= 0.45
+                   AND top_share <= 0.12) AS pass
+           FROM r""",
+      "q_decontaminate" ->
+        s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
+           g AS (SELECT doc_id,
+                        unnest(list_distinct(list_transform(${duckShingles("toks", 5)}, s -> ${duckStrHash("s")}))) AS gh
+                 FROM tk),
+           c AS (SELECT doc_id AS doc_id_c, gh FROM g WHERE doc_id >= 20),
+           b AS (SELECT doc_id AS bench_id, gh FROM g WHERE doc_id < 20)
+           SELECT doc_id_c AS doc_id,
+                  COUNT(DISTINCT gh) AS n_shared_ngrams,
+                  COUNT(DISTINCT bench_id) AS n_bench_docs
+           FROM c JOIN b USING (gh) GROUP BY doc_id_c""",
+      "q_bigram_lm" ->
+        s"""WITH tk AS (SELECT ${duckTokens("text")} AS toks FROM documents),
+           bg AS (SELECT unnest(list_distinct(${duckShingles("toks", 2)})) AS bigram FROM tk),
+           bw AS (SELECT bigram, string_split(bigram, ' ')[1] AS w1 FROM bg),
+           c2 AS (SELECT w1, bigram, COUNT(*) AS n FROM bw GROUP BY 1, 2),
+           c1 AS (SELECT w1, COUNT(*) AS n1 FROM bw GROUP BY 1)
+           SELECT bigram, c2.n AS n, CAST(c2.n AS DOUBLE) / c1.n1 AS p
+           FROM c2 JOIN c1 USING (w1)
+           ORDER BY n DESC, bigram LIMIT 20""",
       "q_stratified_sample" ->
         """SELECT l_returnflag, l_orderkey, l_linenumber, rn FROM (
              SELECT l_returnflag, l_orderkey, l_linenumber,

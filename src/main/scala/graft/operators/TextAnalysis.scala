@@ -67,4 +67,83 @@ object TextAnalysis {
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
       graft.functions.GraftFunctions.polyHash(col(textCol)).as("fp"))
+
+  /** Per-document REPETITION metrics (the Gopher/RefinedWeb-style
+    * signals for detecting boilerplate and degenerate generations):
+    * distinct-token ratio, most-frequent-token share, and distinct
+    * word-trigram ratio. Pure per-row HOFs — the top-share scan is
+    * O(distinct × tokens) per document, still narrow (no explode, no
+    * shuffle), which beats a corpus-wide explode+groupBy for a per-doc
+    * statistic at any scale. */
+  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    withTokens(df, textCol)
+      .withColumn("tri", expr(sparkShingles("toks", 3)))
+      .selectExpr(
+        idCol,
+        "CAST(size(toks) AS BIGINT) AS n_tokens",
+        "CAST(size(array_distinct(toks)) AS DOUBLE) / nullif(size(toks), 0) AS distinct_ratio",
+        "CAST(array_max(transform(array_distinct(toks), w -> size(filter(toks, x -> x = w)))) AS DOUBLE) / nullif(size(toks), 0) AS top_share",
+        "CAST(size(array_distinct(tri)) AS DOUBLE) / nullif(size(tri), 0) AS tri_ratio")
+
+  /** Composite QUALITY GATE: per-rule boolean flags plus the combined
+    * verdict, thresholds calibrated so the synthetic corpus actually
+    * splits (token stats: 10-99 tokens, top-share 0.05-0.30). Emitting
+    * the per-rule flags (not just the verdict) is the production shape —
+    * pipeline dashboards need rejection-reason breakdowns. */
+  def qualityGate(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    repetition(df, idCol, textCol)
+      .withColumn("flag_len",
+        col("n_tokens").geq(20) && col("n_tokens").leq(90))
+      .withColumn("flag_diverse", col("distinct_ratio") >= 0.45)
+      .withColumn("flag_rep", col("top_share") <= 0.12)
+      .withColumn("pass",
+        col("flag_len") && col("flag_diverse") && col("flag_rep"))
+      .select(col(idCol), col("flag_len"), col("flag_diverse"),
+        col("flag_rep"), col("pass"))
+
+  /** Benchmark DECONTAMINATION: for every corpus document, count the
+    * distinct word-`n`-gram collisions with a benchmark document set —
+    * the standard n-gram-overlap test for train/test leakage. Shingles
+    * are reduced to 64-bit polynomial hashes BEFORE the join, so the
+    * shuffle moves 8-byte keys, never text; the benchmark side of the
+    * join is tiny by construction (broadcast at scale). Only documents
+    * with at least one collision are returned. */
+  def decontaminate(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 5): DataFrame = {
+    def grams(df: DataFrame, outId: String) =
+      df.withColumn("sh",
+          graft.functions.GraftFunctions.shingles(col(textCol), n))
+        .select(col(idCol).as(outId),
+          // native codegen'd PolyHash per shingle (bit-identical to the
+          // HOF/duck string-hash form) — the HOF version splits every
+          // shingle into per-char strings and was ~4x slower
+          explode(array_distinct(transform(col("sh"),
+            s => graft.functions.GraftFunctions.polyHash(s)))).as("gh"))
+    grams(docs, "doc_id_c")
+      .join(broadcast(grams(bench, "bench_id")), "gh")
+      .groupBy(col("doc_id_c").as(idCol))
+      .agg(countDistinct(col("gh")).as("n_shared_ngrams"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
+
+  /** Corpus BIGRAM LANGUAGE-MODEL table: conditional probability of each
+    * bigram given its first word, `p = cnt(w1 w2) / cnt(w1 *)`. Counts
+    * are DOCUMENT frequencies — the shingle generator emits each
+    * document's distinct bigrams once — which is the dedup-robust choice
+    * for corpus statistics (a single degenerate repeated-text document
+    * can't dominate the table). Two partial/final aggregations over the
+    * bigram stream (generator expression, no intermediate arrays) and
+    * one join on the small prefix-count side. */
+  def bigramLm(df: DataFrame, textCol: String): DataFrame = {
+    val bigrams = df.select(graft.functions.GraftFunctions
+      .shingleRows(col(textCol), 2).as("bigram"))
+      .withColumn("w1", expr("split(bigram, ' ')[0]"))
+    val cnt2 = bigrams.groupBy(col("w1"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+    val cnt1 = bigrams.groupBy(col("w1"))
+      .agg(count(lit(1)).as("n1"))
+    cnt2.join(cnt1, "w1")
+      .withColumn("p", expr("CAST(n AS DOUBLE) / n1"))
+      .select(col("bigram"), col("n"), col("p"))
+  }
 }

@@ -320,6 +320,38 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("repetition metrics bounded; quality gate consistent with them") {
+    val rep = TextAnalysis.repetition(docs, "doc_id", "text")
+    assert(rep.filter(
+      "distinct_ratio < 0 OR distinct_ratio > 1 OR top_share < 0 OR " +
+        "top_share > 1 OR tri_ratio < 0 OR tri_ratio > 1").count() == 0)
+    val gate = TextAnalysis.qualityGate(docs, "doc_id", "text")
+    // pass implies every flag; corpus actually splits
+    assert(gate.filter("pass AND NOT (flag_len AND flag_diverse AND flag_rep)")
+      .count() == 0)
+    assert(gate.filter("pass").count() > 0 && gate.filter("NOT pass").count() > 0)
+  }
+
+  test("decontaminate: benchmark docs never flagged, overlap counts positive") {
+    val bench = docs.filter("doc_id < 20")
+    val corpus = docs.filter("doc_id >= 20")
+    val hits = TextAnalysis.decontaminate(corpus, bench, "doc_id", "text")
+    assert(hits.filter("doc_id < 20").count() == 0)
+    assert(hits.filter("n_shared_ngrams < 1 OR n_bench_docs < 1").count() == 0)
+    // a doc textually identical to a benchmark doc is always caught
+    val leaked = bench.limit(1).selectExpr("doc_id + 100000 AS doc_id", "text")
+    val hits2 = TextAnalysis.decontaminate(corpus.select("doc_id", "text")
+      .unionAll(leaked), bench, "doc_id", "text")
+    assert(hits2.filter("doc_id >= 100000").count() == 1)
+  }
+
+  test("bigram LM: probabilities in (0,1], document-frequency counts") {
+    val lm = TextAnalysis.bigramLm(docs, "text")
+    assert(lm.filter("p <= 0 OR p > 1").count() == 0)
+    // no bigram can out-count the documents
+    assert(lm.filter(s"n > ${docs.count()}").count() == 0)
+  }
+
   test("char trigrams: short strings yield empty list, no crash") {
     import spark.implicits._
     import graft.functions.XFormulas._
