@@ -704,6 +704,66 @@ object SparkEntry {
         .orderBy(col("n").desc, col("bigram"))
         .limit(20)),
 
+    // ----- word co-occurrence with PMI-style LIFT (log-free: the exact
+    // rational (n_ab * nd) / (n_a * n_b), since log() is 1-ulp
+    // engine-specific). Doc-level distinct words -> within-doc pairs. -----
+    "q_word_cooccur" -> ((s, dir) => {
+      val w = TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), explode(expr("array_distinct(toks)")).as("word"))
+      val pairs = w.select(col("doc_id"), col("word").as("w1"))
+        .join(w.select(col("doc_id"), col("word").as("w2")), "doc_id")
+        .filter(col("w1") < col("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+      val wc = w.groupBy(col("word")).agg(count(lit(1)).as("n_w"))
+      val nd = t(s, dir, "documents").agg(count(lit(1)).as("nd"))
+      pairs
+        .join(wc.select(col("word").as("w1"), col("n_w").as("n_a")), "w1")
+        .join(wc.select(col("word").as("w2"), col("n_w").as("n_b")), "w2")
+        .crossJoin(nd)
+        .withColumn("lift",
+          expr("CAST(n_ab * nd AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)"))
+        .filter(col("n_ab") >= 20)
+        .select(col("w1"), col("w2"), col("n_ab"), col("lift"))
+        .orderBy(col("n_ab").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
+    // ----- event-type transition matrix (first-order Markov over each
+    // user's event sequence) -----
+    "q_event_transitions" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("t_us", expr("ts div 1000"))
+      val seq = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_us"), col("event_id"))
+      ev.withColumn("to_type", lead(col("event_type"), 1).over(seq))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", expr("CAST(n AS DOUBLE) / " +
+          "sum(n) OVER (PARTITION BY from_type)"))
+    }),
+
+    // ----- per-dimension embedding statistics (vector-column profiling).
+    // Sums are quantized with floor() into exact 64-bit integer space
+    // (1e-6 for values, 1e-12 for squares) — floor has NO halfway case,
+    // unlike a decimal cast, whose round-half ties on float-derived
+    // doubles resolve differently across engines (HALF_UP vs half-even);
+    // integer sums are then order-independent and bit-exact. -----
+    "q_embedding_stats" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("pos", "val")))
+        .withColumn("v", expr("CAST(val AS DOUBLE)"))
+        .withColumn("q1", expr("floor(v * 1000000.0D)"))
+        .withColumn("q2", expr("floor(v * v * 1000000000000.0D)"))
+        .groupBy(col("pos").cast("long").as("pos"))
+        .agg(
+          expr("CAST(SUM(q1) AS DOUBLE) / COUNT(*) / 1000000.0D").as("mean"),
+          expr("CAST(SUM(q2) AS DOUBLE) / COUNT(*) / 1000000000000.0D")
+            .as("mean_sq"),
+          min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+        .withColumn("std",
+          expr("sqrt(greatest(mean_sq - mean * mean, 0D))"))),
+
     // ----- deterministic stratified sample: fixed rows per stratum via
     // hash-ordered row_number (reproducible across runs AND engines).
     // Two-phase top-k: a stratum is a SINGLE window partition (3 distinct
@@ -715,12 +775,16 @@ object SparkEntry {
     // runs that form). -----
     "q_stratified_sample" -> ((s, dir) => {
       val hk = "(l_orderkey * 2654435761 + l_linenumber * 40503) % 1000000007"
-      t(s, dir, "lineitem")
-        .withColumn("hk", expr(hk))
-        .withColumn("rn1", row_number().over(
-          Window.partitionBy(col("l_returnflag"), expr("hk % 32"))
-            .orderBy(col("hk"), col("l_orderkey"), col("l_linenumber"))))
-        .filter(col("rn1") <= 50)
+      // phase 1 runs on the custom TopKPerGroup operator: k-heaps with
+      // map-side pruning instead of a full sort of every stratum bucket;
+      // emits exactly the rows the row_number()<=50 window form would
+      graft.plans.TopK.topKPerGroup(
+        t(s, dir, "lineitem")
+          .withColumn("hk", expr(hk))
+          .withColumn("hb", expr("hk % 32")),
+        Seq("l_returnflag", "hb"),
+        Seq(col("hk"), col("l_orderkey"), col("l_linenumber")),
+        k = 50, rankName = "rn1")
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("l_returnflag"))
             .orderBy(col("hk"), col("l_orderkey"), col("l_linenumber")))
@@ -1863,6 +1927,47 @@ object SparkEntry {
            SELECT bigram, c2.n AS n, CAST(c2.n AS DOUBLE) / c1.n1 AS p
            FROM c2 JOIN c1 USING (w1)
            ORDER BY n DESC, bigram LIMIT 20""",
+      "q_word_cooccur" ->
+        s"""WITH tk AS (SELECT doc_id, list_distinct(${duckTokens("text")}) AS ws FROM documents),
+           w AS (SELECT doc_id, unnest(ws) AS word FROM tk),
+           pairs AS (SELECT a.word AS w1, b.word AS w2, COUNT(*) AS n_ab
+                     FROM w a JOIN w b ON a.doc_id = b.doc_id AND a.word < b.word
+                     GROUP BY 1, 2),
+           wc AS (SELECT word, COUNT(*) AS n_w FROM w GROUP BY 1),
+           nd AS (SELECT COUNT(*) AS nd FROM documents)
+           SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab,
+                  CAST(n_ab * nd.nd AS DOUBLE) / CAST(a.n_w * b.n_w AS DOUBLE) AS lift
+           FROM pairs JOIN wc a ON pairs.w1 = a.word
+                      JOIN wc b ON pairs.w2 = b.word
+                      CROSS JOIN nd
+           WHERE n_ab >= 20
+           ORDER BY n_ab DESC, w1, w2 LIMIT 20""",
+      "q_event_transitions" ->
+        """WITH s AS (SELECT event_type AS from_type,
+                             LEAD(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS to_type
+                      FROM events),
+           c AS (SELECT from_type, to_type, COUNT(*) AS n
+                 FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2)
+           SELECT from_type, to_type, n,
+                  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p
+           FROM c""",
+      "q_embedding_stats" ->
+        """WITH v AS (SELECT CAST(j - 1 AS BIGINT) AS pos,
+                             CAST(embedding[j] AS DOUBLE) AS v
+                      FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS j) js),
+           q AS (SELECT pos, v,
+                        CAST(floor(v * 1000000.0) AS BIGINT) AS q1,
+                        CAST(floor(v * v * 1000000000000.0) AS BIGINT) AS q2
+                 FROM v),
+           s AS (SELECT pos,
+                        CAST(SUM(q1) AS DOUBLE) / COUNT(*) / 1000000.0 AS mean,
+                        CAST(SUM(q2) AS DOUBLE) / COUNT(*) / 1000000000000.0 AS mean_sq,
+                        MIN(v) AS vmin, MAX(v) AS vmax
+                 FROM q GROUP BY pos)
+           SELECT pos, mean, mean_sq, vmin, vmax,
+                  sqrt(greatest(mean_sq - mean * mean, 0)) AS std
+           FROM s""",
       "q_stratified_sample" ->
         """SELECT l_returnflag, l_orderkey, l_linenumber, rn FROM (
              SELECT l_returnflag, l_orderkey, l_linenumber,
