@@ -728,6 +728,50 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // ----- RFM customer segmentation: recency/frequency/monetary
+    // quartiles (the customer table is dimension-sized, so the three
+    // global ntile sorts are single-stage; at fact-table cardinality
+    // ntile would become a range-partitioned sort) -----
+    "q_rfm" -> ((s, dir) => {
+      val cust = t(s, dir, "orders")
+        .withColumn("t_us", expr("unix_micros(cast(o_orderdate as timestamp))"))
+        .groupBy(col("o_custkey"))
+        .agg(max(col("t_us")).as("last_us"),
+          count(lit(1)).as("freq"),
+          sum(dec(col("o_totalprice"))).cast("double").as("monetary"))
+      cust
+        .withColumn("rq", ntile(4).over(
+          Window.orderBy(col("last_us").desc, col("o_custkey"))).cast("long"))
+        .withColumn("fq", ntile(4).over(
+          Window.orderBy(col("freq").desc, col("o_custkey"))).cast("long"))
+        .withColumn("mq", ntile(4).over(
+          Window.orderBy(col("monetary").desc, col("o_custkey"))).cast("long"))
+        .withColumn("segment", expr("concat(rq, fq, mq)"))
+        .select(col("o_custkey"), col("freq"), col("monetary"),
+          col("rq"), col("fq"), col("mq"), col("segment"))
+    }),
+
+    // ----- exact percentiles per group (sorted interpolation — both
+    // engines compute (a+b)/2 on exact doubles, so results hash-match,
+    // unlike approx sketches) -----
+    "q_exact_median" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5D)").as("median_value"),
+          expr("percentile(value, 0.9D)").as("p90_value"),
+          count(lit(1)).as("n"))),
+
+    // ----- skew-safe distinct count: pre-aggregate on (group, member)
+    // so the distinct set never concentrates on one reducer — the
+    // two-stage rewrite that keeps COUNT(DISTINCT) scaling under
+    // heavy-hitter groups (results identical to the direct form) -----
+    "q_salted_agg" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("c")).as("n_events"))),
+
     // ----- event-type transition matrix (first-order Markov over each
     // user's event sequence) -----
     "q_event_transitions" -> ((s, dir) => {
@@ -1942,6 +1986,29 @@ object SparkEntry {
                       CROSS JOIN nd
            WHERE n_ab >= 20
            ORDER BY n_ab DESC, w1, w2 LIMIT 20""",
+      "q_rfm" ->
+        """WITH cust AS (SELECT o_custkey, MAX(epoch_us(o_orderdate)) AS last_us,
+                                COUNT(*) AS freq,
+                                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+                         FROM orders GROUP BY o_custkey),
+           q AS (SELECT o_custkey, freq, monetary,
+                        CAST(NTILE(4) OVER (ORDER BY last_us DESC, o_custkey) AS BIGINT) AS rq,
+                        CAST(NTILE(4) OVER (ORDER BY freq DESC, o_custkey) AS BIGINT) AS fq,
+                        CAST(NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT) AS mq
+                 FROM cust)
+           SELECT o_custkey, freq, monetary, rq, fq, mq,
+                  concat(rq, fq, mq) AS segment
+           FROM q""",
+      "q_exact_median" ->
+        """SELECT event_type,
+                  percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS median_value,
+                  percentile_cont(0.9) WITHIN GROUP (ORDER BY value) AS p90_value,
+                  COUNT(*) AS n
+           FROM events GROUP BY event_type""",
+      "q_salted_agg" ->
+        """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+                  COUNT(*) AS n_events
+           FROM events GROUP BY event_type""",
       "q_event_transitions" ->
         """WITH s AS (SELECT event_type AS from_type,
                              LEAD(event_type) OVER (PARTITION BY user_id
