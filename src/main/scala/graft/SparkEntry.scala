@@ -772,6 +772,66 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_users"),
           sum(col("c")).as("n_events"))),
 
+    // ----- mergeable HLL sketches: per-group sketch + union-merge to a
+    // corpus-wide estimate WITHOUT re-scanning (the 100 TB pattern:
+    // partial sketches combine associatively, so distinct counts
+    // parallelize like sums). Oracle checks the accuracy-flag contract
+    // (approx within 5% of exact on both engines' own sketches). -----
+    "q_hll_sketch" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val per = ev.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+          countDistinct(col("user_id")).as("exact_users"))
+      val global = per.agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_all"))
+      val exactAll = ev.agg(countDistinct(col("user_id")).as("exact_all"))
+      per.select(col("event_type"), col("exact_users"),
+          (abs(expr("hll_sketch_estimate(sk)").cast("double") /
+            col("exact_users") - 1) < 0.05).as("hll_ok"))
+        .crossJoin(broadcast(global))
+        .crossJoin(broadcast(exactAll))
+        .select(col("event_type"), col("exact_users"), col("hll_ok"),
+          col("exact_all"),
+          (abs(col("est_all").cast("double") / col("exact_all") - 1) < 0.05)
+            .as("merge_ok"))
+    }),
+
+    // ----- z-order layout key: interleave the low 10 bits of two join
+    // dimensions — the space-filling-curve sort key that keeps BOTH
+    // columns' locality in one file order (data-layout optimization for
+    // multi-column pruning) -----
+    "q_zorder_key" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .withColumn("x", expr("l_orderkey % 1024"))
+        .withColumn("y", expr("l_partkey % 1024"))
+        // statically unrolled bit interleave: a flat 20-term integer
+        // expression stays entirely in whole-stage codegen (the HOF fold
+        // form allocated a per-row array and ran ~4x slower)
+        .withColumn("z", expr((0 until 10).map(b =>
+          s"((x >> $b) & 1) * ${1L << (2 * b)}L + " +
+            s"((y >> $b) & 1) * ${1L << (2 * b + 1)}L").mkString(" + ")))
+        .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+        .select(col("l_orderkey"), col("l_linenumber"), col("x"), col("y"),
+          col("z"))),
+
+    // ----- time-to-convert: first click -> first purchase per user
+    // (conditional min aggregation, one shuffle) -----
+    "q_time_to_convert" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("t_us", expr("ts div 1000"))
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "click", col("t_us")))
+            .as("first_click_us"),
+          min(when(col("event_type") === "purchase", col("t_us")))
+            .as("first_purchase_us"))
+        .filter(col("first_click_us").isNotNull &&
+          col("first_purchase_us").isNotNull &&
+          col("first_purchase_us") >= col("first_click_us"))
+        .select(col("user_id"),
+          expr("(first_purchase_us - first_click_us) div 1000000")
+            .as("secs_to_convert"))),
+
     // ----- event-type transition matrix (first-order Markov over each
     // user's event sequence) -----
     "q_event_transitions" -> ((s, dir) => {
@@ -2009,6 +2069,35 @@ object SparkEntry {
         """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
                   COUNT(*) AS n_events
            FROM events GROUP BY event_type""",
+      "q_hll_sketch" ->
+        """WITH per AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+                               abs(CAST(approx_count_distinct(user_id) AS DOUBLE) /
+                                   COUNT(DISTINCT user_id) - 1) < 0.05 AS hll_ok
+                        FROM events GROUP BY 1),
+           g AS (SELECT COUNT(DISTINCT user_id) AS exact_all,
+                        abs(CAST(approx_count_distinct(user_id) AS DOUBLE) /
+                            COUNT(DISTINCT user_id) - 1) < 0.05 AS merge_ok
+                 FROM events)
+           SELECT event_type, exact_users, hll_ok, exact_all, merge_ok
+           FROM per CROSS JOIN g""",
+      "q_zorder_key" ->
+        """SELECT l_orderkey, l_linenumber, x, y,
+                  CAST(list_sum(list_transform(range(0, 10), b ->
+                    ((x >> b) & 1) * (1::BIGINT << (2 * b)) +
+                    ((y >> b) & 1) * (1::BIGINT << (2 * b + 1)))) AS BIGINT) AS z
+           FROM (SELECT l_orderkey, l_linenumber,
+                        l_orderkey % 1024 AS x, l_partkey % 1024 AS y
+                 FROM lineitem)
+           ORDER BY z, l_orderkey, l_linenumber LIMIT 100""",
+      "q_time_to_convert" ->
+        """SELECT user_id,
+                  (first_purchase_us - first_click_us) // 1000000 AS secs_to_convert
+           FROM (SELECT user_id,
+                        MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS first_click_us,
+                        MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase_us
+                 FROM events GROUP BY user_id)
+           WHERE first_click_us IS NOT NULL AND first_purchase_us IS NOT NULL
+             AND first_purchase_us >= first_click_us""",
       "q_event_transitions" ->
         """WITH s AS (SELECT event_type AS from_type,
                              LEAD(event_type) OVER (PARTITION BY user_id
