@@ -59,6 +59,52 @@ object CorpusPipeline {
       .select(col(idCol), col("fp"), col("quality"))
   }
 
+  /** FULL production pipeline, composed from the round's operator set:
+    * repetition-aware quality gate (per-rule thresholds) → benchmark
+    * decontamination (5-gram hash overlap vs `bench`) → exact dedup on
+    * the fingerprint → near-dup CLUSTER representatives (min-label
+    * propagation). Returns (id, fp) survivors.
+    *
+    * Scale shape: the gate is narrow; decontamination shuffles 8-byte
+    * n-gram hashes against a broadcast benchmark; exact dedup shuffles
+    * fingerprints; LSH + label propagation run on the survivor set with
+    * signatures computed in-scope. The payload text never shuffles in
+    * any stage. */
+  def cleanFull(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import graft.functions.GraftFunctions
+    val gated = docs
+      .withColumn("toks", expr(sparkTokens(textCol)))
+      .withColumn("n_tokens", expr("size(toks)"))
+      .withColumn("distinct_ratio", expr(
+        "CAST(size(array_distinct(toks)) AS DOUBLE) / nullif(size(toks), 0)"))
+      .withColumn("top_share", expr(
+        "CAST(array_max(transform(array_distinct(toks), w -> " +
+          "size(filter(toks, x -> x = w)))) AS DOUBLE) / nullif(size(toks), 0)"))
+      .filter("n_tokens >= 20 AND n_tokens <= 90 AND " +
+        "distinct_ratio >= 0.45 AND top_share <= 0.12")
+      .withColumn("fp", GraftFunctions.polyHash(col(textCol)))
+    val contaminated = TextAnalysis
+      .decontaminate(gated.select(col(idCol), col(textCol)), bench,
+        idCol, textCol)
+      .select(idCol)
+    val cleanDocs = gated.join(contaminated, Seq(idCol), "left_anti")
+    val keepers = cleanDocs.groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
+    val survivors = Dedup.persistTracked(cleanDocs
+      .join(keepers, Seq("fp", idCol))
+      .select(col(idCol), col("fp"),
+        GraftFunctions.minhashSig(
+          GraftFunctions.shingles(col(textCol), 3), 12).as("mh")))
+    val pairs = Dedup.candidatesFromSignatures(survivors, idCol)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = Dedup.clusters(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("doc_a", "__cid")
+    survivors
+      .join(labels, col(idCol) === col("__cid"), "left")
+      .filter(col("cluster").isNull || col("cluster") === col(idCol))
+      .select(col(idCol), col("fp"))
+  }
+
   /** Cluster-aware variant of [[clean]]: instead of dropping the higher
     * id of each candidate PAIR (which can drop every member of a chain
     * a-b-c except `a`, but also drops `b` even when `a` was itself

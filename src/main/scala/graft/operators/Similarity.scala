@@ -92,8 +92,11 @@ object Similarity {
     * empty by an iteration keep their previous centroid. */
   def kmeansCodebook(vectors: DataFrame, idCol: String, vecCol: String,
       ncells: Int = 8, iters: Int = 2): Array[Array[Double]] = {
-    val v = vectors.select(col(idCol).as("vid"),
-      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("dv"))
+    // persist: every Lloyd iteration (init + assignments) re-reads the
+    // widened vectors; without the barrier each iteration re-scans the
+    // source. Caller-owned lifecycle via Dedup.releaseCaches.
+    val v = Dedup.persistTracked(vectors.select(col(idCol).as("vid"),
+      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("dv")))
     var cent: Array[Array[Double]] = v.orderBy("vid").limit(ncells)
       .select("dv").collect()
       .map(_.getSeq[Double](0).toArray)

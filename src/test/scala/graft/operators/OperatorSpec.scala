@@ -211,6 +211,22 @@ class OperatorSpec extends SparkSpec {
     assert(Multimodal.decodeWav(3L, wav3).isEmpty)
   }
 
+  test("cleanFull: survivors pass the gate and exclude contaminated docs") {
+    val bench = docs.filter("doc_id < 20")
+    val corpus = docs.filter("doc_id >= 20")
+    val surv = CorpusPipeline.cleanFull(corpus, bench, "doc_id", "text")
+    val gate = TextAnalysis.qualityGate(corpus, "doc_id", "text")
+      .filter("pass").select("doc_id")
+    val contaminated = TextAnalysis
+      .decontaminate(corpus, bench, "doc_id", "text").select("doc_id")
+    Dedup.releaseCaches()
+    assert(surv.count() > 0)
+    assert(surv.select("doc_id").exceptAll(gate).count() == 0)
+    assert(surv.join(contaminated, "doc_id").count() == 0)
+    // one representative per fingerprint (exact dedup held)
+    assert(surv.groupBy("fp").count().filter("count > 1").count() == 0)
+  }
+
   test("cleanClustered keeps a subset of clean (component minima only)") {
     // a component's min id is never the doc_b of any candidate pair, so
     // every clustered survivor also survives the pairwise form — the
