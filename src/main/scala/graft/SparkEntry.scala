@@ -285,6 +285,12 @@ object SparkEntry {
         "vec_id", "embedding", k = 3)
         .select(col("qid"), col("cid"), col("cosine"), col("rank"))
     }),
+    "q_ann_lsh_multiprobe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshMultiProbeTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3)
+        .select(col("qid"), col("cid"), col("cosine"), col("rank"))
+    }),
     "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
@@ -1602,6 +1608,18 @@ object SparkEntry {
                              ${duckCosine("q.embedding", "c.embedding")} AS cosine
                       FROM s q JOIN s c ON q.sig = c.sig AND q.vec_id <> c.vec_id
                       WHERE q.vec_id < 10),
+           r AS (SELECT qid, cid, cosine,
+                        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS "rank"
+                 FROM scored)
+           SELECT qid, cid, cosine, "rank" FROM r WHERE "rank" <= 3""",
+      "q_ann_lsh_multiprobe" ->
+        s"""WITH s AS (SELECT vec_id, embedding, ${duckSimSig("embedding", 8, 64)} AS sig0 FROM embeddings),
+           q AS (SELECT vec_id, embedding,
+                        unnest(list_prepend(sig0, list_transform(range(0, 8), b -> xor(sig0, 1::BIGINT << b)))) AS sig
+                 FROM s WHERE vec_id < 10),
+           scored AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                             ${duckCosine("q.embedding", "c.embedding")} AS cosine
+                      FROM q JOIN s c ON q.sig = c.sig0 AND q.vec_id <> c.vec_id),
            r AS (SELECT qid, cid, cosine,
                         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS "rank"
                  FROM scored)

@@ -176,6 +176,35 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** MULTI-PROBE LSH top-k: each query probes its own signature AND all
+    * `nbits` Hamming-1 neighbor signatures — the standard multi-probe
+    * trick that recovers neighbors lost to a single flipped hyperplane
+    * bit. Candidate work is (nbits+1)/2^nbits of the corpus instead of
+    * 1/2^nbits; recall strictly dominates single-probe [[lshTopK]]
+    * (probe sets are supersets; OperatorSpec measures both). Each
+    * candidate still owns exactly ONE signature, so multi-probe never
+    * duplicates a (query, candidate) pair. */
+  def lshMultiProbeTopK(candidates: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nbits: Int = 8,
+      dim: Int = 64): DataFrame = {
+    def sig(df: DataFrame, id: String, v: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(v),
+        GraftFunctions.simSig(col(vecCol), nbits).as("sig0"))
+    val q = broadcast(sig(queries, "qid", "qv")
+      .withColumn("sig", explode(expr(
+        s"array_union(array(sig0), transform(sequence(0L, ${nbits - 1}L), " +
+          "b -> sig0 ^ shiftleft(1L, cast(b AS int))))")))
+      .drop("sig0"))
+    val c = sig(candidates, "cid", "cv").withColumnRenamed("sig0", "sig")
+    val scored = q.join(c, "sig").filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        GraftFunctions.cosineSim(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Approximate top-k: only candidates whose LSH signature matches the
     * query's. Recall < 1; candidate work divided by ~2^nbits. */
   def lshTopK(candidates: DataFrame, queries: DataFrame, idCol: String,

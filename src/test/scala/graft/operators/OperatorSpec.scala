@@ -86,6 +86,20 @@ class OperatorSpec extends SparkSpec {
     assert(viol.count() == 0)
   }
 
+  test("multi-probe LSH recall dominates single-probe (superset probes)") {
+    val q = emb.filter("vec_id < 20")
+    val truth = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
+      k = 5).select("qid", "cid")
+    val nTruth = truth.count().toDouble
+    val single = Similarity.lshTopK(emb, q, "vec_id", "embedding", k = 5)
+      .select("qid", "cid")
+    val multi = Similarity.lshMultiProbeTopK(emb, q, "vec_id", "embedding",
+      k = 5).select("qid", "cid")
+    val rs = truth.join(single, Seq("qid", "cid")).count() / nTruth
+    val rm = truth.join(multi, Seq("qid", "cid")).count() / nTruth
+    assert(rm >= rs, s"multi-probe recall $rm < single-probe $rs")
+  }
+
   test("LSH ANN is a subset of brute-force candidates (same scoring)") {
     val bf = Similarity.bruteForceTopK(emb, emb.filter("vec_id < 5"),
       "vec_id", "embedding", k = 500)
