@@ -757,6 +757,26 @@ object SparkEntry {
           col("rq"), col("fq"), col("mq"), col("segment"))
     }),
 
+    // ----- z-score outlier detection: exact decimal moments (2-decimal
+    // values -> 4-decimal squares, both far from decimal-rounding
+    // halfway points), then a broadcast stats join flags |v-mean|>3*std
+    "q_outliers" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val stats = ev.groupBy(col("event_type").as("st"))
+        .agg((sum(dec(col("value"))).cast("double") / count(lit(1)))
+            .as("mean"),
+          (sum(expr("CAST(value * value AS DECIMAL(28,4))")).cast("double") /
+            count(lit(1))).as("mean_sq"))
+        .withColumn("std",
+          expr("sqrt(greatest(mean_sq - mean * mean, 0D))"))
+      ev.join(broadcast(stats), col("event_type") === col("st"))
+        .groupBy(col("event_type"))
+        .agg(sum(expr(
+            "CASE WHEN abs(value - mean) > 3 * std THEN 1L ELSE 0L END"))
+            .as("n_outliers"),
+          count(lit(1)).as("n_total"))
+    }),
+
     // ----- exact percentiles per group (sorted interpolation — both
     // engines compute (a+b)/2 on exact doubles, so results hash-match,
     // unlike approx sketches) -----
@@ -2129,6 +2149,17 @@ object SparkEntry {
            SELECT o_custkey, freq, monetary, rq, fq, mq,
                   concat(rq, fq, mq) AS segment
            FROM q""",
+      "q_outliers" ->
+        """WITH s AS (SELECT event_type AS st,
+                             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean,
+                             CAST(SUM(CAST(value * value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS mean_sq
+                      FROM events GROUP BY 1),
+           st AS (SELECT st, mean, sqrt(greatest(mean_sq - mean * mean, 0)) AS std FROM s)
+           SELECT e.event_type,
+                  CAST(SUM(CASE WHEN abs(e.value - st.mean) > 3 * st.std THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                  COUNT(*) AS n_total
+           FROM events e JOIN st ON e.event_type = st.st
+           GROUP BY e.event_type""",
       "q_exact_median" ->
         """SELECT event_type,
                   percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS median_value,
