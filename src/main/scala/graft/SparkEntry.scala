@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
-import graft.operators.{Dedup, Events, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Events, Graph, Similarity, TextAnalysis}
 import graft.functions.XFormulas
 
 /** Driver contract — one `queries` entry per operator from SURVEY.md §2
@@ -265,6 +265,13 @@ object SparkEntry {
     "q_dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.2)),
+    // EXACT set-similarity join via prefix filtering — provably no false
+    // negatives (unlike the LSH candidate paths above)
+    "q_setsim_prefix" -> ((s, dir) =>
+      Dedup.prefixJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.3)
+        .withColumnRenamed("id_a", "doc_a")
+        .withColumnRenamed("id_b", "doc_b")),
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 6)),
@@ -787,6 +794,28 @@ object SparkEntry {
           expr("percentile(value, 0.9D)").as("p90_value"),
           count(lit(1)).as("n"))),
 
+    // ----- robust outliers via MAD (median absolute deviation): immune
+    // to the outliers themselves inflating the spread estimate, unlike
+    // the z-score variant above; two tiny per-group stats tables ride
+    // broadcast joins so events stream through unshuffled -----
+    "q_mad_outliers" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val med = ev.groupBy(col("event_type").as("g"))
+        .agg(expr("percentile(value, 0.5D)").as("med"))
+      val dev = ev.join(broadcast(med), col("event_type") === col("g"))
+        .select(col("event_type"), col("value"), col("med"),
+          expr("abs(value - med)").as("adev"))
+      val mad = dev.groupBy(col("event_type").as("g2"))
+        .agg(expr("percentile(adev, 0.5D)").as("mad"))
+      dev.join(broadcast(mad), col("event_type") === col("g2"))
+        .groupBy(col("event_type"))
+        .agg(min(col("med")).as("median_value"),
+          min(col("mad")).as("mad"),
+          sum(when(expr("adev > 3 * 1.4826 * mad"), 1L).otherwise(0L))
+            .as("n_outliers"),
+          count(lit(1)).as("n"))
+    }),
+
     // ----- skew-safe distinct count: pre-aggregate on (group, member)
     // so the distinct set never concentrates on one reducer — the
     // two-stage rewrite that keeps COUNT(DISTINCT) scaling under
@@ -1204,6 +1233,116 @@ object SparkEntry {
         .withColumnRenamed("doc_a", "doc_id")
     }),
 
+    // ----- chi-square feature selection: token-presence vs source label
+    // over a bounded top-50-df vocabulary. All contingency counts and
+    // the denominator product stay in exact BIGINT space; the final
+    // N*d^2/denom runs on identically-rounded doubles, so results
+    // hash-match (margin products exceed 2^53 and would silently lose
+    // bits if computed as doubles) -----
+    "q_chi2_tokens" -> ((s, dir) => {
+      val docs = TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("source"), col("toks"))
+      val pres = docs
+        .select(col("doc_id"), col("source"),
+          explode(expr("array_distinct(toks)")).as("w"))
+      val vocab = pres.groupBy(col("w")).agg(count(lit(1)).as("nw"))
+        .orderBy(col("nw").desc, col("w")).limit(50)
+      val nDocs = docs.agg(count(lit(1)).as("n"))
+      val bySrc = docs.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+      val o11 = pres.join(broadcast(vocab.select("w")), "w")
+        .groupBy(col("w"), col("source")).agg(count(lit(1)).as("o11"))
+      // complete vocab x source grid so zero cells survive (they carry
+      // the strongest negative-association signal)
+      vocab.crossJoin(bySrc).crossJoin(nDocs)
+        .join(o11, Seq("w", "source"), "left")
+        .withColumn("o11", coalesce(col("o11"), lit(0L)))
+        .selectExpr("w", "source", "o11",
+          "o11 * (n - nw - ns + o11) - (nw - o11) * (ns - o11) AS d",
+          "nw * (n - nw) * ns * (n - ns) AS denom", "n")
+        .selectExpr("w", "source", "o11",
+          "CAST(n AS DOUBLE) * (CAST(d AS DOUBLE) * CAST(d AS DOUBLE)) / nullif(CAST(denom AS DOUBLE), 0) AS chi2")
+    }),
+
+    // ----- leakage-safe train/val split: near-dup cluster members are
+    // folded TOGETHER (fold keyed on the cluster representative, not the
+    // doc), so no near-duplicate pair ever straddles train/val — the
+    // split-contamination guard a dedup pipeline exists to provide -----
+    "q_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+        .select("doc_a", "doc_b")
+      val cl = Dedup.clusters(pairs, "doc_a", "doc_b")
+        .withColumnRenamed("doc_a", "cid")
+      docs.select(col("doc_id"))
+        .join(cl, col("doc_id") === col("cid"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("group_key"))
+        .selectExpr("doc_id", "group_key",
+          s"${XFormulas.sparkStrHash("CAST(group_key AS STRING)")} % 5 AS fold")
+    }),
+
+    // ----- per-doc out-of-vocabulary rate against the corpus top-100
+    // vocabulary (tiny, broadcast): the fraction of token occurrences a
+    // fixed tokenizer vocab would miss -----
+    "q_oov_rate" -> ((s, dir) => {
+      val docs = TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+      val tokens = docs.select(col("doc_id"), explode(col("toks")).as("w"))
+      val vocab = tokens.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(100)
+        .select(col("w"), lit(1L).as("in_v"))
+      tokens.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(coalesce(col("in_v"), lit(0L))).as("n_in_vocab"))
+        .withColumn("oov_rate",
+          expr("CAST(n_tokens - n_in_vocab AS DOUBLE) / n_tokens"))
+    }),
+
+    // ----- PII redaction: mask emails/phones/IPs + per-category audit
+    // counts over a customer-profile string (streams at scan speed) -----
+    "q_pii_redact" -> ((s, dir) =>
+      graft.operators.TextAnalysis.redactPii(
+        t(s, dir, "customer").select(col("c_custkey"),
+          expr("""concat_ws(' ', c_name,
+              concat(lower(regexp_replace(c_name, '#', '')), '@example.com'),
+              'ph', concat(lpad(CAST(10 + c_nationkey AS STRING), 2, '0'), '-',
+                lpad(CAST(c_custkey % 1000 AS STRING), 3, '0'), '-',
+                lpad(CAST((c_custkey * 7) % 1000 AS STRING), 3, '0'), '-',
+                lpad(CAST((c_custkey * 13) % 10000 AS STRING), 4, '0')),
+              'ip', concat(CAST(c_custkey % 256 AS STRING), '.',
+                CAST((c_custkey * 3) % 256 AS STRING), '.',
+                CAST((c_custkey * 5) % 256 AS STRING), '.',
+                CAST((c_custkey * 7) % 256 AS STRING)),
+              c_mktsegment)""").as("profile")),
+        "c_custkey", "profile")),
+
+    // ----- dataset profile: per-column nulls/distincts/min/max in ONE
+    // scan (single agg + stack unpivot; no per-column jobs) -----
+    "q_profile" -> ((s, dir) =>
+      graft.operators.Profiling.profile(t(s, dir, "orders"), Seq(
+        "o_orderkey" -> "num", "o_custkey" -> "num",
+        "o_orderstatus" -> "str", "o_totalprice" -> "num",
+        "o_orderdate" -> "ts", "o_orderpriority" -> "str"))),
+
+    // ----- record linkage: block on nation, verify by edit distance
+    // (block-then-verify cuts the O(n^2) space to within-block pairs) -----
+    "q_record_linkage" -> ((s, dir) =>
+      graft.operators.Linkage.linkWithin(t(s, dir, "customer"),
+        "c_custkey", "c_name", Seq("c_nationkey"), maxEdit = 1)),
+
+    // ----- PageRank over the near-dup candidate graph: bounded
+    // fixed-point BIGINT rounds (IEEE double sums are order-dependent
+    // and can never hash-match across engines or even reruns; integer
+    // sums are exact), undirected edges emitted both ways -----
+    "q_pagerank" -> ((s, dir) => {
+      val cand = Dedup.minhashCandidates(
+        t(s, dir, "documents"), "doc_id", "text").select("doc_a", "doc_b")
+      val edges = cand.unionAll(
+        cand.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      Graph.pagerank(edges, "doc_a", "doc_b")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // ----- salted skew join through the correctness gate: its contract
     // is row-identical output to the plain equi join (the oracle runs
     // the plain form) -----
@@ -1235,6 +1374,30 @@ object SparkEntry {
           "(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
             "(sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
             " sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qp")),
+
+    // ----- group-wise OLS regression (slope/intercept/r2) from EXACT
+    // decimal moments — built-in regr_* aggregates use order-dependent
+    // streaming updates that cannot hash-match across engines; exact
+    // sums cast to double make every downstream IEEE op bit-identical -----
+    "q_regression" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).as("sx"),
+          sum(dec(col("l_extendedprice"))).as("sy"),
+          sum(dec(col("l_quantity")) * dec(col("l_quantity"))).as("sxx"),
+          sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice"))).as("syy"),
+          sum(dec(col("l_quantity")) * dec(col("l_extendedprice"))).as("sxy"))
+        .withColumn("slope",
+          expr("(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+            "nullif(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0)"))
+        .withColumn("intercept",
+          expr("(CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n"))
+        .withColumn("r2",
+          expr("slope * slope * (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / " +
+            "nullif(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0)"))
+        .select("l_linestatus", "n", "slope", "intercept", "r2")),
 
     // ----- bitwise aggregates -----
     "q_bitwise_agg" -> ((s, dir) =>
@@ -1597,6 +1760,24 @@ object SparkEntry {
              JOIN sh sa ON sa.doc_id = c.doc_a
              JOIN sh sb ON sb.doc_id = c.doc_b)
            WHERE jaccard >= 0.2""",
+      "q_setsim_prefix" ->
+        s"""WITH tkk AS (SELECT doc_id, ${duckTokens("text")} AS tok0 FROM documents),
+           tk AS (SELECT doc_id, list_distinct(${duckShingles("tok0", 3)}) AS toks FROM tkk),
+           dt AS (SELECT doc_id, len(toks) AS n_toks, unnest(toks) AS tok FROM tk),
+           tdf AS (SELECT tok, COUNT(*) AS df FROM dt GROUP BY tok),
+           pf AS (SELECT doc_id, tok FROM (
+                    SELECT d.doc_id, d.tok, d.n_toks,
+                           ROW_NUMBER() OVER (PARTITION BY d.doc_id ORDER BY t.df, d.tok) AS rn
+                    FROM dt d JOIN tdf t ON d.tok = t.tok)
+                  WHERE rn <= n_toks - CAST(ceil(0.3 * n_toks) AS BIGINT) + 1),
+           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM pf a JOIN pf b ON a.tok = b.tok AND a.doc_id < b.doc_id)
+           SELECT doc_a, doc_b, jaccard FROM (
+             SELECT c.doc_a, c.doc_b,
+                    ${duckJaccard("ta.toks", "tb.toks")} AS jaccard
+             FROM cand c JOIN tk ta ON ta.doc_id = c.doc_a
+             JOIN tk tb ON tb.doc_id = c.doc_b)
+           WHERE jaccard >= 0.3""",
       "q_dedup_simhash" ->
         s"""$shingleCtes,
            sigs AS (SELECT doc_id, ${duckSimhash("hs")} AS sh2 FROM hs),
@@ -2166,6 +2347,20 @@ object SparkEntry {
                   percentile_cont(0.9) WITHIN GROUP (ORDER BY value) AS p90_value,
                   COUNT(*) AS n
            FROM events GROUP BY event_type""",
+      "q_mad_outliers" ->
+        """WITH med AS (SELECT event_type AS g,
+                  percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+                FROM events GROUP BY 1),
+           dev AS (SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+                   FROM events e JOIN med m ON e.event_type = m.g),
+           mad AS (SELECT event_type AS g2,
+                  percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+                FROM dev GROUP BY 1)
+           SELECT d.event_type, MIN(d.med) AS median_value, MIN(md.mad) AS mad,
+                  CAST(SUM(CASE WHEN d.adev > 3 * 1.4826 * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                  COUNT(*) AS n
+           FROM dev d JOIN mad md ON d.event_type = md.g2
+           GROUP BY d.event_type""",
       "q_salted_agg" ->
         """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
                   COUNT(*) AS n_events
@@ -2422,6 +2617,138 @@ object SparkEntry {
            $rounds
            SELECT id AS doc_id, label AS cluster FROM l3"""
       },
+      "q_chi2_tokens" ->
+        s"""WITH tk AS (SELECT doc_id, source, ${duckTokens("text")} AS toks FROM documents),
+           pres AS (SELECT doc_id, source, unnest(list_distinct(toks)) AS w FROM tk),
+           vocab AS (SELECT w, nw FROM (
+                       SELECT w, CAST(COUNT(*) AS BIGINT) AS nw FROM pres GROUP BY w
+                       ORDER BY nw DESC, w LIMIT 50)),
+           nd AS (SELECT COUNT(*) AS n FROM tk),
+           bysrc AS (SELECT source, COUNT(*) AS ns FROM tk GROUP BY source),
+           o AS (SELECT p.w, p.source, CAST(COUNT(*) AS BIGINT) AS o11
+                 FROM pres p JOIN vocab v ON p.w = v.w GROUP BY p.w, p.source),
+           grid AS (SELECT v.w, v.nw, b.source, b.ns, nd.n
+                    FROM vocab v CROSS JOIN bysrc b CROSS JOIN nd),
+           j AS (SELECT g.w, g.source, coalesce(o.o11, 0) AS o11, g.nw, g.ns, g.n
+                 FROM grid g LEFT JOIN o ON g.w = o.w AND g.source = o.source),
+           k AS (SELECT w, source, o11,
+                        o11 * (n - nw - ns + o11) - (nw - o11) * (ns - o11) AS d,
+                        nw * (n - nw) * ns * (n - ns) AS denom, n
+                 FROM j)
+           SELECT w, source, o11,
+                  CAST(n AS DOUBLE) * (CAST(d AS DOUBLE) * CAST(d AS DOUBLE)) / nullif(CAST(denom AS DOUBLE), 0) AS chi2
+           FROM k""",
+      "q_safe_split" -> {
+        val rounds = (1 to 3).map { i =>
+          s"""l$i AS (SELECT n.id, least(n.label, coalesce(m.nm, n.label)) AS label
+                FROM l${i - 1} n LEFT JOIN (
+                  SELECT e.src, MIN(l.label) AS nm FROM edges e
+                  JOIN l${i - 1} l ON e.dst = l.id GROUP BY e.src) m
+                ON n.id = m.src)"""
+        }.mkString(",\n")
+        s"""$minhashCtes,
+           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM buckets a JOIN buckets b
+                      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+           edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                     UNION ALL SELECT doc_b AS src, doc_a AS dst FROM cand),
+           nodes AS (SELECT DISTINCT src AS id FROM edges),
+           l0 AS (SELECT id, id AS label FROM nodes),
+           $rounds,
+           g AS (SELECT d.doc_id, coalesce(c.label, d.doc_id) AS group_key
+                 FROM documents d LEFT JOIN l3 c ON d.doc_id = c.id)
+           SELECT doc_id, group_key,
+                  ${duckStrHash("CAST(group_key AS VARCHAR)")} % 5 AS fold
+           FROM g"""
+      },
+      "q_oov_rate" ->
+        s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
+           tok AS (SELECT doc_id, unnest(toks) AS w FROM tk),
+           vocab AS (SELECT w FROM (
+                       SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w
+                       ORDER BY cnt DESC, w LIMIT 100)),
+           j AS (SELECT t.doc_id,
+                        CASE WHEN v.w IS NULL THEN 0 ELSE 1 END AS in_v
+                 FROM tok t LEFT JOIN vocab v ON t.w = v.w)
+           SELECT doc_id, COUNT(*) AS n_tokens,
+                  CAST(SUM(in_v) AS BIGINT) AS n_in_vocab,
+                  CAST(COUNT(*) - SUM(in_v) AS DOUBLE) / COUNT(*) AS oov_rate
+           FROM j GROUP BY doc_id""",
+      "q_pii_redact" -> {
+        import graft.operators.TextAnalysis.{piiEmail, piiIp, piiPhone}
+        s"""WITH p AS (SELECT c_custkey,
+                  c_name || ' ' || lower(regexp_replace(c_name, '#', '', 'g')) || '@example.com' ||
+                  ' ph ' || lpad(CAST(10 + c_nationkey AS VARCHAR), 2, '0') || '-' ||
+                  lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+                  lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') || '-' ||
+                  lpad(CAST((c_custkey * 13) % 10000 AS VARCHAR), 4, '0') ||
+                  ' ip ' || CAST(c_custkey % 256 AS VARCHAR) || '.' ||
+                  CAST((c_custkey * 3) % 256 AS VARCHAR) || '.' ||
+                  CAST((c_custkey * 5) % 256 AS VARCHAR) || '.' ||
+                  CAST((c_custkey * 7) % 256 AS VARCHAR) ||
+                  ' ' || c_mktsegment AS profile
+           FROM customer)
+           SELECT c_custkey,
+                  regexp_replace(regexp_replace(regexp_replace(profile,
+                    '$piiEmail', '[EMAIL]', 'g'), '$piiIp', '[IP]', 'g'),
+                    '$piiPhone', '[PHONE]', 'g') AS redacted,
+                  CAST(len(regexp_extract_all(profile, '$piiEmail')) AS BIGINT) AS n_emails,
+                  CAST(len(regexp_extract_all(profile, '$piiPhone')) AS BIGINT) AS n_phones,
+                  CAST(len(regexp_extract_all(profile, '$piiIp')) AS BIGINT) AS n_ips
+           FROM p"""
+      },
+      "q_profile" -> {
+        val cols = Seq("o_orderkey" -> "num", "o_custkey" -> "num",
+          "o_orderstatus" -> "str", "o_totalprice" -> "num",
+          "o_orderdate" -> "ts", "o_orderpriority" -> "str")
+        def mm(c: String, kind: String, f: String) = kind match {
+          case "num" => s"CAST(CAST($f($c) AS DECIMAL(18,2)) AS VARCHAR)"
+          case _     => s"CAST($f($c) AS VARCHAR)"
+        }
+        val branches = cols.map { case (c, kind) =>
+          s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+                CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+                ${mm(c, kind, "MIN")} AS min_val,
+                ${mm(c, kind, "MAX")} AS max_val
+              FROM orders"""
+        }
+        branches.mkString("\n UNION ALL \n")
+      },
+      "q_record_linkage" ->
+        """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+           FROM customer a JOIN customer b
+             ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+           WHERE levenshtein(a.c_name, b.c_name) <= 1""",
+      "q_pagerank" -> {
+        // 3 unrolled fixed-point rounds — integer ops only, so the
+        // BIGINT ranks are bit-identical to Graph.pagerank's
+        val rounds = (1 to 3).map { i =>
+          s"""r$i AS (SELECT n.id,
+                (15 * 1000000000000) // (100 * (SELECT n_nodes FROM nn)) +
+                (85 * coalesce(m.s, 0)) // 100 AS rank_fx
+              FROM r${i - 1} n LEFT JOIN (
+                SELECT e.dst, CAST(SUM(r.rank_fx // d.outdeg) AS BIGINT) AS s
+                FROM edges e JOIN deg d ON e.src = d.src
+                JOIN r${i - 1} r ON e.src = r.id GROUP BY e.dst) m
+              ON n.id = m.dst)"""
+        }.mkString(",\n")
+        s"""$minhashCtes,
+           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM buckets a JOIN buckets b
+                      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+           edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                     UNION ALL SELECT doc_b AS src, doc_a AS dst FROM cand),
+           deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+           nodes AS (SELECT DISTINCT src AS id FROM edges),
+           nn AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+           r0 AS (SELECT id, 1000000000000 // (SELECT n_nodes FROM nn) AS rank_fx FROM nodes),
+           $rounds
+           SELECT id AS doc_id, rank_fx,
+                  CAST(rank_fx AS DOUBLE) / 1000000000000.0 AS pagerank
+           FROM r3"""
+      },
       "q_order_gap" ->
         """SELECT o_custkey, CAST(date_diff('day', d1, d2) AS BIGINT) AS gap_days
            FROM (
@@ -2451,6 +2778,23 @@ object SparkEntry {
                   (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
                    sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qp
            FROM a""",
+      "q_regression" ->
+        """WITH a AS (SELECT l_linestatus, COUNT(*) AS n,
+                  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+                  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+                  SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+                  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+                  SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+           FROM lineitem GROUP BY l_linestatus),
+           b AS (SELECT l_linestatus, n, sx, sy, sxx, syy,
+                  (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                  nullif(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0) AS slope
+           FROM a)
+           SELECT l_linestatus, n, slope,
+                  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n AS intercept,
+                  slope * slope * (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+                  nullif(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0) AS r2
+           FROM b""",
       "q_bitwise_agg" ->
         """SELECT o_orderstatus,
                   bit_and(o_orderkey) AS band, bit_or(o_orderkey) AS bor,

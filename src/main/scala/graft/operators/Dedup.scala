@@ -143,6 +143,56 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT set-similarity join via prefix filtering (the AllPairs /
+    * PPJoin family, Bayardo et al. WWW'07): each doc keeps only its first
+    * `p = n - ceil(t*n) + 1` distinct tokens in ascending global
+    * document-frequency order (rarest first); any pair with token-set
+    * Jaccard >= t must share at least one prefix token, so the prefix
+    * equi-join has NO false negatives — exact verification then removes
+    * the false positives. Complements the MinHash path: LSH trades
+    * recall for speed, prefix filtering is exact with cost governed by
+    * rare-token selectivity.
+    *
+    * Scale: the candidate join keys on PREFIX tokens only — each doc's
+    * rarest — so per-token fan-out is bounded by that token's df, and
+    * high-frequency tokens (the skew risk) are precisely the ones a
+    * prefix excludes first. The per-doc ordering is a window partitioned
+    * BY DOC (fully parallel, never a global sort); the only corpus-wide
+    * state is the token-df table, reached by an equi-join on token. */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingle: Int = 3): DataFrame = {
+    // Set elements are word n-gram SHINGLES (shingle=1 degenerates to
+    // plain tokens): on template-heavy corpora raw token sets are so
+    // globally dense that every doc pairs with every other — shingles
+    // keep set similarity local to genuine near-dups.
+    // persist: shingle arrays feed the df-count, the prefix window, AND
+    // both sides of the verify join — see the recompute note on
+    // minhashCandidates
+    val toks = persistTracked(df.select(col(idCol).as("id"),
+        expr(s"array_distinct(${sparkShingles(sparkTokens(textCol), shingle)})")
+          .as("toks"))
+      .withColumn("n_toks", size(col("toks"))))
+    val docTok = toks.select(col("id"), col("n_toks"),
+      explode(col("toks")).as("tok"))
+    val tokDf = docTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val prefixes = docTok.join(tokDf, "tok")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))))
+      .filter(col("rn") <=
+        col("n_toks") - ceil(lit(threshold) * col("n_toks")) + 1)
+      .select(col("id"), col("tok"))
+    val cands = prefixes.select(col("id").as("id_a"), col("tok"))
+      .join(prefixes.select(col("id").as("id_b"), col("tok")), "tok")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(toks.select(col("id").as("id_a"), col("toks").as("t_a")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("toks").as("t_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        expr(sparkJaccard("t_a", "t_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Per-doc 32-bit SimHash over distinct shingle hashes (fully native
     * codegen'd pipeline — see minhashSignatures note). */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge lists (e.g. the near-dup candidate graph
+  * produced by [[Dedup.minhashCandidates]]).
+  *
+  * Scale design: every round is ONE shuffle of the edge list (join on
+  * `src`, re-aggregate on `dst`); the per-node state table is one row
+  * per node and rides the same hash partitioning. No adjacency matrix,
+  * no driver-side graph — edges stream through joins, so the operator
+  * survives graphs that don't fit on any single machine.
+  */
+object Graph {
+
+  /** Bounded-round PageRank in FIXED-POINT arithmetic.
+    *
+    * Ranks are BIGINTs scaled by `scale` (default 1e12); each round is
+    *   contrib(u->v) = rank_fx(u) div outdeg(u)
+    *   rank_fx'(v)   = (15 * scale) div (100 * N) + (85 * sum(contrib)) div 100
+    * — all integer ops. Why fixed-point instead of doubles: IEEE
+    * addition is not associative, so a double `sum` depends on partition
+    * order and can never hash-match a different engine (or even a rerun
+    * with different partitioning). BIGINT sums are exact and
+    * order-independent, which makes the operator DETERMINISTIC on a
+    * cluster — the property matters well beyond oracle parity. The
+    * quantization error per round is < outdeg ulps of 1e-12 — noise far
+    * below the 0.15/0.85 damping structure.
+    *
+    * Rounds are bounded (no driver-side convergence loop on unbounded
+    * data) and each round `localCheckpoint`s the (tiny) rank table to cut
+    * lineage — same discipline as [[Dedup.clusters]].
+    */
+  def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 3, scale: Long = 1000000000000L): DataFrame = {
+    // persist: the edge list feeds the degree agg plus one join per round
+    val e = Dedup.persistTracked(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    val deg = Dedup.persistTracked(
+      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+    val n = nodes.agg(count(lit(1)).as("n_nodes"))
+    var ranks = nodes.crossJoin(broadcast(n))
+      .selectExpr("id", s"${scale}L div n_nodes AS rank_fx", "n_nodes")
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val contrib = e.join(deg, "src")
+        .join(ranks.select(col("id").as("src"), col("rank_fx")), "src")
+        .select(col("dst"), expr("rank_fx div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = ranks.join(contrib, ranks("id") === contrib("dst"), "left")
+        .select(ranks("id"),
+          expr(s"(15 * ${scale}L) div (100 * n_nodes) + " +
+            "(85 * coalesce(s, 0L)) div 100").as("rank_fx"),
+          ranks("n_nodes"))
+        .localCheckpoint()
+    }
+    ranks.select(col("id"), col("rank_fx"),
+      (col("rank_fx").cast("double") / lit(scale.toDouble)).as("pagerank"))
+  }
+}

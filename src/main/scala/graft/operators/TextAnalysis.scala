@@ -101,6 +101,26 @@ object TextAnalysis {
       .select(col(idCol), col("flag_len"), col("flag_diverse"),
         col("flag_rep"), col("pass"))
 
+  /** PII REDACTION: mask email / phone / IPv4 shapes with typed
+    * placeholders and report per-category hit counts — the standard
+    * pre-training scrub pass. Pure regexp built-ins (codegen'd, narrow,
+    * no shuffle): the pass streams through the corpus at scan speed, and
+    * the per-category counts come from `regexp_extract_all` on the
+    * ORIGINAL text so the audit trail is independent of replacement
+    * order. Patterns use portable character-class syntax (no perl
+    * shorthands) so Java regex and RE2-family engines agree. */
+  val piiEmail = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+  val piiPhone = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val piiIp = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.selectExpr(idCol,
+      s"regexp_replace(regexp_replace(regexp_replace($textCol, " +
+        s"'$piiEmail', '[EMAIL]'), '$piiIp', '[IP]'), " +
+        s"'$piiPhone', '[PHONE]') AS redacted",
+      s"CAST(size(regexp_extract_all($textCol, '$piiEmail', 0)) AS BIGINT) AS n_emails",
+      s"CAST(size(regexp_extract_all($textCol, '$piiPhone', 0)) AS BIGINT) AS n_phones",
+      s"CAST(size(regexp_extract_all($textCol, '$piiIp', 0)) AS BIGINT) AS n_ips")
+
   /** Benchmark DECONTAMINATION: for every corpus document, count the
     * distinct word-`n`-gram collisions with a benchmark document set —
     * the standard n-gram-overlap test for train/test leakage. Shingles

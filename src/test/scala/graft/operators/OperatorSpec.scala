@@ -264,6 +264,57 @@ class OperatorSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("prefix-filter set-similarity join is EXACT: equals brute force") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.XFormulas
+    // plant guaranteed near-dups: 10 exact copies under new ids
+    val base = docs.select(col("doc_id"), col("text"))
+    val corpus = base.unionAll(base.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val got = Dedup.prefixJaccardPairs(corpus, "doc_id", "text", 0.3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over all pairs (510 docs — fine at spec scale)
+    val sh = corpus.selectExpr("doc_id",
+      s"array_distinct(${XFormulas.sparkShingles(XFormulas.sparkTokens("text"), 3)}) AS t")
+    val brute = sh.as("a").crossJoin(sh.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        expr(XFormulas.sparkJaccard("a.t", "b.t")).as("j"))
+      .filter(col("j") >= 0.3)
+      .select("a.doc_id", "b.doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.releaseCaches()
+    assert(got.size >= 10, s"planted dups missed: ${got.size}")
+    assert(got == brute)
+  }
+
+  test("pagerank: fixed-point ranks concentrate on the hub, mass conserved") {
+    import spark.implicits._
+    // star graph: 1 <-> {2,3,4}, plus an isolated pair 10 <-> 11;
+    // edges must arrive pre-doubled (undirected convention)
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.pagerank(edges, "src", "dst", rounds = 3)
+      .select("id", "rank_fx").as[(Long, Long)].collect().toMap
+    Dedup.releaseCaches()
+    assert(got.size == 6)
+    // hub of the star outranks its spokes; spokes are symmetric
+    assert(got(1L) > got(2L))
+    assert(got(2L) == got(3L) && got(3L) == got(4L))
+    // the isolated pair just exchanges its mass — ranks stay ~1/N each
+    assert(got(10L) == got(11L))
+    // total fixed-point mass conserved within integer-truncation slack
+    val total = got.values.sum
+    assert(total > 900000000000L && total <= 1000000000000L,
+      s"mass drifted: $total")
+    // determinism: a rerun is bit-identical (integer ops only)
+    val again = Graph.pagerank(edges, "src", "dst", rounds = 3)
+      .select("id", "rank_fx").as[(Long, Long)].collect().toMap
+    Dedup.releaseCaches()
+    assert(again == got)
+  }
+
   test("minhash-union UDAF: element-wise min, partial aggregation in plan") {
     import org.apache.spark.sql.functions.col
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
