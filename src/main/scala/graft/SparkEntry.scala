@@ -265,6 +265,11 @@ object SparkEntry {
     "q_dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.2)),
+    // containment (|A∩B|/|A|) on the LSH candidates: catches short docs
+    // embedded in longer ones, which symmetric Jaccard dilutes away
+    "q_dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.4)),
     // EXACT set-similarity join via prefix filtering — provably no false
     // negatives (unlike the LSH candidate paths above)
     "q_setsim_prefix" -> ((s, dir) =>
@@ -1326,9 +1331,12 @@ object SparkEntry {
 
     // ----- record linkage: block on nation, verify by edit distance
     // (block-then-verify cuts the O(n^2) space to within-block pairs) -----
+    // symmetric-delete candidate generation (FastSS/SymSpell family):
+    // candidates scale with ACTUAL near-matches, not block size; the
+    // oracle runs the brute within-block form — results identical
     "q_record_linkage" -> ((s, dir) =>
-      graft.operators.Linkage.linkWithin(t(s, dir, "customer"),
-        "c_custkey", "c_name", Seq("c_nationkey"), maxEdit = 1)),
+      graft.operators.Linkage.linkWithinDeletes(t(s, dir, "customer"),
+        "c_custkey", "c_name", Seq("c_nationkey"))),
 
     // ----- PageRank over the near-dup candidate graph: bounded
     // fixed-point BIGINT rounds (IEEE double sums are order-dependent
@@ -1760,9 +1768,22 @@ object SparkEntry {
              JOIN sh sa ON sa.doc_id = c.doc_a
              JOIN sh sb ON sb.doc_id = c.doc_b)
            WHERE jaccard >= 0.2""",
+      "q_dedup_containment" ->
+        s"""$minhashCtes,
+           cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM buckets a JOIN buckets b
+                       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+           SELECT * FROM (
+             SELECT c.doc_a, c.doc_b,
+                    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / nullif(len(sa.shingles), 0) AS contain_a,
+                    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / nullif(len(sb.shingles), 0) AS contain_b
+             FROM cands c
+             JOIN sh sa ON sa.doc_id = c.doc_a
+             JOIN sh sb ON sb.doc_id = c.doc_b)
+           WHERE greatest(contain_a, contain_b) >= 0.4""",
       "q_setsim_prefix" ->
         s"""WITH tkk AS (SELECT doc_id, ${duckTokens("text")} AS tok0 FROM documents),
-           tk AS (SELECT doc_id, list_distinct(${duckShingles("tok0", 3)}) AS toks FROM tkk),
+           tk AS (SELECT doc_id, list_distinct(list_transform(${duckShingles("tok0", 3)}, s -> ${duckStrHash("s")})) AS toks FROM tkk),
            dt AS (SELECT doc_id, len(toks) AS n_toks, unnest(toks) AS tok FROM tk),
            tdf AS (SELECT tok, COUNT(*) AS df FROM dt GROUP BY tok),
            pf AS (SELECT doc_id, tok FROM (

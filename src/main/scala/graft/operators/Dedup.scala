@@ -143,6 +143,32 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** CONTAINMENT verification on the LSH candidate pairs:
+    * `|A∩B| / |A|` (and the B-side mirror) — catches a short document
+    * EMBEDDED inside a longer one, which symmetric Jaccard dilutes
+    * toward zero as the length gap grows. Same candidate-then-verify
+    * scale shape as [[jaccardPairs]]. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 12, bands: Int = 4, shingle: Int = 3,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val cands =
+      minhashCandidates(df, idCol, textCol, k, bands, shingle, maxBucket)
+        .select("doc_a", "doc_b")
+    // persist: joined twice (doc_a and doc_b sides) — see minhashCandidates
+    val sh = persistTracked(
+      df.select(col(idCol),
+        GraftFunctions.shingles(col(textCol), shingle).as("shingles")))
+    cands
+      .join(sh.select(col(idCol).as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col(idCol).as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / nullif(size(sh_a), 0)")
+          .as("contain_a"),
+        expr("CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / nullif(size(sh_b), 0)")
+          .as("contain_b"))
+      .filter(greatest(col("contain_a"), col("contain_b")) >= threshold)
+  }
+
   /** EXACT set-similarity join via prefix filtering (the AllPairs /
     * PPJoin family, Bayardo et al. WWW'07): each doc keeps only its first
     * `p = n - ceil(t*n) + 1` distinct tokens in ascending global
@@ -161,16 +187,21 @@ object Dedup {
     * state is the token-df table, reached by an equi-join on token. */
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingle: Int = 3): DataFrame = {
-    // Set elements are word n-gram SHINGLES (shingle=1 degenerates to
-    // plain tokens): on template-heavy corpora raw token sets are so
-    // globally dense that every doc pairs with every other — shingles
-    // keep set similarity local to genuine near-dups.
-    // persist: shingle arrays feed the df-count, the prefix window, AND
+    // Set elements are word n-gram SHINGLES (on template-heavy corpora
+    // raw token sets are so globally dense that every doc pairs with
+    // every other — shingles keep set similarity local to genuine
+    // near-dups), reduced to 64-bit polynomial HASHES up front: every
+    // downstream exchange (df-count, prefix self-join, verify) then
+    // moves and compares 8-byte longs, never shingle text — the same
+    // hash-before-shuffle discipline as `TextAnalysis.decontaminate`
+    // (and measured 4-5x cheaper end-to-end at sf0.1).
+    // persist: the arrays feed the df-count, the prefix window, AND
     // both sides of the verify join — see the recompute note on
     // minhashCandidates
     val toks = persistTracked(df.select(col(idCol).as("id"),
-        expr(s"array_distinct(${sparkShingles(sparkTokens(textCol), shingle)})")
-          .as("toks"))
+        array_distinct(transform(
+          GraftFunctions.shingles(col(textCol), shingle),
+          s => GraftFunctions.polyHash(s))).as("toks"))
       .withColumn("n_toks", size(col("toks"))))
     val docTok = toks.select(col("id"), col("n_toks"),
       explode(col("toks")).as("tok"))

@@ -289,6 +289,19 @@ class OperatorSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("symmetric-delete linkage equals blocked brute-force linkage") {
+    import org.apache.spark.sql.functions.col
+    val cust = Tables(spark, dir, "customer")
+    val fast = Linkage.linkWithinDeletes(cust, "c_custkey", "c_name",
+      Seq("c_nationkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = Linkage.linkWithin(cust, "c_custkey", "c_name",
+      Seq("c_nationkey"), maxEdit = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fast.nonEmpty)
+    assert(fast == brute)
+  }
+
   test("pagerank: fixed-point ranks concentrate on the hub, mass conserved") {
     import spark.implicits._
     // star graph: 1 <-> {2,3,4}, plus an isolated pair 10 <-> 11;
