@@ -265,6 +265,16 @@ object SparkEntry {
     "q_dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.2)),
+    // ingest-path dedup: candidates between an incoming batch (top
+    // fifth of doc ids) and the existing corpus — cost proportional to
+    // the INCREMENT, never re-pairing the corpus with itself
+    "q_ingest_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.crossCorpusCandidates(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+        .select(col("new_id"), col("base_id"), col("est_jaccard"))
+    }),
     // containment (|A∩B|/|A|) on the LSH candidates: catches short docs
     // embedded in longer ones, which symmetric Jaccard dilutes away
     "q_dedup_containment" -> ((s, dir) =>
@@ -1768,6 +1778,13 @@ object SparkEntry {
              JOIN sh sa ON sa.doc_id = c.doc_a
              JOIN sh sb ON sb.doc_id = c.doc_b)
            WHERE jaccard >= 0.2""",
+      "q_ingest_dedup" ->
+        s"""$minhashCtes
+           SELECT DISTINCT n.doc_id AS new_id, b.doc_id AS base_id,
+                  CAST(len(list_filter(list_transform(range(1, 13), i -> n.mh[i] = b.mh[i]), v -> v)) AS DOUBLE) / 12 AS est_jaccard
+           FROM (SELECT * FROM buckets WHERE doc_id % 10 = 0) n
+           JOIN (SELECT * FROM buckets WHERE doc_id % 10 <> 0) b
+             ON n.band = b.band AND n.bucket = b.bucket""",
       "q_dedup_containment" ->
         s"""$minhashCtes,
            cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

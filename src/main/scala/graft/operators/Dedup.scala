@@ -123,6 +123,43 @@ object Dedup {
       .distinct()
   }
 
+  /** CROSS-CORPUS candidates: an incoming batch vs the existing base —
+    * the INGEST path. Deduplicating a crawl increment against a 100 TB
+    * corpus must NOT re-pair the corpus with itself (that work is
+    * already done); banding both sides and joining new×base only makes
+    * the cost proportional to the INCREMENT, with the corpus side
+    * reduced to its (tiny, reusable, persistable) signature buckets.
+    * `maxBucket` caps viral buckets on the BASE side, where the mass
+    * accumulates. Returns (new_id, base_id, est_jaccard). */
+  def crossCorpusCandidates(newDf: DataFrame, baseDf: DataFrame,
+      idCol: String, textCol: String, k: Int = 12, bands: Int = 4,
+      shingle: Int = 3, maxBucket: Int = Int.MaxValue): DataFrame = {
+    val r = k / bands
+    def buckets(df: DataFrame) =
+      persistTracked(minhashSignatures(df, idCol, textCol, k, shingle))
+        .selectExpr(idCol, "mh",
+          s"explode(sequence(0L, ${bands - 1}L)) AS band")
+        .select(col(idCol), col("mh"), col("band"),
+          GraftFunctions.bandBucket(col("mh"), col("band"), r).as("bucket"))
+    val base0 = buckets(baseDf)
+    val base =
+      if (maxBucket == Int.MaxValue) base0
+      else base0
+        .withColumn("bucket_n",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+        .filter(col("bucket_n") <= maxBucket)
+        .drop("bucket_n")
+    buckets(newDf)
+      .select(col(idCol).as("new_id"), col("mh").as("mh_n"),
+        col("band"), col("bucket"))
+      .join(base.select(col(idCol).as("base_id"), col("mh").as("mh_b"),
+        col("band"), col("bucket")), Seq("band", "bucket"))
+      .select(col("new_id"), col("base_id"),
+        expr(s"CAST(size(filter(zip_with(mh_n, mh_b, (x, y) -> x = y), v -> v)) AS DOUBLE) / $k")
+          .as("est_jaccard"))
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard verification on the LSH candidate pairs.
     * `maxBucket` passes through to the candidate generation skew bound. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,

@@ -250,6 +250,79 @@ object StatefulOps {
         OutputMode.Update())
   }
 
+  case class DocIn(doc_id: Long, mh: Seq[Long], bucketKey: String)
+  case class BucketState(ids: Seq[Long], sigs: Seq[Seq[Long]])
+  case class NearDupHit(new_id: Long, seen_id: Long, est_jaccard: Double)
+
+  /** Streaming NEAR-dup detection: every arriving document is checked
+    * against the LSH index accumulated so far. The state store IS the
+    * index: keyed by (band, bucket), each key holds the (id, signature)
+    * pairs that landed in that bucket — exactly the banding table the
+    * batch `Dedup.minhashCandidates` self-joins, maintained
+    * incrementally. A new doc compares only against its own buckets'
+    * members (the LSH candidate guarantee), emits `(new_id, seen_id,
+    * est_jaccard)` for estimates at or above `threshold`, then joins the
+    * bucket.
+    *
+    * Scale/state discipline: per-bucket membership is HARD-CAPPED at
+    * `maxBucket` (the streaming twin of the batch viral-bucket cap — a
+    * mega-bucket would otherwise grow state AND per-arrival compare cost
+    * without bound); signatures are k longs, so state per bucket is at
+    * most `maxBucket × (k+1)` longs. A pair sharing several buckets may
+    * be emitted once per shared band — downstream consumers dedup by
+    * (new_id, seen_id) within their watermark, the same contract as the
+    * batch candidate stream pre-`distinct`. */
+  private class LshNearDupProcessor(k: Int, threshold: Double,
+      maxBucket: Int) extends StatefulProcessor[String, DocIn, NearDupHit] {
+    @transient private var state: ValueState[BucketState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[BucketState]("lshbucket",
+        Encoders.product[BucketState], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[DocIn],
+        timers: TimerValues): Iterator[NearDupHit] = {
+      var st = Option(state.get()).getOrElse(BucketState(Nil, Nil))
+      val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+      rows.foreach { d =>
+        st.ids.zip(st.sigs).foreach { case (id, sig) =>
+          if (id != d.doc_id) {
+            val est = sig.zip(d.mh).count { case (x, y) => x == y }.toDouble / k
+            if (est >= threshold) out += NearDupHit(d.doc_id, id, est)
+          }
+        }
+        if (st.ids.size < maxBucket && !st.ids.contains(d.doc_id))
+          st = BucketState(st.ids :+ d.doc_id, st.sigs :+ d.mh)
+      }
+      state.update(st)
+      out.iterator
+    }
+  }
+
+  /** Streaming LSH near-dup over a document stream (see
+    * [[LshNearDupProcessor]]). Signature + banding are the same native
+    * codegen'd expressions as the batch path, so batch and stream agree
+    * on what a candidate is. */
+  def lshNearDupStream(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 12, bands: Int = 4, shingle: Int = 3,
+      threshold: Double = 0.5, maxBucket: Int = 64): Dataset[NearDupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val r = k / bands
+    docs.select(col(idCol).as("doc_id"),
+        graft.functions.GraftFunctions.minhashSig(
+          graft.functions.GraftFunctions.shingles(col(textCol), shingle), k)
+          .as("mh"))
+      .selectExpr("doc_id", "mh",
+        s"explode(sequence(0L, ${bands - 1}L)) AS band")
+      .select(col("doc_id"), col("mh"),
+        concat_ws(":", col("band"),
+          graft.functions.GraftFunctions.bandBucket(col("mh"), col("band"), r))
+          .as("bucketKey"))
+      .as[DocIn]
+      .groupByKey(_.bucketKey)
+      .transformWithState(new LshNearDupProcessor(k, threshold, maxBucket),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Streaming CONTENT dedup for a document stream: exact dedup on the
     * 64-bit polynomial fingerprint of the text (the same codegen'd
     * expression the batch corpus pipeline groups on), watermark-scoped so

@@ -5,6 +5,9 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.athenaeum.SparkSpec
 import StatefulOps.Keyed
 
+// top-level: Catalyst's generated encoder must be able to construct it
+case class StreamDoc(doc_id: Long, text: String)
+
 class StatefulOpsSpec extends SparkSpec {
 
   test("firstSeen emits exactly one row per key across batches") {
@@ -24,6 +27,41 @@ class StatefulOpsSpec extends SparkSpec {
       .map(k => (k.key, k.id)).toSet
     // duplicate 'a' rows (ids 3, 4) suppressed; one row per key
     assert(got == Set(("a", 1L), ("b", 2L), ("c", 5L)))
+  }
+
+  test("lshNearDupStream flags near-dups against earlier batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // transformWithState requires the RocksDB provider (column families)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val mem = MemoryStream[StreamDoc]
+    val q = StatefulOps
+      .lshNearDupStream(mem.toDF(), "doc_id", "text", threshold = 0.5)
+      .writeStream.format("memory").queryName("lsh_stream")
+      .outputMode(OutputMode.Append).start()
+    val dupText = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different words about spark shuffles and catalyst plans here"
+    try {
+      mem.addData(StreamDoc(1, dupText), StreamDoc(2, other))
+      q.processAllAvailable()
+      // exact duplicate of doc 1 arrives TWO batches later: the state
+      // store must still hold doc 1's signature
+      mem.addData(StreamDoc(3, "unrelated filler text that matches nothing else at all today"))
+      q.processAllAvailable()
+      mem.addData(StreamDoc(4, dupText))
+      q.processAllAvailable()
+    } finally q.stop()
+    val hits = spark.table("lsh_stream")
+      .as[StatefulOps.NearDupHit].collect()
+    // every emitted hit is the planted pair (possibly once per shared
+    // band — the documented pre-distinct contract), estimate 1.0
+    assert(hits.nonEmpty)
+    assert(hits.forall(h => h.new_id == 4L && h.seen_id == 1L))
+    assert(hits.forall(_.est_jaccard == 1.0))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
   test("runningCounts accumulates state across batches") {
