@@ -1248,6 +1248,92 @@ object SparkEntry {
         .withColumnRenamed("doc_a", "doc_id")
     }),
 
+    // ----- join-key skew report: the diagnostic you run BEFORE picking a
+    // join strategy — per-key count distribution (exact percentiles +
+    // max) and the heavy-hitter keys, from one aggregation over the
+    // fact table -----
+    "q_skew_report" -> ((s, dir) => {
+      val counts = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      val stats = counts.agg(
+        count(lit(1)).as("n_keys"),
+        expr("percentile(cnt, 0.5D)").as("p50"),
+        expr("percentile(cnt, 0.99D)").as("p99"),
+        max(col("cnt")).as("max_cnt"))
+      // struct-sort instead of orderBy+limit+collect_list: deterministic
+      // under ANY partitioning (collect_list order is not a contract)
+      val heavy = counts.agg(expr(
+        "array_join(transform(slice(array_sort(collect_list(" +
+          "struct(-cnt AS nc, l_partkey AS k))), 1, 5), " +
+          "s -> CAST(s.k AS STRING)), ',') AS heavy_keys"))
+      stats.crossJoin(heavy)
+    }),
+
+    // ----- rolling z-score anomaly detection: trailing-20 mean/std per
+    // user from EXACT decimal window sums (the streaming-analytics shape
+    // of q_outliers; one window pass, state bounded by the frame) -----
+    "q_rolling_z" -> ((s, dir) => {
+      // order by MICROS, not the raw nanos long: DuckDB truncates its
+      // timestamps to micros, so a nanos ordering could break frame ties
+      // differently across engines
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(expr("ts div 1000"), col("event_id"))
+        .rowsBetween(-19, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          (sum(dec(col("value"))).over(w).cast("double") /
+            count(lit(1)).over(w)).as("mean20"),
+          (sum(expr("CAST(value * value AS DECIMAL(28,4))")).over(w)
+            .cast("double") / count(lit(1)).over(w)).as("meansq20"))
+        .withColumn("std20",
+          expr("sqrt(greatest(meansq20 - mean20 * mean20, 0D))"))
+        .withColumn("z",
+          expr("(value - mean20) / nullif(std20, 0)"))
+        .select("event_id", "user_id", "value", "mean20", "z")
+    }),
+
+    // ----- feature scaling for ML prep: per-group min-max normalization
+    // and rank normalization (percent_rank) in ONE window pass — all
+    // three window functions share the event_type partitioning, so this
+    // is a single shuffle -----
+    "q_feature_scale" -> ((s, dir) => {
+      val byType = Window.partitionBy(col("event_type"))
+      t(s, dir, "events")
+        .withColumn("vmin", min(col("value")).over(byType))
+        .withColumn("vmax", max(col("value")).over(byType))
+        .withColumn("minmax",
+          expr("(value - vmin) / nullif(vmax - vmin, 0)"))
+        .withColumn("pr", percent_rank().over(
+          byType.orderBy(col("value"))))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("minmax"), col("pr"))
+    }),
+
+    // ----- LSH self-evaluation: measure the banding scheme's candidate
+    // quality against the EXACT prefix-filter join (which is provably
+    // complete) — TP/FP/FN and precision/recall as data, not folklore.
+    // "Measure, don't guess" applied to the engine's own recall story -----
+    "q_lsh_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val thr = 0.3
+      val pred = Dedup.minhashCandidates(docs, "doc_id", "text")
+        .filter(col("est_jaccard") >= thr)
+        .select(col("doc_a").as("pa"), col("doc_b").as("pb"))
+      val truth = Dedup.prefixJaccardPairs(docs, "doc_id", "text", thr)
+        .select(col("id_a").as("ta"), col("id_b").as("tb"))
+      val joined = pred.join(truth,
+        col("pa") === col("ta") && col("pb") === col("tb"), "full")
+      joined.agg(
+        sum(when(col("pa").isNotNull && col("ta").isNotNull, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("ta").isNull, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("pa").isNull, 1L).otherwise(0L)).as("fn"))
+        .withColumn("prec",
+          expr("CAST(tp AS DOUBLE) / nullif(tp + fp, 0)"))
+        .withColumn("rec",
+          expr("CAST(tp AS DOUBLE) / nullif(tp + fn, 0)"))
+    }),
+
     // ----- chi-square feature selection: token-presence vs source label
     // over a bounded top-50-df vocabulary. All contingency counts and
     // the denominator product stay in exact BIGINT space; the final
@@ -2655,6 +2741,72 @@ object SparkEntry {
            $rounds
            SELECT id AS doc_id, label AS cluster FROM l3"""
       },
+      "q_skew_report" ->
+        """WITH counts AS (SELECT l_partkey, COUNT(*) AS cnt
+                           FROM lineitem GROUP BY l_partkey),
+           stats AS (SELECT COUNT(*) AS n_keys,
+                  percentile_cont(0.5) WITHIN GROUP (ORDER BY cnt) AS p50,
+                  percentile_cont(0.99) WITHIN GROUP (ORDER BY cnt) AS p99,
+                  MAX(cnt) AS max_cnt
+                FROM counts),
+           heavy AS (SELECT string_agg(CAST(l_partkey AS VARCHAR), ','
+                       ORDER BY cnt DESC, l_partkey) AS heavy_keys
+                     FROM (SELECT * FROM counts
+                           ORDER BY cnt DESC, l_partkey LIMIT 5))
+           SELECT n_keys, p50, p99, max_cnt, heavy_keys
+           FROM stats CROSS JOIN heavy""",
+      "q_rolling_z" ->
+        """SELECT event_id, user_id, value, mean20,
+                  (value - mean20) / nullif(std20, 0) AS z
+           FROM (SELECT event_id, user_id, value, mean20,
+                        sqrt(greatest(meansq20 - mean20 * mean20, 0)) AS std20
+                 FROM (SELECT event_id, user_id, value,
+                         CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / COUNT(*) OVER w AS mean20,
+                         CAST(SUM(CAST(value * value AS DECIMAL(28,4))) OVER w AS DOUBLE) / COUNT(*) OVER w AS meansq20
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id
+                                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)))""",
+      "q_feature_scale" ->
+        """SELECT event_id, event_type, value,
+                  (value - MIN(value) OVER (PARTITION BY event_type)) /
+                  nullif(MAX(value) OVER (PARTITION BY event_type) -
+                         MIN(value) OVER (PARTITION BY event_type), 0) AS minmax,
+                  percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS pr
+           FROM events""",
+      "q_lsh_quality" ->
+        s"""$minhashCtes,
+           pred AS (SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+                    FROM buckets a JOIN buckets b
+                      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+                    WHERE CAST(len(list_filter(list_transform(range(1, 13), i -> a.mh[i] = b.mh[i]), v -> v)) AS DOUBLE) / 12 >= 0.3),
+           tkh AS (SELECT doc_id, list_distinct(list_transform(${duckShingles("toks", 3)}, s -> ${duckStrHash("s")})) AS toks2 FROM tk),
+           dt2 AS (SELECT doc_id, len(toks2) AS n_toks, unnest(toks2) AS tok FROM tkh),
+           tdf2 AS (SELECT tok, COUNT(*) AS df FROM dt2 GROUP BY tok),
+           pf2 AS (SELECT doc_id, tok FROM (
+                    SELECT d.doc_id, d.tok, d.n_toks,
+                           ROW_NUMBER() OVER (PARTITION BY d.doc_id ORDER BY t.df, d.tok) AS rn
+                    FROM dt2 d JOIN tdf2 t ON d.tok = t.tok)
+                  WHERE rn <= n_toks - CAST(ceil(0.3 * n_toks) AS BIGINT) + 1),
+           candp AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                     FROM pf2 a JOIN pf2 b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+           truth AS (SELECT da AS ta, db AS tb FROM (
+                       SELECT c.da, c.db,
+                              CAST(len(list_intersect(x.toks2, y.toks2)) AS DOUBLE) / len(list_distinct(list_concat(x.toks2, y.toks2))) AS j
+                       FROM candp c JOIN tkh x ON x.doc_id = c.da
+                       JOIN tkh y ON y.doc_id = c.db)
+                     WHERE j >= 0.3),
+           f AS (SELECT p.pa, p.pb, t.ta, t.tb
+                 FROM pred p FULL JOIN truth t ON p.pa = t.ta AND p.pb = t.tb),
+           agg AS (SELECT
+                CAST(SUM(CASE WHEN pa IS NOT NULL AND ta IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                CAST(SUM(CASE WHEN ta IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                CAST(SUM(CASE WHEN pa IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fn
+              FROM f)
+           SELECT tp, fp, fn,
+                  CAST(tp AS DOUBLE) / nullif(tp + fp, 0) AS prec,
+                  CAST(tp AS DOUBLE) / nullif(tp + fn, 0) AS rec
+           FROM agg""",
       "q_chi2_tokens" ->
         s"""WITH tk AS (SELECT doc_id, source, ${duckTokens("text")} AS toks FROM documents),
            pres AS (SELECT doc_id, source, unnest(list_distinct(toks)) AS w FROM tk),
