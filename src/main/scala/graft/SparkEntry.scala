@@ -2954,6 +2954,11 @@ object SparkEntry {
                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
            FROM lineitem JOIN part ON l_partkey = p_partkey
            GROUP BY p_brand""",
+      // NOTE (q_stats_agg, q_regression): the DECIMAL(38,4) product sums
+      // exceed int64 in unscaled units at sf>=0.1, where DuckDB's direct
+      // decimal->double cast is no longer correctly rounded (Spark's
+      // BigDecimal path is). Routing through VARCHAR (exact digits ->
+      // strtod) restores the correctly-rounded double on the oracle side.
       "q_stats_agg" ->
         """WITH a AS (SELECT l_returnflag, COUNT(*) AS n,
                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
@@ -2963,10 +2968,10 @@ object SparkEntry {
                   SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
            FROM lineitem GROUP BY l_returnflag)
            SELECT l_returnflag, n,
-                  sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (n * (n - 1))) AS stddev_qty,
-                  (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-                  (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-                   sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qp
+                  sqrt((n * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (n * (n - 1))) AS stddev_qty,
+                  (n * CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                  (sqrt(n * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                   sqrt(n * CAST(CAST(syy AS VARCHAR) AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qp
            FROM a""",
       "q_regression" ->
         """WITH a AS (SELECT l_linestatus, COUNT(*) AS n,
@@ -2977,13 +2982,13 @@ object SparkEntry {
                   SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
            FROM lineitem GROUP BY l_linestatus),
            b AS (SELECT l_linestatus, n, sx, sy, sxx, syy,
-                  (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-                  nullif(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0) AS slope
+                  (n * CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                  nullif(n * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0) AS slope
            FROM a)
            SELECT l_linestatus, n, slope,
                   (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n AS intercept,
-                  slope * slope * (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
-                  nullif(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0) AS r2
+                  slope * slope * (n * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+                  nullif(n * CAST(CAST(syy AS VARCHAR) AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0) AS r2
            FROM b""",
       "q_bitwise_agg" ->
         """SELECT o_orderstatus,
