@@ -248,10 +248,18 @@ object Dedup {
         Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))))
       .filter(col("rn") <=
         col("n_toks") - ceil(lit(threshold) * col("n_toks")) + 1)
-      .select(col("id"), col("tok"))
-    val cands = prefixes.select(col("id").as("id_a"), col("tok"))
-      .join(prefixes.select(col("id").as("id_b"), col("tok")), "tok")
-      .filter(col("id_a") < col("id_b"))
+      .select(col("id"), col("tok"), col("n_toks"))
+    // size-compatibility bound (also exact): jaccard >= t forces
+    // t*|B| <= |A| <= |B|/t, so size-incompatible pairs are pruned
+    // INSIDE the token join before they cost a dedup row
+    val cands = prefixes
+      .select(col("id").as("id_a"), col("tok"), col("n_toks").as("na"))
+      .join(prefixes
+        .select(col("id").as("id_b"), col("tok"), col("n_toks").as("nb")),
+        "tok")
+      .filter(col("id_a") < col("id_b") &&
+        col("na") >= ceil(lit(threshold) * col("nb")) &&
+        col("nb") >= ceil(lit(threshold) * col("na")))
       .select("id_a", "id_b").distinct()
     cands
       .join(toks.select(col("id").as("id_a"), col("toks").as("t_a")), "id_a")

@@ -289,6 +289,45 @@ class OperatorSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("cross-corpus candidates pair increment with base only") {
+    import org.apache.spark.sql.functions.col
+    val newDocs = docs.filter(col("doc_id") < 50)
+    val base = docs.filter(col("doc_id") >= 50)
+    val got = Dedup.crossCorpusCandidates(newDocs, base, "doc_id", "text")
+    Dedup.releaseCaches()
+    val rows = got.collect()
+    // every pair is (increment-side, base-side) — never base x base or
+    // increment x increment
+    rows.foreach { r =>
+      assert(r.getLong(0) < 50, s"new_id from base side: $r")
+      assert(r.getLong(1) >= 50, s"base_id from increment side: $r")
+    }
+  }
+
+  test("containment flags a short doc embedded in a longer one") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // doc 2 = doc 1 plus a long suffix: token-set Jaccard is diluted,
+    // containment of the short doc stays 1.0
+    val short = "alpha beta gamma delta epsilon zeta eta theta"
+    val long = short + " " + (1 to 8).map(i => s"filler$i").mkString(" ")
+    val corpus = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    // 1-row bands (r=1): a candidate needs just ONE equal minhash; with
+    // ~40% shingle containment that's near-certain, and the fixed hash
+    // family makes the outcome deterministic run-to-run
+    val got = Dedup.containmentPairs(corpus, "doc_id", "text",
+      threshold = 0.9, bands = 12, k = 12)
+    Dedup.releaseCaches()
+    val rows = got.collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    // contain_a (short in long) is exactly 1.0; the symmetric-Jaccard
+    // view of the same pair (~0.4) would have missed at threshold 0.9
+    assert(r.getDouble(2) == 1.0)
+    assert(r.getDouble(3) < 0.6)
+  }
+
   test("symmetric-delete linkage equals blocked brute-force linkage") {
     import org.apache.spark.sql.functions.col
     val cust = Tables(spark, dir, "customer")
