@@ -1248,6 +1248,43 @@ object SparkEntry {
         .withColumnRenamed("doc_a", "doc_id")
     }),
 
+    // ----- max concurrent intervals (sweep line): each 5-minute event
+    // interval contributes +1/-1 boundary points; a running sum ordered
+    // by (time, delta) — ends BEFORE starts at the same instant, matching
+    // half-open [s, e) intervals — peaks at the answer. One shuffle, no
+    // interval self-join (the naive overlap join is quadratic) -----
+    "q_max_concurrent" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .selectExpr("event_type", "ts div 1000 AS t_us")
+      val pts = ev.selectExpr("event_type", "t_us AS t", "1L AS delta")
+        .unionAll(ev.selectExpr("event_type",
+          "t_us + 300000000 AS t", "-1L AS delta"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("t"), col("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pts.withColumn("running", sum(col("delta")).over(w))
+        .groupBy(col("event_type"))
+        .agg(max(col("running")).as("max_concurrent"),
+          count(lit(1)).as("n_points"))
+    }),
+
+    // ----- heavy hitters via a Misra-Gries SKETCH (bounded memory,
+    // mergeable partials): counts are stream-order lower bounds, but
+    // CONTAINMENT of any item with freq > n/(k+1) is guaranteed — so the
+    // oracle checks exact top-5 membership in the sketch, the same
+    // deterministic-flag pattern as the approx aggregates -----
+    "q_heavy_hitters" -> ((s, dir) => {
+      val toks = TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+        .select(explode(col("toks")).as("w"))
+      val sketch = toks.agg(
+        graft.functions.SigAgg.misraGries(64)(col("w")).as("mg"))
+      val exact = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(5)
+      exact.crossJoin(broadcast(sketch))
+        .select(col("w"), col("cnt"),
+          expr("map_contains_key(mg, w)").as("in_sketch"))
+    }),
+
     // ----- join-key skew report: the diagnostic you run BEFORE picking a
     // join strategy — per-key count distribution (exact percentiles +
     // max) and the heavy-hitter keys, from one aggregation over the
@@ -2741,6 +2778,24 @@ object SparkEntry {
            $rounds
            SELECT id AS doc_id, label AS cluster FROM l3"""
       },
+      "q_max_concurrent" ->
+        """WITH ev AS (SELECT event_type, epoch_us(ts) AS t_us FROM events),
+           pts AS (SELECT event_type, t_us AS t, 1 AS delta FROM ev
+                   UNION ALL
+                   SELECT event_type, t_us + 300000000 AS t, -1 AS delta FROM ev),
+           r AS (SELECT event_type,
+                   SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+                 FROM pts)
+           SELECT event_type, CAST(MAX(running) AS BIGINT) AS max_concurrent,
+                  COUNT(*) AS n_points
+           FROM r GROUP BY event_type""",
+      "q_heavy_hitters" ->
+        s"""WITH tk AS (SELECT ${duckTokens("text")} AS toks FROM documents),
+           tok AS (SELECT unnest(toks) AS w FROM tk),
+           top5 AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w
+                    ORDER BY cnt DESC, w LIMIT 5)
+           SELECT w, cnt, true AS in_sketch FROM top5""",
       "q_skew_report" ->
         """WITH counts AS (SELECT l_partkey, COUNT(*) AS cnt
                            FROM lineitem GROUP BY l_partkey),

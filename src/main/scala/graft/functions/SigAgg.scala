@@ -39,4 +39,47 @@ object SigAgg {
 
   /** Column-API aggregate: `df.groupBy(g).agg(SigAgg.minhashUnion(col("mh")))`. */
   val minhashUnion = udaf(MinSigUnion)
+
+  /** Misra-Gries heavy-hitter SKETCH (k counters): any item with true
+    * frequency > n/(k+1) is GUARANTEED present in the final summary,
+    * with bounded memory no matter how large or skewed the stream.
+    *
+    * reduce is the classic decrement-all step; merge sums counters then
+    * subtracts the (k+1)-th largest (the standard mergeable-summaries
+    * construction, Agarwal et al.), so partial aggregation applies and
+    * the shuffle carries at most k (item, count) pairs per partition —
+    * the heavy-hitter analogue of how HLL makes distinct-counts
+    * mergeable. Counts are lower bounds (order-dependent), but the
+    * CONTAINMENT guarantee is deterministic — which is exactly what the
+    * oracle checks (the same flag pattern as the approx-agg queries). */
+  private final class MisraGries(k: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(m: Map[String, Long], item: String): Map[String, Long] =
+      m.get(item) match {
+        case Some(c) => m.updated(item, c + 1)
+        case None if m.size < k => m.updated(item, 1L)
+        case None =>
+          m.foldLeft(Map.empty[String, Long]) { case (acc, (x, c)) =>
+            if (c > 1) acc.updated(x, c - 1) else acc
+          }
+      }
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val c = (a.keySet ++ b.keySet).iterator
+        .map(x => x -> (a.getOrElse(x, 0L) + b.getOrElse(x, 0L))).toMap
+      if (c.size <= k) c
+      else {
+        val cut = c.values.toSeq.sorted(Ordering[Long].reverse).apply(k)
+        c.foldLeft(Map.empty[String, Long]) { case (acc, (x, v)) =>
+          if (v > cut) acc.updated(x, v - cut) else acc
+        }
+      }
+    }
+    override def finish(b: Map[String, Long]): Map[String, Long] = b
+    override def bufferEncoder = ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder = ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** `df.agg(SigAgg.misraGries(64)(col("w")))` → item→count sketch map. */
+  def misraGries(k: Int) = udaf(new MisraGries(k))
 }

@@ -24,6 +24,7 @@ class PlanHygieneSpec extends SparkSpec {
     "q_hll_sketch",     // two 1-row scalars (merged estimate + exact) crossed in
     "q_chi2_tokens",    // 50-token vocab x source-count grid (both broadcast-tiny)
     "q_skew_report",    // two 1-row summaries (stats x heavy-hitter list) crossed
+    "q_heavy_hitters",  // exact top-5 crossed with the 1-row MG sketch
     // reference theta-join surface (J2/J3): inequality-only predicates
     // have no equi key, so a nested loop is the ONLY plan; both queries
     // run on dimension-sized inputs. The scale path for range predicates

@@ -367,6 +367,25 @@ class OperatorSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("Misra-Gries sketch: containment guarantee + partial aggregation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // skewed stream: 'hot' appears 400/1000 times — far above n/(k+1)
+    val rows = (1 to 400).map(_ => "hot") ++
+      (1 to 600).map(i => s"tail${i % 300}")
+    val ds = rows.toDF("w").repartition(8) // force real partial merges
+    val sketch = ds.agg(graft.functions.SigAgg.misraGries(16)(col("w"))
+      .as("mg"))
+    // partial aggregation shows in the physical plan (mergeable UDAF)
+    assert(sketch.queryExecution.executedPlan.toString
+      .toLowerCase.contains("partial_misragries"))
+    val mg = sketch.collect().head.getMap[String, Long](0)
+    assert(mg.contains("hot"), s"guaranteed heavy hitter missing: $mg")
+    assert(mg.size <= 16)
+    // count is a lower bound, never an overcount
+    assert(mg("hot") <= 400L)
+  }
+
   test("minhash-union UDAF: element-wise min, partial aggregation in plan") {
     import org.apache.spark.sql.functions.col
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
