@@ -1248,6 +1248,36 @@ object SparkEntry {
         .withColumnRenamed("doc_a", "doc_id")
     }),
 
+    // ----- context-window CHUNKING: overlapping token windows (size 16,
+    // stride 8) per document — the standard pre-training chunk op.
+    // Narrow explode, no shuffle; chunk math is exact small-int double
+    // division identical on both engines -----
+    "q_doc_chunks" -> ((s, dir) =>
+      TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+        .filter(expr("size(toks) > 0"))
+        .selectExpr("doc_id", "toks",
+          "explode(sequence(0L, CAST(greatest(ceil((size(toks) - 16) / 8.0D), 0D) AS BIGINT))) AS chunk_id")
+        .selectExpr("doc_id", "chunk_id",
+          "concat_ws(' ', slice(toks, CAST(chunk_id * 8 + 1 AS INT), 16)) AS chunk_text",
+          "CAST(size(slice(toks, CAST(chunk_id * 8 + 1 AS INT), 16)) AS BIGINT) AS n_chunk_toks")),
+
+    // ----- sequence PACKING: concatenate docs in deterministic order and
+    // split at 256-token boundaries (the pack-to-context-window op) — a
+    // running-sum window assigns each doc its bin; one shuffle per source -----
+    "q_seq_pack" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+        .selectExpr("doc_id", "source", "CAST(size(toks) AS BIGINT) AS n_toks")
+        .withColumn("cum", sum(col("n_toks")).over(w))
+        .withColumn("bin", expr("(cum - n_toks) div 256"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("total_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+    }),
+
     // ----- max concurrent intervals (sweep line): each 5-minute event
     // interval contributes +1/-1 boundary points; a running sum ordered
     // by (time, delta) — ends BEFORE starts at the same instant, matching
@@ -2778,6 +2808,26 @@ object SparkEntry {
            $rounds
            SELECT id AS doc_id, label AS cluster FROM l3"""
       },
+      "q_doc_chunks" ->
+        s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
+           ch AS (SELECT doc_id, toks,
+                    unnest(range(0, CAST(greatest(ceil((len(toks) - 16) / 8.0), 0) AS BIGINT) + 1)) AS chunk_id
+                  FROM tk WHERE len(toks) > 0)
+           SELECT doc_id, chunk_id,
+                  array_to_string(toks[chunk_id * 8 + 1 : chunk_id * 8 + 16], ' ') AS chunk_text,
+                  CAST(len(toks[chunk_id * 8 + 1 : chunk_id * 8 + 16]) AS BIGINT) AS n_chunk_toks
+           FROM ch""",
+      "q_seq_pack" ->
+        s"""WITH tk AS (SELECT doc_id, source, CAST(len(${duckTokens("text")}) AS BIGINT) AS n_toks FROM documents),
+           c AS (SELECT doc_id, source, n_toks,
+                   CAST(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                 FROM tk)
+           SELECT source, (cum - n_toks) // 256 AS bin,
+                  COUNT(*) AS n_docs,
+                  CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+                  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+           FROM c GROUP BY source, (cum - n_toks) // 256""",
       "q_max_concurrent" ->
         """WITH ev AS (SELECT event_type, epoch_us(ts) AS t_us FROM events),
            pts AS (SELECT event_type, t_us AS t, 1 AS delta FROM ev
