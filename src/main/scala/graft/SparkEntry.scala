@@ -1248,6 +1248,18 @@ object SparkEntry {
         .withColumnRenamed("doc_a", "doc_id")
     }),
 
+    // ----- quality-weighted UPSAMPLING (repeat-factor data mixing):
+    // high-quality docs are emitted twice, mid once, low dropped — the
+    // standard mixture-reweighting op; a narrow explode of a tiny
+    // sequence, no shuffle -----
+    "q_upsample" -> ((s, dir) =>
+      TextAnalysis.quality(t(s, dir, "documents"), "doc_id", "text")
+        .withColumn("rep", expr(
+          "CASE WHEN quality >= 0.64 THEN 2L WHEN quality >= 0.5 THEN 1L ELSE 0L END"))
+        .filter(col("rep") > 0)
+        .selectExpr("doc_id", "quality",
+          "explode(sequence(1L, rep)) AS copy_id")),
+
     // ----- context-window CHUNKING: overlapping token windows (size 16,
     // stride 8) per document — the standard pre-training chunk op.
     // Narrow explode, no shuffle; chunk math is exact small-int double
@@ -2808,6 +2820,18 @@ object SparkEntry {
            $rounds
            SELECT id AS doc_id, label AS cluster FROM l3"""
       },
+      "q_upsample" ->
+        s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
+           q AS (SELECT doc_id,
+                  0.4 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) +
+                  0.3 * (CAST($stop AS DOUBLE) / len(toks)) +
+                  0.3 * (CAST(len(list_filter(toks, w -> length(w) <= 5)) AS DOUBLE) / len(toks)) AS quality
+                 FROM tk),
+           r AS (SELECT doc_id, quality,
+                   CASE WHEN quality >= 0.64 THEN 2 WHEN quality >= 0.5 THEN 1 ELSE 0 END AS rep
+                 FROM q)
+           SELECT doc_id, quality, unnest(range(1, rep + 1)) AS copy_id
+           FROM r WHERE rep > 0""",
       "q_doc_chunks" ->
         s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
            ch AS (SELECT doc_id, toks,
