@@ -1248,6 +1248,50 @@ object SparkEntry {
         .withColumnRenamed("doc_a", "doc_id")
     }),
 
+    // ----- winsorization: clip to per-group [p05, p95] (the outlier
+    // TREATMENT to the detection queries above); group percentiles ride
+    // a broadcast join back onto the unshuffled stream -----
+    "q_winsorize" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val pct = ev.groupBy(col("event_type").as("g"))
+        .agg(expr("percentile(value, 0.05D)").as("p05"),
+          expr("percentile(value, 0.95D)").as("p95"))
+      ev.join(broadcast(pct), col("event_type") === col("g"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          expr("least(greatest(value, p05), p95)").as("clipped"))
+    }),
+
+    // ----- corpus DATA CARD: per-source report composing token stats,
+    // quality (floor-quantized to exact ints — double sums are
+    // order-dependent), exact-dup volume, and quality-pass rate. The
+    // one-look summary a dataset release ships with -----
+    "q_corpus_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = TextAnalysis.withTokens(docs, "text")
+        .selectExpr("doc_id", "source",
+          "CAST(size(toks) AS BIGINT) AS n_toks")
+      val q = TextAnalysis.quality(docs, "doc_id", "text")
+      val dup = docs
+        .select(col("source"),
+          graft.functions.GraftFunctions.polyHash(col("text")).as("fp"))
+        .groupBy(col("source"), col("fp")).agg(count(lit(1)).as("c"))
+        .groupBy(col("source").as("s2"))
+        .agg(sum(when(col("c") > 1, col("c")).otherwise(0L))
+          .as("n_dup_docs"))
+      base.join(q, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("total_tokens"),
+          sum(expr("CAST(floor(quality * 1e6) AS BIGINT)")).as("qsum"),
+          sum(when(col("quality") >= 0.5, 1L).otherwise(0L))
+            .as("n_quality_pass"))
+        .join(dup, col("source") === col("s2"))
+        .selectExpr("source", "n_docs", "total_tokens",
+          "CAST(total_tokens AS DOUBLE) / n_docs AS avg_tokens",
+          "(CAST(qsum AS DOUBLE) / n_docs) / 1e6 AS avg_quality",
+          "n_quality_pass", "n_dup_docs")
+    }),
+
     // ----- quality-weighted UPSAMPLING (repeat-factor data mixing):
     // high-quality docs are emitted twice, mid once, low dropped — the
     // standard mixture-reweighting op; a narrow explode of a tiny
@@ -2820,6 +2864,36 @@ object SparkEntry {
            $rounds
            SELECT id AS doc_id, label AS cluster FROM l3"""
       },
+      "q_winsorize" ->
+        """WITH pct AS (SELECT event_type AS g,
+                  percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS p05,
+                  percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS p95
+                FROM events GROUP BY 1)
+           SELECT e.event_id, e.event_type, e.value,
+                  least(greatest(e.value, p.p05), p.p95) AS clipped
+           FROM events e JOIN pct p ON e.event_type = p.g""",
+      "q_corpus_report" ->
+        s"""WITH tk AS (SELECT doc_id, source, ${duckTokens("text")} AS toks FROM documents),
+           q AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_toks,
+                  0.4 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) +
+                  0.3 * (CAST($stop AS DOUBLE) / len(toks)) +
+                  0.3 * (CAST(len(list_filter(toks, w -> length(w) <= 5)) AS DOUBLE) / len(toks)) AS quality
+                 FROM tk),
+           fpc AS (SELECT source, ${duckStrHash("text")} AS fp, COUNT(*) AS c
+                   FROM documents GROUP BY source, 2),
+           dup AS (SELECT source AS s2,
+                     CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_docs
+                   FROM fpc GROUP BY 1),
+           agg AS (SELECT source, COUNT(*) AS n_docs,
+                     CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+                     CAST(SUM(CAST(floor(quality * 1e6) AS BIGINT)) AS BIGINT) AS qsum,
+                     CAST(SUM(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass
+                   FROM q GROUP BY source)
+           SELECT a.source, n_docs, total_tokens,
+                  CAST(total_tokens AS DOUBLE) / n_docs AS avg_tokens,
+                  (CAST(qsum AS DOUBLE) / n_docs) / 1e6 AS avg_quality,
+                  n_quality_pass, n_dup_docs
+           FROM agg a JOIN dup d ON a.source = d.s2""",
       "q_upsample" ->
         s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
            q AS (SELECT doc_id,

@@ -273,11 +273,13 @@ object StatefulOps {
     * (new_id, seen_id) within their watermark, the same contract as the
     * batch candidate stream pre-`distinct`. */
   private class LshNearDupProcessor(k: Int, threshold: Double,
-      maxBucket: Int) extends StatefulProcessor[String, DocIn, NearDupHit] {
+      maxBucket: Int, ttl: Option[java.time.Duration])
+      extends StatefulProcessor[String, DocIn, NearDupHit] {
     @transient private var state: ValueState[BucketState] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[BucketState]("lshbucket",
-        Encoders.product[BucketState], TTLConfig.NONE)
+        Encoders.product[BucketState],
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
     override def handleInputRows(key: String, rows: Iterator[DocIn],
         timers: TimerValues): Iterator[NearDupHit] = {
       var st = Option(state.get()).getOrElse(BucketState(Nil, Nil))
@@ -303,7 +305,8 @@ object StatefulOps {
     * on what a candidate is. */
   def lshNearDupStream(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 12, bands: Int = 4, shingle: Int = 3,
-      threshold: Double = 0.5, maxBucket: Int = 64): Dataset[NearDupHit] = {
+      threshold: Double = 0.5, maxBucket: Int = 64,
+      ttl: Option[java.time.Duration] = None): Dataset[NearDupHit] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val r = k / bands
@@ -319,8 +322,10 @@ object StatefulOps {
           .as("bucketKey"))
       .as[DocIn]
       .groupByKey(_.bucketKey)
-      .transformWithState(new LshNearDupProcessor(k, threshold, maxBucket),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(
+        new LshNearDupProcessor(k, threshold, maxBucket, ttl),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
   }
 
   /** Streaming CONTENT dedup for a document stream: exact dedup on the

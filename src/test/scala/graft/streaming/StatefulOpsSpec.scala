@@ -261,6 +261,41 @@ class StatefulOpsSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("lshNearDupStream checkpoint restart: the banding index survives") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("lsh_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("lsh_out").toString
+    val mem = MemoryStream[StreamDoc]
+    def start() = StatefulOps
+      .lshNearDupStream(mem.toDF(), "doc_id", "text", threshold = 0.5)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    val dupText = "state that must survive a restart of the streaming query here"
+    try {
+      val q1 = start()
+      try {
+        mem.addData(StreamDoc(1, dupText))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      // restart from the checkpoint: doc 1's signature must still be in
+      // the recovered state store for doc 2 to match against
+      val q2 = start()
+      try {
+        mem.addData(StreamDoc(2, dupText))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val hits = spark.read.parquet(out).as[StatefulOps.NearDupHit]
+        .collect()
+      assert(hits.nonEmpty, "index lost across restart")
+      assert(hits.forall(h => h.new_id == 2L && h.seen_id == 1L))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("checkpoint restart: state survives, seen keys are not re-emitted") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
