@@ -328,6 +328,31 @@ object SparkEntry {
         .select(col("qid"), col("cid"), col("cosine"), col("rank"))
     }),
 
+    // ----- product-quantization ANN: vectors compress to m=8 4-bit
+    // codes; ADC scores the RAW query against candidate codes without
+    // decompressing them — the memory-bound scale path (a 64-float
+    // vector becomes 8 small ints; the candidate side never ships
+    // floats). Deterministic pseudo-codebook; all distance math is
+    // fixed-fold-order doubles, so the oracle is exact -----
+    "q_ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      // persist: codes are 8x16 subspace scans per row and feed both the
+      // query and candidate sides
+      val enc = Dedup.persistTracked(emb.selectExpr("vec_id", "embedding",
+        s"${XFormulas.sparkPqCodes("embedding", 8, 16, 8)} AS codes"))
+      val qs = enc.filter(col("vec_id") < 10)
+        .selectExpr("vec_id AS qid", "embedding AS qv")
+      enc.selectExpr("vec_id AS cid", "codes")
+        .crossJoin(broadcast(qs))
+        .filter(col("cid") =!= col("qid"))
+        .selectExpr("qid", "cid",
+          s"${XFormulas.sparkPqAdc("qv", "codes", 8, 8)} AS adc")
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("adc"), col("cid")))
+          .cast("long"))
+        .filter(col("rnk") <= 5)
+    }),
+
     // ----- event-time windows (batch; streaming twins in graft.streaming)
     "q_events_tumbling" -> ((s, dir) =>
       Events.tumblingHourly(t(s, dir, "events"))),
@@ -2129,6 +2154,18 @@ object SparkEntry {
                  FROM scored)
            SELECT qid, cid, cosine, "rank" FROM r WHERE "rank" <= 3"""
       },
+      "q_ann_pq" ->
+        s"""WITH enc AS (SELECT vec_id, embedding,
+                  ${duckPqCodes("embedding", 8, 16, 8)} AS codes
+                FROM embeddings),
+           qs AS (SELECT vec_id AS qid, embedding AS qv FROM enc WHERE vec_id < 10),
+           scored AS (SELECT q.qid, e.vec_id AS cid,
+                  ${duckPqAdc("q.qv", "e.codes", 8, 8)} AS adc
+                FROM enc e CROSS JOIN qs q WHERE e.vec_id <> q.qid),
+           r AS (SELECT qid, cid, adc,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, cid) AS BIGINT) AS rnk
+                 FROM scored)
+           SELECT qid, cid, adc, rnk FROM r WHERE rnk <= 5""",
       "q_events_tumbling" ->
         """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
                   COUNT(*) AS n_events,

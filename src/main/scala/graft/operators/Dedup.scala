@@ -26,7 +26,9 @@ object Dedup {
   private val cached =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
 
-  private[operators] def persistTracked(df: DataFrame): DataFrame = {
+  /** Persist `df` and register it for [[releaseCaches]] — callers outside
+    * the operators (e.g. query definitions) share the same lifecycle. */
+  def persistTracked(df: DataFrame): DataFrame = {
     val p = df.persist()
     cached.add(p)
     p
