@@ -167,42 +167,42 @@ object XFormulas {
     s"list_position($scores, list_max($scores))"
 
   // ---- product quantization (PQ): m subspaces of `sd` dims, ks
-  // deterministic pseudo-centroids per subspace (same weight family as
-  // the IVF centroids, offset so the codebooks differ). Codes compress
-  // a vector to m small ints; ADC (asymmetric distance computation)
+  // centroids per subspace taken from a CODEBOOK ARRAY expression
+  // (list of ks full vectors — in practice a deterministic data sample,
+  // k-means++-style seeding without the iterations; a random synthetic
+  // codebook measurably collapses recall to chance). Codes compress a
+  // vector to m small ints; ADC (asymmetric distance computation)
   // scores a raw query against codes without decompressing candidates —
-  // the memory-bound ANN path (Jégou et al., PQ for NN search). All
-  // arithmetic is fixed-fold-order double math over integer weights:
-  // bit-identical across engines. ----
-  private def pqWeight(sub: String, cid: String, j: String) =
-    s"((((($sub) * 16 + ($cid)) + 91) * 73856093 + ($j) * 19349663 + 83492791) % 97) - 48"
-  def sparkPqSqDist(vec: String, sub: String, cid: String, sd: Int): String =
+  // the memory-bound ANN path (Jegou et al.). All distance math is
+  // fixed-fold-order doubles: bit-identical across engines. ----
+  def sparkPqSqDist(vec: String, cb: String, sub: String, cid: String,
+      sd: Int): String =
     s"aggregate(zip_with(slice($vec, cast(($sub) * $sd + 1 as int), $sd), " +
-      s"sequence(0L, ${sd - 1}L), " +
-      s"(px, pj) -> (CAST(px AS DOUBLE) - (${pqWeight(sub, cid, "pj")})) * " +
-      s"(CAST(px AS DOUBLE) - (${pqWeight(sub, cid, "pj")}))), 0D, (pa, pv) -> pa + pv)"
-  def duckPqSqDist(vec: String, sub: String, cid: String, sd: Int): String =
+      s"slice(element_at($cb, cast(($cid) + 1 as int)), cast(($sub) * $sd + 1 as int), $sd), " +
+      s"(px, py) -> (CAST(px AS DOUBLE) - CAST(py AS DOUBLE)) * " +
+      s"(CAST(px AS DOUBLE) - CAST(py AS DOUBLE))), 0D, (pa, pv) -> pa + pv)"
+  def duckPqSqDist(vec: String, cb: String, sub: String, cid: String,
+      sd: Int): String =
     s"list_reduce(list_prepend(0::DOUBLE, list_transform(range(0, $sd), " +
-      s"pj -> (($vec)[($sub) * $sd + pj + 1]::DOUBLE - (${pqWeight(sub, cid, "pj")})) * " +
-      s"(($vec)[($sub) * $sd + pj + 1]::DOUBLE - (${pqWeight(sub, cid, "pj")})))), " +
+      s"pj -> (($vec)[($sub) * $sd + pj + 1]::DOUBLE - (($cb)[($cid) + 1])[($sub) * $sd + pj + 1]::DOUBLE) * " +
+      s"(($vec)[($sub) * $sd + pj + 1]::DOUBLE - (($cb)[($cid) + 1])[($sub) * $sd + pj + 1]::DOUBLE))), " +
       s"(pa, pv) -> pa + pv)"
   /** 0-based nearest-centroid code per subspace. */
-  def sparkPqCodes(vec: String, m: Int, ks: Int, sd: Int): String =
+  def sparkPqCodes(vec: String, cb: String, m: Int, ks: Int, sd: Int): String =
     s"transform(transform(sequence(0L, ${m - 1}L), sb -> " +
-      s"transform(sequence(0L, ${ks - 1}L), cd -> ${sparkPqSqDist(vec, "sb", "cd", sd)})), " +
+      s"transform(sequence(0L, ${ks - 1}L), cd -> ${sparkPqSqDist(vec, cb, "sb", "cd", sd)})), " +
       s"sc -> array_position(sc, array_min(sc)) - 1)"
-  def duckPqCodes(vec: String, m: Int, ks: Int, sd: Int): String =
+  def duckPqCodes(vec: String, cb: String, m: Int, ks: Int, sd: Int): String =
     s"list_transform(list_transform(range(0, $m), sb -> " +
-      s"list_transform(range(0, $ks), cd -> ${duckPqSqDist(vec, "sb", "cd", sd)})), " +
+      s"list_transform(range(0, $ks), cd -> ${duckPqSqDist(vec, cb, "sb", "cd", sd)})), " +
       s"sc -> list_position(sc, list_min(sc)) - 1)"
-  /** ADC: raw query vs a candidate's codes (codes array is 1-indexed
-    * via element_at / duck list indexing). */
-  def sparkPqAdc(q: String, codes: String, m: Int, sd: Int): String =
+  /** ADC: raw query vs a candidate's codes. */
+  def sparkPqAdc(q: String, codes: String, cb: String, m: Int, sd: Int): String =
     s"aggregate(sequence(0L, ${m - 1}L), 0D, (acc, sb) -> acc + " +
-      s"${sparkPqSqDist(q, "sb", s"element_at($codes, cast(sb + 1 as int))", sd)})"
-  def duckPqAdc(q: String, codes: String, m: Int, sd: Int): String =
+      s"${sparkPqSqDist(q, cb, "sb", s"element_at($codes, cast(sb + 1 as int))", sd)})"
+  def duckPqAdc(q: String, codes: String, cb: String, m: Int, sd: Int): String =
     s"list_reduce(list_prepend(0::DOUBLE, list_transform(range(0, $m), sb -> " +
-      s"${duckPqSqDist(q, "sb", s"($codes)[sb + 1]", sd)})), (acc, v) -> acc + v)"
+      s"${duckPqSqDist(q, cb, "sb", s"($codes)[sb + 1]", sd)})), (acc, v) -> acc + v)"
 
   // ---- English stopword hit count over a token array ----
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")

@@ -150,6 +150,49 @@ class OperatorSpec extends SparkSpec {
     assert(recall2 >= 0.4, s"recall@5 too low: $recall2 (nprobe=1: $recall1)")
   }
 
+  test("PQ ANN: code shape in range, recall@5 vs exact L2 brute force") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.XFormulas
+    val cbRow = emb.filter(expr("vec_id % 31 = 0 AND vec_id < 496"))
+      .agg(expr("transform(array_sort(collect_list(struct(vec_id, embedding))), s -> s.embedding)")
+        .as("cb"))
+    val enc = emb.crossJoin(broadcast(cbRow))
+      .selectExpr("vec_id", "embedding", "cb",
+        s"${XFormulas.sparkPqCodes("embedding", "cb", 8, 16, 8)} AS codes")
+    val bad = enc.selectExpr("size(codes) AS n",
+      "array_min(codes) AS lo", "array_max(codes) AS hi")
+      .filter("n <> 8 OR lo < 0 OR hi >= 16")
+    assert(bad.count() == 0)
+    val q = enc.filter("vec_id < 20")
+      .selectExpr("vec_id AS qid", "embedding AS qv")
+    def top5(scored: org.apache.spark.sql.DataFrame, scoreCol: String) =
+      scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col(scoreCol), col("cid"))))
+        .filter(col("rn") <= 5).select("qid", "cid")
+    val truth = top5(emb.selectExpr("vec_id AS cid", "embedding AS cv")
+      .crossJoin(q).filter("cid <> qid")
+      .selectExpr("qid", "cid",
+        s"${XFormulas.sparkSqDist("transform(qv, x -> CAST(x AS DOUBLE))", "transform(cv, x -> CAST(x AS DOUBLE))")} AS d"),
+      "d")
+    val approx = top5(enc.selectExpr("vec_id AS cid", "codes", "cb")
+      .crossJoin(q).filter("cid <> qid")
+      .selectExpr("qid", "cid",
+        s"${XFormulas.sparkPqAdc("qv", "codes", "cb", 8, 8)} AS adc"),
+      "adc")
+    val nT = truth.count().toDouble
+    val recall = truth.join(approx, Seq("qid", "cid")).count() / nT
+    // On THIS corpus the non-planted embeddings are near-uniform random
+    // vectors: in high dimension their pairwise distances concentrate,
+    // so exact top-5 membership is barely separated and ANY quantization
+    // reshuffles it — low absolute recall is a property of the data, not
+    // the operator (IVF scores exact distances on a candidate subset,
+    // which is why its recall floor is higher). The honest invariant is
+    // that ADC ranking carries real signal: recall must beat the
+    // random-candidate baseline (5/499 ≈ 1%) by a wide margin.
+    assert(recall >= 0.04, s"PQ recall@5 not above chance: $recall")
+  }
+
   test("sessionize: session bounds ordered, counts positive") {
     val s = Events.sessionize(Tables(spark, dir, "events"))
     assert(s.filter("session_end_us < session_start_us").count() == 0)
