@@ -1283,6 +1283,48 @@ object SparkEntry {
         .withColumnRenamed("doc_a", "doc_id")
     }),
 
+    // ----- EWMA (exponential smoothing) over the trailing 10 events per
+    // user: weights are powers of 1/2 — EXACT in binary, so the fixed
+    // left-to-right fold is bit-identical across engines (an arbitrary
+    // alpha would be, too, but halving makes the exactness obvious).
+    // collect_list over a window frame is ordered BY the frame, giving
+    // both engines the same weight-to-value pairing -----
+    "q_ewma" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(expr("ts div 1000"), col("event_id"))
+        .rowsBetween(-9, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          collect_list(col("value")).over(w).as("vs"))
+        .selectExpr("event_id", "user_id", "value",
+          // newest element is LAST in the frame: weight (1/2)^(n-1-i),
+          // built from integer SHIFTS — bit-exact on both engines, where
+          // pow() is implementation-defined
+          "aggregate(zip_with(vs, sequence(0L, size(vs) - 1L), " +
+            "(v, i) -> v / CAST(shiftleft(1L, CAST(size(vs) - 1 - i AS INT)) AS DOUBLE)), " +
+            "0D, (acc, x) -> acc + x) AS ewma_num",
+          "aggregate(sequence(0L, size(vs) - 1L), 0D, " +
+            "(acc, i) -> acc + 1D / CAST(shiftleft(1L, CAST(i AS INT)) AS DOUBLE)) AS ewma_den")
+        .withColumn("ewma", expr("ewma_num / ewma_den"))
+        .select("event_id", "user_id", "value", "ewma")
+    }),
+
+    // ----- null imputation with group means: missing values (every 7th
+    // event, synthesized deterministically) are replaced by the exact
+    // decimal-mean of their group — the standard feature-cleaning op;
+    // group means ride a broadcast join -----
+    "q_impute" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("v", expr("IF(event_id % 7 = 0, NULL, value)"))
+      val means = ev.groupBy(col("event_type").as("g"))
+        .agg((sum(dec(col("v"))).cast("double") / count(col("v")))
+          .as("grp_mean"))
+      ev.join(broadcast(means), col("event_type") === col("g"))
+        .select(col("event_id"), col("event_type"),
+          coalesce(col("v"), col("grp_mean")).as("v_imputed"),
+          col("v").isNull.as("was_missing"))
+    }),
+
     // ----- winsorization: clip to per-group [p05, p95] (the outlier
     // TREATMENT to the detection queries above); group percentiles ride
     // a broadcast join back onto the unshuffled stream -----
@@ -2913,6 +2955,28 @@ object SparkEntry {
            $rounds
            SELECT id AS doc_id, label AS cluster FROM l3"""
       },
+      "q_ewma" ->
+        """SELECT event_id, user_id, value,
+                  list_reduce(list_prepend(0::DOUBLE, list_transform(range(0, len(vs)), i ->
+                    vs[i + 1] / ((1::BIGINT << (len(vs) - 1 - i))::DOUBLE))), (acc, x) -> acc + x) /
+                  list_reduce(list_prepend(0::DOUBLE, list_transform(range(0, len(vs)), i ->
+                    1.0 / ((1::BIGINT << i)::DOUBLE))), (acc, x) -> acc + x) AS ewma
+           FROM (SELECT event_id, user_id, value,
+                   list(value) OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vs
+                 FROM events)""",
+      "q_impute" ->
+        """WITH ev AS (SELECT event_id, event_type,
+                  CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+               FROM events),
+           m AS (SELECT event_type AS g,
+                  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / COUNT(v) AS grp_mean
+                 FROM ev GROUP BY 1)
+           SELECT e.event_id, e.event_type,
+                  coalesce(e.v, m.grp_mean) AS v_imputed,
+                  e.v IS NULL AS was_missing
+           FROM ev e JOIN m ON e.event_type = m.g""",
       "q_winsorize" ->
         """WITH pct AS (SELECT event_type AS g,
                   percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS p05,

@@ -332,6 +332,21 @@ class OperatorSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("operators tolerate empty inputs (no crash, empty results)") {
+    import spark.implicits._
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.prefixJaccardPairs(emptyDocs, "doc_id", "text", 0.3)
+      .count() == 0)
+    assert(Dedup.minhashCandidates(emptyDocs, "doc_id", "text").count() == 0)
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.pagerank(emptyEdges, "src", "dst").count() == 0)
+    val emptyCust = Seq.empty[(Long, String, Long)]
+      .toDF("c_custkey", "c_name", "c_nationkey")
+    assert(Linkage.linkWithinDeletes(emptyCust, "c_custkey", "c_name",
+      Seq("c_nationkey")).count() == 0)
+    Dedup.releaseCaches()
+  }
+
   test("cross-corpus candidates pair increment with base only") {
     import org.apache.spark.sql.functions.col
     val newDocs = docs.filter(col("doc_id") < 50)
