@@ -293,6 +293,16 @@ object SparkEntry {
     "q_dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.35)),
+    // duplicated-SPAN fraction per doc (ExactSubstr approximation, Lee
+    // et al. 2021): w-token windows occurring in >=2 docs, hash-only
+    // corpus-wide aggregation
+    "q_span_dup" -> ((s, dir) =>
+      Dedup.spanDupStats(t(s, dir, "documents"), "doc_id", "text", w = 8)),
+    // SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings, then
+    // near-dup only WITHIN clusters — pair work confined to cells
+    "q_sem_dedup" -> ((s, dir) =>
+      Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, ncells = 8, iters = 2)),
 
     // ----- similarity search over embeddings -----
     "q_ann_topk" -> ((s, dir) => {
@@ -2010,6 +2020,38 @@ object SparkEntry {
          sigs AS (SELECT doc_id, ${duckMinhash("hs", 12)} AS mh FROM hs),
          buckets AS (SELECT doc_id, mh, band, ${duckBandBucket("mh", "band", 3)} AS bucket
                      FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bands)"""
+    // unrolled Lloyd k-means rounds (the label-propagation trick),
+    // shared by the learned-IVF and SemDeDup oracles: assignN = nearest
+    // centroid by squared-L2 with ties to the lowest cell; centroid
+    // update = exact DECIMAL(28,14) per-position mean cast back to
+    // DOUBLE (order-independent, matches Spark bit-for-bit); empty
+    // cells inherit the previous centroid via COALESCE. The chain ends
+    // at c2 (the 2-round codebook) and cc (the final assignment).
+    def kmAssign(cents: String, alias: String, filter: String) =
+      s"""$alias AS (SELECT vec_id, v, cell FROM (
+            SELECT d.vec_id, d.v, i.cell,
+                   ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                     ORDER BY ${duckSqDist("i.c", "d.v", 64)}, i.cell) AS rn
+            FROM dv d CROSS JOIN $cents i) WHERE rn = 1$filter)"""
+    def kmUpdate(assigned: String, prev: String, alias: String) =
+      s"""${alias}s AS (SELECT cell, j AS pos,
+              CAST(SUM(CAST(v[j] AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS cv
+            FROM $assigned CROSS JOIN (SELECT unnest(range(1, 65)) AS j) js
+            GROUP BY cell, j),
+          $alias AS (SELECT i.cell, COALESCE(n.c, i.c) AS c
+            FROM $prev i LEFT JOIN (SELECT cell, list(cv ORDER BY pos) AS c
+                                    FROM ${alias}s GROUP BY cell) n
+              ON i.cell = n.cell)"""
+    val kmeansChain =
+      s"""dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                        embedding FROM embeddings),
+         init AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, v AS c
+                  FROM dv ORDER BY vec_id LIMIT 8),
+         ${kmAssign("init", "a1", "")},
+         ${kmUpdate("a1", "init", "c1")},
+         ${kmAssign("c1", "a2", "")},
+         ${kmUpdate("a2", "c1", "c2")},
+         ${kmAssign("c2", "cc", "")}"""
     Map(
       "q_text_stats" ->
         s"""WITH tk AS (SELECT doc_id, text, ${duckTokens("text")} AS toks FROM documents)
@@ -2084,6 +2126,16 @@ object SparkEntry {
              JOIN sh sa ON sa.doc_id = c.doc_a
              JOIN sh sb ON sb.doc_id = c.doc_b)
            WHERE greatest(contain_a, contain_b) >= 0.4""",
+      "q_span_dup" ->
+        s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
+           wh AS (SELECT doc_id,
+                         unnest(list_distinct(list_transform(${duckShingles("toks", 8)}, s -> ${duckStrHash("s")}))) AS wh
+                  FROM tk),
+           dw AS (SELECT wh, COUNT(*) AS ndocs FROM wh GROUP BY wh)
+           SELECT doc_id, COUNT(*) AS n_windows,
+                  CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+                  CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
+           FROM wh JOIN dw USING (wh) GROUP BY doc_id""",
       "q_setsim_prefix" ->
         s"""WITH tkk AS (SELECT doc_id, ${duckTokens("text")} AS tok0 FROM documents),
            tk AS (SELECT doc_id, list_distinct(list_transform(${duckShingles("tok0", 3)}, s -> ${duckStrHash("s")})) AS toks FROM tkk),
@@ -2162,35 +2214,7 @@ object SparkEntry {
                  FROM scored)
            SELECT qid, cid, cosine, "rank" FROM r WHERE "rank" <= 3""",
       "q_ann_ivf2" -> {
-        // unrolled Lloyd rounds (the label-propagation trick): assignN =
-        // nearest centroid by squared-L2 with ties to the lowest cell;
-        // centroid update = exact DECIMAL(28,14) per-position mean cast
-        // back to DOUBLE (order-independent, matches Spark bit-for-bit);
-        // empty cells inherit the previous centroid via COALESCE
-        def assign(cents: String, alias: String, filter: String) =
-          s"""$alias AS (SELECT vec_id, v, cell FROM (
-                SELECT d.vec_id, d.v, i.cell,
-                       ROW_NUMBER() OVER (PARTITION BY d.vec_id
-                         ORDER BY ${duckSqDist("i.c", "d.v", 64)}, i.cell) AS rn
-                FROM dv d CROSS JOIN $cents i) WHERE rn = 1$filter)"""
-        def update(assigned: String, prev: String, alias: String) =
-          s"""${alias}s AS (SELECT cell, j AS pos,
-                  CAST(SUM(CAST(v[j] AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS cv
-                FROM $assigned CROSS JOIN (SELECT unnest(range(1, 65)) AS j) js
-                GROUP BY cell, j),
-              $alias AS (SELECT i.cell, COALESCE(n.c, i.c) AS c
-                FROM $prev i LEFT JOIN (SELECT cell, list(cv ORDER BY pos) AS c
-                                        FROM ${alias}s GROUP BY cell) n
-                  ON i.cell = n.cell)"""
-        s"""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-                               embedding FROM embeddings),
-           init AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, v AS c
-                    FROM dv ORDER BY vec_id LIMIT 8),
-           ${assign("init", "a1", "")},
-           ${update("a1", "init", "c1")},
-           ${assign("c1", "a2", "")},
-           ${update("a2", "c1", "c2")},
-           ${assign("c2", "cc", "")},
+        s"""WITH $kmeansChain,
            qq AS (SELECT vec_id, cell FROM (
                     SELECT d.vec_id, i.cell,
                            ROW_NUMBER() OVER (PARTITION BY d.vec_id
@@ -2206,6 +2230,16 @@ object SparkEntry {
                  FROM scored)
            SELECT qid, cid, cosine, "rank" FROM r WHERE "rank" <= 3"""
       },
+      "q_sem_dedup" ->
+        s"""WITH $kmeansChain,
+           pairs AS (SELECT b.vec_id AS id_b, MIN(a.vec_id) AS dup_of
+                     FROM cc a JOIN cc b ON a.cell = b.cell AND a.vec_id < b.vec_id
+                     JOIN dv ae ON ae.vec_id = a.vec_id
+                     JOIN dv be ON be.vec_id = b.vec_id
+                     WHERE ${duckCosine("ae.embedding", "be.embedding")} >= 0.3
+                     GROUP BY b.vec_id)
+           SELECT c.vec_id, c.cell, p.dup_of, p.dup_of IS NULL AS keep
+           FROM cc c LEFT JOIN pairs p ON c.vec_id = p.id_b""",
       "q_ann_pq" ->
         s"""WITH cbt AS (SELECT list(embedding ORDER BY vec_id) AS cb
                 FROM embeddings WHERE vec_id % 31 = 0 AND vec_id < 496),

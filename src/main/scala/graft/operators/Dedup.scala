@@ -338,6 +338,40 @@ object Dedup {
     labels.select(col("id").as(aCol), col("label").as("cluster"))
   }
 
+  /** Duplicated-SPAN detection (the practical approximation of exact-
+    * substring dedup, Lee et al. 2021 "Deduplicating Training Data Makes
+    * Language Models Better"): a doc's w-token windows that also occur in
+    * ANOTHER doc are "duplicated spans"; the per-doc duplicated fraction
+    * is the filter signal (docs above a threshold are boilerplate-heavy
+    * or wholesale copies even when whole-doc Jaccard stays low).
+    *
+    * Scale: windows are reduced to 64-bit polynomial hashes BEFORE the
+    * corpus-wide aggregation, so the explode emits (id, long) rows and
+    * the groupBy shuffles distinct hashes with map-side partial counts —
+    * window TEXT never rides an exchange. Per-doc windows are distinct'd
+    * doc-locally (narrow) so a doc repeating its own span doesn't count
+    * as cross-doc duplication. No O(n²) stage: cost is rows × windows
+    * per row on the map side, distinct window hashes on the reduce side —
+    * the same shape a suffix-array-free span dedup runs at 100 TB.
+    *
+    * Returns (id, n_windows, n_dup_windows, dup_frac). Docs shorter than
+    * `w` tokens have no windows and drop out (both engines agree). */
+  def spanDupStats(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8): DataFrame = {
+    val winHashes = df.select(col(idCol),
+      explode(array_distinct(transform(
+        GraftFunctions.shingles(col(textCol), w),
+        s => GraftFunctions.polyHash(s)))).as("wh"))
+    val docsPerWin = winHashes.groupBy(col("wh"))
+      .agg(count(lit(1)).as("ndocs"))
+    winHashes.join(docsPerWin, "wh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_frac",
+        col("n_dup_windows").cast("double") / col("n_windows"))
+  }
+
   /** Embedding near-dup pairs: random-hyperplane LSH bucket join, then
     * exact cosine verification above `threshold`. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,

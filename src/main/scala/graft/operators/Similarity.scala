@@ -176,6 +176,45 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** SemDeDup (Abbas et al. 2023): SEMANTIC dedup over embeddings —
+    * k-means-cluster the corpus, then within each cluster mark every
+    * vector that has a lower-id neighbor above the cosine threshold as a
+    * duplicate of its LOWEST such neighbor. Near-dup detection never
+    * crosses cluster boundaries, so the quadratic verify is confined to
+    * per-cluster blocks: with balanced cells the pair work is
+    * n²/ncells — ncells grows with the corpus (√n cells keeps per-cell
+    * work flat), and hot cells are ordinary join-key skew for AQE. The
+    * cluster pass reuses [[kmeansCodebook]] (one aggregation per Lloyd
+    * round; only the codebook reaches the driver).
+    *
+    * Returns one row per vector: (id, cell, dup_of, keep) where dup_of
+    * is the lowest near-duplicate id below it in its cell (NULL when
+    * none) and keep = dup_of IS NULL. */
+  def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, ncells: Int = 8, iters: Int = 2): DataFrame = {
+    val cent = kmeansCodebook(vectors, idCol, vecCol, ncells, iters)
+    val dv = expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))")
+    // persist: the assignment feeds both sides of the within-cell
+    // self-join — see the recompute note on Dedup.minhashCandidates
+    val assigned = Dedup.persistTracked(vectors.select(
+      col(idCol).as("vid"), col(vecCol).as("vv"),
+      nearestCell(dv, cent).as("cell")))
+    val pairs = assigned
+      .select(col("vid").as("id_a"), col("vv").as("v_a"), col("cell"))
+      .join(assigned.select(col("vid").as("id_b"), col("vv").as("v_b"),
+        col("cell")), "cell")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_b"),
+        when(GraftFunctions.cosineSim(col("v_a"), col("v_b")) >= threshold,
+          col("id_a")).as("near"))
+      .filter(col("near").isNotNull)
+      .groupBy(col("id_b")).agg(min(col("near")).as("dup_of"))
+    assigned
+      .join(pairs, col("vid") === col("id_b"), "left")
+      .select(col("vid").as(idCol), col("cell"), col("dup_of"),
+        col("dup_of").isNull.as("keep"))
+  }
+
   /** MULTI-PROBE LSH top-k: each query probes its own signature AND all
     * `nbits` Hamming-1 neighbor signatures — the standard multi-probe
     * trick that recovers neighbors lost to a single flipped hyperplane

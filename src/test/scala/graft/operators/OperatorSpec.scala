@@ -61,6 +61,56 @@ class OperatorSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("span-dup: shared spans counted, unique docs zero, copies full") {
+    import org.apache.spark.sql.functions._
+    val fix = spark.createDataFrame(Seq(
+      // a and b share one 8-token span inside otherwise-different text
+      (1L, "aa bb cc dd ee ff gg hh unique1 tail1 one two"),
+      (2L, "lead2 aa bb cc dd ee ff gg hh other2 xx yy"),
+      // c and d are verbatim copies: every window duplicated
+      (3L, "p q r s t u v w x y z"),
+      (4L, "p q r s t u v w x y z"),
+      // e shares nothing
+      (5L, "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10")
+    )).toDF("doc_id", "text")
+    val st = Dedup.spanDupStats(fix, "doc_id", "text", w = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc 1: 5 windows (12 tokens), exactly 1 shared with doc 2
+    assert(st(1L) == ((5L, 1L, 0.2)))
+    assert(st(2L)._2 == 1L)
+    // verbatim copies: dup_frac 1.0
+    assert(st(3L) == ((4L, 4L, 1.0)) && st(4L) == ((4L, 4L, 1.0)))
+    // unique doc: zero duplicated windows
+    assert(st(5L) == ((3L, 0L, 0.0)))
+  }
+
+  test("semdedup: one row per vector, dups point DOWN within their cell") {
+    import org.apache.spark.sql.functions._
+    val sd = Similarity.semDedup(emb, "vec_id", "embedding",
+      threshold = 0.3, ncells = 8, iters = 2)
+    val n = emb.count()
+    assert(sd.count() == n)
+    // keep <=> no dup_of; a dup's keeper has a smaller id
+    assert(sd.filter("keep <> (dup_of IS NULL)").count() == 0)
+    assert(sd.filter("dup_of IS NOT NULL AND dup_of >= vec_id").count() == 0)
+    // dup_of targets live in the SAME cell (SemDeDup never crosses cells)
+    val cells = sd.select(col("vec_id").as("tgt"), col("cell").as("tgt_cell"))
+    assert(sd.filter("dup_of IS NOT NULL")
+      .join(cells, col("dup_of") === col("tgt"))
+      .filter("cell <> tgt_cell").count() == 0)
+    // flagged pairs really are above the cosine threshold
+    val vecs = emb.select(col("vec_id").as("vid2"), col("embedding").as("v2"))
+    val bad = sd.filter("dup_of IS NOT NULL")
+      .join(emb.select(col("vec_id"), col("embedding").as("v1")), "vec_id")
+      .join(vecs, col("dup_of") === col("vid2"))
+      .select(graft.functions.GraftFunctions
+        .cosineSim(col("v1"), col("v2")).as("cos"))
+      .filter("cos < 0.3")
+    assert(bad.count() == 0)
+    Dedup.releaseCaches()
+  }
+
   test("simhash hamming bounded by 32 and block-consistent") {
     val p = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
     assert(p.filter("hamming > 6 OR hamming < 0").count() == 0)
