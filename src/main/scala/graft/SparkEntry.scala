@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 import graft.operators.{Dedup, Events, Graph, Similarity, TextAnalysis}
-import graft.functions.XFormulas
+import graft.functions.{GraftFunctions, XFormulas}
 
 /** Driver contract — one `queries` entry per operator from SURVEY.md §2
   * (IDs S, P, F, J cited per query), plus the extension surface (§7 phase
@@ -1419,6 +1419,40 @@ object SparkEntry {
           sum(col("n_toks")).as("total_tokens"),
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
+    }),
+
+    // ----- deterministic TRAINING SHARDS: the write-side of a training
+    // pipeline — shard by a salted content-key hash, order within the
+    // shard by an independent hash (a reproducible global shuffle with
+    // no global sort). At 100 TB this is repartition-by-shard +
+    // sortWithinPartitions: one stateless hash exchange; the window here
+    // ranks within already-shuffled shards, never globally -----
+    "q_train_shard" -> ((s, dir) => {
+      val shard = GraftFunctions.polyHash(
+        concat(lit("s:"), col("doc_id").cast("string"))) % 8
+      val ord = GraftFunctions.polyHash(
+        concat(lit("o:"), col("doc_id").cast("string")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), shard.as("shard"), ord.as("ord"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard"))
+            .orderBy(col("ord"), col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+    }),
+
+    // ----- TEMPERATURE source mixing (alpha = 0.5): per-source sampling
+    // weight proportional to sqrt(token mass), reported relative to the
+    // largest source — sqrt and one division are both correctly-rounded
+    // IEEE ops, so the doubles are engine-identical (no order-dependent
+    // float sum anywhere) -----
+    "q_source_mix" -> ((s, dir) => {
+      val per = TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("toks")).cast("long")).as("n_tokens"))
+      per.crossJoin(broadcast(per.agg(max(col("n_tokens")).as("max_tokens"))))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (sqrt(col("n_tokens")) / sqrt(col("max_tokens"))).as("rel_weight"))
     }),
 
     // ----- max concurrent intervals (sweep line): each 5-minute event
@@ -3073,6 +3107,21 @@ object SparkEntry {
                   CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
                   MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
            FROM c GROUP BY source, (cum - n_toks) // 256""",
+      "q_train_shard" ->
+        s"""WITH h AS (SELECT doc_id,
+                  ${duckStrHash("('s:' || CAST(doc_id AS VARCHAR))")} % 8 AS shard,
+                  ${duckStrHash("('o:' || CAST(doc_id AS VARCHAR))")} AS ord
+                FROM documents)
+           SELECT doc_id, shard,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos
+           FROM h""",
+      "q_source_mix" ->
+        s"""WITH per AS (SELECT source, COUNT(*) AS n_docs,
+                  CAST(SUM(len(${duckTokens("text")})) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source)
+           SELECT source, n_docs, n_tokens,
+                  sqrt(n_tokens) / sqrt((SELECT MAX(n_tokens) FROM per)) AS rel_weight
+           FROM per""",
       "q_max_concurrent" ->
         """WITH ev AS (SELECT event_type, epoch_us(ts) AS t_us FROM events),
            pts AS (SELECT event_type, t_us AS t, 1 AS delta FROM ev

@@ -111,6 +111,26 @@ class OperatorSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("train shards: dense 1..n positions per shard, deterministic") {
+    val sh = graft.SparkEntry.queries("q_train_shard")(spark, dir)
+    assert(sh.filter("shard < 0 OR shard >= 8").count() == 0)
+    // positions are dense ranks: per shard, max(pos) == count
+    assert(sh.groupBy("shard")
+      .agg(org.apache.spark.sql.functions.max("pos").as("mx"),
+        org.apache.spark.sql.functions.count("*").as("n"))
+      .filter("mx <> n").count() == 0)
+    // reproducible global shuffle: a second run is byte-identical
+    val again = graft.SparkEntry.queries("q_train_shard")(spark, dir)
+    assert(sh.exceptAll(again).count() == 0 &&
+      again.exceptAll(sh).count() == 0)
+  }
+
+  test("source mix: weights in (0,1], the biggest source pins 1.0") {
+    val m = graft.SparkEntry.queries("q_source_mix")(spark, dir)
+    assert(m.filter("rel_weight <= 0 OR rel_weight > 1").count() == 0)
+    assert(m.filter("rel_weight = 1.0").count() >= 1)
+  }
+
   test("simhash hamming bounded by 32 and block-consistent") {
     val p = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
     assert(p.filter("hamming > 6 OR hamming < 0").count() == 0)
