@@ -971,6 +971,92 @@ object SparkEntry {
           "sum(n) OVER (PARTITION BY from_type)"))
     }),
 
+    // ----- SCD TYPE 2 dimension build: collapse each user's event_type
+    // runs into validity intervals [valid_from, valid_to) in epoch-micros,
+    // open-ended current row — the standard warehouse history table.
+    // Gaps-and-islands run detection: one shuffle per window key -----
+    "q_scd2" -> ((s, dir) => {
+      val seq = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_us"), col("event_id"))
+      val runs = t(s, dir, "events")
+        .withColumn("t_us", expr("ts div 1000"))
+        .withColumn("changed",
+          when(lag(col("event_type"), 1).over(seq).isNull ||
+            lag(col("event_type"), 1).over(seq) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("run", sum(col("changed")).over(
+          seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("run"), col("event_type"))
+        .agg(min(col("t_us")).as("valid_from"),
+          count(lit(1)).as("n_events"))
+      val byStart = Window.partitionBy(col("user_id"))
+        .orderBy(col("valid_from"), col("run"))
+      runs
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(byStart))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          col("valid_to"), col("n_events"), col("is_current"))
+    }),
+
+    // ----- mergeable HISTOGRAM quantiles: the single-pass sketch path
+    // for quantiles at scale — bucket counts are partial-aggregable,
+    // the quantile bucket is read off the cumulative histogram. Bucket
+    // bounds are exact integers; no interpolation, so the oracle is
+    // exact (the precise-value twin is q_percentile) -----
+    "q_hist_quantile" -> ((s, dir) => {
+      val h = t(s, dir, "lineitem")
+        .withColumn("bucket",
+          expr("CAST(floor(l_extendedprice / 1000.0D) AS BIGINT)"))
+        .groupBy(col("l_returnflag"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val cum = h
+        .withColumn("cum", sum(col("n")).over(
+          Window.partitionBy(col("l_returnflag")).orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum(col("n")).over(
+          Window.partitionBy(col("l_returnflag"))))
+      cum
+        .withColumn("pct", explode(array(lit(50L), lit(90L))))
+        .withColumn("target", expr("(pct * total + 99) div 100"))
+        .filter(col("cum") >= col("target") &&
+          col("cum") - col("n") < col("target"))
+        .select(col("l_returnflag"), col("pct"),
+          (col("bucket") * 1000).as("lo"),
+          ((col("bucket") + 1) * 1000).as("hi"),
+          col("cum"), col("total"))
+    }),
+
+    // ----- lexical diversity, log-free: Gini-Simpson 1 - sum(p_i^2)
+    // computed as the exact rational (N^2 - sum(n_i^2)) / N^2 — integer
+    // sums + ONE division, so doubles are engine-identical (entropy's
+    // log() is 1-ulp engine-specific; this is the same diversity signal
+    // without it) -----
+    "q_lex_diversity" -> ((s, dir) =>
+      TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), explode(col("toks")).as("w"))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_tokens"),
+          sum(col("n") * col("n")).as("sum_sq"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("CAST(n_tokens * n_tokens - sum_sq AS DOUBLE) / (n_tokens * n_tokens)")
+            .as("gini"))),
+
+    // ----- per-SOURCE duplication report: span-dup stats rolled up to
+    // the corpus-card level (integer sums, one division) -----
+    "q_dup_by_source" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.spanDupStats(docs, "doc_id", "text", w = 8)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_windows")).as("windows"),
+          sum(col("n_dup_windows")).as("dup_windows"))
+        .withColumn("dup_rate",
+          expr("CAST(dup_windows AS DOUBLE) / windows"))
+    }),
+
     // ----- per-dimension embedding statistics (vector-column profiling).
     // Sums are quantized with floor() into exact 64-bit integer space
     // (1e-6 for values, 1e-12 for squares) — floor has NO halfway case,
@@ -3107,6 +3193,56 @@ object SparkEntry {
                   CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
                   MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
            FROM c GROUP BY source, (cum - n_toks) // 256""",
+      "q_scd2" ->
+        """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us FROM events),
+           l AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS prev FROM e),
+           m AS (SELECT *, CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END AS changed FROM l),
+           r AS (SELECT *, CAST(SUM(changed) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run FROM m),
+           runs AS (SELECT user_id, run, event_type, MIN(t_us) AS valid_from,
+                           COUNT(*) AS n_events
+                    FROM r GROUP BY user_id, run, event_type)
+           SELECT user_id, event_type, valid_from,
+                  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, run) AS valid_to,
+                  n_events,
+                  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, run) IS NULL AS is_current
+           FROM runs""",
+      "q_hist_quantile" ->
+        """WITH h AS (SELECT l_returnflag, CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS bucket,
+                             COUNT(*) AS n
+                      FROM lineitem GROUP BY 1, 2),
+           c AS (SELECT *, CAST(SUM(n) OVER (PARTITION BY l_returnflag ORDER BY bucket
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                           CAST(SUM(n) OVER (PARTITION BY l_returnflag) AS BIGINT) AS total
+                 FROM h),
+           q AS (SELECT c.*, pct, (pct * total + 99) // 100 AS target
+                 FROM c CROSS JOIN (SELECT unnest([50, 90]) AS pct) p)
+           SELECT l_returnflag, CAST(pct AS BIGINT) AS pct,
+                  bucket * 1000 AS lo, (bucket + 1) * 1000 AS hi, cum, total
+           FROM q WHERE cum >= target AND cum - n < target""",
+      "q_lex_diversity" ->
+        s"""WITH tk AS (SELECT doc_id, unnest(${duckTokens("text")}) AS w FROM documents),
+           c AS (SELECT doc_id, w, COUNT(*) AS n FROM tk GROUP BY doc_id, w),
+           g AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+                        CAST(SUM(n * n) AS BIGINT) AS sum_sq
+                 FROM c GROUP BY doc_id)
+           SELECT doc_id, n_tokens,
+                  CAST(n_tokens * n_tokens - sum_sq AS DOUBLE) / (n_tokens * n_tokens) AS gini
+           FROM g""",
+      "q_dup_by_source" ->
+        s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
+           wh AS (SELECT doc_id,
+                         unnest(list_distinct(list_transform(${duckShingles("toks", 8)}, s -> ${duckStrHash("s")}))) AS wh
+                  FROM tk),
+           dw AS (SELECT wh, COUNT(*) AS ndocs FROM wh GROUP BY wh),
+           per AS (SELECT doc_id, COUNT(*) AS n_windows,
+                          CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+                   FROM wh JOIN dw USING (wh) GROUP BY doc_id)
+           SELECT source, COUNT(*) AS n_docs,
+                  CAST(SUM(n_windows) AS BIGINT) AS windows,
+                  CAST(SUM(n_dup_windows) AS BIGINT) AS dup_windows,
+                  CAST(SUM(n_dup_windows) AS DOUBLE) / SUM(n_windows) AS dup_rate
+           FROM per JOIN documents USING (doc_id) GROUP BY source""",
       "q_train_shard" ->
         s"""WITH h AS (SELECT doc_id,
                   ${duckStrHash("('s:' || CAST(doc_id AS VARCHAR))")} % 8 AS shard,

@@ -131,6 +131,71 @@ class OperatorSpec extends SparkSpec {
     assert(m.filter("rel_weight = 1.0").count() >= 1)
   }
 
+  test("scd2: per user exactly one open row, intervals chain without overlap") {
+    import org.apache.spark.sql.functions._
+    val d = graft.SparkEntry.queries("q_scd2")(spark, dir)
+    // exactly one current (open-ended) row per user
+    assert(d.filter("is_current").groupBy("user_id").count()
+      .filter("count <> 1").count() == 0)
+    assert(d.filter("user_id IS NOT NULL").select("user_id").distinct().count() ==
+      d.filter("is_current").count())
+    // closed intervals are well-formed and adjacent rows chain exactly
+    assert(d.filter("valid_to IS NOT NULL AND valid_to <= valid_from").count() == 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("valid_from")
+    assert(d.withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter("valid_to IS NOT NULL AND valid_to <> next_from")
+      .count() == 0)
+    // consecutive rows never carry the same value (runs were collapsed)
+    assert(d.withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter("next_type IS NOT NULL AND next_type = event_type")
+      .count() == 0)
+  }
+
+  test("histogram quantiles: bucket brackets the exact percentile") {
+    val d = graft.SparkEntry.queries("q_hist_quantile")(spark, dir)
+    // two rows (p50, p90) per return flag, and p50 bucket <= p90 bucket
+    assert(d.groupBy("l_returnflag").count().filter("count <> 2").count() == 0)
+    assert(d.filter("lo >= hi").count() == 0)
+    val byFlag = d.collect().groupBy(_.getString(0))
+    byFlag.values.foreach { rows =>
+      val m = rows.map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+      assert(m(50L)._1 <= m(90L)._1)
+    }
+    // the exact within-flag percentile really falls inside the bucket
+    import org.apache.spark.sql.functions._
+    val exact = Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"))
+    val joined = d.filter("pct = 50").join(exact, "l_returnflag")
+    assert(joined.filter("p50 < lo OR p50 >= hi + 1000").count() == 0)
+  }
+
+  test("lexical diversity: gini in [0,1), 1-token doc pins 0") {
+    import org.apache.spark.sql.functions._
+    val one = spark.createDataFrame(Seq((1L, "word word word"), (2L, "a b c")))
+      .toDF("doc_id", "text")
+    // repeated-only doc -> 0; all-distinct doc -> 1 - 1/n
+    val fix = graft.operators.TextAnalysis.withTokens(one, "text")
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(sum(col("n")).as("nt"),
+        sum(col("n") * col("n")).as("ss"))
+      .selectExpr("doc_id", "CAST(nt*nt - ss AS DOUBLE)/(nt*nt) AS gini")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fix(1L) == 0.0)
+    assert(math.abs(fix(2L) - 2.0 / 3.0) < 1e-15)
+    val d = graft.SparkEntry.queries("q_lex_diversity")(spark, dir)
+    assert(d.filter("gini < 0 OR gini >= 1").count() == 0)
+  }
+
+  test("dup-by-source report: rates bounded, totals consistent") {
+    val d = graft.SparkEntry.queries("q_dup_by_source")(spark, dir)
+    assert(d.filter("dup_windows > windows").count() == 0)
+    assert(d.filter("dup_rate < 0 OR dup_rate > 1").count() == 0)
+    assert(d.filter("n_docs <= 0").count() == 0)
+  }
+
   test("simhash hamming bounded by 32 and block-consistent") {
     val p = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
     assert(p.filter("hamming > 6 OR hamming < 0").count() == 0)
