@@ -1771,8 +1771,11 @@ object SparkEntry {
     "q_pagerank" -> ((s, dir) => {
       val cand = Dedup.minhashCandidates(
         t(s, dir, "documents"), "doc_id", "text").select("doc_a", "doc_b")
-      val edges = cand.unionAll(
-        cand.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      // both directions in one pass (see the explode note in Dedup.clusters)
+      val edges = cand.select(explode(array(
+        struct(col("doc_a").as("doc_a"), col("doc_b").as("doc_b")),
+        struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("e"))
+        .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
       Graph.pagerank(edges, "doc_a", "doc_b")
         .withColumnRenamed("id", "doc_id")
     }),

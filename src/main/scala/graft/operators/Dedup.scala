@@ -245,12 +245,16 @@ object Dedup {
     val docTok = toks.select(col("id"), col("n_toks"),
       explode(col("toks")).as("tok"))
     val tokDf = docTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val prefixes = docTok.join(tokDf, "tok")
+    // persist: the prefix table feeds BOTH sides of the candidate
+    // self-join — without the barrier the explode + df-join + window
+    // chain executes twice inside one plan (measured ~2x the window
+    // cost at sf0.1; see the recompute note on minhashCandidates)
+    val prefixes = persistTracked(docTok.join(tokDf, "tok")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))))
       .filter(col("rn") <=
         col("n_toks") - ceil(lit(threshold) * col("n_toks")) + 1)
-      .select(col("id"), col("tok"), col("n_toks"))
+      .select(col("id"), col("tok"), col("n_toks")))
     // size-compatibility bound (also exact): jaccard >= t forces
     // t*|B| <= |A| <= |B|/t, so size-incompatible pairs are pruned
     // INSIDE the token join before they cost a dedup row
@@ -309,10 +313,14 @@ object Dedup {
     * Persisted per round via the caller-owned cache registry. */
   def clusters(pairs: DataFrame, aCol: String, bCol: String,
       rounds: Int = 3): DataFrame = {
-    // undirected edge list, both directions
+    // undirected edge list, both directions — emitted in ONE pass via a
+    // narrow explode (a self-union would execute the upstream candidate
+    // chain twice before the persist materializes)
     val edges = persistTracked(
-      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-        .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
+      pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst")))
     val nodes = edges.select(col("src").as("id")).distinct()
     // localCheckpoint per round CUTS THE LINEAGE: without it every round's
     // plan embeds the full upstream chain (scoring + LSH + all prior
