@@ -24,7 +24,10 @@ object CorpusPipeline {
     *         id of any near-dup candidate pair. */
   def clean(docs: DataFrame, idCol: String, textCol: String,
       minQuality: Double = 0.5): DataFrame = {
-    val scored = docs
+    // persist the slim scored projection: it feeds both the keeper agg
+    // and the survivor join inside ONE plan — without the barrier the
+    // scoring chain executes twice (same fix as cleanFull's gate)
+    val scored = Dedup.persistTracked(docs
       .withColumn("toks", expr(sparkTokens(textCol)))
       .withColumn("stop_hits", expr(sparkStopHits("toks")))
       .withColumn("quality",
@@ -33,6 +36,7 @@ object CorpusPipeline {
           "0.3 * (CAST(size(filter(toks, w -> length(w) <= 5)) AS DOUBLE) / nullif(size(toks), 0))"))
       .withColumn("fp", GraftFunctions.polyHash(col(textCol)))
       .filter(col("stop_hits") >= 1 && col("quality") >= minQuality)
+      .select(col(idCol), col(textCol), col("fp"), col("quality")))
 
     // exact dedup on the fingerprint: group on 8 bytes, not the text
     val keepers = scored
@@ -73,7 +77,11 @@ object CorpusPipeline {
   def cleanFull(docs: DataFrame, bench: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     import graft.functions.GraftFunctions
-    val gated = docs
+    // persist the slim survivor projection: the gate's repetition
+    // scores (top_share is O(distinct x n) per doc) feed BOTH the
+    // decontamination side and the dedup side — without the barrier the
+    // whole scoring chain executes twice inside one plan
+    val gated = Dedup.persistTracked(docs
       .withColumn("toks", expr(sparkTokens(textCol)))
       .withColumn("n_tokens", expr("size(toks)"))
       .withColumn("distinct_ratio", expr(
@@ -84,6 +92,7 @@ object CorpusPipeline {
       .filter("n_tokens >= 20 AND n_tokens <= 90 AND " +
         "distinct_ratio >= 0.45 AND top_share <= 0.12")
       .withColumn("fp", GraftFunctions.polyHash(col(textCol)))
+      .select(col(idCol), col(textCol), col("fp")))
     val contaminated = TextAnalysis
       .decontaminate(gated.select(col(idCol), col(textCol)), bench,
         idCol, textCol)
@@ -113,7 +122,8 @@ object CorpusPipeline {
     * id — so exactly one member of every transitive dup group survives. */
   def cleanClustered(docs: DataFrame, idCol: String, textCol: String,
       minQuality: Double = 0.5): DataFrame = {
-    val scored = docs
+    // persist: same dual-consumer shape as [[clean]]
+    val scored = Dedup.persistTracked(docs
       .withColumn("toks", expr(sparkTokens(textCol)))
       .withColumn("stop_hits", expr(sparkStopHits("toks")))
       .withColumn("quality",
@@ -122,6 +132,7 @@ object CorpusPipeline {
           "0.3 * (CAST(size(filter(toks, w -> length(w) <= 5)) AS DOUBLE) / nullif(size(toks), 0))"))
       .withColumn("fp", GraftFunctions.polyHash(col(textCol)))
       .filter(col("stop_hits") >= 1 && col("quality") >= minQuality)
+      .select(col(idCol), col(textCol), col("fp"), col("quality")))
     val keepers = scored.groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
     // persist: feeds the candidate path, the label join, and the final
     // select; signatures computed in-scope — see [[clean]]
