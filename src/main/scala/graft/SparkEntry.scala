@@ -971,6 +971,50 @@ object SparkEntry {
           "sum(n) OVER (PARTITION BY from_type)"))
     }),
 
+    // ----- tokenizer VOCAB COVERAGE curve: top-64 tokens by corpus
+    // frequency with cumulative occurrence share — the vocab-size vs
+    // coverage trade-off read off directly. The global rank runs on the
+    // aggregated TYPE table (distinct tokens), which is vocab-sized,
+    // not corpus-sized; coverage is an integer cumsum + one division -----
+    "q_vocab_coverage" -> ((s, dir) => {
+      val counts = TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+        .select(explode(col("toks")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      val byFreq = Window.orderBy(col("n").desc, col("token"))
+      counts
+        .withColumn("rank", row_number().over(byFreq).cast("long"))
+        .withColumn("cum", sum(col("n")).over(
+          byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(
+          TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+            .agg(sum(size(col("toks")).cast("long")).as("total"))))
+        .filter(col("rank") <= 64)
+        .select(col("rank"), col("token"), col("n"),
+          (col("cum").cast("double") / col("total")).as("coverage"))
+    }),
+
+    // ----- HARD-NEGATIVE mining for contrastive training: per query,
+    // the top-k most-similar candidates with a DIFFERENT label — the
+    // negatives that actually move a contrastive loss. Same broadcast
+    // queries x candidate scan shape as brute-force ANN (guarded small
+    // query side); the label filter prunes inside the scan -----
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = broadcast(emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("label").as("qlabel")))
+      val scored = q.crossJoin(
+          emb.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+            col("label").as("clabel")))
+        .filter(col("clabel") =!= col("qlabel"))
+        .select(col("qid"), col("cid"),
+          GraftFunctions.cosineSim(col("qv"), col("cv")).as("cosine"))
+      scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cosine").desc, col("cid"))).cast("long"))
+        .filter(col("rank") <= 5)
+    }),
+
     // ----- SCD TYPE 2 dimension build: collapse each user's event_type
     // runs into validity intervals [valid_from, valid_to) in epoch-micros,
     // open-ended current row — the standard warehouse history table.
@@ -3196,6 +3240,30 @@ object SparkEntry {
                   CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
                   MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
            FROM c GROUP BY source, (cum - n_toks) // 256""",
+      "q_vocab_coverage" ->
+        s"""WITH tk AS (SELECT ${duckTokens("text")} AS toks FROM documents),
+           w AS (SELECT unnest(toks) AS token FROM tk),
+           c AS (SELECT token, COUNT(*) AS n FROM w GROUP BY token),
+           r AS (SELECT token, n,
+                        CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS "rank",
+                        CAST(SUM(n) OVER (ORDER BY n DESC, token
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                 FROM c)
+           SELECT "rank", token, n,
+                  CAST(cum AS DOUBLE) / (SELECT COUNT(*) FROM w) AS coverage
+           FROM r WHERE "rank" <= 64""",
+      "q_hard_negatives" ->
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+                       FROM embeddings WHERE vec_id < 10),
+           scored AS (SELECT q.qid, c.vec_id AS cid,
+                             ${duckCosine("q.qv", "c.embedding")} AS cosine
+                      FROM q CROSS JOIN embeddings c
+                      WHERE c.label <> q.qlabel),
+           r AS (SELECT qid, cid, cosine,
+                        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                          ORDER BY cosine DESC, cid) AS BIGINT) AS "rank"
+                 FROM scored)
+           SELECT qid, cid, cosine, "rank" FROM r WHERE "rank" <= 5""",
       "q_scd2" ->
         """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us FROM events),
            l AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS prev FROM e),

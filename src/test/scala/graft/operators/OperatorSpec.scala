@@ -196,6 +196,29 @@ class OperatorSpec extends SparkSpec {
     assert(d.filter("n_docs <= 0").count() == 0)
   }
 
+  test("vocab coverage: monotone in rank, frequencies non-increasing") {
+    import org.apache.spark.sql.functions._
+    val v = graft.SparkEntry.queries("q_vocab_coverage")(spark, dir)
+      .orderBy("rank").collect()
+    assert(v.length <= 64 && v.length > 0)
+    assert(v.map(_.getDouble(3)).sliding(2).forall(p => p(0) < p(1)))
+    assert(v.map(_.getLong(2)).sliding(2).forall(p => p(0) >= p(1)))
+    // the sf0.001 vocab is under 64 types, so the curve must END at 1.0
+    assert(v.length < 64 && v.last.getDouble(3) == 1.0)
+  }
+
+  test("hard negatives: k rows per query, never the query's own label") {
+    import org.apache.spark.sql.functions._
+    val hn = graft.SparkEntry.queries("q_hard_negatives")(spark, dir)
+    assert(hn.groupBy("qid").count().filter("count <> 5").count() == 0)
+    val labels = emb.select(col("vec_id"), col("label"))
+    val bad = hn
+      .join(labels.select(col("vec_id").as("qid"), col("label").as("ql")), "qid")
+      .join(labels.select(col("vec_id").as("cid"), col("label").as("cl")), "cid")
+      .filter("ql = cl")
+    assert(bad.count() == 0)
+  }
+
   test("simhash hamming bounded by 32 and block-consistent") {
     val p = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
     assert(p.filter("hamming > 6 OR hamming < 0").count() == 0)
