@@ -1361,6 +1361,121 @@ object SparkEntry {
             "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)").as("revenue"),
           count(lit(1)).as("n_items"))),
 
+    // ----- TPC-H Q8-style: nation market share within a region, by
+    // year. Two exact decimal sums then ONE division — engine-identical
+    // doubles. Dims broadcast; the fact table shuffles once per agg -----
+    "q8_market_share" -> ((s, dir) => {
+      val cn = broadcast(t(s, dir, "nation")
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select(col("n_nationkey").as("c_natkey")))
+      val sn = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_natkey"),
+          col("n_name").as("supp_nation")))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(cn, col("c_nationkey") === col("c_natkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(sn, col("s_nationkey") === col("s_natkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          expr("CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN " +
+            "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) " +
+            "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)").as("nation_rev"),
+          expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+            "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)").as("total_rev"))
+        .withColumn("mkt_share", expr("nation_rev / total_rev"))
+    }),
+
+    // ----- TPC-H Q9-style: profit by supplier nation and year (no
+    // partsupp table in the corpus — cost is retailprice x quantity) -----
+    "q9_profit" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_type") === "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+          "(1 - CAST(l_discount AS DECIMAL(18,2))) - " +
+          "CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) " +
+          "AS DOUBLE)").as("profit"))),
+
+    // ----- TPC-H Q13-style: customer distribution by order count,
+    // INCLUDING zero-order customers (the left join is the point) -----
+    "q13_custdist" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
+          "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))),
+
+    // ----- TPC-H Q16-style: distinct supplier count per part group
+    // (partsupp stands in as the observed lineitem pairs) -----
+    "q16_supplier_cnt" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(col("p_brand") =!= "Brand#1" &&
+          col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))),
+
+    // ----- TPC-H Q17-style: revenue from small-quantity outlier lines
+    // (below 20% of the part's average quantity). The correlated
+    // subquery becomes one partial-aggregable per-part avg + an
+    // equi-join back — no window over the fact table -----
+    "q17_small_qty" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val avgQty = li
+        .join(broadcast(t(s, dir, "part").filter(col("p_brand") === "Brand#3")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey").as("ap_key"))
+        .agg((expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)") /
+          count(lit(1))).as("avg_qty"))
+      li.join(avgQty, col("l_partkey") === col("ap_key"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)")
+          .as("total_price"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // ----- TPC-H Q21-style: suppliers who were the ONLY supplier with a
+    // returned line in a multi-supplier order (no commit/receipt dates
+    // in the corpus — returnflag stands in for lateness). The
+    // exists/not-exists pair becomes a semi + anti join -----
+    "q21_lonely_return" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val multi = li.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supps"))
+        .filter(col("n_supps") >= 2)
+        .select(col("l_orderkey"))
+      val ret = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val others = ret.select(col("l_orderkey").as("other_okey"),
+        col("l_suppkey").as("other_supp"))
+      ret
+        .join(multi, "l_orderkey")
+        .join(others,
+          col("other_okey") === col("l_orderkey") &&
+            col("other_supp") =!= col("l_suppkey"), "left_anti")
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(10)
+    }),
+
     // ----- JSON props on the events table (real semi-structured column) -----
     "q_events_props" -> ((s, dir) =>
       t(s, dir, "events")
@@ -3240,6 +3355,75 @@ object SparkEntry {
                   CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
                   MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
            FROM c GROUP BY source, (cum - n_toks) // 256""",
+      "q8_market_share" ->
+        """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                  CAST(SUM(CASE WHEN sn.n_name = 'NATION_3' THEN
+                    CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_rev,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_rev,
+                  CAST(SUM(CASE WHEN sn.n_name = 'NATION_3' THEN
+                    CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS mkt_share
+           FROM lineitem
+           JOIN orders   ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation cn ON c_nationkey = cn.n_nationkey
+           JOIN region   ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation sn ON s_nationkey = sn.n_nationkey
+           GROUP BY 1""",
+      "q9_profit" ->
+        """SELECT n_name AS nation,
+                  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                           (1 - CAST(l_discount AS DECIMAL(18,2))) -
+                           CAST(p_retailprice AS DECIMAL(18,2)) *
+                           CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+           FROM lineitem
+           JOIN part     ON l_partkey = p_partkey AND p_type = 'PROMO'
+           JOIN orders   ON l_orderkey = o_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation   ON s_nationkey = n_nationkey
+           GROUP BY 1, 2""",
+      "q13_custdist" ->
+        """SELECT c_count, COUNT(*) AS custdist FROM (
+             SELECT c_custkey, COUNT(o_orderkey) AS c_count
+             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             GROUP BY c_custkey)
+           GROUP BY c_count""",
+      "q16_supplier_cnt" ->
+        """SELECT p_brand, p_type, p_size,
+                  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_brand <> 'Brand#1'
+             AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+           GROUP BY 1, 2, 3""",
+      "q17_small_qty" ->
+        """WITH a AS (SELECT l_partkey AS ap_key,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#3' GROUP BY l_partkey)
+           SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+                  COUNT(*) AS n_lines
+           FROM lineitem JOIN a ON l_partkey = ap_key
+           WHERE l_quantity < 0.2 * avg_qty""",
+      "q21_lonely_return" ->
+        """WITH multi AS (SELECT l_orderkey FROM lineitem
+                          GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) >= 2),
+           ret AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+                   WHERE l_returnflag = 'R')
+           SELECT s_name, COUNT(*) AS numwait
+           FROM ret r
+           JOIN multi USING (l_orderkey)
+           JOIN supplier ON r.l_suppkey = s_suppkey
+           WHERE NOT EXISTS (SELECT 1 FROM ret o
+                             WHERE o.l_orderkey = r.l_orderkey
+                               AND o.l_suppkey <> r.l_suppkey)
+           GROUP BY s_name
+           ORDER BY numwait DESC, s_name LIMIT 10""",
       "q_vocab_coverage" ->
         s"""WITH tk AS (SELECT ${duckTokens("text")} AS toks FROM documents),
            w AS (SELECT unnest(toks) AS token FROM tk),
