@@ -303,6 +303,24 @@ object SparkEntry {
     "q_sem_dedup" -> ((s, dir) =>
       Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.3, ncells = 8, iters = 2)),
+    // CROSS-MODAL dedup agreement: does text LSH and embedding SemDeDup
+    // flag the same items? The 2x2 contingency is the pipeline-QA
+    // number that says whether the two dedup layers are redundant or
+    // complementary (doc_id and vec_id are aligned in the corpus)
+    "q_dedup_agreement" -> ((s, dir) => {
+      val textDup = Dedup.minhashCandidates(
+          t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.3)
+        .select(col("doc_b").as("id")).distinct()
+        .withColumn("text_dup", lit(true))
+      Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.3, ncells = 8, iters = 2)
+        .select(col("vec_id").as("id"), (!col("keep")).as("emb_dup"))
+        .join(textDup, Seq("id"), "left")
+        .groupBy(coalesce(col("text_dup"), lit(false)).as("text_dup"),
+          col("emb_dup"))
+        .agg(count(lit(1)).as("n"))
+    }),
 
     // ----- similarity search over embeddings -----
     "q_ann_topk" -> ((s, dir) => {
@@ -2522,6 +2540,30 @@ object SparkEntry {
                      GROUP BY b.vec_id)
            SELECT c.vec_id, c.cell, p.dup_of, p.dup_of IS NULL AS keep
            FROM cc c LEFT JOIN pairs p ON c.vec_id = p.id_b""",
+      "q_dedup_agreement" ->
+        s"""WITH $kmeansChain,
+           epairs AS (SELECT b.vec_id AS id_b
+                      FROM cc a JOIN cc b ON a.cell = b.cell AND a.vec_id < b.vec_id
+                      JOIN dv ae ON ae.vec_id = a.vec_id
+                      JOIN dv be ON be.vec_id = b.vec_id
+                      WHERE ${duckCosine("ae.embedding", "be.embedding")} >= 0.3
+                      GROUP BY b.vec_id),
+           emb_flag AS (SELECT c.vec_id AS id, (p.id_b IS NOT NULL) AS emb_dup
+                        FROM cc c LEFT JOIN epairs p ON c.vec_id = p.id_b),
+           tk2 AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
+           sh2 AS (SELECT doc_id, list_distinct(${duckShingles("toks", 3)}) AS shingles FROM tk2),
+           hs2 AS (SELECT doc_id, ${duckWordHashes("shingles")} AS hs FROM sh2),
+           sigs2 AS (SELECT doc_id, ${duckMinhash("hs", 12)} AS mh FROM hs2),
+           b2 AS (SELECT doc_id, mh, band, ${duckBandBucket("mh", "band", 3)} AS bucket
+                  FROM sigs2 CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bands),
+           tdup AS (SELECT DISTINCT b.doc_id AS id
+                    FROM b2 a JOIN b2 b
+                      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+                    WHERE CAST(len(list_filter(range(1, 13),
+                        i -> a.mh[i] = b.mh[i])) AS DOUBLE) / 12 >= 0.3)
+           SELECT (t.id IS NOT NULL) AS text_dup, e.emb_dup, COUNT(*) AS n
+           FROM emb_flag e LEFT JOIN tdup t ON e.id = t.id
+           GROUP BY 1, 2""",
       "q_ann_pq" ->
         s"""WITH cbt AS (SELECT list(embedding ORDER BY vec_id) AS cb
                 FROM embeddings WHERE vec_id % 31 = 0 AND vec_id < 496),

@@ -219,6 +219,14 @@ class OperatorSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("dedup agreement: contingency covers every vector exactly once") {
+    val agr = graft.SparkEntry.queries("q_dedup_agreement")(spark, dir)
+      .collect()
+    assert(agr.map(_.getLong(2)).sum == emb.count())
+    assert(agr.length <= 4)
+    Dedup.releaseCaches()
+  }
+
   test("simhash hamming bounded by 32 and block-consistent") {
     val p = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
     assert(p.filter("hamming > 6 OR hamming < 0").count() == 0)
