@@ -250,6 +250,63 @@ object StatefulOps {
         OutputMode.Update())
   }
 
+  case class HistState(buckets: Seq[Long], counts: Seq[Long])
+  case class HistOut(key: String, pct: Long, lo: Double, hi: Double, n: Long)
+
+  /** Continuously-maintained per-key HISTOGRAM QUANTILES: the streaming
+    * twin of the batch `q_hist_quantile` — state per key is the
+    * fixed-width bucket-count map (a mergeable sketch, NOT the values),
+    * so state size is bounded by the value range / width regardless of
+    * row count. Each batch the processor folds the arrivals into the
+    * histogram and re-reads the requested percentiles off the cumulative
+    * counts — the same ceil(pct*n/100) rank rule as the batch query.
+    * Out-of-order arrival is immaterial: a histogram is a commutative
+    * monoid. Emits one row per (key, pct) touched in a batch. */
+  private class HistQuantileProcessor(width: Double, pcts: Seq[Int],
+      ttl: Option[java.time.Duration])
+      extends StatefulProcessor[String, Valued, HistOut] {
+    @transient private var state: ValueState[HistState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[HistState]("hist",
+        Encoders.product[HistState],
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+    override def handleInputRows(key: String, rows: Iterator[Valued],
+        timers: TimerValues): Iterator[HistOut] = {
+      val h = scala.collection.mutable.TreeMap.empty[Long, Long]
+      Option(state.get()).foreach(s =>
+        s.buckets.zip(s.counts).foreach { case (b, c) => h(b) = c })
+      rows.foreach { r =>
+        val b = math.floor(r.value / width).toLong
+        h(b) = h.getOrElse(b, 0L) + 1L
+      }
+      state.update(HistState(h.keys.toSeq, h.values.toSeq))
+      val total = h.values.sum
+      pcts.iterator.map { pct =>
+        val target = (pct * total + 99L) / 100L
+        var cum = 0L
+        val it = h.iterator
+        var hit = h.firstKey
+        while (cum < target && it.hasNext) {
+          val (b, c) = it.next(); cum += c; hit = b
+        }
+        HistOut(key, pct.toLong, hit * width, (hit + 1) * width, total)
+      }
+    }
+  }
+
+  /** Per-key streaming histogram quantiles via `transformWithState`
+    * (see [[HistQuantileProcessor]]). */
+  def histQuantileTws(ds: Dataset[Valued], width: Double,
+      pcts: Seq[Int] = Seq(50, 90),
+      ttl: Option[java.time.Duration] = None): Dataset[HistOut] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .transformWithState(new HistQuantileProcessor(width, pcts, ttl),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Update())
+  }
+
   case class DocIn(doc_id: Long, mh: Seq[Long], bucketKey: String)
   case class BucketState(ids: Seq[Long], sigs: Seq[Seq[Long]])
   case class NearDupHit(new_id: Long, seen_id: Long, est_jaccard: Double)

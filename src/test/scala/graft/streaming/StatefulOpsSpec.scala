@@ -187,6 +187,44 @@ class StatefulOpsSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState histogram quantiles: sketch state, batch-rule parity (RocksDB)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StatefulOps.Valued]
+      val q = StatefulOps.histQuantileTws(mem.toDS(), width = 10.0)
+        .writeStream
+        .format("memory").queryName("tws_hist")
+        .outputMode(OutputMode.Update).start()
+      try {
+        // batch 1: values 1..10 for key a -> median in bucket [0,10)
+        mem.addData((1 to 10).map(i =>
+          StatefulOps.Valued("a", i, i.toDouble)): _*)
+        q.processAllAvailable()
+        // batch 2 arrives out of order: a tail of large values shifts
+        // p90 into [90,100) while p50 moves to [10,20) — the histogram
+        // is a commutative monoid, arrival order is immaterial
+        mem.addData(((11 to 19) ++ Seq(95)).map(i =>
+          StatefulOps.Valued("a", 100 + i, i.toDouble)): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("tws_hist").as[StatefulOps.HistOut].collect()
+      // latest emission per pct (n = 20 identifies the second batch)
+      val last = rows.filter(_.n == 20L).map(o => o.pct -> (o.lo, o.hi)).toMap
+      // 20 values 1..19 + 95: rank rule ceil(50*20/100)=10 -> value 10,
+      // bucket [10,20); ceil(90*20/100)=18 -> value 18, bucket [10,20)
+      assert(last(50L) == ((10.0, 20.0)))
+      assert(last(90L) == ((10.0, 20.0)))
+      // the batch-1 emission saw 1..10: median bucket [0,10)
+      val first = rows.filter(_.n == 10L).map(o => o.pct -> o.lo).toMap
+      assert(first(50L) == 0.0)
+      assert(first(90L) == 0.0)
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stream-static enrich broadcasts the dimension per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
