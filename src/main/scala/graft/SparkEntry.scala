@@ -2058,6 +2058,63 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_users"))),
 
     // ----- cohort retention: users active N days after first activity -----
+    // ----- cumulative distinct users per day WITHOUT a running
+    // count-distinct: each user counts once, on their FIRST day (one
+    // distinct pass), then a prefix sum over the tiny per-day table.
+    // The naive "COUNT(DISTINCT) OVER (ORDER BY day)" re-scans every
+    // prefix; this is the single-pass shape that survives at scale -----
+    "q_running_distinct" -> ((s, dir) => {
+      val firstDay = t(s, dir, "events")
+        .selectExpr("user_id", "(ts div 1000) div 86400000000 AS day")
+        .groupBy(col("user_id")).agg(min(col("day")).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+      firstDay.withColumn("cum_users", sum(col("new_users")).over(
+        Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }),
+
+    // ----- trailing 7-day active users per day (DAU->WAU rollup): the
+    // distinct (user, day) table joins a compact day spine over a range
+    // predicate — count-distinct runs per day on an already-reduced
+    // input, never a windowed distinct over raw events -----
+    "q_dau_wau" -> ((s, dir) => {
+      val userDays = t(s, dir, "events")
+        .selectExpr("user_id", "(ts div 1000) div 86400000000 AS day")
+        .distinct()
+      val spine = userDays.select(col("day").as("d")).distinct()
+      spine.join(userDays,
+          col("day").between(col("d") - 6, col("d")))
+        .groupBy(col("d"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .join(userDays.groupBy(col("day").as("d"))
+          .agg(countDistinct(col("user_id")).as("dau")), Seq("d"))
+        .select(col("d").as("day"), col("dau"), col("wau"))
+    }),
+
+    // ----- market-basket affinity: brand pairs co-bought within an
+    // order, with exact rational lift (same log-free discipline as
+    // q_word_cooccur) -----
+    "q_basket_lift" -> ((s, dir) => {
+      val ob = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("okey"), col("p_brand")).distinct()
+      val pairs = ob.select(col("okey"), col("p_brand").as("b1"))
+        .join(ob.select(col("okey"), col("p_brand").as("b2")), "okey")
+        .filter(col("b1") < col("b2"))
+        .groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("n_ab"))
+      val bc = ob.groupBy(col("p_brand")).agg(count(lit(1)).as("n_b"))
+      val no = t(s, dir, "orders").agg(count(lit(1)).as("n_orders"))
+      pairs
+        .join(bc.select(col("p_brand").as("b1"), col("n_b").as("n_1")), "b1")
+        .join(bc.select(col("p_brand").as("b2"), col("n_b").as("n_2")), "b2")
+        .crossJoin(broadcast(no))
+        .filter(col("n_ab") >= 50)
+        .select(col("b1"), col("b2"), col("n_ab"),
+          expr("CAST(n_ab * n_orders AS DOUBLE) / CAST(n_1 * n_2 AS DOUBLE)")
+            .as("lift"))
+    }),
+
     "q_cohort_retention" -> ((s, dir) => {
       val days = t(s, dir, "events")
         .selectExpr("user_id", "(ts div 1000) div 86400000000 AS day")
@@ -3466,6 +3523,39 @@ object SparkEntry {
                                AND o.l_suppkey <> r.l_suppkey)
            GROUP BY s_name
            ORDER BY numwait DESC, s_name LIMIT 10""",
+      "q_running_distinct" ->
+        """WITH fd AS (SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS day
+                       FROM events GROUP BY user_id),
+           nd AS (SELECT day, COUNT(*) AS new_users FROM fd GROUP BY day)
+           SELECT day, new_users,
+                  CAST(SUM(new_users) OVER (ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+           FROM nd""",
+      "q_dau_wau" ->
+        """WITH ud AS (SELECT DISTINCT user_id,
+                              epoch_us(ts) // 86400000000 AS day FROM events),
+           spine AS (SELECT DISTINCT day AS d FROM ud),
+           w AS (SELECT s.d, COUNT(DISTINCT u.user_id) AS wau
+                 FROM spine s JOIN ud u ON u.day BETWEEN s.d - 6 AND s.d
+                 GROUP BY s.d),
+           da AS (SELECT day AS d, COUNT(DISTINCT user_id) AS dau
+                  FROM ud GROUP BY day)
+           SELECT w.d AS day, da.dau, w.wau FROM w JOIN da USING (d)""",
+      "q_basket_lift" ->
+        """WITH ob AS (SELECT DISTINCT l_orderkey AS okey, p_brand
+                       FROM lineitem JOIN part ON l_partkey = p_partkey),
+           p AS (SELECT a.p_brand AS b1, b.p_brand AS b2, COUNT(*) AS n_ab
+                 FROM ob a JOIN ob b ON a.okey = b.okey AND a.p_brand < b.p_brand
+                 GROUP BY 1, 2),
+           bc AS (SELECT p_brand, COUNT(*) AS n_b FROM ob GROUP BY p_brand),
+           no AS (SELECT COUNT(*) AS n_orders FROM orders)
+           SELECT b1, b2, n_ab,
+                  CAST(n_ab * n_orders AS DOUBLE) /
+                  CAST(n1.n_b * n2.n_b AS DOUBLE) AS lift
+           FROM p JOIN bc n1 ON p.b1 = n1.p_brand
+                  JOIN bc n2 ON p.b2 = n2.p_brand
+                  CROSS JOIN no
+           WHERE n_ab >= 50""",
       "q_vocab_coverage" ->
         s"""WITH tk AS (SELECT ${duckTokens("text")} AS toks FROM documents),
            w AS (SELECT unnest(toks) AS token FROM tk),

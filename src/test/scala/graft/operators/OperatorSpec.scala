@@ -227,6 +227,20 @@ class OperatorSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("engagement rollups: cum monotone, wau dominates dau, lifts positive") {
+    import org.apache.spark.sql.functions._
+    val rd = graft.SparkEntry.queries("q_running_distinct")(spark, dir)
+      .orderBy("day").collect()
+    assert(rd.map(_.getLong(2)).sliding(2)
+      .forall(p => p.length < 2 || p(0) < p(1)))
+    val users = Tables(spark, dir, "events").select("user_id").distinct().count()
+    assert(rd.last.getLong(2) == users)
+    val dw = graft.SparkEntry.queries("q_dau_wau")(spark, dir)
+    assert(dw.filter("wau < dau").count() == 0)
+    val bl = graft.SparkEntry.queries("q_basket_lift")(spark, dir)
+    assert(bl.filter("lift <= 0 OR n_ab < 50").count() == 0)
+  }
+
   test("simhash hamming bounded by 32 and block-consistent") {
     val p = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
     assert(p.filter("hamming > 6 OR hamming < 0").count() == 0)
