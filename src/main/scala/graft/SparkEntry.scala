@@ -2115,6 +2115,39 @@ object SparkEntry {
             .as("lift"))
     }),
 
+    // ----- seasonal baseline: hour-of-day mean per event type, with the
+    // exact rational ratio to the type's overall mean (two exact decimal
+    // means -> one division each; log/pow-free) -----
+    "q_seasonality" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .selectExpr("event_type", "value",
+          "((ts div 1000) div 3600000000) % 24 AS hod")
+      ev.groupBy(col("event_type"), col("hod"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sum_dec"))
+        // the cross-group rollups stay DECIMAL so the window sums are
+        // exact and order-independent; doubles appear only at the final
+        // single divisions
+        .withColumn("type_sum", sum(col("sum_dec")).over(
+          Window.partitionBy(col("event_type"))))
+        .withColumn("type_n", sum(col("n")).over(
+          Window.partitionBy(col("event_type"))))
+        .select(col("event_type"), col("hod"), col("n"),
+          expr("CAST(sum_dec AS DOUBLE) / n").as("hod_mean"),
+          expr("(CAST(sum_dec AS DOUBLE) / n) / " +
+            "(CAST(type_sum AS DOUBLE) / type_n)").as("season_ratio"))
+    }),
+
+    // ----- near-dup candidate graph DEGREE DISTRIBUTION: how connected
+    // is the dup graph (mega-cluster early warning) — one narrow explode
+    // + two aggregations, no self-join -----
+    "q_degree_dist" -> ((s, dir) => {
+      val cand = Dedup.minhashCandidates(
+        t(s, dir, "documents"), "doc_id", "text").select("doc_a", "doc_b")
+      cand.select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+    }),
+
     "q_cohort_retention" -> ((s, dir) => {
       val days = t(s, dir, "events")
         .selectExpr("user_id", "(ts div 1000) div 86400000000 AS day")
@@ -3523,6 +3556,30 @@ object SparkEntry {
                                AND o.l_suppkey <> r.l_suppkey)
            GROUP BY s_name
            ORDER BY numwait DESC, s_name LIMIT 10""",
+      "q_seasonality" ->
+        """WITH h AS (SELECT event_type,
+                  (epoch_us(ts) // 3600000000) % 24 AS hod,
+                  COUNT(*) AS n,
+                  SUM(CAST(value AS DECIMAL(18,2))) AS sum_dec
+                FROM events GROUP BY 1, 2),
+           w AS (SELECT *, SUM(sum_dec) OVER (PARTITION BY event_type) AS type_sum,
+                        CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS type_n
+                 FROM h)
+           SELECT event_type, hod, n,
+                  CAST(sum_dec AS DOUBLE) / n AS hod_mean,
+                  (CAST(sum_dec AS DOUBLE) / n) /
+                  (CAST(type_sum AS DOUBLE) / type_n) AS season_ratio
+           FROM w""",
+      "q_degree_dist" ->
+        s"""$minhashCtes,
+           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM buckets a JOIN buckets b
+                      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+           deg AS (SELECT id, COUNT(*) AS degree FROM (
+                     SELECT doc_a AS id FROM cand
+                     UNION ALL SELECT doc_b AS id FROM cand)
+                   GROUP BY id)
+           SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree""",
       "q_running_distinct" ->
         """WITH fd AS (SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS day
                        FROM events GROUP BY user_id),

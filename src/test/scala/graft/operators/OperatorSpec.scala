@@ -241,6 +241,19 @@ class OperatorSpec extends SparkSpec {
     assert(bl.filter("lift <= 0 OR n_ab < 50").count() == 0)
   }
 
+  test("seasonality ratios positive; degree histogram covers paired docs") {
+    import org.apache.spark.sql.functions._
+    val se = graft.SparkEntry.queries("q_seasonality")(spark, dir)
+    assert(se.filter("season_ratio <= 0 OR n <= 0").count() == 0)
+    val dd = graft.SparkEntry.queries("q_degree_dist")(spark, dir)
+    val nodesInHist = dd.agg(sum(col("n_nodes"))).collect()(0).getLong(0)
+    val paired = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
+      .distinct().count()
+    assert(nodesInHist == paired)
+    Dedup.releaseCaches()
+  }
+
   test("simhash hamming bounded by 32 and block-consistent") {
     val p = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
     assert(p.filter("hamming > 6 OR hamming < 0").count() == 0)
