@@ -108,17 +108,52 @@ private[tablejson] class TableJsonTable(path: String, tableSchema: StructType)
 }
 
 private[tablejson] class TableJsonScanBuilder(path: String, full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters with SupportsPushDownLimit {
+  import org.apache.spark.sql.sources._
   private var required: StructType = full
+  private var accepted: Array[Filter] = Array.empty
+  private var limit: Int = -1
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new TableJsonScan(path, full, required)
+
+  /** Simple comparisons on the two column types the format has are
+    * evaluated INSIDE the reader (the source's own "index"): pushed
+    * filters are removed from the residual, so the scan is the only
+    * place they run — mirrors the reference's per-column value index
+    * (database.py:929-953) without materializing one. */
+  private def supported(f: Filter): Boolean = f match {
+    case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+         _: LessThan | _: LessThanOrEqual => true
+    case _ => false
+  }
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) = filters.partition(supported)
+    accepted = ok
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  /** Limit semantics are post-filter, so a pushed limit forces ONE
+    * partition whose reader stops after emitting `limit` surviving
+    * rows — correct regardless of how many raw rows the filters drop. */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+
+  override def build(): Scan =
+    new TableJsonScan(path, full, required, accepted, limit)
 }
 
 private[tablejson] class TableJsonScan(path: String, full: StructType,
-    required: StructType) extends Scan with Batch {
+    required: StructType,
+    filters: Array[org.apache.spark.sql.sources.Filter],
+    limit: Int) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"TableJsonScan ${new java.io.File(path).getName} " +
+      s"PushedFilters: [${filters.mkString(", ")}], " +
+      s"PushedLimit: ${if (limit >= 0) limit else "none"}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val root = TableJsonIO.cached(path)
@@ -127,8 +162,9 @@ private[tablejson] class TableJsonScan(path: String, full: StructType,
       .sparkContext.defaultParallelism
     // single partition for small files: below 1 MB the scan is cheaper
     // than the per-task overhead, and on a multi-executor cluster one
-    // slice means at most one executor ever parses the file
-    val small = new java.io.File(path).length() < (1 << 20)
+    // slice means at most one executor ever parses the file. A pushed
+    // limit also forces one partition (see pushLimit).
+    val small = limit >= 0 || new java.io.File(path).length() < (1 << 20)
     val slices =
       if (small) 1 else math.max(1, math.min(maxSlices, nRows / 1000))
     val step = math.max(1, (nRows + slices - 1) / slices)
@@ -138,15 +174,18 @@ private[tablejson] class TableJsonScan(path: String, full: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TableJsonReaderFactory(full, required)
+    new TableJsonReaderFactory(full, required, filters, limit)
 }
 
 private[tablejson] case class TableJsonPartition(path: String, start: Int,
     end: Int) extends InputPartition
 
 private[tablejson] class TableJsonReaderFactory(full: StructType,
-    required: StructType) extends PartitionReaderFactory {
+    required: StructType,
+    filters: Array[org.apache.spark.sql.sources.Filter],
+    limit: Int) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    import org.apache.spark.sql.sources._
     val part = p.asInstanceOf[TableJsonPartition]
     new PartitionReader[InternalRow] {
       // per-JVM cached tree: the file parses once no matter how many
@@ -154,24 +193,51 @@ private[tablejson] class TableJsonReaderFactory(full: StructType,
       private val root = TableJsonIO.cached(part.path)
       private val colIdx = required.fields.map(f => full.fieldIndex(f.name))
       private var i = part.start
+      private var emitted = 0
       private var row: InternalRow = _
-      override def next(): Boolean =
-        if (i >= part.end) false
-        else {
-          val arr = root.get(i)
-          val vals = new Array[Any](colIdx.length)
-          var j = 0
-          while (j < colIdx.length) {
-            val c = colIdx(j)
-            vals(j) =
-              if (full.fields(c).dataType == LongType) arr.get(c).asLong
-              else UTF8String.fromString(arr.get(c).asText)
-            j += 1
-          }
-          row = new GenericInternalRow(vals)
-          i += 1
-          true
+
+      // pushed-filter evaluation over the raw JSON row: long compares
+      // for int columns, codepoint (ASCII domain) compares for str
+      private def cmp(arr: com.fasterxml.jackson.databind.JsonNode,
+          colName: String, v: Any): Int = {
+        val c = full.fieldIndex(colName)
+        if (full.fields(c).dataType == LongType)
+          java.lang.Long.compare(arr.get(c).asLong,
+            v.asInstanceOf[Number].longValue)
+        else arr.get(c).asText.compareTo(v.toString)
+      }
+      private def passes(arr: com.fasterxml.jackson.databind.JsonNode): Boolean =
+        filters.forall {
+          case EqualTo(a, v) => cmp(arr, a, v) == 0
+          case GreaterThan(a, v) => cmp(arr, a, v) > 0
+          case GreaterThanOrEqual(a, v) => cmp(arr, a, v) >= 0
+          case LessThan(a, v) => cmp(arr, a, v) < 0
+          case LessThanOrEqual(a, v) => cmp(arr, a, v) <= 0
+          case _ => true
         }
+
+      override def next(): Boolean = {
+        if (limit >= 0 && emitted >= limit) return false
+        while (i < part.end) {
+          val arr = root.get(i)
+          i += 1
+          if (passes(arr)) {
+            val vals = new Array[Any](colIdx.length)
+            var j = 0
+            while (j < colIdx.length) {
+              val c = colIdx(j)
+              vals(j) =
+                if (full.fields(c).dataType == LongType) arr.get(c).asLong
+                else UTF8String.fromString(arr.get(c).asText)
+              j += 1
+            }
+            row = new GenericInternalRow(vals)
+            emitted += 1
+            return true
+          }
+        }
+        false
+      }
       override def get(): InternalRow = row
       override def close(): Unit = ()
     }

@@ -54,6 +54,36 @@ class TableJsonSourceSpec extends SparkSpec {
     assert(cities.rdd.getNumPartitions == 1)
   }
 
+  test("comparison filters push into the scan and are not re-evaluated") {
+    val filtered = cities.filter("population > 5000 AND name < 'T'")
+    val scan = filtered.queryExecution.executedPlan
+      .collectLeaves().head.toString
+    assert(scan.contains("GreaterThan(population,5000)"), scan)
+    assert(scan.contains("LessThan(name,T)"), scan)
+    // the planned filter node above the scan carries NO residual copy of
+    // the pushed comparisons (they were accepted, not merely advertised)
+    val plan = filtered.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("population > 5000"), plan)
+    // results match driver-side evaluation of the same predicate
+    val expect = cities.collect()
+      .filter(r => r.getLong(2) > 5000 && r.getString(0) < "T")
+      .map(_.getString(0)).toSet
+    assert(filtered.collect().map(_.getString(0)).toSet == expect)
+    assert(expect.nonEmpty)
+  }
+
+  test("limit pushes into the scan; post-filter semantics hold") {
+    val limited = cities.limit(3)
+    val scan = limited.queryExecution.executedPlan
+      .collectLeaves().head.toString
+    assert(scan.contains("PushedLimit: 3"), scan)
+    assert(limited.count() == 3)
+    // pushed filter + pushed limit: the reader emits `limit` SURVIVING
+    // rows, so the result is exactly limit rows, all passing
+    val both = cities.filter("population > 1000").limit(2).collect()
+    assert(both.length == 2 && both.forall(_.getLong(2) > 1000))
+  }
+
   test("joins against parquet relations work") {
     val countries = spark.read.format("tablejson")
       .load(s"$goldenDir/countries.table.json")
