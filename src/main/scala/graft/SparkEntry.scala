@@ -789,6 +789,14 @@ object SparkEntry {
         docs.filter(col("doc_id") < 20), "doc_id", "text")
     }),
 
+    // ----- WHERE the contamination is: 1-based positions of benchmark
+    // 5-gram collisions per doc — the span list an excision pass masks
+    "q_contam_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.contaminatedSpans(docs.filter(col("doc_id") >= 20),
+        docs.filter(col("doc_id") < 20), "doc_id", "text")
+    }),
+
     // ----- corpus bigram LM: top-20 bigrams with conditional p(w2|w1)
     "q_bigram_lm" -> ((s, dir) =>
       TextAnalysis.bigramLm(t(s, dir, "documents"), "text")
@@ -3079,6 +3087,18 @@ object SparkEntry {
                   COUNT(DISTINCT gh) AS n_shared_ngrams,
                   COUNT(DISTINCT bench_id) AS n_bench_docs
            FROM c JOIN b USING (gh) GROUP BY doc_id_c""",
+      "q_contam_spans" ->
+        s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
+           sh AS (SELECT doc_id,
+                         list_transform(${duckShingles("toks", 5)}, s -> ${duckStrHash("s")}) AS ghs
+                  FROM tk),
+           g AS (SELECT doc_id, unnest(ghs) AS gh,
+                        unnest(range(1, len(ghs) + 1)) AS pos
+                 FROM sh WHERE doc_id >= 20),
+           bg AS (SELECT DISTINCT unnest(ghs) AS gh FROM sh WHERE doc_id < 20)
+           SELECT doc_id, list(pos ORDER BY pos) AS positions,
+                  COUNT(*) AS n_hits
+           FROM g JOIN bg USING (gh) GROUP BY doc_id""",
       "q_bigram_lm" ->
         s"""WITH tk AS (SELECT ${duckTokens("text")} AS toks FROM documents),
            bg AS (SELECT unnest(list_distinct(${duckShingles("toks", 2)})) AS bigram FROM tk),

@@ -146,6 +146,36 @@ object TextAnalysis {
         countDistinct(col("bench_id")).as("n_bench_docs"))
   }
 
+  /** Positional variant of [[decontaminate]]: WHERE the collisions are.
+    * Returns (id, positions, n_hits) — the 1-based token index of every
+    * n-gram in the doc that also occurs in the benchmark set, sorted —
+    * the span list a masking/excision pass consumes (count-only
+    * decontamination can only drop whole docs; spans let the pipeline
+    * surgically cut the leaked window and keep the rest). Same
+    * hash-before-join discipline: the exchange carries (id, pos, hash),
+    * never text, and the benchmark side broadcasts. */
+  def contaminatedSpans(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 5): DataFrame = {
+    val docGrams = docs
+      .withColumn("sh",
+        graft.functions.GraftFunctions.shingles(col(textCol), n))
+      .select(col(idCol),
+        posexplode(transform(col("sh"),
+          s => graft.functions.GraftFunctions.polyHash(s)))
+          .as(Seq("pos0", "gh")))
+    val benchGrams = bench
+      .withColumn("sh",
+        graft.functions.GraftFunctions.shingles(col(textCol), n))
+      .select(explode(array_distinct(transform(col("sh"),
+        s => graft.functions.GraftFunctions.polyHash(s)))).as("gh"))
+      .distinct()
+    docGrams.join(broadcast(benchGrams), "gh")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list((col("pos0") + 1).cast("long")))
+        .as("positions"),
+        count(lit(1)).as("n_hits"))
+  }
+
   /** Corpus BIGRAM LANGUAGE-MODEL table: conditional probability of each
     * bigram given its first word, `p = cnt(w1 w2) / cnt(w1 *)`. Counts
     * are DOCUMENT frequencies — the shingle generator emits each

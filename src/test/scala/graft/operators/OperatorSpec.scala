@@ -254,6 +254,23 @@ class OperatorSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("contamination spans agree with the count-only decontaminate") {
+    import org.apache.spark.sql.functions._
+    val corpus = docs.filter("doc_id >= 20")
+    val bench = docs.filter("doc_id < 20")
+    val spans = TextAnalysis.contaminatedSpans(corpus, bench, "doc_id", "text")
+    val counts = TextAnalysis.decontaminate(corpus, bench, "doc_id", "text")
+    // the same documents are flagged by both forms
+    assert(spans.select("doc_id").exceptAll(counts.select("doc_id")).count() == 0)
+    assert(counts.select("doc_id").exceptAll(spans.select("doc_id")).count() == 0)
+    // positions are sorted 1-based indices; hit count = positions length;
+    // distinct shared grams never exceed positional hits
+    assert(spans.filter("positions[0] < 1").count() == 0)
+    assert(spans.filter("size(positions) <> n_hits").count() == 0)
+    assert(spans.join(counts, "doc_id")
+      .filter("n_shared_ngrams > n_hits").count() == 0)
+  }
+
   test("simhash hamming bounded by 32 and block-consistent") {
     val p = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
     assert(p.filter("hamming > 6 OR hamming < 0").count() == 0)
