@@ -2081,21 +2081,24 @@ object SparkEntry {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     }),
 
-    // ----- trailing 7-day active users per day (DAU->WAU rollup): the
-    // distinct (user, day) table joins a compact day spine over a range
-    // predicate — count-distinct runs per day on an already-reduced
-    // input, never a windowed distinct over raw events -----
+    // ----- trailing 7-day active users per day (DAU->WAU rollup): each
+    // distinct (user, day) row is EXPLODED into the 7 window days it
+    // contributes to, so the rollup is a plain equi-keyed distinct-count
+    // — never a range join (a spine BETWEEN join degrades to a nested
+    // loop: O(rows x days) at 100 TB). The inner join with the DAU side
+    // restricts output to observed days, matching the spine semantics -----
     "q_dau_wau" -> ((s, dir) => {
       val userDays = t(s, dir, "events")
         .selectExpr("user_id", "(ts div 1000) div 86400000000 AS day")
         .distinct()
-      val spine = userDays.select(col("day").as("d")).distinct()
-      spine.join(userDays,
-          col("day").between(col("d") - 6, col("d")))
+      val wau = userDays
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + lit(6L))).as("d"))
         .groupBy(col("d"))
         .agg(countDistinct(col("user_id")).as("wau"))
-        .join(userDays.groupBy(col("day").as("d"))
-          .agg(countDistinct(col("user_id")).as("dau")), Seq("d"))
+      userDays.groupBy(col("day").as("d"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+        .join(wau, Seq("d"))
         .select(col("d").as("day"), col("dau"), col("wau"))
     }),
 

@@ -26,6 +26,10 @@ class PlanHygieneSpec extends SparkSpec {
     "q_chi2_tokens",    // 50-token vocab x source-count grid (both broadcast-tiny)
     "q_skew_report",    // two 1-row summaries (stats x heavy-hitter list) crossed
     "q_heavy_hitters",  // exact top-5 crossed with the 1-row MG sketch
+    "q_vocab_coverage", // 1-row total-token scalar crossed into the coverage
+    "q_source_mix",     // 1-row max-token scalar crossed into the weights
+    "q_basket_lift",    // 1-row order-count scalar crossed into the lift
+    "q_hard_negatives", // brute-force shape: broadcast query set x candidates
     // reference theta-join surface (J2/J3): inequality-only predicates
     // have no equi key, so a nested loop is the ONLY plan; both queries
     // run on dimension-sized inputs. The scale path for range predicates
