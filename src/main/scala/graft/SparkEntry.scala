@@ -2295,6 +2295,114 @@ object SparkEntry {
         .agg(expr(s"max_by(o_orderkey, $key)").as("best_order"),
           max(dec(col("o_totalprice"))).cast("double").as("top_price"),
           count(lit(1)).as("n_orders"))
+    }),
+
+    // ----- FUZZY record linkage via native Jaro-Winkler: brand-blocked
+    // part-name pairs scored by JaroWinklerSim (a codegen'd Catalyst
+    // expression — Spark ships levenshtein but no JW; a UDF here would
+    // box every pair and break whole-stage codegen). Blocking keeps the
+    // pair space at sum(block²), never corpus²; the equi-keyed self-join
+    // shuffles on the block key so each block's quadratic work is local
+    // to one task (AQE splits an oversized block) -----
+    "q_jaro_linkage" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_name"))
+      val pairs = p.select(col("p_brand"), col("p_partkey").as("p1"),
+          col("p_name").as("name1"))
+        .join(p.select(col("p_brand"), col("p_partkey").as("p2"),
+          col("p_name").as("name2")), "p_brand")
+        .filter(col("p1") < col("p2"))
+      pairs
+        .withColumn("jw",
+          GraftFunctions.jaroWinkler(col("name1"), col("name2")))
+        .filter(col("jw") >= 0.88)
+        .select(col("p_brand"), col("p1"), col("p2"), col("jw"))
+    }),
+
+    // ----- CDC SNAPSHOT DIFF: classify every key across two snapshot
+    // versions (insert / delete / update / unchanged) with one full
+    // outer join on the key — the standard change-data-capture reconcile.
+    // Snapshots are carved deterministically from `orders` (key mod
+    // classes), so both engines derive identical inputs. Exact DECIMAL
+    // compare for the update test; the join shuffles on the key only -----
+    "q_cdc_diff" -> ((s, dir) => {
+      val cur = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val old = cur.filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey").as("k_old"),
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")).as("price_old"))
+      val neu = cur.filter(col("o_orderkey") % 89 =!= 0)
+        .select(col("o_orderkey").as("k_new"),
+          col("o_totalprice").as("price_new"))
+      old.join(neu, col("k_old") === col("k_new"), "full_outer")
+        .select(
+          when(col("k_old").isNull, lit("insert"))
+            .when(col("k_new").isNull, lit("delete"))
+            .when(dec(col("price_old")) =!= dec(col("price_new")),
+              lit("update"))
+            .otherwise(lit("unchanged")).as("op"),
+          coalesce(col("k_old"), col("k_new")).as("k"))
+        .groupBy(col("op"))
+        .agg(count(lit(1)).as("n"),
+          min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+    }),
+
+    // ----- K-ANONYMITY audit over quasi-identifiers: group size per
+    // (nation, segment) combination and an at-risk flag for groups
+    // below k=10 — the governance check a training-data release runs
+    // before shipping user-derived rows. One hash aggregation -----
+    "q_k_anonymity" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+          (col("n") < 10).as("at_risk"))
+    }),
+
+    // ----- time-series RESAMPLE + FORWARD FILL: 10-minute buckets per
+    // event type, dense spine via sequence-explode between each type's
+    // min and max bucket (equi-keyed — a spine range join would nested-
+    // loop), gaps carry the last observed value (last_value IGNORE
+    // NULLS). Sums stay DECIMAL until the final cast so the fill value
+    // is order-independent -----
+    "q_resample_ffill" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .selectExpr("event_type", "(ts div 1000) div 600000000 AS bucket",
+          "value")
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(sum(dec(col("value"))).as("s"))
+      val spine = hourly.groupBy(col("event_type"))
+        .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
+        .select(col("event_type"),
+          explode(sequence(col("mn"), col("mx"))).as("bucket"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      spine.join(hourly, Seq("event_type", "bucket"), "left")
+        .select(col("event_type"), col("bucket"),
+          col("s").isNull.as("filled"),
+          last(col("s"), ignoreNulls = true).over(w)
+            .cast("double").as("v"))
+    }),
+
+    // ----- GINI concentration of token mass per source: how unevenly
+    // the corpus' tokens distribute over documents (a data-mixing
+    // diagnostic). Entirely integer arithmetic via the rank identity
+    // G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over ascending x —
+    // exact BIGINT sums, one final division, no order-dependent float
+    // accumulation (tied x values contribute the same sum under any
+    // tie order, so the rank tiebreak cannot leak in) -----
+    "q_gini" -> ((s, dir) => {
+      val tk = TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+        .select(col("source"), size(col("toks")).cast("long").as("x"))
+      val w = Window.partitionBy(col("source")).orderBy(col("x"))
+      tk.withColumn("rn", row_number().over(w).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("x")).as("sx"), sum(col("rn") * col("x")).as("wx"))
+        .select(col("source"), col("n_docs"),
+          ((lit(2) * col("wx") - (col("n_docs") + 1) * col("sx"))
+            .cast("double") /
+            (col("n_docs") * col("sx")).cast("double")).as("gini"))
     })
   )
 
@@ -4119,7 +4227,62 @@ object SparkEntry {
                   CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS top_price,
                   COUNT(*) AS n_orders
            FROM orders JOIN customer ON o_custkey = c_custkey
-           GROUP BY c_nationkey"""
+           GROUP BY c_nationkey""",
+      "q_jaro_linkage" ->
+        """SELECT a.p_brand, a.p_partkey AS p1, b.p_partkey AS p2,
+                  jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+           FROM part a JOIN part b
+             ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+           WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.88""",
+      "q_cdc_diff" ->
+        """WITH cur AS (SELECT o_orderkey, o_totalprice FROM orders),
+           old AS (SELECT o_orderkey AS k_old,
+                          CASE WHEN o_orderkey % 13 = 0
+                               THEN o_totalprice + 1.0
+                               ELSE o_totalprice END AS price_old
+                   FROM cur WHERE o_orderkey % 97 <> 0),
+           neu AS (SELECT o_orderkey AS k_new, o_totalprice AS price_new
+                   FROM cur WHERE o_orderkey % 89 <> 0),
+           d AS (SELECT CASE WHEN k_old IS NULL THEN 'insert'
+                             WHEN k_new IS NULL THEN 'delete'
+                             WHEN CAST(price_old AS DECIMAL(18,2))
+                               <> CAST(price_new AS DECIMAL(18,2)) THEN 'update'
+                             ELSE 'unchanged' END AS op,
+                        COALESCE(k_old, k_new) AS k
+                 FROM old FULL OUTER JOIN neu ON k_old = k_new)
+           SELECT op, COUNT(*) AS n, MIN(k) AS min_key, MAX(k) AS max_key
+           FROM d GROUP BY op""",
+      "q_k_anonymity" ->
+        """SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+                  COUNT(*) < 10 AS at_risk
+           FROM customer GROUP BY c_nationkey, c_mktsegment""",
+      "q_resample_ffill" ->
+        """WITH e AS (SELECT event_type, epoch_us(ts) // 600000000 AS bucket,
+                             CAST(value AS DECIMAL(18,2)) AS v FROM events),
+           h AS (SELECT event_type, bucket, SUM(v) AS s FROM e GROUP BY 1, 2),
+           sp AS (SELECT event_type, unnest(range(mn, mx + 1)) AS bucket
+                  FROM (SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx
+                        FROM h GROUP BY event_type)),
+           j AS (SELECT sp.event_type, sp.bucket, h.s
+                 FROM sp LEFT JOIN h USING (event_type, bucket))
+           SELECT event_type, bucket, s IS NULL AS filled,
+                  CAST(last_value(s IGNORE NULLS) OVER (
+                    PARTITION BY event_type ORDER BY bucket) AS DOUBLE) AS v
+           FROM j""",
+      "q_gini" ->
+        s"""WITH tk AS (SELECT source,
+                  CAST(len(${duckTokens("text")}) AS BIGINT) AS x FROM documents),
+           r AS (SELECT source, x,
+                        CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY x)
+                          AS BIGINT) AS rn FROM tk),
+           g AS (SELECT source, COUNT(*) AS n_docs,
+                        CAST(SUM(x) AS BIGINT) AS sx,
+                        CAST(SUM(rn * x) AS BIGINT) AS wx
+                 FROM r GROUP BY source)
+           SELECT source, n_docs,
+                  CAST(2 * wx - (n_docs + 1) * sx AS DOUBLE)
+                    / CAST(n_docs * sx AS DOUBLE) AS gini
+           FROM g"""
     )
   }
 }
