@@ -76,13 +76,27 @@ object Linkage {
           "concat(array(name), transform(sequence(1, length(name)), " +
           "i -> concat(substring(name, 1, cast(i - 1 AS INT)), " +
           "substring(name, cast(i + 1 AS INT), length(name))))))")))
+      // hash-before-shuffle: the deletion variants are near-full-length
+      // strings, so the self-join would exchange and sort-compare ~len
+      // bytes per key; an 8-byte polyHash moves the same candidate
+      // structure for a fraction of the shuffle. True <=1-edit pairs
+      // share an exact variant (hence its hash); a hash collision can
+      // only ADD candidates, which the levenshtein verify then rejects —
+      // results are provably identical (LinkageSpec checks vs the
+      // blocked brute form)
+      .withColumn("kh", graft.functions.GraftFunctions.polyHash(col("k")))
+      .drop("k")
     def side(tag: String) = keyed.select(
       (col("id").as(s"id_$tag") +: col("name").as(s"name_$tag") +:
-        col("k") +: blockCols.map(col)): _*)
+        col("kh") +: blockCols.map(col)): _*)
     val a = side("a")
-    val b = side("b")
+    // SHUFFLE_HASH: without the hint the ~MB-sized build side gets
+    // broadcast and the whole join + verify runs at the PROBE side's
+    // scan parallelism — one parquet split at small SFs, one task (same
+    // trap as linkWithin; the exchange on kh is what fans the work out)
+    val b = side("b").hint("shuffle_hash")
     val cond = (blockCols.map(c => a(c) === b(c)) :+
-      (a("k") === b("k")) :+ (a("id_a") < b("id_b"))).reduce(_ && _)
+      (a("kh") === b("kh")) :+ (a("id_a") < b("id_b"))).reduce(_ && _)
     a.join(b, cond)
       .select("id_a", "id_b", "name_a", "name_b").distinct()
       .select(col("id_a"), col("id_b"),
