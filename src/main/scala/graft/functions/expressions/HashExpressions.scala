@@ -185,6 +185,67 @@ object HashImpl {
     bestP + 1L
   }
 
+  /** Sorted-merge distinct-intersection count for two string arrays
+    * (UTF8String binary order — any total order works for a merge). */
+  def setOverlapStr(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 || nb == 0) return 0L
+    val xs = new Array[UTF8String](na)
+    val ys = new Array[UTF8String](nb)
+    var i = 0
+    while (i < na) { xs(i) = a.getUTF8String(i); i += 1 }
+    i = 0
+    while (i < nb) { ys(i) = b.getUTF8String(i); i += 1 }
+    java.util.Arrays.sort(xs.asInstanceOf[Array[Object]])
+    java.util.Arrays.sort(ys.asInstanceOf[Array[Object]])
+    var j = 0
+    var k = 0
+    var n = 0L
+    var last: UTF8String = null
+    while (j < na && k < nb) {
+      val cmp = xs(j).compareTo(ys(k))
+      if (cmp < 0) j += 1
+      else if (cmp > 0) k += 1
+      else {
+        if (last == null || !xs(j).equals(last)) { n += 1; last = xs(j) }
+        j += 1; k += 1
+      }
+    }
+    n
+  }
+
+  /** Sorted-merge distinct-intersection count for two long arrays. */
+  def setOverlap(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 || nb == 0) return 0L
+    val xs = new Array[Long](na)
+    val ys = new Array[Long](nb)
+    var i = 0
+    while (i < na) { xs(i) = a.getLong(i); i += 1 }
+    i = 0
+    while (i < nb) { ys(i) = b.getLong(i); i += 1 }
+    java.util.Arrays.sort(xs)
+    java.util.Arrays.sort(ys)
+    var j = 0
+    var k = 0
+    var n = 0L
+    var last = 0L
+    var any = false
+    while (j < na && k < nb) {
+      val x = xs(j)
+      val y = ys(k)
+      if (x < y) j += 1
+      else if (x > y) k += 1
+      else {
+        if (!any || x != last) { n += 1; last = x; any = true }
+        j += 1; k += 1
+      }
+    }
+    n
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0d; var na = 0d; var nb = 0d
@@ -396,5 +457,52 @@ case class CosineSim(left: Expression, right: Expression)
       s"graft.functions.expressions.HashImpl.cosine($a, $b)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** |a ∩ b| over two long-array columns, counting DISTINCT common values
+  * (inputs from `array_distinct`/`Shingles` are already distinct; the
+  * dedup skip makes the count correct even if not). Sorted-merge — no
+  * per-row hash-map allocation churn. The shared impl lives on
+  * [[HashImpl]] so interpreted eval and generated Java agree.
+  *
+  * This replaces `size(array_intersect(a, b))` in the dedup verify
+  * stages: the counts are exact integers either way (so oracle doubles
+  * derived from them are bit-identical), but the native form avoids the
+  * HOF's catalyst-array materialization and, more importantly at bench
+  * time, the very large generated-code body the array_intersect/union
+  * pair JITs per query (measured multi-second cold-start cuts on the
+  * prefix-join family). */
+case class SetOverlap(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def isStr = left.dataType match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> or two array<string> " +
+          s"arguments, got $l and $r")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_set_overlap"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    if (isStr)
+      HashImpl.setOverlapStr(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      HashImpl.setOverlap(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isStr) "setOverlapStr" else "setOverlap"
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.HashImpl.$fn($a, $b)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SetOverlap =
     copy(left = newLeft, right = newRight)
 }

@@ -177,8 +177,14 @@ object Dedup {
     cands
       .join(sh.select(col(idCol).as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sh.select(col(idCol).as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      // native sorted-merge overlap; |A∪B| = |A|+|B|-|A∩B| on the
+      // distinct shingle arrays, so this is the exact sparkJaccard /
+      // duckJaccard value (integer counts, one division) without the
+      // HOF's giant generated-code body
+      .withColumn("ov", GraftFunctions.setOverlap(col("sh_a"), col("sh_b")))
       .select(col("doc_a"), col("doc_b"),
-        expr(sparkJaccard("sh_a", "sh_b")).as("jaccard"))
+        expr("CAST(ov AS DOUBLE) / nullif(size(sh_a) + size(sh_b) - ov, 0)")
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -200,11 +206,10 @@ object Dedup {
     cands
       .join(sh.select(col(idCol).as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sh.select(col(idCol).as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("ov", GraftFunctions.setOverlap(col("sh_a"), col("sh_b")))
       .select(col("doc_a"), col("doc_b"),
-        expr("CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / nullif(size(sh_a), 0)")
-          .as("contain_a"),
-        expr("CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / nullif(size(sh_b), 0)")
-          .as("contain_b"))
+        expr("CAST(ov AS DOUBLE) / nullif(size(sh_a), 0)").as("contain_a"),
+        expr("CAST(ov AS DOUBLE) / nullif(size(sh_b), 0)").as("contain_b"))
       .filter(greatest(col("contain_a"), col("contain_b")) >= threshold)
   }
 
@@ -270,8 +275,11 @@ object Dedup {
     cands
       .join(toks.select(col("id").as("id_a"), col("toks").as("t_a")), "id_a")
       .join(toks.select(col("id").as("id_b"), col("toks").as("t_b")), "id_b")
+      // native overlap count — exact sparkJaccard value, see jaccardPairs
+      .withColumn("ov", GraftFunctions.setOverlap(col("t_a"), col("t_b")))
       .select(col("id_a"), col("id_b"),
-        expr(sparkJaccard("t_a", "t_b")).as("jaccard"))
+        expr("CAST(ov AS DOUBLE) / nullif(size(t_a) + size(t_b) - ov, 0)")
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -123,6 +123,31 @@ class HashExpressionsSpec extends SparkSpec {
     assert(rows(3).getSeq[Long](2) == rows(3).getSeq[Long](3))
   }
 
+  test("SetOverlap == size(array_intersect) on real shingle pairs, both element types") {
+    GraftFunctions.register(spark) // graft_polyhash used via SQL below
+    val sh = Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      GraftFunctions.shingles(col("text"), 3).as("sh"))
+    val pairs = sh.select(col("doc_id").as("ida"), col("sh").as("a"))
+      .crossJoin(sh.limit(20).select(col("doc_id").as("idb"), col("sh").as("b")))
+    // string arrays
+    val misStr = pairs.select(
+      GraftFunctions.setOverlap(col("a"), col("b")).as("native"),
+      expr("CAST(size(array_intersect(a, b)) AS BIGINT)").as("hof"))
+      .filter("native <> hof")
+    assert(misStr.count() == 0)
+    // long arrays (hashed shingles)
+    val misLong = pairs.selectExpr(
+      "transform(a, s -> graft_polyhash(s)) AS ha",
+      "transform(b, s -> graft_polyhash(s)) AS hb")
+      .select(
+        GraftFunctions.setOverlap(
+          expr("array_distinct(ha)"), expr("array_distinct(hb)")).as("native"),
+        expr("CAST(size(array_intersect(ha, hb)) AS BIGINT)").as("hof"))
+      .filter("native <> hof")
+    assert(misLong.count() == 0)
+  }
+
   test("SQL registration: graft_* functions usable from spark.sql") {
     GraftFunctions.register(spark)
     Tables(spark, dir, "documents").createOrReplaceTempView("docs_reg")
