@@ -185,6 +185,22 @@ object HashImpl {
     bestP + 1L
   }
 
+  /** Max single-element occurrence count in a string array (0 if empty). */
+  def topTokenCount(a: ArrayData): Long = {
+    val n = a.numElements()
+    if (n == 0) return 0L
+    val counts = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var i = 0
+    var best = 0
+    while (i < n) {
+      val s = a.getUTF8String(i)
+      val c = counts.merge(s, 1, (x, y) => x + y)
+      if (c > best) best = c
+      i += 1
+    }
+    best.toLong
+  }
+
   /** Sorted-merge distinct-intersection count for two string arrays
     * (UTF8String binary order — any total order works for a merge). */
   def setOverlapStr(a: ArrayData, b: ArrayData): Long = {
@@ -505,4 +521,31 @@ case class SetOverlap(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SetOverlap =
     copy(left = newLeft, right = newRight)
+}
+
+/** Highest single-token occurrence count in a token array — the
+  * numerator of the repetition gates' `top_share`. One O(n) hash-count
+  * pass; the HOF equivalent `array_max(transform(array_distinct(toks),
+  * w -> size(filter(toks, x -> x = w))))` is O(distinct × n) per
+  * document and JITs a large generated body. Counts are exact integers
+  * on both paths, so `top_share` doubles are bit-identical; for the
+  * empty array both forms end NULL after the `/ nullif(size, 0)`
+  * division (this returns 0 there, the HOF returns NULL — the
+  * numerator is irrelevant once the denominator is NULL). */
+case class TopTokenCount(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<string> argument, got $t")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_top_count"
+  protected override def nullSafeEval(a: Any): Any =
+    HashImpl.topTokenCount(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.HashImpl.topTokenCount($a)")
+  override protected def withNewChildInternal(c: Expression): TopTokenCount =
+    copy(child = c)
 }

@@ -86,9 +86,10 @@ object CorpusPipeline {
       .withColumn("n_tokens", expr("size(toks)"))
       .withColumn("distinct_ratio", expr(
         "CAST(size(array_distinct(toks)) AS DOUBLE) / nullif(size(toks), 0)"))
-      .withColumn("top_share", expr(
-        "CAST(array_max(transform(array_distinct(toks), w -> " +
-          "size(filter(toks, x -> x = w)))) AS DOUBLE) / nullif(size(toks), 0)"))
+      // native O(n) hash-count max — exact HOF/oracle value (TopTokenCount)
+      .withColumn("top_share",
+        GraftFunctions.topTokenCount(col("toks")).cast("double") /
+          expr("nullif(size(toks), 0)"))
       .filter("n_tokens >= 20 AND n_tokens <= 90 AND " +
         "distinct_ratio >= 0.45 AND top_share <= 0.12")
       .withColumn("fp", GraftFunctions.polyHash(col(textCol)))

@@ -78,12 +78,17 @@ object TextAnalysis {
   def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame =
     withTokens(df, textCol)
       .withColumn("tri", expr(sparkShingles("toks", 3)))
-      .selectExpr(
-        idCol,
-        "CAST(size(toks) AS BIGINT) AS n_tokens",
-        "CAST(size(array_distinct(toks)) AS DOUBLE) / nullif(size(toks), 0) AS distinct_ratio",
-        "CAST(array_max(transform(array_distinct(toks), w -> size(filter(toks, x -> x = w)))) AS DOUBLE) / nullif(size(toks), 0) AS top_share",
-        "CAST(size(array_distinct(tri)) AS DOUBLE) / nullif(size(tri), 0) AS tri_ratio")
+      .select(
+        col(idCol),
+        expr("CAST(size(toks) AS BIGINT)").as("n_tokens"),
+        expr("CAST(size(array_distinct(toks)) AS DOUBLE) / nullif(size(toks), 0)")
+          .as("distinct_ratio"),
+        // native O(n) hash-count max — exact HOF/oracle value, see
+        // TopTokenCount's scaladoc for the empty-array NULL argument
+        (graft.functions.GraftFunctions.topTokenCount(col("toks"))
+          .cast("double") / expr("nullif(size(toks), 0)")).as("top_share"),
+        expr("CAST(size(array_distinct(tri)) AS DOUBLE) / nullif(size(tri), 0)")
+          .as("tri_ratio"))
 
   /** Composite QUALITY GATE: per-rule boolean flags plus the combined
     * verdict, thresholds calibrated so the synthetic corpus actually
