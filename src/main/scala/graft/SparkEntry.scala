@@ -2403,6 +2403,98 @@ object SparkEntry {
           ((lit(2) * col("wx") - (col("n_docs") + 1) * col("sx"))
             .cast("double") /
             (col("n_docs") * col("sx")).cast("double")).as("gini"))
+    }),
+
+    // ----- BM25 retrieval scoring (rational-idf variant): per query
+    // term, the top-5 documents by the BM25 term score. Same log-free
+    // discipline as q_tfidf_like — the classic log-idf is replaced by
+    // the rational (N - df + 0.5)/(df + 0.5), so every score is a fixed
+    // chain of IEEE ops on exact integers (tf, dl, df, N) with NO
+    // order-dependent float accumulation (scores stay per-term; they
+    // are never summed across terms). The df/avgdl corpus state is two
+    // token aggregations; the per-term candidate row set is pruned by
+    // the term filter before any join -----
+    "q_bm25" -> ((s, dir) => {
+      val words = TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+          explode(col("toks")).as("word"))
+      val terms = Seq("join", "hash", "row")
+      val tf = words.filter(col("word").isin(terms: _*))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+      val dfreq = words.filter(col("word").isin(terms: _*))
+        .select(col("word"), col("doc_id")).distinct()
+        .groupBy(col("word")).agg(count(lit(1)).as("dfq"))
+      val corpus = TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+        .agg(count(lit(1)).as("nd"),
+          sum(size(col("toks")).cast("long")).as("sum_dl"))
+      val w = Window.partitionBy(col("word"))
+        .orderBy(col("score").desc, col("doc_id"))
+      tf.join(dfreq, "word")
+        .crossJoin(broadcast(corpus))
+        .withColumn("score", expr(
+          // e0 literals force DOUBLE in both engines (a bare 2.2 parses
+          // as DECIMAL in Spark and DuckDB with engine-specific scale
+          // arithmetic — measured a 1-ULP drift)
+          "((tf * 2.2e0) / (tf + 1.2e0 * (0.25e0 + (0.75e0 * dl) / " +
+            "(CAST(sum_dl AS DOUBLE) / nd)))) * " +
+            "((nd - dfq + 0.5e0) / (dfq + 0.5e0))"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("word"), col("doc_id"), col("score"), col("rn"))
+    }),
+
+    // ----- PARETO FRONTIER (skyline) selection: parts not dominated in
+    // (minimize price, maximize size) — the multi-objective data-
+    // selection shape (e.g. quality-vs-length corpus picks). Two
+    // windows replace the quadratic "exists dominator" self-join: the
+    // strictly-cheaper running max via a RANGE frame on integer cents,
+    // and the same-price max for equal-price strict dominance. One
+    // global sort at 100 TB — for a true frontier that is inherent
+    // (any skyline needs a total order on one objective); rows never
+    // self-join -----
+    "q_pareto" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"),
+          expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("price_c"),
+          col("p_size").cast("long").as("sz"))
+      val cheaper = Window.orderBy(col("price_c"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val samePrice = Window.partitionBy(col("price_c"))
+      p.withColumn("m1", max(col("sz")).over(cheaper))
+        .withColumn("m2", max(col("sz")).over(samePrice))
+        .filter((col("m1").isNull || col("m1") < col("sz")) &&
+          col("m2") === col("sz"))
+        .select(col("p_partkey"), col("price_c"), col("sz"))
+    }),
+
+    // ----- A/B test: two-proportion z-score between user cohorts
+    // (deterministic split on user_id parity), conversion = reached a
+    // 'purchase' event. All counts are exact BIGINTs; the z formula is
+    // one fixed chain of IEEE ops (sqrt is correctly rounded), so the
+    // doubles are engine-identical — the same discipline as the
+    // seasonality/lift queries -----
+    "q_ab_test" -> ((s, dir) => {
+      val users = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+            col("value") > 144, 1L).otherwise(0L)).as("conv"))
+        .withColumn("cohort", col("user_id") % 2)
+      users.groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("k"))
+        .agg(
+          sum(when(col("cohort") === 0, col("n"))).as("n_a"),
+          sum(when(col("cohort") === 0, col("k"))).as("k_a"),
+          sum(when(col("cohort") === 1, col("n"))).as("n_b"),
+          sum(when(col("cohort") === 1, col("k"))).as("k_b"))
+        .withColumn("z", expr(
+          // e0 literals: see the q_bm25 note
+          "(CAST(k_a AS DOUBLE) / n_a - CAST(k_b AS DOUBLE) / n_b) / " +
+            "sqrt((CAST(k_a + k_b AS DOUBLE) / (n_a + n_b)) * " +
+            "(1.0e0 - CAST(k_a + k_b AS DOUBLE) / (n_a + n_b)) * " +
+            "(1.0e0 / n_a + 1.0e0 / n_b))"))
+        .withColumn("significant", abs(col("z")) > 1.96)
     })
   )
 
@@ -4282,7 +4374,69 @@ object SparkEntry {
            SELECT source, n_docs,
                   CAST(2 * wx - (n_docs + 1) * sx AS DOUBLE)
                     / CAST(n_docs * sx AS DOUBLE) AS gini
-           FROM g"""
+           FROM g""",
+      "q_bm25" ->
+        s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
+           w AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                        unnest(toks) AS word FROM tk),
+           tf AS (SELECT doc_id, word, COUNT(*) AS tf, MIN(dl) AS dl
+                  FROM w WHERE word IN ('join', 'hash', 'row')
+                  GROUP BY doc_id, word),
+           dfreq AS (SELECT word, COUNT(*) AS dfq FROM (
+                       SELECT DISTINCT word, doc_id FROM w
+                       WHERE word IN ('join', 'hash', 'row'))
+                     GROUP BY word),
+           corpus AS (SELECT COUNT(*) AS nd,
+                             CAST(SUM(len(toks)) AS BIGINT) AS sum_dl FROM tk),
+           scored AS (SELECT word, doc_id,
+                  ((tf * 2.2e0) / (tf + 1.2e0 * (0.25e0 + (0.75e0 * dl) /
+                    (CAST(sum_dl AS DOUBLE) / nd)))) *
+                    ((nd - dfq + 0.5e0) / (dfq + 0.5e0)) AS score
+                  FROM tf JOIN dfreq USING (word) CROSS JOIN corpus)
+           SELECT word, doc_id, score,
+                  CAST(rn AS BIGINT) AS rn
+           FROM (SELECT word, doc_id, score,
+                        ROW_NUMBER() OVER (PARTITION BY word
+                          ORDER BY score DESC, doc_id) AS rn
+                 FROM scored)
+           WHERE rn <= 5""",
+      "q_pareto" ->
+        """WITH p AS (SELECT p_partkey,
+                  CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS price_c,
+                  CAST(p_size AS BIGINT) AS sz FROM part),
+           m AS (SELECT p_partkey, price_c, sz,
+                        MAX(sz) OVER (ORDER BY price_c
+                          RANGE BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS m1,
+                        MAX(sz) OVER (PARTITION BY price_c) AS m2
+                 FROM p)
+           SELECT p_partkey, price_c, sz FROM m
+           WHERE (m1 IS NULL OR m1 < sz) AND m2 = sz""",
+      "q_ab_test" ->
+        """WITH u AS (SELECT user_id,
+                  MAX(CASE WHEN event_type = 'purchase' AND value > 144
+                      THEN 1 ELSE 0 END) AS conv,
+                  user_id % 2 AS cohort
+                 FROM events GROUP BY user_id),
+           c AS (SELECT cohort, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS k
+                 FROM u GROUP BY cohort),
+           s AS (SELECT
+                  CAST(SUM(CASE WHEN cohort = 0 THEN n END) AS BIGINT) AS n_a,
+                  CAST(SUM(CASE WHEN cohort = 0 THEN k END) AS BIGINT) AS k_a,
+                  CAST(SUM(CASE WHEN cohort = 1 THEN n END) AS BIGINT) AS n_b,
+                  CAST(SUM(CASE WHEN cohort = 1 THEN k END) AS BIGINT) AS k_b
+                 FROM c)
+           SELECT n_a, k_a, n_b, k_b,
+                  (CAST(k_a AS DOUBLE) / n_a - CAST(k_b AS DOUBLE) / n_b) /
+                    sqrt((CAST(k_a + k_b AS DOUBLE) / (n_a + n_b)) *
+                    (1.0e0 - CAST(k_a + k_b AS DOUBLE) / (n_a + n_b)) *
+                    (1.0e0 / n_a + 1.0e0 / n_b)) AS z,
+                  abs((CAST(k_a AS DOUBLE) / n_a - CAST(k_b AS DOUBLE) / n_b) /
+                    sqrt((CAST(k_a + k_b AS DOUBLE) / (n_a + n_b)) *
+                    (1.0e0 - CAST(k_a + k_b AS DOUBLE) / (n_a + n_b)) *
+                    (1.0e0 / n_a + 1.0e0 / n_b))) > 1.96 AS significant
+           FROM s"""
     )
   }
 }
