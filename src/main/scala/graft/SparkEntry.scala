@@ -2495,6 +2495,63 @@ object SparkEntry {
             "(1.0e0 - CAST(k_a + k_b AS DOUBLE) / (n_a + n_b)) * " +
             "(1.0e0 / n_a + 1.0e0 / n_b))"))
         .withColumn("significant", abs(col("z")) > 1.96)
+    }),
+
+    // ----- LAST-TOUCH ATTRIBUTION: every purchase credited to the most
+    // recent preceding non-purchase event of the same user (last_value
+    // IGNORE NULLS over the ordered stream — one window shuffle on
+    // user_id, never an event self-join), rolled up to conversions per
+    // channel -----
+    "q_attribution" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "events")
+        .selectExpr("user_id", "event_id", "event_type", "ts div 1000 AS t_us")
+        .withColumn("channel",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase" && col("channel").isNotNull)
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("conversions"),
+          countDistinct(col("user_id")).as("buyers"))
+    }),
+
+    // ----- ZONE-MAP pruning stats: per l_orderkey range zone, the
+    // min/max/count needed for data skipping plus each zone's
+    // prunability under a reference predicate — the layout diagnostic
+    // behind parquet row-group / Z-order skipping. One aggregation;
+    // the zone key is a pure projection of the clustering column -----
+    "q_zone_map" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .selectExpr("l_orderkey div 1500 AS zone",
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c",
+          "l_shipdate")
+        .groupBy(col("zone"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("price_c")).as("min_price_c"),
+          max(col("price_c")).as("max_price_c"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"))
+        .withColumn("prunable_price_gt_5000",
+          col("max_price_c") <= lit(500000L))
+    }),
+
+    // ----- percent_rank / cume_dist windows: distribution position of
+    // each customer's balance within its nation — both are exact small-
+    // integer rationals ((rank-1)/(n-1), peers/n), so the doubles are
+    // engine-identical -----
+    "q_window_pctrank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("acct_c"), col("c_custkey"))
+      t(s, dir, "customer")
+        .selectExpr("c_custkey", "c_nationkey",
+          "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acct_c")
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), col("c_nationkey"), col("acct_c"),
+          col("pr"), col("cd"))
     })
   )
 
@@ -4436,7 +4493,43 @@ object SparkEntry {
                     sqrt((CAST(k_a + k_b AS DOUBLE) / (n_a + n_b)) *
                     (1.0e0 - CAST(k_a + k_b AS DOUBLE) / (n_a + n_b)) *
                     (1.0e0 / n_a + 1.0e0 / n_b))) > 1.96 AS significant
-           FROM s"""
+           FROM s""",
+      "q_attribution" ->
+        """WITH e AS (SELECT user_id, event_id, event_type,
+                             epoch_us(ts) AS t_us FROM events),
+           a AS (SELECT user_id, event_type,
+                        last_value(CASE WHEN event_type <> 'purchase'
+                            THEN event_type END IGNORE NULLS) OVER (
+                          PARTITION BY user_id ORDER BY t_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                          AS channel
+                 FROM e)
+           SELECT channel, COUNT(*) AS conversions,
+                  COUNT(DISTINCT user_id) AS buyers
+           FROM a WHERE event_type = 'purchase' AND channel IS NOT NULL
+           GROUP BY channel""",
+      "q_zone_map" ->
+        """SELECT l_orderkey // 1500 AS zone, COUNT(*) AS n_rows,
+                  MIN(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS min_price_c,
+                  MAX(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS max_price_c,
+                  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+                  MAX(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    <= 500000 AS prunable_price_gt_5000
+           FROM lineitem GROUP BY 1""",
+      "q_window_pctrank" ->
+        """SELECT c_custkey, c_nationkey, acct_c, pr, cd FROM (
+             SELECT c_custkey, c_nationkey,
+                    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      AS acct_c,
+                    percent_rank() OVER w AS pr,
+                    cume_dist() OVER w AS cd
+             FROM customer
+             WINDOW w AS (PARTITION BY c_nationkey
+               ORDER BY CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT),
+                        c_custkey))
+           WHERE c_custkey % 10 = 0"""
     )
   }
 }

@@ -30,6 +30,7 @@ class PlanHygieneSpec extends SparkSpec {
     "q_source_mix",     // 1-row max-token scalar crossed into the weights
     "q_basket_lift",    // 1-row order-count scalar crossed into the lift
     "q_hard_negatives", // brute-force shape: broadcast query set x candidates
+    "q_bm25",           // 1-row corpus-stats scalar crossed into the scoring
     // reference theta-join surface (J2/J3): inequality-only predicates
     // have no equi key, so a nested loop is the ONLY plan; both queries
     // run on dimension-sized inputs. The scale path for range predicates
