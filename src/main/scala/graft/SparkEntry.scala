@@ -2552,6 +2552,22 @@ object SparkEntry {
         .filter(col("c_custkey") % 10 === 0)
         .select(col("c_custkey"), col("c_nationkey"), col("acct_c"),
           col("pr"), col("cd"))
+    }),
+
+    // ----- LSH S-CURVE: analytic candidate-collision probability
+    // 1 - (1 - s^r)^b for the deployed (r=3, b=4) banding across a
+    // similarity spine — the design readout that says WHICH Jaccard a
+    // bucket join will actually catch (complements q_lsh_quality's
+    // empirical precision/recall). Powers are expanded to explicit
+    // multiplication chains (pow() is not correctly-rounded and drifts
+    // across engines; bare multiplication is IEEE-exact) -----
+    "q_lsh_scurve" -> ((s, dir) => {
+      s.range(1, 20).toDF("i")
+        .withColumn("sim", expr("i / 20.0e0"))
+        .withColumn("p_band", expr("sim * sim * sim"))
+        .withColumn("q1", expr("1.0e0 - p_band"))
+        .withColumn("p_collide", expr("1.0e0 - (q1 * q1 * q1 * q1)"))
+        .select(col("i"), col("sim"), col("p_collide"))
     })
   )
 
@@ -4529,7 +4545,12 @@ object SparkEntry {
              WINDOW w AS (PARTITION BY c_nationkey
                ORDER BY CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT),
                         c_custkey))
-           WHERE c_custkey % 10 = 0"""
+           WHERE c_custkey % 10 = 0""",
+      "q_lsh_scurve" ->
+        """SELECT i, sim, 1.0e0 - (q1 * q1 * q1 * q1) AS p_collide FROM (
+             SELECT i, sim, 1.0e0 - (sim * sim * sim) AS q1 FROM (
+               SELECT CAST(i AS BIGINT) AS i, i / 20.0e0 AS sim
+               FROM range(1, 20) t(i)))"""
     )
   }
 }

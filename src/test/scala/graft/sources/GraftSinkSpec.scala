@@ -38,6 +38,31 @@ class GraftSinkSpec extends SparkSpec {
     assert(after.count() == nTotal - nClicks + 10)
   }
 
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    // the 100 TB shape: fact partitioned by a dim key on disk, dim filter
+    // only known at runtime — DPP turns the dim side into a runtime
+    // subquery filter on the fact's PARTITION COLUMN, so the fact scan
+    // reads only the matching partition directories instead of the table
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-dpp").toString + "/orders"
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+    GraftSink.writePartitioned(orders, out, Seq("o_orderpriority"))
+    val fact = spark.read.parquet(out)
+    // small dim keyed by the partition column, filtered at runtime
+    val dim = orders.select(col("o_orderpriority").as("p"))
+      .distinct().filter(col("p") < "3")
+    val joined = fact.join(dim, col("o_orderpriority") === col("p"))
+    val scan = joined.queryExecution.executedPlan
+      .collectLeaves().map(_.toString).find(_.contains("PartitionFilters"))
+      .getOrElse("")
+    assert(scan.contains("dynamicpruning"), scan)
+    // and the result is correct: only the filtered priorities survive
+    val pris = joined.select(col("o_orderpriority")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(pris.nonEmpty && pris.forall(_ < "3"))
+  }
+
   test("bucketed write: co-located join without an exchange") {
     val ev = Tables(spark, dir, "events")
       .select(col("event_id"), col("user_id"), col("value"))
