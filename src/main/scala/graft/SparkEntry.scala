@@ -2305,12 +2305,17 @@ object SparkEntry {
     // shuffles on the block key so each block's quadratic work is local
     // to one task (AQE splits an oversized block) -----
     "q_jaro_linkage" -> ((s, dir) => {
+      // block on (brand, size): the bounded-fan-out discipline —
+      // sum(block²) grows linearly when block sizes stay bounded, and
+      // the O(len²) JW verify only ever runs inside a block
       val p = t(s, dir, "part")
-        .select(col("p_partkey"), col("p_brand"), col("p_name"))
-      val pairs = p.select(col("p_brand"), col("p_partkey").as("p1"),
-          col("p_name").as("name1"))
-        .join(p.select(col("p_brand"), col("p_partkey").as("p2"),
-          col("p_name").as("name2")), "p_brand")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"),
+          col("p_name"))
+      val pairs = p.select(col("p_brand"), col("p_size"),
+          col("p_partkey").as("p1"), col("p_name").as("name1"))
+        .join(p.select(col("p_brand"), col("p_size"),
+          col("p_partkey").as("p2"), col("p_name").as("name2")),
+          Seq("p_brand", "p_size"))
         .filter(col("p1") < col("p2"))
       pairs
         .withColumn("jw",
@@ -4397,7 +4402,8 @@ object SparkEntry {
         """SELECT a.p_brand, a.p_partkey AS p1, b.p_partkey AS p2,
                   jaro_winkler_similarity(a.p_name, b.p_name) AS jw
            FROM part a JOIN part b
-             ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+             ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+            AND a.p_partkey < b.p_partkey
            WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.88""",
       "q_cdc_diff" ->
         """WITH cur AS (SELECT o_orderkey, o_totalprice FROM orders),
