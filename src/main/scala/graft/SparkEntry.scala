@@ -2559,6 +2559,60 @@ object SparkEntry {
           col("pr"), col("cd"))
     }),
 
+    // ----- per-shard TABLE CHECKSUM (anti-entropy / Merkle-leaf shape):
+    // order-independent SUM of per-row content hashes, sharded on a key
+    // projection — two replicas (or a source and its CDC-applied copy)
+    // compare shard digests and re-sync only the shards that differ.
+    // Hash sums commute, so the digest is identical under ANY
+    // partitioning or row order; rendering goes through exact
+    // decimal/int casts (double formatting differs across engines) -----
+    "q_table_checksum" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .selectExpr("o_orderkey % 16 AS shard",
+          "concat_ws('|', CAST(o_orderkey AS STRING), o_orderstatus, " +
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING)) AS row_str")
+        .select(col("shard"),
+          GraftFunctions.polyHash(col("row_str")).as("h"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+    }),
+
+    // ----- INCREMENTAL VIEW MAINTENANCE: per-priority order counts
+    // maintained from the OLD snapshot plus the CDC delta (inserts add,
+    // deletes subtract; updates don't move counts between groups here
+    // since the key's group is stable) — then proven equal to a direct
+    // recompute over the NEW snapshot. The 100 TB point: the maintained
+    // path touches only the delta, never rescans the snapshot -----
+    "q_ivm_counts" -> ((s, dir) => {
+      val cur = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val old = cur.filter(col("o_orderkey") % 97 =!= 0)
+      val neu = cur.filter(col("o_orderkey") % 89 =!= 0)
+      val oldCounts = old.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_old"))
+      val delta = old.select(col("o_orderkey").as("k_old"),
+          col("o_orderpriority").as("p_old"))
+        .join(neu.select(col("o_orderkey").as("k_new"),
+          col("o_orderpriority").as("p_new")),
+          col("k_old") === col("k_new"), "full_outer")
+        .select(
+          coalesce(col("p_old"), col("p_new")).as("o_orderpriority"),
+          when(col("k_old").isNull, 1L)
+            .when(col("k_new").isNull, -1L).otherwise(0L).as("d"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("d")).as("dn"))
+      val maintained = oldCounts
+        .join(delta, Seq("o_orderpriority"), "full_outer")
+        .select(col("o_orderpriority"),
+          (coalesce(col("n_old"), lit(0L)) +
+            coalesce(col("dn"), lit(0L))).as("maintained"))
+      val direct = neu.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("direct"))
+      maintained.join(direct, Seq("o_orderpriority"), "full_outer")
+        .select(col("o_orderpriority"), col("maintained"), col("direct"),
+          (col("maintained") === col("direct")).as("consistent"))
+    }),
+
     // ----- LSH S-CURVE: analytic candidate-collision probability
     // 1 - (1 - s^r)^b for the deployed (r=3, b=4) banding across a
     // similarity spine — the design readout that says WHICH Jaccard a
@@ -4556,7 +4610,40 @@ object SparkEntry {
         """SELECT i, sim, 1.0e0 - (q1 * q1 * q1 * q1) AS p_collide FROM (
              SELECT i, sim, 1.0e0 - (sim * sim * sim) AS q1 FROM (
                SELECT CAST(i AS BIGINT) AS i, i / 20.0e0 AS sim
-               FROM range(1, 20) t(i)))"""
+               FROM range(1, 20) t(i)))""",
+      "q_table_checksum" ->
+        s"""WITH r AS (SELECT o_orderkey % 16 AS shard,
+                  concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus,
+                    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR))
+                    AS row_str
+                 FROM orders)
+           SELECT shard, COUNT(*) AS n_rows,
+                  CAST(SUM(${duckStrHash("row_str")}) AS BIGINT) AS checksum
+           FROM r GROUP BY shard""",
+      "q_ivm_counts" ->
+        """WITH cur AS (SELECT o_orderkey, o_orderpriority FROM orders),
+           old AS (SELECT * FROM cur WHERE o_orderkey % 97 <> 0),
+           neu AS (SELECT * FROM cur WHERE o_orderkey % 89 <> 0),
+           oc AS (SELECT o_orderpriority, COUNT(*) AS n_old
+                  FROM old GROUP BY 1),
+           d AS (SELECT COALESCE(o.o_orderpriority, n.o_orderpriority)
+                          AS o_orderpriority,
+                        CASE WHEN o.o_orderkey IS NULL THEN 1
+                             WHEN n.o_orderkey IS NULL THEN -1
+                             ELSE 0 END AS dd
+                 FROM old o FULL OUTER JOIN neu n
+                   ON o.o_orderkey = n.o_orderkey),
+           dc AS (SELECT o_orderpriority, CAST(SUM(dd) AS BIGINT) AS dn
+                  FROM d GROUP BY 1),
+           m AS (SELECT COALESCE(oc.o_orderpriority, dc.o_orderpriority)
+                          AS o_orderpriority,
+                        COALESCE(n_old, 0) + COALESCE(dn, 0) AS maintained
+                 FROM oc FULL OUTER JOIN dc USING (o_orderpriority)),
+           dir AS (SELECT o_orderpriority, COUNT(*) AS direct
+                   FROM neu GROUP BY 1)
+           SELECT o_orderpriority, CAST(maintained AS BIGINT) AS maintained,
+                  direct, maintained = direct AS consistent
+           FROM m FULL OUTER JOIN dir USING (o_orderpriority)"""
     )
   }
 }

@@ -13,6 +13,28 @@ class OperatorSpec extends SparkSpec {
   private def docs = Tables(spark, dir, "documents")
   private def emb = Tables(spark, dir, "embeddings")
 
+  test("table checksum: order-independent; a one-row change flips exactly one shard") {
+    import org.apache.spark.sql.functions._
+    def digest(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("o_orderkey % 16 AS shard",
+        "concat_ws(\'|\', CAST(o_orderkey AS STRING), o_orderstatus) AS r")
+      .select(col("shard"), graft.functions.GraftFunctions.polyHash(col("r")).as("h"))
+      .groupBy("shard").agg(sum("h").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val base = digest(orders)
+    // row order / partitioning changes leave the digest fixed
+    assert(digest(orders.repartition(7).sortWithinPartitions(col("o_orderstatus"))) == base)
+    // a single-row content change flips ITS shard only
+    val touchedKey = orders.select(min("o_orderkey")).head.getLong(0)
+    val mutated = digest(orders.withColumn("o_orderstatus",
+      when(col("o_orderkey") === touchedKey, lit("X"))
+        .otherwise(col("o_orderstatus"))))
+    val diff = base.keySet.filter(k => base(k) != mutated(k))
+    assert(diff == Set(touchedKey % 16), s"changed shards: $diff")
+  }
+
   test("exact dedup: no dups in documents -> every group size 1") {
     val d = Dedup.exact(docs, "doc_id", "text")
     assert(d.count() == 500)
