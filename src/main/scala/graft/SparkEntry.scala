@@ -1434,6 +1434,84 @@ object SparkEntry {
           "CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) " +
           "AS DOUBLE)").as("profit"))),
 
+    // ----- TPC-H Q11-style (no partsupp table: supplied VALUE is
+    // emulated as sum(qty*price) per (nation, part)): parts whose
+    // stocked value exceeds a fraction of the nation's total — the
+    // HAVING-against-a-correlated-scalar shape. The national totals are
+    // group-sized → broadcast back; the fraction literal is e0 -----
+    "q11_value_share" -> ((s, dir) => {
+      val value = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"), col("l_partkey"))
+        .agg(expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * " +
+          "CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,4))")
+          .as("val_dec"))
+      val national = value.groupBy(col("s_nationkey"))
+        .agg(sum(col("val_dec")).as("total_dec"))
+      value.join(broadcast(national), Seq("s_nationkey"))
+        .filter(col("val_dec").cast("double") >
+          col("total_dec").cast("double") * lit(0.002))
+        .select(col("s_nationkey"), col("l_partkey"),
+          col("val_dec").cast("double").as("part_value"))
+    }),
+
+    // ----- TPC-H Q12-style (no shipmode/receiptdate columns: LATE =
+    // shipped more than 60 days after the order date): order-priority
+    // mix among late vs on-time lines — the CASE-sum-over-join shape -----
+    "q12_late_lines" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          col("l_shipdate") > expr("o_orderdate + INTERVAL 60 DAYS"))
+        .groupBy(col("late"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_priority"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_priority"))),
+
+    // ----- TPC-H Q15-style: THE top revenue supplier(s) — the
+    // view + max-subquery shape; ties all surface (rank over the
+    // 1-row broadcast max, no arbitrary pick) -----
+    "q15_top_revenue" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1999-01-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+          "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4))")
+          .as("rev_dec"))
+      val top = rev.agg(max(col("rev_dec")).as("max_dec"))
+      rev.crossJoin(broadcast(top))
+        .filter(col("rev_dec") === col("max_dec"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_suppkey"), col("s_name"),
+          col("rev_dec").cast("double").as("total_revenue"))
+    }),
+
+    // ----- TPC-H Q20-style (no partsupp: availability emulated as each
+    // supplier's total shipped qty per part): suppliers of RED parts
+    // shipping above a volume threshold — the nested-semi-join shape,
+    // all reductions before any join -----
+    "q20_excess_parts" -> ((s, dir) => {
+      val redParts = t(s, dir, "part")
+        .filter(col("p_name").startsWith("red "))
+        .select(col("p_partkey"))
+      val supplied = t(s, dir, "lineitem")
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(dec(col("l_quantity"))).as("qty_dec"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .filter(col("qty_dec").cast("double") > 40.0)
+      supplied
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("qty_dec")).cast("double").as("total_qty"))
+    }),
+
     // ----- TPC-H Q13-style: customer distribution by order count,
     // INCLUDING zero-order customers (the left join is the point) -----
     "q13_custdist" -> ((s, dir) =>
@@ -4643,7 +4721,55 @@ object SparkEntry {
                    FROM neu GROUP BY 1)
            SELECT o_orderpriority, CAST(maintained AS BIGINT) AS maintained,
                   direct, maintained = direct AS consistent
-           FROM m FULL OUTER JOIN dir USING (o_orderpriority)"""
+           FROM m FULL OUTER JOIN dir USING (o_orderpriority)""",
+      "q11_value_share" ->
+        """WITH v AS (SELECT s_nationkey, l_partkey,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+                           CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(28,4)) AS val_dec
+                 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                 GROUP BY 1, 2),
+           n AS (SELECT s_nationkey, SUM(val_dec) AS total_dec
+                 FROM v GROUP BY 1)
+           SELECT v.s_nationkey, l_partkey,
+                  CAST(val_dec AS DOUBLE) AS part_value
+           FROM v JOIN n ON v.s_nationkey = n.s_nationkey
+           WHERE CAST(val_dec AS DOUBLE)
+                 > CAST(total_dec AS DOUBLE) * 0.002e0""",
+      "q12_late_lines" ->
+        """SELECT l_shipdate > o_orderdate + INTERVAL 60 DAY AS late,
+                  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS high_priority,
+                  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 0 ELSE 1 END) AS BIGINT) AS low_priority
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1""",
+      "q15_top_revenue" ->
+        """WITH r AS (SELECT l_suppkey,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                           (1 - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DECIMAL(28,4)) AS rev_dec
+                 FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+                 GROUP BY 1),
+           m AS (SELECT MAX(rev_dec) AS max_dec FROM r)
+           SELECT l_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+           FROM r CROSS JOIN m
+           JOIN supplier ON l_suppkey = s_suppkey
+           WHERE rev_dec = max_dec""",
+      "q20_excess_parts" ->
+        """WITH gp AS (SELECT p_partkey FROM part
+                      WHERE p_name LIKE 'red %'),
+           sup AS (SELECT l_suppkey, l_partkey,
+                          SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec,
+                          COUNT(DISTINCT l_orderkey) AS n_orders
+                   FROM lineitem JOIN gp ON l_partkey = p_partkey
+                   GROUP BY 1, 2
+                   HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                               AS DOUBLE) > 40.0e0)
+           SELECT l_suppkey, s_name, COUNT(*) AS n_parts,
+                  CAST(SUM(qty_dec) AS DOUBLE) AS total_qty
+           FROM sup JOIN supplier ON l_suppkey = s_suppkey
+           GROUP BY 1, 2"""
     )
   }
 }
