@@ -37,7 +37,8 @@ object Bench {
             false
         }
       val dt = (System.nanoTime() - t0) / 1e9
-      graft.operators.Dedup.releaseCaches() // cache lifecycle: caller-owned
+      // cache lifecycle: caller-owned; also sweep localCheckpoint blocks
+      graft.operators.Dedup.releaseAll(spark)
       out(name) = if (ok) dt else -1.0
     }
     out

@@ -19,7 +19,7 @@ object RunOne {
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
-        graft.operators.Dedup.releaseCaches()
+        graft.operators.Dedup.releaseAll(spark)
         (n, dt)
       }
       val (rows, cold) = pass()

@@ -2691,6 +2691,51 @@ object SparkEntry {
           (col("maintained") === col("direct")).as("consistent"))
     }),
 
+    // ----- TOKENIZER FERTILITY by language: tokens-per-100-chars — the
+    // compression diagnostic that decides per-language byte budgets in
+    // a multilingual mix. Exact integer sums, one final division -----
+    "q_tokenizer_fertility" -> ((s, dir) => {
+      TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("toks")).cast("long")).as("n_tokens"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+        .withColumn("tokens_per_100_chars",
+          expr("CAST(n_tokens * 100 AS DOUBLE) / n_chars"))
+    }),
+
+    // ----- LSH CALIBRATION curve: per signature-agreement count (the
+    // estimate is k-quantized, so the bucket key is an exact integer
+    // 0..12), how many candidate pairs there are and their MICRO-
+    // averaged exact Jaccard (sum of intersections over sum of unions —
+    // exact BIGINT sums, ONE division per bucket; a mean of per-pair
+    // doubles would be an order-dependent float sum). Exact verify runs
+    // only on LSH candidates, never all pairs — the curve answers "does
+    // the sketch estimate track truth?" bucket by bucket -----
+    "q_lsh_calibration" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+        .select(col("doc_a"), col("doc_b"),
+          expr("CAST(round(est_jaccard * 12) AS BIGINT)").as("k_agree"))
+      val toks = Dedup.persistTracked(docs.select(col("doc_id"),
+        array_distinct(transform(
+          GraftFunctions.shingles(col("text"), 3),
+          sh => GraftFunctions.polyHash(sh))).as("hs")))
+      cands
+        .join(toks.select(col("doc_id").as("doc_a"), col("hs").as("t_a")),
+          "doc_a")
+        .join(toks.select(col("doc_id").as("doc_b"), col("hs").as("t_b")),
+          "doc_b")
+        .withColumn("ov", GraftFunctions.setOverlap(col("t_a"), col("t_b")))
+        .withColumn("un", size(col("t_a")) + size(col("t_b")) - col("ov"))
+        .groupBy(col("k_agree"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("ov")).as("sum_ov"),
+          sum(col("un").cast("long")).as("sum_un"))
+        .select(col("k_agree"), col("n_pairs"),
+          expr("CAST(sum_ov AS DOUBLE) / sum_un").as("micro_jaccard"))
+    }),
+
     // ----- LSH S-CURVE: analytic candidate-collision probability
     // 1 - (1 - s^r)^b for the deployed (r=3, b=4) banding across a
     // similarity spine — the design readout that says WHICH Jaccard a
@@ -4186,6 +4231,37 @@ object SparkEntry {
                          MIN(value) OVER (PARTITION BY event_type), 0) AS minmax,
                   percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS pr
            FROM events""",
+      "q_tokenizer_fertility" ->
+        s"""WITH tk AS (SELECT lang, text, ${duckTokens("text")} AS toks
+                        FROM documents)
+           SELECT lang, COUNT(*) AS n_docs,
+                  CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+                  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+                  CAST(SUM(len(toks)) * 100 AS DOUBLE)
+                    / CAST(SUM(length(text)) AS BIGINT)
+                    AS tokens_per_100_chars
+           FROM tk GROUP BY lang""",
+      "q_lsh_calibration" ->
+        s"""$minhashCtes,
+           cand AS (SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb,
+                  CAST(len(list_filter(list_transform(range(1, 13),
+                    i -> a.mh[i] = b.mh[i]), v -> v)) AS BIGINT) AS k_agree
+                 FROM buckets a JOIN buckets b
+                   ON a.band = b.band AND a.bucket = b.bucket
+                  AND a.doc_id < b.doc_id),
+           hsd AS (SELECT doc_id, list_distinct(hs) AS hs FROM hs),
+           v AS (SELECT k_agree,
+                        CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT)
+                          AS ov,
+                        CAST(len(ha.hs) + len(hb.hs)
+                          - len(list_intersect(ha.hs, hb.hs)) AS BIGINT)
+                          AS un
+                 FROM cand JOIN hsd ha ON pa = ha.doc_id
+                           JOIN hsd hb ON pb = hb.doc_id)
+           SELECT k_agree, COUNT(*) AS n_pairs,
+                  CAST(CAST(SUM(ov) AS BIGINT) AS DOUBLE)
+                    / CAST(SUM(un) AS BIGINT) AS micro_jaccard
+           FROM v GROUP BY k_agree""",
       "q_lsh_quality" ->
         s"""$minhashCtes,
            pred AS (SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb

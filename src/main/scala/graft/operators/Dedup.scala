@@ -42,6 +42,21 @@ object Dedup {
     while (d != null) { d.unpersist(blocking = false); d = cached.poll() }
   }
 
+  /** Harness-grade cleanup between queries: [[releaseCaches]] PLUS a
+    * sweep of every persistent RDD still registered with the context —
+    * `localCheckpoint` blocks (clusters / PageRank / k-means rounds) are
+    * NOT tracked DataFrames and otherwise accumulate across a long
+    * session until they evict useful blocks and stall the executors in
+    * GC (measured: a 200-query bench pass inflated later iterative
+    * queries 3× through exactly this). Only for call sites where no
+    * earlier query's plan will be re-executed — dropping a checkpoint
+    * kills its truncated lineage. */
+  def releaseAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    releaseCaches()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
   /** Exact dedup: group identical keys, keep the lowest id.
     * Map-side partial aggregation makes this one shuffle of distinct
     * keys, not rows. */
