@@ -2691,6 +2691,59 @@ object SparkEntry {
           (col("maintained") === col("direct")).as("consistent"))
     }),
 
+    // ----- TIME-BOUNDED FUNNEL: view -> click within 1h of the first
+    // view -> purchase within 24h of that click. Unlike q_funnel's
+    // unbounded ordering, each stage has a deadline — the shape real
+    // conversion analysis uses. Three per-user aggregations, each a
+    // conditional min over the already-grouped events; no self-join
+    // of the event stream -----
+    "q_funnel_windowed" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .selectExpr("user_id", "event_type", "ts div 1000 AS t_us")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("t_us")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("t_us") > col("t_view") &&
+          col("t_us") <= col("t_view") + expr("3600000000"))
+        .groupBy(col("user_id"), col("t_view"))
+        .agg(min(col("t_us")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("t_us") > col("t_click") &&
+          col("t_us") <= col("t_click") + expr("86400000000"))
+        .groupBy(col("user_id")).agg(min(col("t_us")).as("t_buy"))
+      v.join(c.select(col("user_id"), col("t_click")), Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(
+          when(col("t_buy").isNotNull, lit(3L))
+            .when(col("t_click").isNotNull, lit(2L))
+            .otherwise(lit(1L)).as("stage"))
+        .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+    }),
+
+    // ----- USER PATH analysis: each user's first three events as an
+    // ordered path string, counted across users — the "top paths into
+    // the product" readout. One window over the user partition (the
+    // stream never self-joins); deterministic tie-break on event_id -----
+    "q_user_paths" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_us"), col("event_id"))
+      t(s, dir, "events")
+        .selectExpr("user_id", "event_id", "event_type", "ts div 1000 AS t_us")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy(col("user_id"))
+        // collect_list order is partition-dependent: sort the (rn, type)
+        // structs (rn leads, so sort_array restores event order) before
+        // building the path string — deterministic under any shuffle
+        .agg(expr("concat_ws('>', transform(" +
+          "sort_array(collect_list(struct(rn, event_type))), " +
+          "x -> x.event_type))").as("path0"))
+        .groupBy(col("path0").as("path"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // ----- TOKENIZER FERTILITY by language: tokens-per-100-chars — the
     // compression diagnostic that decides per-language byte budgets in
     // a multilingual mix. Exact integer sums, one final division -----
@@ -4231,6 +4284,39 @@ object SparkEntry {
                          MIN(value) OVER (PARTITION BY event_type), 0) AS minmax,
                   percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS pr
            FROM events""",
+      "q_funnel_windowed" ->
+        """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t_us
+                      FROM events),
+           v AS (SELECT user_id, MIN(t_us) AS t_view FROM e
+                 WHERE event_type = 'view' GROUP BY user_id),
+           c AS (SELECT e.user_id, t_view, MIN(t_us) AS t_click
+                 FROM e JOIN v ON e.user_id = v.user_id
+                 WHERE event_type = 'click' AND t_us > t_view
+                   AND t_us <= t_view + 3600000000
+                 GROUP BY e.user_id, t_view),
+           p AS (SELECT e.user_id, MIN(t_us) AS t_buy
+                 FROM e JOIN c ON e.user_id = c.user_id
+                 WHERE event_type = 'purchase' AND t_us > t_click
+                   AND t_us <= t_click + 86400000000
+                 GROUP BY e.user_id),
+           s AS (SELECT CASE WHEN t_buy IS NOT NULL THEN 3
+                             WHEN t_click IS NOT NULL THEN 2
+                             ELSE 1 END AS stage
+                 FROM v LEFT JOIN c USING (user_id)
+                        LEFT JOIN p USING (user_id))
+           SELECT CAST(stage AS BIGINT) AS stage, COUNT(*) AS n_users
+           FROM s GROUP BY stage""",
+      "q_user_paths" ->
+        """WITH e AS (SELECT user_id, event_id, event_type,
+                             epoch_us(ts) AS t_us FROM events),
+           r AS (SELECT user_id, event_type,
+                        ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY t_us, event_id) AS rn FROM e),
+           pp AS (SELECT user_id,
+                         array_to_string(list(event_type ORDER BY rn), '>')
+                           AS path
+                  FROM r WHERE rn <= 3 GROUP BY user_id)
+           SELECT path, COUNT(*) AS n_users FROM pp GROUP BY path""",
       "q_tokenizer_fertility" ->
         s"""WITH tk AS (SELECT lang, text, ${duckTokens("text")} AS toks
                         FROM documents)
