@@ -185,6 +185,23 @@ object HashImpl {
     bestP + 1L
   }
 
+  /** Lowercased space-run tokens; see [[Tokens]] for the contract. */
+  def tokens(text: UTF8String): ArrayData = {
+    val s = text.toLowerCase.toString
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      if (s.charAt(i) == ' ') i += 1
+      else {
+        val start = i
+        while (i < len && s.charAt(i) != ' ') i += 1
+        out.add(UTF8String.fromString(s.substring(start, i)))
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Max single-element occurrence count in a string array (0 if empty). */
   def topTokenCount(a: ArrayData): Long = {
     val n = a.numElements()
@@ -547,5 +564,30 @@ case class TopTokenCount(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, a =>
       s"graft.functions.expressions.HashImpl.topTokenCount($a)")
   override protected def withNewChildInternal(c: Expression): TopTokenCount =
+    copy(child = c)
+}
+
+/** Lowercased whitespace tokens of a raw text column — the exact
+  * element set and order of the HOF form
+  * `filter(split(lower(text), ' +'), w -> w <> '')` (split on runs of
+  * spaces, no empties; only ' ' is a separator, matching the oracle's
+  * string_split). This is the entry expression of every text query, so
+  * the smaller generated body pays off across the whole suite's cold
+  * pass; the loop is shared with [[HashImpl.shingles]]. */
+case class Tokens(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got $t")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_tokens"
+  protected override def nullSafeEval(a: Any): Any =
+    HashImpl.tokens(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.HashImpl.tokens($a)")
+  override protected def withNewChildInternal(c: Expression): Tokens =
     copy(child = c)
 }

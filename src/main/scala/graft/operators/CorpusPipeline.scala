@@ -28,7 +28,7 @@ object CorpusPipeline {
     // and the survivor join inside ONE plan — without the barrier the
     // scoring chain executes twice (same fix as cleanFull's gate)
     val scored = Dedup.persistTracked(docs
-      .withColumn("toks", expr(sparkTokens(textCol)))
+      .withColumn("toks", GraftFunctions.tokens(col(textCol)))
       .withColumn("stop_hits", expr(sparkStopHits("toks")))
       .withColumn("quality",
         expr("0.4 * least(CAST(size(toks) AS DOUBLE) / 50.0, 1.0) + " +
@@ -82,7 +82,7 @@ object CorpusPipeline {
     // decontamination side and the dedup side — without the barrier the
     // whole scoring chain executes twice inside one plan
     val gated = Dedup.persistTracked(docs
-      .withColumn("toks", expr(sparkTokens(textCol)))
+      .withColumn("toks", GraftFunctions.tokens(col(textCol)))
       .withColumn("n_tokens", expr("size(toks)"))
       .withColumn("distinct_ratio", expr(
         "CAST(size(array_distinct(toks)) AS DOUBLE) / nullif(size(toks), 0)"))
@@ -125,7 +125,7 @@ object CorpusPipeline {
       minQuality: Double = 0.5): DataFrame = {
     // persist: same dual-consumer shape as [[clean]]
     val scored = Dedup.persistTracked(docs
-      .withColumn("toks", expr(sparkTokens(textCol)))
+      .withColumn("toks", GraftFunctions.tokens(col(textCol)))
       .withColumn("stop_hits", expr(sparkStopHits("toks")))
       .withColumn("quality",
         expr("0.4 * least(CAST(size(toks) AS DOUBLE) / 50.0, 1.0) + " +

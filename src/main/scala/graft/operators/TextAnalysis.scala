@@ -14,7 +14,12 @@ object TextAnalysis {
 
   /** Adds a `toks` column: lowercased whitespace tokens. */
   def withTokens(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("toks", expr(sparkTokens(textCol)))
+    // native tokenizer — identical element set/order to the
+    // XFormulas.sparkTokens HOF (the oracle's string_split form); this
+    // is the entry expression of every text query, so the smaller
+    // generated body shrinks the whole suite's cold JIT cost
+    df.withColumn("toks",
+      graft.functions.GraftFunctions.tokens(col(textCol)))
 
   /** Per-document token statistics. */
   def stats(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -123,6 +123,22 @@ class HashExpressionsSpec extends SparkSpec {
     assert(rows(3).getSeq[Long](2) == rows(3).getSeq[Long](3))
   }
 
+  test("Tokens == HOF filter(split(lower)) on every document") {
+    val docs = Tables(spark, dir, "documents")
+    val mismatch = docs.select(
+      GraftFunctions.tokens(col("text")).as("native"),
+      expr(sparkTokens("text")).as("hof"))
+      .filter("native <> hof")
+    assert(mismatch.count() == 0)
+    // edge cases: empty, all-space, leading/trailing/multi-space
+    import spark.implicits._
+    val edges = Seq("", "   ", " a  b ", "A B", "x").toDF("t")
+      .select(GraftFunctions.tokens(col("t")).as("native"),
+        expr(sparkTokens("t")).as("hof"))
+      .filter("native <> hof")
+    assert(edges.count() == 0)
+  }
+
   test("SetOverlap == size(array_intersect) on real shingle pairs, both element types") {
     GraftFunctions.register(spark) // graft_polyhash used via SQL below
     val sh = Tables(spark, dir, "documents").select(
