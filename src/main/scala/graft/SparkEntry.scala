@@ -2691,6 +2691,31 @@ object SparkEntry {
           (col("maintained") === col("direct")).as("consistent"))
     }),
 
+    // ----- WEIGHTED MEDIAN per group: the price point at which half the
+    // QUANTITY mass of each return-flag class has shipped — ordinary
+    // medians ignore weights; inventory/royalty math needs the mass-
+    // weighted one. One window cumsum over exact DECIMAL weights, the
+    // answer is the first row whose cumulative weight crosses half the
+    // total (integer/decimal compares only, no float accumulation) -----
+    "q_weighted_median" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("price_c"),
+          expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("qty_c"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("price_c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      li.withColumn("cum", sum(col("qty_c")).over(w))
+        .withColumn("total", sum(col("qty_c")).over(
+          Window.partitionBy(col("l_returnflag"))))
+        .filter(col("cum") * 2 >= col("total"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("price_c")).as("weighted_median_price_c"),
+          max(col("total")).as("total_qty_c"))
+    }),
+
     // ----- TIME-BOUNDED FUNNEL: view -> click within 1h of the first
     // view -> purchase within 24h of that click. Unlike q_funnel's
     // unbounded ordering, each stage has a deadline — the shape real
@@ -4284,6 +4309,23 @@ object SparkEntry {
                          MIN(value) OVER (PARTITION BY event_type), 0) AS minmax,
                   percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS pr
            FROM events""",
+      "q_weighted_median" ->
+        """WITH li AS (SELECT l_returnflag,
+                  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS price_c,
+                  CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS qty_c
+                 FROM lineitem),
+           c AS (SELECT l_returnflag, price_c,
+                        CAST(SUM(qty_c) OVER (PARTITION BY l_returnflag
+                          ORDER BY price_c
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                        CAST(SUM(qty_c) OVER (PARTITION BY l_returnflag)
+                          AS BIGINT) AS total
+                 FROM li)
+           SELECT l_returnflag, MIN(price_c) AS weighted_median_price_c,
+                  MAX(total) AS total_qty_c
+           FROM c WHERE cum * 2 >= total GROUP BY l_returnflag""",
       "q_funnel_windowed" ->
         """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t_us
                       FROM events),
