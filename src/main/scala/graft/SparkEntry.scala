@@ -2691,6 +2691,45 @@ object SparkEntry {
           (col("maintained") === col("direct")).as("consistent"))
     }),
 
+    // ----- DEDUP SAVINGS accounting: per source, how many documents and
+    // characters the near-dup cluster policy would drop (everything but
+    // each cluster's min-id representative) — the storage/compute
+    // savings readout a dedup rollout is justified with. Reuses the
+    // cluster labels; only ids and char counts ride the joins -----
+    "q_dedup_savings" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+        .select("doc_a", "doc_b")
+      val dropped = Dedup.clusters(cand, "doc_a", "doc_b")
+        .filter(col("cluster") =!= col("doc_a"))
+        .select(col("doc_a").as("doc_id"))
+      docs.join(dropped, Seq("doc_id"), "left_semi")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs_dropped"),
+          sum(col("n_chars")).as("chars_saved"))
+    }),
+
+    // ----- HHI supplier concentration per part-type prefix: the
+    // Herfindahl-Hirschman index from exact integer quantity sums —
+    // HHI = sum(q_i^2) / (sum(q_i))^2 needs no per-share division, so
+    // there is no order-dependent float accumulation anywhere -----
+    "q_hhi" -> ((s, dir) => {
+      val byType = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .selectExpr("split(p_type, ' ')[0] AS type_class", "l_suppkey",
+          "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q_c")
+        .groupBy(col("type_class"), col("l_suppkey"))
+        .agg(sum(col("q_c")).as("qi"))
+      byType.groupBy(col("type_class"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("qi") * col("qi")).as("sum_sq"),
+          sum(col("qi")).as("total"))
+        .select(col("type_class"), col("n_suppliers"),
+          expr("CAST(sum_sq AS DOUBLE) / (CAST(total AS DOUBLE) * " +
+            "CAST(total AS DOUBLE))").as("hhi"))
+    }),
+
     // ----- WEIGHTED MEDIAN per group: the price point at which half the
     // QUANTITY mass of each return-flag class has shipped — ordinary
     // medians ignore weights; inventory/royalty math needs the mass-
@@ -4309,6 +4348,42 @@ object SparkEntry {
                          MIN(value) OVER (PARTITION BY event_type), 0) AS minmax,
                   percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS pr
            FROM events""",
+      "q_dedup_savings" -> {
+        // same 3 unrolled propagation rounds as q_dedup_clusters
+        val rounds = (1 to 3).map { i =>
+          s"""l$i AS (SELECT n.id, least(n.label, coalesce(m.nm, n.label)) AS label
+                FROM l${i - 1} n LEFT JOIN (
+                  SELECT e.src, MIN(l.label) AS nm FROM edges e
+                  JOIN l${i - 1} l ON e.dst = l.id GROUP BY e.src) m
+                ON n.id = m.src)"""
+        }.mkString(",\n")
+        s"""$minhashCtes,
+           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM buckets a JOIN buckets b
+                      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+           edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                     UNION ALL SELECT doc_b AS src, doc_a AS dst FROM cand),
+           nodes AS (SELECT DISTINCT src AS id FROM edges),
+           l0 AS (SELECT id, id AS label FROM nodes),
+           $rounds,
+           dropped AS (SELECT id FROM l3 WHERE label <> id)
+           SELECT source, COUNT(*) AS docs_dropped,
+                  CAST(SUM(n_chars) AS BIGINT) AS chars_saved
+           FROM documents JOIN dropped ON doc_id = id
+           GROUP BY source"""
+      },
+      "q_hhi" ->
+        """WITH q AS (SELECT string_split(p_type, ' ')[1] AS type_class,
+                  l_suppkey,
+                  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS qi
+                 FROM lineitem JOIN part ON l_partkey = p_partkey
+                 GROUP BY 1, 2)
+           SELECT type_class, COUNT(*) AS n_suppliers,
+                  CAST(CAST(SUM(qi * qi) AS BIGINT) AS DOUBLE)
+                    / (CAST(CAST(SUM(qi) AS BIGINT) AS DOUBLE)
+                       * CAST(CAST(SUM(qi) AS BIGINT) AS DOUBLE)) AS hhi
+           FROM q GROUP BY type_class""",
       "q_weighted_median" ->
         """WITH li AS (SELECT l_returnflag,
                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
