@@ -2691,6 +2691,56 @@ object SparkEntry {
           (col("maintained") === col("direct")).as("consistent"))
     }),
 
+    // ----- SOURCE OVERLAP matrix: pairwise vocabulary Jaccard between
+    // sources — the corpus diagnostic that flags two "different" feeds
+    // as the same crawl. Distinct (source, token) pairs self-join on
+    // the token (vocab-sized, never corpus-sized); counts stay integer
+    // with one division per pair -----
+    "q_source_overlap" -> ((s, dir) => {
+      val st = TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+        .select(col("source"), explode(col("toks")).as("token"))
+        .distinct()
+      val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val inter = st.select(col("source").as("s1"), col("token"))
+        .join(st.select(col("source").as("s2"), col("token")), "token")
+        .filter(col("s1") < col("s2"))
+        .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("n_both"))
+      inter
+        .join(sizes.select(col("source").as("s1"), col("n").as("n1")), "s1")
+        .join(sizes.select(col("source").as("s2"), col("n").as("n2")), "s2")
+        .select(col("s1"), col("s2"), col("n_both"),
+          expr("CAST(n_both AS DOUBLE) / (n1 + n2 - n_both)")
+            .as("vocab_jaccard"))
+    }),
+
+    // ----- two-sample KOLMOGOROV-SMIRNOV statistic between user-parity
+    // cohorts' purchase values, in EXACT integer arithmetic: at every
+    // observed value, |F1 - F2| = |c1*n2 - c2*n1| / (n1*n2), so the max
+    // runs over integers and the single division happens once at the
+    // end — no order-dependent float accumulation (the same discipline
+    // as the A/B z-test). One sort-window over distinct values -----
+    "q_ks_test" -> ((s, dir) => {
+      val v = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .selectExpr("user_id % 2 AS cohort",
+          "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c")
+      val counts = v.groupBy(col("v_c"))
+        .agg(sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("d1"),
+          sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("d2"))
+      val w = Window.orderBy(col("v_c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = counts
+        .withColumn("c1", sum(col("d1")).over(w))
+        .withColumn("c2", sum(col("d2")).over(w))
+      val totals = cum.agg(max(col("c1")).as("n1"), max(col("c2")).as("n2"))
+      cum.crossJoin(broadcast(totals))
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          max(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("num"))
+        .select(col("n1"), col("n2"),
+          expr("CAST(num AS DOUBLE) / (CAST(n1 AS DOUBLE) * " +
+            "CAST(n2 AS DOUBLE))").as("ks_d"))
+    }),
+
     // ----- DEDUP SAVINGS accounting: per source, how many documents and
     // characters the near-dup cluster policy would drop (everything but
     // each cluster's min-id representative) — the storage/compute
@@ -4348,6 +4398,39 @@ object SparkEntry {
                          MIN(value) OVER (PARTITION BY event_type), 0) AS minmax,
                   percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS pr
            FROM events""",
+      "q_source_overlap" ->
+        s"""WITH st AS (SELECT DISTINCT source, unnest(${duckTokens("text")})
+                          AS token FROM documents),
+           sz AS (SELECT source, COUNT(*) AS n FROM st GROUP BY source),
+           iv AS (SELECT a.source AS s1, b.source AS s2, COUNT(*) AS n_both
+                  FROM st a JOIN st b
+                    ON a.token = b.token AND a.source < b.source
+                  GROUP BY 1, 2)
+           SELECT s1, s2, n_both,
+                  CAST(n_both AS DOUBLE) / (x.n + y.n - n_both)
+                    AS vocab_jaccard
+           FROM iv JOIN sz x ON s1 = x.source JOIN sz y ON s2 = y.source""",
+      "q_ks_test" ->
+        """WITH v AS (SELECT user_id % 2 AS cohort,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c
+                 FROM events WHERE event_type = 'purchase'),
+           c AS (SELECT v_c,
+                  CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d1,
+                  CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d2
+                 FROM v GROUP BY v_c),
+           cum AS (SELECT v_c,
+                  CAST(SUM(d1) OVER (ORDER BY v_c ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS c1,
+                  CAST(SUM(d2) OVER (ORDER BY v_c ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS c2
+                 FROM c),
+           t AS (SELECT MAX(c1) AS n1, MAX(c2) AS n2 FROM cum)
+           SELECT n1, n2,
+                  CAST(MAX(abs(c1 * n2 - c2 * n1)) AS DOUBLE)
+                    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_d
+           FROM cum CROSS JOIN t GROUP BY n1, n2""",
       "q_dedup_savings" -> {
         // same 3 unrolled propagation rounds as q_dedup_clusters
         val rounds = (1 to 3).map { i =>
