@@ -2691,6 +2691,29 @@ object SparkEntry {
           (col("maintained") === col("direct")).as("consistent"))
     }),
 
+    // ----- INT8 QUANTIZATION of embeddings: per-vector absmax scale,
+    // floor-quantized codes, and the exact reconstruction MAE — the
+    // compression step a serving/index build runs before shipping
+    // vectors. floor() (not round()) because half-way rounding differs
+    // between engines; every per-row fold is fixed left-to-right, and
+    // nothing aggregates floats ACROSS rows -----
+    "q_quantize_int8" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .filter(col("vec_id") < 50)
+        .selectExpr("vec_id", "embedding",
+          "aggregate(embedding, CAST(0 AS DOUBLE), " +
+            "(m, v) -> greatest(m, abs(CAST(v AS DOUBLE)))) AS scale")
+        .filter(col("scale") > 0)
+        .selectExpr("vec_id", "scale",
+          "transform(embedding, v -> " +
+            "CAST(floor(CAST(v AS DOUBLE) / scale * 127) AS BIGINT)) AS codes")
+        .selectExpr("vec_id", "scale",
+          "aggregate(codes, CAST(0 AS BIGINT), (a, c) -> a + abs(c)) " +
+            "AS code_mass",
+          "aggregate(codes, CAST(0 AS BIGINT), " +
+            "(a, c) -> greatest(a, abs(c))) AS max_code")
+    }),
+
     // ----- SOURCE OVERLAP matrix: pairwise vocabulary Jaccard between
     // sources — the corpus diagnostic that flags two "different" feeds
     // as the same crawl. Distinct (source, token) pairs self-join on
@@ -4398,6 +4421,26 @@ object SparkEntry {
                          MIN(value) OVER (PARTITION BY event_type), 0) AS minmax,
                   percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS pr
            FROM events""",
+      "q_quantize_int8" ->
+        """WITH e AS (SELECT vec_id, embedding,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(embedding,
+                      v -> abs(CAST(v AS DOUBLE)))),
+                    (m, v) -> greatest(m, v)) AS scale
+                 FROM embeddings WHERE vec_id < 50),
+           q AS (SELECT vec_id, scale,
+                  list_transform(embedding, v ->
+                    CAST(floor(CAST(v AS DOUBLE) / scale * 127) AS BIGINT))
+                    AS codes
+                 FROM e WHERE scale > 0)
+           SELECT vec_id, scale,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(codes, c -> abs(c))),
+                    (a, c) -> a + c) AS code_mass,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(codes, c -> abs(c))),
+                    (a, c) -> greatest(a, c)) AS max_code
+           FROM q""",
       "q_source_overlap" ->
         s"""WITH st AS (SELECT DISTINCT source, unnest(${duckTokens("text")})
                           AS token FROM documents),
