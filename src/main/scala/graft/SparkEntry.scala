@@ -2785,7 +2785,9 @@ object SparkEntry {
     // ----- HHI supplier concentration per part-type prefix: the
     // Herfindahl-Hirschman index from exact integer quantity sums —
     // HHI = sum(q_i^2) / (sum(q_i))^2 needs no per-share division, so
-    // there is no order-dependent float accumulation anywhere -----
+    // there is no order-dependent float accumulation anywhere. BIGINT
+    // headroom: q_i^2 sums stay under 2^63 through sf100; beyond that
+    // lift the squares to DECIMAL(38,0) on both engines -----
     "q_hhi" -> ((s, dir) => {
       val byType = t(s, dir, "lineitem")
         .join(broadcast(t(s, dir, "part")),
