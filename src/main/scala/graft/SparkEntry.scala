@@ -2691,6 +2691,24 @@ object SparkEntry {
           (col("maintained") === col("direct")).as("consistent"))
     }),
 
+    // ----- MODE per group with a deterministic tie-break (highest count,
+    // then lowest value — an undefined-tie mode is engine-dependent and
+    // can never hash-match): most common order priority per customer
+    // segment, two hash aggregations + one max_by -----
+    "q_mode" -> ((s, dir) => {
+      val counts = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("n").desc, col("o_orderpriority"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("c_mktsegment"),
+          col("o_orderpriority").as("mode_priority"), col("n").as("mode_n"))
+    }),
+
     // ----- INT8 QUANTIZATION of embeddings: per-vector absmax scale,
     // floor-quantized codes, and the exact reconstruction MAE — the
     // compression step a serving/index build runs before shipping
@@ -4423,6 +4441,17 @@ object SparkEntry {
                          MIN(value) OVER (PARTITION BY event_type), 0) AS minmax,
                   percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS pr
            FROM events""",
+      "q_mode" ->
+        """WITH c AS (SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n
+                      FROM orders JOIN customer ON o_custkey = c_custkey
+                      GROUP BY 1, 2)
+           SELECT c_mktsegment, o_orderpriority AS mode_priority,
+                  n AS mode_n
+           FROM (SELECT c_mktsegment, o_orderpriority, n,
+                        ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                          ORDER BY n DESC, o_orderpriority) AS rn
+                 FROM c)
+           WHERE rn = 1""",
       "q_quantize_int8" ->
         """WITH e AS (SELECT vec_id, embedding,
                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
