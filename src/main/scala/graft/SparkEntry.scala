@@ -610,10 +610,15 @@ object SparkEntry {
     "q_tfidf_like" -> ((s, dir) => {
       val words = TextAnalysis.withTokens(t(s, dir, "documents"), "text")
         .select(col("doc_id"), explode(col("toks")).as("word"))
-      val tf = words.groupBy(col("doc_id"), col("word"))
-        .agg(count(lit(1)).as("tf"))
-      val dfreq = words.groupBy(col("word"))
-        .agg(countDistinct(col("doc_id")).as("dfq"))
+      // persist barrier on the AGGREGATED tf (tiny), then derive document
+      // frequency from it — (word, doc) rows in tf are distinct by
+      // construction, so df = row count per word; the tokenize+explode
+      // pass runs exactly once instead of twice
+      val tf = graft.operators.Dedup.persistTracked(
+        words.groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("tf")))
+      val dfreq = tf.groupBy(col("word"))
+        .agg(count(lit(1)).as("dfq"))
       // lazy 1-row scalar, cross-joined in (no driver-side action)
       val nd = t(s, dir, "documents").agg(count(lit(1)).as("nd"))
       val w = Window.partitionBy(col("doc_id"))
@@ -743,8 +748,12 @@ object SparkEntry {
 
     // ----- MERGE INTO emulation: one full-outer shuffle on the key -----
     "q_merge_upsert" -> ((s, dir) => {
-      val base = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      // persist barrier: base feeds the update set, the insert set, AND
+      // the merge target — one orders scan instead of three
+      val base = graft.operators.Dedup.persistTracked(
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice")))
       val upd = base.filter(col("o_orderkey") % 7 === 0)
         .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
           (dec(col("o_totalprice")) + 10).cast("double").as("o_totalprice"))
@@ -795,6 +804,9 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       TextAnalysis.contaminatedSpans(docs.filter(col("doc_id") >= 20),
         docs.filter(col("doc_id") < 20), "doc_id", "text")
+        // the operator's ARRAY output feeds excision; the differential
+        // surface flattens it to a scalar so the oracle can sort+hash it
+        .withColumn("positions", concat_ws(",", col("positions")))
     }),
 
     // ----- corpus bigram LM: top-20 bigrams with conditional p(w2|w1)
@@ -807,8 +819,12 @@ object SparkEntry {
     // rational (n_ab * nd) / (n_a * n_b), since log() is 1-ulp
     // engine-specific). Doc-level distinct words -> within-doc pairs. -----
     "q_word_cooccur" -> ((s, dir) => {
-      val w = TextAnalysis.withTokens(t(s, dir, "documents"), "text")
-        .select(col("doc_id"), explode(expr("array_distinct(toks)")).as("word"))
+      // persist barrier: `w` feeds both self-join sides + the unigram
+      // counts — same multi-consumer recompute trap as q_basket_lift
+      val w = graft.operators.Dedup.persistTracked(
+        TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+          .select(col("doc_id"),
+            explode(expr("array_distinct(toks)")).as("word")))
       val pairs = w.select(col("doc_id"), col("word").as("w1"))
         .join(w.select(col("doc_id"), col("word").as("w2")), "doc_id")
         .filter(col("w1") < col("w2"))
@@ -888,9 +904,12 @@ object SparkEntry {
       val ev = t(s, dir, "events")
       val med = ev.groupBy(col("event_type").as("g"))
         .agg(expr("percentile(value, 0.5D)").as("med"))
-      val dev = ev.join(broadcast(med), col("event_type") === col("g"))
-        .select(col("event_type"), col("value"), col("med"),
-          expr("abs(value - med)").as("adev"))
+      // persist barrier: dev feeds the MAD aggregate AND the final
+      // outlier rollup — without it the events scan + median join run 2×
+      val dev = graft.operators.Dedup.persistTracked(
+        ev.join(broadcast(med), col("event_type") === col("g"))
+          .select(col("event_type"), col("value"), col("med"),
+            expr("abs(value - med)").as("adev")))
       val mad = dev.groupBy(col("event_type").as("g2"))
         .agg(expr("percentile(adev, 0.5D)").as("mad"))
       dev.join(broadcast(mad), col("event_type") === col("g2"))
@@ -929,9 +948,12 @@ object SparkEntry {
     // (approx within 5% of exact on both engines' own sketches). -----
     "q_hll_sketch" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-      val per = ev.groupBy(col("event_type"))
-        .agg(expr("hll_sketch_agg(user_id)").as("sk"),
-          countDistinct(col("user_id")).as("exact_users"))
+      // persist barrier: the per-type sketch aggregate feeds the global
+      // merge AND the final readout — one events scan for both
+      val per = graft.operators.Dedup.persistTracked(
+        ev.groupBy(col("event_type"))
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+            countDistinct(col("user_id")).as("exact_users")))
       val global = per.agg(
         expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_all"))
       val exactAll = ev.agg(countDistinct(col("user_id")).as("exact_all"))
@@ -1702,19 +1724,22 @@ object SparkEntry {
     // order-dependent), exact-dup volume, and quality-pass rate. The
     // one-look summary a dataset release ships with -----
     "q_corpus_report" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val base = TextAnalysis.withTokens(docs, "text")
-        .selectExpr("doc_id", "source",
-          "CAST(size(toks) AS BIGINT) AS n_toks")
-      val q = TextAnalysis.quality(docs, "doc_id", "text")
-      val dup = docs
-        .select(col("source"),
-          graft.functions.GraftFunctions.polyHash(col("text")).as("fp"))
+      // ONE text pass computes token count + quality + fingerprint per
+      // doc (was: three scans and a per-doc join); persisted because two
+      // aggregations (per-source rollup, dup-count) consume it
+      val perDoc = graft.operators.Dedup.persistTracked(
+        TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+          .withColumn("fp",
+            graft.functions.GraftFunctions.polyHash(col("text")))
+          .selectExpr("doc_id", "source", "fp",
+            "CAST(size(toks) AS BIGINT) AS n_toks",
+            s"${TextAnalysis.qualityExpr} AS quality"))
+      val dup = perDoc
         .groupBy(col("source"), col("fp")).agg(count(lit(1)).as("c"))
         .groupBy(col("source").as("s2"))
         .agg(sum(when(col("c") > 1, col("c")).otherwise(0L))
           .as("n_dup_docs"))
-      base.join(q, "doc_id")
+      perDoc
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_toks")).as("total_tokens"),
@@ -1934,17 +1959,20 @@ object SparkEntry {
     // hash-match (margin products exceed 2^53 and would silently lose
     // bits if computed as doubles) -----
     "q_chi2_tokens" -> ((s, dir) => {
-      val docs = TextAnalysis.withTokens(t(s, dir, "documents"), "text")
-        .select(col("doc_id"), col("source"), col("toks"))
-      val pres = docs
+      val pres = TextAnalysis.withTokens(t(s, dir, "documents"), "text")
         .select(col("doc_id"), col("source"),
           explode(expr("array_distinct(toks)")).as("w"))
-      val vocab = pres.groupBy(col("w")).agg(count(lit(1)).as("nw"))
+      // ONE tokenize+explode pass, aggregated to the (word, source) grid
+      // (vocab-sized) and persisted; global word counts AND the o11 cells
+      // both derive from it instead of re-running the text scan
+      val wcounts = graft.operators.Dedup.persistTracked(
+        pres.groupBy(col("w"), col("source")).agg(count(lit(1)).as("o11")))
+      val vocab = wcounts.groupBy(col("w")).agg(sum(col("o11")).as("nw"))
         .orderBy(col("nw").desc, col("w")).limit(50)
-      val nDocs = docs.agg(count(lit(1)).as("n"))
-      val bySrc = docs.groupBy(col("source")).agg(count(lit(1)).as("ns"))
-      val o11 = pres.join(broadcast(vocab.select("w")), "w")
-        .groupBy(col("w"), col("source")).agg(count(lit(1)).as("o11"))
+      val base = t(s, dir, "documents")
+      val nDocs = base.agg(count(lit(1)).as("n"))
+      val bySrc = base.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+      val o11 = wcounts.join(broadcast(vocab.select("w")), "w")
       // complete vocab x source grid so zero cells survive (they carry
       // the strongest negative-association signal)
       vocab.crossJoin(bySrc).crossJoin(nDocs)
@@ -2166,9 +2194,12 @@ object SparkEntry {
     // loop: O(rows x days) at 100 TB). The inner join with the DAU side
     // restricts output to observed days, matching the spine semantics -----
     "q_dau_wau" -> ((s, dir) => {
-      val userDays = t(s, dir, "events")
-        .selectExpr("user_id", "(ts div 1000) div 86400000000 AS day")
-        .distinct()
+      // persist barrier: userDays feeds both the WAU explode and the
+      // DAU rollup (two distinct-count consumers of one distinct scan)
+      val userDays = graft.operators.Dedup.persistTracked(
+        t(s, dir, "events")
+          .selectExpr("user_id", "(ts div 1000) div 86400000000 AS day")
+          .distinct())
       val wau = userDays
         .select(col("user_id"),
           explode(sequence(col("day"), col("day") + lit(6L))).as("d"))
@@ -2184,19 +2215,39 @@ object SparkEntry {
     // order, with exact rational lift (same log-free discipline as
     // q_word_cooccur) -----
     "q_basket_lift" -> ((s, dir) => {
-      val ob = t(s, dir, "lineitem")
+      // ONE corpus-scale shuffle: collect each order's distinct brand
+      // set (per-order fan-out bounded by |brands| = 25), then a SINGLE
+      // explode emits both the co-bought pairs (from the sorted set, so
+      // b1 < b2 by construction) and a ('', brand) sentinel per member,
+      // so pair counts AND per-brand counts come out of one groupBy.
+      // The corpus-scale frame has exactly one consumer — nothing big
+      // is cached or recomputed (the r3 shape re-ran the distinct
+      // subtree 4x); only the vocab²-sized count table persists for its
+      // two readers. A/B-measured vs okey-self-join + persist (1.3x
+      // slower) and a bit_or bitmask variant (1.6x slower — the extra
+      // brand-index join costs more than long-typed shuffle rows save).
+      val sets = t(s, dir, "lineitem")
         .join(broadcast(t(s, dir, "part")),
           col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey").as("okey"), col("p_brand")).distinct()
-      val pairs = ob.select(col("okey"), col("p_brand").as("b1"))
-        .join(ob.select(col("okey"), col("p_brand").as("b2")), "okey")
-        .filter(col("b1") < col("b2"))
-        .groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("n_ab"))
-      val bc = ob.groupBy(col("p_brand")).agg(count(lit(1)).as("n_b"))
+        .groupBy(col("l_orderkey").as("okey"))
+        .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+      val counts = graft.operators.Dedup.persistTracked(sets
+        .select(explode(expr(
+          "flatten(transform(bs, (x, i) -> concat(" +
+            "array(struct(x AS b1, '' AS b2)), " +
+            "transform(slice(bs, i + 2, size(bs)), " +
+            "y -> struct(x AS b1, y AS b2)))))")).as("p"))
+        .select(col("p.b1"), col("p.b2"))
+        .groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("n_ab")))
+      val pairs = counts.filter(col("b2") =!= "")
+      val bc = counts.filter(col("b2") === "")
+        .select(col("b1").as("brand"), col("n_ab").as("n_b"))
       val no = t(s, dir, "orders").agg(count(lit(1)).as("n_orders"))
       pairs
-        .join(bc.select(col("p_brand").as("b1"), col("n_b").as("n_1")), "b1")
-        .join(bc.select(col("p_brand").as("b2"), col("n_b").as("n_2")), "b2")
+        .join(broadcast(bc.select(col("brand").as("b1"),
+          col("n_b").as("n_1"))), "b1")
+        .join(broadcast(bc.select(col("brand").as("b2"),
+          col("n_b").as("n_2"))), "b2")
         .crossJoin(broadcast(no))
         .filter(col("n_ab") >= 50)
         .select(col("b1"), col("b2"), col("n_ab"),
@@ -2498,19 +2549,25 @@ object SparkEntry {
     // token aggregations; the per-term candidate row set is pruned by
     // the term filter before any join -----
     "q_bm25" -> ((s, dir) => {
-      val words = TextAnalysis.withTokens(t(s, dir, "documents"), "text")
-        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-          explode(col("toks")).as("word"))
-      val terms = Seq("join", "hash", "row")
-      val tf = words.filter(col("word").isin(terms: _*))
+      // ONE tokenize pass: per-doc length + query-term occurrences kept
+      // as a tiny filtered array (≤3 distinct terms), persisted — tf,
+      // document frequency, AND the corpus length stats all derive from
+      // it instead of three separate text scans
+      val docTok = graft.operators.Dedup.persistTracked(
+        TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+          .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+            expr("filter(toks, w -> w IN ('join', 'hash', 'row'))")
+              .as("ftoks")))
+      val words = docTok.select(col("doc_id"), col("dl"),
+        explode(col("ftoks")).as("word"))
+      val tf = words
         .groupBy(col("doc_id"), col("word"))
         .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
-      val dfreq = words.filter(col("word").isin(terms: _*))
+      val dfreq = words
         .select(col("word"), col("doc_id")).distinct()
         .groupBy(col("word")).agg(count(lit(1)).as("dfq"))
-      val corpus = TextAnalysis.withTokens(t(s, dir, "documents"), "text")
-        .agg(count(lit(1)).as("nd"),
-          sum(size(col("toks")).cast("long")).as("sum_dl"))
+      val corpus = docTok
+        .agg(count(lit(1)).as("nd"), sum(col("dl")).as("sum_dl"))
       val w = Window.partitionBy(col("word"))
         .orderBy(col("score").desc, col("doc_id"))
       tf.join(dfreq, "word")
@@ -2662,8 +2719,11 @@ object SparkEntry {
     // recompute over the NEW snapshot. The 100 TB point: the maintained
     // path touches only the delta, never rescans the snapshot -----
     "q_ivm_counts" -> ((s, dir) => {
-      val cur = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderpriority"))
+      // persist barrier: the 2-col projection fans out to old/new filters
+      // consumed by four aggregations — one orders scan, not four
+      val cur = graft.operators.Dedup.persistTracked(
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority")))
       val old = cur.filter(col("o_orderkey") % 97 =!= 0)
       val neu = cur.filter(col("o_orderkey") % 89 =!= 0)
       val oldCounts = old.groupBy(col("o_orderpriority"))
@@ -2738,9 +2798,13 @@ object SparkEntry {
     // the token (vocab-sized, never corpus-sized); counts stay integer
     // with one division per pair -----
     "q_source_overlap" -> ((s, dir) => {
-      val st = TextAnalysis.withTokens(t(s, dir, "documents"), "text")
-        .select(col("source"), explode(col("toks")).as("token"))
-        .distinct()
+      // persist barrier on the distinct (source, token) set (vocab-sized):
+      // it feeds the per-source sizes AND both self-join sides — without
+      // it the tokenize+explode+distinct subtree executes three times
+      val st = graft.operators.Dedup.persistTracked(
+        TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+          .select(col("source"), explode(col("toks")).as("token"))
+          .distinct())
       val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
       val inter = st.select(col("source").as("s1"), col("token"))
         .join(st.select(col("source").as("s2"), col("token")), "token")
@@ -2857,14 +2921,19 @@ object SparkEntry {
     "q_funnel_windowed" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .selectExpr("user_id", "event_type", "ts div 1000 AS t_us")
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("t_us")).as("t_view"))
-      val c = ev.filter(col("event_type") === "click")
-        .join(v, "user_id")
-        .filter(col("t_us") > col("t_view") &&
-          col("t_us") <= col("t_view") + expr("3600000000"))
-        .groupBy(col("user_id"), col("t_view"))
-        .agg(min(col("t_us")).as("t_click"))
+      // persist barriers: v feeds the click join AND the final funnel
+      // spine; c feeds the purchase join AND the spine — unpersisted,
+      // each stage's aggregation re-executes per consumer (events x6)
+      val v = graft.operators.Dedup.persistTracked(
+        ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("t_us")).as("t_view")))
+      val c = graft.operators.Dedup.persistTracked(
+        ev.filter(col("event_type") === "click")
+          .join(v, "user_id")
+          .filter(col("t_us") > col("t_view") &&
+            col("t_us") <= col("t_view") + expr("3600000000"))
+          .groupBy(col("user_id"), col("t_view"))
+          .agg(min(col("t_us")).as("t_click")))
       val p = ev.filter(col("event_type") === "purchase")
         .join(c, "user_id")
         .filter(col("t_us") > col("t_click") &&
@@ -3764,7 +3833,8 @@ object SparkEntry {
                         unnest(range(1, len(ghs) + 1)) AS pos
                  FROM sh WHERE doc_id >= 20),
            bg AS (SELECT DISTINCT unnest(ghs) AS gh FROM sh WHERE doc_id < 20)
-           SELECT doc_id, list(pos ORDER BY pos) AS positions,
+           SELECT doc_id,
+                  array_to_string(list(pos ORDER BY pos), ',') AS positions,
                   COUNT(*) AS n_hits
            FROM g JOIN bg USING (gh) GROUP BY doc_id""",
       "q_bigram_lm" ->

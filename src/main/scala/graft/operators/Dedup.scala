@@ -389,10 +389,13 @@ object Dedup {
     * `w` tokens have no windows and drop out (both engines agree). */
   def spanDupStats(df: DataFrame, idCol: String, textCol: String,
       w: Int = 8): DataFrame = {
-    val winHashes = df.select(col(idCol),
+    // persist: the window-hash stream feeds the per-window frequency AND
+    // the per-doc rollup join — without a barrier the shingle+hash pass
+    // over the full text runs twice; the cached rows are (id, long) only
+    val winHashes = persistTracked(df.select(col(idCol),
       explode(array_distinct(transform(
         GraftFunctions.shingles(col(textCol), w),
-        s => GraftFunctions.polyHash(s)))).as("wh"))
+        s => GraftFunctions.polyHash(s)))).as("wh")))
     val docsPerWin = winHashes.groupBy(col("wh"))
       .agg(count(lit(1)).as("ndocs"))
     winHashes.join(docsPerWin, "wh")

@@ -44,13 +44,16 @@ object TextAnalysis {
   /** Quality score in [0,1]: length saturation + stopword ratio + short-
     * token ratio, equally deterministic in Spark and DuckDB (identical
     * IEEE expression trees). */
+  /** SQL text of the per-row quality score over a `toks` column —
+    * exposed so one-pass report queries can fuse it with other per-doc
+    * columns instead of re-tokenizing through [[quality]]. */
+  def qualityExpr: String =
+    "0.4 * least(CAST(size(toks) AS DOUBLE) / 50.0, 1.0) + " +
+      s"0.3 * (CAST(${sparkStopHits("toks")} AS DOUBLE) / nullif(size(toks), 0)) + " +
+      "0.3 * (CAST(size(filter(toks, w -> length(w) <= 5)) AS DOUBLE) / nullif(size(toks), 0))"
+
   def quality(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    withTokens(df, textCol).selectExpr(
-      idCol,
-      "0.4 * least(CAST(size(toks) AS DOUBLE) / 50.0, 1.0) + " +
-        s"0.3 * (CAST(${sparkStopHits("toks")} AS DOUBLE) / nullif(size(toks), 0)) + " +
-        "0.3 * (CAST(size(filter(toks, w -> length(w) <= 5)) AS DOUBLE) / nullif(size(toks), 0)) " +
-        "AS quality")
+    withTokens(df, textCol).selectExpr(idCol, s"$qualityExpr AS quality")
 
   /** Char-n-gram language-ID: per-occurrence density of high-frequency
     * English trigrams over the document's char trigrams. Still a pure
@@ -191,18 +194,18 @@ object TextAnalysis {
     * are DOCUMENT frequencies — the shingle generator emits each
     * document's distinct bigrams once — which is the dedup-robust choice
     * for corpus statistics (a single degenerate repeated-text document
-    * can't dominate the table). Two partial/final aggregations over the
-    * bigram stream (generator expression, no intermediate arrays) and
-    * one join on the small prefix-count side. */
+    * can't dominate the table). ONE aggregation over the bigram stream
+    * (generator expression, no intermediate arrays); the prefix total
+    * `n1` is a window sum over the tiny aggregated output — the
+    * generator/scan subtree runs exactly once. */
   def bigramLm(df: DataFrame, textCol: String): DataFrame = {
     val bigrams = df.select(graft.functions.GraftFunctions
       .shingleRows(col(textCol), 2).as("bigram"))
       .withColumn("w1", expr("split(bigram, ' ')[0]"))
-    val cnt2 = bigrams.groupBy(col("w1"), col("bigram"))
+    bigrams.groupBy(col("w1"), col("bigram"))
       .agg(count(lit(1)).as("n"))
-    val cnt1 = bigrams.groupBy(col("w1"))
-      .agg(count(lit(1)).as("n1"))
-    cnt2.join(cnt1, "w1")
+      .withColumn("n1", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
       .withColumn("p", expr("CAST(n AS DOUBLE) / n1"))
       .select(col("bigram"), col("n"), col("p"))
   }

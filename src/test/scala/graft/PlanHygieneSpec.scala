@@ -53,4 +53,33 @@ class PlanHygieneSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"nested-loop plans in: ${offenders.mkString(", ")}")
   }
+
+  // deliberate repeated scans: the repetition is the query's semantics
+  // (multi-branch TPC-H reference shapes) or an explicit design tradeoff
+  private val intentionalMultiScan = Map(
+    // TPC-H Q21: lineitem as l1 + EXISTS l2 + NOT EXISTS l3 — three
+    // references are the query's definition
+    "q21_lonely_return" -> 3,
+    // per-column aggregate union BY DESIGN: each branch scans exactly one
+    // pruned column (6.5x warm win vs the all-column pass; the per-job
+    // scheduling tradeoff is documented in Profiling.scala's scaladoc)
+    "q_profile" -> 6)
+
+  test("no query re-scans a base relation 3+ times (multi-consumer recompute guard)") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val bound = intentionalMultiScan.getOrElse(name, 2)
+          val hot = graft.plans.PlanAudit.scanCounts(fn(spark, dir))
+            .filter(_._2 > bound)
+          if (hot.nonEmpty)
+            Some(s"$name: ${hot.map { case (p, n) => s"$p x$n" }.mkString(", ")}")
+          else None
+        } catch {
+          case e: Throwable => Some(s"$name (plan failed: ${e.getMessage})")
+        } finally graft.operators.Dedup.releaseAll(spark)
+    }
+    assert(offenders.isEmpty,
+      s"multi-scan plans (persist-barrier the shared subtree): ${offenders.mkString("; ")}")
+  }
 }
