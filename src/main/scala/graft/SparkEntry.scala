@@ -391,6 +391,34 @@ object SparkEntry {
         .filter(col("rnk") <= 5)
     }),
 
+    // ----- PQ-ADC with a TRAINED codebook: same encode/ADC path as
+    // q_ann_pq, but the book is per-subspace Lloyd's (2 rounds) seeded
+    // from the same deterministic sample — the plan you'd actually run
+    // (OperatorSpec proves the recall improvement over the raw sample)
+    "q_ann_pq2" -> ((s, dir) => {
+      // persist: the training iterations, the encode pass, and the query
+      // side all re-read the widened vectors
+      val v = Dedup.persistTracked(t(s, dir, "embeddings")
+        .selectExpr("vec_id",
+          "transform(embedding, x -> CAST(x AS DOUBLE)) AS dv"))
+      val cb = Similarity.pqTrainCodebook(v, "vec_id", "dv",
+        "vec_id % 31 = 0 AND vec_id < 496")
+      val enc = Dedup.persistTracked(v.crossJoin(broadcast(cb))
+        .selectExpr("vec_id", "dv", "cb",
+          s"${XFormulas.sparkPqCodes("dv", "cb", 8, 16, 8)} AS codes"))
+      val qs = enc.filter(col("vec_id") < 10)
+        .selectExpr("vec_id AS qid", "dv AS qv")
+      enc.selectExpr("vec_id AS cid", "codes", "cb")
+        .crossJoin(broadcast(qs))
+        .filter(col("cid") =!= col("qid"))
+        .selectExpr("qid", "cid",
+          s"${XFormulas.sparkPqAdc("qv", "codes", "cb", 8, 8)} AS adc")
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("adc"), col("cid")))
+          .cast("long"))
+        .filter(col("rnk") <= 5)
+    }),
+
     // ----- event-time windows (batch; streaming twins in graft.streaming)
     "q_events_tumbling" -> ((s, dir) =>
       Events.tumblingHourly(t(s, dir, "events"))),
@@ -3413,6 +3441,52 @@ object SparkEntry {
                   CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, cid) AS BIGINT) AS rnk
                  FROM scored)
            SELECT qid, cid, adc, rnk FROM r WHERE rnk <= 5""",
+      "q_ann_pq2" -> {
+        // one unrolled Lloyd round: assign codes with the previous book,
+        // per-(subspace, code, dim) DECIMAL means, empty cells keep the
+        // previous codeword — mirrors Similarity.pqTrainCodebook exactly
+        def round(prev: String, aN: String, mN: String, fN: String,
+            cbN: String): String =
+          s"""$aN AS (SELECT dv, ${duckPqCodes("dv", "cb", 8, 16, 8)} AS codes
+                FROM v CROSS JOIN $prev),
+           ${aN}e AS (SELECT jj.j AS j, codes[CAST(jj.j + 1 AS INT)] AS c,
+                  pp.p AS p, dv[CAST(jj.j * 8 + pp.p + 1 AS INT)] AS val
+                FROM $aN,
+                  (SELECT unnest(range(0, 8)) AS j) jj,
+                  (SELECT unnest(range(0, 8)) AS p) pp),
+           $mN AS (SELECT j, c, p,
+                  CAST(SUM(CAST(floor(val * 1e12) AS BIGINT)) AS DOUBLE)
+                    / COUNT(*) / 1e12 AS cv
+                FROM ${aN}e GROUP BY j, c, p),
+           $fN AS (SELECT cs.c AS c, gp.gp AS gp,
+                  COALESCE($mN.cv,
+                    $prev.cb[CAST(cs.c + 1 AS INT)][CAST(gp.gp + 1 AS INT)]) AS val
+                FROM (SELECT unnest(range(0, 16)) AS c) cs
+                CROSS JOIN (SELECT unnest(range(0, 64)) AS gp) gp
+                CROSS JOIN $prev
+                LEFT JOIN $mN ON $mN.c = cs.c AND $mN.j = gp.gp // 8
+                  AND $mN.p = gp.gp % 8),
+           $cbN AS (SELECT list(vec ORDER BY c) AS cb FROM
+                (SELECT c, list(val ORDER BY gp) AS vec FROM $fN GROUP BY c))"""
+        s"""WITH v AS (SELECT vec_id,
+                  list_transform(embedding, x -> x::DOUBLE) AS dv
+                FROM embeddings),
+           cb0 AS (SELECT list(dv ORDER BY vec_id) AS cb FROM v
+                WHERE vec_id % 31 = 0 AND vec_id < 496),
+           ${round("cb0", "a1", "m1", "f1", "cb1")},
+           ${round("cb1", "a2", "m2", "f2", "cb2")},
+           enc AS (SELECT vec_id, dv, cb,
+                  ${duckPqCodes("dv", "cb", 8, 16, 8)} AS codes
+                FROM v CROSS JOIN cb2),
+           qs AS (SELECT vec_id AS qid, dv AS qv FROM enc WHERE vec_id < 10),
+           scored AS (SELECT q.qid, e.vec_id AS cid,
+                  ${duckPqAdc("q.qv", "e.codes", "e.cb", 8, 8)} AS adc
+                FROM enc e CROSS JOIN qs q WHERE e.vec_id <> q.qid),
+           r AS (SELECT qid, cid, adc,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, cid) AS BIGINT) AS rnk
+                 FROM scored)
+           SELECT qid, cid, adc, rnk FROM r WHERE rnk <= 5"""
+      },
       "q_events_tumbling" ->
         """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
                   COUNT(*) AS n_events,

@@ -244,6 +244,77 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** PQ codebook TRAINED with per-subspace Lloyd's, entirely as
+    * DataFrame transforms: the `m` independent k-means problems are
+    * batched into ONE aggregation per iteration, and the codebook never
+    * reaches the driver — each round produces a new 1-row frame that
+    * broadcasts into the next assignment pass (vs [[kmeansCodebook]],
+    * which collects the centroids; here even that is avoided).
+    *
+    * Layout contract: the returned row's `cb` column is `ks` full-dim
+    * vectors where slice `j` of `cb(c)` is subspace j's c-th centroid —
+    * exactly the layout `XFormulas.sparkPqCodes`/`sparkPqAdc` already
+    * slice, so a trained book drops into the untrained encode/ADC path
+    * unchanged.
+    *
+    * Determinism contract (DuckDB-oracle parity): init = the vectors
+    * selected by `seedFilter` in id order; assignment ties break to the
+    * lowest code (first-minimum array_position); centroid means use
+    * floor-quantized 1e-12 integer sums (floor has no halfway case and
+    * long addition is order-independent, so the mean is bit-identical
+    * under any partitioning — a DECIMAL(28,14) cast is NOT enough here
+    * because double→decimal rounding differs between engines, and
+    * unlike [[kmeansCodebook]] these centroid values feed the OUTPUT
+    * via ADC, not just cell assignment); codes no vector chose keep the
+    * previous codeword. The 1e12 scale bounds |v|·n at ~9e18: fine for
+    * any per-cell count the oracle runs; at extreme scale drop to 1e9.
+    *
+    * 100 TB note: per iteration this is one corpus scan + one partial/
+    * final aggregation of (m × ks × dim) cells — the classic
+    * k-means-on-Spark shape; nothing corpus-sized shuffles. Callers
+    * should pass a persisted `emb` projection (every iteration re-reads
+    * it). */
+  def pqTrainCodebook(emb: DataFrame, idCol: String, vecCol: String,
+      seedFilter: String, m: Int = 8, ks: Int = 16, sd: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val dim = m * sd
+    val v = emb.selectExpr(s"$idCol AS vid",
+      s"transform($vecCol, x -> CAST(x AS DOUBLE)) AS dv")
+    var cb = emb.filter(expr(seedFilter))
+      .selectExpr(s"$idCol AS vid",
+        s"transform($vecCol, x -> CAST(x AS DOUBLE)) AS dv")
+      .agg(expr("transform(array_sort(collect_list(struct(vid, dv))), " +
+        "s -> s.dv)").as("cb"))
+    for (_ <- 1 to iters) {
+      val assigned = v.crossJoin(broadcast(cb))
+        .selectExpr("dv",
+          s"${sparkPqCodes("dv", "cb", m, ks, sd)} AS codes")
+      val means = assigned
+        .select(explode(expr(
+          s"transform(sequence(0, ${m - 1}), j -> struct(j AS j, " +
+            "element_at(codes, CAST(j + 1 AS INT)) AS c, " +
+            s"slice(dv, CAST(j * $sd + 1 AS INT), $sd) AS sv))")).as("e"))
+        .select(col("e.j"), col("e.c"), posexplode(col("e.sv")).as(Seq("p", "v")))
+        .groupBy(col("j"), col("c"), col("p"))
+        .agg((sum(expr("CAST(floor(v * 1e12) AS BIGINT)")).cast("double") /
+          count(lit(1)) / lit(1e12)).as("cv"))
+      // fold the (subspace, code, dim) means into one lookup map and
+      // rebuild the book; a missing key = an empty cell, keep previous
+      val mrow = means
+        .select((col("c") * dim + col("j") * sd + col("p")).cast("long")
+          .as("k"), col("cv"))
+        .agg(expr("map_from_entries(collect_list(struct(k, cv)))").as("mm"))
+      cb = cb.crossJoin(broadcast(mrow))
+        .selectExpr(
+          s"transform(sequence(0, ${ks - 1}), c -> " +
+            s"transform(sequence(0, ${dim - 1}), gp -> " +
+            s"coalesce(element_at(mm, CAST(c * $dim + gp AS BIGINT)), " +
+            "element_at(element_at(cb, CAST(c + 1 AS INT)), " +
+            "CAST(gp + 1 AS INT))))) AS cb")
+    }
+    cb
+  }
+
   /** Approximate top-k: only candidates whose LSH signature matches the
     * query's. Recall < 1; candidate work divided by ~2^nbits. */
   def lshTopK(candidates: DataFrame, queries: DataFrame, idCol: String,

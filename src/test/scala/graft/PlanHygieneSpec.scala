@@ -18,6 +18,7 @@ class PlanHygieneSpec extends SparkSpec {
     "q_cross_join",     // J9 surface: 5x25 rows
     "q_ann_topk",       // brute-force baseline: broadcast query set x candidates
     "q_ann_pq",         // ADC scan: broadcast query set x compressed candidates
+    "q_ann_pq2",        // same ADC shape with the trained codebook
     "q22_quiet_rich",   // 1-row scalar aggregate crossed into the filter
     "q_scalar_subquery", // 1-row subquery result joined in
     "q_tfidf_like",     // 1-row corpus-size scalar crossed into the scoring

@@ -425,6 +425,43 @@ class OperatorSpec extends SparkSpec {
     assert(recall >= 0.04, s"PQ recall@5 not above chance: $recall")
   }
 
+  test("PQ ANN: TRAINED codebook recall@5 beats the sampled codebook") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.XFormulas
+    val v = emb.selectExpr("vec_id",
+      "transform(embedding, x -> CAST(x AS DOUBLE)) AS dv")
+    def top5(scored: org.apache.spark.sql.DataFrame, scoreCol: String) =
+      scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col(scoreCol), col("cid"))))
+        .filter(col("rn") <= 5).select("qid", "cid")
+    val q = v.filter("vec_id < 20").selectExpr("vec_id AS qid", "dv AS qv")
+    val truth = top5(v.selectExpr("vec_id AS cid", "dv AS cv")
+      .crossJoin(q).filter("cid <> qid")
+      .selectExpr("qid", "cid",
+        s"${XFormulas.sparkSqDist("qv", "cv")} AS d"), "d")
+    // both books share the same deterministic seed sample, so the recall
+    // delta isolates exactly what the 2 Lloyd rounds buy
+    def recallWith(cb: org.apache.spark.sql.DataFrame): Double = {
+      val enc = v.crossJoin(broadcast(cb))
+        .selectExpr("vec_id", "dv", "cb",
+          s"${XFormulas.sparkPqCodes("dv", "cb", 8, 16, 8)} AS codes")
+      val approx = top5(enc.selectExpr("vec_id AS cid", "codes", "cb")
+        .crossJoin(q).filter("cid <> qid")
+        .selectExpr("qid", "cid",
+          s"${XFormulas.sparkPqAdc("qv", "codes", "cb", 8, 8)} AS adc"),
+        "adc")
+      truth.join(approx, Seq("qid", "cid")).count().toDouble / truth.count()
+    }
+    val sampled = recallWith(v.filter("vec_id % 31 = 0 AND vec_id < 496")
+      .agg(expr("transform(array_sort(collect_list(struct(vec_id, dv))), s -> s.dv)")
+        .as("cb")))
+    val trained = recallWith(Similarity.pqTrainCodebook(v, "vec_id", "dv",
+      "vec_id % 31 = 0 AND vec_id < 496"))
+    assert(trained > sampled,
+      s"training did not improve PQ recall: trained=$trained sampled=$sampled")
+  }
+
   test("sessionize: session bounds ordered, counts positive") {
     val s = Events.sessionize(Tables(spark, dir, "events"))
     assert(s.filter("session_end_us < session_start_us").count() == 0)
