@@ -275,6 +275,38 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
         .select(col("new_id"), col("base_id"), col("est_jaccard"))
     }),
+    // the PERSISTED LSH base index itself: (doc, band, bucket) bucket
+    // membership for the base corpus — the table an ingest pipeline
+    // stores once and every increment joins against (mh signatures ride
+    // along in storage but stay out of this oracle surface: array
+    // columns don't sort/hash in the differential harness)
+    "q_lsh_index" -> ((s, dir) =>
+      Dedup.lshIndex(
+        Dedup.minhashSignatures(
+          t(s, dir, "documents").filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text"), "doc_id")
+        .select(col("doc_id"), col("band"), col("bucket"))),
+    // TWO-STEP ingest: build the base index, STORE it (parquet,
+    // partitioned by band), then dedup the increment against the table
+    // read back from disk — the 100 TB contract where the base corpus
+    // is signed once, not per ingest (LshIndexSpec asserts the base
+    // text is not re-scanned; the oracle proves the stored-index join
+    // equals the direct two-sided run)
+    "q_ingest_dedup2" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = "/tmp/graft_lsh_index_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.GraftSink.writePartitioned(
+        Dedup.lshIndex(
+          Dedup.minhashSignatures(
+            docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text"),
+          "doc_id"),
+        path, Seq("band"))
+      Dedup.ingestAgainstIndex(
+        docs.filter(col("doc_id") % 10 === 0),
+        s.read.parquet(path), "doc_id", "text")
+        .select(col("new_id"), col("base_id"), col("est_jaccard"))
+    }),
     // containment (|A∩B|/|A|) on the LSH candidates: catches short docs
     // embedded in longer ones, which symmetric Jaccard dilutes away
     "q_dedup_containment" -> ((s, dir) =>
@@ -3270,6 +3302,19 @@ object SparkEntry {
              JOIN sh sb ON sb.doc_id = c.doc_b)
            WHERE jaccard >= 0.2""",
       "q_ingest_dedup" ->
+        s"""$minhashCtes
+           SELECT DISTINCT n.doc_id AS new_id, b.doc_id AS base_id,
+                  CAST(len(list_filter(list_transform(range(1, 13), i -> n.mh[i] = b.mh[i]), v -> v)) AS DOUBLE) / 12 AS est_jaccard
+           FROM (SELECT * FROM buckets WHERE doc_id % 10 = 0) n
+           JOIN (SELECT * FROM buckets WHERE doc_id % 10 <> 0) b
+             ON n.band = b.band AND n.bucket = b.bucket""",
+      "q_lsh_index" ->
+        s"""$minhashCtes
+           SELECT doc_id, band, bucket FROM buckets
+           WHERE doc_id % 10 <> 0""",
+      // the stored-index roundtrip is value-preserving (longs through
+      // parquet), so the oracle is the same join as q_ingest_dedup
+      "q_ingest_dedup2" ->
         s"""$minhashCtes
            SELECT DISTINCT n.doc_id AS new_id, b.doc_id AS base_id,
                   CAST(len(list_filter(list_transform(range(1, 13), i -> n.mh[i] = b.mh[i]), v -> v)) AS DOUBLE) / 12 AS est_jaccard

@@ -150,23 +150,51 @@ object Dedup {
     * accumulates. Returns (new_id, base_id, est_jaccard). */
   def crossCorpusCandidates(newDf: DataFrame, baseDf: DataFrame,
       idCol: String, textCol: String, k: Int = 12, bands: Int = 4,
-      shingle: Int = 3, maxBucket: Int = Int.MaxValue): DataFrame = {
+      shingle: Int = 3, maxBucket: Int = Int.MaxValue): DataFrame =
+    ingestAgainstIndex(newDf,
+      lshIndex(persistTracked(
+        minhashSignatures(baseDf, idCol, textCol, k, shingle)),
+        idCol, k, bands),
+      idCol, textCol, k, bands, shingle, maxBucket)
+
+  /** The REUSABLE LSH base index: per-doc minhash signatures exploded
+    * to (id, mh, band, bucket) rows — the table a 100 TB corpus signs
+    * ONCE and persists (e.g. `GraftSink.writePartitioned(ix, path,
+    * Seq("band"))`), so every ingest batch joins against STORED buckets
+    * instead of re-signing the base ([[ingestAgainstIndex]]). `sigs` is
+    * [[minhashSignatures]] output (or that table read back from
+    * storage). */
+  def lshIndex(sigs: DataFrame, idCol: String, k: Int = 12,
+      bands: Int = 4): DataFrame = {
     val r = k / bands
-    def buckets(df: DataFrame) =
-      persistTracked(minhashSignatures(df, idCol, textCol, k, shingle))
-        .selectExpr(idCol, "mh",
-          s"explode(sequence(0L, ${bands - 1}L)) AS band")
-        .select(col(idCol), col("mh"), col("band"),
-          GraftFunctions.bandBucket(col("mh"), col("band"), r).as("bucket"))
-    val base0 = buckets(baseDf)
+    sigs
+      .selectExpr(idCol, "mh",
+        s"explode(sequence(0L, ${bands - 1}L)) AS band")
+      .select(col(idCol), col("mh"), col("band"),
+        GraftFunctions.bandBucket(col("mh"), col("band"), r).as("bucket"))
+  }
+
+  /** INGEST an increment against a prebuilt base index ([[lshIndex]]
+    * rows, typically read back from storage): signs only the NEW batch,
+    * joins its band buckets with the stored base buckets, and estimates
+    * Jaccard from signature agreement. The base corpus is never
+    * re-scanned or re-signed — cost is proportional to the increment
+    * (LshIndexSpec pins a scan-count assertion on this). `maxBucket`
+    * caps viral buckets on the base side, where the mass accumulates.
+    * Returns (new_id, base_id, est_jaccard). */
+  def ingestAgainstIndex(newDf: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, k: Int = 12, bands: Int = 4,
+      shingle: Int = 3, maxBucket: Int = Int.MaxValue): DataFrame = {
     val base =
-      if (maxBucket == Int.MaxValue) base0
-      else base0
+      if (maxBucket == Int.MaxValue) index
+      else index
         .withColumn("bucket_n",
           count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
         .filter(col("bucket_n") <= maxBucket)
         .drop("bucket_n")
-    buckets(newDf)
+    lshIndex(persistTracked(
+        minhashSignatures(newDf, idCol, textCol, k, shingle)),
+        idCol, k, bands)
       .select(col(idCol).as("new_id"), col("mh").as("mh_n"),
         col("band"), col("bucket"))
       .join(base.select(col(idCol).as("base_id"), col("mh").as("mh_b"),
