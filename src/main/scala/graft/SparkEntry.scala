@@ -144,6 +144,39 @@ object SparkEntry {
         .groupBy(col("p_brand"))
         .agg(sum(col("cnt_l") * col("cnt_p")).as("n_pairs"))
     }),
+    // the rule's asymmetric BETWEEN band form: quantity within
+    // [size - 1, size + 3] — auto-rewritten to the same bucketed equi
+    // join (RangeJoinSpec pins the no-BNLJ plan)
+    "q_range_join_band" -> ((s, dir) => {
+      graft.operators.RangeJoin.enableAuto(s)
+      val liHist = t(s, dir, "lineitem")
+        .groupBy(col("l_quantity")).agg(count(lit(1)).as("cnt_l"))
+      val partHist = t(s, dir, "part")
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(count(lit(1)).as("cnt_p"))
+      liHist.join(partHist,
+          col("l_quantity") >= col("p_size") - 1 &&
+            col("l_quantity") <= col("p_size") + 3)
+        .groupBy(col("p_brand"))
+        .agg(sum(col("cnt_l") * col("cnt_p")).as("n_pairs"))
+    }),
+    // the rule's interval-containment form: point-in-interval join
+    // bucketed by floor(v/w) with the interval side exploded to its
+    // covered buckets
+    "q_range_join_interval" -> ((s, dir) => {
+      graft.operators.RangeJoin.enableAuto(s)
+      val liHist = t(s, dir, "lineitem")
+        .groupBy(col("l_quantity")).agg(count(lit(1)).as("cnt_l"))
+      val iv = t(s, dir, "part")
+        .select(col("p_brand"), col("p_size").as("lo"),
+          (col("p_size") + 5).as("hi"))
+        .groupBy(col("p_brand"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("cnt_p"))
+      liHist.join(iv,
+          col("l_quantity") >= col("lo") && col("l_quantity") <= col("hi"))
+        .groupBy(col("p_brand"))
+        .agg(sum(col("cnt_l") * col("cnt_p")).as("n_pairs"))
+    }),
 
     // ----- J6 multi-table join chain + agg (database.py:656-789) -----
     "q_join_multi" -> ((s, dir) =>
@@ -3139,6 +3172,16 @@ object SparkEntry {
     "q_range_join_auto" ->
       """SELECT p_brand, COUNT(*) AS n_pairs
          FROM lineitem JOIN part ON abs(l_quantity - p_size) <= 2
+         GROUP BY p_brand""",
+    "q_range_join_band" ->
+      """SELECT p_brand, COUNT(*) AS n_pairs
+         FROM lineitem JOIN part
+           ON l_quantity >= p_size - 1 AND l_quantity <= p_size + 3
+         GROUP BY p_brand""",
+    "q_range_join_interval" ->
+      """SELECT p_brand, COUNT(*) AS n_pairs
+         FROM lineitem JOIN part
+           ON l_quantity >= p_size AND l_quantity <= p_size + 5
          GROUP BY p_brand""",
     "q_join_multi" ->
       """SELECT r_name, n_name,

@@ -53,6 +53,80 @@ class RangeJoinSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  /** Deterministic result checksum: row count + keyed sum (order- and
+    * plan-independent), so rewritten and un-rewritten plans can be
+    * compared without putting both in one query tree. */
+  private def sig(df: org.apache.spark.sql.DataFrame): String =
+    df.agg(count(lit(1)), sum(col("l_orderkey") * col("p_partkey")),
+      sum(col("p_partkey"))).collect()(0).toString
+
+  /** Run `f` with the graft optimizer rules removed (the baseline the
+    * rewrite is checked against — any matchable spelling would itself
+    * be rewritten, so equivalence needs the rule off). */
+  private def withRuleDisabled[T](f: => T): T = {
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Nil
+    try f finally spark.experimental.extraOptimizations = saved
+  }
+
+  test("optimizer rule: BETWEEN band form auto-plans as equi join") {
+    RangeJoin.enableAuto(spark)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables(spark, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val part = Tables(spark, dir, "part").select("p_partkey", "p_size")
+      // asymmetric band: l_quantity ∈ [p_size - 1, p_size + 3]
+      def band = li.join(part,
+        col("l_quantity") >= col("p_size") - 1 &&
+          col("l_quantity") <= col("p_size") + 3)
+      val plan = band.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), plan.take(2000))
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      assert(sig(band) == withRuleDisabled(sig(band)))
+      // between() desugars to the same conjunction
+      def between = li.join(part,
+        col("l_quantity").between(col("p_size") - 2, col("p_size") + 2))
+      val bplan = between.queryExecution.executedPlan.toString
+      assert(!bplan.contains("BroadcastNestedLoopJoin") &&
+        !bplan.contains("CartesianProduct"), bplan.take(2000))
+      assert(sig(between) == withRuleDisabled(sig(between)))
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("optimizer rule: interval containment auto-plans as equi join") {
+    RangeJoin.enableAuto(spark)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.graft.rangeJoin.bucketWidth", "4.0")
+    try {
+      val li = Tables(spark, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      // bounded-width intervals from the part side
+      val ivm = Tables(spark, dir, "part")
+        .select(col("p_partkey"), col("p_size").as("lo"),
+          (col("p_size") + 5).as("hi"))
+      def contained = li.join(ivm,
+        col("l_quantity") >= col("lo") && col("l_quantity") <= col("hi"))
+      val plan = contained.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), plan.take(2000))
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      assert(sig(contained) == withRuleDisabled(sig(contained)))
+      // between() spelling matches too
+      def between = li.join(ivm,
+        col("l_quantity").between(col("lo"), col("hi")))
+      val bplan = between.queryExecution.executedPlan.toString
+      assert(!bplan.contains("BroadcastNestedLoopJoin") &&
+        !bplan.contains("CartesianProduct"), bplan.take(2000))
+      assert(sig(between) == withRuleDisabled(sig(between)))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+    }
+  }
+
   test("bucketed form avoids the nested loop even without broadcast") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
