@@ -8,6 +8,8 @@ import scala.collection.mutable.LinkedHashMap
   * {"metric":"total","value":<cold sec>,"unit":"sec",
   *  "queries":{name:coldSec,...},          // cold pass (comparable to r1/r2)
   *  "warm":{name:warmSec,...},             // second pass, JIT/codegen warm
+  *  "gc":{name:gcMs,...},                  // JVM GC ms attributed per cold query
+  *  "warm_gc":{name:gcMs,...},             // same for the warm pass
   *  "errors":{name:"Class: msg",...},      // failures surface here, not as timings
   *  "sf":"<dir>"}
   * }}}
@@ -18,14 +20,33 @@ import scala.collection.mutable.LinkedHashMap
   * versa). A query that throws is recorded in `errors` (cold and warm run
   * independently; a cold failure is still retried warm) and its timing slot
   * is -1 so the `queries` map keeps a stable key set.
+  *
+  * Noise controls: the WARM pass runs in a seeded-shuffled order — fixed
+  * across runs (so warm totals are comparable run-to-run) but different
+  * from declaration order (so a query's warm cost is not a function of
+  * which caches/JIT state its declaration neighbors left behind). Per-query
+  * GC time (delta of the JVM collector beans around each query) is emitted
+  * alongside the timings: an entry whose wall clock spikes while its gc slot
+  * spikes too is late-JVM heap pressure, not a plan regression.
   */
 object Bench {
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+  }
+
   private def runPass(
       spark: SparkSession,
       sfDir: String,
-      errors: LinkedHashMap[String, String]): LinkedHashMap[String, Double] = {
+      order: Seq[String],
+      errors: LinkedHashMap[String, String])
+      : (LinkedHashMap[String, Double], LinkedHashMap[String, Double]) = {
     val out = LinkedHashMap.empty[String, Double]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val gc = LinkedHashMap.empty[String, Double]
+    order.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val g0 = gcMillis()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -40,8 +61,9 @@ object Bench {
       // cache lifecycle: caller-owned; also sweep localCheckpoint blocks
       graft.operators.Dedup.releaseAll(spark)
       out(name) = if (ok) dt else -1.0
+      gc(name) = (gcMillis() - g0).toDouble
     }
-    out
+    (out, gc)
   }
 
   private def jmap(m: LinkedHashMap[String, Double]): String =
@@ -68,8 +90,12 @@ object Bench {
       .foreach(_(spark, sfDir).count())
     catch { case _: Throwable => }
     val errors = LinkedHashMap.empty[String, String]
-    val cold = runPass(spark, sfDir, errors)
-    val warm = runPass(spark, sfDir, errors)
+    val names = SparkEntry.queries.keys.toSeq
+    // cold pass keeps declaration order (comparable to earlier rounds);
+    // warm pass uses a FIXED-seed shuffle — deterministic run-to-run
+    val warmOrder = new scala.util.Random(42).shuffle(names)
+    val (cold, coldGc) = runPass(spark, sfDir, names, errors)
+    val (warm, warmGc) = runPass(spark, sfDir, warmOrder, errors)
     val total = cold.values.filter(_ >= 0).sum
     val warmTotal = warm.values.filter(_ >= 0).sum
     val errJson = errors
@@ -78,7 +104,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":${math.rint(total * 100) / 100},"unit":"sec","warm_total":${math
           .rint(warmTotal * 100) / 100},"queries":${jmap(cold)},"warm":${jmap(
-          warm)},"errors":$errJson,"sf":"$sfDir"}""")
+          warm)},"gc":${jmap(coldGc)},"warm_gc":${jmap(warmGc)},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -779,6 +779,29 @@ object SparkEntry {
           "mean_r", "mean_g", "mean_b")
     }),
 
+    // ----- multimodal composition: DECODED media features through the
+    // embedding dedup stack end-to-end — synthesize a P6 PPM per doc,
+    // decode it (real pixel math), pack the per-channel means into an
+    // Array[Float] feature column, then run random-hyperplane LSH +
+    // exact cosine verify over those DECODED features. Proves the
+    // multimodal column story composes with the similarity operators;
+    // the oracle replays byte math + sig + cosine in SQL -----
+    "q_media_embed_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = t(s, dir, "documents")
+        .selectExpr("doc_id",
+          "encode(concat('P6', chr(10), '4 3', chr(10), '255', chr(10), " +
+            "rpad(text, 36, 'x')), 'UTF-8') AS bytes")
+        .as[(Long, Array[Byte])]
+      val fv = graft.operators.Multimodal.ppmFeatures(payloads)
+        .selectExpr("id AS doc_id",
+          "array(CAST(mean_r AS FLOAT), CAST(mean_g AS FLOAT), " +
+            "CAST(mean_b AS FLOAT), CAST(0 AS FLOAT), CAST(0 AS FLOAT), " +
+            "CAST(0 AS FLOAT), CAST(0 AS FLOAT), CAST(0 AS FLOAT)) AS fv")
+      Dedup.embeddingPairs(fv, "doc_id", "fv", threshold = 0.9999,
+        nbits = 8, dim = 8)
+    }),
+
     // ----- TPC-H Q18-style: large-volume orders (agg → join → top-k) -----
     "q18_big_orders" -> ((s, dir) => {
       val big = t(s, dir, "lineitem")
@@ -3869,6 +3892,23 @@ object SparkEntry {
                   CAST(SUM(CASE WHEN (i - 1) % 3 = 1 THEN v ELSE 0 END) AS DOUBLE) / 12 AS mean_g,
                   CAST(SUM(CASE WHEN (i - 1) % 3 = 2 THEN v ELSE 0 END) AS DOUBLE) / 12 AS mean_b
            FROM pix GROUP BY doc_id""",
+      "q_media_embed_dedup" ->
+        s"""WITH img AS (SELECT doc_id, rpad(text, 36, 'x') AS body FROM documents),
+           pix AS (SELECT doc_id, i, ord(substr(body, CAST(i AS INT), 1)) AS v
+                   FROM img CROSS JOIN (SELECT unnest(range(1, 37)) AS i) ii),
+           feat AS (SELECT doc_id, [
+                  CAST(CAST(SUM(CASE WHEN (i - 1) % 3 = 0 THEN v ELSE 0 END) AS DOUBLE) / 12 AS FLOAT),
+                  CAST(CAST(SUM(CASE WHEN (i - 1) % 3 = 1 THEN v ELSE 0 END) AS DOUBLE) / 12 AS FLOAT),
+                  CAST(CAST(SUM(CASE WHEN (i - 1) % 3 = 2 THEN v ELSE 0 END) AS DOUBLE) / 12 AS FLOAT),
+                  CAST(0 AS FLOAT), CAST(0 AS FLOAT), CAST(0 AS FLOAT),
+                  CAST(0 AS FLOAT), CAST(0 AS FLOAT)] AS fv
+                FROM pix GROUP BY doc_id),
+           sigs AS (SELECT doc_id, fv, ${duckSimSig("fv", 8, 8)} AS sig FROM feat)
+           SELECT * FROM (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    ${duckCosine("a.fv", "b.fv")} AS cosine
+             FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.doc_id < b.doc_id)
+           WHERE cosine >= 0.9999""",
       "q18_big_orders" ->
         """WITH big AS (SELECT l_orderkey,
                                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -57,6 +57,37 @@ class AdventureWorksSpec extends SparkSpec {
         .count())
   }
 
+  test("3-table join chain through the SQL front end at 19.9kx3 scale") {
+    import org.apache.spark.sql.functions.col
+    val base = dir.getAbsolutePath
+    val out = graft.athenaeum.Engine.runSql(spark, base,
+      """SELECT personPhone.phone_number, emailAddress.email_address,
+                password.password_hash
+         FROM personPhone, emailAddress, password
+         WHERE personPhone.business_entity_id = emailAddress.business_entity_id
+         AND emailAddress.business_entity_id = password.business_entity_id""")
+    val engineRows = out.linesIterator
+      .count(l => l.nonEmpty && !l.startsWith("- Loaded")) - 2
+    def tbl(n: String) = spark.read.format("tablejson")
+      .load(s"$base/$n.table.json")
+    val pp = tbl("personPhone").select(col("business_entity_id").as("id"),
+      col("phone_number"))
+    val em = tbl("emailAddress").select(col("business_entity_id").as("id"),
+      col("email_address"))
+    val pw = tbl("password").select(col("business_entity_id").as("id"),
+      col("password_hash"))
+    val df = pp.join(em, "id").join(pw, "id")
+    assert(engineRows == df.count(),
+      s"engine rows $engineRows != DataFrame ${df.count()}")
+    // the chain is keyed 1:1:1 on business_entity_id — the join must not
+    // fan out (catches accidental cross products in the engine path)
+    assert(df.count() == pp.count())
+    // a concrete joined value survives the chain end-to-end
+    val row = df.filter(col("id") === "1699").collect()
+    assert(row.length == 1)
+    assert(out.contains(row(0).getAs[String]("email_address")))
+  }
+
   test("spot-check values survive the int/str typing") {
     val addr = spark.read.format("tablejson")
       .load("/root/reference/tables/address.table.json")
