@@ -202,7 +202,10 @@ object HashImpl {
     new GenericArrayData(out.toArray)
   }
 
-  /** Max single-element occurrence count in a string array (0 if empty). */
+  /** Max single-element occurrence count in a string array (0 if empty).
+    * Null elements are ignored — both functions are on the public
+    * `graft_*` SQL surface, where a user's array('a', NULL) must not
+    * crash the executor. */
   def topTokenCount(a: ArrayData): Long = {
     val n = a.numElements()
     if (n == 0) return 0L
@@ -210,55 +213,74 @@ object HashImpl {
     var i = 0
     var best = 0
     while (i < n) {
-      val s = a.getUTF8String(i)
-      val c = counts.merge(s, 1, (x, y) => x + y)
-      if (c > best) best = c
+      if (!a.isNullAt(i)) {
+        val s = a.getUTF8String(i)
+        val c = counts.merge(s, 1, (x, y) => x + y)
+        if (c > best) best = c
+      }
       i += 1
     }
     best.toLong
   }
 
   /** Sorted-merge distinct-intersection count for two string arrays
-    * (UTF8String binary order — any total order works for a merge). */
+    * (UTF8String binary order — any total order works for a merge).
+    * Null elements are skipped: a null never counts toward the overlap. */
   def setOverlapStr(a: ArrayData, b: ArrayData): Long = {
     val na = a.numElements()
     val nb = b.numElements()
     if (na == 0 || nb == 0) return 0L
-    val xs = new Array[UTF8String](na)
-    val ys = new Array[UTF8String](nb)
-    var i = 0
-    while (i < na) { xs(i) = a.getUTF8String(i); i += 1 }
-    i = 0
-    while (i < nb) { ys(i) = b.getUTF8String(i); i += 1 }
-    java.util.Arrays.sort(xs.asInstanceOf[Array[Object]])
-    java.util.Arrays.sort(ys.asInstanceOf[Array[Object]])
+    def nonNull(ad: ArrayData, n0: Int): Array[Object] = {
+      val buf = new java.util.ArrayList[Object](n0)
+      var i = 0
+      while (i < n0) {
+        if (!ad.isNullAt(i)) buf.add(ad.getUTF8String(i))
+        i += 1
+      }
+      buf.toArray
+    }
+    val xs = nonNull(a, na)
+    val ys = nonNull(b, nb)
+    java.util.Arrays.sort(xs)
+    java.util.Arrays.sort(ys)
     var j = 0
     var k = 0
     var n = 0L
     var last: UTF8String = null
-    while (j < na && k < nb) {
-      val cmp = xs(j).compareTo(ys(k))
+    while (j < xs.length && k < ys.length) {
+      val x = xs(j).asInstanceOf[UTF8String]
+      val cmp = x.compareTo(ys(k).asInstanceOf[UTF8String])
       if (cmp < 0) j += 1
       else if (cmp > 0) k += 1
       else {
-        if (last == null || !xs(j).equals(last)) { n += 1; last = xs(j) }
+        if (last == null || !x.equals(last)) { n += 1; last = x }
         j += 1; k += 1
       }
     }
     n
   }
 
-  /** Sorted-merge distinct-intersection count for two long arrays. */
+  /** Sorted-merge distinct-intersection count for two long arrays.
+    * Null elements are skipped (a null slot would otherwise read as a
+    * spurious 0). */
   def setOverlap(a: ArrayData, b: ArrayData): Long = {
-    val na = a.numElements()
-    val nb = b.numElements()
-    if (na == 0 || nb == 0) return 0L
-    val xs = new Array[Long](na)
-    val ys = new Array[Long](nb)
-    var i = 0
-    while (i < na) { xs(i) = a.getLong(i); i += 1 }
-    i = 0
-    while (i < nb) { ys(i) = b.getLong(i); i += 1 }
+    val na0 = a.numElements()
+    val nb0 = b.numElements()
+    if (na0 == 0 || nb0 == 0) return 0L
+    def nonNull(ad: ArrayData, n0: Int): Array[Long] = {
+      val buf = new Array[Long](n0)
+      var i = 0
+      var m = 0
+      while (i < n0) {
+        if (!ad.isNullAt(i)) { buf(m) = ad.getLong(i); m += 1 }
+        i += 1
+      }
+      java.util.Arrays.copyOf(buf, m)
+    }
+    val xs = nonNull(a, na0)
+    val ys = nonNull(b, nb0)
+    val na = xs.length
+    val nb = ys.length
     java.util.Arrays.sort(xs)
     java.util.Arrays.sort(ys)
     var j = 0

@@ -24,18 +24,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * and generated Java.
   */
 object StringSimImpl {
-  /** Dispatch: ASCII inputs (numBytes == numChars) run directly on the
-    * UTF8String bytes — no String/char[] allocation per pair, which
-    * matters at millions of blocked pairs per task; anything else takes
-    * the UTF-16 path. Both loops are the same algorithm over the same
-    * code units, so results are identical on ASCII (the corpus). */
-  def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
-    if (a.numBytes == a.numChars && b.numBytes == b.numChars)
-      jaroWinklerAscii(a.getBytes, b.getBytes)
-    else jaroWinklerChars(a.toString, b.toString)
-  }
+  /** All inputs run the UTF-8 BYTE loop: DuckDB's
+    * jaro_winkler_similarity iterates bytes, not code points (verified
+    * empirically — every non-ASCII pair tried matches the byte loop
+    * exactly and diverges from a UTF-16 loop; StringSimilaritySpec pins
+    * a non-ASCII corpus), so byte-wise is the oracle-parity semantics
+    * for ASCII and non-ASCII alike. Also the fast path: no String/
+    * char[] allocation per pair, which matters at millions of blocked
+    * pairs per task. */
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double =
+    jaroWinklerBytes(a.getBytes, b.getBytes)
 
-  private def jaroWinklerAscii(s1: Array[Byte], s2: Array[Byte]): Double = {
+  private def jaroWinklerBytes(s1: Array[Byte], s2: Array[Byte]): Double = {
     val n1 = s1.length
     val n2 = s2.length
     if (n1 == 0 || n2 == 0) return 0.0
@@ -85,56 +85,6 @@ object StringSimImpl {
     sim
   }
 
-  /** UTF-16 fallback — equal to code points on the BMP. */
-  private def jaroWinklerChars(s1: String, s2: String): Double = {
-    val n1 = s1.length
-    val n2 = s2.length
-    if (n1 == 0 || n2 == 0) return 0.0
-    if (s1 == s2) return 1.0
-    val window = math.max(math.max(n1, n2) / 2 - 1, 0)
-    val matched1 = new Array[Boolean](n1)
-    val matched2 = new Array[Boolean](n2)
-    var m = 0
-    var i = 0
-    while (i < n1) {
-      val lo = math.max(0, i - window)
-      val hi = math.min(n2, i + window + 1)
-      var j = lo
-      var found = false
-      while (j < hi && !found) {
-        if (!matched2(j) && s2.charAt(j) == s1.charAt(i)) {
-          matched1(i) = true
-          matched2(j) = true
-          m += 1
-          found = true
-        }
-        j += 1
-      }
-      i += 1
-    }
-    if (m == 0) return 0.0
-    var t = 0
-    var j = 0
-    i = 0
-    while (i < n1) {
-      if (matched1(i)) {
-        while (!matched2(j)) j += 1
-        if (s1.charAt(i) != s2.charAt(j)) t += 1
-        j += 1
-      }
-      i += 1
-    }
-    t /= 2
-    var sim =
-      (m.toDouble / n1 + m.toDouble / n2 + (m - t).toDouble / m) / 3.0
-    if (sim > 0.7) {
-      var l = 0
-      val maxPrefix = math.min(4, math.min(n1, n2))
-      while (l < maxPrefix && s1.charAt(l) == s2.charAt(l)) l += 1
-      sim += l * 0.1 * (1.0 - sim)
-    }
-    sim
-  }
 }
 
 case class JaroWinklerSim(left: Expression, right: Expression)

@@ -42,19 +42,47 @@ object Dedup {
     while (d != null) { d.unpersist(blocking = false); d = cached.poll() }
   }
 
-  /** Harness-grade cleanup between queries: [[releaseCaches]] PLUS a
-    * sweep of every persistent RDD still registered with the context —
-    * `localCheckpoint` blocks (clusters / PageRank / k-means rounds) are
-    * NOT tracked DataFrames and otherwise accumulate across a long
-    * session until they evict useful blocks and stall the executors in
-    * GC (measured: a 200-query bench pass inflated later iterative
-    * queries 3× through exactly this). Only for call sites where no
-    * earlier query's plan will be re-executed — dropping a checkpoint
-    * kills its truncated lineage. */
+  // RDD ids of localCheckpoint blocks created through
+  // [[checkpointTracked]] — releaseAll sweeps ONLY these, never caches
+  // owned by user code sharing the session.
+  private val checkpointIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]
+
+  /** `df.localCheckpoint()` with the resulting persistent-RDD ids
+    * recorded for [[releaseAll]]. Iterative operators (clusters,
+    * PageRank) call this each round; without the registration the
+    * checkpoint blocks accumulate across a long session until they
+    * evict useful blocks and stall the executors in GC (measured: a
+    * 200-query bench pass inflated later iterative queries 3× through
+    * exactly this). Id capture diffs the context's persistent-RDD set
+    * around the (eager) checkpoint — under a concurrently-persisting
+    * foreign thread this can over-capture; graft's entry points build
+    * queries single-threaded. */
+  def checkpointTracked(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val cp = df.localCheckpoint()
+    (sc.getPersistentRDDs.keySet -- before).foreach(checkpointIds.add)
+    cp
+  }
+
+  /** Harness-grade cleanup between queries: [[releaseCaches]] PLUS the
+    * localCheckpoint blocks registered via [[checkpointTracked]].
+    * Scoped to graft-created state only — caches or checkpoints a user
+    * made on the shared session are never touched (unpersisting a
+    * still-referenced checkpoint would fail its reader with a
+    * missing-block error, since the truncated lineage cannot recompute).
+    * Only for call sites where no earlier graft query's plan will be
+    * re-executed. */
   def releaseAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     releaseCaches()
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+    val persistent = spark.sparkContext.getPersistentRDDs
+    val it = checkpointIds.iterator()
+    while (it.hasNext) {
+      val id = it.next()
+      persistent.get(id).foreach(_.unpersist(blocking = false))
+      it.remove()
+    }
   }
 
   /** Exact dedup: group identical keys, keep the lowest id.
@@ -381,7 +409,7 @@ object Dedup {
     // ContextCleaner once the intermediate Datasets are GC'd (each round
     // drops the reference to the previous one). On a cluster with flaky
     // executors use checkpoint() to durable storage instead.
-    var labels = nodes.withColumn("label", col("id")).localCheckpoint()
+    var labels = nodes.withColumn("label", col("id")).transform(checkpointTracked)
     for (_ <- 1 to rounds) {
       val nbr = edges
         .join(labels.withColumnRenamed("id", "dst2"),
@@ -392,7 +420,7 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_min"), col("label")))
             .as("label"))
-        .localCheckpoint()
+        .transform(checkpointTracked)
     }
     labels.select(col("id").as(aCol), col("label").as("cluster"))
   }

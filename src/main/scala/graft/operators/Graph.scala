@@ -44,7 +44,7 @@ object Graph {
     val n = nodes.agg(count(lit(1)).as("n_nodes"))
     var ranks = nodes.crossJoin(broadcast(n))
       .selectExpr("id", s"${scale}L div n_nodes AS rank_fx", "n_nodes")
-      .localCheckpoint()
+      .transform(Dedup.checkpointTracked)
     for (_ <- 1 to rounds) {
       val contrib = e.join(deg, "src")
         .join(ranks.select(col("id").as("src"), col("rank_fx")), "src")
@@ -55,7 +55,7 @@ object Graph {
           expr(s"(15 * ${scale}L) div (100 * n_nodes) + " +
             "(85 * coalesce(s, 0L)) div 100").as("rank_fx"),
           ranks("n_nodes"))
-        .localCheckpoint()
+        .transform(Dedup.checkpointTracked)
     }
     ranks.select(col("id"), col("rank_fx"),
       (col("rank_fx").cast("double") / lit(scale.toDouble)).as("pagerank"))

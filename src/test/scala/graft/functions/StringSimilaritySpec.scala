@@ -38,6 +38,21 @@ class StringSimilaritySpec extends SparkSpec {
     assert(sim10 == jaro10 + 4 * 0.1 * (1.0 - jaro10))
   }
 
+  test("non-ASCII pairs match DuckDB's UTF-8 BYTE iteration") {
+    // DuckDB iterates UTF-8 bytes, not code points — these literals are
+    // duckdb-run reference values (jaro_winkler_similarity, v1.x); a
+    // UTF-16/code-point loop produces a different number for EVERY pair,
+    // so this table fails loudly if the byte semantics regress
+    assert(jw("héllo", "hello") == 0.8400000000000001)
+    assert(jw("naïve", "naive") == 0.8577777777777779)
+    assert(jw("日本語テスト", "日本語てすと") == 0.8666666666666666)
+    assert(jw("ünïcödé", "unicode") == 0.5670995670995671)
+    assert(jw("Müller", "Mueller") == 0.8285714285714287)
+    assert(jw("crème brûlée", "creme brulee") == 0.7970370370370371)
+    assert(jw("ABCдЕ", "ABCde") == 0.6761904761904761)
+    assert(jw("ßharp", "sharp") == 0.8222222222222223)
+  }
+
   test("symmetry and bounds on real part-name pairs") {
     val names = Tables(spark, dir = "/root/testdata/sf0.001", name = "part")
       .select("p_name").limit(60).collect().map(_.getString(0))
