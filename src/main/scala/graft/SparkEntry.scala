@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
-import graft.operators.{Dedup, Events, Graph, Similarity, TextAnalysis}
+import graft.operators.{Bloom, Dedup, Events, Graph, Sampling, Similarity, TextAnalysis}
 import graft.functions.{GraftFunctions, XFormulas}
 
 /** Driver contract — one `queries` entry per operator from SURVEY.md §2
@@ -3145,8 +3145,154 @@ object SparkEntry {
         .withColumn("q1", expr("1.0e0 - p_band"))
         .withColumn("p_collide", expr("1.0e0 - (q1 * q1 * q1 * q1)"))
         .select(col("i"), col("sim"), col("p_collide"))
+    }),
+
+    // ----- BLOOM-FILTER JOIN PRUNING: the fact side is pre-filtered
+    // map-side (no shuffle, no extra scan) by a 64 KiB Bloom filter of
+    // the dim keys; the exact join that follows removes false positives,
+    // so the composed result — and therefore the oracle — is exactly the
+    // unpruned join. The 100 TB case this models: dim too big to
+    // broadcast exactly, Bloom of it broadcast-trivial. -----
+    "q_bloom_prune" -> ((s, dir) => {
+      val dim = t(s, dir, "supplier").filter(col("s_nationkey") < 5)
+      Bloom.prunedJoin(t(s, dir, "lineitem"), "l_suppkey", dim, "s_suppkey")
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("revenue"))
+    }),
+    // Filter quality readout: bits set, pass/match/false-positive counts
+    // — every count exact integer math with a DuckDB-replicated filter.
+    "q_bloom_stats" -> ((s, dir) =>
+      Bloom.stats(t(s, dir, "lineitem"), "l_suppkey",
+        t(s, dir, "supplier").filter(col("s_nationkey") < 5), "s_suppkey")),
+
+    // ----- PER-DOMAIN QUOTA (Common-Crawl "max n pages per domain"):
+    // two-phase — broadcast per-source counts drive a hash pre-filter,
+    // then the exact per-source window ranks only the survivors. -----
+    "q_domain_quota" -> ((s, dir) =>
+      Sampling.domainQuota(t(s, dir, "documents"), "doc_id", "source",
+        n = 3, margin = 2)),
+
+    // ----- SOURCE-MIXTURE RESAMPLING: deterministic hash-threshold
+    // selection at per-source rates w_s/max(w) — the "books 3x, web 1x"
+    // training-mix knob as a single narrow map + tiny aggregate. -----
+    "q_mixture_sample" -> ((s, dir) =>
+      Sampling.mixtureCounts(t(s, dir, "documents"), "doc_id", "source",
+        mixtureWeights)),
+
+    // ----- LM DOC SCORE (CCNet-style): worst 25 documents by mean
+    // bigram conditional probability under the corpus's own LM. -----
+    "q_lm_doc_score" -> ((s, dir) =>
+      TextAnalysis.bigramDocScores(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("avg_p"), col("doc_id")).limit(25)),
+
+    // ----- CCNet QUALITY BINS: per-language terciles (head/middle/tail)
+    // of the LM doc score — the bucketing CCNet uses to stratify a crawl
+    // by fluency before sampling. NTILE over a total order (score, id)
+    // is deterministic; bin stats are count/min/max only (no float
+    // sums). -----
+    "q_quality_bins" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sc = TextAnalysis.bigramDocScores(docs, "doc_id", "text")
+      sc.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .withColumn("bin", ntile(3).over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("avg_p"), col("doc_id"))).cast("long"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("avg_p")).as("lo"), max(col("avg_p")).as("hi"))
+    }),
+
+    // ----- LEAKAGE-SAFE TRAIN/VAL/TEST SPLIT: the 8/1/1 split is keyed
+    // on the near-dup CLUSTER representative, not the doc id — so a
+    // document and its near-duplicates land in the SAME split and eval
+    // isn't contaminated by a training-set twin. Docs in no cluster key
+    // on their own id. The guarantee is exact for clusters that converge
+    // within the 3 bounded propagation rounds (diameter ≤ 3 — run more
+    // rounds for pathological chains; see Dedup.clusters). -----
+    "q_leakage_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+        .select("doc_a", "doc_b")
+      val cl = Dedup.clusters(pairs, "doc_a", "doc_b")
+        .withColumnRenamed("doc_a", "doc_id")
+      docs.select(col("doc_id"))
+        .join(cl, Seq("doc_id"), "left")
+        .withColumn("rep", coalesce(col("cluster"), col("doc_id")))
+        .withColumn("bucket", expr(
+          s"(${XFormulas.sparkStrHash("concat('split#', CAST(rep AS STRING))")}) % 10"))
+        .withColumn("split", expr(
+          "CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("rep")).as("n_groups"))
+    }),
+
+    // ----- N-GRAM NOVELTY per source (data-valuation readout): how many
+    // of a source's distinct bigrams appear in NO other source — the
+    // marginal diversity a source contributes to the training mix. -----
+    "q_ngram_novelty" -> ((s, dir) => {
+      val sb = Dedup.persistTracked(t(s, dir, "documents")
+        .select(col("source"), graft.functions.GraftFunctions
+          .shingleRows(col("text"), 2).as("bigram"))
+        .distinct())
+      val ns = sb.groupBy(col("bigram"))
+        .agg(countDistinct(col("source")).as("ns"))
+      sb.join(ns, "bigram")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("ns") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .withColumn("novelty", expr("CAST(n_unique AS DOUBLE) / n_bigrams"))
+    }),
+
+    // ----- BLOOM NOVELTY INGEST: exact-fingerprint dedup of an ingest
+    // batch against the standing corpus. Rows failing the base-corpus
+    // Bloom mask are DEFINITELY novel (no false negatives) and bypass
+    // the anti join entirely; only the duplicate+FPP sliver pays the
+    // exchange. Result == plain anti join == the oracle. -----
+    "q_bloom_ingest" -> ((s, dir) => {
+      // persist barrier: the narrow (id, source, fp) projection feeds the
+      // mask build, the definite-new branch, and the anti-join branch —
+      // without it each consumer re-scans (and re-hashes) the corpus
+      val docs = Dedup.persistTracked(t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          GraftFunctions.polyHash(col("text")).as("fp")))
+      val base = docs.filter(col("doc_id") % 3 =!= 0)
+      val ingest = docs.filter(col("doc_id") % 3 === 0)
+      Bloom.noveltyFilter(ingest, "fp", base.select(col("fp").as("base_fp")), "base_fp")
+        .select(col("doc_id"), col("source"))
+    }),
+
+    // ----- DEDUP-AWARE TRAINING WEIGHTS (soft dedup): instead of
+    // dropping near-duplicates, weight every doc by 1/|its near-dup
+    // cluster| so each cluster contributes ~one document of mass.
+    // Per-source effective size = sum of weights — the honest "how much
+    // unique data does this source bring" number that raw row counts
+    // overstate. Weights are fixed-pointed (round(1e9/size) as BIGINT)
+    // before summing so the aggregate is associative and engine-exact. -----
+    "q_cluster_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+        .select("doc_a", "doc_b")
+      val cl = Dedup.clusters(pairs, "doc_a", "doc_b")
+        .withColumnRenamed("doc_a", "doc_id")
+      docs.select(col("doc_id"), col("source"))
+        .join(cl, Seq("doc_id"), "left")
+        .withColumn("rep", coalesce(col("cluster"), col("doc_id")))
+        .withColumn("csize", count(lit(1)).over(Window.partitionBy(col("rep"))))
+        .withColumn("wq", expr("CAST(ROUND(1000000000.0 / csize) AS BIGINT)"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("wq")).as("sw"))
+        .withColumn("eff_docs", expr("CAST(sw AS DOUBLE) / 1000000000"))
+        .select(col("source"), col("n_docs"), col("sw"), col("eff_docs"))
     })
   )
+
+  /** Training-mix weights for q_mixture_sample (sources absent from the
+    * map get weight 0 and are dropped — counted in `total` only). */
+  private val mixtureWeights: Map[String, Long] =
+    Map("src0" -> 4L, "src1" -> 2L, "src2" -> 1L, "src3" -> 3L, "src4" -> 1L)
 
   /** DuckDB-equivalent SQL per query (same table names; same column
     * aliases — the driver's compare sorts columns by name). Integer sums
@@ -5477,7 +5623,148 @@ object SparkEntry {
            SELECT l_suppkey, s_name, COUNT(*) AS n_parts,
                   CAST(SUM(qty_dec) AS DOUBLE) AS total_qty
            FROM sup JOIN supplier ON l_suppkey = s_suppkey
-           GROUP BY 1, 2"""
+           GROUP BY 1, 2""",
+
+      // Bloom prune is transparent: false positives die in the exact
+      // join, so the oracle is the plain unpruned join.
+      "q_bloom_prune" ->
+        """SELECT s_nationkey, COUNT(*) AS n_items,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           WHERE s_nationkey < 5
+           GROUP BY 1""",
+      "q_bloom_stats" ->
+        s"""WITH dim AS (SELECT DISTINCT s_suppkey AS key FROM supplier WHERE s_nationkey < 5),
+           bits AS (SELECT DISTINCT ${graft.operators.Bloom.duckPositionSql("key", "i.range", 1 << 16, 5)} AS pos
+                    FROM dim, range(0, 5) i),
+           f AS (SELECT l_suppkey AS key, COUNT(*) AS nrows FROM lineitem GROUP BY 1),
+           fpos AS (SELECT f.key, f.nrows,
+                           ${graft.operators.Bloom.duckPositionSql("f.key", "i.range", 1 << 16, 5)} AS pos
+                    FROM f, range(0, 5) i),
+           pass AS (SELECT key, nrows,
+                           MIN(CASE WHEN bits.pos IS NULL THEN 0 ELSE 1 END) AS ok
+                    FROM fpos LEFT JOIN bits USING (pos) GROUP BY 1, 2),
+           agg AS (SELECT CAST(SUM(nrows) AS BIGINT) AS fact_rows,
+                          CAST(SUM(nrows * ok) AS BIGINT) AS bloom_pass FROM pass),
+           tm AS (SELECT CAST(COALESCE(SUM(nrows), 0) AS BIGINT) AS true_match
+                  FROM f WHERE key IN (SELECT key FROM dim)),
+           bs AS (SELECT COUNT(*) AS bits_set FROM bits)
+           SELECT CAST(${1 << 16} AS BIGINT) AS m, CAST(5 AS BIGINT) AS k_hashes,
+                  bits_set, fact_rows, bloom_pass, true_match,
+                  bloom_pass - true_match AS false_pos
+           FROM agg, tm, bs""",
+
+      "q_domain_quota" -> Sampling.domainQuotaOracle(n = 3, margin = 2),
+      "q_mixture_sample" -> Sampling.mixtureCountsOracle(mixtureWeights),
+
+      "q_lm_doc_score" ->
+        s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
+           bg AS (SELECT doc_id, unnest(list_distinct(${duckShingles("toks", 2)})) AS bigram FROM tk),
+           bw AS (SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1 FROM bg),
+           c2 AS (SELECT w1, bigram, COUNT(*) AS n FROM bw GROUP BY 1, 2),
+           c1 AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS n1 FROM c2 GROUP BY 1),
+           sc AS (SELECT doc_id,
+                         CAST(SUM(CAST(ROUND(CAST(n AS DOUBLE) * 1000000000 / n1) AS BIGINT)) AS BIGINT) AS s,
+                         COUNT(*) AS nb
+                  FROM bw JOIN c2 USING (w1, bigram) JOIN c1 USING (w1)
+                  GROUP BY doc_id)
+           SELECT doc_id, nb, CAST(s AS DOUBLE) / nb / 1000000000 AS avg_p
+           FROM sc ORDER BY avg_p, doc_id LIMIT 25""",
+      "q_quality_bins" ->
+        s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
+           bg AS (SELECT doc_id, unnest(list_distinct(${duckShingles("toks", 2)})) AS bigram FROM tk),
+           bw AS (SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1 FROM bg),
+           c2 AS (SELECT w1, bigram, COUNT(*) AS n FROM bw GROUP BY 1, 2),
+           c1 AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS n1 FROM c2 GROUP BY 1),
+           sc AS (SELECT doc_id,
+                         CAST(SUM(CAST(ROUND(CAST(n AS DOUBLE) * 1000000000 / n1) AS BIGINT)) AS BIGINT) AS s,
+                         COUNT(*) AS nb
+                  FROM bw JOIN c2 USING (w1, bigram) JOIN c1 USING (w1)
+                  GROUP BY doc_id),
+           b AS (SELECT d.lang, sc.doc_id,
+                        CAST(s AS DOUBLE) / nb / 1000000000 AS avg_p
+                 FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+           nt AS (SELECT lang, doc_id, avg_p,
+                         NTILE(3) OVER (PARTITION BY lang ORDER BY avg_p, doc_id) AS bin
+                  FROM b)
+           SELECT lang, CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_docs,
+                  MIN(avg_p) AS lo, MAX(avg_p) AS hi
+           FROM nt GROUP BY 1, 2""",
+
+      "q_leakage_split" -> {
+        // same 3 unrolled min-label-propagation rounds as q_dedup_clusters
+        val rounds = (1 to 3).map { i =>
+          s"""l$i AS (SELECT n.id, least(n.label, coalesce(m.nm, n.label)) AS label
+                FROM l${i - 1} n LEFT JOIN (
+                  SELECT e.src, MIN(l.label) AS nm FROM edges e
+                  JOIN l${i - 1} l ON e.dst = l.id GROUP BY e.src) m
+                ON n.id = m.src)"""
+        }.mkString(",\n")
+        s"""$minhashCtes,
+           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM buckets a JOIN buckets b
+                      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+           edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                     UNION ALL SELECT doc_b AS src, doc_a AS dst FROM cand),
+           nodes AS (SELECT DISTINCT src AS id FROM edges),
+           l0 AS (SELECT id, id AS label FROM nodes),
+           $rounds,
+           rep AS (SELECT d.doc_id, coalesce(l3.label, d.doc_id) AS rep
+                   FROM documents d LEFT JOIN l3 ON d.doc_id = l3.id),
+           sp AS (SELECT doc_id, rep,
+                         (${duckStrHash("'split#' || CAST(rep AS VARCHAR)")}) % 10 AS bucket
+                  FROM rep)
+           SELECT CASE WHEN bucket < 8 THEN 'train'
+                       WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+                  COUNT(*) AS n_docs, COUNT(DISTINCT rep) AS n_groups
+           FROM sp GROUP BY 1"""
+      },
+      "q_ngram_novelty" ->
+        s"""WITH tk AS (SELECT source, ${duckTokens("text")} AS toks FROM documents),
+           bg AS (SELECT DISTINCT source, unnest(list_distinct(${duckShingles("toks", 2)})) AS bigram FROM tk),
+           ns AS (SELECT bigram, COUNT(DISTINCT source) AS ns FROM bg GROUP BY 1)
+           SELECT source, COUNT(*) AS n_bigrams,
+                  CAST(SUM(CASE WHEN ns.ns = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+                  CAST(SUM(CASE WHEN ns.ns = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty
+           FROM bg JOIN ns USING (bigram) GROUP BY source""",
+
+      // The Bloom short-circuit is invisible to the result (no false
+      // negatives; false positives die in the anti join), so the oracle
+      // is the plain fingerprint anti join.
+      "q_bloom_ingest" ->
+        s"""WITH d AS (SELECT doc_id, source, ${duckStrHash("text")} AS fp FROM documents),
+           base AS (SELECT fp FROM d WHERE doc_id % 3 <> 0),
+           ing AS (SELECT doc_id, source, fp FROM d WHERE doc_id % 3 = 0)
+           SELECT doc_id, source FROM ing
+           WHERE NOT EXISTS (SELECT 1 FROM base WHERE base.fp = ing.fp)""",
+
+      "q_cluster_weights" -> {
+        val rounds = (1 to 3).map { i =>
+          s"""l$i AS (SELECT n.id, least(n.label, coalesce(m.nm, n.label)) AS label
+                FROM l${i - 1} n LEFT JOIN (
+                  SELECT e.src, MIN(l.label) AS nm FROM edges e
+                  JOIN l${i - 1} l ON e.dst = l.id GROUP BY e.src) m
+                ON n.id = m.src)"""
+        }.mkString(",\n")
+        s"""$minhashCtes,
+           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM buckets a JOIN buckets b
+                      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+           edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                     UNION ALL SELECT doc_b AS src, doc_a AS dst FROM cand),
+           nodes AS (SELECT DISTINCT src AS id FROM edges),
+           l0 AS (SELECT id, id AS label FROM nodes),
+           $rounds,
+           rep AS (SELECT d.doc_id, d.source, coalesce(l3.label, d.doc_id) AS rep
+                   FROM documents d LEFT JOIN l3 ON d.doc_id = l3.id),
+           cs AS (SELECT doc_id, source,
+                         COUNT(*) OVER (PARTITION BY rep) AS csize
+                  FROM rep)
+           SELECT source, COUNT(*) AS n_docs,
+                  CAST(SUM(CAST(ROUND(1000000000.0 / csize) AS BIGINT)) AS BIGINT) AS sw,
+                  CAST(SUM(CAST(ROUND(1000000000.0 / csize) AS BIGINT)) AS DOUBLE) / 1000000000 AS eff_docs
+           FROM cs GROUP BY source"""
+      }
     )
   }
 }

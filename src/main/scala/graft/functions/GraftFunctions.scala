@@ -34,6 +34,8 @@ object GraftFunctions {
   def shingles(text: Column, n: Int): Column = c(Shingles(e(text), n))
   def ivfCell(vec: Column, nc: Int): Column = c(IvfCell(e(vec), nc))
   def shingleRows(text: Column, n: Int): Column = c(ShingleRows(e(text), n))
+  def bloomContains(key: Column, mask: Array[Long], k: Int): Column =
+    c(BloomMightContain(e(key), mask, k))
 
   private[functions] val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_polyhash" -> (args => PolyHash(args.head)),

@@ -317,6 +317,21 @@ object HashImpl {
     while (i < b.numElements()) { val y = b.getFloat(i).toDouble; nb += y * y; i += 1 }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** Bloom membership: all k double-hashed positions of `key` set in the
+    * m-bit mask. Same position family as `Bloom.positionsSql` — keys must
+    * be non-negative and < 2^63/2654435761 (≈3.5e9) to avoid overflow. */
+  def bloomContains(key: Long, mask: Array[Long], m: Int, k: Int): Boolean = {
+    val h1 = (key * 2654435761L) % P
+    val h2 = ((key * 40503L + 7919L) % P) + 1L
+    var i = 0
+    while (i < k) {
+      val pos = (h1 + i * h2) % m
+      if ((mask((pos >> 6).toInt) & (1L << (pos & 63).toInt)) == 0L) return false
+      i += 1
+    }
+    true
+  }
 }
 
 /** Polynomial rolling hash of a string, mod 1e9+7 (document
@@ -611,5 +626,39 @@ case class Tokens(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, a =>
       s"graft.functions.expressions.HashImpl.tokens($a)")
   override protected def withNewChildInternal(c: Expression): Tokens =
+    copy(child = c)
+}
+
+/** Codegen'd Bloom-filter membership test of a non-negative BIGINT key
+  * against a fixed m-bit mask (built driver-side from the dim side's
+  * keys — bounded by the filter size, not the dim cardinality). The mask
+  * rides into generated code as one referenced `long[]`: per row the
+  * test is k multiply/mod/shift/AND steps with early exit — no lambda
+  * machinery and no per-batch re-materialization of the `array(...)`
+  * literal that the equivalent `forall(transform(sequence(...)))` HOF
+  * chain pays for.
+  *
+  * Positions are Kirsch–Mitzenmacher double hashing in mod-P integer
+  * math, bit-identical to [[graft.operators.Bloom.positionsSql]] and the
+  * DuckDB replica, so filter statistics have an exact oracle. */
+case class BloomMightContain(child: Expression, mask: Array[Long], k: Int)
+    extends UnaryExpression {
+  require(mask.nonEmpty && (mask.length * 64L) <= Int.MaxValue && k > 0,
+    s"bloom mask must be non-empty with m <= 2^31 bits and k > 0")
+  private def m: Int = mask.length * 64
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a bigint key, got ${child.dataType}")
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_contains"
+  protected override def nullSafeEval(input: Any): Any =
+    HashImpl.bloomContains(input.asInstanceOf[Long], mask, m, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val maskRef = ctx.addReferenceObj("bloomMask", mask, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.HashImpl.bloomContains($c, $maskRef, $m, $k)")
+  }
+  override protected def withNewChildInternal(c: Expression): BloomMightContain =
     copy(child = c)
 }

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.XFormulas._
+
+/** Deterministic corpus sampling for training-data pipelines.
+  *
+  * Both operators key every random choice off the portable polynomial
+  * string hash ([[graft.functions.XFormulas.sparkStrHash]]) so the same
+  * document set always yields the same sample — re-runs are reproducible
+  * and the DuckDB oracle replicates the selection bit-for-bit.
+  */
+object Sampling {
+
+  /** Per-domain quota (the Common-Crawl-style "at most n pages per
+    * domain" cap): keep at most `n` docs per source, chosen pseudo-
+    * randomly by hash rank.
+    *
+    * Scale design — the naive single window
+    * `row_number() OVER (PARTITION BY source ORDER BY hash)` shuffles the
+    * ENTIRE corpus by source and rams every row of a mega-domain through
+    * one task. Instead, two phases:
+    *
+    *  1. a tiny per-source count aggregate (map-side partials, output =
+    *     #sources rows) broadcast back, driving a HASH PRE-FILTER:
+    *     keep a row iff `hash < (margin·n·P) div src_n` — expected
+    *     margin·n survivors per source, so the heavy window input shrinks
+    *     from |corpus| to ~margin·n·#sources no matter how skewed the
+    *     domains are;
+    *  2. the exact window on the survivors.
+    *
+    * The pre-filter keeps exactly the margin·n/src_n-quantile of the hash
+    * order the window ranks by, so phase 2 sees every row that could rank
+    * ≤ n unless a source's survivor count undershoots n — a tail event
+    * bounded by Chernoff at margin 4 (P[Binomial(src_n, 4n/src_n) < n]
+    * ≲ e^{-n}); for sources with src_n ≤ margin·n the threshold exceeds
+    * the hash range, so small sources are never pre-filtered at all.
+    * The composed operator is still fully deterministic (the oracle
+    * replicates both phases).
+    *
+    * Returns survivors as (idCol, srcCol, rk) with rk ∈ [1, n]. */
+  def domainQuota(docs: DataFrame, idCol: String, srcCol: String,
+                  n: Int, margin: Int = 4): DataFrame = {
+    require(n > 0 && margin > 0, s"domainQuota: need n>0, margin>0; got $n, $margin")
+    val h = sparkStrHash(s"concat($srcCol, '#', cast($idCol AS string))")
+    val counts = docs.groupBy(col(srcCol)).agg(count(lit(1)).as("src_n"))
+    val capNP = margin.toLong * n * P // ≤ 4·n·1e9: no overflow for n < 2^31
+    docs
+      .withColumn("hk", expr(h))
+      .join(broadcast(counts), srcCol)
+      .filter(col("hk") < expr(s"$capNP div src_n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(srcCol)).orderBy(col("hk"), col(idCol))))
+      .filter(col("rk") <= n)
+      .select(col(idCol), col(srcCol), col("rk").cast("long").as("rk"))
+  }
+
+  /** DuckDB oracle for [[domainQuota]] over the `documents` table. */
+  def domainQuotaOracle(n: Int, margin: Int = 4): String = {
+    val h = duckStrHash("source || '#' || CAST(doc_id AS VARCHAR)")
+    val capNP = margin.toLong * n * P
+    s"""WITH c AS (SELECT source, COUNT(*) AS src_n FROM documents GROUP BY source),
+       h AS (SELECT doc_id, documents.source, $h AS hk FROM documents JOIN c USING (source)
+             WHERE $h < $capNP // src_n),
+       r AS (SELECT doc_id, source,
+                    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rk
+             FROM h)
+       SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= $n"""
+  }
+
+  /** Deterministic source-mixture resampling: given a target weight per
+    * source (e.g. "books 3×, web 1×"), keep each doc with probability
+    * proportional to its source's weight — selection by hash threshold,
+    * so the sample is a pure function of (doc set, weights). Rates are
+    * normalized so the largest weight keeps 100%: rate_s = w_s / max(w).
+    * A doc survives iff hash(doc) · max_w < P · w_s (all BIGINT math —
+    * exact, portable). Returns per-source (kept, total) counts.
+    *
+    * At 100 TB this is a single narrow map + tiny aggregate: no shuffle
+    * of document payloads, the weights ride as a broadcast literal map. */
+  def mixtureCounts(docs: DataFrame, idCol: String, srcCol: String,
+                    weights: Map[String, Long]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0),
+      "mixtureCounts: weights must be non-empty and non-negative")
+    val maxW = weights.values.max
+    require(maxW > 0, "mixtureCounts: at least one weight must be positive")
+    val wExpr = weights.toSeq.sortBy(_._1)
+      .foldRight("CAST(0 AS bigint)") { case ((s, w), els) =>
+        s"IF($srcCol = '${s.replace("'", "''")}', ${w}L, $els)"
+      }
+    val h = sparkStrHash(s"concat('mix#', cast($idCol AS string))")
+    docs
+      .withColumn("w", expr(wExpr))
+      .withColumn("kept",
+        (expr(h) * maxW < col("w") * P).cast("int").cast("long"))
+      .groupBy(col(srcCol))
+      .agg(sum(col("kept")).as("kept"), count(lit(1)).as("total"))
+  }
+
+  /** DuckDB oracle for [[mixtureCounts]] over the `documents` table. */
+  def mixtureCountsOracle(weights: Map[String, Long]): String = {
+    val maxW = weights.values.max
+    val wExpr = weights.toSeq.sortBy(_._1)
+      .foldRight("CAST(0 AS BIGINT)") { case ((s, w), els) =>
+        s"CASE WHEN source = '${s.replace("'", "''")}' THEN ${w} ELSE $els END"
+      }
+    val h = duckStrHash("'mix#' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT source,
+              CAST(SUM(CASE WHEN ($h) * $maxW < ($wExpr) * $P THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+              COUNT(*) AS total
+       FROM documents GROUP BY source"""
+  }
+}

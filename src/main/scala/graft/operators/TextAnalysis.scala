@@ -209,4 +209,45 @@ object TextAnalysis {
       .withColumn("p", expr("CAST(n AS DOUBLE) / n1"))
       .select(col("bigram"), col("n"), col("p"))
   }
+
+  /** Per-document LANGUAGE-MODEL SCORE from the corpus bigram LM — the
+    * CCNet/Wikipedia-LM quality signal: documents whose bigrams are
+    * improbable under the corpus's own statistics are gibberish, boiler-
+    * plate, or wrong-language; rank ascending and the worst float to the
+    * top for filtering.
+    *
+    * score(d) = mean over d's distinct bigrams of p(w2|w1), with each
+    * conditional probability fixed-pointed to an integer
+    * `q = round(1e9·n/n1)` BEFORE summing — BIGINT sums are associative,
+    * so the mean is bit-identical across engines and partitionings
+    * (double sums are not; this is the repo-wide decimal-sum trick
+    * applied to probabilities). Perplexity proper needs log(), whose last
+    * ulp is engine-specific — the mean-probability score ranks documents
+    * for the same purpose with exact cross-engine semantics.
+    *
+    * Scale: the LM table and the per-doc bigram stream both derive from
+    * ONE persisted generator pass (multi-consumer barrier — the
+    * q_basket_lift lesson). The join key is the bigram string; at 100 TB
+    * swap it for a 128-bit fingerprint so the exchange ships 16 bytes a
+    * row (collisions under mod-P single hashes are real at billions of
+    * bigrams; the string key is exact and the corpus-vocabulary table it
+    * joins is Zipf-bounded). Docs with <2 tokens have no bigrams and are
+    * absent from the output. */
+  def bigramDocScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bw = Dedup.persistTracked(
+      df.select(col(idCol), graft.functions.GraftFunctions
+        .shingleRows(col(textCol), 2).as("bigram"))
+        .withColumn("w1", expr("split(bigram, ' ')[0]")))
+    val lm = bw.groupBy(col("w1"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n1", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
+    bw.join(lm, Seq("w1", "bigram"))
+      .withColumn("q",
+        expr("CAST(ROUND(CAST(n AS DOUBLE) * 1000000000 / n1) AS BIGINT)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("nb"))
+      .withColumn("avg_p", expr("CAST(s AS DOUBLE) / nb / 1000000000"))
+      .select(col(idCol), col("nb"), col("avg_p"))
+  }
 }
