@@ -421,6 +421,25 @@ object SparkEntry {
         .select(col("qid"), col("cid"), col("cosine"), col("rank"))
     }),
 
+    // ----- STORED IVF index: build the learned-codebook index ONCE,
+    // write it partitioned by cell, then serve the query batch against
+    // the stored layout — probing nprobe cells touches only those
+    // partitions (partition pruning), and later batches skip the
+    // clustering pass entirely. Same results as q_ann_ivf2 (storage is
+    // transparent), so it shares that oracle. -----
+    "q_ann_ivf_stored" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = "/tmp/graft_ivf_index_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val (cent, assigned) = Similarity.buildIvfIndex(
+        emb, "vec_id", "embedding", ncells = 8, iters = 2)
+      graft.sources.GraftSink.writePartitioned(assigned, path, Seq("cell"))
+      Similarity.ivfStoredTopK(s.read.parquet(path), cent,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 3, nprobe = 2)
+        .select(col("qid"), col("cid"), col("cosine"), col("rank"))
+    }),
+
     // ----- product-quantization ANN: vectors compress to m=8 4-bit
     // codes; ADC scores the RAW query against candidate codes without
     // decompressing them — the memory-bound scale path (a 64-float
@@ -3459,6 +3478,24 @@ object SparkEntry {
          ${kmAssign("c1", "a2", "")},
          ${kmUpdate("a2", "c1", "c2")},
          ${kmAssign("c2", "cc", "")}"""
+    // shared by q_ann_ivf2 and q_ann_ivf_stored (the stored index is
+    // result-transparent: same codebook, same probes, same tie-break)
+    val ivf2Oracle =
+      s"""WITH $kmeansChain,
+         qq AS (SELECT vec_id, cell FROM (
+                  SELECT d.vec_id, i.cell,
+                         ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                           ORDER BY ${duckSqDist("i.c", "d.v", 64)}, i.cell) AS rn
+                  FROM dv d CROSS JOIN c2 i) WHERE rn <= 2 AND vec_id < 10),
+         scored AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                           ${duckCosine("qe.embedding", "ce.embedding")} AS cosine
+                    FROM qq q JOIN cc c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+                    JOIN embeddings qe ON qe.vec_id = q.vec_id
+                    JOIN embeddings ce ON ce.vec_id = c.vec_id),
+         r AS (SELECT qid, cid, cosine,
+                      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS "rank"
+               FROM scored)
+         SELECT qid, cid, cosine, "rank" FROM r WHERE "rank" <= 3"""
     Map(
       "q_text_stats" ->
         s"""WITH tk AS (SELECT doc_id, text, ${duckTokens("text")} AS toks FROM documents)
@@ -3633,23 +3670,10 @@ object SparkEntry {
                         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS "rank"
                  FROM scored)
            SELECT qid, cid, cosine, "rank" FROM r WHERE "rank" <= 3""",
-      "q_ann_ivf2" -> {
-        s"""WITH $kmeansChain,
-           qq AS (SELECT vec_id, cell FROM (
-                    SELECT d.vec_id, i.cell,
-                           ROW_NUMBER() OVER (PARTITION BY d.vec_id
-                             ORDER BY ${duckSqDist("i.c", "d.v", 64)}, i.cell) AS rn
-                    FROM dv d CROSS JOIN c2 i) WHERE rn <= 2 AND vec_id < 10),
-           scored AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
-                             ${duckCosine("qe.embedding", "ce.embedding")} AS cosine
-                      FROM qq q JOIN cc c ON q.cell = c.cell AND q.vec_id <> c.vec_id
-                      JOIN embeddings qe ON qe.vec_id = q.vec_id
-                      JOIN embeddings ce ON ce.vec_id = c.vec_id),
-           r AS (SELECT qid, cid, cosine,
-                        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS "rank"
-                 FROM scored)
-           SELECT qid, cid, cosine, "rank" FROM r WHERE "rank" <= 3"""
-      },
+      "q_ann_ivf2" -> ivf2Oracle,
+      // the stored index round-trips the same assignments through
+      // parquet; results are identical by construction
+      "q_ann_ivf_stored" -> ivf2Oracle,
       "q_sem_dedup" ->
         s"""WITH $kmeansChain,
            pairs AS (SELECT b.vec_id AS id_b, MIN(a.vec_id) AS dup_of

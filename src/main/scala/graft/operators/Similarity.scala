@@ -155,6 +155,17 @@ object Similarity {
     val dv = expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))")
     val c = candidates.select(col(idCol).as("cid"), col(vecCol).as("cv"),
       nearestCell(dv, cent).as("cell"))
+    probeJoinTopK(c, queries, idCol, vecCol, cent, k, nprobe)
+  }
+
+  /** The query side of IVF: probe each query's `nprobe` nearest cells
+    * against a (cid, cv, cell) candidate frame. Shared by the in-memory
+    * and stored-index paths — storage must be transparent to results. */
+  private def probeJoinTopK(c: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, cent: Array[Array[Double]],
+      k: Int, nprobe: Int): DataFrame = {
+    val ncells = cent.length
+    val dv = expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))")
     val probed = {
       val d = centroidDists(dv, cent)
       // sort (dist, cell) structs lexicographically, keep nprobe cells
@@ -174,6 +185,38 @@ object Similarity {
       .orderBy(col("cosine").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  /** Build a PERSISTABLE IVF index: the learned codebook plus the cell
+    * assignment of every candidate. Write the assignments partitioned BY
+    * CELL (`GraftSink.writePartitioned(assigned, path, Seq("cell"))`):
+    * a query batch probing `nprobe` cells then touches only those
+    * partitions — ~nprobe/ncells of the index BYTES via partition
+    * pruning/DPP, the on-disk analogue of the in-memory cell join. The
+    * returned codebook lets later query batches compute probe cells
+    * without re-reading (or re-clustering) the corpus — build once,
+    * query many, the 100 TB serving contract (the ANN twin of the
+    * stored LSH base index in `Dedup.ingestAgainstIndex`). */
+  def buildIvfIndex(candidates: DataFrame, idCol: String, vecCol: String,
+      ncells: Int = 8, iters: Int = 2): (Array[Array[Double]], DataFrame) = {
+    val cent = kmeansCodebook(candidates, idCol, vecCol, ncells, iters)
+    val dv = expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))")
+    (cent, candidates.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+      nearestCell(dv, cent).as("cell")))
+  }
+
+  /** Query a stored IVF index read back from its partitioned layout with
+    * the build-time codebook. Results are EXACTLY [[ivfKmeansTopK]]'s
+    * (same probe rule, same scoring, same tie-break) — the parquet
+    * round-trip only changes where the candidate bytes come from. The
+    * partition column comes back as the directory-inferred integer type,
+    * so it is re-cast to the long the probe join expects. */
+  def ivfStoredTopK(index: DataFrame, cent: Array[Array[Double]],
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val c = index.select(col("cid"), col("cv"),
+      col("cell").cast("long").as("cell"))
+    probeJoinTopK(c, queries, idCol, vecCol, cent, k, nprobe)
   }
 
   /** SemDeDup (Abbas et al. 2023): SEMANTIC dedup over embeddings —

@@ -54,4 +54,48 @@ class LshIndexSpec extends SparkSpec {
     assert(pruned.contains("PartitionFilters: [isnotnull(band"),
       s"no partition filter in:\n$pruned")
   }
+
+  // ---- stored IVF index (the ANN twin of the stored LSH index) ----
+
+  private val ivfPath = "/tmp/graft_ivf_index_spec"
+
+  test("stored IVF index serves exactly the in-memory ivfKmeansTopK results") {
+    val emb = Tables(spark, dir, "embeddings")
+    val qs = emb.filter(col("vec_id") < 10)
+    val (cent, assigned) = Similarity.buildIvfIndex(
+      emb, "vec_id", "embedding", ncells = 8, iters = 2)
+    GraftSink.writePartitioned(assigned, ivfPath, Seq("cell"))
+    val stored = Similarity.ivfStoredTopK(spark.read.parquet(ivfPath),
+      cent, qs, "vec_id", "embedding", k = 3, nprobe = 2)
+    val direct = Similarity.ivfKmeansTopK(emb, qs, "vec_id", "embedding",
+      k = 3, ncells = 8, iters = 2, nprobe = 2)
+    val a = stored.select("qid", "cid", "rank").collect().map(_.toSeq).toSet
+    val b = direct.select("qid", "cid", "rank").collect().map(_.toSeq).toSet
+    assert(a == b, s"stored diverges: ${(a diff b).take(3)} / ${(b diff a).take(3)}")
+    Dedup.releaseCaches()
+  }
+
+  test("stored IVF query does not re-read the embeddings corpus") {
+    val emb = Tables(spark, dir, "embeddings")
+    val qs = emb.filter(col("vec_id") < 10)
+    val (cent, _) = Similarity.buildIvfIndex(
+      emb, "vec_id", "embedding", ncells = 8, iters = 2)
+    val plan = Similarity.ivfStoredTopK(spark.read.parquet(ivfPath),
+      cent, qs, "vec_id", "embedding", k = 3, nprobe = 2)
+    val scans = graft.plans.PlanAudit.scanCounts(plan)
+    // embeddings appears only for the (tiny, broadcast) query side
+    assert(scans.getOrElse("embeddings.parquet", 0) <= 1,
+      s"corpus re-scanned by the stored-index query: $scans")
+    assert(scans.keys.exists(_.contains("graft_ivf_index_spec")),
+      s"stored index not read: $scans")
+    Dedup.releaseCaches()
+  }
+
+  test("IVF index partition pruning: a single-cell read is directory-filtered") {
+    val one = spark.read.parquet(ivfPath).filter(col("cell") === 0)
+    assert(one.count() > 0)
+    val pruned = one.queryExecution.executedPlan.toString
+    assert(pruned.contains("PartitionFilters: [isnotnull(cell"),
+      s"no partition filter in:\n$pruned")
+  }
 }
