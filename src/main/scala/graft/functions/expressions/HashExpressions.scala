@@ -332,6 +332,19 @@ object HashImpl {
     }
     true
   }
+
+  /** Set `key`'s k Bloom positions in `mask` in place (same position
+    * family as [[bloomContains]]). */
+  def bloomSet(key: Long, mask: Array[Long], m: Int, k: Int): Unit = {
+    val h1 = (key * 2654435761L) % P
+    val h2 = ((key * 40503L + 7919L) % P) + 1L
+    var i = 0
+    while (i < k) {
+      val pos = (h1 + i * h2) % m
+      mask((pos >> 6).toInt) |= 1L << (pos & 63).toInt
+      i += 1
+    }
+  }
 }
 
 /** Polynomial rolling hash of a string, mod 1e9+7 (document

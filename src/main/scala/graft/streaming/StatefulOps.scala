@@ -398,4 +398,67 @@ object StatefulOps {
       .withColumn("ets", timestamp_micros(col(tsCol)))
       .withWatermark("ets", watermark)
       .dropDuplicatesWithinWatermark("fp")
+
+  case class FpIn(shard: String, fp: Long, id: Long)
+  case class BloomShard(mask: Seq[Long])
+
+  /** Streaming dedup with a BLOOM mask as the state — the streaming twin
+    * of `Bloom.noveltyFilter`, for streams whose lifetime key cardinality
+    * makes exact seen-key state (dropDuplicates / [[dedupStreamByContent]])
+    * a memory leak the watermark cannot fix (keys recur FOREVER, so
+    * nothing ages out).
+    *
+    * State per shard is a FIXED mBits-bit mask — total state is
+    * nshards × mBits/8 bytes no matter how many keys the stream ever
+    * carries. The price is one-sided error: a true duplicate always
+    * hits the mask (its bits were set when its first occurrence was
+    * emitted) so the output NEVER contains a duplicate fingerprint; a
+    * novel key is wrongly suppressed only on a false positive
+    * (~(bits_set/m)^k at current load — size mBits for the expected
+    * lifetime cardinality, or rotate shard epochs to re-arm).
+    *
+    * Rows are keyed by a shard of the fingerprint so mask updates
+    * parallelize across the state store like any keyed aggregation. */
+  private class BloomDedupProcessor(mBits: Int, k: Int)
+      extends StatefulProcessor[String, FpIn, FpIn] {
+    @transient private var state: ValueState[BloomShard] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[BloomShard]("bloom",
+        Encoders.product[BloomShard], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[FpIn],
+        timers: TimerValues): Iterator[FpIn] = {
+      val mask = Option(state.get()).map(_.mask.toArray)
+        .getOrElse(new Array[Long](mBits / 64))
+      val out = scala.collection.mutable.ArrayBuffer.empty[FpIn]
+      rows.foreach { r =>
+        if (!graft.functions.expressions.HashImpl
+            .bloomContains(r.fp, mask, mBits, k)) {
+          graft.functions.expressions.HashImpl.bloomSet(r.fp, mask, mBits, k)
+          out += r
+        }
+      }
+      state.update(BloomShard(mask.toSeq))
+      out.iterator
+    }
+  }
+
+  /** Bounded-memory streaming novelty filter over a fingerprint stream
+    * (see [[BloomDedupProcessor]]). `nshards` spreads the masks across
+    * state-store partitions; `mBits` is PER SHARD (must be a positive
+    * multiple of 64). */
+  def bloomDedupTws(docs: DataFrame, idCol: String, textCol: String,
+      nshards: Int = 8, mBits: Int = 1 << 16, k: Int = 5): Dataset[FpIn] = {
+    require(mBits > 0 && mBits % 64 == 0, s"mBits must be a positive multiple of 64, got $mBits")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        graft.functions.GraftFunctions.polyHash(col(textCol)).as("fp"),
+        col(idCol).as("id"))
+      .withColumn("shard", (col("fp") % nshards).cast("string"))
+      .select(col("shard"), col("fp"), col("id"))
+      .as[FpIn]
+      .groupByKey(_.shard)
+      .transformWithState(new BloomDedupProcessor(mBits, k),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

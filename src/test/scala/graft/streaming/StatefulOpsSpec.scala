@@ -406,4 +406,35 @@ class StatefulOpsSpec extends SparkSpec {
     // the survivor set is by CONTENT: one fp per distinct text
     assert(rows.select("fp").distinct().count() == 2)
   }
+
+  test("bloomDedupTws: no duplicate ever emitted, novels pass (RocksDB)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StreamDoc]
+      val q = StatefulOps.bloomDedupTws(mem.toDF(), "doc_id", "text")
+        .writeStream.format("memory").queryName("bloomdedup")
+        .outputMode(OutputMode.Append).start()
+      val a = "first unique document body"
+      val b = "second distinct body of text"
+      val c = "third novel content entirely"
+      try {
+        mem.addData(StreamDoc(1, a), StreamDoc(2, b))
+        q.processAllAvailable()
+        // duplicate content arrives batches later: the mask remembers
+        mem.addData(StreamDoc(3, a))
+        q.processAllAvailable()
+        mem.addData(StreamDoc(4, c), StreamDoc(5, b))
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = spark.table("bloomdedup").as[StatefulOps.FpIn].collect()
+      // never a duplicate fingerprint in the output (the hard guarantee)
+      assert(out.map(_.fp).distinct.length == out.length)
+      // at this tiny load FPP ~ 0: exactly the three first-seen docs pass
+      assert(out.map(_.id).sorted.toSeq == Seq(1L, 2L, 4L))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
