@@ -3264,6 +3264,27 @@ object SparkEntry {
         .withColumn("novelty", expr("CAST(n_unique AS DOUBLE) / n_bigrams"))
     }),
 
+    // ----- QUALITY-STRATIFIED SAMPLING (the CCNet knob composed end to
+    // end): score every doc under the corpus LM, tercile it per language
+    // (tail/middle/head), then keep head 100%, middle 50%, tail 10% by
+    // deterministic hash threshold — the full "filter a crawl by fluency"
+    // pipeline as one declarative plan with an exact oracle. -----
+    "q_quality_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sc = TextAnalysis.bigramDocScores(docs, "doc_id", "text")
+      sc.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .withColumn("bin", ntile(3).over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("avg_p"), col("doc_id"))).cast("long"))
+        .withColumn("r10", expr(
+          "CASE WHEN bin = 3 THEN 10L WHEN bin = 2 THEN 5L ELSE 1L END"))
+        .withColumn("kept", (expr(XFormulas.sparkStrHash(
+          "concat('qs#', CAST(doc_id AS STRING))")) * 10 <
+          col("r10") * XFormulas.P).cast("int").cast("long"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(sum(col("kept")).as("kept"), count(lit(1)).as("total"))
+    }),
+
     // ----- BLOOM NOVELTY INGEST: exact-fingerprint dedup of an ingest
     // batch against the standing corpus. Rows failing the base-corpus
     // Bloom mask are DEFINITELY novel (no false negatives) and bypass
@@ -5714,6 +5735,30 @@ object SparkEntry {
            SELECT lang, CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_docs,
                   MIN(avg_p) AS lo, MAX(avg_p) AS hi
            FROM nt GROUP BY 1, 2""",
+      "q_quality_sample" ->
+        s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
+           bg AS (SELECT doc_id, unnest(list_distinct(${duckShingles("toks", 2)})) AS bigram FROM tk),
+           bw AS (SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1 FROM bg),
+           c2 AS (SELECT w1, bigram, COUNT(*) AS n FROM bw GROUP BY 1, 2),
+           c1 AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS n1 FROM c2 GROUP BY 1),
+           sc AS (SELECT doc_id,
+                         CAST(SUM(CAST(ROUND(CAST(n AS DOUBLE) * 1000000000 / n1) AS BIGINT)) AS BIGINT) AS s,
+                         COUNT(*) AS nb
+                  FROM bw JOIN c2 USING (w1, bigram) JOIN c1 USING (w1)
+                  GROUP BY doc_id),
+           b AS (SELECT d.lang, sc.doc_id,
+                        CAST(s AS DOUBLE) / nb / 1000000000 AS avg_p
+                 FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+           nt AS (SELECT lang, doc_id, avg_p,
+                         NTILE(3) OVER (PARTITION BY lang ORDER BY avg_p, doc_id) AS bin
+                  FROM b),
+           kk AS (SELECT lang, CAST(bin AS BIGINT) AS bin,
+                         CASE WHEN (${duckStrHash("'qs#' || CAST(doc_id AS VARCHAR)")}) * 10 <
+                              CAST(CASE WHEN bin = 3 THEN 10 WHEN bin = 2 THEN 5 ELSE 1 END AS BIGINT) * ${XFormulas.P}
+                              THEN 1 ELSE 0 END AS kept
+                  FROM nt)
+           SELECT lang, bin, CAST(SUM(kept) AS BIGINT) AS kept, COUNT(*) AS total
+           FROM kk GROUP BY 1, 2""",
 
       "q_leakage_split" -> {
         // same 3 unrolled min-label-propagation rounds as q_dedup_clusters

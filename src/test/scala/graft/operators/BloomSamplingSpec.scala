@@ -181,6 +181,19 @@ class BloomSamplingSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("quality sample: head tercile keeps 100%, overall a strict subset") {
+    val r = graft.SparkEntry.queries("q_quality_sample")(spark, dir)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.nonEmpty)
+    // head bin rate is 10/10: the threshold exceeds the hash range
+    r.filter(_._2 == 3L).foreach { case (lang, _, kept, total) =>
+      assert(kept == total, s"head bin of $lang dropped docs: $kept/$total")
+    }
+    val (k, t) = (r.map(_._3).sum, r.map(_._4).sum)
+    assert(k < t, s"sampling kept everything: $k/$t")
+    Dedup.releaseCaches()
+  }
+
   test("lm doc scores: probabilities in (0,1], short docs absent") {
     val sc = TextAnalysis.bigramDocScores(docs, "doc_id", "text")
     assert(sc.filter(col("avg_p") <= 0 || col("avg_p") > 1).count() == 0)
