@@ -3264,6 +3264,57 @@ object SparkEntry {
         .withColumn("novelty", expr("CAST(n_unique AS DOUBLE) / n_bigrams"))
     }),
 
+    // ----- DATA-QUALITY CONSTRAINT AUDIT: the expectation-suite battery
+    // every warehouse runs before trusting a load — referential
+    // integrity, key uniqueness, range/nullability/ordering sanity —
+    // each constraint a tiny aggregate, unioned into one report. All
+    // checks are anti-joins or narrow filters: nothing corpus-sized
+    // shuffles, dims broadcast. -----
+    "q_dq_checks" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      def row(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_bad"))
+          .select(lit(name).as("check"), col("n_bad"))
+      row("orphan_lineitem",
+          li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti"))
+        .unionByName(row("orphan_order",
+          o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")))
+        .unionByName(li.groupBy(col("l_orderkey"), col("l_linenumber"))
+          .agg(count(lit(1)).as("n"))
+          .agg(coalesce(sum(expr("n - 1")), lit(0L)).as("n_bad"))
+          .select(lit("dup_linenumber").as("check"), col("n_bad")))
+        .unionByName(row("quantity_range",
+          li.filter(col("l_quantity") < 1 || col("l_quantity") > 50)))
+        .unionByName(row("nonpositive_price",
+          o.filter(col("o_totalprice") <= 0)))
+        .unionByName(row("null_custkey", o.filter(col("o_custkey").isNull)))
+        .unionByName(row("ship_before_order",
+          li.join(o, li("l_orderkey") === o("o_orderkey"))
+            .filter(col("l_shipdate") < col("o_orderdate"))))
+    }),
+
+    // ----- TOKEN-BUDGET MIXTURE PLAN: given a total training-token
+    // budget and per-source weights, allocate tokens ∝ weight and
+    // estimate document draws — the planning readout behind
+    // q_mixture_sample's execution knob. Pure integer division on exact
+    // BIGINT token sums: the plan is engine-exact. -----
+    "q_mix_plan" -> ((s, dir) => {
+      val budget = 100000L
+      val agg = TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+        .selectExpr("source", "CAST(size(toks) AS BIGINT) AS n_toks")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"))
+      agg.withColumn("w", expr(Sampling.weightExpr("source", mixtureWeights)))
+        .withColumn("sumw", sum(col("w")).over(Window.partitionBy()))
+        .withColumn("alloc_tokens", expr(s"(${budget}L * w) div sumw"))
+        .withColumn("est_docs",
+          expr("(alloc_tokens * n_docs) div total_tokens"))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          col("w"), col("alloc_tokens"), col("est_docs"))
+    }),
+
     // ----- QUALITY-STRATIFIED SAMPLING (the CCNet knob composed end to
     // end): score every doc under the corpus LM, tercile it per language
     // (tail/middle/head), then keep head 100%, middle 50%, tail 10% by
@@ -5735,6 +5786,45 @@ object SparkEntry {
            SELECT lang, CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_docs,
                   MIN(avg_p) AS lo, MAX(avg_p) AS hi
            FROM nt GROUP BY 1, 2""",
+      "q_dq_checks" ->
+        """SELECT 'orphan_lineitem' AS "check", CAST(COUNT(*) AS BIGINT) AS n_bad
+           FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+           UNION ALL
+           SELECT 'orphan_order', CAST(COUNT(*) AS BIGINT)
+           FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+           UNION ALL
+           SELECT 'dup_linenumber', CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+           FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)
+           UNION ALL
+           SELECT 'quantity_range', CAST(COUNT(*) AS BIGINT)
+           FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
+           UNION ALL
+           SELECT 'nonpositive_price', CAST(COUNT(*) AS BIGINT)
+           FROM orders WHERE o_totalprice <= 0
+           UNION ALL
+           SELECT 'null_custkey', CAST(COUNT(*) AS BIGINT)
+           FROM orders WHERE o_custkey IS NULL
+           UNION ALL
+           SELECT 'ship_before_order', CAST(COUNT(*) AS BIGINT)
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_shipdate < o_orderdate""",
+
+      "q_mix_plan" -> {
+        val wCase = mixtureWeights.toSeq.sortBy(_._1)
+          .foldRight("CAST(0 AS BIGINT)") { case ((s, w), els) =>
+            s"CASE WHEN source = '$s' THEN CAST($w AS BIGINT) ELSE $els END"
+          }
+        s"""WITH tk AS (SELECT source, CAST(len(${duckTokens("text")}) AS BIGINT) AS n_toks FROM documents),
+           a AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+                 FROM tk GROUP BY source),
+           ww AS (SELECT *, $wCase AS w FROM a),
+           s AS (SELECT CAST(SUM(w) AS BIGINT) AS sumw FROM ww)
+           SELECT source, n_docs, total_tokens, w,
+                  (100000 * w) // sumw AS alloc_tokens,
+                  (((100000 * w) // sumw) * n_docs) // total_tokens AS est_docs
+           FROM ww, s"""
+      },
+
       "q_quality_sample" ->
         s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
            bg AS (SELECT doc_id, unnest(list_distinct(${duckShingles("toks", 2)})) AS bigram FROM tk),

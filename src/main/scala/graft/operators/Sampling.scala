@@ -71,6 +71,14 @@ object Sampling {
        SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= $n"""
   }
 
+  /** Spark SQL expression mapping `srcCol` to its BIGINT weight
+    * (sources absent from the map get 0). */
+  def weightExpr(srcCol: String, weights: Map[String, Long]): String =
+    weights.toSeq.sortBy(_._1)
+      .foldRight("CAST(0 AS bigint)") { case ((s, w), els) =>
+        s"IF($srcCol = '${s.replace("'", "''")}', ${w}L, $els)"
+      }
+
   /** Deterministic source-mixture resampling: given a target weight per
     * source (e.g. "books 3×, web 1×"), keep each doc with probability
     * proportional to its source's weight — selection by hash threshold,
@@ -87,10 +95,7 @@ object Sampling {
       "mixtureCounts: weights must be non-empty and non-negative")
     val maxW = weights.values.max
     require(maxW > 0, "mixtureCounts: at least one weight must be positive")
-    val wExpr = weights.toSeq.sortBy(_._1)
-      .foldRight("CAST(0 AS bigint)") { case ((s, w), els) =>
-        s"IF($srcCol = '${s.replace("'", "''")}', ${w}L, $els)"
-      }
+    val wExpr = weightExpr(srcCol, weights)
     val h = sparkStrHash(s"concat('mix#', cast($idCol AS string))")
     docs
       .withColumn("w", expr(wExpr))
