@@ -1790,6 +1790,32 @@ object SparkEntry {
           max(expr("CAST(length(text) AS BIGINT)")).as("max_len"))
     }),
 
+    // ----- KEEP-BEST dedup policy: within each near-dup cluster keep
+    // the HIGHEST-QUALITY member by corpus-LM score (the FineWeb-style
+    // survivor rule — keep-longest favors concatenation spam; keep-best
+    // favors fluency). Ties break to the higher doc id. Docs too short
+    // to score rank at 0. -----
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sc = TextAnalysis.bigramDocScores(docs, "doc_id", "text")
+        .select(col("doc_id"), col("avg_p"))
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+        .select("doc_a", "doc_b")
+      val labels = Dedup.clusters(pairs, "doc_a", "doc_b")
+        .withColumnRenamed("doc_a", "doc_id")
+      docs.select(col("doc_id")).join(labels, "doc_id")
+        .join(sc, Seq("doc_id"), "left")
+        .withColumn("score", coalesce(col("avg_p"), lit(0.0)))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("cluster"))
+            .orderBy(col("score").desc, col("doc_id").desc)))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy(col("cluster"))))
+        .filter(col("rk") === 1)
+        .select(col("cluster"), col("doc_id").as("keeper"),
+          col("n_members"), col("score").as("best_p"))
+    }),
+
     // ----- near-dup clusters: bounded min-label propagation over the
     // LSH candidate pairs (rows-only check: iterative, not one SQL) -----
     "q_dedup_clusters" -> ((s, dir) => {
@@ -4560,6 +4586,45 @@ object SparkEntry {
            FROM cand ab
            JOIN cand bc ON ab.b = bc.a
            JOIN cand ac ON ab.a = ac.a AND bc.b = ac.b""",
+      "q_dedup_keep_best" -> {
+        val rounds = (1 to 3).map { i =>
+          s"""l$i AS (SELECT n.id, least(n.label, coalesce(m.nm, n.label)) AS label
+                FROM l${i - 1} n LEFT JOIN (
+                  SELECT e.src, MIN(l.label) AS nm FROM edges e
+                  JOIN l${i - 1} l ON e.dst = l.id GROUP BY e.src) m
+                ON n.id = m.src)"""
+        }.mkString(",\n")
+        s"""$minhashCtes,
+           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM buckets a JOIN buckets b
+                      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+           edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                     UNION ALL SELECT doc_b AS src, doc_a AS dst FROM cand),
+           nodes AS (SELECT DISTINCT src AS id FROM edges),
+           l0 AS (SELECT id, id AS label FROM nodes),
+           $rounds,
+           bg AS (SELECT doc_id, unnest(list_distinct(${duckShingles("toks", 2)})) AS bigram FROM tk),
+           bw AS (SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1 FROM bg),
+           c2 AS (SELECT w1, bigram, COUNT(*) AS n FROM bw GROUP BY 1, 2),
+           c1 AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS n1 FROM c2 GROUP BY 1),
+           sc AS (SELECT doc_id,
+                         CAST(SUM(CAST(ROUND(CAST(n AS DOUBLE) * 1000000000 / n1) AS BIGINT)) AS BIGINT) AS s,
+                         COUNT(*) AS nb
+                  FROM bw JOIN c2 USING (w1, bigram) JOIN c1 USING (w1)
+                  GROUP BY doc_id),
+           mem AS (SELECT d.doc_id, l3.label AS cluster
+                   FROM documents d JOIN l3 ON d.doc_id = l3.id),
+           scj AS (SELECT m.cluster, m.doc_id,
+                          COALESCE(CAST(s AS DOUBLE) / nb / 1000000000, 0.0) AS score
+                   FROM mem m LEFT JOIN sc ON sc.doc_id = m.doc_id),
+           rk AS (SELECT cluster, doc_id, score,
+                         ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY score DESC, doc_id DESC) AS rk,
+                         COUNT(*) OVER (PARTITION BY cluster) AS n_members
+                  FROM scj)
+           SELECT cluster, doc_id AS keeper, CAST(n_members AS BIGINT) AS n_members, score AS best_p
+           FROM rk WHERE rk = 1"""
+      },
+
       "q_dedup_keep_longest" -> {
         val rounds = (1 to 3).map { i =>
           s"""l$i AS (SELECT n.id, least(n.label, coalesce(m.nm, n.label)) AS label
