@@ -109,14 +109,67 @@ private[tablejson] class TableJsonTable(path: String, tableSchema: StructType)
 
 private[tablejson] class TableJsonScanBuilder(path: String, full: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownLimit {
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, NamedReference}
   private var required: StructType = full
   private var accepted: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var pushedAgg: Option[PushedAgg] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  private def colOf(e: V2Expr): Option[String] = e match {
+    case f: NamedReference if f.fieldNames.length == 1 =>
+      Some(f.fieldNames.head)
+    case _ => None
+  }
+  private def supportedAgg(f: AggregateFunc): Boolean = f match {
+    case _: CountStar => true
+    // all .table.json columns are non-nullable, so count(col) == count(*)
+    case c: Count => !c.isDistinct && colOf(c.column).isDefined
+    case m: Min => colOf(m.column).isDefined
+    case m: Max => colOf(m.column).isDefined
+    case _ => false
+  }
+
+  /** COMPLETE aggregate pushdown for count/count(*)/min/max with
+    * optional single-column grouping: the reader emits the final
+    * aggregated rows (one partition — the group state is bounded by the
+    * group cardinality, and these files are small by format contract),
+    * after the pushed filters, so `SELECT max(id) FROM t WHERE …` never
+    * materializes a single data row in Spark. The source's twin of
+    * parquet's footer-stats aggregate pushdown, computed from the one
+    * cached parse. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    limit < 0 &&
+      agg.groupByExpressions.forall(e => colOf(e).isDefined) &&
+      agg.aggregateExpressions.forall(supportedAgg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!supportCompletePushDown(agg)) return false
+    val groups = agg.groupByExpressions.flatMap(e => colOf(e))
+    val funcs: Array[(String, String)] = agg.aggregateExpressions.map {
+      case _: CountStar => ("count", "*")
+      case c: Count => ("count", colOf(c.column).get)
+      case m: Min => ("min", colOf(m.column).get)
+      case m: Max => ("max", colOf(m.column).get)
+    }
+    val fields = groups.map(g => full(full.fieldIndex(g))) ++
+      funcs.map {
+        case ("count", c) => StructField(s"count($c)", LongType, nullable = false)
+        // nullable: a global min/max over zero surviving rows is NULL
+        case (fn, c) =>
+          StructField(s"$fn($c)", full(full.fieldIndex(c)).dataType,
+            nullable = true)
+      }
+    pushedAgg = Some(PushedAgg(groups, funcs))
+    required = StructType(fields)
+    true
+  }
 
   /** Simple comparisons on the two column types the format has are
     * evaluated INSIDE the reader (the source's own "index"): pushed
@@ -141,19 +194,30 @@ private[tablejson] class TableJsonScanBuilder(path: String, full: StructType)
   override def pushLimit(l: Int): Boolean = { limit = l; true }
 
   override def build(): Scan =
-    new TableJsonScan(path, full, required, accepted, limit)
+    new TableJsonScan(path, full, required, accepted, limit, pushedAgg)
 }
+
+/** A complete pushed aggregation: group-by column names plus
+  * (func, col) pairs where func ∈ {count, min, max} and col is "*" only
+  * for count. */
+private[tablejson] case class PushedAgg(groups: Array[String],
+    funcs: Array[(String, String)])
 
 private[tablejson] class TableJsonScan(path: String, full: StructType,
     required: StructType,
     filters: Array[org.apache.spark.sql.sources.Filter],
-    limit: Int) extends Scan with Batch {
+    limit: Int, agg: Option[PushedAgg]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"TableJsonScan ${new java.io.File(path).getName} " +
       s"PushedFilters: [${filters.mkString(", ")}], " +
-      s"PushedLimit: ${if (limit >= 0) limit else "none"}"
+      s"PushedLimit: ${if (limit >= 0) limit else "none"}" +
+      agg.map(a => s", PushedAggregation: [${a.funcs.map {
+        case (f, c) => s"$f($c)" }.mkString(", ")}]" +
+        (if (a.groups.nonEmpty)
+          s", PushedGroupBy: [${a.groups.mkString(", ")}]" else ""))
+        .getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val root = TableJsonIO.cached(path)
@@ -163,8 +227,10 @@ private[tablejson] class TableJsonScan(path: String, full: StructType,
     // single partition for small files: below 1 MB the scan is cheaper
     // than the per-task overhead, and on a multi-executor cluster one
     // slice means at most one executor ever parses the file. A pushed
-    // limit also forces one partition (see pushLimit).
-    val small = limit >= 0 || new java.io.File(path).length() < (1 << 20)
+    // limit forces one partition (see pushLimit); a COMPLETE pushed
+    // aggregation must also see every row, so it runs as one partition.
+    val small = limit >= 0 || agg.isDefined ||
+      new java.io.File(path).length() < (1 << 20)
     val slices =
       if (small) 1 else math.max(1, math.min(maxSlices, nRows / 1000))
     val step = math.max(1, (nRows + slices - 1) / slices)
@@ -174,7 +240,7 @@ private[tablejson] class TableJsonScan(path: String, full: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TableJsonReaderFactory(full, required, filters, limit)
+    new TableJsonReaderFactory(full, required, filters, limit, agg)
 }
 
 private[tablejson] case class TableJsonPartition(path: String, start: Int,
@@ -183,10 +249,12 @@ private[tablejson] case class TableJsonPartition(path: String, start: Int,
 private[tablejson] class TableJsonReaderFactory(full: StructType,
     required: StructType,
     filters: Array[org.apache.spark.sql.sources.Filter],
-    limit: Int) extends PartitionReaderFactory {
+    limit: Int, agg: Option[PushedAgg]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     import org.apache.spark.sql.sources._
     val part = p.asInstanceOf[TableJsonPartition]
+    if (agg.isDefined)
+      return new TableJsonAggReader(part, full, filters, agg.get)
     new PartitionReader[InternalRow] {
       // per-JVM cached tree: the file parses once no matter how many
       // slices or readers touch it
@@ -196,25 +264,8 @@ private[tablejson] class TableJsonReaderFactory(full: StructType,
       private var emitted = 0
       private var row: InternalRow = _
 
-      // pushed-filter evaluation over the raw JSON row: long compares
-      // for int columns, codepoint (ASCII domain) compares for str
-      private def cmp(arr: com.fasterxml.jackson.databind.JsonNode,
-          colName: String, v: Any): Int = {
-        val c = full.fieldIndex(colName)
-        if (full.fields(c).dataType == LongType)
-          java.lang.Long.compare(arr.get(c).asLong,
-            v.asInstanceOf[Number].longValue)
-        else arr.get(c).asText.compareTo(v.toString)
-      }
       private def passes(arr: com.fasterxml.jackson.databind.JsonNode): Boolean =
-        filters.forall {
-          case EqualTo(a, v) => cmp(arr, a, v) == 0
-          case GreaterThan(a, v) => cmp(arr, a, v) > 0
-          case GreaterThanOrEqual(a, v) => cmp(arr, a, v) >= 0
-          case LessThan(a, v) => cmp(arr, a, v) < 0
-          case LessThanOrEqual(a, v) => cmp(arr, a, v) <= 0
-          case _ => true
-        }
+        RowFilters.passes(arr, full, filters)
 
       override def next(): Boolean = {
         if (limit >= 0 && emitted >= limit) return false
@@ -242,4 +293,102 @@ private[tablejson] class TableJsonReaderFactory(full: StructType,
       override def close(): Unit = ()
     }
   }
+}
+
+/** Pushed-filter evaluation over the raw JSON row: long compares for
+  * int columns, codepoint (ASCII domain) compares for str. Shared by
+  * the row reader and the aggregate reader so the two paths can never
+  * disagree on what a filter admits. */
+private[tablejson] object RowFilters {
+  import org.apache.spark.sql.sources._
+  private def cmp(arr: com.fasterxml.jackson.databind.JsonNode,
+      full: StructType, colName: String, v: Any): Int = {
+    val c = full.fieldIndex(colName)
+    if (full.fields(c).dataType == LongType)
+      java.lang.Long.compare(arr.get(c).asLong,
+        v.asInstanceOf[Number].longValue)
+    else arr.get(c).asText.compareTo(v.toString)
+  }
+  def passes(arr: com.fasterxml.jackson.databind.JsonNode,
+      full: StructType, filters: Array[Filter]): Boolean =
+    filters.forall {
+      case EqualTo(a, v) => cmp(arr, full, a, v) == 0
+      case GreaterThan(a, v) => cmp(arr, full, a, v) > 0
+      case GreaterThanOrEqual(a, v) => cmp(arr, full, a, v) >= 0
+      case LessThan(a, v) => cmp(arr, full, a, v) < 0
+      case LessThanOrEqual(a, v) => cmp(arr, full, a, v) <= 0
+      case _ => true
+    }
+}
+
+/** Reader for a COMPLETE pushed aggregation: one pass over the (single)
+  * partition's rows, pushed filters first, then count/min/max state per
+  * group — state size is the group cardinality, never the row count.
+  * Output rows are (group cols…, agg values…) in the pushed order. */
+private[tablejson] class TableJsonAggReader(part: TableJsonPartition,
+    full: StructType,
+    filters: Array[org.apache.spark.sql.sources.Filter],
+    agg: PushedAgg) extends PartitionReader[InternalRow] {
+  private val root = TableJsonIO.cached(part.path)
+  private val groupIdx = agg.groups.map(full.fieldIndex)
+
+  private def value(arr: com.fasterxml.jackson.databind.JsonNode,
+      c: Int): Any =
+    if (full.fields(c).dataType == LongType) arr.get(c).asLong
+    else arr.get(c).asText
+
+  private val out: Iterator[InternalRow] = {
+    // group key (as a Seq for equality) -> per-func state
+    val state = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[Any], Array[Any]]
+    var i = part.start
+    while (i < part.end) {
+      val arr = root.get(i)
+      i += 1
+      if (RowFilters.passes(arr, full, filters)) {
+        val key: Seq[Any] = groupIdx.map(value(arr, _)).toSeq
+        val st = state.getOrElseUpdate(key,
+          new Array[Any](agg.funcs.length))
+        var j = 0
+        while (j < agg.funcs.length) {
+          st(j) = agg.funcs(j) match {
+            case ("count", _) =>
+              (if (st(j) == null) 0L else st(j).asInstanceOf[Long]) + 1L
+            case (fn, c) =>
+              val v = value(arr, full.fieldIndex(c))
+              if (st(j) == null) v
+              else {
+                val sign = (v, st(j)) match {
+                  case (a: Long, b: Long) => java.lang.Long.compare(a, b)
+                  case (a, b) => a.toString.compareTo(b.toString)
+                }
+                if ((fn == "min") == (sign < 0)) v else st(j)
+              }
+          }
+          j += 1
+        }
+      }
+    }
+    // a GLOBAL aggregation over zero surviving rows still yields one
+    // row: count = 0, min/max = NULL (complete pushdown means Spark
+    // will not re-aggregate, so SQL's empty-input semantics are ours)
+    if (groupIdx.isEmpty && state.isEmpty)
+      state(Seq.empty) = agg.funcs.map {
+        case ("count", _) => 0L: Any
+        case _ => null: Any
+      }
+    state.iterator.map { case (key, st) =>
+      val vals = (key ++ st).map {
+        case s: String => UTF8String.fromString(s)
+        case other => other
+      }.toArray[Any]
+      new GenericInternalRow(vals): InternalRow
+    }
+  }
+
+  private var row: InternalRow = _
+  override def next(): Boolean =
+    if (out.hasNext) { row = out.next(); true } else false
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
 }

@@ -92,4 +92,58 @@ class TableJsonSourceSpec extends SparkSpec {
         org.apache.spark.sql.functions.col("co.capital"))
     assert(joined.count() == 4)
   }
+
+  test("complete aggregate pushdown: global count/min/max computed in the scan") {
+    import org.apache.spark.sql.functions._
+    val q = cities.agg(count(lit(1)).as("n"),
+      min(col("population")).as("lo"), max(col("population")).as("hi"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation"), s"not pushed:\n$plan")
+    // no data row crosses the source boundary: the plan has no
+    // wide-row aggregate input, just the 1-row scan output
+    val r = q.collect()(0)
+    assert(r.getLong(0) == 16L)
+    val all = cities.select("population").collect().map(_.getLong(0))
+    assert(r.getLong(1) == all.min && r.getLong(2) == all.max)
+  }
+
+  test("aggregate pushdown respects pushed filters") {
+    import org.apache.spark.sql.functions._
+    val q = cities.filter("population > 1000")
+      .agg(count(lit(1)).as("n"), max(col("population")).as("hi"))
+    assert(q.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    val expectRows = cities.collect().map(_.getLong(2)).filter(_ > 1000)
+    val r = q.collect()(0)
+    assert(r.getLong(0) == expectRows.length.toLong)
+    assert(r.getLong(1) == expectRows.max)
+  }
+
+  test("grouped aggregate pushdown: one row per group, string min/max") {
+    import org.apache.spark.sql.functions._
+    val q = cities.groupBy(col("country"))
+      .agg(count(lit(1)).as("n"), min(col("name")).as("first_name"))
+    assert(q.queryExecution.executedPlan.toString.contains("PushedGroupBy"))
+    val got = q.collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getString(2))).toSet
+    val want = cities.collect().map(r => (r.getString(1), r.getString(0)))
+      .groupBy(_._1).map { case (c, rs) =>
+        (c, rs.length.toLong, rs.map(_._2).min) }.toSet
+    assert(got == want)
+  }
+
+  test("empty-input global aggregate still yields one row (count 0, null min)") {
+    import org.apache.spark.sql.functions._
+    val q = cities.filter("population > 99999999")
+      .agg(count(lit(1)).as("n"), min(col("population")).as("lo"))
+    assert(q.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    val r = q.collect()(0)
+    assert(r.getLong(0) == 0L && r.isNullAt(1))
+  }
+
+  test("unsupported aggregates are NOT pushed and still compute correctly") {
+    import org.apache.spark.sql.functions._
+    val q = cities.agg(sum(col("population")).as("s"))
+    assert(!q.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    assert(q.collect()(0).getLong(0) == 95687L)
+  }
 }
