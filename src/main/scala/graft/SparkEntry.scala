@@ -3297,28 +3297,52 @@ object SparkEntry {
     // checks are anti-joins or narrow filters: nothing corpus-sized
     // shuffles, dims broadcast. -----
     "q_dq_checks" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val o = t(s, dir, "orders")
-      val c = t(s, dir, "customer")
-      def row(name: String, df: DataFrame) =
-        df.agg(count(lit(1)).as("n_bad"))
-          .select(lit(name).as("check"), col("n_bad"))
-      row("orphan_lineitem",
-          li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti"))
-        .unionByName(row("orphan_order",
-          o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")))
-        .unionByName(li.groupBy(col("l_orderkey"), col("l_linenumber"))
-          .agg(count(lit(1)).as("n"))
-          .agg(coalesce(sum(expr("n - 1")), lit(0L)).as("n_bad"))
-          .select(lit("dup_linenumber").as("check"), col("n_bad")))
-        .unionByName(row("quantity_range",
-          li.filter(col("l_quantity") < 1 || col("l_quantity") > 50)))
-        .unionByName(row("nonpositive_price",
-          o.filter(col("o_totalprice") <= 0)))
-        .unionByName(row("null_custkey", o.filter(col("o_custkey").isNull)))
-        .unionByName(row("ship_before_order",
-          li.join(o, li("l_orderkey") === o("o_orderkey"))
-            .filter(col("l_shipdate") < col("o_orderdate"))))
+      // three conditional-aggregation passes over PERSISTED narrow
+      // projections — each base table's parquet is read once, not once
+      // per constraint (the naive one-subtree-per-check union scans
+      // lineitem 4x; at 100 TB that is 4 full-corpus reads for one
+      // report). Anti-join checks become left-join null counts so they
+      // fold into the same pass as the other row-level predicates.
+      val li = Dedup.persistTracked(t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_shipdate")))
+      val o = Dedup.persistTracked(t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderdate")))
+      val c = t(s, dir, "customer").select(col("c_custkey"))
+      // pass 1: lineitem ⟕ orders — referential + cross-table ordering
+      val lij = li.join(o.select(col("o_orderkey"), col("o_orderdate")),
+          li("l_orderkey") === col("o_orderkey"), "left")
+        .agg(
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
+            .as("orphan_lineitem"),
+          sum(when(col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L))
+            .as("ship_before_order"))
+      // pass 2: per-(orderkey, linenumber) groups — uniqueness + ranges
+      val dup = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+            .otherwise(0L)).as("bq"))
+        .agg(coalesce(sum(expr("n - 1")), lit(0L)).as("dup_linenumber"),
+          coalesce(sum(col("bq")), lit(0L)).as("quantity_range"))
+      // pass 3: orders ⟕ customer — referential + value sanity
+      val oj = o.join(c, col("o_custkey") === col("c_custkey"), "left")
+        .agg(
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L))
+            .as("orphan_order"),
+          sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L))
+            .as("nonpositive_price"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+            .as("null_custkey"))
+      lij.crossJoin(dup).crossJoin(oj)
+        .selectExpr("""stack(7,
+          'orphan_lineitem', orphan_lineitem,
+          'orphan_order', orphan_order,
+          'dup_linenumber', dup_linenumber,
+          'quantity_range', quantity_range,
+          'nonpositive_price', nonpositive_price,
+          'null_custkey', null_custkey,
+          'ship_before_order', ship_before_order) AS (check, n_bad)""")
     }),
 
     // ----- TOKEN-BUDGET MIXTURE PLAN: given a total training-token

@@ -34,6 +34,7 @@ class PlanHygieneSpec extends SparkSpec {
     "q_bm25",           // 1-row corpus-stats scalar crossed into the scoring
     "q15_top_revenue",  // 1-row max-revenue scalar crossed into the filter
     "q_ks_test",        // 1-row cohort-totals scalar crossed into the max
+    "q_dq_checks",      // three 1-row constraint aggregates crossed + stacked
     // reference theta-join surface (J2/J3): inequality-only predicates
     // have no equi key, so a nested loop is the ONLY plan; both queries
     // run on dimension-sized inputs. The scale path for range predicates

@@ -41,4 +41,47 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sql == df,
       s"only-sql=${(sql -- df).take(5)} only-df=${(df -- sql).take(5)}")
   }
+
+  test("Bloom novelty ingest in pure SQL == Bloom.noveltyFilter") {
+    import graft.operators.Bloom
+    GraftFunctions.register(spark)
+    val m = 1 << 16; val k = 5
+    val docs = Tables(spark, dir, "documents")
+    docs.createOrReplaceTempView("docs_sql")
+    // positionsSql is plain Spark SQL: the whole mask-build + membership
+    // pipeline runs from spark.sql alone (set-bit table in place of the
+    // driver-built long[] mask; the exact anti join removes the FPP
+    // sliver exactly as the Column path does)
+    val posFp = Bloom.positionsSql("fp", m, k)
+    val sql = spark.sql(
+      s"""WITH fps AS (
+         |  SELECT doc_id, source, graft_polyhash(text) AS fp FROM docs_sql
+         |),
+         |base AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 3 != 0),
+         |bits AS (SELECT DISTINCT explode($posFp) AS pos FROM base),
+         |ing AS (
+         |  SELECT doc_id, fp, explode($posFp) AS pos
+         |  FROM fps WHERE doc_id % 3 = 0
+         |),
+         |pass AS (
+         |  SELECT i.doc_id, i.fp,
+         |         min(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS ok
+         |  FROM ing i LEFT JOIN bits b ON i.pos = b.pos
+         |  GROUP BY i.doc_id, i.fp
+         |)
+         |SELECT doc_id FROM pass WHERE ok = 0
+         |UNION ALL
+         |SELECT doc_id FROM pass
+         |WHERE ok = 1 AND fp NOT IN (SELECT fp FROM base)""".stripMargin)
+      .collect().map(_.getLong(0)).toSet
+    val fp = docs.withColumn("fp",
+      GraftFunctions.polyHash(col("text")))
+    val df = Bloom.noveltyFilter(
+      fp.filter(col("doc_id") % 3 === 0), "fp",
+      fp.filter(col("doc_id") % 3 =!= 0).select(col("fp").as("base_fp")),
+      "base_fp", m, k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sql == df,
+      s"only-sql=${(sql -- df).take(5)} only-df=${(df -- sql).take(5)}")
+  }
 }
