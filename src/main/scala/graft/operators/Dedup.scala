@@ -425,6 +425,50 @@ object Dedup {
     labels.select(col("id").as(aCol), col("label").as("cluster"))
   }
 
+  /** [[clusters]] run to FIXPOINT: min-label rounds continue until a
+    * round changes no label (one tiny changed-count aggregate per round
+    * is the price of the guarantee), capped at `maxRounds`. Use this
+    * when cluster diameter is unknown — [[clusters]]' fixed 3 rounds is
+    * exact only for diameter ≤ 3, which holds for typical near-dup
+    * blobs but not for chain-shaped candidate graphs (A~B~C~… from
+    * sliding near-matches). Per round the cost is identical to
+    * [[clusters]] (one edge join + one aggregate + a lineage cut);
+    * min-label propagation over D-diameter components converges in ≤ D
+    * rounds, so the loop runs exactly as long as the data demands. On a
+    * 100 TB corpus the changed-count action adds one job per round over
+    * a node-sized (not corpus-sized) label table. */
+  def clustersConverged(pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 20): DataFrame = {
+    val edges = persistTracked(
+      pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst")))
+    val nodes = edges.select(col("src").as("id")).distinct()
+    var labels = nodes.withColumn("label", col("id"))
+      .transform(checkpointTracked)
+    var round = 0
+    var changed = 1L
+    while (round < maxRounds && changed > 0) {
+      val nbr = edges
+        .join(labels.withColumnRenamed("id", "dst2"),
+          col("dst") === col("dst2"))
+        .groupBy(col("src"))
+        .agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(nbr, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("label"))
+        .transform(checkpointTracked)
+      changed = next
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      round += 1
+    }
+    labels.select(col("id").as(aCol), col("label").as("cluster"))
+  }
+
   /** Duplicated-SPAN detection (the practical approximation of exact-
     * substring dedup, Lee et al. 2021 "Deduplicating Training Data Makes
     * Language Models Better"): a doc's w-token windows that also occur in

@@ -576,6 +576,30 @@ class OperatorSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("clustersConverged: exact on long chains where fixed rounds are not") {
+    import spark.implicits._
+    // a 12-node chain: diameter 11 — fixed 3-round propagation CANNOT
+    // reach the far end, the fixpoint loop must
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val fixed = Dedup.clusters(chain, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    val conv = Dedup.clustersConverged(chain, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    Dedup.releaseCaches()
+    assert(conv == (1L to 12L).map(_ -> 1L).toMap,
+      s"fixpoint labels wrong: $conv")
+    assert(fixed.values.toSet.size > 1,
+      "fixture too easy: fixed rounds already converged")
+    // and on a short-diameter graph the two agree exactly
+    val blob = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val a = Dedup.clusters(blob, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    val b = Dedup.clustersConverged(blob, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    Dedup.releaseCaches()
+    assert(a == b)
+  }
+
   test("prefix-filter set-similarity join is EXACT: equals brute force") {
     import org.apache.spark.sql.functions._
     import graft.functions.XFormulas
