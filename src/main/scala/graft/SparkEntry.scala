@@ -1790,6 +1790,22 @@ object SparkEntry {
           max(expr("CAST(length(text) AS BIGINT)")).as("max_len"))
     }),
 
+    // ----- NORMALIZED exact dedup: case/punctuation/whitespace-
+    // insensitive duplicate groups (the cheap fuzzy-exact stage between
+    // byte-exact dedup and MinHash — catches reformatted copies that
+    // byte fingerprints miss at hash-groupBy cost, no candidate
+    // generation). The normalized text never shuffles: only its 64-bit
+    // fingerprint does. -----
+    "q_dedup_norm" -> ((s, dir) => {
+      val norm = "trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9 ]', ' '), ' +', ' '))"
+      t(s, dir, "documents")
+        .withColumn("nfp", expr(XFormulas.sparkStrHash(norm)))
+        .groupBy(col("nfp"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+        .filter(col("n_copies") > 1)
+    }),
+
     // ----- KEEP-BEST dedup policy: within each near-dup cluster keep
     // the HIGHEST-QUALITY member by corpus-LM score (the FineWeb-style
     // survivor rule — keep-longest favors concatenation spam; keep-best
@@ -4610,6 +4626,14 @@ object SparkEntry {
            FROM cand ab
            JOIN cand bc ON ab.b = bc.a
            JOIN cand ac ON ab.a = ac.a AND bc.b = ac.b""",
+      "q_dedup_norm" -> {
+        val norm = "trim(regexp_replace(regexp_replace(lower(text), " +
+          "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+        s"""WITH n AS (SELECT doc_id, ${duckStrHash(norm)} AS nfp FROM documents)
+           SELECT nfp, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
+           FROM n GROUP BY nfp HAVING COUNT(*) > 1"""
+      },
+
       "q_dedup_keep_best" -> {
         val rounds = (1 to 3).map { i =>
           s"""l$i AS (SELECT n.id, least(n.label, coalesce(m.nm, n.label)) AS label
