@@ -1790,6 +1790,22 @@ object SparkEntry {
           max(expr("CAST(length(text) AS BIGINT)")).as("max_len"))
     }),
 
+    // ----- PADDING-WASTE readout: bucket documents by token length
+    // (64-token batch granularity) and compute how many pad tokens a
+    // batch-by-length training loader would burn per bucket — the
+    // measurement behind sequence packing (q_seq_pack is the fix; this
+    // quantifies what it saves). One narrow map + one tiny aggregate. -----
+    "q_padding_waste" -> ((s, dir) =>
+      TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+        .selectExpr("CAST(size(toks) AS BIGINT) AS n_toks")
+        .filter(col("n_toks") > 0)
+        .withColumn("bucket", expr("(n_toks - 1) div 64"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("real_tokens"))
+        .withColumn("padded_tokens", expr("n_docs * (bucket + 1) * 64"))
+        .withColumn("padding_frac",
+          expr("1.0e0 - CAST(real_tokens AS DOUBLE) / padded_tokens"))),
+
     // ----- NORMALIZED exact dedup: case/punctuation/whitespace-
     // insensitive duplicate groups (the cheap fuzzy-exact stage between
     // byte-exact dedup and MinHash — catches reformatted copies that
@@ -4626,6 +4642,15 @@ object SparkEntry {
            FROM cand ab
            JOIN cand bc ON ab.b = bc.a
            JOIN cand ac ON ab.a = ac.a AND bc.b = ac.b""",
+      "q_padding_waste" ->
+        s"""WITH tk AS (SELECT CAST(len(${duckTokens("text")}) AS BIGINT) AS n_toks FROM documents),
+           b AS (SELECT n_toks, (n_toks - 1) // 64 AS bucket FROM tk WHERE n_toks > 0)
+           SELECT bucket, COUNT(*) AS n_docs,
+                  CAST(SUM(n_toks) AS BIGINT) AS real_tokens,
+                  CAST(COUNT(*) * (bucket + 1) * 64 AS BIGINT) AS padded_tokens,
+                  1.0e0 - CAST(SUM(n_toks) AS DOUBLE) / (COUNT(*) * (bucket + 1) * 64) AS padding_frac
+           FROM b GROUP BY bucket""",
+
       "q_dedup_norm" -> {
         val norm = "trim(regexp_replace(regexp_replace(lower(text), " +
           "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"

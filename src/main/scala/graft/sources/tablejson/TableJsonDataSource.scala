@@ -178,7 +178,11 @@ private[tablejson] class TableJsonScanBuilder(path: String, full: StructType)
     * (database.py:929-953) without materializing one. */
   private def supported(f: Filter): Boolean = f match {
     case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
-         _: LessThan | _: LessThanOrEqual => true
+         _: LessThan | _: LessThanOrEqual | _: In => true
+    // every .table.json column is non-nullable by format contract, so
+    // IsNotNull is absorbed as always-true (removing it from the
+    // residual saves Spark a per-row null check)
+    case _: IsNotNull => true
     case _ => false
   }
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -317,6 +321,8 @@ private[tablejson] object RowFilters {
       case GreaterThanOrEqual(a, v) => cmp(arr, full, a, v) >= 0
       case LessThan(a, v) => cmp(arr, full, a, v) < 0
       case LessThanOrEqual(a, v) => cmp(arr, full, a, v) <= 0
+      case In(a, vs) => vs.exists(v => cmp(arr, full, a, v) == 0)
+      case IsNotNull(_) => true // format columns are non-nullable
       case _ => true
     }
 }

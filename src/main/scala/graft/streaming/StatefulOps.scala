@@ -442,6 +442,48 @@ object StatefulOps {
     }
   }
 
+  /** Streaming per-key QUOTA: admit at most `n` rows per key over the
+    * stream's lifetime — the streaming twin of the batch
+    * `Sampling.domainQuota` ("max n pages per domain" enforced at
+    * ingest time, before anything lands). State per key is ONE long;
+    * admission is first-come (stream order), deterministic for a given
+    * arrival order. Keys keep counting after the cap so the state never
+    * grows beyond one counter per key. */
+  private class QuotaProcessor(n: Long)
+      extends StatefulProcessor[String, FpIn, FpIn] {
+    @transient private var state: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[Long]("quota",
+        Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[FpIn],
+        timers: TimerValues): Iterator[FpIn] = {
+      var c = if (state.exists()) state.get() else 0L
+      val out = scala.collection.mutable.ArrayBuffer.empty[FpIn]
+      rows.foreach { r =>
+        if (c < n) out += r
+        c += 1
+      }
+      state.update(c)
+      out.iterator
+    }
+  }
+
+  /** Per-source streaming quota over a document stream (see
+    * [[QuotaProcessor]]): at most `n` docs per `srcCol` value admitted,
+    * first-come. */
+  def streamingQuota(docs: DataFrame, idCol: String, srcCol: String,
+      n: Long): Dataset[FpIn] = {
+    require(n >= 0, s"streamingQuota: n must be non-negative, got $n")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(srcCol).cast("string").as("shard"),
+        lit(0L).as("fp"), col(idCol).as("id"))
+      .as[FpIn]
+      .groupByKey(_.shard)
+      .transformWithState(new QuotaProcessor(n),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Bounded-memory streaming novelty filter over a fingerprint stream
     * (see [[BloomDedupProcessor]]). `nshards` spreads the masks across
     * state-store partitions; `mBits` is PER SHARD (must be a positive

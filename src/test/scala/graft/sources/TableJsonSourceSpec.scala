@@ -140,6 +140,16 @@ class TableJsonSourceSpec extends SparkSpec {
     assert(r.getLong(0) == 0L && r.isNullAt(1))
   }
 
+  test("In filter pushes into the scan and evaluates correctly") {
+    val q = cities.filter("country IN ('Japan', 'Canada')")
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("In(country"), s"In not pushed:\n$scan")
+    val got = q.collect().map(_.getString(1)).toSet
+    assert(got == Set("Japan", "Canada"))
+    assert(q.count() ==
+      cities.collect().count(r => Set("Japan", "Canada")(r.getString(1))))
+  }
+
   test("unsupported aggregates are NOT pushed and still compute correctly") {
     import org.apache.spark.sql.functions._
     val q = cities.agg(sum(col("population")).as("s"))

@@ -407,6 +407,32 @@ class StatefulOpsSpec extends SparkSpec {
     assert(rows.select("fp").distinct().count() == 2)
   }
 
+  test("streamingQuota admits at most n per key across batches (RocksDB)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, String)]
+      val q = StatefulOps.streamingQuota(
+          mem.toDF().toDF("id", "src"), "id", "src", n = 2)
+        .writeStream.format("memory").queryName("squota")
+        .outputMode(OutputMode.Append).start()
+      try {
+        mem.addData((1L, "a"), (2L, "a"), (3L, "b"))
+        q.processAllAvailable()
+        // the cap must hold across micro-batches, not just within one
+        mem.addData((4L, "a"), (5L, "b"), (6L, "b"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = spark.table("squota").as[StatefulOps.FpIn].collect()
+      val bySrc = out.groupBy(_.shard).view.mapValues(_.map(_.id).sorted.toSeq).toMap
+      assert(bySrc("a") == Seq(1L, 2L), s"src a: ${bySrc("a")}")
+      assert(bySrc("b") == Seq(3L, 5L), s"src b: ${bySrc("b")}")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("bloomDedupTws: no duplicate ever emitted, novels pass (RocksDB)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
