@@ -32,7 +32,10 @@ object Analyzer {
   case class Resolved(
       output: Seq[OutCol],
       comparisons: Seq[RComparison],
-      groupBy: Seq[ResolvedCol])
+      groupBy: Seq[ResolvedCol],
+      // extension (§2.7): (output header, descending) keys + row limit
+      orderBy: Seq[(String, Boolean)] = Nil,
+      limit: Option[Long] = None)
 
   type Registry = mutable.LinkedHashMap[String, RefTable]
 
@@ -140,6 +143,20 @@ object Analyzer {
     val comparisons = analyzeWhere(all, q.where)
     val output = analyzeSelect(all, q.select)
     val groupBy = q.groupBy.map(resolve(all, _))
-    Resolved(output, comparisons, groupBy)
+    // Extension semantics (no reference counterpart): ORDER BY keys
+    // reference OUTPUT HEADERS (alias if given, else bare/derived name)
+    // so aggregate results are orderable; qualified refs are rejected —
+    // headers are bare names by construction.
+    val headers = output.map(_.header)
+    val orderBy = q.orderBy.map { k =>
+      if (k.ref.table.nonEmpty || !headers.contains(k.ref.name))
+        throw EngineError(
+          s"""ERROR: ORDER BY column "${k.ref.table.map(_ + ".").getOrElse("")}${k.ref.name}" is not in the select list.""")
+      (k.ref.name, k.desc)
+    }
+    q.limit.foreach { n =>
+      if (n < 0) throw EngineError(s"ERROR: LIMIT must be non-negative, got $n.")
+    }
+    Resolved(output, comparisons, groupBy, orderBy, q.limit)
   }
 }

@@ -50,11 +50,17 @@ object Ast {
   case class TableRef(file: String, as: Option[String])
   case class Comparison(op: String, left: Term, right: Term)
 
+  /** Extension (with GROUP BY): one ORDER BY key — the referenced
+    * column must name an output header. */
+  case class OrderKey(ref: ColumnRef, desc: Boolean)
+
   case class SelectQuery(
       select: Seq[Selector],
       from: Seq[TableRef],
       where: Seq[Comparison],
-      groupBy: Seq[ColumnRef] = Nil)
+      groupBy: Seq[ColumnRef] = Nil,
+      orderBy: Seq[OrderKey] = Nil,
+      limit: Option[Long] = None)
 
   // ---------------- JSON decode (S3: database.py:129-137) ----------------
 
@@ -68,7 +74,12 @@ object Ast {
       where = Option(root.get("where")).map(
         _.elements.asScala.map(decodeComparison).toSeq).getOrElse(Nil),
       groupBy = Option(root.get("group_by")).map(
-        _.elements.asScala.map(decodeColumnRef).toSeq).getOrElse(Nil))
+        _.elements.asScala.map(decodeColumnRef).toSeq).getOrElse(Nil),
+      orderBy = Option(root.get("order_by")).map(
+        _.elements.asScala.map(n => OrderKey(
+          decodeColumnRef(n.get("column")),
+          n.get("desc").asBoolean)).toSeq).getOrElse(Nil),
+      limit = opt(root.get("limit")).map(_.asLong))
   }
 
   private def opt(n: JsonNode): Option[JsonNode] =
@@ -145,11 +156,21 @@ object Ast {
         "left" -> inlineTerm(c.left),
         "right" -> inlineTerm(c.right)))
     }
+    // extension fields appear ONLY when present, so reference queries
+    // keep dumping byte-identically to the reference's `dump`
+    val extLines = Seq(
+      Option.when(q.groupBy.nonEmpty)(
+        s""""group_by": ${arr(p1, q.groupBy.map(inline))}"""),
+      Option.when(q.orderBy.nonEmpty)(
+        s""""order_by": ${arr(p1, q.orderBy.map(k =>
+          s"""{"column": ${inline(k.ref)}, "desc": ${k.desc}}"""))}"""),
+      q.limit.map(n => s""""limit": $n""")).flatten
     sb.append("{\n")
     sb.append(s"""    "select": ${arr(p1, selectors)},\n""")
     sb.append(s"""    "from": ${arr(p1, froms)},\n""")
-    sb.append(s"""    "where": ${arr(p1, wheres)}\n""")
-    sb.append("}\n")
+    sb.append(s"""    "where": ${arr(p1, wheres)}""")
+    extLines.foreach(l => sb.append(s",\n    $l"))
+    sb.append("\n}\n")
     sb.toString
   }
 }

@@ -57,7 +57,20 @@ object Executor {
     val filtered = r.comparisons.map(cond)
       .reduceOption(_ && _).map(base.filter).getOrElse(base)
 
-    if (r.groupBy.isEmpty && !r.output.exists(o =>
+    // extension (§2.7): ORDER BY output headers + LIMIT, applied to the
+    // final projected frame — Catalyst plans `ORDER BY … LIMIT n` as
+    // TakeOrderedAndProject (per-partition top-n heaps, no global sort)
+    def sortLimit(df: org.apache.spark.sql.DataFrame) = {
+      val ordered =
+        if (r.orderBy.isEmpty) df
+        else df.orderBy(r.orderBy.map {
+          case (h, true) => col(h).desc
+          case (h, false) => col(h).asc
+        }: _*)
+      r.limit.map(n => ordered.limit(n.toInt)).getOrElse(ordered)
+    }
+
+    sortLimit(if (r.groupBy.isEmpty && !r.output.exists(o =>
         o.isInstanceOf[OutCount] || o.isInstanceOf[OutSum])) {
       filtered.select(r.output.map {
         case OutRef(rc, alias, _) => colOf(rc).as(alias.getOrElse(rc.column))
@@ -81,6 +94,6 @@ object Executor {
         case o: OutCount => col(o.header)
         case o: OutSum => col(o.header)
       }: _*)
-    }
+    })
   }
 }

@@ -22,6 +22,11 @@ object SqlParser {
   private val Ops = Set("=", "!=", ">", ">=", "<", "<=")
   private val Keywords =
     Set("SELECT", "FROM", "WHERE", "GROUP", "BY", "COUNT", "SUM", "AS", "AND")
+  /** Extension-only keywords (§2.7 sorts/limits): recognized solely when
+    * `extensions = true`, so the reference tokenizer's behavior — an
+    * uppercase non-keyword is an "invalid token" error — is preserved
+    * byte-for-byte in reference mode. */
+  private val ExtKeywords = Set("ORDER", "LIMIT", "ASC", "DESC")
   private val Delimiters = Set(".", ",", "(", ")")
 
   /** Token; `typ` uses the reference's names: a keyword/delimiter literal,
@@ -32,7 +37,7 @@ object SqlParser {
   // JSON-style quoting used by the reference's `q()` (= json.dumps).
   private def q(s: String): String = PyJson.dumps(s)
 
-  def tokenize(query: String): Vector[Tok] = {
+  def tokenize(query: String, extensions: Boolean = false): Vector[Tok] = {
     val out = ArrayBuffer.empty[Tok]
     var i = 0
     var line = 1
@@ -129,7 +134,8 @@ object SqlParser {
             }
           }
           val v = query.substring(start, i)
-          if (Keywords(v)) out += Tok(line, col(start), v)
+          if (Keywords(v) || (extensions && ExtKeywords(v)))
+            out += Tok(line, col(start), v)
           else if (v(0).isUpper)
             err(start, s"invalid token: ${q(v)}; it's not a keyword but it " +
               "starts with an upper-case letter; only keywords can start " +
@@ -143,7 +149,8 @@ object SqlParser {
   }
 
   private def typToFriendly(typ: String): String =
-    if (Keywords(typ) || Ops(typ) || Delimiters(typ)) "\"" + typ + "\""
+    if (Keywords(typ) || ExtKeywords(typ) || Ops(typ) || Delimiters(typ))
+      "\"" + typ + "\""
     else typ match {
       case "ident" => "identifier"
       case "op" => "a comparison operator"
@@ -153,7 +160,8 @@ object SqlParser {
     }
 
   private def tokToFriendly(t: Tok): String =
-    if (Keywords(t.typ) || Ops(t.typ) || Delimiters(t.typ)) "\"" + t.typ + "\""
+    if (Keywords(t.typ) || ExtKeywords(t.typ) || Ops(t.typ) ||
+        Delimiters(t.typ)) "\"" + t.typ + "\""
     else t.typ match {
       case "ident" => s"""identifier "${t.sval}""""
       case "op" => s""""${t.sval}""""
@@ -163,7 +171,7 @@ object SqlParser {
     }
 
   def parse(sql: String, extensions: Boolean = false): SelectQuery =
-    new P(tokenize(sql), extensions).pSelect()
+    new P(tokenize(sql, extensions), extensions).pSelect()
 
   private final class P(tokens: Vector[Tok], extensions: Boolean) {
     private var i = 0
@@ -198,8 +206,24 @@ object SqlParser {
         if (extensions && check("GROUP").isDefined) {
           expect("BY"); pSeparated(",", () => pColumnRef())
         } else Nil
+      val orderBy =
+        if (extensions && check("ORDER").isDefined) {
+          expect("BY")
+          pSeparated(",", () => {
+            val ref = pColumnRef()
+            val desc =
+              if (check("DESC").isDefined) true
+              else { check("ASC"); false }
+            OrderKey(ref, desc)
+          })
+        } else Nil
+      val limit =
+        if (extensions && check("LIMIT").isDefined)
+          Some(expect("lit-int").ival)
+        else None
       if (check("end").isDefined)
-        SelectQuery(selectors, fromTables, whereClauses, groupBy)
+        SelectQuery(selectors, fromTables, whereClauses, groupBy,
+          orderBy, limit)
       else throw fail()
     }
 

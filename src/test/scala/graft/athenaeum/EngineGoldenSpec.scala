@@ -165,4 +165,43 @@ class EngineGoldenSpec extends SparkSpec {
       "India   | 3 | 31919",
       "Japan   | 4 | 38962"))
   }
+
+  test("phase D: ORDER BY header DESC + LIMIT over the golden tables") {
+    val out = Engine.runSql(spark, goldenDir,
+      "SELECT name, population FROM cities ORDER BY population DESC LIMIT 3",
+      extensions = true)
+    val rows = out.linesIterator.filterNot(_.startsWith("- Loaded")).drop(2).toSeq
+    // ordered output IS the contract — compare as a sequence
+    assert(rows.map(_.split('|')(0).trim) == Seq("Tokyo", "Mumbai", "Delhi"),
+      rows.mkString("\n"))
+  }
+
+  test("phase D: ORDER BY aggregate alias composes with GROUP BY") {
+    val out = Engine.runSql(spark, goldenDir,
+      "SELECT country, SUM(population) AS total FROM cities " +
+        "GROUP BY country ORDER BY total DESC LIMIT 2",
+      extensions = true)
+    val rows = out.linesIterator.filterNot(_.startsWith("- Loaded")).drop(2).toSeq
+    assert(rows.map(_.split('|')(0).trim) == Seq("Japan", "India"),
+      rows.mkString("\n"))
+  }
+
+  test("phase D: ORDER BY column not in select list errors cleanly") {
+    val err = intercept[EngineError] {
+      Engine.runSql(spark, goldenDir,
+        "SELECT name FROM cities ORDER BY population",
+        extensions = true)
+    }
+    assert(err.msg ==
+      "ERROR: ORDER BY column \"population\" is not in the select list.")
+  }
+
+  test("reference mode still rejects ORDER as an invalid uppercase token") {
+    val err = intercept[SqlParser.ParseException] {
+      Engine.runSql(spark, goldenDir,
+        "SELECT name FROM cities ORDER BY name")
+    }
+    assert(err.getMessage.contains("invalid token: \"ORDER\""),
+      err.getMessage)
+  }
 }

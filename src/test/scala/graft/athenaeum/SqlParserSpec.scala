@@ -25,6 +25,22 @@ class SqlParserSpec extends AnyFunSuite {
     assert(Ast.fromJson(Ast.toJson(ast)) == ast)
   }
 
+  test("extension round trip: GROUP BY / ORDER BY / LIMIT survive the JSON AST") {
+    val ast = SqlParser.parse(
+      "SELECT country, COUNT AS n FROM cities " +
+        "GROUP BY country ORDER BY n DESC, country LIMIT 5",
+      extensions = true)
+    assert(ast.groupBy.map(_.name) == Seq("country"))
+    assert(ast.orderBy.map(k => (k.ref.name, k.desc)) ==
+      Seq(("n", true), ("country", false)))
+    assert(ast.limit.contains(5L))
+    assert(Ast.fromJson(Ast.toJson(ast)) == ast)
+    // reference queries keep dumping without any extension fields
+    val plain = SqlParser.parse(fixture("example-3.sql"))
+    assert(!Ast.toJson(plain).contains("order_by"))
+    assert(!Ast.toJson(plain).contains("group_by"))
+  }
+
   private def errOf(sql: String): ParseException =
     intercept[ParseException](SqlParser.parse(sql))
 
