@@ -46,9 +46,16 @@ object Main {
 
 /** CLI parity with the reference's `sql-to-json` front end
   * (`sql-to-json:25-58`): SQL file in, pretty JSON AST to stdout, parse
-  * errors as `line N, col M: …` on stderr with exit 1. */
+  * errors as `line N, col M: …` on stderr with exit 1.
+  *
+  * An optional `--extensions` flag (ours, not the reference's — stripped
+  * before the parity argument check) enables the phase-D grammar:
+  * GROUP BY / COUNT / SUM / ORDER BY / LIMIT. Without it the surface is
+  * byte-identical to the reference. */
 object SqlToJson {
-  def main(args: Array[String]): Unit = {
+  def main(args0: Array[String]): Unit = {
+    val extensions = args0.contains("--extensions")
+    val args = args0.filterNot(_ == "--extensions")
     if (args.length != 1) {
       System.err.println(
         s"Expecting exactly 1 command-line argument, got ${args.length}.")
@@ -62,7 +69,7 @@ object SqlToJson {
         System.err.println(s"Unable to read from \"${args.head}\": ${e.getMessage}")
         sys.exit(1); ""
       }
-    try print(Ast.toJson(SqlParser.parse(text)))
+    try print(Ast.toJson(SqlParser.parse(text, extensions)))
     catch { case SqlParser.ParseException(line, col, message) =>
       System.err.println(s"line $line, col $col: $message")
       sys.exit(1)
