@@ -460,15 +460,15 @@ object SparkEntry {
       // persist: codes are 8x16 subspace scans per row and feed both the
       // query and candidate sides
       val enc = Dedup.persistTracked(emb.crossJoin(broadcast(cbRow))
-        .selectExpr("vec_id", "embedding", "cb",
-          s"${XFormulas.sparkPqCodes("embedding", "cb", 8, 16, 8)} AS codes"))
+        .select(col("vec_id"), col("embedding"), col("cb"), GraftFunctions
+          .pqCodes(col("embedding"), col("cb"), 8, 16, 8).as("codes")))
       val qs = enc.filter(col("vec_id") < 10)
         .selectExpr("vec_id AS qid", "embedding AS qv")
       enc.selectExpr("vec_id AS cid", "codes", "cb")
         .crossJoin(broadcast(qs))
         .filter(col("cid") =!= col("qid"))
-        .selectExpr("qid", "cid",
-          s"${XFormulas.sparkPqAdc("qv", "codes", "cb", 8, 8)} AS adc")
+        .select(col("qid"), col("cid"), GraftFunctions
+          .pqAdc(col("qv"), col("codes"), col("cb"), 8, 8).as("adc"))
         .withColumn("rnk", row_number().over(
           Window.partitionBy(col("qid")).orderBy(col("adc"), col("cid")))
           .cast("long"))
@@ -488,15 +488,15 @@ object SparkEntry {
       val cb = Similarity.pqTrainCodebook(v, "vec_id", "dv",
         "vec_id % 31 = 0 AND vec_id < 496")
       val enc = Dedup.persistTracked(v.crossJoin(broadcast(cb))
-        .selectExpr("vec_id", "dv", "cb",
-          s"${XFormulas.sparkPqCodes("dv", "cb", 8, 16, 8)} AS codes"))
+        .select(col("vec_id"), col("dv"), col("cb"), GraftFunctions
+          .pqCodes(col("dv"), col("cb"), 8, 16, 8).as("codes")))
       val qs = enc.filter(col("vec_id") < 10)
         .selectExpr("vec_id AS qid", "dv AS qv")
       enc.selectExpr("vec_id AS cid", "codes", "cb")
         .crossJoin(broadcast(qs))
         .filter(col("cid") =!= col("qid"))
-        .selectExpr("qid", "cid",
-          s"${XFormulas.sparkPqAdc("qv", "codes", "cb", 8, 8)} AS adc")
+        .select(col("qid"), col("cid"), GraftFunctions
+          .pqAdc(col("qv"), col("codes"), col("cb"), 8, 8).as("adc"))
         .withColumn("rnk", row_number().over(
           Window.partitionBy(col("qid")).orderBy(col("adc"), col("cid")))
           .cast("long"))

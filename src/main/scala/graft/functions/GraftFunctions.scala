@@ -36,6 +36,10 @@ object GraftFunctions {
   def shingleRows(text: Column, n: Int): Column = c(ShingleRows(e(text), n))
   def bloomContains(key: Column, mask: Array[Long], k: Int): Column =
     c(BloomMightContain(e(key), mask, k))
+  def pqCodes(vec: Column, cb: Column, m: Int, ks: Int, sd: Int): Column =
+    c(PqCodes(e(vec), e(cb), m, ks, sd))
+  def pqAdc(q: Column, codes: Column, cb: Column, m: Int, sd: Int): Column =
+    c(PqAdc(e(q), e(codes), e(cb), m, sd))
 
   private[functions] val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_polyhash" -> (args => PolyHash(args.head)),

@@ -3,7 +3,7 @@ package graft.functions.expressions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression,
-  Generator, UnaryExpression}
+  Generator, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -333,6 +333,67 @@ object HashImpl {
     true
   }
 
+  /** PQ encode: for each of the m subspaces, the 0-based index of the
+    * codeword minimizing squared L2 over that subspace's sd dimensions.
+    * Bit-identical to `XFormulas.sparkPqCodes` (the HOF/DuckDB form):
+    * per-dimension `(px - py) * (px - py)` accumulated left-to-right in
+    * doubles, first-minimum tie-break (strict `<` keeps the earlier
+    * codeword, matching `array_position(sc, array_min(sc))`). */
+  def pqCodes(vec: ArrayData, vecFloat: Boolean, cb: ArrayData,
+      cbFloat: Boolean, m: Int, ks: Int, sd: Int): ArrayData = {
+    def at(a: ArrayData, f: Boolean, i: Int): Double =
+      if (f) a.getFloat(i).toDouble else a.getDouble(i)
+    val codes = new Array[Any](m)
+    var sb = 0
+    while (sb < m) {
+      var best = 0L
+      var bestD = Double.PositiveInfinity
+      var cd = 0
+      while (cd < ks) {
+        val cw = cb.getArray(cd)
+        var d = 0.0
+        var p = 0
+        val off = sb * sd
+        while (p < sd) {
+          val diff = at(vec, vecFloat, off + p) - at(cw, cbFloat, off + p)
+          d += diff * diff
+          p += 1
+        }
+        if (d < bestD) { bestD = d; best = cd.toLong }
+        cd += 1
+      }
+      codes(sb) = best
+      sb += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** PQ asymmetric distance: sum over subspaces of squared L2 between
+    * the raw query's subvector and the codeword selected by `codes`.
+    * Bit-identical to `XFormulas.sparkPqAdc` (subspaces ascending, then
+    * dimensions ascending, double accumulation — same fold order). */
+  def pqAdc(q: ArrayData, qFloat: Boolean, codes: ArrayData, cb: ArrayData,
+      cbFloat: Boolean, m: Int, sd: Int): Double = {
+    def at(a: ArrayData, f: Boolean, i: Int): Double =
+      if (f) a.getFloat(i).toDouble else a.getDouble(i)
+    var acc = 0.0
+    var sb = 0
+    while (sb < m) {
+      val cw = cb.getArray(codes.getLong(sb).toInt)
+      var d = 0.0
+      var p = 0
+      val off = sb * sd
+      while (p < sd) {
+        val diff = at(q, qFloat, off + p) - at(cw, cbFloat, off + p)
+        d += diff * diff
+        p += 1
+      }
+      acc += d
+      sb += 1
+    }
+    acc
+  }
+
   /** Set `key`'s k Bloom positions in `mask` in place (same position
     * family as [[bloomContains]]). */
   def bloomSet(key: Long, mask: Array[Long], m: Int, k: Int): Unit = {
@@ -640,6 +701,85 @@ case class Tokens(child: Expression) extends UnaryExpression {
       s"graft.functions.expressions.HashImpl.tokens($a)")
   override protected def withNewChildInternal(c: Expression): Tokens =
     copy(child = c)
+}
+
+/** Codegen'd PQ encode of a vector against a (ks × dim) codebook column:
+  * per subspace, the first-minimum squared-L2 codeword index — the hot
+  * inner loop of PQ training (every Lloyd iteration encodes the corpus)
+  * and of the encode pass, folded from ~m·ks·sd interpreted HOF lambda
+  * calls per row into one flat JVM loop. Bit-identical to the
+  * `XFormulas.sparkPqCodes` HOF form (same fold order and tie-break), so
+  * the DuckDB oracle is unchanged. */
+case class PqCodes(left: Expression, right: Expression,
+    m: Int, ks: Int, sd: Int) extends BinaryExpression {
+  private def elemOf(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(e, _) => Some(e)
+    case _ => None
+  }
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = elemOf(left.dataType)
+      .exists(e => e == FloatType || e == DoubleType)
+    val cbOk = elemOf(right.dataType).flatMap(elemOf)
+      .exists(e => e == FloatType || e == DoubleType)
+    if (vecOk && cbOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float|double>, array<array<float|double>>), " +
+        s"got (${left.dataType}, ${right.dataType})")
+  }
+  private def vecFloat: Boolean = elemOf(left.dataType).contains(FloatType)
+  private def cbFloat: Boolean =
+    elemOf(right.dataType).flatMap(elemOf).contains(FloatType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_pq_codes"
+  protected override def nullSafeEval(vec: Any, cb: Any): Any =
+    HashImpl.pqCodes(vec.asInstanceOf[ArrayData], vecFloat,
+      cb.asInstanceOf[ArrayData], cbFloat, m, ks, sd)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, c) =>
+      s"graft.functions.expressions.HashImpl.pqCodes($v, $vecFloat, $c, $cbFloat, $m, $ks, $sd)")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): PqCodes = copy(left = l, right = r)
+}
+
+/** Codegen'd PQ asymmetric distance (ADC): the raw query vector scored
+  * against a candidate's compact codes via the shared codebook — the hot
+  * scoring loop of PQ search (runs once per (query, candidate) pair).
+  * Replaces a HOF chain whose per-pair cost was ~2·m array `slice`
+  * allocations plus m·sd lambda calls. Bit-identical to
+  * `XFormulas.sparkPqAdc`, so the DuckDB oracle is unchanged. */
+case class PqAdc(first: Expression, second: Expression, third: Expression,
+    m: Int, sd: Int) extends TernaryExpression {
+  private def elemOf(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(e, _) => Some(e)
+    case _ => None
+  }
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val qOk = elemOf(first.dataType)
+      .exists(e => e == FloatType || e == DoubleType)
+    val codesOk = elemOf(second.dataType).contains(LongType)
+    val cbOk = elemOf(third.dataType).flatMap(elemOf)
+      .exists(e => e == FloatType || e == DoubleType)
+    if (qOk && codesOk && cbOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float|double>, array<bigint>, " +
+        s"array<array<float|double>>), got (${first.dataType}, " +
+        s"${second.dataType}, ${third.dataType})")
+  }
+  private def qFloat: Boolean = elemOf(first.dataType).contains(FloatType)
+  private def cbFloat: Boolean =
+    elemOf(third.dataType).flatMap(elemOf).contains(FloatType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc"
+  protected override def nullSafeEval(q: Any, codes: Any, cb: Any): Any =
+    HashImpl.pqAdc(q.asInstanceOf[ArrayData], qFloat,
+      codes.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData],
+      cbFloat, m, sd)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (q, codes, cb) =>
+      s"graft.functions.expressions.HashImpl.pqAdc($q, $qFloat, $codes, $cb, $cbFloat, $m, $sd)")
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): PqAdc =
+    copy(first = f, second = s, third = t)
 }
 
 /** Codegen'd Bloom-filter membership test of a non-negative BIGINT key

@@ -329,9 +329,12 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(vid, dv))), " +
         "s -> s.dv)").as("cb"))
     for (_ <- 1 to iters) {
+      // native codegen'd encode — bit-identical to the sparkPqCodes HOF
+      // (HashExpressionsSpec pins it), ~m·ks·sd lambda calls per row
+      // collapsed into one flat loop
       val assigned = v.crossJoin(broadcast(cb))
-        .selectExpr("dv",
-          s"${sparkPqCodes("dv", "cb", m, ks, sd)} AS codes")
+        .select(col("dv"), GraftFunctions
+          .pqCodes(col("dv"), col("cb"), m, ks, sd).as("codes"))
       val means = assigned
         .select(explode(expr(
           s"transform(sequence(0, ${m - 1}), j -> struct(j AS j, " +

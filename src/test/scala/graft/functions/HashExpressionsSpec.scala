@@ -178,6 +178,45 @@ class HashExpressionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
   }
 
+  test("PqCodes == HOF pq encode on every embedding, float and double books") {
+    val e = Tables(spark, dir, "embeddings")
+    // float codebook (the untrained q_ann_pq shape)
+    val cbF = e.filter("vec_id % 31 = 0 AND vec_id < 496")
+      .agg(expr("transform(array_sort(collect_list(struct(vec_id, embedding))), s -> s.embedding)").as("cb"))
+    val mmF = e.crossJoin(org.apache.spark.sql.functions.broadcast(cbF))
+      .select(
+        GraftFunctions.pqCodes(col("embedding"), col("cb"), 8, 16, 8).as("native"),
+        expr(sparkPqCodes("embedding", "cb", 8, 16, 8)).as("hof"))
+      .filter("native <> hof")
+    assert(mmF.count() == 0)
+    // double codebook (the trained q_ann_pq2 shape)
+    val dv = e.selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS dv")
+    val cbD = dv.filter("vec_id % 31 = 0 AND vec_id < 496")
+      .agg(expr("transform(array_sort(collect_list(struct(vec_id, dv))), s -> s.dv)").as("cb"))
+    val mmD = dv.crossJoin(org.apache.spark.sql.functions.broadcast(cbD))
+      .select(
+        GraftFunctions.pqCodes(col("dv"), col("cb"), 8, 16, 8).as("native"),
+        expr(sparkPqCodes("dv", "cb", 8, 16, 8)).as("hof"))
+      .filter("native <> hof")
+    assert(mmD.count() == 0)
+  }
+
+  test("PqAdc == HOF asymmetric distance on every (query, candidate) pair") {
+    val e = Tables(spark, dir, "embeddings")
+    val cb = e.filter("vec_id % 31 = 0 AND vec_id < 496")
+      .agg(expr("transform(array_sort(collect_list(struct(vec_id, embedding))), s -> s.embedding)").as("cb"))
+    val enc = e.crossJoin(org.apache.spark.sql.functions.broadcast(cb))
+      .select(col("vec_id"), col("embedding"), col("cb"),
+        GraftFunctions.pqCodes(col("embedding"), col("cb"), 8, 16, 8).as("codes"))
+    val qs = enc.filter("vec_id < 5").selectExpr("embedding AS qv")
+    val mm = enc.limit(100).crossJoin(org.apache.spark.sql.functions.broadcast(qs))
+      .select(
+        GraftFunctions.pqAdc(col("qv"), col("codes"), col("cb"), 8, 8).as("native"),
+        expr(sparkPqAdc("qv", "codes", "cb", 8, 8)).as("hof"))
+      .filter("native <> hof") // EXACT double equality: fold orders match
+    assert(mm.count() == 0)
+  }
+
   test("literal inputs constant-fold at optimization time") {
     // deterministic + foldable children → Catalyst's ConstantFolding
     // evaluates the native expressions once on the driver; the optimized
