@@ -132,11 +132,16 @@ object Similarity {
         lit(0.0), (s, d) => s + d))
 
   /** 0-based nearest-centroid cell, ties to the lowest cell (matches the
-    * oracle's ORDER BY dist, cell). */
-  private def nearestCell(dv: Column, cent: Array[Array[Double]]): Column = {
-    val d = centroidDists(dv, cent)
-    (array_position(d, array_min(d)) - 1).cast("long")
-  }
+    * oracle's ORDER BY dist, cell). Computed by the native [[PqCodes]]
+    * expression with ONE subspace spanning the full dimension — k-means
+    * assignment IS product quantization with m=1 — which is bit-identical
+    * to the `array_position(d, array_min(d)) - 1` HOF form (same squared
+    * accumulation order, same first-minimum tie-break) at a fraction of
+    * the per-row lambda cost. This is the per-vector hot loop of every
+    * Lloyd iteration and of corpus cell assignment. */
+  private def nearestCell(dv: Column, cent: Array[Array[Double]]): Column =
+    element_at(GraftFunctions.pqCodes(dv,
+      typedLit(cent.map(_.toSeq).toSeq), 1, cent.length, cent(0).length), 1)
 
   /** IVF top-k over a LEARNED k-means codebook with multi-cell probing:
     * candidates are bucketed by their nearest centroid; each query probes
