@@ -503,6 +503,17 @@ object SparkEntry {
         .filter(col("rnk") <= 5)
     }),
 
+    // ----- IVF-PQ composite (the FAISS IVFPQ architecture): coarse
+    // k-means cells + PQ over residuals — queries probe 2 cells and
+    // ADC-score their per-cell residual against candidate codes. The
+    // index is (cell, 8 codes) per vector: no floats ship, and ADC work
+    // is confined to ~nprobe/ncells of the corpus -----
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    }),
+
     // ----- event-time windows (batch; streaming twins in graft.streaming)
     "q_events_tumbling" -> ((s, dir) =>
       Events.tumblingHourly(t(s, dir, "events"))),
@@ -3603,8 +3614,9 @@ object SparkEntry {
     // unrolled Lloyd k-means rounds (the label-propagation trick),
     // shared by the learned-IVF and SemDeDup oracles: assignN = nearest
     // centroid by squared-L2 with ties to the lowest cell; centroid
-    // update = exact DECIMAL(28,14) per-position mean cast back to
-    // DOUBLE (order-independent, matches Spark bit-for-bit); empty
+    // update = floor-quantized 1e-12 BIGINT per-position mean cast back
+    // to DOUBLE (order- AND engine-independent — the IVF-PQ oracle
+    // consumes centroid VALUES, not just assignments); empty
     // cells inherit the previous centroid via COALESCE. The chain ends
     // at c2 (the 2-round codebook) and cc (the final assignment).
     def kmAssign(cents: String, alias: String, filter: String) =
@@ -3615,7 +3627,8 @@ object SparkEntry {
             FROM dv d CROSS JOIN $cents i) WHERE rn = 1$filter)"""
     def kmUpdate(assigned: String, prev: String, alias: String) =
       s"""${alias}s AS (SELECT cell, j AS pos,
-              CAST(SUM(CAST(v[j] AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS cv
+              CAST(SUM(CAST(floor(v[j] * 1e12) AS BIGINT)) AS DOUBLE)
+                / COUNT(*) / 1e12 AS cv
             FROM $assigned CROSS JOIN (SELECT unnest(range(1, 65)) AS j) js
             GROUP BY cell, j),
           $alias AS (SELECT i.cell, COALESCE(n.c, i.c) AS c
@@ -3650,6 +3663,36 @@ object SparkEntry {
                       ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS "rank"
                FROM scored)
          SELECT qid, cid, cosine, "rank" FROM r WHERE "rank" <= 3"""
+    // one unrolled per-subspace Lloyd round over a CTE `v` (vec_id, dv):
+    // assign codes with the previous book, per-(subspace, code, dim)
+    // floor-quantized means, empty cells keep the previous codeword —
+    // mirrors Similarity.pqTrainCodebook exactly. Shared by the flat
+    // trained-PQ oracle (v = raw vectors) and the IVF-PQ oracle (v =
+    // coarse-cell residuals); CTE names are parameterized so the chain
+    // can coexist with kmeansChain's a1/a2.
+    def pqRound(prev: String, aN: String, mN: String, fN: String,
+        cbN: String): String =
+      s"""$aN AS (SELECT dv, ${duckPqCodes("dv", "cb", 8, 16, 8)} AS codes
+            FROM v CROSS JOIN $prev),
+       ${aN}e AS (SELECT jj.j AS j, codes[CAST(jj.j + 1 AS INT)] AS c,
+              pp.p AS p, dv[CAST(jj.j * 8 + pp.p + 1 AS INT)] AS val
+            FROM $aN,
+              (SELECT unnest(range(0, 8)) AS j) jj,
+              (SELECT unnest(range(0, 8)) AS p) pp),
+       $mN AS (SELECT j, c, p,
+              CAST(SUM(CAST(floor(val * 1e12) AS BIGINT)) AS DOUBLE)
+                / COUNT(*) / 1e12 AS cv
+            FROM ${aN}e GROUP BY j, c, p),
+       $fN AS (SELECT cs.c AS c, gp.gp AS gp,
+              COALESCE($mN.cv,
+                $prev.cb[CAST(cs.c + 1 AS INT)][CAST(gp.gp + 1 AS INT)]) AS val
+            FROM (SELECT unnest(range(0, 16)) AS c) cs
+            CROSS JOIN (SELECT unnest(range(0, 64)) AS gp) gp
+            CROSS JOIN $prev
+            LEFT JOIN $mN ON $mN.c = cs.c AND $mN.j = gp.gp // 8
+              AND $mN.p = gp.gp % 8),
+       $cbN AS (SELECT list(vec ORDER BY c) AS cb FROM
+            (SELECT c, list(val ORDER BY gp) AS vec FROM $fN GROUP BY c))"""
     Map(
       "q_text_stats" ->
         s"""WITH tk AS (SELECT doc_id, text, ${duckTokens("text")} AS toks FROM documents)
@@ -3876,40 +3919,14 @@ object SparkEntry {
                   CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, cid) AS BIGINT) AS rnk
                  FROM scored)
            SELECT qid, cid, adc, rnk FROM r WHERE rnk <= 5""",
-      "q_ann_pq2" -> {
-        // one unrolled Lloyd round: assign codes with the previous book,
-        // per-(subspace, code, dim) DECIMAL means, empty cells keep the
-        // previous codeword — mirrors Similarity.pqTrainCodebook exactly
-        def round(prev: String, aN: String, mN: String, fN: String,
-            cbN: String): String =
-          s"""$aN AS (SELECT dv, ${duckPqCodes("dv", "cb", 8, 16, 8)} AS codes
-                FROM v CROSS JOIN $prev),
-           ${aN}e AS (SELECT jj.j AS j, codes[CAST(jj.j + 1 AS INT)] AS c,
-                  pp.p AS p, dv[CAST(jj.j * 8 + pp.p + 1 AS INT)] AS val
-                FROM $aN,
-                  (SELECT unnest(range(0, 8)) AS j) jj,
-                  (SELECT unnest(range(0, 8)) AS p) pp),
-           $mN AS (SELECT j, c, p,
-                  CAST(SUM(CAST(floor(val * 1e12) AS BIGINT)) AS DOUBLE)
-                    / COUNT(*) / 1e12 AS cv
-                FROM ${aN}e GROUP BY j, c, p),
-           $fN AS (SELECT cs.c AS c, gp.gp AS gp,
-                  COALESCE($mN.cv,
-                    $prev.cb[CAST(cs.c + 1 AS INT)][CAST(gp.gp + 1 AS INT)]) AS val
-                FROM (SELECT unnest(range(0, 16)) AS c) cs
-                CROSS JOIN (SELECT unnest(range(0, 64)) AS gp) gp
-                CROSS JOIN $prev
-                LEFT JOIN $mN ON $mN.c = cs.c AND $mN.j = gp.gp // 8
-                  AND $mN.p = gp.gp % 8),
-           $cbN AS (SELECT list(vec ORDER BY c) AS cb FROM
-                (SELECT c, list(val ORDER BY gp) AS vec FROM $fN GROUP BY c))"""
+      "q_ann_pq2" ->
         s"""WITH v AS (SELECT vec_id,
                   list_transform(embedding, x -> x::DOUBLE) AS dv
                 FROM embeddings),
            cb0 AS (SELECT list(dv ORDER BY vec_id) AS cb FROM v
                 WHERE vec_id % 31 = 0 AND vec_id < 496),
-           ${round("cb0", "a1", "m1", "f1", "cb1")},
-           ${round("cb1", "a2", "m2", "f2", "cb2")},
+           ${pqRound("cb0", "a1", "m1", "f1", "cb1")},
+           ${pqRound("cb1", "a2", "m2", "f2", "cb2")},
            enc AS (SELECT vec_id, dv, cb,
                   ${duckPqCodes("dv", "cb", 8, 16, 8)} AS codes
                 FROM v CROSS JOIN cb2),
@@ -3920,8 +3937,36 @@ object SparkEntry {
            r AS (SELECT qid, cid, adc,
                   CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, cid) AS BIGINT) AS rnk
                  FROM scored)
-           SELECT qid, cid, adc, rnk FROM r WHERE rnk <= 5"""
-      },
+           SELECT qid, cid, adc, rnk FROM r WHERE rnk <= 5""",
+      "q_ann_ivfpq" ->
+        s"""WITH $kmeansChain,
+           res AS (SELECT cc.vec_id, cc.cell,
+                  list_transform(range(1, 65), i -> cc.v[i] - ct.c[i]) AS dv
+                FROM cc JOIN c2 ct ON cc.cell = ct.cell),
+           v AS (SELECT vec_id, dv FROM res),
+           cb0 AS (SELECT list(dv ORDER BY vec_id) AS cb FROM v
+                WHERE vec_id % 31 = 0 AND vec_id < 496),
+           ${pqRound("cb0", "pa1", "pm1", "pf1", "pcb1")},
+           ${pqRound("pcb1", "pa2", "pm2", "pf2", "pcb2")},
+           enc AS (SELECT r.vec_id, r.cell, cb,
+                  ${duckPqCodes("r.dv", "cb", 8, 16, 8)} AS codes
+                FROM res r CROSS JOIN pcb2),
+           qq AS (SELECT vec_id, cell FROM (
+                  SELECT d.vec_id, i.cell,
+                         ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                           ORDER BY ${duckSqDist("i.c", "d.v", 64)}, i.cell) AS rn
+                  FROM dv d CROSS JOIN c2 i) WHERE rn <= 2 AND vec_id < 10),
+           qres AS (SELECT q.vec_id AS qid, q.cell,
+                  list_transform(range(1, 65), i -> d.v[i] - ct.c[i]) AS qv
+                FROM qq q JOIN dv d ON d.vec_id = q.vec_id
+                JOIN c2 ct ON ct.cell = q.cell),
+           scored AS (SELECT q.qid, e.vec_id AS cid,
+                  ${duckPqAdc("q.qv", "e.codes", "e.cb", 8, 8)} AS adc
+                FROM qres q JOIN enc e ON q.cell = e.cell AND q.qid <> e.vec_id),
+           r AS (SELECT qid, cid, adc,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, cid) AS BIGINT) AS rnk
+                 FROM scored)
+           SELECT qid, cid, adc, rnk FROM r WHERE rnk <= 5""",
       "q_events_tumbling" ->
         """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
                   COUNT(*) AS n_events,

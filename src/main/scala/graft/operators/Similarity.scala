@@ -85,11 +85,14 @@ object Similarity {
     *
     * Determinism contract (for the DuckDB oracle): init = the vectors of
     * the `ncells` lowest ids; assignment ties break to the lowest cell;
-    * the mean is computed as an exact DECIMAL(28,14) sum cast back to
-    * DOUBLE — decimal addition is order-independent, so the result is
-    * bit-identical no matter how partitions combine (a raw double sum
-    * would drift with partition order and break hash-parity). Cells left
-    * empty by an iteration keep their previous centroid. */
+    * the mean uses floor-quantized 1e-12 BIGINT sums (floor has no
+    * halfway case and long addition is order-independent), so the
+    * centroid VALUES are bit-identical across partitionings AND engines
+    * — required because [[ivfPqTopK]] feeds them into residuals and ADC
+    * output, where a DECIMAL(28,14) cast is not enough (double→decimal
+    * rounding differs between engines; that sufficed only while
+    * centroids drove cell assignment alone). Cells left empty by an
+    * iteration keep their previous centroid. */
   def kmeansCodebook(vectors: DataFrame, idCol: String, vecCol: String,
       ncells: Int = 8, iters: Int = 2): Array[Array[Double]] = {
     // persist: every Lloyd iteration (init + assignments) re-reads the
@@ -106,8 +109,8 @@ object Similarity {
       val updated = assigned
         .select(col("cell"), posexplode(col("dv")).as(Seq("pos", "val")))
         .groupBy(col("cell"), col("pos"))
-        .agg((sum(col("val").cast("decimal(28,14)")).cast("double") /
-          count(lit(1))).as("cv"))
+        .agg((sum(expr("CAST(floor(val * 1e12) AS BIGINT)")).cast("double") /
+          count(lit(1)) / lit(1e12)).as("cv"))
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("cv"))))
           .as("pcs"))
@@ -364,6 +367,72 @@ object Similarity {
             "CAST(gp + 1 AS INT))))) AS cb")
     }
     cb
+  }
+
+  /** IVF-PQ composite ANN (the FAISS IVFPQ architecture): a coarse
+    * k-means quantizer routes vectors to cells, and product quantization
+    * encodes each vector's RESIDUAL (vector minus its cell centroid) as
+    * `m` sub-codes. Queries probe their `nprobe` nearest cells and ADC-
+    * score their per-cell residual against candidate codes — since
+    * ||q - (centroid + decode(codes))||² = ||q_residual - decode(codes)||²,
+    * the flat-PQ ADC applies to residuals unchanged. Residuals cluster
+    * far tighter than raw vectors, so the same code budget quantizes
+    * finer than flat PQ, and the probe confines ADC work to
+    * ~nprobe/ncells of the corpus.
+    *
+    * 100 TB serving shape: the index is (cell, m byte-codes) per vector —
+    * candidates never ship floats; the only corpus-sized exchanges are
+    * the cell equi-join (skew visible to AQE) and the per-query top-k.
+    * Both training loops keep corpus work to one aggregation per round.
+    *
+    * Determinism contract: the coarse book inherits [[kmeansCodebook]]'s
+    * decimal-mean contract and the residual book [[pqTrainCodebook]]'s
+    * floor-quantized-mean contract; residual subtraction is exact IEEE
+    * double arithmetic in index order — every stage is bit-reproducible
+    * against the DuckDB oracle. */
+  def ivfPqTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, ncells: Int = 8, kmIters: Int = 2,
+      nprobe: Int = 2, m: Int = 8, ks: Int = 16, sd: Int = 8,
+      seedFilter: String = "vid % 31 = 0 AND vid < 496"): DataFrame = {
+    val cent = kmeansCodebook(candidates, idCol, vecCol, ncells, kmIters)
+    val centLit = typedLit(cent.map(_.toSeq).toSeq)
+    val dv = expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))")
+    // residuals: vector minus its cell centroid, in index order.
+    // persist: the frame feeds PQ training (iters passes), the encode
+    // pass, and the seed scan — the multi-consumer recompute trap.
+    val res = Dedup.persistTracked(candidates
+      .select(col(idCol).as("vid"), dv.as("dvv"))
+      .withColumn("cell", nearestCell(col("dvv"), cent))
+      .withColumn("resid", zip_with(col("dvv"),
+        element_at(centLit, col("cell").cast("int") + 1), (x, c) => x - c))
+      .select(col("vid"), col("cell"), col("resid")))
+    val cb = pqTrainCodebook(res, "vid", "resid", seedFilter, m, ks, sd)
+    val enc = res.crossJoin(broadcast(cb))
+      .select(col("vid").as("cid"), col("cell"), col("cb"),
+        GraftFunctions.pqCodes(col("resid"), col("cb"), m, ks, sd)
+          .as("codes"))
+    // queries probe their nprobe nearest cells; the ADC query vector is
+    // the residual wrt EACH probed cell's centroid
+    val qdv = expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))")
+    val probed = {
+      val d = centroidDists(col("qdv"), cent)
+      val ranked = array_sort(zip_with(d,
+        sequence(lit(0L), lit(ncells - 1L)),
+        (dist, cell) => struct(dist.as("d"), cell.as("i"))))
+      transform(slice(ranked, 1, nprobe), s => s.getField("i"))
+    }
+    val q = broadcast(queries
+      .select(col(idCol).as("qid"), qdv.as("qdv"))
+      .withColumn("cell", explode(probed))
+      .withColumn("qres", zip_with(col("qdv"),
+        element_at(centLit, col("cell").cast("int") + 1), (x, c) => x - c))
+      .select(col("qid"), col("cell"), col("qres")))
+    val scored = q.join(enc, "cell").filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), GraftFunctions
+        .pqAdc(col("qres"), col("codes"), col("cb"), m, sd).as("adc"))
+    val w = Window.partitionBy("qid").orderBy(col("adc"), col("cid"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
   }
 
   /** Approximate top-k: only candidates whose LSH signature matches the

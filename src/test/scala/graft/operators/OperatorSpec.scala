@@ -462,6 +462,45 @@ class OperatorSpec extends SparkSpec {
       s"training did not improve PQ recall: trained=$trained sampled=$sampled")
   }
 
+  test("IVF-PQ: full result cover, probe confinement, recall above chance") {
+    import org.apache.spark.sql.functions._
+    val q = emb.filter("vec_id < 20")
+    val res = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", k = 5)
+    // every query produces its full top-5 (each probed pair of cells
+    // holds ≥ 5 candidates on this corpus) with ranks exactly 1..5
+    val perQ = res.groupBy("qid").agg(
+      count(lit(1)).as("n"), min("rnk").as("lo"), max("rnk").as("hi"))
+    assert(perQ.filter("n <> 5 OR lo <> 1 OR hi <> 5").count() == 0)
+    assert(res.filter("adc < 0").count() == 0)
+    // probe confinement: every returned candidate lives in one of its
+    // query's 2 nearest coarse cells — ADC work never leaks past nprobe.
+    // Recomputed driver-side from first principles (independent of the
+    // operator's own assignment path); test-scale collects only.
+    val cent = Similarity.kmeansCodebook(emb, "vec_id", "embedding",
+      ncells = 8, iters = 2)
+    def sqd(a: Seq[Double], b: Array[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + (x - y) * (x - y) }
+    val dvs = emb.selectExpr("vec_id",
+      "transform(embedding, x -> CAST(x AS DOUBLE))").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def cellOf(v: Seq[Double]): Long =
+      cent.zipWithIndex.map { case (c, i) => (sqd(v, c), i.toLong) }
+        .min._2
+    def probesOf(v: Seq[Double]): Set[Long] =
+      cent.zipWithIndex.map { case (c, i) => (sqd(v, c), i.toLong) }
+        .sorted.take(2).map(_._2).toSet
+    res.select("qid", "cid").collect().foreach { r =>
+      val (qid, cid) = (r.getLong(0), r.getLong(1))
+      assert(probesOf(dvs(qid)).contains(cellOf(dvs(cid))),
+        s"candidate $cid outside query $qid's probed cells")
+    }
+    val truth = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
+      k = 5).select("qid", "cid")
+    val recall = truth.join(res.select("qid", "cid"), Seq("qid", "cid"))
+      .count().toDouble / truth.count()
+    assert(recall >= 0.04, s"IVF-PQ recall@5 not above chance: $recall")
+  }
+
   test("sessionize: session bounds ordered, counts positive") {
     val s = Events.sessionize(Tables(spark, dir, "events"))
     assert(s.filter("session_end_us < session_start_us").count() == 0)
