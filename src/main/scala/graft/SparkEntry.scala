@@ -916,6 +916,13 @@ object SparkEntry {
           Array(col("qty_a"), col("qty_n"), col("qty_r")), "flag", "qty")
         .filter(col("qty").isNotNull)),
 
+    // ----- BPE-merge training: 3 rounds of pair-count → top pair →
+    // greedy rewrite over the word-frequency dictionary — the
+    // distributed tokenizer-training loop (corpus text touched once;
+    // every round is dictionary-sized) -----
+    "q_bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", rounds = 3)),
+
     // ----- corpus word frequency: explode + count + top-k -----
     "q_word_freq" -> ((s, dir) =>
       TextAnalysis.withTokens(t(s, dir, "documents"), "text")
@@ -4353,6 +4360,38 @@ object SparkEntry {
            w AS (SELECT unnest(toks) AS word FROM tk)
            SELECT word, COUNT(*) AS n FROM w
            GROUP BY word ORDER BY n DESC, word LIMIT 20""",
+      "q_bpe_merges" -> {
+        // one BPE round over dictionary w{i-1}: weighted adjacent-pair
+        // counts, lexicographic-tie top pair, greedy left-to-right
+        // rewrite — mirrors TextAnalysis.bpeMerges exactly
+        def bpeRound(prev: String, pN: String, tN: String, wN: String) =
+          s"""$pN AS (SELECT struct_extract(pr, 'l') AS lsym,
+                  struct_extract(pr, 'r') AS rsym,
+                  CAST(SUM(cnt) AS BIGINT) AS freq
+                FROM (SELECT cnt, unnest(list_transform(range(1, len(syms)),
+                        i -> struct_pack(l := syms[i], r := syms[i + 1]))) AS pr
+                      FROM $prev) GROUP BY 1, 2),
+           $tN AS (SELECT lsym, rsym, freq FROM $pN
+                ORDER BY freq DESC, lsym, rsym LIMIT 1),
+           $wN AS (SELECT cnt, list_reduce(list_transform(syms, s -> [s]),
+                  (acc, x) -> CASE WHEN acc[-1] = $tN.lsym AND x[1] = $tN.rsym
+                    THEN list_append(acc[1:len(acc) - 1], $tN.lsym || $tN.rsym)
+                    ELSE list_concat(acc, x) END) AS syms
+                FROM $prev CROSS JOIN $tN)"""
+        s"""WITH tk AS (SELECT ${duckTokens("text")} AS toks FROM documents),
+           wd AS (SELECT unnest(toks) AS word FROM tk),
+           wc AS (SELECT word, COUNT(*) AS cnt FROM wd GROUP BY word),
+           w0 AS (SELECT cnt, list_transform(range(1, length(word) + 1),
+                  i -> word[i:i]) AS syms FROM wc),
+           ${bpeRound("w0", "p1", "t1", "w1")},
+           ${bpeRound("w1", "p2", "t2", "w2")},
+           ${bpeRound("w2", "p3", "t3", "w3")}
+           SELECT CAST(1 AS BIGINT) AS merge_round, lsym, rsym, freq FROM t1
+           UNION ALL
+           SELECT CAST(2 AS BIGINT), lsym, rsym, freq FROM t2
+           UNION ALL
+           SELECT CAST(3 AS BIGINT), lsym, rsym, freq FROM t3"""
+      },
       "q_text_lang_ngram" ->
         s"""WITH tg AS (SELECT doc_id, ${duckCharTrigrams("lower(text)")} AS tris FROM documents)
            SELECT doc_id,

@@ -250,4 +250,56 @@ object TextAnalysis {
       .withColumn("avg_p", expr("CAST(s AS DOUBLE) / nb / 1000000000"))
       .select(col(idCol), col("nb"), col("avg_p"))
   }
+
+  /** Distributed BPE-merge TRAINING (Sennrich et al. 2016) over the
+    * corpus word-frequency dictionary — the tokenizer-training loop run
+    * where tokenizers are actually trained at scale: on the cluster,
+    * against the full corpus. Each round is (1) count adjacent symbol
+    * pairs weighted by word frequency — one explode + partial/final
+    * aggregation over the DISTINCT-WORD dictionary, never the corpus
+    * text; (2) pick the most frequent pair (ties: lexicographic — fully
+    * deterministic); (3) greedily merge that pair left-to-right in every
+    * word via one narrow fold. Returns one row per round:
+    * (merge_round, lsym, rsym, freq).
+    *
+    * Scale: corpus text is touched ONCE (the word-count aggregation
+    * shuffles words, Zipf-bounded); every training round then works on
+    * the dictionary, whose size is vocabulary- not corpus-bound — the
+    * standard word-dict BPE optimization. Each dictionary generation is
+    * persisted (multi-consumer: pair counts + the next rewrite).
+    * Within-word merges only (no end-of-word marker) — documented
+    * simplification; the loop structure is identical with one.
+    *
+    * Determinism: pure integer counts and string ops; the greedy
+    * left-to-right rewrite is the reference BPE application order. */
+  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int = 3): DataFrame = {
+    var w = Dedup.persistTracked(withTokens(docs, textCol)
+      .select(explode(col("toks")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .selectExpr("cnt",
+        "transform(sequence(1, length(word)), " +
+          "i -> substring(word, CAST(i AS INT), 1)) AS syms"))
+    val perRound = (1 to rounds).map { rnd =>
+      val pairs = w
+        .select(col("cnt"), explode(expr(
+          "transform(slice(sequence(1, size(syms)), 1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, CAST(i AS INT)) AS l, " +
+            "element_at(syms, CAST(i + 1 AS INT)) AS r))")).as("pr"))
+        .groupBy(col("pr.l").as("lsym"), col("pr.r").as("rsym"))
+        .agg(sum(col("cnt")).as("freq"))
+      val top = Dedup.persistTracked(pairs
+        .orderBy(col("freq").desc, col("lsym"), col("rsym")).limit(1))
+      w = Dedup.persistTracked(w.crossJoin(broadcast(top))
+        .selectExpr("cnt",
+          "aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, s) -> " +
+            "CASE WHEN size(acc) > 0 AND element_at(acc, -1) = lsym " +
+            "AND s = rsym " +
+            "THEN concat(slice(acc, 1, size(acc) - 1), " +
+            "array(concat(lsym, rsym))) " +
+            "ELSE concat(acc, array(s)) END) AS syms"))
+      top.select(lit(rnd).cast("long").as("merge_round"),
+        col("lsym"), col("rsym"), col("freq"))
+    }
+    perRound.reduce(_.unionAll(_))
+  }
 }

@@ -501,6 +501,30 @@ class OperatorSpec extends SparkSpec {
     assert(recall >= 0.04, s"IVF-PQ recall@5 not above chance: $recall")
   }
 
+  test("BPE merges: round-1 winner matches an independent recount") {
+    val m = TextAnalysis.bpeMerges(docs, "text", rounds = 2)
+      .collect().sortBy(_.getLong(0))
+    assert(m.length == 2)
+    assert(m.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // independent driver-side recount of round 1: most frequent adjacent
+    // char pair over the word-frequency dict, ties lexicographic
+    val words = TextAnalysis.withTokens(docs, "text")
+      .selectExpr("explode(toks) AS w").groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val pc = scala.collection.mutable.Map[(String, String), Long]()
+    words.foreach { case (w, c) =>
+      w.sliding(2).filter(_.length == 2).foreach { p =>
+        val k = (p.substring(0, 1), p.substring(1, 2))
+        pc(k) = pc.getOrElse(k, 0L) + c
+      }
+    }
+    val ((bl, br), bf) = pc.toSeq.minBy { case ((l, r), f) => (-f, l, r) }
+    assert((m(0).getString(1), m(0).getString(2), m(0).getLong(3)) ==
+      ((bl, br, bf)), s"round-1 merge ${m(0)} != recount ($bl,$br,$bf)")
+    // round-2 winner frequency can never exceed round 1's
+    assert(m(1).getLong(3) <= m(0).getLong(3))
+  }
+
   test("sessionize: session bounds ordered, counts positive") {
     val s = Events.sessionize(Tables(spark, dir, "events"))
     assert(s.filter("session_end_us < session_start_us").count() == 0)
