@@ -922,6 +922,11 @@ object SparkEntry {
     // every round is dictionary-sized) -----
     "q_bpe_merges" -> ((s, dir) =>
       TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", rounds = 3)),
+    // what the 3 learned merges buy: exact corpus symbol counts before
+    // vs after application — the sequence-length/FLOPs readout
+    "q_bpe_compression" -> ((s, dir) =>
+      TextAnalysis.bpeCompression(t(s, dir, "documents"), "text",
+        rounds = 3)),
 
     // ----- corpus word frequency: explode + count + top-k -----
     "q_word_freq" -> ((s, dir) =>
@@ -3700,6 +3705,33 @@ object SparkEntry {
               AND $mN.p = gp.gp % 8),
        $cbN AS (SELECT list(vec ORDER BY c) AS cb FROM
             (SELECT c, list(val ORDER BY gp) AS vec FROM $fN GROUP BY c))"""
+    // one BPE training round over dictionary `prev` (cnt, syms):
+    // weighted adjacent-pair counts, lexicographic-tie top pair, greedy
+    // left-to-right rewrite — mirrors TextAnalysis.bpeTrain exactly.
+    // Shared by the merge-table and compression-readout oracles.
+    def bpeRound(prev: String, pN: String, tN: String, wN: String) =
+      s"""$pN AS (SELECT struct_extract(pr, 'l') AS lsym,
+              struct_extract(pr, 'r') AS rsym,
+              CAST(SUM(cnt) AS BIGINT) AS freq
+            FROM (SELECT cnt, unnest(list_transform(range(1, len(syms)),
+                    i -> struct_pack(l := syms[i], r := syms[i + 1]))) AS pr
+                  FROM $prev) GROUP BY 1, 2),
+       $tN AS (SELECT lsym, rsym, freq FROM $pN
+            ORDER BY freq DESC, lsym, rsym LIMIT 1),
+       $wN AS (SELECT cnt, list_reduce(list_transform(syms, s -> [s]),
+              (acc, x) -> CASE WHEN acc[-1] = $tN.lsym AND x[1] = $tN.rsym
+                THEN list_append(acc[1:len(acc) - 1], $tN.lsym || $tN.rsym)
+                ELSE list_concat(acc, x) END) AS syms
+            FROM $prev CROSS JOIN $tN)"""
+    val bpeChain =
+      s"""tk AS (SELECT ${duckTokens("text")} AS toks FROM documents),
+         wd AS (SELECT unnest(toks) AS word FROM tk),
+         wc AS (SELECT word, COUNT(*) AS cnt FROM wd GROUP BY word),
+         w0 AS (SELECT cnt, list_transform(range(1, length(word) + 1),
+                i -> word[i:i]) AS syms FROM wc),
+         ${bpeRound("w0", "p1", "t1", "w1")},
+         ${bpeRound("w1", "p2", "t2", "w2")},
+         ${bpeRound("w2", "p3", "t3", "w3")}"""
     Map(
       "q_text_stats" ->
         s"""WITH tk AS (SELECT doc_id, text, ${duckTokens("text")} AS toks FROM documents)
@@ -4360,38 +4392,20 @@ object SparkEntry {
            w AS (SELECT unnest(toks) AS word FROM tk)
            SELECT word, COUNT(*) AS n FROM w
            GROUP BY word ORDER BY n DESC, word LIMIT 20""",
-      "q_bpe_merges" -> {
-        // one BPE round over dictionary w{i-1}: weighted adjacent-pair
-        // counts, lexicographic-tie top pair, greedy left-to-right
-        // rewrite — mirrors TextAnalysis.bpeMerges exactly
-        def bpeRound(prev: String, pN: String, tN: String, wN: String) =
-          s"""$pN AS (SELECT struct_extract(pr, 'l') AS lsym,
-                  struct_extract(pr, 'r') AS rsym,
-                  CAST(SUM(cnt) AS BIGINT) AS freq
-                FROM (SELECT cnt, unnest(list_transform(range(1, len(syms)),
-                        i -> struct_pack(l := syms[i], r := syms[i + 1]))) AS pr
-                      FROM $prev) GROUP BY 1, 2),
-           $tN AS (SELECT lsym, rsym, freq FROM $pN
-                ORDER BY freq DESC, lsym, rsym LIMIT 1),
-           $wN AS (SELECT cnt, list_reduce(list_transform(syms, s -> [s]),
-                  (acc, x) -> CASE WHEN acc[-1] = $tN.lsym AND x[1] = $tN.rsym
-                    THEN list_append(acc[1:len(acc) - 1], $tN.lsym || $tN.rsym)
-                    ELSE list_concat(acc, x) END) AS syms
-                FROM $prev CROSS JOIN $tN)"""
-        s"""WITH tk AS (SELECT ${duckTokens("text")} AS toks FROM documents),
-           wd AS (SELECT unnest(toks) AS word FROM tk),
-           wc AS (SELECT word, COUNT(*) AS cnt FROM wd GROUP BY word),
-           w0 AS (SELECT cnt, list_transform(range(1, length(word) + 1),
-                  i -> word[i:i]) AS syms FROM wc),
-           ${bpeRound("w0", "p1", "t1", "w1")},
-           ${bpeRound("w1", "p2", "t2", "w2")},
-           ${bpeRound("w2", "p3", "t3", "w3")}
+      "q_bpe_merges" ->
+        s"""WITH $bpeChain
            SELECT CAST(1 AS BIGINT) AS merge_round, lsym, rsym, freq FROM t1
            UNION ALL
            SELECT CAST(2 AS BIGINT), lsym, rsym, freq FROM t2
            UNION ALL
-           SELECT CAST(3 AS BIGINT), lsym, rsym, freq FROM t3"""
-      },
+           SELECT CAST(3 AS BIGINT), lsym, rsym, freq FROM t3""",
+      "q_bpe_compression" ->
+        s"""WITH $bpeChain
+           SELECT (SELECT CAST(SUM(cnt) AS BIGINT) FROM w0) AS total_words,
+                  (SELECT CAST(SUM(cnt * len(syms)) AS BIGINT) FROM w0)
+                    AS syms_before,
+                  CAST(SUM(cnt * len(syms)) AS BIGINT) AS syms_after
+           FROM w3""",
       "q_text_lang_ngram" ->
         s"""WITH tg AS (SELECT doc_id, ${duckCharTrigrams("lower(text)")} AS tris FROM documents)
            SELECT doc_id,

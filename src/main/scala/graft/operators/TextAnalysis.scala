@@ -272,13 +272,22 @@ object TextAnalysis {
     *
     * Determinism: pure integer counts and string ops; the greedy
     * left-to-right rewrite is the reference BPE application order. */
-  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int = 3): DataFrame = {
-    var w = Dedup.persistTracked(withTokens(docs, textCol)
+  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int = 3): DataFrame =
+    bpeTrain(docs, textCol, rounds)._3.reduce(_.unionAll(_))
+
+  /** The shared BPE training loop: returns (initial dictionary, final
+    * dictionary, per-round merge rows). Dictionaries are (cnt, syms)
+    * frames; every generation is persisted (each feeds pair counting
+    * AND the next rewrite). */
+  private def bpeTrain(docs: DataFrame, textCol: String, rounds: Int)
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
+    val w0 = Dedup.persistTracked(withTokens(docs, textCol)
       .select(explode(col("toks")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .selectExpr("cnt",
         "transform(sequence(1, length(word)), " +
           "i -> substring(word, CAST(i AS INT), 1)) AS syms"))
+    var w = w0
     val perRound = (1 to rounds).map { rnd =>
       val pairs = w
         .select(col("cnt"), explode(expr(
@@ -300,6 +309,20 @@ object TextAnalysis {
       top.select(lit(rnd).cast("long").as("merge_round"),
         col("lsym"), col("rsym"), col("freq"))
     }
-    perRound.reduce(_.unionAll(_))
+    (w0, w, perRound)
+  }
+
+  /** BPE compression readout: corpus symbol counts before vs after
+    * applying the `rounds` learned merges — the "what did training buy"
+    * number a tokenizer team tracks (symbols/word → sequence length →
+    * training FLOPs). Exact BIGINT sums over the dictionary. */
+  def bpeCompression(docs: DataFrame, textCol: String,
+      rounds: Int = 3): DataFrame = {
+    val (w0, wN, _) = bpeTrain(docs, textCol, rounds)
+    val before = w0.agg(
+      sum(col("cnt")).as("total_words"),
+      sum(expr("cnt * size(syms)")).as("syms_before"))
+    val after = wN.agg(sum(expr("cnt * size(syms)")).as("syms_after"))
+    before.crossJoin(after)
   }
 }
