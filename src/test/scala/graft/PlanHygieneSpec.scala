@@ -19,6 +19,9 @@ class PlanHygieneSpec extends SparkSpec {
     "q_ann_topk",       // brute-force baseline: broadcast query set x candidates
     "q_ann_pq",         // ADC scan: broadcast query set x compressed candidates
     "q_ann_pq2",        // same ADC shape with the trained codebook
+    "q_ann_ivfpq",      // 1-row trained residual codebook crossed into encode
+    "q_bpe_merges",     // 1-row top-pair scalar crossed into each rewrite
+    "q_bpe_compression", // same chain + two 1-row before/after aggregates
     "q22_quiet_rich",   // 1-row scalar aggregate crossed into the filter
     "q_scalar_subquery", // 1-row subquery result joined in
     "q_tfidf_like",     // 1-row corpus-size scalar crossed into the scoring
