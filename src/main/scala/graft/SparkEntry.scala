@@ -514,6 +514,24 @@ object SparkEntry {
         "vec_id", "embedding", k = 5)
     }),
 
+    // ----- STORED IVF-PQ index: write the (cell, codes) encoding
+    // partitioned by cell + the 1-row codebook parquet, then serve the
+    // query batch from disk — partition-pruned reads, a float-free
+    // index, and no re-training. Result-identical to q_ann_ivfpq
+    // (shares its oracle) -----
+    "q_ann_ivfpq_stored" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = "/tmp/graft_ivfpq_index_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val (cent, cb, enc) = Similarity.buildIvfPqIndex(
+        emb, "vec_id", "embedding")
+      graft.sources.GraftSink.writePartitioned(enc, path, Seq("cell"))
+      cb.coalesce(1).write.mode("overwrite").parquet(path + "_cb")
+      Similarity.ivfPqStoredTopK(s.read.parquet(path),
+        s.read.parquet(path + "_cb"), cent,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+    }),
+
     // ----- event-time windows (batch; streaming twins in graft.streaming)
     "q_events_tumbling" -> ((s, dir) =>
       Events.tumblingHourly(t(s, dir, "events"))),
@@ -3723,6 +3741,38 @@ object SparkEntry {
                 THEN list_append(acc[1:len(acc) - 1], $tN.lsym || $tN.rsym)
                 ELSE list_concat(acc, x) END) AS syms
             FROM $prev CROSS JOIN $tN)"""
+    // IVF-PQ: coarse k-means chain → per-vector residuals → 2 trained
+    // PQ rounds on residuals → probe-2 ADC serving. Shared by the
+    // in-memory and stored-index queries (storage is result-transparent).
+    val ivfpqOracle =
+      s"""WITH $kmeansChain,
+         res AS (SELECT cc.vec_id, cc.cell,
+                list_transform(range(1, 65), i -> cc.v[i] - ct.c[i]) AS dv
+              FROM cc JOIN c2 ct ON cc.cell = ct.cell),
+         v AS (SELECT vec_id, dv FROM res),
+         cb0 AS (SELECT list(dv ORDER BY vec_id) AS cb FROM v
+              WHERE vec_id % 31 = 0 AND vec_id < 496),
+         ${pqRound("cb0", "pa1", "pm1", "pf1", "pcb1")},
+         ${pqRound("pcb1", "pa2", "pm2", "pf2", "pcb2")},
+         enc AS (SELECT r.vec_id, r.cell, cb,
+                ${duckPqCodes("r.dv", "cb", 8, 16, 8)} AS codes
+              FROM res r CROSS JOIN pcb2),
+         qq AS (SELECT vec_id, cell FROM (
+                SELECT d.vec_id, i.cell,
+                       ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                         ORDER BY ${duckSqDist("i.c", "d.v", 64)}, i.cell) AS rn
+                FROM dv d CROSS JOIN c2 i) WHERE rn <= 2 AND vec_id < 10),
+         qres AS (SELECT q.vec_id AS qid, q.cell,
+                list_transform(range(1, 65), i -> d.v[i] - ct.c[i]) AS qv
+              FROM qq q JOIN dv d ON d.vec_id = q.vec_id
+              JOIN c2 ct ON ct.cell = q.cell),
+         scored AS (SELECT q.qid, e.vec_id AS cid,
+                ${duckPqAdc("q.qv", "e.codes", "e.cb", 8, 8)} AS adc
+              FROM qres q JOIN enc e ON q.cell = e.cell AND q.qid <> e.vec_id),
+         r AS (SELECT qid, cid, adc,
+                CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, cid) AS BIGINT) AS rnk
+               FROM scored)
+         SELECT qid, cid, adc, rnk FROM r WHERE rnk <= 5"""
     val bpeChain =
       s"""tk AS (SELECT ${duckTokens("text")} AS toks FROM documents),
          wd AS (SELECT unnest(toks) AS word FROM tk),
@@ -3977,35 +4027,10 @@ object SparkEntry {
                   CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, cid) AS BIGINT) AS rnk
                  FROM scored)
            SELECT qid, cid, adc, rnk FROM r WHERE rnk <= 5""",
-      "q_ann_ivfpq" ->
-        s"""WITH $kmeansChain,
-           res AS (SELECT cc.vec_id, cc.cell,
-                  list_transform(range(1, 65), i -> cc.v[i] - ct.c[i]) AS dv
-                FROM cc JOIN c2 ct ON cc.cell = ct.cell),
-           v AS (SELECT vec_id, dv FROM res),
-           cb0 AS (SELECT list(dv ORDER BY vec_id) AS cb FROM v
-                WHERE vec_id % 31 = 0 AND vec_id < 496),
-           ${pqRound("cb0", "pa1", "pm1", "pf1", "pcb1")},
-           ${pqRound("pcb1", "pa2", "pm2", "pf2", "pcb2")},
-           enc AS (SELECT r.vec_id, r.cell, cb,
-                  ${duckPqCodes("r.dv", "cb", 8, 16, 8)} AS codes
-                FROM res r CROSS JOIN pcb2),
-           qq AS (SELECT vec_id, cell FROM (
-                  SELECT d.vec_id, i.cell,
-                         ROW_NUMBER() OVER (PARTITION BY d.vec_id
-                           ORDER BY ${duckSqDist("i.c", "d.v", 64)}, i.cell) AS rn
-                  FROM dv d CROSS JOIN c2 i) WHERE rn <= 2 AND vec_id < 10),
-           qres AS (SELECT q.vec_id AS qid, q.cell,
-                  list_transform(range(1, 65), i -> d.v[i] - ct.c[i]) AS qv
-                FROM qq q JOIN dv d ON d.vec_id = q.vec_id
-                JOIN c2 ct ON ct.cell = q.cell),
-           scored AS (SELECT q.qid, e.vec_id AS cid,
-                  ${duckPqAdc("q.qv", "e.codes", "e.cb", 8, 8)} AS adc
-                FROM qres q JOIN enc e ON q.cell = e.cell AND q.qid <> e.vec_id),
-           r AS (SELECT qid, cid, adc,
-                  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, cid) AS BIGINT) AS rnk
-                 FROM scored)
-           SELECT qid, cid, adc, rnk FROM r WHERE rnk <= 5""",
+      "q_ann_ivfpq" -> ivfpqOracle,
+      // the stored index round-trips (cell, codes) + the codebook row
+      // through parquet; results are identical by construction
+      "q_ann_ivfpq_stored" -> ivfpqOracle,
       "q_events_tumbling" ->
         """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
                   COUNT(*) AS n_events,

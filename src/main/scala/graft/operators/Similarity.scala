@@ -394,6 +394,23 @@ object Similarity {
       vecCol: String, k: Int, ncells: Int = 8, kmIters: Int = 2,
       nprobe: Int = 2, m: Int = 8, ks: Int = 16, sd: Int = 8,
       seedFilter: String = "vid % 31 = 0 AND vid < 496"): DataFrame = {
+    val (cent, cb, enc) = buildIvfPqIndex(candidates, idCol, vecCol,
+      ncells, kmIters, m, ks, sd, seedFilter)
+    ivfPqServe(enc, cb, cent, queries, idCol, vecCol, k, nprobe, m, sd)
+  }
+
+  /** Build a PERSISTABLE IVF-PQ index: the coarse codebook, the trained
+    * residual PQ codebook (a 1-row frame), and the per-vector
+    * (cid, cell, codes) encoding. Write the encoding partitioned BY CELL
+    * and the codebook row alongside it — query batches then serve from
+    * the stored layout with partition-pruned reads of ~nprobe/ncells of
+    * the index bytes, and the index holds NO floats (the ANN twin of the
+    * stored LSH base index; see [[buildIvfIndex]] for the uncompressed
+    * variant). */
+  def buildIvfPqIndex(candidates: DataFrame, idCol: String, vecCol: String,
+      ncells: Int = 8, kmIters: Int = 2, m: Int = 8, ks: Int = 16,
+      sd: Int = 8, seedFilter: String = "vid % 31 = 0 AND vid < 496")
+      : (Array[Array[Double]], DataFrame, DataFrame) = {
     val cent = kmeansCodebook(candidates, idCol, vecCol, ncells, kmIters)
     val centLit = typedLit(cent.map(_.toSeq).toSeq)
     val dv = expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))")
@@ -408,11 +425,22 @@ object Similarity {
       .select(col("vid"), col("cell"), col("resid")))
     val cb = pqTrainCodebook(res, "vid", "resid", seedFilter, m, ks, sd)
     val enc = res.crossJoin(broadcast(cb))
-      .select(col("vid").as("cid"), col("cell"), col("cb"),
+      .select(col("vid").as("cid"), col("cell"),
         GraftFunctions.pqCodes(col("resid"), col("cb"), m, ks, sd)
           .as("codes"))
-    // queries probe their nprobe nearest cells; the ADC query vector is
-    // the residual wrt EACH probed cell's centroid
+    (cent, cb, enc)
+  }
+
+  /** Serve a query batch against a (cid, cell, codes) IVF-PQ encoding —
+    * in-memory or read back from the stored layout; results are
+    * identical by construction (same probe rule, same ADC, same
+    * tie-break). Queries probe their `nprobe` nearest cells; the ADC
+    * query vector is the residual wrt EACH probed cell's centroid. */
+  private def ivfPqServe(enc: DataFrame, cbRow: DataFrame,
+      cent: Array[Array[Double]], queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nprobe: Int, m: Int, sd: Int): DataFrame = {
+    val ncells = cent.length
+    val centLit = typedLit(cent.map(_.toSeq).toSeq)
     val qdv = expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))")
     val probed = {
       val d = centroidDists(col("qdv"), cent)
@@ -427,13 +455,26 @@ object Similarity {
       .withColumn("qres", zip_with(col("qdv"),
         element_at(centLit, col("cell").cast("int") + 1), (x, c) => x - c))
       .select(col("qid"), col("cell"), col("qres")))
-    val scored = q.join(enc, "cell").filter(col("qid") =!= col("cid"))
+    val scored = q.join(enc, "cell").crossJoin(broadcast(cbRow))
+      .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), GraftFunctions
         .pqAdc(col("qres"), col("codes"), col("cb"), m, sd).as("adc"))
     val w = Window.partitionBy("qid").orderBy(col("adc"), col("cid"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
   }
+
+  /** Query a stored IVF-PQ index (the partitioned (cid, cell, codes)
+    * layout plus its 1-row codebook parquet) with the build-time coarse
+    * centroids. The partition column comes back as the directory-
+    * inferred integer type, so it is re-cast to long. */
+  def ivfPqStoredTopK(index: DataFrame, cbRow: DataFrame,
+      cent: Array[Array[Double]], queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nprobe: Int = 2, m: Int = 8,
+      sd: Int = 8): DataFrame =
+    ivfPqServe(index.select(col("cid"), col("codes"),
+      col("cell").cast("long").as("cell")), cbRow, cent, queries,
+      idCol, vecCol, k, nprobe, m, sd)
 
   /** Approximate top-k: only candidates whose LSH signature matches the
     * query's. Recall < 1; candidate work divided by ~2^nbits. */

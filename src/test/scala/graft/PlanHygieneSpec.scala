@@ -20,6 +20,7 @@ class PlanHygieneSpec extends SparkSpec {
     "q_ann_pq",         // ADC scan: broadcast query set x compressed candidates
     "q_ann_pq2",        // same ADC shape with the trained codebook
     "q_ann_ivfpq",      // 1-row trained residual codebook crossed into encode
+    "q_ann_ivfpq_stored", // same shape served from the stored layout
     "q_bpe_merges",     // 1-row top-pair scalar crossed into each rewrite
     "q_bpe_compression", // same chain + two 1-row before/after aggregates
     "q22_quiet_rich",   // 1-row scalar aggregate crossed into the filter
