@@ -1331,6 +1331,13 @@ object SparkEntry {
     // unlike a decimal cast, whose round-half ties on float-derived
     // doubles resolve differently across engines (HALF_UP vs half-even);
     // integer sums are then order-independent and bit-exact. -----
+    // ----- label probe: per-label centroids + nearest-centroid
+    // confusion matrix — the embedding-separability gate (one
+    // aggregation for centroids, one broadcast classify scan) -----
+    "q_label_probe" -> ((s, dir) =>
+      Similarity.labelProbe(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label")),
+
     "q_embedding_stats" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .select(posexplode(col("embedding")).as(Seq("pos", "val")))
@@ -4597,6 +4604,23 @@ object SparkEntry {
            SELECT from_type, to_type, n,
                   CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p
            FROM c""",
+      "q_label_probe" ->
+        s"""WITH dv AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+           cm AS (SELECT lbl, j AS pos,
+                  CAST(SUM(CAST(floor(v[j] * 1e12) AS BIGINT)) AS DOUBLE)
+                    / COUNT(*) / 1e12 AS cv
+                FROM dv CROSS JOIN (SELECT unnest(range(1, 65)) AS j) js
+                GROUP BY 1, 2),
+           cvec AS (SELECT lbl, list(cv ORDER BY pos) AS c FROM cm
+                GROUP BY lbl),
+           pr AS (SELECT d.lbl AS label, cv.lbl AS pred,
+                  ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                    ORDER BY ${duckSqDist("cv.c", "d.v", 64)}, cv.lbl) AS rn
+                FROM dv d CROSS JOIN cvec cv)
+           SELECT label, pred, COUNT(*) AS n FROM pr WHERE rn = 1
+           GROUP BY 1, 2""",
       "q_embedding_stats" ->
         """WITH v AS (SELECT CAST(j - 1 AS BIGINT) AS pos,
                              CAST(embedding[j] AS DOUBLE) AS v

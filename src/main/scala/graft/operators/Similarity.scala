@@ -476,6 +476,44 @@ object Similarity {
       col("cell").cast("long").as("cell")), cbRow, cent, queries,
       idCol, vecCol, k, nprobe, m, sd)
 
+  /** LABEL PROBE: per-label centroid + nearest-centroid confusion
+    * matrix — the standard "are these embeddings separable" diagnostic
+    * an embedding-quality gate runs before trusting vectors for
+    * semantic dedup or retrieval (a degenerate/collapsed embedding
+    * space shows up as an off-diagonal-heavy matrix). Returns
+    * (label, pred, n).
+    *
+    * Scale: centroids are ONE partial/final aggregation (nlabels × dim
+    * cells); classification is a broadcast of that label-count-sized
+    * row against one corpus scan — no corpus-sized shuffle except the
+    * final tiny confusion aggregation. Determinism: centroid means are
+    * floor-quantized BIGINT sums (engine- and partition-exact, the
+    * codebook contract); assignment ties break to the lowest label. */
+  def labelProbe(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val dv = expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))")
+    // persist: feeds the centroid aggregation AND the classify scan
+    val v = Dedup.persistTracked(emb.select(col(idCol).as("vid"),
+      col(labelCol).cast("long").as("lbl"), dv.as("v")))
+    val cvec = v
+      .select(col("lbl"), posexplode(col("v")).as(Seq("pos", "cvv")))
+      .groupBy(col("lbl"), col("pos"))
+      .agg((sum(expr("CAST(floor(cvv * 1e12) AS BIGINT)")).cast("double") /
+        count(lit(1)) / lit(1e12)).as("cv"))
+      .groupBy(col("lbl"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), " +
+        "s -> s.cv)").as("c"))
+    val centRow = cvec
+      .agg(expr("array_sort(collect_list(struct(lbl, c)))").as("cents"))
+    v.crossJoin(broadcast(centRow))
+      .select(col("lbl").as("label"),
+        expr("element_at(array_sort(transform(cents, ct -> struct(" +
+          "aggregate(zip_with(ct.c, v, (x, y) -> (x - y) * (x - y)), " +
+          "0D, (s, d) -> s + d) AS d, ct.lbl AS l))), 1).l").as("pred"))
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Approximate top-k: only candidates whose LSH signature matches the
     * query's. Recall < 1; candidate work divided by ~2^nbits. */
   def lshTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
