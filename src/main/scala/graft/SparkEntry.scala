@@ -1896,6 +1896,13 @@ object SparkEntry {
           col("n_members"), col("score").as("best_p"))
     }),
 
+    // ----- segment-level dedup with REASSEMBLY: drop every 10-token
+    // segment already seen earlier in the corpus (by (doc_id, pos)
+    // order), emit the cleaned text — the CCNet/C4-style content
+    // cleaner that catches cross-doc boilerplate AND in-doc repetition -----
+    "q_segment_dedup" -> ((s, dir) =>
+      Dedup.segmentDedup(t(s, dir, "documents"), "doc_id", "text")),
+
     // ----- near-dup clusters: bounded min-label propagation over the
     // LSH candidate pairs (rows-only check: iterative, not one SQL) -----
     "q_dedup_clusters" -> ((s, dir) => {
@@ -3814,6 +3821,25 @@ object SparkEntry {
         s"""SELECT doc_id, ${duckStrHash("text")} AS fp FROM documents""",
       "q_dedup_exact" ->
         "SELECT text, MIN(doc_id) AS keeper, COUNT(*) AS n_copies FROM documents GROUP BY text",
+      "q_segment_dedup" ->
+        s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
+           ex AS (SELECT doc_id, toks,
+                  unnest(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS pos
+                FROM tk WHERE len(toks) >= 1),
+           ch AS (SELECT doc_id, pos,
+                  array_to_string(toks[(pos * 10 + 1):(pos * 10 + 10)], ' ') AS chunk
+                FROM ex),
+           rk AS (SELECT doc_id, pos, chunk,
+                  ROW_NUMBER() OVER (PARTITION BY chunk
+                    ORDER BY doc_id, pos) AS rn
+                FROM ch)
+           SELECT doc_id,
+                  COALESCE(array_to_string(
+                    list(chunk ORDER BY pos) FILTER (WHERE rn = 1), ' '),
+                    '') AS clean_text,
+                  COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
+                  COUNT(*) FILTER (WHERE rn > 1) AS n_dropped
+           FROM rk GROUP BY doc_id""",
       "q_dedup_minhash_lsh" ->
         s"""$minhashCtes
            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -379,6 +379,44 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** SEGMENT-level dedup with corpus REASSEMBLY (the CCNet/C4 content
+    * cleaner, applied to fixed token windows): split every document
+    * into consecutive `chunkTokens`-token segments, keep only each
+    * segment's FIRST corpus occurrence (ordered by (doc_id, position) —
+    * fully deterministic), and reassemble the surviving text per
+    * document. Catches both cross-document boilerplate and within-
+    * document repetition in one pass, and — unlike the report-style
+    * dedup operators — emits the cleaned corpus itself.
+    * Returns (id, clean_text, n_kept, n_dropped).
+    *
+    * Scale: one shuffle keyed on the segment for the first-occurrence
+    * window, one groupBy(doc) for reassembly. The window partitions by
+    * the segment STRING here (exact, and what the oracle can replicate);
+    * at 100 TB key the window on a 128-bit segment fingerprint and
+    * carry (fingerprint, id, pos) through the exchange, rejoining
+    * winners to the text for reassembly — segments then never shuffle
+    * as text. */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 10): DataFrame = {
+    val ch = TextAnalysis.withTokens(docs, textCol)
+      .filter(size(col("toks")) >= 1)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, CAST(ceil(size(toks) / $chunkTokens.0D) " +
+          s"AS INT) - 1, 1), i -> array_join(slice(toks, " +
+          s"i * $chunkTokens + 1, $chunkTokens), ' '))"))
+        .as(Seq("pos", "chunk")))
+    val ranked = ch.withColumn("rn", row_number().over(
+      Window.partitionBy(col("chunk"))
+        .orderBy(col(idCol), col("pos"))))
+    ranked.groupBy(col(idCol))
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(" +
+          "CASE WHEN rn = 1 THEN struct(pos, chunk) END)), " +
+          "s -> s.chunk), ' ')").as("clean_text"),
+        count(when(col("rn") === 1, 1)).as("n_kept"),
+        count(when(col("rn") > 1, 1)).as("n_dropped"))
+  }
+
   /** Near-dup CLUSTERS from candidate pairs: bounded min-label
     * propagation (k rounds of "my label = min(label, neighbors'
     * labels)"). After enough rounds every member of a connected

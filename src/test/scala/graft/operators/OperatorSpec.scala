@@ -501,6 +501,19 @@ class OperatorSpec extends SparkSpec {
     assert(recall >= 0.04, s"IVF-PQ recall@5 not above chance: $recall")
   }
 
+  test("segment dedup: first occurrence survives, later copy dropped") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h i j k l"), // chunks: [a..j], [k l]
+      (2L, "a b c d e f g h i j z z") // chunk 1 duplicates doc 1's
+    ).toDF("doc_id", "text")
+    val r = Dedup.segmentDedup(df, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getString(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) == (("a b c d e f g h i j k l", 2L, 0L)))
+    assert(r(2L) == (("z z", 1L, 1L)))
+  }
+
   test("BPE merges: round-1 winner matches an independent recount") {
     val m = TextAnalysis.bpeMerges(docs, "text", rounds = 2)
       .collect().sortBy(_.getLong(0))
