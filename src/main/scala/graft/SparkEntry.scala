@@ -514,6 +514,16 @@ object SparkEntry {
         "vec_id", "embedding", k = 5)
     }),
 
+    // ----- IVF-PQ + REFINE (the FAISS rerank funnel): the compressed
+    // index nominates 20 ADC candidates per query; exact cosine over
+    // ONLY those 20 fetched vectors produces the final top-5 — the
+    // two-stage production serving architecture -----
+    "q_ann_ivfpq_refined" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqRefineTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, rerank = 20)
+    }),
+
     // ----- STORED IVF-PQ index: write the (cell, codes) encoding
     // partitioned by cell + the 1-row codebook parquet, then serve the
     // query batch from disk — partition-pruned reads, a float-free
@@ -3785,8 +3795,23 @@ object SparkEntry {
               FROM qres q JOIN enc e ON q.cell = e.cell AND q.qid <> e.vec_id),
          r AS (SELECT qid, cid, adc,
                 CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, cid) AS BIGINT) AS rnk
-               FROM scored)
+               FROM scored)"""
+    val ivfpqOracleTop5 =
+      s"""$ivfpqOracle
          SELECT qid, cid, adc, rnk FROM r WHERE rnk <= 5"""
+    // refine funnel: ADC top-20 shortlist, exact cosine re-rank to 5
+    val ivfpqRefinedOracle =
+      s"""$ivfpqOracle,
+         sl AS (SELECT qid, cid FROM r WHERE rnk <= 20),
+         ex AS (SELECT s.qid, s.cid,
+                ${duckCosine("qe.embedding", "ce.embedding")} AS cosine
+              FROM sl s JOIN embeddings qe ON qe.vec_id = s.qid
+              JOIN embeddings ce ON ce.vec_id = s.cid),
+         r2 AS (SELECT qid, cid, cosine,
+                CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY cosine DESC, cid) AS BIGINT) AS "rank"
+               FROM ex)
+         SELECT qid, cid, cosine, "rank" FROM r2 WHERE "rank" <= 5"""
     val bpeChain =
       s"""tk AS (SELECT ${duckTokens("text")} AS toks FROM documents),
          wd AS (SELECT unnest(toks) AS word FROM tk),
@@ -4060,10 +4085,11 @@ object SparkEntry {
                   CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, cid) AS BIGINT) AS rnk
                  FROM scored)
            SELECT qid, cid, adc, rnk FROM r WHERE rnk <= 5""",
-      "q_ann_ivfpq" -> ivfpqOracle,
+      "q_ann_ivfpq" -> ivfpqOracleTop5,
       // the stored index round-trips (cell, codes) + the codebook row
       // through parquet; results are identical by construction
-      "q_ann_ivfpq_stored" -> ivfpqOracle,
+      "q_ann_ivfpq_stored" -> ivfpqOracleTop5,
+      "q_ann_ivfpq_refined" -> ivfpqRefinedOracle,
       "q_events_tumbling" ->
         """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
                   COUNT(*) AS n_events,

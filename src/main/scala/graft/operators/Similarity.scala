@@ -464,6 +464,39 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** IVF-PQ with a REFINE stage (the FAISS refine/rerank funnel): the
+    * compressed index nominates `rerank` ADC candidates per query, the
+    * true vectors of ONLY those candidates are fetched back, and exact
+    * cosine re-ranks them to the final top-k. This is the production
+    * two-stage architecture: the corpus-sized pass touches nothing but
+    * (cell, codes); exact distance work is confined to
+    * |queries| × rerank rows — the refine join ships `rerank` ids per
+    * query, and the candidate fetch is an equi join on the id (at
+    * 100 TB: against the vector table's bucketed-by-id layout, no
+    * corpus rescan beyond the pruned fetch).
+    *
+    * Output ranks are exact-cosine order (ties by cid) WITHIN the ADC
+    * shortlist — approximation only decides membership, never order. */
+  def ivfPqRefineTopK(candidates: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, rerank: Int,
+      ncells: Int = 8, kmIters: Int = 2, nprobe: Int = 2, m: Int = 8,
+      ks: Int = 16, sd: Int = 8,
+      seedFilter: String = "vid % 31 = 0 AND vid < 496"): DataFrame = {
+    val shortlist = ivfPqTopK(candidates, queries, idCol, vecCol,
+      rerank, ncells, kmIters, nprobe, m, ks, sd, seedFilter)
+      .select(col("qid"), col("cid"))
+    val cv = candidates.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val qv = broadcast(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
+    val exact = shortlist.join(cv, "cid").join(qv, "qid")
+      .select(col("qid"), col("cid"),
+        GraftFunctions.cosineSim(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("cid"))
+    exact.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Query a stored IVF-PQ index (the partitioned (cid, cell, codes)
     * layout plus its 1-row codebook parquet) with the build-time coarse
     * centroids. The partition column comes back as the directory-

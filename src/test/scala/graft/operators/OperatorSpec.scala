@@ -501,6 +501,24 @@ class OperatorSpec extends SparkSpec {
     assert(recall >= 0.04, s"IVF-PQ recall@5 not above chance: $recall")
   }
 
+  test("IVF-PQ refine: recall dominates the unrefined ADC top-k") {
+    val q = emb.filter("vec_id < 20")
+    val truth = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
+      k = 5).select("qid", "cid")
+    val plain = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding",
+      k = 5).select("qid", "cid")
+    val refined = Similarity.ivfPqRefineTopK(emb, q, "vec_id",
+      "embedding", k = 5, rerank = 20).select("qid", "cid")
+    val nT = truth.count().toDouble
+    val rPlain = truth.join(plain, Seq("qid", "cid")).count() / nT
+    val rRef = truth.join(refined, Seq("qid", "cid")).count() / nT
+    // guaranteed: refined top-5 = the exact-cosine-best 5 of the ADC
+    // shortlist, and both contenders live inside that shortlist — any
+    // truth member the ADC top-5 catches, the exact re-rank keeps
+    assert(rRef >= rPlain,
+      s"refine lowered recall: refined=$rRef plain=$rPlain")
+  }
+
   test("segment dedup: first occurrence survives, later copy dropped") {
     import spark.implicits._
     val df = Seq(
