@@ -524,6 +524,26 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, rerank = 20)
     }),
 
+    // ----- ANN quality self-evaluation (the q_lsh_quality twin for the
+    // ANN stack): recall@5 of the compressed IVF-PQ path against the
+    // exact brute-force truth, as exact integer counts + one division —
+    // the readout that decides nprobe/m/ks before a rollout -----
+    "q_ann_recall_report" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val truth = Similarity.bruteForceTopK(emb, q, "vec_id",
+        "embedding", k = 5).select(col("qid"), col("cid"))
+      val approx = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding",
+        k = 5).select(col("qid"), col("cid"))
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      val nA = approx.agg(count(lit(1)).as("n_approx"))
+      val nH = truth.join(approx, Seq("qid", "cid"))
+        .agg(count(lit(1)).as("n_hit"))
+      nT.crossJoin(nA).crossJoin(nH)
+        .withColumn("recall",
+          expr("CAST(n_hit AS DOUBLE) / n_truth"))
+    }),
+
     // ----- STORED IVF-PQ index: write the (cell, codes) encoding
     // partitioned by cell + the 1-row codebook parquet, then serve the
     // query batch from disk — partition-pruned reads, a float-free
@@ -4090,6 +4110,26 @@ object SparkEntry {
       // through parquet; results are identical by construction
       "q_ann_ivfpq_stored" -> ivfpqOracleTop5,
       "q_ann_ivfpq_refined" -> ivfpqRefinedOracle,
+      "q_ann_recall_report" ->
+        s"""$ivfpqOracle,
+           bq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                WHERE vec_id < 10),
+           bc AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+           bs AS (SELECT qid, cid, ${duckCosine("qv", "cv")} AS cosine
+                FROM bq CROSS JOIN bc WHERE qid <> cid),
+           bt AS (SELECT qid, cid FROM (SELECT qid, cid,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY cosine DESC, cid) AS brk FROM bs)
+                WHERE brk <= 5),
+           ap AS (SELECT qid, cid FROM r WHERE rnk <= 5),
+           hit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+                FROM bt JOIN ap ON bt.qid = ap.qid AND bt.cid = ap.cid)
+           SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM bt) AS n_truth,
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM ap) AS n_approx,
+                  n_hit,
+                  CAST(n_hit AS DOUBLE) /
+                    (SELECT COUNT(*) FROM bt) AS recall
+           FROM hit""",
       "q_events_tumbling" ->
         """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
                   COUNT(*) AS n_events,
