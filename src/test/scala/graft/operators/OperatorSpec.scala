@@ -501,6 +501,23 @@ class OperatorSpec extends SparkSpec {
     assert(recall >= 0.04, s"IVF-PQ recall@5 not above chance: $recall")
   }
 
+  test("BPE, segment dedup, label probe: partition-invariant results") {
+    // the determinism contracts promise bit-identical results under ANY
+    // partitioning — run each operator on a 7-way repartitioned twin
+    // and require set-equal collected output
+    def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    val docs7 = docs.repartition(7)
+    assert(canon(TextAnalysis.bpeMerges(docs, "text", 3)) ==
+      canon(TextAnalysis.bpeMerges(docs7, "text", 3)))
+    assert(canon(Dedup.segmentDedup(docs, "doc_id", "text")) ==
+      canon(Dedup.segmentDedup(docs7, "doc_id", "text")))
+    val emb7 = emb.repartition(7)
+    assert(canon(Similarity.labelProbe(emb, "vec_id", "embedding",
+      "label")) ==
+      canon(Similarity.labelProbe(emb7, "vec_id", "embedding", "label")))
+  }
+
   test("IVF-PQ refine: recall dominates the unrefined ADC top-k") {
     val q = emb.filter("vec_id < 20")
     val truth = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
