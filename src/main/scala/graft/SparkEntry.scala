@@ -2862,6 +2862,52 @@ object SparkEntry {
         .select(col("word"), col("doc_id"), col("score"), col("rn"))
     }),
 
+    // ----- HYBRID RETRIEVAL with reciprocal-rank fusion: a BM25
+    // lexical arm (term 'join') and an embedding-cosine semantic arm
+    // (query = vector 0) each nominate their top-100; RRF fuses the
+    // rank lists (1/(60+rank), the standard hybrid-search combiner —
+    // rank-based, so no cross-modality score calibration needed). Both
+    // arms are top-k-bounded BEFORE fusion: per-modality candidate
+    // generation then a candidate-sized join, never a corpus-wide one -----
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val docTok = Dedup.persistTracked(
+        TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+          .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+            expr("CAST(size(filter(toks, w -> w = 'join')) AS BIGINT)")
+              .as("tf")))
+      val corpus = docTok
+        .agg(count(lit(1)).as("nd"), sum(col("dl")).as("sum_dl"))
+      val dfq = docTok.filter(col("tf") > 0)
+        .agg(count(lit(1)).as("dfq"))
+      val lex = docTok.filter(col("tf") > 0)
+        .crossJoin(broadcast(corpus)).crossJoin(broadcast(dfq))
+        .withColumn("score", expr(
+          "((tf * 2.2e0) / (tf + 1.2e0 * (0.25e0 + (0.75e0 * dl) / " +
+            "(CAST(sum_dl AS DOUBLE) / nd)))) * " +
+            "((nd - dfq + 0.5e0) / (dfq + 0.5e0))"))
+        .withColumn("lex_rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .filter(col("lex_rank") <= 100)
+        .select(col("doc_id"), col("lex_rank"))
+      val qv = broadcast(emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv")))
+      val sem = emb.filter(col("vec_id") =!= 0).crossJoin(qv)
+        .select(col("vec_id").as("doc_id"), GraftFunctions
+          .cosineSim(col("embedding"), col("qv")).as("cos"))
+        .withColumn("sem_rank", row_number().over(
+          Window.orderBy(col("cos").desc, col("doc_id"))).cast("long"))
+        .filter(col("sem_rank") <= 100)
+        .select(col("doc_id"), col("sem_rank"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", expr(
+          "coalesce(1.0e0 / (60 + lex_rank), 0.0e0) + " +
+            "coalesce(1.0e0 / (60 + sem_rank), 0.0e0)"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+        .filter(col("rn") <= 15)
+    }),
+
     // ----- PARETO FRONTIER (skyline) selection: parts not dominated in
     // (minimize price, maximize size) — the multi-objective data-
     // selection shape (e.g. quality-vs-length corpus picks). Two
@@ -5938,6 +5984,42 @@ object SparkEntry {
                           ORDER BY score DESC, doc_id) AS rn
                  FROM scored)
            WHERE rn <= 5""",
+      "q_hybrid_rrf" ->
+        s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
+           dt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                  CAST(len(list_filter(toks, w -> w = 'join')) AS BIGINT) AS tf
+                FROM tk),
+           corpus AS (SELECT COUNT(*) AS nd, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dt),
+           dfqt AS (SELECT COUNT(*) AS dfq FROM dt WHERE tf > 0),
+           lex AS (SELECT doc_id, lex_rank FROM (
+                  SELECT doc_id, CAST(ROW_NUMBER() OVER (
+                    ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+                  FROM (SELECT doc_id,
+                        ((tf * 2.2e0) / (tf + 1.2e0 * (0.25e0 + (0.75e0 * dl) /
+                          (CAST(sum_dl AS DOUBLE) / nd)))) *
+                          ((nd - dfq + 0.5e0) / (dfq + 0.5e0)) AS score
+                        FROM dt CROSS JOIN corpus CROSS JOIN dfqt
+                        WHERE tf > 0))
+                WHERE lex_rank <= 100),
+           sem AS (SELECT doc_id, sem_rank FROM (
+                  SELECT c.vec_id AS doc_id, CAST(ROW_NUMBER() OVER (
+                    ORDER BY ${duckCosine("c.embedding", "q.embedding")} DESC,
+                      c.vec_id) AS BIGINT) AS sem_rank
+                  FROM embeddings c CROSS JOIN
+                    (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+                  WHERE c.vec_id <> 0)
+                WHERE sem_rank <= 100),
+           fused AS (SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+                  l.lex_rank, s.sem_rank,
+                  COALESCE(1.0e0 / (60 + l.lex_rank), 0.0e0) +
+                    COALESCE(1.0e0 / (60 + s.sem_rank), 0.0e0) AS rrf
+                FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+           SELECT doc_id, lex_rank, sem_rank, rrf, rn FROM (
+                SELECT doc_id, lex_rank, sem_rank, rrf,
+                       CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id)
+                         AS BIGINT) AS rn
+                FROM fused)
+           WHERE rn <= 15""",
       "q_pareto" ->
         """WITH p AS (SELECT p_partkey,
                   CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
