@@ -530,11 +530,15 @@ object SparkEntry {
     // the readout that decides nprobe/m/ks before a rollout -----
     "q_ann_recall_report" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") < 10)
-      val truth = Similarity.bruteForceTopK(emb, q, "vec_id",
-        "embedding", k = 5).select(col("qid"), col("cid"))
-      val approx = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding",
-        k = 5).select(col("qid"), col("cid"))
+      val q = Dedup.persistTracked(emb.filter(col("vec_id") < 10))
+      // persist: each tiny top-k frame feeds its own count AND the hit
+      // join — the multi-consumer recompute trap on a corpus-sized plan
+      val truth = Dedup.persistTracked(
+        Similarity.bruteForceTopK(emb, q, "vec_id",
+          "embedding", k = 5).select(col("qid"), col("cid")))
+      val approx = Dedup.persistTracked(
+        Similarity.ivfPqTopK(emb, q, "vec_id", "embedding",
+          k = 5).select(col("qid"), col("cid")))
       val nT = truth.agg(count(lit(1)).as("n_truth"))
       val nA = approx.agg(count(lit(1)).as("n_approx"))
       val nH = truth.join(approx, Seq("qid", "cid"))

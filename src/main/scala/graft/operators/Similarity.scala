@@ -482,12 +482,16 @@ object Similarity {
       ncells: Int = 8, kmIters: Int = 2, nprobe: Int = 2, m: Int = 8,
       ks: Int = 16, sd: Int = 8,
       seedFilter: String = "vid % 31 = 0 AND vid < 496"): DataFrame = {
-    val shortlist = ivfPqTopK(candidates, queries, idCol, vecCol,
+    // persist: the query batch feeds the ADC nomination pass AND the
+    // exact-rerank fetch — without the barrier both stages rescan it
+    val qp = Dedup.persistTracked(
+      queries.select(col(idCol), col(vecCol)))
+    val shortlist = ivfPqTopK(candidates, qp, idCol, vecCol,
       rerank, ncells, kmIters, nprobe, m, ks, sd, seedFilter)
       .select(col("qid"), col("cid"))
     val cv = candidates.select(col(idCol).as("cid"), col(vecCol).as("cv"))
     val qv = broadcast(
-      queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
+      qp.select(col(idCol).as("qid"), col(vecCol).as("qv")))
     val exact = shortlist.join(cv, "cid").join(qv, "qid")
       .select(col("qid"), col("cid"),
         GraftFunctions.cosineSim(col("qv"), col("cv")).as("cosine"))
