@@ -3415,6 +3415,27 @@ object SparkEntry {
           min(col("avg_p")).as("lo"), max(col("avg_p")).as("hi"))
     }),
 
+    // ----- DSIR IMPORTANCE WEIGHTS (Xie et al. 2023): top-50 raw docs
+    // by hashed-bigram likelihood ratio against the English slice as the
+    // target domain — the data-selection scorer; mean fixed-point ratio
+    // instead of sum-of-logs for exact cross-engine arithmetic (see
+    // TextAnalysis.dsirWeights). -----
+    "q_dsir_weights" -> ((s, dir) =>
+      TextAnalysis.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en")
+        .orderBy(col("dsir_w").desc, col("doc_id")).limit(50)),
+
+    // ----- N-GRAM NOVELTY: per-doc fraction of bigrams first seen in
+    // that doc (ingest order) — the greedy-coverage proxy; near-dup and
+    // boilerplate tails score ~0. -----
+    "q_ngram_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ----- HEAPS'-LAW CURVE: cumulative tokens vs cumulative distinct
+    // word types in doc-id order — the vocabulary-saturation readout. -----
+    "q_heaps_law" -> ((s, dir) =>
+      TextAnalysis.heapsLaw(t(s, dir, "documents"), "doc_id", "text")),
+
     // ----- LEAKAGE-SAFE TRAIN/VAL/TEST SPLIT: the 8/1/1 split is keyed
     // on the near-dup CLUSTER representative, not the doc id — so a
     // document and its near-duplicates land in the SAME split and eval
@@ -6249,6 +6270,43 @@ object SparkEntry {
            SELECT lang, CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_docs,
                   MIN(avg_p) AS lo, MAX(avg_p) AS hi
            FROM nt GROUP BY 1, 2""",
+      "q_dsir_weights" ->
+        s"""WITH tk AS (SELECT doc_id, lang, ${duckTokens("text")} AS toks FROM documents),
+           g AS (SELECT doc_id, lang = 'en' AS is_target,
+                        unnest(list_distinct(${duckShingles("toks", 2)})) AS bigram FROM tk),
+           gb AS (SELECT doc_id, is_target, (${duckStrHash("bigram")}) % 1024 AS b FROM g),
+           mdl AS (SELECT b, COUNT(*) AS n_r,
+                          CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+                   FROM gb GROUP BY b),
+           tot AS (SELECT b, n_r, n_t,
+                          CAST(SUM(n_r) OVER () AS BIGINT) AS nr_tot,
+                          CAST(SUM(n_t) OVER () AS BIGINT) AS nt_tot FROM mdl),
+           q AS (SELECT b, CAST(ROUND(1000000 * (CAST((n_t + 1) * (nr_tot + 1024) AS DOUBLE)
+                        / CAST((n_r + 1) * (nt_tot + 1024) AS DOUBLE))) AS BIGINT) AS rq
+                 FROM tot),
+           w AS (SELECT doc_id, CAST(SUM(rq) AS BIGINT) AS s, COUNT(*) AS nb
+                 FROM gb JOIN q USING (b) GROUP BY doc_id)
+           SELECT doc_id, nb, CAST(s AS DOUBLE) / nb / 1000000 AS dsir_w
+           FROM w ORDER BY dsir_w DESC, doc_id LIMIT 50""",
+      "q_ngram_novelty" ->
+        s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
+           g AS (SELECT doc_id, unnest(list_distinct(${duckShingles("toks", 2)})) AS bigram FROM tk),
+           f AS (SELECT bigram, MIN(doc_id) AS first_doc FROM g GROUP BY bigram)
+           SELECT doc_id, COUNT(*) AS nb,
+                  CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel,
+                  CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty
+           FROM g JOIN f USING (bigram) GROUP BY doc_id""",
+      "q_heaps_law" ->
+        s"""WITH w AS (SELECT doc_id, unnest(${duckTokens("text")}) AS word FROM documents),
+           pd AS (SELECT doc_id, COUNT(*) AS n_tokens FROM w GROUP BY doc_id),
+           ft AS (SELECT word, MIN(doc_id) AS first_doc FROM w GROUP BY word),
+           nt AS (SELECT first_doc, COUNT(*) AS new_types FROM ft GROUP BY first_doc)
+           SELECT pd.doc_id,
+                  CAST(SUM(n_tokens) OVER (ORDER BY pd.doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+                  CAST(SUM(COALESCE(new_types, 0)) OVER (ORDER BY pd.doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types
+           FROM pd LEFT JOIN nt ON pd.doc_id = nt.first_doc""",
       "q_dq_checks" ->
         """SELECT 'orphan_lineitem' AS "check", CAST(COUNT(*) AS BIGINT) AS n_bad
            FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)

@@ -325,4 +325,114 @@ object TextAnalysis {
     val after = wN.agg(sum(expr("cnt * size(syms)")).as("syms_after"))
     before.crossJoin(after)
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how much its HASHED-BIGRAM profile resembles a target
+    * slice (`targetPred`, e.g. a trusted domain) relative to the raw
+    * corpus. Per bucket `b`, both n-gram models are Laplace-smoothed
+    * document frequencies; the per-bucket importance factor is the
+    * likelihood ratio
+    * `p_t(b)/p_r(b) = (n_t+1)(N_r+B) / ((n_r+1)(N_t+B))`, fixed-pointed
+    * to `round(1e6·ratio)` BIGINT, and a document's weight is the MEAN
+    * factor over its bigram occurrences. DSIR proper sums LOG ratios;
+    * log()'s last ulp is engine-specific (the [[bigramDocScores]]
+    * perplexity note), so this takes the arithmetic- instead of
+    * geometric-mean ratio — same signal, exact cross-engine semantics:
+    * integer products stay under 2^53 (exact as DOUBLE), and the single
+    * IEEE division + round is bit-identical by definition.
+    *
+    * Scale: text reduces to (doc, bucket) ints in-scope — one persisted
+    * generator pass feeds both the model aggregation and the scoring
+    * join (multi-consumer barrier); the model is `buckets` rows, a
+    * broadcast; the only corpus-sized shuffle is the per-doc partial/
+    * final aggregation. This is the whole point of DSIR's hashing: the
+    * model never grows with the corpus. At quadrillions of n-grams swap
+    * the BIGINT products for DECIMAL. */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      targetPred: org.apache.spark.sql.Column,
+      buckets: Int = 1024): DataFrame = {
+    // polyHash is non-negative (mod-P arithmetic), so plain % == pmod
+    val g = Dedup.persistTracked(
+      df.select(col(idCol), targetPred.as("is_target"),
+        graft.functions.GraftFunctions
+          .shingleRows(col(textCol), 2).as("bigram"))
+        .withColumn("b", graft.functions.GraftFunctions
+          .polyHash(col("bigram")) % buckets)
+        .select(col(idCol), col("is_target"), col("b")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    val mdl = g.groupBy(col("b"))
+      .agg(count(lit(1)).as("n_r"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("n_t"))
+      .withColumn("nr_tot", sum(col("n_r")).over(w))
+      .withColumn("nt_tot", sum(col("n_t")).over(w))
+      .withColumn("rq", expr(
+        s"CAST(ROUND(1000000 * (CAST((n_t + 1) * (nr_tot + $buckets) AS DOUBLE) " +
+          s"/ CAST((n_r + 1) * (nt_tot + $buckets) AS DOUBLE))) AS BIGINT)"))
+      .select(col("b"), col("rq"))
+    g.join(broadcast(mdl), "b")
+      .groupBy(col(idCol))
+      .agg(sum(col("rq")).as("s"), count(lit(1)).as("nb"))
+      .withColumn("dsir_w", expr("CAST(s AS DOUBLE) / nb / 1000000"))
+      .select(col(idCol), col("nb"), col("dsir_w"))
+  }
+
+  /** Per-document N-GRAM NOVELTY: the fraction of a document's distinct
+    * bigrams whose FIRST corpus occurrence (by ascending doc id — the
+    * ingest order) is this document. The deterministic proxy for greedy
+    * coverage selection: high-novelty documents contribute n-grams the
+    * already-kept prefix lacks, boilerplate and near-dups score ~0 —
+    * the ordering-based complement to MinHash dedup (which needs a
+    * pairwise match; novelty catches diffuse, corpus-wide redundancy).
+    *
+    * Scale: one persisted (doc, bigram) generator pass feeds the
+    * first-occurrence aggregation AND the scoring join; the join key is
+    * the bigram string against the Zipf-bounded vocabulary table (same
+    * 128-bit-fingerprint-at-100 TB note as [[bigramDocScores]]). Pure
+    * integer counts + one final division — engine- and partition-exact. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val g = Dedup.persistTracked(
+      df.select(col(idCol), graft.functions.GraftFunctions
+        .shingleRows(col(textCol), 2).as("bigram")))
+    val first = g.groupBy(col("bigram"))
+      .agg(min(col(idCol)).as("first_doc"))
+    g.join(first, "bigram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("nb"),
+        sum(when(col("first_doc") === col(idCol), 1L).otherwise(0L))
+          .as("novel"))
+      .withColumn("novelty", expr("CAST(novel AS DOUBLE) / nb"))
+      .select(col(idCol), col("nb"), col("novel"), col("novelty"))
+  }
+
+  /** HEAPS'-LAW vocabulary growth readout: cumulative distinct word
+    * types vs cumulative token count as the corpus is scanned in doc-id
+    * order — the sublinear type-growth curve (V ≈ K·nᵝ) a corpus team
+    * plots to spot saturation (flattening = mostly-duplicate tail) or
+    * contamination (a jump = injected foreign vocabulary). Each word's
+    * type contribution is attributed to its first-occurrence document;
+    * both curves are exact BIGINT window prefix sums over the per-doc
+    * aggregates (corpus-sized work is the two partial/final
+    * aggregations; the window runs over n_docs rows). */
+  def heapsLaw(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Dedup.persistTracked(withTokens(df, textCol)
+      .select(col(idCol), explode(col("toks")).as("word")))
+    val perDoc = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"))
+    val newTypes = toks.groupBy(col("word"))
+      .agg(min(col(idCol)).as("first_doc"))
+      .groupBy(col("first_doc")).agg(count(lit(1)).as("new_types"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    perDoc.join(newTypes, perDoc(idCol) === newTypes("first_doc"), "left")
+      .select(perDoc(idCol), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+      .select(col(idCol), col("cum_tokens"), col("cum_types"))
+  }
 }

@@ -518,6 +518,35 @@ class OperatorSpec extends SparkSpec {
       canon(Similarity.labelProbe(emb7, "vec_id", "embedding", "label")))
   }
 
+  test("DSIR, novelty, Heaps: partition-invariant + selection signal") {
+    def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    val docs7 = docs.repartition(7)
+    import org.apache.spark.sql.functions.{avg, col}
+    val w = TextAnalysis.dsirWeights(docs, "doc_id", "text",
+      col("lang") === "en")
+    assert(canon(w) == canon(TextAnalysis.dsirWeights(docs7, "doc_id",
+      "text", col("lang") === "en")))
+    assert(canon(TextAnalysis.ngramNovelty(docs, "doc_id", "text")) ==
+      canon(TextAnalysis.ngramNovelty(docs7, "doc_id", "text")))
+    assert(canon(TextAnalysis.heapsLaw(docs, "doc_id", "text")) ==
+      canon(TextAnalysis.heapsLaw(docs7, "doc_id", "text")))
+    // selection signal: target-slice (en) docs must out-score the rest
+    // on mean importance weight — DSIR's defining property
+    val scored = w.join(docs.select("doc_id", "lang"), "doc_id")
+    val Array(enW, restW) = Seq("lang = 'en'", "lang <> 'en'").map(p =>
+      scored.filter(p).agg(avg("dsir_w")).head.getDouble(0)).toArray
+    assert(enW > restW,
+      s"DSIR weight should favor the target slice: en=$enW rest=$restW")
+    // Heaps: cumulative type curve is monotone and <= token curve
+    val hl = TextAnalysis.heapsLaw(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    hl.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) >= a.getLong(2) && b.getLong(1) > a.getLong(1))
+    }
+    assert(hl.forall(r => r.getLong(2) <= r.getLong(1)))
+  }
+
   test("IVF-PQ refine: recall dominates the unrefined ADC top-k") {
     val q = emb.filter("vec_id < 20")
     val truth = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
