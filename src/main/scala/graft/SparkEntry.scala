@@ -3425,10 +3425,11 @@ object SparkEntry {
         col("lang") === "en")
         .orderBy(col("dsir_w").desc, col("doc_id")).limit(50)),
 
-    // ----- N-GRAM NOVELTY: per-doc fraction of bigrams first seen in
+    // ----- PER-DOC NOVELTY: fraction of a doc's bigrams first seen in
     // that doc (ingest order) — the greedy-coverage proxy; near-dup and
-    // boilerplate tails score ~0. -----
-    "q_ngram_novelty" -> ((s, dir) =>
+    // boilerplate tails score ~0 (the per-SOURCE marginal-diversity twin
+    // is q_ngram_novelty). -----
+    "q_doc_novelty" -> ((s, dir) =>
       TextAnalysis.ngramNovelty(t(s, dir, "documents"), "doc_id", "text")),
 
     // ----- HEAPS'-LAW CURVE: cumulative tokens vs cumulative distinct
@@ -6288,7 +6289,7 @@ object SparkEntry {
                  FROM gb JOIN q USING (b) GROUP BY doc_id)
            SELECT doc_id, nb, CAST(s AS DOUBLE) / nb / 1000000 AS dsir_w
            FROM w ORDER BY dsir_w DESC, doc_id LIMIT 50""",
-      "q_ngram_novelty" ->
+      "q_doc_novelty" ->
         s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
            g AS (SELECT doc_id, unnest(list_distinct(${duckShingles("toks", 2)})) AS bigram FROM tk),
            f AS (SELECT bigram, MIN(doc_id) AS first_doc FROM g GROUP BY bigram)

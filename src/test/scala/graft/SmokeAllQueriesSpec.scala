@@ -19,6 +19,22 @@ class SmokeAllQueriesSpec extends SparkSpec {
     assert((o -- q).isEmpty, s"oracles without query: ${(o -- q).toSeq.sorted}")
   }
 
+  test("no duplicate query keys in the SparkEntry source") {
+    // Map literals silently keep the LAST duplicate key — a re-added
+    // name would shadow an existing query in both maps and the oracle
+    // sweep would still pass (against the wrong query). Count each
+    // `"q..." ->` key in the source: exactly once per map, so exactly
+    // twice overall (queries + oracleSql).
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")))
+    val key = """"(q[0-9a-z_]+)"\s*->""".r
+    val counts = key.findAllMatchIn(src).map(_.group(1)).toSeq
+      .groupBy(identity).view.mapValues(_.size)
+    val dups = counts.filter(_._2 != 2).toSeq.sortBy(_._1)
+    assert(dups.isEmpty,
+      s"keys not appearing exactly twice (queries + oracleSql): $dups")
+  }
+
   test("every query executes at sf0.001 (no runtime failures)") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
