@@ -352,17 +352,34 @@ object TextAnalysis {
   def dsirWeights(df: DataFrame, idCol: String, textCol: String,
       targetPred: org.apache.spark.sql.Column,
       buckets: Int = 1024): DataFrame = {
-    // polyHash is non-negative (mod-P arithmetic), so plain % == pmod
-    val g = Dedup.persistTracked(
+    val g = dsirGrams(df, idCol, textCol, targetPred, buckets)
+    g.join(broadcast(dsirModel(g, buckets)), "b")
+      .groupBy(col(idCol))
+      .agg(sum(col("rq")).as("s"), count(lit(1)).as("nb"))
+      .withColumn("dsir_w", expr("CAST(s AS DOUBLE) / nb / 1000000"))
+      .select(col(idCol), col("nb"), col("dsir_w"))
+  }
+
+  /** The persisted (doc, is_target, bucket) gram stream [[dsirWeights]]
+    * trains and scores on. polyHash is non-negative (mod-P arithmetic),
+    * so plain % == pmod. */
+  private def dsirGrams(df: DataFrame, idCol: String, textCol: String,
+      targetPred: org.apache.spark.sql.Column, buckets: Int): DataFrame =
+    Dedup.persistTracked(
       df.select(col(idCol), targetPred.as("is_target"),
         graft.functions.GraftFunctions
           .shingleRows(col(textCol), 2).as("bigram"))
         .withColumn("b", graft.functions.GraftFunctions
           .polyHash(col("bigram")) % buckets)
         .select(col(idCol), col("is_target"), col("b")))
+
+  /** The trained DSIR model: one (bucket, fixed-point likelihood-ratio)
+    * row per occupied bucket — at most `buckets` rows regardless of
+    * corpus size. */
+  private def dsirModel(g: DataFrame, buckets: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(1))
-    val mdl = g.groupBy(col("b"))
+    g.groupBy(col("b"))
       .agg(count(lit(1)).as("n_r"),
         sum(when(col("is_target"), 1L).otherwise(0L)).as("n_t"))
       .withColumn("nr_tot", sum(col("n_r")).over(w))
@@ -371,11 +388,28 @@ object TextAnalysis {
         s"CAST(ROUND(1000000 * (CAST((n_t + 1) * (nr_tot + $buckets) AS DOUBLE) " +
           s"/ CAST((n_r + 1) * (nt_tot + $buckets) AS DOUBLE))) AS BIGINT)"))
       .select(col("b"), col("rq"))
-    g.join(broadcast(mdl), "b")
-      .groupBy(col(idCol))
-      .agg(sum(col("rq")).as("s"), count(lit(1)).as("nb"))
-      .withColumn("dsir_w", expr("CAST(s AS DOUBLE) / nb / 1000000"))
-      .select(col(idCol), col("nb"), col("dsir_w"))
+  }
+
+  /** Train the DSIR model and COMPILE it to a driver-held lookup —
+    * (bucket → fixed-point ratio, plus the smoothed default for buckets
+    * the training corpus never occupied). The map is bounded by
+    * `buckets` (the legitimate codebook-sized collect, like the k-means
+    * centroids): this is the serving form a streaming ingest gate
+    * broadcasts to score documents statelessly — see
+    * `EventStreams.dsirGate`. */
+  def dsirModelCompiled(df: DataFrame, idCol: String, textCol: String,
+      targetPred: org.apache.spark.sql.Column, buckets: Int = 1024)
+      : (Map[Long, Long], Long) = {
+    val g = dsirGrams(df, idCol, textCol, targetPred, buckets)
+    val m = dsirModel(g, buckets).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val Array(nrTot, ntTot) = g
+      .agg(count(lit(1)).as("nr"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("nt"))
+      .collect().map(r => Array(r.getLong(0), r.getLong(1))).head
+    val default = math.round(1e6 * ((nrTot + buckets).toDouble /
+      (ntTot + buckets).toDouble))
+    (m, default)
   }
 
   /** Per-document N-GRAM NOVELTY: the fraction of a document's distinct

@@ -78,4 +78,37 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("session_window.start").cast("long").as("session_start_s"),
         col("user_id"), col("n_events"))
+
+  /** Streaming DSIR ingest gate: score each arriving document against a
+    * BATCH-TRAINED hashed-bigram importance model
+    * (`TextAnalysis.dsirModelCompiled` — train offline on the corpus,
+    * serve the compiled `buckets`-bounded lookup here) and keep docs
+    * whose mean fixed-point likelihood ratio clears `minW`. Entirely
+    * STATELESS — tokenize → distinct bigrams → bucket → map-literal
+    * lookup folded per row — so it runs in append mode with no state
+    * store, no watermark, and no shuffle: the model rides the closure
+    * as one `buckets`-sized literal, the streaming twin of a broadcast.
+    * Unoccupied buckets fall back to the model's smoothed default.
+    * Scoring a doc present in the training corpus reproduces its batch
+    * [[graft.operators.TextAnalysis.dsirWeights]] value bit-for-bit
+    * (same quantized integers, same fold) — spec-asserted.
+    * Docs with <2 tokens have no bigrams and are dropped (no evidence
+    * either way — route them to a length gate, not past it). */
+  def dsirGate(stream: DataFrame, idCol: String, textCol: String,
+      model: Map[Long, Long], defaultRq: Long, buckets: Int = 1024,
+      minW: Double = 0.0): DataFrame = {
+    val rqs = typedLit(model)
+    stream
+      .withColumn("bs", expr(
+        s"transform(array_distinct(${graft.functions.XFormulas
+          .sparkShingles(graft.functions.XFormulas.sparkTokens(textCol), 2)}), " +
+          s"sg -> ${graft.functions.XFormulas.sparkStrHash("sg")} % $buckets)"))
+      .withColumn("nb", size(col("bs")).cast("long"))
+      .filter(col("nb") > 0)
+      .withColumn("s", aggregate(col("bs"), lit(0L),
+        (acc, b) => acc + coalesce(element_at(rqs, b), lit(defaultRq))))
+      .withColumn("dsir_w", expr("CAST(s AS DOUBLE) / nb / 1000000"))
+      .filter(col("dsir_w") >= minW)
+      .select(col(idCol), col("nb"), col("dsir_w"))
+  }
 }

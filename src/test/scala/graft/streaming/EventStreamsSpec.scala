@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.athenaeum.SparkSpec
 
 case class Ev(ts_us: Long, user_id: Long, event_type: String, value: Double)
+case class Doc(doc_id: Long, text: String)
 
 /** Structured Streaming specs: MemoryStream in → windowed aggs → memory
   * sink. Append-mode windows only emit once the watermark passes their
@@ -118,5 +119,47 @@ class EventStreamsSpec extends SparkSpec {
     val types = spark.table("late").select("event_type").collect()
       .map(_.getString(0)).toSet
     assert(types.contains("on_time") && !types.contains("too_late"))
+  }
+
+  test("streaming DSIR gate reproduces batch weights bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (model, default) = TextAnalysis.dsirModelCompiled(
+      docs, "doc_id", "text", col("lang") === "en")
+    assert(model.nonEmpty && default > 0)
+    val batch = TextAnalysis.dsirWeights(docs, "doc_id", "text",
+      col("lang") === "en").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val sample = docs.select("doc_id", "text").as[Doc].collect().take(20)
+    val mem = MemoryStream[Doc]
+    mem.addData(sample: _*)
+    val out = EventStreams.dsirGate(mem.toDF(), "doc_id", "text",
+      model, default)
+    val q = out.writeStream.format("memory").queryName("dsir")
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("dsir").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val expected = sample.flatMap(d => batch.get(d.doc_id).map(d.doc_id -> _))
+    assert(expected.nonEmpty)
+    expected.foreach { case (id, exp) =>
+      assert(got(id) == exp, s"doc $id: stream ${got(id)} != batch $exp")
+    }
+    // the gate actually gates: a threshold above some observed weight
+    // must drop those docs and keep the rest
+    val ws = got.values.map(_._2).toSeq.sorted
+    val thr = ws(ws.size / 2)
+    val mem2 = MemoryStream[Doc]
+    mem2.addData(sample: _*)
+    val gated = EventStreams.dsirGate(mem2.toDF(), "doc_id", "text",
+      model, default, minW = thr)
+    val q2 = gated.writeStream.format("memory").queryName("dsir_gated")
+      .outputMode(OutputMode.Append).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val kept = spark.table("dsir_gated").collect().map(_.getLong(0)).toSet
+    assert(kept == got.filter(_._2._2 >= thr).keySet)
   }
 }
