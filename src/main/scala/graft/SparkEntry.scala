@@ -548,6 +548,19 @@ object SparkEntry {
           expr("CAST(n_hit AS DOUBLE) / n_truth"))
     }),
 
+    // ----- MARGIN-BASED BITEXT MINING (Artetxe & Schwenk 2019): each
+    // src vector's best tgt match by RATIO MARGIN (cosine over the mean
+    // of both sides' k-NN cosines — cancels hubness; margin > 1 =
+    // closer than a typical neighbor). Quantized-int k-NN sums, one
+    // guarded division; the pair generator is the bounded brute-force
+    // baseline — at corpus scale it swaps for the IVF-PQ shortlist. -----
+    "q_bitext_margin" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bitextMargin(emb, "vec_id", "embedding",
+        col("vec_id") % 2 === 0 && col("vec_id") < 100,
+        col("vec_id") % 2 === 1)
+    }),
+
     // ----- STORED IVF-PQ index: write the (cell, codes) encoding
     // partitioned by cell + the 1-row codebook parquet, then serve the
     // query batch from disk — partition-pruned reads, a float-free
@@ -4178,6 +4191,29 @@ object SparkEntry {
                  FROM scored)
            SELECT qid, cid, adc, rnk FROM r WHERE rnk <= 5""",
       "q_ann_ivfpq" -> ivfpqOracleTop5,
+      "q_bitext_margin" ->
+        s"""WITH src AS (SELECT vec_id AS src_id, embedding AS sv FROM embeddings
+                  WHERE vec_id % 2 = 0 AND vec_id < 100),
+           tgt AS (SELECT vec_id AS tgt_id, embedding AS tv FROM embeddings
+                  WHERE vec_id % 2 = 1),
+           sc AS (SELECT src_id, tgt_id,
+                  CAST(ROUND(1000000000 * (${duckCosine("sv", "tv")})) AS BIGINT) AS qc
+                FROM src CROSS JOIN tgt),
+           rs AS (SELECT src_id, tgt_id, qc,
+                  ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY qc DESC, tgt_id) AS r_s,
+                  ROW_NUMBER() OVER (PARTITION BY tgt_id ORDER BY qc DESC, src_id) AS r_t
+                 FROM sc),
+           sx AS (SELECT src_id, CAST(SUM(qc) AS BIGINT) AS sx FROM rs
+                 WHERE r_s <= 4 GROUP BY src_id),
+           sy AS (SELECT tgt_id, CAST(SUM(qc) AS BIGINT) AS sy FROM rs
+                 WHERE r_t <= 4 GROUP BY tgt_id),
+           m AS (SELECT sc.src_id, sc.tgt_id,
+                  CAST(8 * qc AS DOUBLE) / nullif(CAST(sx + sy AS DOUBLE), 0.0) AS margin
+                FROM sc JOIN sx USING (src_id) JOIN sy USING (tgt_id)),
+           r AS (SELECT src_id, tgt_id, margin,
+                  ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rk
+                 FROM m)
+           SELECT src_id, tgt_id, margin FROM r WHERE rk = 1""",
       // the stored index round-trips (cell, codes) + the codebook row
       // through parquet; results are identical by construction
       "q_ann_ivfpq_stored" -> ivfpqOracleTop5,

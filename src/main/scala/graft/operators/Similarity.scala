@@ -48,6 +48,63 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** MARGIN-BASED BITEXT MINING (Artetxe & Schwenk 2019): score every
+    * (src, tgt) candidate pair by the RATIO MARGIN — cosine divided by
+    * the mean of both sides' k-NN cosines — and keep each src vector's
+    * best tgt. The margin criterion is what makes mined parallel pairs
+    * usable as training data: absolute cosine has hubness (some vectors
+    * are everyone's neighbor); dividing by the local neighborhood
+    * density cancels it. Returned margin > 1 means "closer than either
+    * side's typical neighbor".
+    *
+    * Determinism: cosines are fixed-fold doubles quantized to
+    * `round(1e9·cos)` BIGINT BEFORE any aggregation; both k-NN means
+    * are BIGINT sums of those ints (margin = 2k·qc / (sx+sy), one
+    * guarded IEEE division) — engine- and partition-exact.
+    *
+    * GUARD + scale: the scorer here is the brute-force pair generator
+    * (O(|src|·|tgt|), [[bruteForceTopK]]'s fail-fast applies — src is
+    * the broadcast-sized query batch); at corpus scale swap the pair
+    * generator for the IVF-PQ shortlist ([[ivfPqTopK]]) and keep the
+    * margin stage unchanged — it only ever sees k·|src| candidate rows.
+    * The tgt-side k-NN mean is computed over the scored pair set (the
+    * retrieval-set variant), so it prices tgt hubness exactly where it
+    * bites: against this query batch. */
+  def bitextMargin(vectors: DataFrame, idCol: String, vecCol: String,
+      srcPred: org.apache.spark.sql.Column,
+      tgtPred: org.apache.spark.sql.Column, k: Int = 4,
+      maxQueries: Long = 100000L): DataFrame = {
+    val src = vectors.filter(srcPred)
+      .select(col(idCol).as("src_id"), col(vecCol).as("sv"))
+    val nq = src.count()
+    require(nq <= maxQueries,
+      s"bitextMargin: $nq src vectors exceeds maxQueries=$maxQueries; " +
+        "swap the brute-force pair generator for an ANN shortlist")
+    val tgt = vectors.filter(tgtPred)
+      .select(col(idCol).as("tgt_id"), col(vecCol).as("tv"))
+    // persist: the scored pairs feed both k-NN sums AND the margin join
+    val scored = Dedup.persistTracked(
+      broadcast(src).crossJoin(tgt)
+        .select(col("src_id"), col("tgt_id"),
+          round(GraftFunctions.cosineSim(col("sv"), col("tv")) *
+            lit(1000000000.0)).cast("long").as("qc")))
+    val wS = Window.partitionBy("src_id")
+      .orderBy(col("qc").desc, col("tgt_id"))
+    val wT = Window.partitionBy("tgt_id")
+      .orderBy(col("qc").desc, col("src_id"))
+    val sx = scored.withColumn("r", row_number().over(wS))
+      .filter(col("r") <= k).groupBy("src_id").agg(sum("qc").as("sx"))
+    val sy = scored.withColumn("r", row_number().over(wT))
+      .filter(col("r") <= k).groupBy("tgt_id").agg(sum("qc").as("sy"))
+    scored.join(broadcast(sx), "src_id").join(broadcast(sy), "tgt_id")
+      .withColumn("margin", expr(
+        s"CAST(${2 * k} * qc AS DOUBLE) / nullif(CAST(sx + sy AS DOUBLE), 0D)"))
+      .withColumn("rk", row_number().over(Window.partitionBy("src_id")
+        .orderBy(col("margin").desc, col("tgt_id"))))
+      .filter(col("rk") === 1)
+      .select(col("src_id"), col("tgt_id"), col("margin"))
+  }
+
   /** IVF-style approximate top-k: both sides are assigned to the
     * argmax-dot cell of a fixed coarse-quantizer codebook (deterministic
     * pseudo-centroids; a production build would k-means them), and each

@@ -40,6 +40,7 @@ class PlanHygieneSpec extends SparkSpec {
     "q_hard_negatives", // brute-force shape: broadcast query set x candidates
     "q_bm25",           // 1-row corpus-stats scalar crossed into the scoring
     "q_hybrid_rrf",     // 1-row corpus/df/query-vector scalars crossed in
+    "q_bitext_margin",  // brute-force shape: broadcast src batch x tgt
     "q15_top_revenue",  // 1-row max-revenue scalar crossed into the filter
     "q_ks_test",        // 1-row cohort-totals scalar crossed into the max
     "q_dq_checks",      // three 1-row constraint aggregates crossed + stacked

@@ -547,6 +547,22 @@ class OperatorSpec extends SparkSpec {
     assert(hl.forall(r => r.getLong(2) <= r.getLong(1)))
   }
 
+  test("bitext margin: one best match per src, partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    def run(v: org.apache.spark.sql.DataFrame) =
+      Similarity.bitextMargin(v, "vec_id", "embedding",
+        col("vec_id") % 2 === 0 && col("vec_id") < 100,
+        col("vec_id") % 2 === 1)
+    val r = run(emb).collect()
+    val nSrc = emb.filter("vec_id % 2 = 0 AND vec_id < 100").count()
+    assert(r.length == nSrc)
+    assert(r.map(_.getLong(0)).distinct.length == r.length)
+    // tgt side is odd ids only
+    assert(r.forall(_.getLong(1) % 2 == 1))
+    assert(run(emb.repartition(7)).collect().map(_.toString).toSet ==
+      r.map(_.toString).toSet)
+  }
+
   test("IVF-PQ refine: recall dominates the unrefined ADC top-k") {
     val q = emb.filter("vec_id < 20")
     val truth = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
