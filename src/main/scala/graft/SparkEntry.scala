@@ -1943,6 +1943,14 @@ object SparkEntry {
           col("n_members"), col("score").as("best_p"))
     }),
 
+    // ----- WINNOWING near-dup candidates (Schleimer et al. 2003, the
+    // MOSS fingerprinting algorithm): windowed-min k-gram selection
+    // (ties rightmost) guarantees shared substrings of >= w+k-1 tokens
+    // produce a shared fingerprint at ~2/(w+1) storage; pairs sharing
+    // >= 2 surviving fingerprints, viral fingerprints capped. -----
+    "q_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowingCandidates(t(s, dir, "documents"), "doc_id", "text")),
+
     // ----- segment-level dedup with REASSEMBLY: drop every 10-token
     // segment already seen earlier in the corpus (by (doc_id, pos)
     // order), emit the cleaned text — the CCNet/C4-style content
@@ -4693,6 +4701,29 @@ object SparkEntry {
                   array_to_string(list(pos ORDER BY pos), ',') AS positions,
                   COUNT(*) AS n_hits
            FROM g JOIN bg USING (gh) GROUP BY doc_id""",
+      "q_winnow_pairs" ->
+        s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
+           sh AS (SELECT doc_id,
+                         list_transform(${duckShingles("toks", 3)}, s -> ${duckStrHash("s")}) AS ghs
+                  FROM tk),
+           g AS (SELECT doc_id, unnest(ghs) AS gh,
+                        unnest(range(1, len(ghs) + 1)) AS pos,
+                        len(ghs) AS n
+                 FROM sh),
+           sel AS (SELECT doc_id, pos, n,
+                          MIN(gh * 1048576 + (1048575 - pos)) OVER
+                            (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS skey
+                   FROM g),
+           fp AS (SELECT DISTINCT doc_id, skey // 1048576 AS fp
+                  FROM sel WHERE pos <= n - 3),
+           capped AS (SELECT doc_id, fp FROM
+                        (SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS bsz FROM fp)
+                      WHERE bsz <= 64)
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(COUNT(*) AS BIGINT) AS n_shared
+           FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2""",
       "q_bigram_lm" ->
         s"""WITH tk AS (SELECT ${duckTokens("text")} AS toks FROM documents),
            bg AS (SELECT unnest(list_distinct(${duckShingles("toks", 2)})) AS bigram FROM tk),

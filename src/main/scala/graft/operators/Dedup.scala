@@ -544,6 +544,74 @@ object Dedup {
         col("n_dup_windows").cast("double") / col("n_windows"))
   }
 
+  /** WINNOWING fingerprints (Schleimer et al. 2003 — the MOSS
+    * algorithm): from each window of `w` consecutive k-gram hashes,
+    * select the minimum (ties → RIGHTMOST, the original's consistency
+    * rule); the distinct selected hashes are the document's
+    * fingerprints. Winnowing guarantees any shared substring of length
+    * ≥ w+k-1 tokens yields at least one shared fingerprint, while
+    * storing only ~2/(w+1) of the hashes — the density/guarantee
+    * trade local-minima schemes lack.
+    *
+    * The (hash, rightmost-pos) argmin is ONE windowed MIN over a packed
+    * key `gh·2²⁰ + (2²⁰−1−pos)` — pure integer, engine- and
+    * partition-exact. Positions must stay under 2²⁰ tokens per doc
+    * (pack the hash into the high bits of a wider split for longer
+    * docs — at 1M+ tokens a "document" is a concatenation bug anyway).
+    * Docs shorter than w+k-1 tokens have no full window and drop out.
+    *
+    * Scale: one generator pass per doc (narrow), one window shuffle
+    * keyed by doc id, fingerprints ~2/(w+1) of corpus k-grams. */
+  def winnowedFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    // POSITIONAL shingle stream (XFormulas HOF): the native Shingles
+    // expression dedupes by design, which is right for set-based ops
+    // but wrong here — winnowing is defined over the position sequence,
+    // and a repeated k-gram must occupy its repeated positions
+    import graft.functions.XFormulas
+    val g = df.select(col(idCol),
+        posexplode(expr(
+          s"transform(${XFormulas.sparkShingles(
+            XFormulas.sparkTokens(textCol), k)}, " +
+            s"sg -> ${XFormulas.sparkStrHash("sg")})")).as(Seq("pos0", "gh")))
+      .withColumn("pos", col("pos0").cast("long") + 1)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+    val win = byDoc.orderBy(col("pos")).rowsBetween(0, w - 1)
+    g.withColumn("n", count(lit(1)).over(byDoc))
+      .withColumn("key",
+        expr("gh * 1048576 + (1048575 - pos)"))
+      .withColumn("skey", min(col("key")).over(win))
+      .filter(col("pos") <= col("n") - (w - 1))
+      .select(col(idCol), expr("skey div 1048576").as("fp"))
+      .distinct()
+  }
+
+  /** Near-dup candidate pairs by SHARED WINNOWED FINGERPRINTS — the
+    * MOSS matching step: docs sharing ≥ `minShared` fingerprints.
+    * Boilerplate fingerprints shared by more than `maxBucket` docs are
+    * dropped before the self-join (the [[minhashCandidates]] viral-
+    * bucket cap: a window count on the join key, no extra exchange) —
+    * they carry no discriminative signal and would otherwise emit
+    * O(bucket²) pairs. */
+  def winnowingCandidates(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, minShared: Long = 2,
+      maxBucket: Long = 64): DataFrame = {
+    val fps = persistTracked(
+      winnowedFingerprints(df, idCol, textCol, k, w)
+        .withColumn("bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+        .filter(col("bsz") <= maxBucket)
+        .select(col(idCol), col("fp")))
+    val a = fps.select(col(idCol).as("doc_a"), col("fp"))
+    val b = fps.select(col(idCol).as("doc_b"), col("fp"))
+    a.join(b, "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Embedding near-dup pairs: random-hyperplane LSH bucket join, then
     * exact cosine verification above `threshold`. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,

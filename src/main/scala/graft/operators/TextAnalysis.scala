@@ -169,13 +169,15 @@ object TextAnalysis {
     * never text, and the benchmark side broadcasts. */
   def contaminatedSpans(docs: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int = 5): DataFrame = {
+    // POSITIONAL shingle stream (XFormulas HOF), NOT the native Shingles
+    // expression: that one dedupes by design, so its posexplode indexes
+    // the deduped array — a doc whose repeated n-gram matches the
+    // benchmark would report one position instead of all of them
     val docGrams = docs
-      .withColumn("sh",
-        graft.functions.GraftFunctions.shingles(col(textCol), n))
       .select(col(idCol),
-        posexplode(transform(col("sh"),
-          s => graft.functions.GraftFunctions.polyHash(s)))
-          .as(Seq("pos0", "gh")))
+        posexplode(expr(
+          s"transform(${sparkShingles(sparkTokens(textCol), n)}, " +
+            s"sg -> ${sparkStrHash("sg")})")).as(Seq("pos0", "gh")))
     val benchGrams = bench
       .withColumn("sh",
         graft.functions.GraftFunctions.shingles(col(textCol), n))

@@ -547,6 +547,39 @@ class OperatorSpec extends SparkSpec {
     assert(hl.forall(r => r.getLong(2) <= r.getLong(1)))
   }
 
+  test("contaminated spans: repeated matching n-gram reports every position") {
+    import spark.implicits._
+    // "a b c d e" occurs at token positions 1 AND 7 of the doc
+    val doc = Seq((1L, "a b c d e x a b c d e")).toDF("doc_id", "text")
+    val bench = Seq((99L, "a b c d e")).toDF("doc_id", "text")
+    val r = TextAnalysis.contaminatedSpans(doc, bench, "doc_id", "text")
+      .collect()
+    assert(r.length == 1)
+    assert(r(0).getSeq[Long](1) == Seq(1L, 7L), s"got ${r(0).getSeq[Long](1)}")
+    assert(r(0).getLong(2) == 2L)
+  }
+
+  test("winnowing: shared substring of >= w+k-1 tokens shares a fingerprint") {
+    import spark.implicits._
+    val shared = "q w e r t y u i" // 8 tokens >= w+k-1 = 6
+    val df = Seq(
+      (1L, s"alpha beta $shared gamma delta epsilon zeta"),
+      (2L, s"one two three $shared four five six seven"),
+      (3L, "totally different words with no overlap at all here okay")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowingCandidates(df, "doc_id", "text",
+      minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"guarantee violated: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // partition invariance
+    val a = Dedup.winnowedFingerprints(docs, "doc_id", "text").collect()
+      .map(_.toString).toSet
+    val b = Dedup.winnowedFingerprints(docs.repartition(7), "doc_id", "text")
+      .collect().map(_.toString).toSet
+    assert(a == b)
+  }
+
   test("bitext margin: one best match per src, partition-invariant") {
     import org.apache.spark.sql.functions.col
     def run(v: org.apache.spark.sql.DataFrame) =
