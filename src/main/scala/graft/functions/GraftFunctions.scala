@@ -32,6 +32,10 @@ object GraftFunctions {
   def bandBucket(sig: Column, band: Column, r: Int): Column =
     c(BandBucket(e(sig), e(band), r))
   def shingles(text: Column, n: Int): Column = c(Shingles(e(text), n))
+
+  /** Positional (non-deduped) shingle polyHashes; see [[ShingleHashes]]. */
+  def shingleHashes(text: Column, n: Int): Column =
+    c(ShingleHashes(e(text), n))
   def ivfCell(vec: Column, nc: Int): Column = c(IvfCell(e(vec), nc))
   def shingleRows(text: Column, n: Int): Column = c(ShingleRows(e(text), n))
   def bloomContains(key: Column, mask: Array[Long], k: Int): Column =

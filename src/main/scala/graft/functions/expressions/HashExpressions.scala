@@ -104,6 +104,43 @@ object HashImpl {
     new GenericArrayData(arr)
   }
 
+  /** POSITIONAL shingle hashes: the polyHash of every word n-gram of
+    * the text, in position order, duplicates KEPT — the stream
+    * position-sensitive operators (winnowing, contamination spans)
+    * consume; [[shingles]] dedupes and is wrong for them. Element i
+    * (0-based) is exactly
+    * `polyHash(concat_ws(' ', toks[i..i+n-1]))` — bit-identical to the
+    * XFormulas HOF chain `transform(sparkShingles(sparkTokens(t), n),
+    * sg -> sparkStrHash(sg))` and to duckShingles + duckStrHash. */
+  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toLowerCase.toString
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      if (s.charAt(i) == ' ') i += 1
+      else {
+        val start = i
+        while (i < len && s.charAt(i) != ' ') i += 1
+        toks.add(s.substring(start, i))
+      }
+    }
+    val m = toks.size - n + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](m)
+    val sb = new java.lang.StringBuilder()
+    var j = 0
+    while (j < m) {
+      sb.setLength(0)
+      sb.append(toks.get(j))
+      var o = 1
+      while (o < n) { sb.append(' ').append(toks.get(j + o)); o += 1 }
+      out(j) = polyHash(UTF8String.fromString(sb.toString))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** LSH band-bucket hash: fold (acc*31 + x) % P over signature entries
     * [band*r, band*r + r); same fold as XFormulas.sparkBandBucket /
     * duckBandBucket (1-indexed slice there, 0-indexed here). */
@@ -444,6 +481,28 @@ case class Shingles(child: Expression, n: Int)
     defineCodeGen(ctx, ev,
       c => s"graft.functions.expressions.HashImpl.shingles($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): Shingles =
+    copy(child = newChild)
+}
+
+/** POSITIONAL shingle-hash array of a raw text column (codegen'd): the
+  * polyHash of every word n-gram in position order, duplicates kept —
+  * for position-sensitive consumers (winnowing, contamination spans)
+  * that `posexplode` it. [[Shingles]] dedupes by design and must not
+  * feed them. */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+  protected override def nullSafeEval(input: Any): Any =
+    HashImpl.shingleHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expressions.HashImpl.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
 }
 

@@ -564,16 +564,13 @@ object Dedup {
     * keyed by doc id, fingerprints ~2/(w+1) of corpus k-grams. */
   def winnowedFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4): DataFrame = {
-    // POSITIONAL shingle stream (XFormulas HOF): the native Shingles
-    // expression dedupes by design, which is right for set-based ops
-    // but wrong here — winnowing is defined over the position sequence,
-    // and a repeated k-gram must occupy its repeated positions
-    import graft.functions.XFormulas
+    // POSITIONAL shingle-hash stream: the native Shingles expression
+    // dedupes by design, which is right for set-based ops but wrong
+    // here — winnowing is defined over the position sequence, and a
+    // repeated k-gram must occupy its repeated positions
     val g = df.select(col(idCol),
-        posexplode(expr(
-          s"transform(${XFormulas.sparkShingles(
-            XFormulas.sparkTokens(textCol), k)}, " +
-            s"sg -> ${XFormulas.sparkStrHash("sg")})")).as(Seq("pos0", "gh")))
+        posexplode(GraftFunctions.shingleHashes(col(textCol), k))
+          .as(Seq("pos0", "gh")))
       .withColumn("pos", col("pos0").cast("long") + 1)
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))

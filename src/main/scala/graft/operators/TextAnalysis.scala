@@ -169,15 +169,14 @@ object TextAnalysis {
     * never text, and the benchmark side broadcasts. */
   def contaminatedSpans(docs: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int = 5): DataFrame = {
-    // POSITIONAL shingle stream (XFormulas HOF), NOT the native Shingles
+    // POSITIONAL shingle-hash stream, NOT the native Shingles
     // expression: that one dedupes by design, so its posexplode indexes
     // the deduped array — a doc whose repeated n-gram matches the
     // benchmark would report one position instead of all of them
     val docGrams = docs
       .select(col(idCol),
-        posexplode(expr(
-          s"transform(${sparkShingles(sparkTokens(textCol), n)}, " +
-            s"sg -> ${sparkStrHash("sg")})")).as(Seq("pos0", "gh")))
+        posexplode(graft.functions.GraftFunctions
+          .shingleHashes(col(textCol), n)).as(Seq("pos0", "gh")))
     val benchGrams = bench
       .withColumn("sh",
         graft.functions.GraftFunctions.shingles(col(textCol), n))

@@ -87,6 +87,23 @@ class HashExpressionsSpec extends SparkSpec {
     assert(mismatch.count() == 0)
   }
 
+  test("ShingleHashes == positional HOF hash chain on every document") {
+    val docs = Tables(spark, dir, "documents")
+    val mismatch = docs.select(
+      GraftFunctions.shingleHashes(col("text"), 3).as("native"),
+      expr(s"transform(${sparkShingles(sparkTokens("text"), 3)}, " +
+        s"sg -> ${sparkStrHash("sg")})").as("hof"))
+      .filter("native <> hof")
+    assert(mismatch.count() == 0)
+    // positional contract: duplicates kept (unlike Shingles)
+    import spark.implicits._
+    val rep = Seq(Tuple1("a b c x a b c")).toDF("text")
+      .select(GraftFunctions.shingleHashes(col("text"), 3).as("h"))
+      .selectExpr("size(h) AS n", "size(array_distinct(h)) AS nd")
+      .head()
+    assert(rep.getInt(0) == 5 && rep.getInt(1) == 4)
+  }
+
   test("BandBucket == HOF band bucket for every (doc, band)") {
     val sigs = Tables(spark, dir, "documents")
       .selectExpr("doc_id", s"${sparkTokens("text")} AS toks")
