@@ -8,9 +8,9 @@ import org.apache.spark.sql.types.DecimalType
 /** Event-time windowing over the `events` table (batch forms; the
   * streaming variants live in [[graft.streaming.EventStreams]]).
   *
-  * The events parquet stores nanosecond timestamps, which Spark's parquet
-  * reader surfaces as BIGINT nanos under
-  * `spark.sql.legacy.parquet.nanosAsLong` (set by [[graft.sources.Tables]]).
+  * The events `ts` column arrives as BIGINT epoch-nanos —
+  * [[graft.sources.Tables]] normalizes whatever physical timestamp type
+  * the parquet carries (INT64 nanos or TIMESTAMP micros) into that shape.
   * All window math is integer arithmetic on epoch units — deterministic
   * and identical in any engine.
   */

@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Access to the driver-generated parquet test tables (TESTDATA.md).
   *
@@ -17,14 +19,29 @@ object Tables {
 
   /** Read one table from a scale-factor directory.
     *
-    * `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark 4 rejects
-    * by default (PARQUET_TYPE_ILLEGAL); `nanosAsLong` surfaces it as
-    * BIGINT epoch-nanos, which the window operators consume directly
-    * (integer bucket math — no timestamp semantics needed). */
+    * `events.parquet` has shipped with two physical types for `ts`:
+    * INT64 TIMESTAMP(NANOS), which Spark 4 rejects by default
+    * (PARQUET_TYPE_ILLEGAL) — `nanosAsLong` surfaces it as BIGINT
+    * epoch-nanos — and TIMESTAMP(MICROS), which Spark reads as
+    * TIMESTAMP_NTZ. [[normalizeEventTs]] folds both into the BIGINT
+    * epoch-nanos shape the window operators consume (integer bucket
+    * math — no timestamp semantics needed downstream). */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
   }
+
+  /** Rewrite a timestamp-typed `ts` to BIGINT epoch-nanos; leave an
+    * already-integral `ts` untouched. The session time zone is pinned to
+    * UTC (GraftSession / test JVM opts), so the NTZ→LTZ cast is the
+    * identity on the underlying micros and the conversion is exact. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampNTZType) | Some(TimestampType) =>
+        df.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
+      case _ => df
+    }
 
   /** Register all tables as temp views for spark.sql use. */
   def registerAll(spark: SparkSession, dir: String): Unit =
