@@ -2374,6 +2374,23 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // ----- multi-source BFS over the same near-dup candidate graph:
+    // min hop distance from the seed docs (doc_id % 97 == 0), 4 bounded
+    // frontier rounds — "how far does influence of these documents
+    // propagate through the duplicate graph" -----
+    "q_graph_bfs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+        .select("doc_a", "doc_b")
+      val edges = cand.select(explode(array(
+        struct(col("doc_a").as("doc_a"), col("doc_b").as("doc_b")),
+        struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("e"))
+        .select(col("e.doc_a").as("src"), col("e.doc_b").as("dst"))
+      val seeds = docs.filter(col("doc_id") % 97 === 0)
+      Graph.bfsHops(edges, "src", "dst", seeds, "doc_id", maxHops = 4)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // ----- salted skew join through the correctness gate: its contract
     // is row-identical output to the plain equi join (the oracle runs
     // the plain form) -----
@@ -5816,6 +5833,28 @@ object SparkEntry {
            SELECT id AS doc_id, rank_fx,
                   CAST(rank_fx AS DOUBLE) / 1000000000000.0 AS pagerank
            FROM r3"""
+      },
+      "q_graph_bfs" -> {
+        // 4 unrolled BFS rounds; expanding only the previous round's
+        // frontier (hop = i-1) mirrors Graph.bfsHops exactly, and the
+        // min(hop) fold makes full-expansion and frontier forms equal
+        val rounds = (1 to 4).map { i =>
+          s"""h$i AS (SELECT id, MIN(hop) AS hop FROM (
+                SELECT id, hop FROM h${i - 1}
+                UNION ALL
+                SELECT e.dst AS id, f.hop + 1 AS hop
+                FROM h${i - 1} f JOIN edges e ON e.src = f.id
+                WHERE f.hop = ${i - 1}) u GROUP BY id)"""
+        }.mkString(",\n")
+        s"""$minhashCtes,
+           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM buckets a JOIN buckets b
+                      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+           edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                     UNION ALL SELECT doc_b AS src, doc_a AS dst FROM cand),
+           h0 AS (SELECT doc_id AS id, 0 AS hop FROM documents WHERE doc_id % 97 = 0),
+           $rounds
+           SELECT id AS doc_id, CAST(hop AS BIGINT) AS hop FROM h4"""
       },
       "q_order_gap" ->
         """SELECT o_custkey, CAST(date_diff('day', d1, d2) AS BIGINT) AS gap_days

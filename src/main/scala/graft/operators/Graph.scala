@@ -60,4 +60,44 @@ object Graph {
     ranks.select(col("id"), col("rank_fx"),
       (col("rank_fx").cast("double") / lit(scale.toDouble)).as("pagerank"))
   }
+
+  /** Multi-source BFS hop distance, bounded to `maxHops` rounds.
+    *
+    * Classic frontier expansion: round r joins ONLY the nodes first
+    * discovered at round r-1 against the edge list, then folds the new
+    * labels in with a `min(hop)` re-aggregation. Each round is one
+    * shuffle of (frontier ⋈ edges) + one of the label table — the label
+    * table and the join both hash-partition on the node id, so the agg
+    * reuses the join's exchange. All-integer labels → bit-identical
+    * across engines and reruns (same argument as [[pagerank]]).
+    *
+    * Scale: state is one row per *reached* node, frontier work is
+    * proportional to the frontier's out-edges (not the whole graph), and
+    * `checkpointTracked` cuts the per-round lineage growth that would
+    * otherwise re-plan r joins at round r. Seeds absent from the edge
+    * list surface with hop 0 and never expand — harmless.
+    *
+    * Rounds are bounded by design: on unbounded data a driver-side
+    * convergence loop is an unbounded job count. For unknown-diameter
+    * graphs compose with the fixpoint pattern used by the
+    * connected-components variant (empty-frontier early exit).
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int = 4): DataFrame = {
+    // persist: the edge list feeds one join per round
+    val e = Dedup.persistTracked(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    var dist = seeds.select(col(seedCol).as("id")).distinct()
+      .withColumn("hop", lit(0L))
+      .transform(Dedup.checkpointTracked)
+    for (r <- 1 to maxHops) {
+      val frontier = dist.filter(col("hop") === (r - 1).toLong)
+      val next = frontier.join(e, frontier("id") === e("src"))
+        .select(col("dst").as("id"), lit(r.toLong).as("hop"))
+      dist = dist.unionAll(next)
+        .groupBy(col("id")).agg(min(col("hop")).as("hop"))
+        .transform(Dedup.checkpointTracked)
+    }
+    dist
+  }
 }

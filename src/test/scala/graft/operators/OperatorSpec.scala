@@ -907,6 +907,31 @@ class OperatorSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("bfsHops: min hop distance, frontier-bounded, partition-invariant") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6 plus a shortcut 1-4: node 4 is 1 hop via the
+    // shortcut (not 3 via the path); 6 is beyond maxHops=3 from seed 1
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (1L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val got = Graph.bfsHops(edges, "src", "dst", seeds, "id", maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    Dedup.releaseCaches()
+    assert(got == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L,
+      6L -> 3L))
+    // seed not in the graph: isolated at hop 0, nothing else reached
+    val lone = Graph.bfsHops(edges, "src", "dst", Seq(99L).toDF("id"), "id",
+      maxHops = 2).as[(Long, Long)].collect().toMap
+    Dedup.releaseCaches()
+    assert(lone == Map(99L -> 0L))
+    // partition invariance: a differently-partitioned edge list yields
+    // the identical label table (all-integer ops, min() is order-free)
+    val again = Graph.bfsHops(edges.repartition(7), "src", "dst", seeds,
+      "id", maxHops = 3).as[(Long, Long)].collect().toMap
+    Dedup.releaseCaches()
+    assert(again == got)
+  }
+
   test("Misra-Gries sketch: containment guarantee + partial aggregation") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
