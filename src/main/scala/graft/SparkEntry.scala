@@ -355,6 +355,12 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 6)),
+    // pigeonhole 4-block simhash index: EXACT recall at Hamming<=3 (the
+    // oracle is the literal all-pairs definition — the operator must
+    // find every qualifying pair, not a blocked subset)
+    "q_dedup_simhash_exact" -> ((s, dir) =>
+      Dedup.simhashPairsExact(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3)),
     "q_dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.35)),
@@ -4094,6 +4100,17 @@ object SparkEntry {
                     CAST(bit_count(xor(a.sh2, b.sh2)) AS BIGINT) AS hamming
              FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id)
            WHERE hamming <= 6""",
+      "q_dedup_simhash_exact" ->
+        // the oracle is the DEFINITION (exact all-pairs Hamming), not a
+        // mirror of the pigeonhole index — recall exactness is what the
+        // hash-match proves
+        s"""$shingleCtes,
+           sigs AS (SELECT doc_id, ${duckSimhash("hs")} AS sh FROM hs)
+           SELECT * FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+             FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+           WHERE hamming <= 3""",
       "q_dedup_embedding" ->
         s"""WITH sigs AS (SELECT vec_id, embedding, ${duckSimSig("embedding", 8, 64)} AS sig FROM embeddings)
            SELECT * FROM (

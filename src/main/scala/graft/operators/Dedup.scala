@@ -379,6 +379,49 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** SimHash near-dup pairs with EXACT recall at `maxHamming ≤ 3` —
+    * the pigeonhole multi-block design of Manku et al. (WWW'07,
+    * "Detecting Near-Duplicates for Web Crawling").
+    *
+    * The 32-bit signature splits into 4 disjoint 8-bit blocks; a pair
+    * within Hamming distance 3 differs in at most 3 blocks, so by
+    * pigeonhole it agrees EXACTLY on at least one. Each signature is
+    * therefore indexed 4× under (block_index, block_value); candidate
+    * generation is an equi join on that compound key, and the exact
+    * Hamming verify runs only inside blocks. Unlike [[simhashPairs]]'s
+    * single top-bits block (which silently MISSES pairs whose
+    * differing bits land in the block), no qualifying pair can escape.
+    *
+    * Scale: 4 index entries per doc, candidates confined to same-value
+    * blocks (expected n/2^8 per bucket per block under a uniform hash).
+    * The signature table shuffles as (int, long) — text never moves.
+    * A degenerate corpus (many empty/near-empty docs sharing one
+    * signature) concentrates one bucket; compose with the window-count
+    * bucket cap of [[minhashCandidatesCapped]] if that is a real risk.
+    */
+  def simhashPairsExact(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, shingle: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 blocks of a 32-bit simhash guarantee " +
+      s"recall only to Hamming 3; got $maxHamming")
+    // persist: the signature table is indexed 4x and joined twice
+    val sigs = persistTracked(
+      simhashSignatures(df, idCol, textCol, shingle))
+    val idx = sigs.select(col(idCol), col("sh"),
+        explode(expr("array(0, 1, 2, 3)")).as("b"))
+      .withColumn("key", expr("CAST(shiftright(sh, 8 * b) & 255 AS INT)"))
+    val a = idx.select(col(idCol).as("doc_a"), col("sh").as("sh_a"),
+      col("b"), col("key"))
+    val bb = idx.select(col(idCol).as("doc_b"), col("sh").as("sh_b"),
+      col("b"), col("key"))
+    a.join(bb, Seq("b", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      // a pair can agree on several blocks — one row per pair
+      .distinct()
+  }
+
   /** SEGMENT-level dedup with corpus REASSEMBLY (the CCNet/C4 content
     * cleaner, applied to fixed token windows): split every document
     * into consecutive `chunkTokens`-token segments, keep only each

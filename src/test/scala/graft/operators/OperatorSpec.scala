@@ -298,6 +298,33 @@ class OperatorSpec extends SparkSpec {
     assert(p.filter("hamming > 6 OR hamming < 0").count() == 0)
   }
 
+  test("pigeonhole simhash: recall-exact vs brute force, beats top-block") {
+    import org.apache.spark.sql.functions.expr
+    // brute-force truth: all pairs with Hamming <= 3 over the signatures
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
+    val s2 = sigs.withColumnRenamed("doc_id", "doc_b")
+      .withColumnRenamed("sh", "sh_b")
+    val truth = sigs.crossJoin(s2)
+      .filter(expr("doc_id < doc_b AND bit_count(sh ^ sh_b) <= 3"))
+      .select("doc_id", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.simhashPairsExact(docs, "doc_id", "text", maxHamming = 3)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.releaseCaches()
+    assert(got == truth, s"missed=${truth.diff(got).size} " +
+      s"extra=${got.diff(truth).size}")
+    // the single top-8-bits block provably misses a pair that differs
+    // only inside the top block; the pigeonhole index cannot
+    import spark.implicits._
+    val a = 0x80000001L; val b = 0x00000001L // Hamming 1, top bit differs
+    val synth = Seq((1L, a), (2L, b)).toDF("doc_id", "sh")
+    val blocked = synth.withColumn("blk", expr("shiftright(sh, 24)"))
+    val sameBlk = blocked.as("x").join(blocked.as("y"),
+      expr("x.blk = y.blk AND x.doc_id < y.doc_id"))
+    assert(sameBlk.count() == 0) // top-block join generates no candidate
+  }
+
   test("brute-force ANN refuses a query set above maxQueries") {
     val e = intercept[IllegalArgumentException] {
       Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 4,
