@@ -29,6 +29,7 @@ object GraftFunctions {
   def setOverlap(a: Column, b: Column): Column = c(SetOverlap(e(a), e(b)))
   def topTokenCount(a: Column): Column = c(TopTokenCount(e(a)))
   def tokens(a: Column): Column = c(Tokens(e(a)))
+  def lzPhrases(a: Column): Column = c(LzPhrases(e(a)))
   def bandBucket(sig: Column, band: Column, r: Int): Column =
     c(BandBucket(e(sig), e(band), r))
   def shingles(text: Column, n: Int): Column = c(Shingles(e(text), n))
@@ -57,6 +58,7 @@ object GraftFunctions {
     "graft_set_overlap" -> (args => SetOverlap(args.head, args(1))),
     "graft_top_count" -> (args => TopTokenCount(args.head)),
     "graft_tokens" -> (args => Tokens(args.head)),
+    "graft_lz_phrases" -> (args => LzPhrases(args.head)),
     "graft_bandbucket" -> (args => BandBucket(args.head, args(1),
       args(2).asInstanceOf[Literal].value.asInstanceOf[Number].intValue)),
     "graft_shingles" -> (args => Shingles(args.head,

@@ -260,6 +260,42 @@ object HashImpl {
     best.toLong
   }
 
+  /** LZ78 phrase count over the UTF-8 bytes — the Lempel-Ziv complexity
+    * of the text. The parse walks a byte trie (nodes keyed by
+    * (parent, byte) in one flat HashMap); every dictionary miss closes a
+    * phrase, adds the extended string, and restarts at the root. Pure
+    * integer/JVM code — no zlib, so the count is identical on every
+    * executor and every platform (a Deflater-based ratio would silently
+    * depend on the native zlib version).
+    *
+    * Why it's a quality signal: random text yields ~n/log(n) phrases,
+    * heavily repeated boilerplate collapses to far fewer — the
+    * compression-ratio heuristic of Gopher/Dolma-style filters, in
+    * deterministic form. Normalize by byte length downstream
+    * (`phrases / nullif(len, 0)`); low ratio = repetitive. */
+  def lzPhrases(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val dict = new java.util.HashMap[java.lang.Long, Integer](
+      bytes.length * 2 + 16)
+    var phrases = 0L
+    var node = 0 // 0 = trie root; children get ids 1..n
+    var next = 1
+    var i = 0
+    while (i < bytes.length) {
+      val key = java.lang.Long.valueOf((node.toLong << 8) | (bytes(i) & 0xffL))
+      val child = dict.get(key)
+      if (child == null) {
+        dict.put(key, next); next += 1
+        phrases += 1
+        node = 0
+      } else node = child.intValue()
+      i += 1
+    }
+    // a trailing match that never missed is still an (incomplete) phrase
+    if (node != 0) phrases += 1
+    phrases
+  }
+
   /** Sorted-merge distinct-intersection count for two string arrays
     * (UTF8String binary order — any total order works for a merge).
     * Null elements are skipped: a null never counts toward the overlap. */
@@ -734,6 +770,28 @@ case class TopTokenCount(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, a =>
       s"graft.functions.expressions.HashImpl.topTokenCount($a)")
   override protected def withNewChildInternal(c: Expression): TopTokenCount =
+    copy(child = c)
+}
+
+/** LZ78 phrase count of a string — deterministic Lempel-Ziv text
+  * complexity (see [[HashImpl.lzPhrases]]). Low normalized counts mark
+  * machine-repeated/boilerplate text; the codegen'd scalar keeps the
+  * gate inside whole-stage codegen like the other quality signals. */
+case class LzPhrases(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got $t")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lz_phrases"
+  protected override def nullSafeEval(a: Any): Any =
+    HashImpl.lzPhrases(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.HashImpl.lzPhrases($a)")
+  override protected def withNewChildInternal(c: Expression): LzPhrases =
     copy(child = c)
 }
 

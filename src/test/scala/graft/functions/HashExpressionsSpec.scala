@@ -195,6 +195,33 @@ class HashExpressionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
   }
 
+  test("LzPhrases: hand-parsed LZ78 counts, repetition collapses") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // hand parses: 'aaaa' = a|aa|a -> 3; 'abab' = a|b|ab -> 3;
+    // 'abcd' = 4 singletons; empty string -> 0 phrases
+    val got = Seq("aaaa", "abab", "abcd", "")
+      .toDF("s")
+      .select(GraftFunctions.lzPhrases(col("s")).as("p"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L, 3L, 4L, 0L))
+    // quality-signal property: same length, boilerplate vs varied text —
+    // the repeated string collapses to less than half the phrases
+    val rep = "spam ham " * 220
+    val varied = (0 until 440).map(i => s"w${i * 7919 % 997}").mkString(" ")
+    val Seq(pRep, pVar) = Seq(rep, varied).toDF("s")
+      .select(GraftFunctions.lzPhrases(col("s")).as("p"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(pRep * 2 < pVar, s"rep=$pRep varied=$pVar")
+    // bound + SQL name over the real corpus: phrases never exceed bytes
+    val docs = Tables(spark, dir, "documents")
+    val viol = docs.selectExpr(
+      "graft_lz_phrases(text) AS p",
+      "CAST(octet_length(text) AS BIGINT) AS len")
+      .filter("p > len OR (len > 0 AND p = 0)")
+    assert(viol.count() == 0)
+  }
+
   test("PqCodes == HOF pq encode on every embedding, float and double books") {
     val e = Tables(spark, dir, "embeddings")
     // float codebook (the untrained q_ann_pq shape)
