@@ -2364,6 +2364,18 @@ object SparkEntry {
       graft.operators.Linkage.linkWithinDeletes(t(s, dir, "customer"),
         "c_custkey", "c_name", Seq("c_nationkey"))),
 
+    // ----- CROSS-TABLE entity resolution: customers vs suppliers whose
+    // source-normalized names (prefix stripped) are within one edit,
+    // blocked on nation — the merge-two-systems linkage shape -----
+    "q_linkage_cross" -> ((s, dir) => {
+      val c = t(s, dir, "customer").selectExpr("c_custkey AS id",
+        "substring(c_name, 10) AS name", "c_nationkey AS nk")
+      val sup = t(s, dir, "supplier").selectExpr("s_suppkey AS id",
+        "substring(s_name, 10) AS name", "s_nationkey AS nk")
+      graft.operators.Linkage.linkAcrossDeletes(c, sup, "id", "name",
+        Seq("nk"))
+    }),
+
     // ----- PageRank over the near-dup candidate graph: bounded
     // fixed-point BIGINT rounds (IEEE double sums are order-dependent
     // and can never hash-match across engines or even reruns; integer
@@ -5823,6 +5835,16 @@ object SparkEntry {
            FROM customer a JOIN customer b
              ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
            WHERE levenshtein(a.c_name, b.c_name) <= 1""",
+      "q_linkage_cross" ->
+        // brute blocked cross-table definition — proves the deletion-
+        // neighborhood candidate generator is complete across tables
+        """SELECT c.c_custkey AS id_l, s.s_suppkey AS id_r,
+                  CAST(levenshtein(substring(c.c_name, 10),
+                                   substring(s.s_name, 10)) AS BIGINT) AS edit_dist
+           FROM customer c JOIN supplier s
+             ON c.c_nationkey = s.s_nationkey
+           WHERE levenshtein(substring(c.c_name, 10),
+                             substring(s.s_name, 10)) <= 1""",
       "q_pagerank" -> {
         // 3 unrolled fixed-point rounds — integer ops only, so the
         // BIGINT ranks are bit-identical to Graph.pagerank's

@@ -104,4 +104,45 @@ object Linkage {
           .as("edit_dist"))
       .filter(col("edit_dist").between(0, 1))
   }
+
+  /** CROSS-TABLE symmetric-delete linkage at `maxEdit = 1`: link
+    * entities of two different source tables whose (normalized) names
+    * are within one edit — the entity-resolution step of merging two
+    * corpora/systems whose keys carry source-specific formatting.
+    *
+    * Both inputs must be pre-projected to the same column names
+    * (`idCol`, `nameCol`, `blockCols`) — normalization (prefix
+    * stripping, casefolding) belongs to the caller, where the
+    * source-specific rules live. Same completeness proof and hashed-key
+    * shuffle as [[linkWithinDeletes]]; the only structural difference
+    * is no `id < id` tie-break (the sides are distinct tables) and ids
+    * surface as (id_l, id_r).
+    *
+    * Scale: candidates are generated per shared deletion-key, so the
+    * cost tracks actual near-matches, not |left| × |right|; neither
+    * side is assumed to fit in memory (shuffle hash join, no
+    * broadcast). */
+  def linkAcrossDeletes(left: DataFrame, right: DataFrame,
+      idCol: String, nameCol: String, blockCols: Seq[String]): DataFrame = {
+    def keyed(df: DataFrame, tag: String) = df.select(
+      (col(idCol).as(s"id_$tag") +: col(nameCol).as(s"name_$tag") +:
+        blockCols.map(col)): _*)
+      .withColumn("k", explode(expr(
+        s"IF(length(name_$tag) < 1, array(name_$tag), " +
+          s"concat(array(name_$tag), transform(sequence(1, length(name_$tag)), " +
+          s"i -> concat(substring(name_$tag, 1, cast(i - 1 AS INT)), " +
+          s"substring(name_$tag, cast(i + 1 AS INT), length(name_$tag))))))")))
+      .withColumn("kh", graft.functions.GraftFunctions.polyHash(col("k")))
+      .drop("k")
+    val a = keyed(left, "l")
+    val b = keyed(right, "r").hint("shuffle_hash")
+    val cond = (blockCols.map(c => a(c) === b(c)) :+
+      (a("kh") === b("kh"))).reduce(_ && _)
+    a.join(b, cond)
+      .select("id_l", "id_r", "name_l", "name_r").distinct()
+      .select(col("id_l"), col("id_r"),
+        levenshtein(col("name_l"), col("name_r"), 1).cast("long")
+          .as("edit_dist"))
+      .filter(col("edit_dist").between(0, 1))
+  }
 }

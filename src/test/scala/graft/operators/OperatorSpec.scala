@@ -895,6 +895,26 @@ class OperatorSpec extends SparkSpec {
     assert(r.getDouble(3) < 0.6)
   }
 
+  test("cross-table deletion linkage equals blocked brute force") {
+    import org.apache.spark.sql.functions.{col, expr, levenshtein}
+    val c = Tables(spark, dir, "customer").selectExpr("c_custkey AS id",
+      "substring(c_name, 10) AS name", "c_nationkey AS nk")
+    val s2 = Tables(spark, dir, "supplier").selectExpr("s_suppkey AS id",
+      "substring(s_name, 10) AS name", "s_nationkey AS nk")
+    val fast = Linkage.linkAcrossDeletes(c, s2, "id", "name", Seq("nk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = c.withColumnRenamed("id", "id_l")
+      .join(s2.withColumnRenamed("id", "id_r")
+        .withColumnRenamed("name", "name_r").withColumnRenamed("nk", "nk_r"),
+        expr("nk = nk_r"))
+      .withColumn("edit_dist", levenshtein(col("name"), col("name_r"))
+        .cast("long"))
+      .filter("edit_dist <= 1")
+      .select("id_l", "id_r", "edit_dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fast.nonEmpty && fast == brute)
+  }
+
   test("symmetric-delete linkage equals blocked brute-force linkage") {
     import org.apache.spark.sql.functions.col
     val cust = Tables(spark, dir, "customer")
