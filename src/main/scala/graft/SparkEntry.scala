@@ -2736,6 +2736,25 @@ object SparkEntry {
         .selectExpr("shard", "array_join(u, ',') AS union_sig")
     }),
 
+    // ----- KMV cardinality sketch vs exact distinct, per source: the
+    // calibration readout for bounded-memory vocabulary counting. The
+    // sketch path alone needs NO pre-distinct (reduce dedups, state <=
+    // k longs per group); the exact twin column is what forces the
+    // distinct here — it is the comparison, as in q_lsh_quality -----
+    "q_kmv_distinct" -> ((s, dir) => {
+      val h = TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+        .select(col("source"), explode(col("toks")).as("w"))
+        .select(col("source"),
+          graft.functions.GraftFunctions.polyHash(col("w")).as("h"))
+        .distinct()
+      h.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_exact"),
+          graft.functions.SigAgg.kmv(64)(col("h")).as("sk"))
+        .select(col("source"), col("n_exact"),
+          expr("IF(size(sk) < 64, CAST(size(sk) AS DOUBLE), " +
+            "63.0D * 1000000007.0D / sk[63])").as("est_distinct"))
+    }),
+
     // ----- window twin of q_topk_group: same rows via row_number, so
     // every bench round measures the custom operator against Spark's
     // WindowGroupLimit path on identical data -----
@@ -6054,6 +6073,20 @@ object SparkEntry {
                   array_to_string(list_transform(range(1, 13),
                     i -> list_min(list_transform(list(mh), s -> s[i]))), ',') AS union_sig
            FROM g GROUP BY shard""",
+      "q_kmv_distinct" ->
+        // exact k-th-minimum construction: sort ALL distinct hashes and
+        // take the 64th — the sketch must agree exactly (same hash
+        // family, integer state, one final division)
+        s"""WITH tk AS (SELECT source, unnest(${duckTokens("text")}) AS w
+                        FROM documents),
+           h AS (SELECT DISTINCT source, ${duckStrHash("w")} AS h FROM tk),
+           s AS (SELECT source, COUNT(*) AS n_exact,
+                        list_sort(list(h)) AS hs
+                 FROM h GROUP BY source)
+           SELECT source, n_exact,
+                  CASE WHEN n_exact < 64 THEN CAST(n_exact AS DOUBLE)
+                       ELSE 63.0 * 1000000007.0 / hs[64] END AS est_distinct
+           FROM s""",
       "q_topk_group" ->
         """SELECT l_partkey, l_orderkey, l_linenumber, rn FROM (
              SELECT l_partkey, l_orderkey, l_linenumber,

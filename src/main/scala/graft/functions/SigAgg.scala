@@ -82,4 +82,69 @@ object SigAgg {
 
   /** `df.agg(SigAgg.misraGries(64)(col("w")))` → item→count sketch map. */
   def misraGries(k: Int) = udaf(new MisraGries(k))
+
+  /** KMV (k-minimum-values) DISTINCT-COUNT sketch: keeps the k smallest
+    * distinct hash values seen. With hashes ~uniform on [0, P), the
+    * k-th smallest value m estimates the cardinality as
+    * (k-1) · P / m (Bar-Yossef et al. 2002; the Theta-sketch family).
+    *
+    * Why this over approx_count_distinct: the state is a plain sorted
+    * Long array with NO randomness beyond the fixed polyHash family, so
+    * the sketch — and therefore the estimate — is bit-identical across
+    * engines, partitionings, and reruns, which lets the DuckDB oracle
+    * hash-match it exactly. reduce/merge are associative + commutative
+    * (sorted-merge of sorted sets, keep k smallest), so partial
+    * aggregation applies: the shuffle carries ≤ k longs per
+    * (group, partition) no matter how many rows feed it — the
+    * bounded-memory path to distinct counts over 100 TB where an exact
+    * `count_distinct` would shuffle every value. */
+  private final class KmvSketch(k: Int)
+      extends Aggregator[Long, Array[Long], Seq[Long]] {
+    override def zero: Array[Long] = Array.empty
+    override def reduce(b: Array[Long], h: Long): Array[Long] = {
+      val pos = java.util.Arrays.binarySearch(b, h)
+      if (pos >= 0) b // already in the sketch
+      else {
+        val ins = -pos - 1
+        if (b.length < k) {
+          val r = new Array[Long](b.length + 1)
+          System.arraycopy(b, 0, r, 0, ins)
+          r(ins) = h
+          System.arraycopy(b, ins, r, ins + 1, b.length - ins)
+          r
+        } else if (ins >= k) b // above the current k-th minimum
+        else {
+          val r = new Array[Long](k)
+          System.arraycopy(b, 0, r, 0, ins)
+          r(ins) = h
+          System.arraycopy(b, ins, r, ins + 1, k - ins - 1)
+          r
+        }
+      }
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else { // sorted-merge distinct, keep the k smallest
+        val r = new Array[Long](math.min(k, a.length + b.length))
+        var i = 0; var j = 0; var n = 0
+        while (n < k && (i < a.length || j < b.length)) {
+          val take =
+            if (j >= b.length || (i < a.length && a(i) <= b(j))) {
+              if (j < b.length && a(i) == b(j)) j += 1
+              val v = a(i); i += 1; v
+            } else { val v = b(j); j += 1; v }
+          r(n) = take; n += 1
+        }
+        if (n == r.length) r else java.util.Arrays.copyOf(r, n)
+      }
+    override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    override def bufferEncoder = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder = ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** `df.groupBy(g).agg(SigAgg.kmv(64)(col("h")))` → k smallest distinct
+    * hashes, sorted ascending. Estimate downstream:
+    * `IF(size(sk) < k, size(sk), (k-1) * P / sk[k-1])`. */
+  def kmv(k: Int) = udaf(new KmvSketch(k))
 }

@@ -979,6 +979,32 @@ class OperatorSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("KMV sketch: k smallest distinct hashes, partition-invariant") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 1000 values with duplicates; truth = 8 smallest distinct
+    val vals = (1 to 500).map(i => (i * 7919L) % 1000003L)
+    val df = (vals ++ vals).toDF("h")
+    val truth = vals.distinct.sorted.take(8)
+    val got = df.agg(graft.functions.SigAgg.kmv(8)(col("h")).as("sk"))
+      .collect()(0).getSeq[Long](0)
+    assert(got == truth)
+    // invariant under partitioning (merge path exercised heavily)
+    val got2 = df.repartition(13).agg(
+      graft.functions.SigAgg.kmv(8)(col("h")).as("sk"))
+      .collect()(0).getSeq[Long](0)
+    assert(got2 == truth)
+    // fewer distinct values than k: the sketch IS the exact set
+    val small = Seq(5L, 3L, 5L, 9L).toDF("h")
+      .agg(graft.functions.SigAgg.kmv(8)(col("h")).as("sk"))
+      .collect()(0).getSeq[Long](0)
+    assert(small == Seq(3L, 5L, 9L))
+    // estimate sanity on the big set: within 2x of the true 500
+    val kth = truth.last // here k=8 < 500 so est = 7 * 1000003 / kth ~ n
+    val est = 7.0 * 1000003.0 / kth
+    assert(est > 250 && est < 1000, s"est=$est")
+  }
+
   test("Misra-Gries sketch: containment guarantee + partial aggregation") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
