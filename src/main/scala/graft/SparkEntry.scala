@@ -2736,23 +2736,68 @@ object SparkEntry {
         .selectExpr("shard", "array_join(u, ',') AS union_sig")
     }),
 
-    // ----- KMV cardinality sketch vs exact distinct, per source: the
-    // calibration readout for bounded-memory vocabulary counting. The
+    // ----- KMV cardinality sketch vs exact distinct, per group: the
+    // calibration readout for bounded-memory distinct counting. The
     // sketch path alone needs NO pre-distinct (reduce dedups, state <=
     // k longs per group); the exact twin column is what forces the
-    // distinct here — it is the comparison, as in q_lsh_quality -----
+    // distinct here — it is the comparison, as in q_lsh_quality. The
+    // polyHash is finalized with a multiplicative mix mod P (a
+    // bijection): raw polyHash of short strings stays near 0, and the
+    // (k-1)·P/kth estimator needs hashes ~uniform on [0, P) -----
     "q_kmv_distinct" -> ((s, dir) => {
-      val h = TextAnalysis.withTokens(t(s, dir, "documents"), "text")
-        .select(col("source"), explode(col("toks")).as("w"))
-        .select(col("source"),
-          graft.functions.GraftFunctions.polyHash(col("w")).as("h"))
+      val h = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          graft.functions.GraftFunctions
+            .polyHash(col("l_orderkey").cast("string")).as("h0"))
+        .select(col("l_returnflag"),
+          expr("(h0 * 2654435761L) % 1000000007L").as("h"))
         .distinct()
-      h.groupBy(col("source"))
+      h.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_exact"),
           graft.functions.SigAgg.kmv(64)(col("h")).as("sk"))
-        .select(col("source"), col("n_exact"),
+        .select(col("l_returnflag"), col("n_exact"),
           expr("IF(size(sk) < 64, CAST(size(sk) AS DOUBLE), " +
             "63.0D * 1000000007.0D / sk[63])").as("est_distinct"))
+    }),
+
+    // ----- KMV set-operation estimates: join cardinality WITHOUT the
+    // join. Sketch each side's key set (256 longs however large the
+    // side), re-merge the two sketches (k-min of the union = kmv of the
+    // concatenation — the mergeability theorem), and estimate
+    // |A∪B| from the union's k-th minimum and |A∩B| from the fraction
+    // of the union sketch present in both sides. The exact twins ride
+    // along as calibration — the "should this join broadcast, shuffle,
+    // or be pre-filtered" planning readout -----
+    "q_kmv_join_est" -> ((s, dir) => {
+      def keyHashes(df: DataFrame, c: String) =
+        df.select(graft.functions.GraftFunctions
+          .polyHash(col(c).cast("string")).as("h0"))
+          .select(expr("(h0 * 2654435761L) % 1000000007L").as("h"))
+          .distinct()
+      // A = customers with an open order (a strict subset of B = all
+      // customers) so intersection < union and both estimators work
+      // persist: each side feeds its sketch agg AND the exact-twin join
+      val a = Dedup.persistTracked(keyHashes(
+        t(s, dir, "orders").filter(col("o_orderstatus") === "O"), "o_custkey"))
+      val b = Dedup.persistTracked(
+        keyHashes(t(s, dir, "customer"), "c_custkey"))
+      val ska = a.agg(graft.functions.SigAgg.kmv(256)(col("h")).as("ska"),
+        count(lit(1)).as("n_a_exact"))
+      val skb = b.agg(graft.functions.SigAgg.kmv(256)(col("h")).as("skb"),
+        count(lit(1)).as("n_b_exact"))
+      val inter = a.join(b, "h").agg(count(lit(1)).as("n_inter_exact"))
+      ska.crossJoin(skb).crossJoin(inter)
+        .withColumn("u",
+          expr("slice(array_sort(array_distinct(concat(ska, skb))), 1, 256)"))
+        .withColumn("k_common", expr("CAST(size(filter(u, x -> " +
+          "array_contains(ska, x) AND array_contains(skb, x))) AS BIGINT)"))
+        .withColumn("n_union_est", expr(
+          "IF(size(u) < 256, CAST(size(u) AS DOUBLE), " +
+            "255.0D * 1000000007.0D / u[255])"))
+        .withColumn("n_inter_est", expr(
+          "(CAST(k_common AS DOUBLE) / CAST(size(u) AS DOUBLE)) * n_union_est"))
+        .select("n_a_exact", "n_b_exact", "n_inter_exact", "k_common",
+          "n_union_est", "n_inter_est")
     }),
 
     // ----- window twin of q_topk_group: same rows via row_number, so
@@ -6074,19 +6119,49 @@ object SparkEntry {
                     i -> list_min(list_transform(list(mh), s -> s[i]))), ',') AS union_sig
            FROM g GROUP BY shard""",
       "q_kmv_distinct" ->
-        // exact k-th-minimum construction: sort ALL distinct hashes and
-        // take the 64th — the sketch must agree exactly (same hash
-        // family, integer state, one final division)
-        s"""WITH tk AS (SELECT source, unnest(${duckTokens("text")}) AS w
-                        FROM documents),
-           h AS (SELECT DISTINCT source, ${duckStrHash("w")} AS h FROM tk),
-           s AS (SELECT source, COUNT(*) AS n_exact,
+        // exact k-th-minimum construction: sort ALL distinct mixed
+        // hashes and take the 64th — the sketch must agree exactly
+        // (same hash family, integer state, one final division)
+        s"""WITH h AS (SELECT DISTINCT l_returnflag,
+                  (${duckStrHash("CAST(l_orderkey AS VARCHAR)")}
+                    * 2654435761) % 1000000007 AS h
+                 FROM lineitem),
+           s AS (SELECT l_returnflag, COUNT(*) AS n_exact,
                         list_sort(list(h)) AS hs
-                 FROM h GROUP BY source)
-           SELECT source, n_exact,
+                 FROM h GROUP BY l_returnflag)
+           SELECT l_returnflag, n_exact,
                   CASE WHEN n_exact < 64 THEN CAST(n_exact AS DOUBLE)
                        ELSE 63.0 * 1000000007.0 / hs[64] END AS est_distinct
            FROM s""",
+      "q_kmv_join_est" ->
+        s"""WITH a AS (SELECT DISTINCT
+                  (${duckStrHash("CAST(o_custkey AS VARCHAR)")}
+                    * 2654435761) % 1000000007 AS h
+                 FROM orders WHERE o_orderstatus = 'O'),
+           b AS (SELECT DISTINCT
+                  (${duckStrHash("CAST(c_custkey AS VARCHAR)")}
+                    * 2654435761) % 1000000007 AS h
+                 FROM customer),
+           ska AS (SELECT list_sort(list(h))[:256] AS sk,
+                          COUNT(*) AS n_a_exact FROM a),
+           skb AS (SELECT list_sort(list(h))[:256] AS sk,
+                          COUNT(*) AS n_b_exact FROM b),
+           i AS (SELECT COUNT(*) AS n_inter_exact FROM a JOIN b USING (h)),
+           c AS (SELECT ska.sk AS sa, skb.sk AS sb,
+                        n_a_exact, n_b_exact, n_inter_exact,
+                        list_sort(list_distinct(ska.sk || skb.sk))[:256] AS u
+                 FROM ska, skb, i),
+           d AS (SELECT n_a_exact, n_b_exact, n_inter_exact, u,
+                        CAST(len(list_filter(u, x -> list_contains(sa, x)
+                          AND list_contains(sb, x))) AS BIGINT) AS k_common,
+                        CASE WHEN len(u) < 256 THEN CAST(len(u) AS DOUBLE)
+                             ELSE 255.0 * 1000000007.0 / u[256]
+                        END AS n_union_est
+                 FROM c)
+           SELECT n_a_exact, n_b_exact, n_inter_exact, k_common, n_union_est,
+                  (CAST(k_common AS DOUBLE) / CAST(len(u) AS DOUBLE))
+                    * n_union_est AS n_inter_est
+           FROM d""",
       "q_topk_group" ->
         """SELECT l_partkey, l_orderkey, l_linenumber, rn FROM (
              SELECT l_partkey, l_orderkey, l_linenumber,

@@ -31,6 +31,7 @@ class PlanHygieneSpec extends SparkSpec {
     "q_tfidf_like",     // 1-row corpus-size scalar crossed into the scoring
     "q_word_cooccur",   // 1-row corpus-size scalar crossed into the lift
     "q_hll_sketch",     // two 1-row scalars (merged estimate + exact) crossed in
+    "q_kmv_join_est",   // three 1-row sketch/exact aggregates crossed in
     "q_chi2_tokens",    // 50-token vocab x source-count grid (both broadcast-tiny)
     "q_skew_report",    // two 1-row summaries (stats x heavy-hitter list) crossed
     "q_heavy_hitters",  // exact top-5 crossed with the 1-row MG sketch
