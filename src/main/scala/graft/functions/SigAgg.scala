@@ -98,30 +98,37 @@ object SigAgg {
     * (group, partition) no matter how many rows feed it — the
     * bounded-memory path to distinct counts over 100 TB where an exact
     * `count_distinct` would shuffle every value. */
+  /** Insert one hash into a sorted k-min array (returns the input array
+    * unchanged when the hash is present or above the k-th minimum).
+    * Shared by the batch Aggregator and the streaming KMV processor so
+    * both paths maintain bit-identical sketches. */
+  private[graft] def kmvInsert(b: Array[Long], h: Long, k: Int): Array[Long] = {
+    val pos = java.util.Arrays.binarySearch(b, h)
+    if (pos >= 0) b // already in the sketch
+    else {
+      val ins = -pos - 1
+      if (b.length < k) {
+        val r = new Array[Long](b.length + 1)
+        System.arraycopy(b, 0, r, 0, ins)
+        r(ins) = h
+        System.arraycopy(b, ins, r, ins + 1, b.length - ins)
+        r
+      } else if (ins >= k) b // above the current k-th minimum
+      else {
+        val r = new Array[Long](k)
+        System.arraycopy(b, 0, r, 0, ins)
+        r(ins) = h
+        System.arraycopy(b, ins, r, ins + 1, k - ins - 1)
+        r
+      }
+    }
+  }
+
   private final class KmvSketch(k: Int)
       extends Aggregator[Long, Array[Long], Seq[Long]] {
     override def zero: Array[Long] = Array.empty
-    override def reduce(b: Array[Long], h: Long): Array[Long] = {
-      val pos = java.util.Arrays.binarySearch(b, h)
-      if (pos >= 0) b // already in the sketch
-      else {
-        val ins = -pos - 1
-        if (b.length < k) {
-          val r = new Array[Long](b.length + 1)
-          System.arraycopy(b, 0, r, 0, ins)
-          r(ins) = h
-          System.arraycopy(b, ins, r, ins + 1, b.length - ins)
-          r
-        } else if (ins >= k) b // above the current k-th minimum
-        else {
-          val r = new Array[Long](k)
-          System.arraycopy(b, 0, r, 0, ins)
-          r(ins) = h
-          System.arraycopy(b, ins, r, ins + 1, k - ins - 1)
-          r
-        }
-      }
-    }
+    override def reduce(b: Array[Long], h: Long): Array[Long] =
+      kmvInsert(b, h, k)
     override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
       if (a.isEmpty) b
       else if (b.isEmpty) a

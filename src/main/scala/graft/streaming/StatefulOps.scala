@@ -307,6 +307,53 @@ object StatefulOps {
         OutputMode.Update())
   }
 
+  case class Hashed(key: String, h: Long)
+  case class KmvState(hs: Seq[Long])
+  case class KmvOut(key: String, sketch_size: Long, est_distinct: Double)
+
+  /** Continuously-maintained per-key DISTINCT-COUNT estimate: the
+    * streaming twin of the batch `SigAgg.kmv` aggregator, sharing its
+    * insert routine so both paths hold bit-identical sketches. State
+    * per key is AT MOST k sorted longs — for streams whose keys see
+    * unbounded distinct values, where exact distinct state is a memory
+    * leak no watermark fixes (same motivation as the Bloom dedup gate,
+    * but answering "how many" instead of "seen before?"). Out-of-order
+    * arrival is immaterial: a k-min set is a commutative monoid. Emits
+    * the refreshed estimate for every key touched in a batch. */
+  private class KmvProcessor(k: Int, p: Long,
+      ttl: Option[java.time.Duration])
+      extends StatefulProcessor[String, Hashed, KmvOut] {
+    @transient private var state: ValueState[KmvState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[KmvState]("kmv",
+        Encoders.product[KmvState],
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+    override def handleInputRows(key: String, rows: Iterator[Hashed],
+        timers: TimerValues): Iterator[KmvOut] = {
+      var sk = Option(state.get()).map(_.hs.toArray)
+        .getOrElse(Array.empty[Long])
+      rows.foreach(r => sk = graft.functions.SigAgg.kmvInsert(sk, r.h, k))
+      state.update(KmvState(sk.toSeq))
+      val est =
+        if (sk.length < k) sk.length.toDouble
+        else (k - 1).toDouble * p.toDouble / sk(k - 1)
+      Iterator.single(KmvOut(key, sk.length.toLong, est))
+    }
+  }
+
+  /** Per-key streaming KMV distinct-count via `transformWithState`
+    * (see [[KmvProcessor]]). `p` is the hash modulus (polyHash family's
+    * P); pass a ttl for declarative state eviction in production. */
+  def kmvTws(ds: Dataset[Hashed], k: Int, p: Long = 1000000007L,
+      ttl: Option[java.time.Duration] = None): Dataset[KmvOut] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .transformWithState(new KmvProcessor(k, p, ttl),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Update())
+  }
+
   case class DocIn(doc_id: Long, mh: Seq[Long], bucketKey: String)
   case class BucketState(ids: Seq[Long], sigs: Seq[Seq[Long]])
   case class NearDupHit(new_id: Long, seen_id: Long, est_jaccard: Double)

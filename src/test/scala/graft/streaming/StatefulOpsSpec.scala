@@ -187,6 +187,47 @@ class StatefulOpsSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState KMV distinct: bounded state, batch-sketch parity (RocksDB)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // 300 distinct mixed hashes for key a (stream k=8 far exceeded),
+      // 3 (with repeats) for key b — delivered across two batches
+      def mix(i: Long): Long = (i * 2654435761L) % 1000000007L
+      val aHashes = (1L to 300L).map(mix)
+      val mem = MemoryStream[StatefulOps.Hashed]
+      val q = StatefulOps.kmvTws(mem.toDS(), k = 8).writeStream
+        .format("memory").queryName("tws_kmv")
+        .outputMode(OutputMode.Update).start()
+      try {
+        mem.addData(aHashes.take(150).map(StatefulOps.Hashed("a", _)) ++
+          Seq(StatefulOps.Hashed("b", mix(7)), StatefulOps.Hashed("b", mix(8))): _*)
+        q.processAllAvailable()
+        mem.addData(aHashes.drop(150).map(StatefulOps.Hashed("a", _)) ++
+          Seq(StatefulOps.Hashed("b", mix(7)), StatefulOps.Hashed("b", mix(9))): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("tws_kmv").as[StatefulOps.KmvOut].collect()
+      val lastA = rows.filter(_.key == "a").last
+      val lastB = rows.filter(_.key == "b").last
+      // bounded state: sketch size pinned at k even after 300 distincts
+      assert(lastA.sketch_size == 8L)
+      // batch parity: the streaming estimate equals the batch kmv
+      // aggregator's estimate on the same data, bit-for-bit
+      val batchEst = aHashes.toDF("h")
+        .agg(graft.functions.SigAgg.kmv(8)(col("h")).as("sk"))
+        .selectExpr("7.0D * 1000000007.0D / sk[7] AS est")
+        .collect()(0).getDouble(0)
+      assert(lastA.est_distinct == batchEst)
+      // duplicates never inflate: b saw 4 rows, 3 distinct
+      assert(lastB.sketch_size == 3L && lastB.est_distinct == 3.0)
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("transformWithState histogram quantiles: sketch state, batch-rule parity (RocksDB)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
