@@ -2896,6 +2896,21 @@ object SparkEntry {
           (col("n") < 10).as("at_risk"))
     }),
 
+    // ----- l-diversity audit, the k-anonymity complement: a quasi-
+    // identifier group is re-identifiable even at k>=10 members if a
+    // SENSITIVE attribute (here the balance tercile) is near-constant
+    // within it. One partial/final agg; distinct counted per group -----
+    "q_l_diversity" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .withColumn("acct_band",
+          expr("CAST(floor(c_acctbal / 4000.0) AS BIGINT)"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("acct_band")).as("l_distinct"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+          col("l_distinct"), (col("l_distinct") < 2).as("at_risk"))
+    }),
+
     // ----- time-series RESAMPLE + FORWARD FILL: 10-minute buckets per
     // event type, dense spine via sequence-explode between each type's
     // min and max bucket (equi-keyed — a spine range join would nested-
@@ -6210,6 +6225,11 @@ object SparkEntry {
       "q_k_anonymity" ->
         """SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
                   COUNT(*) < 10 AS at_risk
+           FROM customer GROUP BY c_nationkey, c_mktsegment""",
+      "q_l_diversity" ->
+        """SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+                  COUNT(DISTINCT CAST(floor(c_acctbal / 4000.0) AS BIGINT)) AS l_distinct,
+                  COUNT(DISTINCT CAST(floor(c_acctbal / 4000.0) AS BIGINT)) < 2 AS at_risk
            FROM customer GROUP BY c_nationkey, c_mktsegment""",
       "q_resample_ffill" ->
         """WITH e AS (SELECT event_type, epoch_us(ts) // 600000000 AS bucket,
