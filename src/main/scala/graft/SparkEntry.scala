@@ -3120,6 +3120,40 @@ object SparkEntry {
           countDistinct(col("user_id")).as("buyers"))
     }),
 
+    // ----- LINEAR multi-touch attribution, the last-touch complement:
+    // each purchase's credit splits equally over every touch in its
+    // journey (journey = run of events up to a purchase, segmented by a
+    // running purchase count — one window, no event self-join). Credit
+    // is FIXED-POINT ppm ((n_c * 1e6) div n_t summed as BIGINT): IEEE
+    // double sums are order-dependent and could never hash-match -----
+    "q_attribution_linear" -> ((s, dir) => {
+      val wPrev = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ev = Dedup.persistTracked(
+        t(s, dir, "events")
+          .selectExpr("user_id", "event_id", "event_type",
+            "ts div 1000 AS t_us")
+          .withColumn("journey",
+            count(when(col("event_type") === "purchase", 1)).over(wPrev)))
+      val touches = Dedup.persistTracked(
+        ev.filter(col("event_type") =!= "purchase")
+          .groupBy(col("user_id"), col("journey"),
+            col("event_type").as("channel"))
+          .agg(count(lit(1)).as("n_c")))
+      val totals = touches.groupBy(col("user_id"), col("journey"))
+        .agg(sum(col("n_c")).as("n_t"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("journey"))
+        .agg(count(lit(1)).as("n_conv"))
+      touches.join(totals, Seq("user_id", "journey"))
+        .join(purchases, Seq("user_id", "journey"))
+        .groupBy(col("channel"))
+        .agg(sum(expr("n_conv * ((n_c * 1000000L) div n_t)"))
+            .as("credit_ppm"),
+          sum(col("n_conv")).as("conversions_touched"))
+    }),
+
     // ----- ZONE-MAP pruning stats: per l_orderkey range zone, the
     // min/max/count needed for data skipping plus each zone's
     // prunability under a reference predicate — the layout diagnostic
@@ -6369,6 +6403,29 @@ object SparkEntry {
            SELECT channel, COUNT(*) AS conversions,
                   COUNT(DISTINCT user_id) AS buyers
            FROM a WHERE event_type = 'purchase' AND channel IS NOT NULL
+           GROUP BY channel""",
+      "q_attribution_linear" ->
+        """WITH e AS (SELECT user_id, event_id, event_type,
+                             epoch_us(ts) AS t_us FROM events),
+           j AS (SELECT user_id, event_id, event_type,
+                        COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                          OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                          AS journey
+                 FROM e),
+           t AS (SELECT user_id, journey, event_type AS channel,
+                        COUNT(*) AS n_c
+                 FROM j WHERE event_type <> 'purchase' GROUP BY 1, 2, 3),
+           tot AS (SELECT user_id, journey, CAST(SUM(n_c) AS BIGINT) AS n_t
+                   FROM t GROUP BY 1, 2),
+           p AS (SELECT user_id, journey, COUNT(*) AS n_conv FROM j
+                 WHERE event_type = 'purchase' GROUP BY 1, 2)
+           SELECT channel,
+                  CAST(SUM(n_conv * ((n_c * 1000000) // n_t)) AS BIGINT)
+                    AS credit_ppm,
+                  CAST(SUM(n_conv) AS BIGINT) AS conversions_touched
+           FROM t JOIN tot USING (user_id, journey)
+                  JOIN p USING (user_id, journey)
            GROUP BY channel""",
       "q_zone_map" ->
         """SELECT l_orderkey // 1500 AS zone, COUNT(*) AS n_rows,
