@@ -2896,6 +2896,19 @@ object SparkEntry {
           (col("n") < 10).as("at_risk"))
     }),
 
+    // ----- parquet ROW-GROUP layout audit: per-group rows/chunks/bytes
+    // read from footers only (executors open footers, never data pages —
+    // a 100 TB layout audit costs one metadata read per file, fanned out
+    // over the cluster). Oracle: DuckDB's parquet_metadata() on the SAME
+    // footers — two independent parquet implementations agreeing on the
+    // physical layout -----
+    "q_parquet_meta" -> ((s, dir) =>
+      graft.sources.ParquetMeta.rowGroups(s,
+          Seq(s"$dir/lineitem.parquet", s"$dir/orders.parquet"))
+        .select(col("file_name"), col("row_group_id"), col("n_rows"),
+          col("n_chunks"), col("compressed_bytes"),
+          col("uncompressed_bytes"))),
+
     // ----- l-diversity audit, the k-anonymity complement: a quasi-
     // identifier group is re-identifiable even at k>=10 members if a
     // SENSITIVE attribute (here the balance tercile) is near-constant
@@ -6260,6 +6273,24 @@ object SparkEntry {
         """SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
                   COUNT(*) < 10 AS at_risk
            FROM customer GROUP BY c_nationkey, c_mktsegment""",
+      "q_parquet_meta" ->
+        // t2 correctness always runs at sf0.01 (TESTDATA.md), so the
+        // metadata function takes that literal path; the Spark side
+        // reads whatever dir it is handed
+        """SELECT file_name, row_group_id, row_group_num_rows AS n_rows,
+                  COUNT(*) AS n_chunks,
+                  CAST(SUM(total_compressed_size) AS BIGINT) AS compressed_bytes,
+                  CAST(SUM(total_uncompressed_size) AS BIGINT) AS uncompressed_bytes
+           FROM (
+             SELECT 'lineitem.parquet' AS file_name, row_group_id,
+                    row_group_num_rows, total_compressed_size,
+                    total_uncompressed_size
+             FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
+             UNION ALL
+             SELECT 'orders.parquet', row_group_id, row_group_num_rows,
+                    total_compressed_size, total_uncompressed_size
+             FROM parquet_metadata('/root/testdata/sf0.01/orders.parquet'))
+           GROUP BY file_name, row_group_id, row_group_num_rows""",
       "q_l_diversity" ->
         """SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
                   COUNT(DISTINCT CAST(floor(c_acctbal / 4000.0) AS BIGINT)) AS l_distinct,
