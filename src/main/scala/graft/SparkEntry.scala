@@ -1406,6 +1406,35 @@ object SparkEntry {
         .withColumn("std",
           expr("sqrt(greatest(mean_sq - mean * mean, 0D))"))),
 
+    // ----- exact quantized COVARIANCE matrix of the embedding column
+    // (the distributed-PCA / feature-correlation input). ONE custom
+    // typed Aggregator pass accumulates [n, d sums, d(d+1)/2 pair dot
+    // products] as exact longs with map-side partial aggregation — the
+    // shuffle is a single fixed-size array, vs n·d(d+1)/2 shuffled rows
+    // for the explode-self-join shape the oracle runs (fine at 500
+    // vectors, disqualifying at 1e9). Covariance itself is derived from
+    // the exact components in one fixed-shape double expression, so it
+    // is bit-identical across engines. -----
+    "q_embedding_cov" -> ((s, dir) => {
+      val d = 64
+      val flat = t(s, dir, "embeddings")
+        .agg(graft.functions.SigAgg.covComponents(d)(col("embedding"))
+          .as("st"))
+      flat
+        .select(col("st"), explode(sequence(lit(0L), lit(d - 1L))).as("i"))
+        .select(col("st"), col("i"),
+          explode(expr(s"sequence(i, ${d - 1}L)")).as("j"))
+        .selectExpr("i", "j",
+          "element_at(st, 1) AS n",
+          "element_at(st, CAST(i + 2 AS INT)) AS sum_i",
+          "element_at(st, CAST(j + 2 AS INT)) AS sum_j",
+          s"element_at(st, CAST($d + i * $d - (i * (i - 1)) div 2 " +
+            "+ (j - i) + 2 AS INT)) AS dot")
+        .withColumn("cov", expr(
+          "(CAST(n AS DOUBLE) * dot - CAST(sum_i AS DOUBLE) * sum_j)" +
+            " / (CAST(n AS DOUBLE) * n)"))
+    }),
+
     // ----- deterministic stratified sample: fixed rows per stratum via
     // hash-ordered row_number (reproducible across runs AND engines).
     // Two-phase top-k: a stratum is a SINGLE window partition (3 distinct
@@ -3328,6 +3357,41 @@ object SparkEntry {
             .as("vocab_jaccard"))
     }),
 
+    // ----- pairwise TOTAL-VARIATION distance between source unigram
+    // DISTRIBUTIONS (the drift/mixture-shift readout that vocab Jaccard
+    // misses: two sources can share every word yet weight them
+    // completely differently). Log-free and exact via the identity
+    //   TV(p,q) = 1 - sum_w min(p_w, q_w)
+    // scaled to integers: tvd_num = Na*Nb - sum_shared least(ca*Nb, cb*Na)
+    // over an INNER join only — words private to either side never join
+    // (their mass is what the Na*Nb term carries), so the shuffle is the
+    // shared vocabulary, not the union. Counts table is vocab-sized
+    // (Zipf-bounded) and persisted: it feeds the totals AND both join
+    // sides. At 100 TB scale counts to ppm first (ca*Nb overflows past
+    // ~3e9 tokens/source); the identity is unchanged. -----
+    "q_source_tvd" -> ((s, dir) => {
+      val wc = Dedup.persistTracked(
+        TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+          .select(col("source"), explode(col("toks")).as("w"))
+          .groupBy(col("source"), col("w"))
+          .agg(count(lit(1)).as("c")))
+      val tot = wc.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val a = wc.select(col("source").as("s1"), col("w"), col("c").as("ca"))
+        .join(tot.select(col("source").as("s1"), col("n").as("na")), "s1")
+      val b = wc.select(col("source").as("s2"), col("w"), col("c").as("cb"))
+        .join(tot.select(col("source").as("s2"), col("n").as("nb")), "s2")
+      a.join(b, "w")
+        .filter(col("s1") < col("s2"))
+        .groupBy(col("s1"), col("s2"), col("na"), col("nb"))
+        .agg(sum(least(col("ca") * col("nb"), col("cb") * col("na")))
+          .as("shared_min"))
+        .select(col("s1"), col("s2"),
+          (col("na") * col("nb") - col("shared_min")).as("tvd_num"),
+          (col("na") * col("nb")).as("tvd_den"),
+          expr("CAST(na * nb - shared_min AS DOUBLE) / (na * nb)")
+            .as("tvd"))
+    }),
+
     // ----- two-sample KOLMOGOROV-SMIRNOV statistic between user-parity
     // cohorts' purchase values, in EXACT integer arithmetic: at every
     // observed value, |F1 - F2| = |c1*n2 - c2*n1| / (n1*n2), so the max
@@ -3714,6 +3778,33 @@ object SparkEntry {
           'nonpositive_price', nonpositive_price,
           'null_custkey', null_custkey,
           'ship_before_order', ship_before_order) AS (check, n_bad)""")
+    }),
+
+    // ----- BENFORD first-significant-digit audit (the classic fraud /
+    // synthetic-data smell test on a monetary column). Entirely in
+    // exact integer space: digit counts are exact, the Benford expected
+    // shares log10(1+1/d) enter as fixed ppm LITERALS (they sum to
+    // exactly 1e6), and observed-vs-expected deltas are BIGINT ppm —
+    // no engine-specific log() anywhere. floor() before the digit
+    // extraction, never CAST-to-int: decimal casts round half-up in
+    // DuckDB but truncate in Spark. One narrow scan + a 9-group
+    // aggregate; scales like a count(*). -----
+    "q_benford" -> ((s, dir) => {
+      val exp = "CASE digit WHEN '1' THEN 301030L WHEN '2' THEN 176091L " +
+        "WHEN '3' THEN 124939L WHEN '4' THEN 96910L WHEN '5' THEN 79181L " +
+        "WHEN '6' THEN 66947L WHEN '7' THEN 57992L WHEN '8' THEN 51153L " +
+        "ELSE 45757L END"
+      t(s, dir, "lineitem")
+        .filter(col("l_extendedprice") >= 1)
+        .selectExpr("substring(CAST(CAST(floor(l_extendedprice) AS BIGINT)" +
+          " AS STRING), 1, 1) AS digit")
+        .groupBy(col("digit"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+        .selectExpr("digit", "n",
+          "(n * 1000000L) div total AS obs_ppm",
+          s"$exp AS exp_ppm",
+          s"(n * 1000000L) div total - ($exp) AS delta_ppm")
     }),
 
     // ----- TOKEN-BUDGET MIXTURE PLAN: given a total training-token
@@ -5040,6 +5131,25 @@ object SparkEntry {
            SELECT pos, mean, mean_sq, vmin, vmax,
                   sqrt(greatest(mean_sq - mean * mean, 0)) AS std
            FROM s""",
+      "q_embedding_cov" ->
+        """WITH v AS (SELECT vec_id, CAST(j - 1 AS BIGINT) AS i,
+                             CAST(floor(CAST(embedding[j] AS DOUBLE) * 10000.0)
+                               AS BIGINT) AS q
+                      FROM embeddings CROSS JOIN
+                           (SELECT unnest(range(1, 65)) AS j) js),
+           p AS (SELECT a.i AS i, b.i AS j,
+                        CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+                 FROM v a JOIN v b
+                   ON a.vec_id = b.vec_id AND a.i <= b.i
+                 GROUP BY 1, 2),
+           s AS (SELECT i, CAST(SUM(q) AS BIGINT) AS si,
+                        CAST(COUNT(*) AS BIGINT) AS n
+                 FROM v GROUP BY i)
+           SELECT p.i, p.j, sa.n AS n, sa.si AS sum_i, sb.si AS sum_j, p.dot,
+                  (CAST(sa.n AS DOUBLE) * p.dot
+                     - CAST(sa.si AS DOUBLE) * sb.si)
+                    / (CAST(sa.n AS DOUBLE) * sa.n) AS cov
+           FROM p JOIN s sa ON p.i = sa.i JOIN s sb ON p.j = sb.i""",
       "q_stratified_sample" ->
         """SELECT l_returnflag, l_orderkey, l_linenumber, rn FROM (
              SELECT l_returnflag, l_orderkey, l_linenumber,
@@ -5686,6 +5796,26 @@ object SparkEntry {
                   CAST(n_both AS DOUBLE) / (x.n + y.n - n_both)
                     AS vocab_jaccard
            FROM iv JOIN sz x ON s1 = x.source JOIN sz y ON s2 = y.source""",
+      "q_source_tvd" ->
+        s"""WITH tk AS (SELECT source, unnest(${duckTokens("text")}) AS w
+                        FROM documents),
+           wc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM tk GROUP BY 1, 2),
+           tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+                   FROM wc GROUP BY 1),
+           pr AS (SELECT a.source AS s1, b.source AS s2,
+                         ta.n AS na, tb.n AS nb,
+                         CAST(SUM(least(a.c * tb.n, b.c * ta.n)) AS BIGINT)
+                           AS shared_min
+                  FROM wc a JOIN wc b
+                    ON a.w = b.w AND a.source < b.source
+                  JOIN tot ta ON ta.source = a.source
+                  JOIN tot tb ON tb.source = b.source
+                  GROUP BY 1, 2, 3, 4)
+           SELECT s1, s2, na * nb - shared_min AS tvd_num,
+                  na * nb AS tvd_den,
+                  CAST(na * nb - shared_min AS DOUBLE) / (na * nb) AS tvd
+           FROM pr""",
       "q_ks_test" ->
         """WITH v AS (SELECT user_id % 2 AS cohort,
                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c
@@ -6692,6 +6822,22 @@ object SparkEntry {
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            WHERE l_shipdate < o_orderdate""",
 
+      "q_benford" -> {
+        val exp = "CASE digit WHEN '1' THEN 301030 WHEN '2' THEN 176091 " +
+          "WHEN '3' THEN 124939 WHEN '4' THEN 96910 WHEN '5' THEN 79181 " +
+          "WHEN '6' THEN 66947 WHEN '7' THEN 57992 WHEN '8' THEN 51153 " +
+          "ELSE 45757 END"
+        s"""WITH d AS (SELECT substr(CAST(CAST(floor(l_extendedprice)
+                          AS BIGINT) AS VARCHAR), 1, 1) AS digit
+                       FROM lineitem WHERE l_extendedprice >= 1),
+           g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM d GROUP BY 1),
+           t AS (SELECT g.*, CAST(SUM(n) OVER () AS BIGINT) AS total FROM g)
+           SELECT digit, n, (n * 1000000) // total AS obs_ppm,
+                  CAST($exp AS BIGINT) AS exp_ppm,
+                  (n * 1000000) // total - CAST($exp AS BIGINT) AS delta_ppm
+           FROM t"""
+      },
       "q_mix_plan" -> {
         val wCase = mixtureWeights.toSeq.sortBy(_._1)
           .foldRight("CAST(0 AS BIGINT)") { case ((s, w), els) =>

@@ -41,6 +41,8 @@ object GraftFunctions {
   def shingleRows(text: Column, n: Int): Column = c(ShingleRows(e(text), n))
   def bloomContains(key: Column, mask: Array[Long], k: Int): Column =
     c(BloomMightContain(e(key), mask, k))
+  def matVec(vec: Column, mat: Array[Double], k: Int, d: Int): Column =
+    c(MatVecProject(e(vec), mat, k, d))
   def pqCodes(vec: Column, cb: Column, m: Int, ks: Int, sd: Int): Column =
     c(PqCodes(e(vec), e(cb), m, ks, sd))
   def pqAdc(q: Column, codes: Column, cb: Column, m: Int, sd: Int): Column =

@@ -154,4 +154,67 @@ object SigAgg {
     * hashes, sorted ascending. Estimate downstream:
     * `IF(size(sk) < k, size(sk), (k-1) * P / sk[k-1])`. */
   def kmv(k: Int) = udaf(new KmvSketch(k))
+
+  /** Exact quantized GRAM/covariance components of a d-dim float-vector
+    * column in ONE aggregation pass. Each vector is quantized
+    * `q_i = floor(v_i * 10000)` (floor has no halfway case — see the
+    * embedding-stats quantization note) and the buffer accumulates, in
+    * exact 64-bit integer space,
+    * `[n, sum(q_0..q_{d-1}), dot(q_i*q_j) for i<=j]` — a flat array of
+    * `1 + d + d(d+1)/2` longs. reduce/merge are element-wise sums
+    * (associative + commutative), so partial aggregation applies and
+    * the shuffle carries ONE fixed-size array per partition no matter
+    * how many vectors feed it — the d×d second-moment matrix over
+    * 100 TB of embeddings costs one narrow scan plus a single-row
+    * exchange (the classic distributed-PCA input). The self-join
+    * alternative (explode × explode on vec_id) would shuffle
+    * n·d(d+1)/2 rows; this shuffles d(d+1)/2 LONGS total.
+    *
+    * Overflow headroom: |q| ≤ 1e4·max|v|; with unit-scale embeddings a
+    * pair product is ≤ 1e8, so sums stay under 2^63 up to ~9e10
+    * vectors — beyond that, shard the aggregation and combine in
+    * DECIMAL(38,0). */
+  private final class CovComponents(d: Int)
+      extends Aggregator[Seq[Float], Array[Long], Seq[Long]] {
+    private val len = 1 + d + d * (d + 1) / 2
+    override def zero: Array[Long] = Array.empty
+    override def reduce(b0: Array[Long], v: Seq[Float]): Array[Long] = {
+      if (v == null || v.length != d) return b0
+      val b = if (b0.isEmpty) new Array[Long](len) else b0
+      val q = new Array[Long](d)
+      var i = 0
+      while (i < d) {
+        q(i) = math.floor(v(i).toDouble * 10000.0).toLong
+        b(1 + i) += q(i)
+        i += 1
+      }
+      b(0) += 1
+      var p = 1 + d
+      i = 0
+      while (i < d) {
+        var j = i
+        while (j < d) { b(p) += q(i) * q(j); p += 1; j += 1 }
+        i += 1
+      }
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
+    override def finish(b: Array[Long]): Seq[Long] =
+      (if (b.isEmpty) new Array[Long](len) else b).toSeq
+    override def bufferEncoder = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder = ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** `df.agg(SigAgg.covComponents(64)(col("embedding")))` → flat
+    * `[n, d sums, d(d+1)/2 upper-triangle dot products]` (exact longs).
+    * Unpack pair (i,j), i<=j, at 1-based flat index
+    * `d + i*d - i*(i-1)/2 + (j-i) + 2`. */
+  def covComponents(d: Int) = udaf(new CovComponents(d))
 }

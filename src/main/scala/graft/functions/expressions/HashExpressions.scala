@@ -391,6 +391,26 @@ object HashImpl {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Dense mat-vec: y_j = sum_i mat[j*d + i] * v_i for j < k, over a
+    * float-vector column and a driver-computed row-major k×d double
+    * matrix (PCA basis, random-projection matrix, …). Accumulation is
+    * a fixed left-to-right loop, so results are deterministic across
+    * partitionings. */
+  def matVec(v: ArrayData, mat: Array[Double], k: Int, d: Int): ArrayData = {
+    val n = math.min(d, v.numElements())
+    val out = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      var acc = 0d
+      val off = j * d
+      var i = 0
+      while (i < n) { acc += mat(off + i) * v.getFloat(i).toDouble; i += 1 }
+      out(j) = acc
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   /** Bloom membership: all k double-hashed positions of `key` set in the
     * m-bit mask. Same position family as `Bloom.positionsSql` — keys must
     * be non-negative and < 2^63/2654435761 (≈3.5e9) to avoid overflow. */
@@ -911,6 +931,34 @@ case class PqAdc(first: Expression, second: Expression, third: Expression,
   * Positions are Kirsch–Mitzenmacher double hashing in mod-P integer
   * math, bit-identical to [[graft.operators.Bloom.positionsSql]] and the
   * DuckDB replica, so filter statistics have an exact oracle. */
+/** Project a float-vector column through a driver-computed row-major
+  * k×d double matrix (the PCA basis / any fixed linear map): one
+  * codegen'd call per row, the matrix rides the generated code as ONE
+  * referenced double[] (the [[BloomMightContain]] pattern) — never a
+  * per-row literal array or a join. */
+case class MatVecProject(child: Expression, mat: Array[Double], k: Int, d: Int)
+    extends UnaryExpression {
+  require(k > 0 && d > 0 && mat.length == k * d,
+    s"matrix must be k*d row-major doubles, got ${mat.length} for k=$k d=$d")
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<float> vector, got $t")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_matvec"
+  protected override def nullSafeEval(input: Any): Any =
+    HashImpl.matVec(input.asInstanceOf[ArrayData], mat, k, d)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("projMat", mat, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.HashImpl.matVec($c, $matRef, $k, $d)")
+  }
+  override protected def withNewChildInternal(c: Expression): MatVecProject =
+    copy(child = c)
+}
+
 case class BloomMightContain(child: Expression, mask: Array[Long], k: Int)
     extends UnaryExpression {
   require(mask.nonEmpty && (mask.length * 64L) <= Int.MaxValue && k > 0,

@@ -608,6 +608,125 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Distributed PCA, the classic two-phase shape: (1) the exact
+    * quantized covariance matrix via ONE [[graft.functions.SigAgg
+    * .covComponents]] aggregation pass (map-side partials, a single
+    * fixed-size array reaches the driver — data-independent, the same
+    * legitimate-collect contract as the k-means codebook), (2) a
+    * driver-side cyclic Jacobi eigensolver on the d×d matrix (d is a
+    * column-count, never a row-count). Eigenpairs come back sorted by
+    * eigenvalue descending with each vector sign-canonicalized (its
+    * largest-|component| entry made positive), so the basis is
+    * deterministic across partitionings and reruns.
+    *
+    * Returns (eigenvalues length d, row-major k×d top-k basis). */
+  def pcaBasis(df: DataFrame, vecCol: String, d: Int, k: Int)
+      : (Array[Double], Array[Double]) = {
+    require(k >= 1 && k <= d, s"k=$k must be in [1, $d]")
+    val flat = df
+      .agg(graft.functions.SigAgg.covComponents(d)(col(vecCol)).as("st"))
+      .head.getSeq[Long](0)
+    val n = flat(0).toDouble
+    require(n >= 2, s"pcaBasis needs >= 2 vectors, got ${flat(0)}")
+    // cov_ij = (n·dot_ij − s_i·s_j) / n² in quantized units; divide by
+    // the 1e4² quantization scale to return to input units (a uniform
+    // scale — eigenvectors are unchanged, eigenvalues rescaled back)
+    val a = Array.ofDim[Double](d, d)
+    var p = 1 + d
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val cov = (n * flat(p) - flat(1 + i).toDouble * flat(1 + j)) /
+          (n * n) / 1e8
+        a(i)(j) = cov; a(j)(i) = cov
+        p += 1; j += 1
+      }
+      i += 1
+    }
+    val (vals, vecs) = jacobiEigen(a)
+    val order = vals.indices.sortBy(ix => (-vals(ix), ix))
+    val topVals = order.map(vals(_)).toArray
+    val mat = new Array[Double](k * d)
+    var r = 0
+    while (r < k) {
+      val src = order(r)
+      // sign canonicalization: largest-|component| entry positive
+      var best = 0
+      var bi = 1
+      while (bi < d) {
+        if (math.abs(vecs(bi)(src)) > math.abs(vecs(best)(src))) best = bi
+        bi += 1
+      }
+      val s = if (vecs(best)(src) < 0) -1d else 1d
+      var c0 = 0
+      while (c0 < d) { mat(r * d + c0) = s * vecs(c0)(src); c0 += 1 }
+      r += 1
+    }
+    (topVals, mat)
+  }
+
+  /** Cyclic Jacobi rotations on a symmetric matrix until the
+    * off-diagonal mass vanishes (machine precision in ~8 sweeps for
+    * d ≤ 128). Returns (eigenvalues, column eigenvectors). */
+  private def jacobiEigen(a: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = a.length
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1d else 0d)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-14) {
+      off = 0d
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          off = math.max(off, math.abs(a(p)(q)))
+          if (math.abs(a(p)(q)) > 1e-15) {
+            val theta = (a(q)(q) - a(p)(p)) / (2 * a(p)(q))
+            val t =
+              if (theta == 0d) 1d
+              else math.signum(theta) /
+                (math.abs(theta) + math.sqrt(theta * theta + 1))
+            val c = 1 / math.sqrt(t * t + 1)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** Project the vector column onto the top-k PCA basis: the basis rides
+    * the generated code as ONE referenced double[] ([[graft.functions
+    * .expressions.MatVecProject]]) — a narrow map, no join, no shuffle.
+    * Adds `outCol: array<double>` of length k. */
+  def pcaProject(df: DataFrame, vecCol: String, d: Int, k: Int,
+      outCol: String = "pc"): DataFrame = {
+    val (_, mat) = pcaBasis(df, vecCol, d, k)
+    df.withColumn(outCol, GraftFunctions.matVec(col(vecCol), mat, k, d))
+  }
+
   /** Approximate top-k: only candidates whose LSH signature matches the
     * query's. Recall < 1; candidate work divided by ~2^nbits. */
   def lshTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
