@@ -2204,6 +2204,83 @@ object SparkEntry {
           expr("map_contains_key(mg, w)").as("in_sketch"))
     }),
 
+    // ----- COUNT-MIN sketch build (Cormode & Muthukrishnan): the
+    // point-estimate complement to Misra-Gries containment. The sketch
+    // IS a (depth × width) count matrix under a fixed pairwise hash
+    // family — i.e. a plain groupBy over (row, hashed-col), so the
+    // distributed build is one aggregation with map-side partials, rows
+    // merge by addition (mergeable across shards/streams by
+    // construction), and — the fixed hash family being pure BIGINT
+    // arithmetic — the whole matrix hash-matches the DuckDB oracle
+    // EXACTLY. depth 4 × width 64 = 256 cells regardless of corpus
+    // size. -----
+    "q_cmsketch" -> ((s, dir) => {
+      val p = XFormulas.P
+      TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+        .select(explode(col("toks")).as("w"))
+        .select(expr(XFormulas.sparkStrHash("w")).as("h"))
+        .select(col("h"), explode(sequence(lit(0L), lit(3L))).as("r"))
+        .select(col("r"), expr(
+          s"((((1103515245 * r + 12345) % $p) * h + " +
+            s"((1299709 * r + 7919) % $p)) % $p) % 64").as("c"))
+        .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+    }),
+
+    // ----- count-min POINT ESTIMATES for the exact top-5 tokens:
+    // est(w) = min over rows of matrix[r][h_r(w)] — always >= the true
+    // count (collisions only add), the one-sided error the sketch
+    // guarantees. Token stream persisted: it feeds the matrix AND the
+    // exact counts. -----
+    "q_cm_estimate" -> ((s, dir) => {
+      val p = XFormulas.P
+      val toks = Dedup.persistTracked(
+        TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+          .select(explode(col("toks")).as("w"))
+          .select(col("w"), expr(XFormulas.sparkStrHash("w")).as("h")))
+      val cm = toks
+        .select(col("h"), explode(sequence(lit(0L), lit(3L))).as("r"))
+        .select(col("r"), expr(
+          s"((((1103515245 * r + 12345) % $p) * h + " +
+            s"((1299709 * r + 7919) % $p)) % $p) % 64").as("c"))
+        .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+      val top = toks.groupBy(col("w"), col("h"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w")).limit(5)
+      top
+        .select(col("w"), col("n"), col("h"),
+          explode(sequence(lit(0L), lit(3L))).as("r"))
+        .select(col("w"), col("n"), col("r"), expr(
+          s"((((1103515245 * r + 12345) % $p) * h + " +
+            s"((1299709 * r + 7919) % $p)) % $p) % 64").as("c"))
+        .join(cm, Seq("r", "c"))
+        .groupBy(col("w"), col("n"))
+        .agg(min(col("cnt")).as("cm_est"))
+        .select(col("w"), col("n"), col("cm_est"),
+          (col("cm_est") >= col("n")).as("upper_bound_holds"))
+    }),
+
+    // ----- JOHNSON-LINDENSTRAUSS sparse-sign projection: compress the
+    // 64-dim embedding to 16 dims with a ±1 matrix drawn from the fixed
+    // polyHash family — quantized integer arithmetic end to end, so the
+    // projection is engine-exact (the rare JL construction an exact
+    // oracle can check). A pure narrow map: no shuffle, no state, and
+    // at 100 TB it runs inside the scan stage. The learned-basis
+    // alternative is pcaProject; this one needs no training pass. -----
+    "q_jl_projection" -> ((s, dir) => {
+      val p = XFormulas.P
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> " +
+            "CAST(floor(CAST(x AS DOUBLE) * 10000.0D) AS BIGINT))").as("q"))
+        .select(col("vec_id"), col("q"),
+          explode(sequence(lit(0L), lit(15L))).as("j"))
+        .select(col("vec_id"), col("j"), expr(
+          s"aggregate(sequence(0L, 63L), 0L, (acc, i) -> " +
+            s"acc + element_at(q, CAST(i + 1 AS INT)) * " +
+            s"IF(((1103515245 * (j * 64 + i) + 12345) % $p) % 2 = 0, " +
+            "1L, -1L))").as("y"))
+    }),
+
     // ----- join-key skew report: the diagnostic you run BEFORE picking a
     // join strategy — per-key count distribution (exact percentiles +
     // max) and the heavy-hitter keys, from one aggregation over the
@@ -3778,6 +3855,28 @@ object SparkEntry {
           'nonpositive_price', nonpositive_price,
           'null_custkey', null_custkey,
           'ship_before_order', ship_before_order) AS (check, n_bad)""")
+    }),
+
+    // ----- FUNCTIONAL-DEPENDENCY audit (schema profiling): does the
+    // determinant column fix the dependent? Per FD one groupBy on the
+    // determinant counting distinct dependents — never a global
+    // multi-distinct (the q_profile Expand-cascade lesson); the three
+    // tiny reports union. holds = no group with >1 distinct dependent.
+    // -----
+    "q_fd_audit" -> ((s, dir) => {
+      def fd(df: DataFrame, name: String, det: String, dep: String) =
+        df.groupBy(col(det))
+          .agg(countDistinct(col(dep)).as("nd"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating"))
+          .select(lit(name).as("fd"), col("n_groups"), col("n_violating"),
+            (col("n_violating") === 0).as("holds"))
+      fd(t(s, dir, "orders"), "o_orderkey->o_custkey",
+        "o_orderkey", "o_custkey")
+        .unionAll(fd(t(s, dir, "orders"), "o_custkey->o_orderpriority",
+          "o_custkey", "o_orderpriority"))
+        .unionAll(fd(t(s, dir, "customer"), "c_nationkey->c_mktsegment",
+          "c_nationkey", "c_mktsegment"))
     }),
 
     // ----- BENFORD first-significant-digit audit (the classic fraud /
@@ -6822,6 +6921,71 @@ object SparkEntry {
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            WHERE l_shipdate < o_orderdate""",
 
+      "q_cmsketch" ->
+        s"""WITH tk AS (SELECT unnest(${duckTokens("text")}) AS w
+                        FROM documents),
+           h AS (SELECT ${duckStrHash("w")} AS h FROM tk),
+           e AS (SELECT h, unnest(range(0, 4)) AS r FROM h)
+           SELECT r, ((((1103515245 * r + 12345) % $P) * h +
+                       ((1299709 * r + 7919) % $P)) % $P) % 64 AS c,
+                  CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM e GROUP BY 1, 2""",
+      "q_cm_estimate" ->
+        s"""WITH tk AS (SELECT unnest(${duckTokens("text")}) AS w
+                        FROM documents),
+           th AS (SELECT w, ${duckStrHash("w")} AS h FROM tk),
+           cm AS (SELECT r, ((((1103515245 * r + 12345) % $P) * h +
+                              ((1299709 * r + 7919) % $P)) % $P) % 64 AS c,
+                         CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM (SELECT h, unnest(range(0, 4)) AS r FROM th)
+                  GROUP BY 1, 2),
+           top AS (SELECT w, h, CAST(COUNT(*) AS BIGINT) AS n FROM th
+                   GROUP BY 1, 2 ORDER BY n DESC, w LIMIT 5),
+           pr AS (SELECT w, n,
+                         r, ((((1103515245 * r + 12345) % $P) * h +
+                             ((1299709 * r + 7919) % $P)) % $P) % 64 AS c
+                  FROM (SELECT w, n, h, unnest(range(0, 4)) AS r FROM top))
+           SELECT pr.w, pr.n, MIN(cm.cnt) AS cm_est,
+                  MIN(cm.cnt) >= pr.n AS upper_bound_holds
+           FROM pr JOIN cm ON pr.r = cm.r AND pr.c = cm.c
+           GROUP BY 1, 2""",
+      "q_jl_projection" ->
+        s"""WITH q AS (SELECT vec_id,
+                  list_transform(embedding, x ->
+                    CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS q
+                FROM embeddings),
+           e AS (SELECT vec_id, q, unnest(range(0, 16)) AS j FROM q)
+           SELECT vec_id, j,
+                  CAST(list_sum(list_transform(range(0, 64), i ->
+                    q[CAST(i + 1 AS INT)] *
+                    CASE WHEN ((1103515245 * (j * 64 + i) + 12345) % $P)
+                           % 2 = 0
+                         THEN 1 ELSE -1 END)) AS BIGINT) AS y
+           FROM e""",
+      "q_fd_audit" ->
+        """WITH f1 AS (SELECT 'o_orderkey->o_custkey' AS fd,
+                  CAST(COUNT(*) AS BIGINT) AS n_groups,
+                  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_violating
+                FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS nd
+                      FROM orders GROUP BY 1)),
+           f2 AS (SELECT 'o_custkey->o_orderpriority' AS fd,
+                  CAST(COUNT(*) AS BIGINT) AS n_groups,
+                  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_violating
+                FROM (SELECT o_custkey,
+                             COUNT(DISTINCT o_orderpriority) AS nd
+                      FROM orders GROUP BY 1)),
+           f3 AS (SELECT 'c_nationkey->c_mktsegment' AS fd,
+                  CAST(COUNT(*) AS BIGINT) AS n_groups,
+                  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_violating
+                FROM (SELECT c_nationkey,
+                             COUNT(DISTINCT c_mktsegment) AS nd
+                      FROM customer GROUP BY 1))
+           SELECT fd, n_groups, n_violating, n_violating = 0 AS holds
+           FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+                 UNION ALL SELECT * FROM f3)""",
       "q_benford" -> {
         val exp = "CASE digit WHEN '1' THEN 301030 WHEN '2' THEN 176091 " +
           "WHEN '3' THEN 124939 WHEN '4' THEN 96910 WHEN '5' THEN 79181 " +
