@@ -212,6 +212,14 @@ object SigAgg {
     override def outputEncoder = ExpressionEncoder[Seq[Long]]()
   }
 
+  /** Count-min cell column for hash row `r`: the same pairwise hash
+    * family as the batch `q_cmsketch` SQL (minhash's a_r/b_r constants),
+    * shared by the streaming processor so batch and stream sketches are
+    * bit-identical on identical input. */
+  def cmCol(r: Long, h: Long, width: Int, p: Long = 1000000007L): Int =
+    (((((1103515245L * r + 12345L) % p) * h +
+      ((1299709L * r + 7919L) % p)) % p) % width).toInt
+
   /** `df.agg(SigAgg.covComponents(64)(col("embedding")))` → flat
     * `[n, d sums, d(d+1)/2 upper-triangle dot products]` (exact longs).
     * Unpack pair (i,j), i<=j, at 1-based flat index

@@ -354,6 +354,61 @@ object StatefulOps {
         OutputMode.Update())
   }
 
+  case class CmState(cnts: Seq[Long])
+  case class CmOut(key: String, h: Long, est: Long)
+
+  /** Continuously-maintained per-key COUNT-MIN sketch: the streaming
+    * twin of the batch `q_cmsketch` matrix (same `SigAgg.cmCol` hash
+    * family, so both paths hold bit-identical cells on identical
+    * input). State per key is a FIXED depth×width long array no matter
+    * how many distinct items arrive — the frequency-estimate complement
+    * to the KMV distinct-count state, for "how often have I seen THIS
+    * item" gates (repetition/spam thresholds) where an exact per-item
+    * counter map is a memory leak. Each arrival emits the item's
+    * refreshed estimate: an over-count-only bound (collisions only
+    * add), exact while the key's traffic is sparse in the matrix. */
+  private class CmSketchProcessor(depth: Int, width: Int, p: Long,
+      ttl: Option[java.time.Duration])
+      extends StatefulProcessor[String, Hashed, CmOut] {
+    @transient private var state: ValueState[CmState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[CmState]("cm",
+        Encoders.product[CmState],
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+    override def handleInputRows(key: String, rows: Iterator[Hashed],
+        timers: TimerValues): Iterator[CmOut] = {
+      val cnts = Option(state.get()).map(_.cnts.toArray)
+        .getOrElse(new Array[Long](depth * width))
+      val out = scala.collection.mutable.ArrayBuffer.empty[CmOut]
+      rows.foreach { row =>
+        var r = 0
+        var est = Long.MaxValue
+        while (r < depth) {
+          val c = r * width + graft.functions.SigAgg.cmCol(r, row.h, width, p)
+          cnts(c) += 1
+          if (cnts(c) < est) est = cnts(c)
+          r += 1
+        }
+        out += CmOut(key, row.h, est)
+      }
+      state.update(CmState(cnts.toSeq))
+      out.iterator
+    }
+  }
+
+  /** Per-key streaming count-min frequency estimates via
+    * `transformWithState` (see [[CmSketchProcessor]]). */
+  def cmSketchTws(ds: Dataset[Hashed], depth: Int = 4, width: Int = 64,
+      p: Long = 1000000007L,
+      ttl: Option[java.time.Duration] = None): Dataset[CmOut] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .transformWithState(new CmSketchProcessor(depth, width, p, ttl),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Update())
+  }
+
   case class DocIn(doc_id: Long, mh: Seq[Long], bucketKey: String)
   case class BucketState(ids: Seq[Long], sigs: Seq[Seq[Long]])
   case class NearDupHit(new_id: Long, seen_id: Long, est_jaccard: Double)

@@ -228,6 +228,76 @@ class StatefulOpsSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState count-min: fixed state, over-count-only, exact when sparse (RocksDB)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // key a: item X arrives 5 times split across two batches, plus
+      // 200 mixed one-off hashes that stress collisions; key b stays
+      // sparse (3 distinct, one repeat)
+      def mix(i: Long): Long = (i * 2654435761L) % 1000000007L
+      val x = mix(4242)
+      val noise = (1L to 200L).map(mix)
+      val mem = MemoryStream[StatefulOps.Hashed]
+      val q = StatefulOps.cmSketchTws(mem.toDS()).writeStream
+        .format("memory").queryName("tws_cm")
+        .outputMode(OutputMode.Update).start()
+      try {
+        mem.addData((noise.take(100) ++ Seq(x, x))
+          .map(StatefulOps.Hashed("a", _)) ++
+          Seq(StatefulOps.Hashed("b", mix(7)), StatefulOps.Hashed("b", mix(8))): _*)
+        q.processAllAvailable()
+        mem.addData((noise.drop(100) ++ Seq(x, x, x))
+          .map(StatefulOps.Hashed("a", _)) ++
+          Seq(StatefulOps.Hashed("b", mix(7))): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("tws_cm").as[StatefulOps.CmOut].collect()
+      // replay through the shared cmCol family on the driver. Cell
+      // counts are commutative, so the FINAL matrix is order-
+      // independent even though per-arrival estimates are not — all
+      // assertions below compare against that order-free truth.
+      val arrivalsA = noise ++ Seq(x, x, x, x, x)
+      def finalCells(hs: Seq[Long]): Array[Long] = {
+        val cnts = new Array[Long](4 * 64)
+        hs.foreach { h =>
+          (0 until 4).foreach { r =>
+            cnts(r * 64 + graft.functions.SigAgg.cmCol(r.toLong, h, 64)) += 1
+          }
+        }
+        cnts
+      }
+      def estOf(cnts: Array[Long], h: Long): Long =
+        (0 until 4).map(r =>
+          cnts(r * 64 + graft.functions.SigAgg.cmCol(r.toLong, h, 64))).min
+      val cellsA = finalCells(arrivalsA)
+      val aRows = rows.filter(_.key == "a")
+      // one emission per arrival
+      assert(aRows.length == arrivalsA.length)
+      assert(aRows.count(_.h == x) == 5)
+      val xEsts = aRows.filter(_.h == x).map(_.est)
+      // estimates never under-count the running total: the k-th
+      // emission for x (in estimate order) is >= k, and every estimate
+      // is bounded by the order-free final-state estimate (bit-parity
+      // with the shared batch family)
+      assert(xEsts.sorted.zipWithIndex.forall { case (e, i) => e >= i + 1 })
+      assert(xEsts.forall(_ <= estOf(cellsA, x)))
+      assert(estOf(cellsA, x) >= 5L)
+      // every emitted estimate for every item respects the final bound
+      assert(aRows.forall(r => r.est <= estOf(cellsA, r.h)))
+      // sparse key exact: 2 items in 256 cells — the min over 4 rows
+      // survives any partial collision, so estimates are exact counts
+      val cellsB = finalCells(Seq(mix(7), mix(8), mix(7)))
+      assert(estOf(cellsB, mix(7)) == 2L && estOf(cellsB, mix(8)) == 1L)
+      val bEsts = rows.filter(_.key == "b").map(r => (r.h, r.est))
+      assert(bEsts.filter(_._1 == mix(7)).map(_._2).sorted.toSeq == Seq(1L, 2L))
+      assert(bEsts.filter(_._1 == mix(8)).map(_._2).toSeq == Seq(1L))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("transformWithState histogram quantiles: sketch state, batch-rule parity (RocksDB)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
