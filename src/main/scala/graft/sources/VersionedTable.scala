@@ -1,0 +1,180 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal versioned-snapshot tables over plain parquet — the
+  * metadata-layer pattern of the open lakehouse formats (a manifest
+  * names the exact files of each version; data files are immutable),
+  * small enough to audit:
+  *
+  *   path/data/c-<nonce>/part-*.parquet        immutable data files
+  *   path/_manifests/v00003.txt                 "rowCount\nrelPath..."
+  *
+  * Why a pipeline at 100 TB needs this:
+  *  - REPRODUCIBILITY: a training run records the table version it
+  *    read; re-reading that version later returns byte-identical input
+  *    no matter how many ingests landed since.
+  *  - ATOMICITY: a version number is CLAIMED by creating its lock file
+  *    with overwrite=false (an atomic create-if-absent on HDFS and
+  *    local alike — rename-over-existing is NOT a reliable collision
+  *    check on posix), and the manifest then renames into place, so
+  *    readers see a version fully or not at all; a crashed writer
+  *    leaves orphan data files and a dangling lock, never a partial
+  *    version.
+  *  - CHEAP APPEND + ROLLBACK: append writes only the increment — the
+  *    new manifest re-lists the old files (metadata-sized, no data
+  *    copy); rollback commits a manifest that re-lists an old
+  *    version's files, O(manifest) regardless of table size.
+  *
+  * Concurrency: optimistic — racing committers collide on the lock
+  * create; the loser rebuilds against the newer base and retries the
+  * next number. Readers never lock.
+  */
+object VersionedTable {
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(path: String) = new Path(path, "_manifests")
+
+  private def manifestPath(path: String, v: Int) =
+    new Path(manifestDir(path), f"v$v%05d.txt")
+
+  private def lockPath(path: String, v: Int) =
+    new Path(manifestDir(path), f"v$v%05d.lock")
+
+  /** COMMITTED versions, ascending (empty for a fresh/absent table). */
+  def versions(spark: SparkSession, path: String): Seq[Int] =
+    listNumbered(spark, path, "txt")
+
+  private def listNumbered(spark: SparkSession, path: String,
+      ext: String): Seq[Int] = {
+    val f = fs(spark, path)
+    val dir = manifestDir(path)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.matches(s"v\\d{5}\\.$ext") =>
+        n.substring(1, 6).toInt }
+      .sorted
+  }
+
+  private def readManifest(spark: SparkSession, path: String, v: Int)
+      : (Long, Seq[String]) = {
+    val f = fs(spark, path)
+    val in = f.open(manifestPath(path, v))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+    (lines.head.toLong, lines.tail)
+  }
+
+  /** Atomically claim the next free version number (lock files count as
+    * claims, so a crashed writer's number is skipped, never reused). */
+  private def claimNext(spark: SparkSession, path: String): Int = {
+    val f = fs(spark, path)
+    var v = -1
+    while (v < 0) {
+      val taken = (listNumbered(spark, path, "txt") ++
+        listNumbered(spark, path, "lock"))
+      val next = if (taken.isEmpty) 1 else taken.max + 1
+      try {
+        f.create(lockPath(path, next), false).close()
+        v = next
+      } catch { case _: java.io.IOException => /* lost the race; retry */ }
+    }
+    v
+  }
+
+  private def publish(spark: SparkSession, path: String, v: Int,
+      rows: Long, files: Seq[String]): Unit = {
+    val f = fs(spark, path)
+    val body = rows.toString + "\n" + files.mkString("\n") + "\n"
+    val tmp = new Path(manifestDir(path), f".tmp-v$v%05d")
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    // we own this version number (the lock) — the rename target cannot
+    // be contended, so the manifest appears atomically
+    if (!f.rename(tmp, manifestPath(path, v)))
+      throw new java.io.IOException(s"manifest publish failed for v$v")
+    f.delete(lockPath(path, v), false)
+  }
+
+  /** Commit `df` as the next version. mode "overwrite": the new version
+    * is exactly `df`. mode "append": the new version is the latest
+    * committed version's files PLUS `df`'s — previous data is NOT
+    * rewritten. Returns the committed version number. */
+  def commit(df: DataFrame, path: String, mode: String = "overwrite"): Int = {
+    require(mode == "overwrite" || mode == "append", s"bad mode $mode")
+    val spark = df.sparkSession
+    val f = fs(spark, path)
+    f.mkdirs(manifestDir(path))
+    // nonce-named data dir: version numbers are assigned at claim time,
+    // after the (slow) data write, to keep the claim window tiny
+    val nonce = java.util.UUID.randomUUID.toString.take(8)
+    val dataDir = new Path(path, s"data/c-$nonce")
+    df.write.parquet(dataDir.toString)
+    val newFiles = f.listStatus(dataDir).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      .sorted
+      .map(n => s"data/c-$nonce/$n")
+    val newRows = spark.read
+      .parquet(newFiles.map(r => s"$path/$r"): _*).count()
+    val v = claimNext(spark, path)
+    val (baseRows, baseFiles) = {
+      val committed = versions(spark, path).filter(_ < v)
+      if (mode == "append" && committed.nonEmpty)
+        readManifest(spark, path, committed.max)
+      else (0L, Seq.empty[String])
+    }
+    publish(spark, path, v, baseRows + newRows, baseFiles ++ newFiles)
+    v
+  }
+
+  /** Read a version (default: latest committed). Time travel = pass the
+    * version a past run recorded. The read plans over EXACTLY the
+    * manifest's files — later commits are invisible. */
+  def read(spark: SparkSession, path: String,
+      version: Option[Int] = None): DataFrame = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val (_, files) = readManifest(spark, path, v)
+    require(files.nonEmpty, s"version $v lists no files")
+    spark.read.parquet(files.map(r => s"$path/$r"): _*)
+  }
+
+  /** Exact row count of a version from its manifest — zero data I/O. */
+  def rowCount(spark: SparkSession, path: String, v: Int): Long =
+    readManifest(spark, path, v)._1
+
+  /** Roll back by committing a NEW version whose manifest re-lists
+    * `toVersion`'s files — history stays intact (an audit can still
+    * read the bad versions), data files are untouched. */
+  def rollback(spark: SparkSession, path: String, toVersion: Int): Int = {
+    val (rows, files) = readManifest(spark, path, toVersion)
+    val v = claimNext(spark, path)
+    publish(spark, path, v, rows, files)
+    v
+  }
+
+  /** Data directories referenced by NO version in `keepVersions`
+    * (crashed writers; all-rewritten overwrites) — the vacuum candidate
+    * list. Deletion is left to the caller: at scale you check the
+    * candidates against retention policy before destroying anything. */
+  def orphanDataDirs(spark: SparkSession, path: String,
+      keepVersions: Seq[Int]): Seq[String] = {
+    val f = fs(spark, path)
+    val dataRoot = new Path(path, "data")
+    if (!f.exists(dataRoot)) return Seq.empty
+    val referenced = keepVersions
+      .flatMap(v => readManifest(spark, path, v)._2)
+      .map(_.split("/")(1)).toSet
+    f.listStatus(dataRoot).toSeq.map(_.getPath.getName)
+      .filterNot(referenced.contains)
+      .map(d => s"data/$d")
+  }
+}

@@ -1,0 +1,91 @@
+package graft.sources
+
+import graft.athenaeum.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Versioned-snapshot tables: atomic commits, time travel, cheap
+  * append/rollback, orphan detection. */
+class VersionedTableSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def freshPath() = java.nio.file.Files
+    .createTempDirectory("graft-vt").toString + "/t"
+
+  test("commit / time travel: each version reads back exactly, later commits invisible") {
+    val path = freshPath()
+    val nat = Tables(spark, dir, "nation")
+    val v1 = VersionedTable.commit(nat.filter(col("n_regionkey") === 0), path)
+    val v2 = VersionedTable.commit(nat, path) // overwrite
+    assert(v1 == 1 && v2 == 2)
+    val r1 = VersionedTable.read(spark, path, Some(1))
+    val r2 = VersionedTable.read(spark, path, Some(2))
+    val exp1 = nat.filter(col("n_regionkey") === 0).count()
+    assert(r1.count() == exp1 && r2.count() == nat.count())
+    // latest by default
+    assert(VersionedTable.read(spark, path).count() == nat.count())
+    // manifest row counts match without data I/O
+    assert(VersionedTable.rowCount(spark, path, 1) == exp1)
+    assert(VersionedTable.rowCount(spark, path, 2) == nat.count())
+  }
+
+  test("append re-lists old files instead of rewriting; rollback restores by manifest") {
+    val path = freshPath()
+    val nat = Tables(spark, dir, "nation")
+    val a = nat.filter(col("n_nationkey") < 10)
+    val b = nat.filter(col("n_nationkey") >= 10)
+    VersionedTable.commit(a, path)
+    val filesAfterV1 = dataFiles(path)
+    val v2 = VersionedTable.commit(b, path, mode = "append")
+    assert(v2 == 2)
+    // v1's physical files survive untouched (append wrote only b)
+    assert(dataFiles(path).intersect(filesAfterV1) == filesAfterV1)
+    assert(VersionedTable.read(spark, path, Some(2)).count() == nat.count())
+    // a bad overwrite lands as v3; rollback to v2 commits v4 == v2
+    VersionedTable.commit(a.limit(1), path)
+    val v4 = VersionedTable.rollback(spark, path, 2)
+    assert(v4 == 4)
+    val r4 = VersionedTable.read(spark, path, Some(4))
+      .select("n_nationkey").orderBy("n_nationkey")
+      .collect().map(_.get(0).toString).toSeq
+    val r2 = VersionedTable.read(spark, path, Some(2))
+      .select("n_nationkey").orderBy("n_nationkey")
+      .collect().map(_.get(0).toString).toSeq
+    assert(r4 == r2)
+    // history intact: the bad v3 is still auditable
+    assert(VersionedTable.read(spark, path, Some(3)).count() == 1)
+    assert(VersionedTable.versions(spark, path) == Seq(1, 2, 3, 4))
+  }
+
+  test("overwritten data dirs surface as orphan candidates; live ones never do") {
+    val path = freshPath()
+    val nat = Tables(spark, dir, "nation")
+    VersionedTable.commit(nat, path)
+    VersionedTable.commit(nat.limit(3), path) // overwrite: v1's dir now unreferenced by v2
+    val keepLatestOnly = VersionedTable.orphanDataDirs(spark, path, Seq(2))
+    assert(keepLatestOnly.size == 1, s"expected one orphan, got $keepLatestOnly")
+    // keeping full history references everything
+    assert(VersionedTable.orphanDataDirs(spark, path, Seq(1, 2)).isEmpty)
+  }
+
+  test("a dangling lock (crashed writer) is skipped, never reused, and does not block") {
+    val path = freshPath()
+    val nat = Tables(spark, dir, "nation")
+    VersionedTable.commit(nat.limit(2), path)
+    // simulate a writer that claimed v2 and died before publishing
+    val lock = new java.io.File(path, "_manifests/v00002.lock")
+    assert(lock.createNewFile())
+    val v = VersionedTable.commit(nat.limit(5), path)
+    assert(v == 3, s"crashed claim must be skipped, got v$v")
+    assert(VersionedTable.versions(spark, path) == Seq(1, 3))
+    assert(VersionedTable.read(spark, path).count() == 5)
+  }
+
+  private def dataFiles(path: String): Set[String] = {
+    val root = new java.io.File(path, "data")
+    if (!root.exists()) Set.empty
+    else root.listFiles().flatMap(d =>
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => d.getName + "/" + f.getName)).toSet
+  }
+}
