@@ -120,8 +120,9 @@ object VersionedTable {
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
       .sorted
       .map(n => s"data/c-$nonce/$n")
-    val newRows = spark.read
-      .parquet(newFiles.map(r => s"$path/$r"): _*).count()
+    val newRows =
+      if (newFiles.isEmpty) 0L // a fully-empty increment is a valid commit
+      else spark.read.parquet(newFiles.map(r => s"$path/$r"): _*).count()
     val v = claimNext(spark, path)
     val (baseRows, baseFiles) = {
       val committed = versions(spark, path).filter(_ < v)
