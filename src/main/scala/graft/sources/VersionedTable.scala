@@ -62,12 +62,17 @@ object VersionedTable {
 
   private def readManifest(spark: SparkSession, path: String, v: Int)
       : (Long, Seq[String]) = {
+    val lines = manifestLines(spark, path, v)
+    (lines.head.toLong, lines.tail.filterNot(_.startsWith("#")))
+  }
+
+  private def manifestLines(spark: SparkSession, path: String,
+      v: Int): Seq[String] = {
     val f = fs(spark, path)
     val in = f.open(manifestPath(path, v))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    val lines = text.split("\n").toSeq.filter(_.nonEmpty)
-    (lines.head.toLong, lines.tail)
+    text.split("\n").toSeq.filter(_.nonEmpty)
   }
 
   /** Atomically claim the next free version number (lock files count as
@@ -88,9 +93,12 @@ object VersionedTable {
   }
 
   private def publish(spark: SparkSession, path: String, v: Int,
-      rows: Long, files: Seq[String]): Unit = {
+      rows: Long, files: Seq[String],
+      batchTag: Option[Long] = None): Unit = {
     val f = fs(spark, path)
-    val body = rows.toString + "\n" + files.mkString("\n") + "\n"
+    val body = rows.toString + "\n" +
+      batchTag.map(b => s"# batch=$b\n").getOrElse("") +
+      files.mkString("\n") + "\n"
     val tmp = new Path(manifestDir(path), f".tmp-v$v%05d")
     val out = f.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -105,7 +113,11 @@ object VersionedTable {
     * is exactly `df`. mode "append": the new version is the latest
     * committed version's files PLUS `df`'s — previous data is NOT
     * rewritten. Returns the committed version number. */
-  def commit(df: DataFrame, path: String, mode: String = "overwrite"): Int = {
+  def commit(df: DataFrame, path: String, mode: String = "overwrite"): Int =
+    commitImpl(df, path, mode, None)
+
+  private def commitImpl(df: DataFrame, path: String, mode: String,
+      batchTag: Option[Long]): Int = {
     require(mode == "overwrite" || mode == "append", s"bad mode $mode")
     val spark = df.sparkSession
     val f = fs(spark, path)
@@ -130,9 +142,38 @@ object VersionedTable {
         readManifest(spark, path, committed.max)
       else (0L, Seq.empty[String])
     }
-    publish(spark, path, v, baseRows + newRows, baseFiles ++ newFiles)
+    publish(spark, path, v, baseRows + newRows, baseFiles ++ newFiles,
+      batchTag)
     v
   }
+
+  /** Micro-batch ids already committed (the `# batch=` manifest tags).
+    * Small-table scan: one manifest read per version — at production
+    * version counts, check only the recent tail. */
+  def committedBatches(spark: SparkSession, path: String): Set[Long] =
+    versions(spark, path).flatMap(v =>
+      manifestLines(spark, path, v)
+        .find(_.startsWith("# batch="))
+        .map(_.stripPrefix("# batch=").toLong)).toSet
+
+  /** Idempotent streaming commit: structured streaming's foreachBatch
+    * re-delivers the last epoch after a recovery, so a batch id that
+    * already appears in a committed manifest is skipped (returns None).
+    * The id is tagged INSIDE the manifest, so the commit and its
+    * replay marker appear atomically — there is no crash window where
+    * the data landed but the marker did not. One writing stream per
+    * table: ids are compared globally, not per query. */
+  def streamingCommit(batch: DataFrame, batchId: Long, path: String,
+      mode: String = "append"): Option[Int] =
+    if (committedBatches(batch.sparkSession, path).contains(batchId)) None
+    else Some(commitImpl(batch, path, mode, Some(batchId)))
+
+  /** `ds.writeStream.foreachBatch(VersionedTable.sink(path))` — every
+    * micro-batch becomes one APPEND version with exactly-once manifest
+    * semantics (see [[streamingCommit]]). */
+  def sink(path: String, mode: String = "append")
+      : (DataFrame, Long) => Unit =
+    (batch, batchId) => { streamingCommit(batch, batchId, path, mode); () }
 
   /** Read a version (default: latest committed). Time travel = pass the
     * version a past run recorded. The read plans over EXACTLY the
