@@ -177,16 +177,42 @@ object VersionedTable {
 
   /** Read a version (default: latest committed). Time travel = pass the
     * version a past run recorded. The read plans over EXACTLY the
-    * manifest's files — later commits are invisible. */
+    * manifest's files — later commits are invisible.
+    *
+    * `mergeSchema = true` unions the schemas of all the version's files
+    * — the additive-column evolution path: an append whose increment
+    * carries a NEW column still reads as one table (old files yield
+    * null for it). Off by default: schema union costs a footer read per
+    * file and silently widens types, so turn it on only for tables that
+    * actually evolve. */
   def read(spark: SparkSession, path: String,
-      version: Option[Int] = None): DataFrame = {
+      version: Option[Int] = None,
+      mergeSchema: Boolean = false): DataFrame = {
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no committed versions at $path")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
     val (_, files) = readManifest(spark, path, v)
     require(files.nonEmpty, s"version $v lists no files")
-    spark.read.parquet(files.map(r => s"$path/$r"): _*)
+    spark.read
+      .option("mergeSchema", mergeSchema.toString)
+      .parquet(files.map(r => s"$path/$r"): _*)
+  }
+
+  /** Compact the latest version into `nFiles` files, committed as a new
+    * OVERWRITE version — logically identical data (same rows), fresh
+    * physical layout. The small-files antidote for tables grown by many
+    * tiny streaming/ingest appends: readers of old versions are
+    * untouched (their manifests still name the old files), and after
+    * retention lapses the old dirs surface via [[orphanDataDirs]].
+    * Size `nFiles` from the manifest row count and the row-group audit
+    * (`q_parquet_meta`) — target 128-256 MB per file at rest. */
+  def compact(spark: SparkSession, path: String, nFiles: Int): Int = {
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    val latest = versions(spark, path).last
+    val v = commit(read(spark, path, Some(latest)).repartition(nFiles),
+      path, mode = "overwrite")
+    v
   }
 
   /** Exact row count of a version from its manifest — zero data I/O. */

@@ -81,6 +81,40 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, path).count() == 5)
   }
 
+  test("schema evolution: an appended column reads back with mergeSchema, old rows null") {
+    import spark.implicits._
+    val path = freshPath()
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)
+    VersionedTable.commit(
+      Seq((3L, "c", 0.5)).toDF("id", "v", "score"), path, mode = "append")
+    val merged = VersionedTable.read(spark, path, mergeSchema = true)
+    assert(merged.columns.sorted.toSeq == Seq("id", "score", "v"))
+    assert(merged.count() == 3)
+    assert(merged.filter("score IS NULL").count() == 2)
+    // time travel predates the new column entirely
+    assert(!VersionedTable.read(spark, path, Some(1)).columns.contains("score"))
+  }
+
+  test("compact: fewer files, identical rows, old versions untouched") {
+    val path = freshPath()
+    val nat = Tables(spark, dir, "nation")
+    // many tiny appends -> many small files
+    (0 until 5).foreach { i =>
+      VersionedTable.commit(
+        nat.filter(col("n_nationkey") % 5 === i), path, mode = "append")
+    }
+    val filesBefore = dataFiles(path).size
+    val v = VersionedTable.compact(spark, path, nFiles = 1)
+    assert(v == 6)
+    val manifest = VersionedTable.read(spark, path, Some(6))
+    assert(manifest.inputFiles.length == 1,
+      s"expected 1 compacted file, got ${manifest.inputFiles.length}")
+    assert(manifest.count() == nat.count())
+    // pre-compaction snapshot still reads its original layout
+    assert(VersionedTable.read(spark, path, Some(5)).count() == nat.count())
+    assert(dataFiles(path).size > filesBefore, "old files must survive for old readers")
+  }
+
   private def dataFiles(path: String): Set[String] = {
     val root = new java.io.File(path, "data")
     if (!root.exists()) Set.empty
