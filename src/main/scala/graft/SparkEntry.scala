@@ -1435,6 +1435,42 @@ object SparkEntry {
             " / (CAST(n AS DOUBLE) * n)"))
     }),
 
+    // ----- top-|correlation| dimension pairs from the SAME one-pass
+    // covariance components (no second aggregation): unpack the flat
+    // buffer into off-diagonal pairs AND diagonal second moments, join
+    // diagonals back by position (all within one 1-row broadcast-sized
+    // frame), and rank by |corr|. The redundancy readout that says
+    // which embedding coordinates carry duplicate signal — the "do I
+    // even need 64 dims" precursor to pcaProject. -----
+    "q_cov_corr_pairs" -> ((s, dir) => {
+      val d = 64
+      val flat = t(s, dir, "embeddings")
+        .agg(graft.functions.SigAgg.covComponents(d)(col("embedding"))
+          .as("st"))
+      val cells = flat
+        .select(col("st"), explode(sequence(lit(0L), lit(d - 1L))).as("i"))
+        .select(col("st"), col("i"),
+          explode(expr(s"sequence(i, ${d - 1}L)")).as("j"))
+        .selectExpr("i", "j",
+          "element_at(st, 1) AS n",
+          "element_at(st, CAST(i + 2 AS INT)) AS sum_i",
+          "element_at(st, CAST(j + 2 AS INT)) AS sum_j",
+          s"element_at(st, CAST($d + i * $d - (i * (i - 1)) div 2 " +
+            "+ (j - i) + 2 AS INT)) AS dot")
+      val diag = cells.filter(col("i") === col("j"))
+        .select(col("i").as("p"),
+          expr("CAST(n AS DOUBLE) * dot - CAST(sum_i AS DOUBLE) * sum_i")
+            .as("var_num"))
+      cells.filter(col("i") < col("j"))
+        .join(broadcast(diag.select(col("p").as("i"), col("var_num").as("vi"))), "i")
+        .join(broadcast(diag.select(col("p").as("j"), col("var_num").as("vj"))), "j")
+        .select(col("i"), col("j"), expr(
+          "(CAST(n AS DOUBLE) * dot - CAST(sum_i AS DOUBLE) * sum_j)" +
+            " / sqrt(vi * vj)").as("corr"))
+        .orderBy(abs(col("corr")).desc, col("i"), col("j"))
+        .limit(10)
+    }),
+
     // ----- deterministic stratified sample: fixed rows per stratum via
     // hash-ordered row_number (reproducible across runs AND engines).
     // Two-phase top-k: a stratum is a SINGLE window partition (3 distinct
@@ -3469,6 +3505,36 @@ object SparkEntry {
             .as("tvd"))
     }),
 
+    // ----- pairwise HELLINGER distance between the same source unigram
+    // distributions — the TVD companion that weights shared mass
+    // geometrically (more sensitive to head-word reweighting, bounded
+    // like TVD). sqrt() IS correctly rounded IEEE in both engines, so
+    // each per-word term floor(sqrt(ca·cb·1e12/(na·nb))) is bit-
+    // deterministic, and the fixed-point terms sum as BIGINTs —
+    // order-free. Same inner-join-only shape as q_source_tvd (private
+    // words contribute zero to the Bhattacharyya sum by definition). -----
+    "q_source_hellinger" -> ((s, dir) => {
+      val wc = Dedup.persistTracked(
+        TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+          .select(col("source"), explode(col("toks")).as("w"))
+          .groupBy(col("source"), col("w"))
+          .agg(count(lit(1)).as("c")))
+      val tot = wc.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val a = wc.select(col("source").as("s1"), col("w"), col("c").as("ca"))
+        .join(tot.select(col("source").as("s1"), col("n").as("na")), "s1")
+      val b = wc.select(col("source").as("s2"), col("w"), col("c").as("cb"))
+        .join(tot.select(col("source").as("s2"), col("n").as("nb")), "s2")
+      a.join(b, "w")
+        .filter(col("s1") < col("s2"))
+        .withColumn("h", expr(
+          "CAST(floor(sqrt(CAST(ca * cb AS DOUBLE) * 1000000000000.0D" +
+            " / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))) AS BIGINT)"))
+        .groupBy(col("s1"), col("s2"))
+        .agg(sum(col("h")).as("bc_fixed"))
+        .withColumn("hellinger", expr(
+          "sqrt(greatest(1.0D - CAST(bc_fixed AS DOUBLE) / 1000000.0D, 0D))"))
+    }),
+
     // ----- two-sample KOLMOGOROV-SMIRNOV statistic between user-parity
     // cohorts' purchase values, in EXACT integer arithmetic: at every
     // observed value, |F1 - F2| = |c1*n2 - c2*n1| / (n1*n2), so the max
@@ -5249,6 +5315,33 @@ object SparkEntry {
                      - CAST(sa.si AS DOUBLE) * sb.si)
                     / (CAST(sa.n AS DOUBLE) * sa.n) AS cov
            FROM p JOIN s sa ON p.i = sa.i JOIN s sb ON p.j = sb.i""",
+      "q_cov_corr_pairs" ->
+        """WITH v AS (SELECT vec_id, CAST(j - 1 AS BIGINT) AS i,
+                             CAST(floor(CAST(embedding[j] AS DOUBLE) * 10000.0)
+                               AS BIGINT) AS q
+                      FROM embeddings CROSS JOIN
+                           (SELECT unnest(range(1, 65)) AS j) js),
+           p AS (SELECT a.i AS i, b.i AS j,
+                        CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+                 FROM v a JOIN v b
+                   ON a.vec_id = b.vec_id AND a.i <= b.i
+                 GROUP BY 1, 2),
+           s AS (SELECT i, CAST(SUM(q) AS BIGINT) AS si,
+                        CAST(COUNT(*) AS BIGINT) AS n
+                 FROM v GROUP BY i),
+           dg AS (SELECT p.i AS p,
+                         CAST(s.n AS DOUBLE) * p.dot
+                           - CAST(s.si AS DOUBLE) * s.si AS var_num
+                  FROM p JOIN s ON p.i = s.i AND p.i = p.j)
+           SELECT p.i, p.j,
+                  (CAST(sa.n AS DOUBLE) * p.dot
+                     - CAST(sa.si AS DOUBLE) * sb.si)
+                    / sqrt(di.var_num * dj.var_num) AS corr
+           FROM p
+           JOIN s sa ON p.i = sa.i JOIN s sb ON p.j = sb.i
+           JOIN dg di ON di.p = p.i JOIN dg dj ON dj.p = p.j
+           WHERE p.i < p.j
+           ORDER BY abs(corr) DESC, p.i, p.j LIMIT 10""",
       "q_stratified_sample" ->
         """SELECT l_returnflag, l_orderkey, l_linenumber, rn FROM (
              SELECT l_returnflag, l_orderkey, l_linenumber,
@@ -5914,6 +6007,27 @@ object SparkEntry {
            SELECT s1, s2, na * nb - shared_min AS tvd_num,
                   na * nb AS tvd_den,
                   CAST(na * nb - shared_min AS DOUBLE) / (na * nb) AS tvd
+           FROM pr""",
+      "q_source_hellinger" ->
+        s"""WITH tk AS (SELECT source, unnest(${duckTokens("text")}) AS w
+                        FROM documents),
+           wc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM tk GROUP BY 1, 2),
+           tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+                   FROM wc GROUP BY 1),
+           pr AS (SELECT a.source AS s1, b.source AS s2,
+                         CAST(SUM(CAST(floor(sqrt(
+                           CAST(a.c * b.c AS DOUBLE) * 1000000000000.0
+                             / (CAST(ta.n AS DOUBLE) * CAST(tb.n AS DOUBLE))
+                         )) AS BIGINT)) AS BIGINT) AS bc_fixed
+                  FROM wc a JOIN wc b
+                    ON a.w = b.w AND a.source < b.source
+                  JOIN tot ta ON ta.source = a.source
+                  JOIN tot tb ON tb.source = b.source
+                  GROUP BY 1, 2)
+           SELECT s1, s2, bc_fixed,
+                  sqrt(greatest(1.0 - CAST(bc_fixed AS DOUBLE) / 1000000.0,
+                                0.0)) AS hellinger
            FROM pr""",
       "q_ks_test" ->
         """WITH v AS (SELECT user_id % 2 AS cohort,
