@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.athenaeum.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/** SCALE.md's "what shuffles" claims as EXECUTABLE assertions: run the
+  * operator, then read the exchange write metrics out of the executed
+  * plan. AQE is disabled inside this suite so exchanges appear as plain
+  * `ShuffleExchangeExec` nodes (the claims are about logical shuffle
+  * volume, which AQE does not change — it only re-plans around it). */
+class ShuffleBudgetSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def withoutAqe[A](body: => A): A = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  /** Executes `df` and returns (exchange count, total shuffle bytes
+    * written). Executes via collect() on df's OWN query execution —
+    * df.count() would plan a NEW query and leave these metrics zero. */
+  private def shuffleProfile(df: DataFrame): (Int, Long) = {
+    df.collect()
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    (exchanges.length,
+      exchanges.map(_.metrics("shuffleBytesWritten").value).sum)
+  }
+
+  test("JL projection: ZERO exchanges — the compression runs inside the scan stage") {
+    withoutAqe {
+      val (n, _) = shuffleProfile(
+        SparkEntryAccess.run(spark, dir, "q_jl_projection"))
+      assert(n == 0, s"expected a fully narrow plan, found $n exchanges")
+    }
+  }
+
+  test("covariance components: one exchange carrying ~one buffer, not the dataset") {
+    withoutAqe {
+      val df = Tables(spark, dir, "embeddings")
+        .agg(graft.functions.SigAgg.covComponents(64)(col("embedding")))
+      val (n, bytes) = shuffleProfile(df)
+      // 500 vectors × 64 floats ≈ 128 KB of input; the exchange moves
+      // partial buffers of 2145 longs (~17 KB each), never vectors
+      assert(n == 1, s"expected exactly one exchange, found $n")
+      assert(bytes > 0, "exchange executed but wrote no metrics")
+      assert(bytes < 200 * 1024,
+        s"covariance shuffled $bytes bytes — buffer-sized expected")
+    }
+  }
+
+  test("minhash LSH banding: shuffle carries signatures/buckets, never document text") {
+    withoutAqe {
+      val docs = Dedup.persistTracked(Tables(spark, dir, "documents"))
+      val textBytes = docs
+        .agg(sum(length(col("text")))).head.getLong(0)
+      val (n, bytes) = shuffleProfile(
+        Dedup.minhashCandidates(docs, "doc_id", "text"))
+      assert(n >= 1 && bytes > 0)
+      assert(bytes < textBytes,
+        s"LSH shuffled $bytes bytes vs $textBytes bytes of text — " +
+          "document payloads must not ride the exchanges")
+      Dedup.releaseAll(spark)
+    }
+  }
+
+  test("top-k: both forms map-side-prune the exchange; only ours also kills the sorts") {
+    withoutAqe {
+      // Spark 4's WindowGroupLimit already prunes rank<=k before the
+      // exchange (verified here: BOTH forms shuffle group×k rows, not
+      // the table), so the custom operator's remaining win is replacing
+      // the full partition sorts with bounded k-heaps — assert exactly
+      // that: pruned bytes on both, zero SortExec only in ours.
+      val li = Tables(spark, dir, "lineitem")
+      val rawBytes = 6000L * 50 // ~6k rows; any unpruned shuffle dwarfs this /10
+      val topkDf = graft.plans.TopK.topKPerGroup(li, Seq("l_returnflag"),
+        Seq(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber")), k = 3, rankName = "rn")
+      val (_, topkBytes) = shuffleProfile(topkDf)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"))
+      val winDf = li.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+      val (_, windowBytes) = shuffleProfile(winDf)
+      assert(topkBytes > 0 && windowBytes > 0)
+      assert(topkBytes < rawBytes / 10 && windowBytes < rawBytes / 10,
+        s"expected both pruned: topk=$topkBytes window=$windowBytes")
+      import org.apache.spark.sql.execution.SortExec
+      val topkSorts = topkDf.queryExecution.executedPlan
+        .collect { case s: SortExec => s }
+      val winSorts = winDf.queryExecution.executedPlan
+        .collect { case s: SortExec => s }
+      assert(topkSorts.isEmpty,
+        s"custom operator must not sort, found ${topkSorts.length}")
+      assert(winSorts.nonEmpty, "window form should sort (else Spark " +
+        "learned heap-based limits and the custom operator is obsolete)")
+    }
+  }
+
+  test("exact dedup groups on fingerprints: shuffle stays below the text volume") {
+    withoutAqe {
+      val docs = Tables(spark, dir, "documents")
+        .withColumn("fp",
+          expr(graft.functions.XFormulas.sparkStrHash("text")))
+      val textBytes = docs.agg(sum(length(col("text")))).head.getLong(0)
+      val (_, bytes) = shuffleProfile(
+        Dedup.exact(docs.select(col("doc_id"), col("fp")), "doc_id", "fp"))
+      assert(bytes < textBytes / 2,
+        s"exact dedup shuffled $bytes vs $textBytes text bytes")
+    }
+  }
+}
+
+/** Test-local accessor: runs a SparkEntry query by name. */
+private object SparkEntryAccess {
+  def run(spark: org.apache.spark.sql.SparkSession, dir: String,
+      name: String): DataFrame =
+    graft.SparkEntry.queries(name)(spark, dir)
+}
