@@ -84,13 +84,23 @@ object VersionedTable {
       val taken = (listNumbered(spark, path, "txt") ++
         listNumbered(spark, path, "lock"))
       val next = if (taken.isEmpty) 1 else taken.max + 1
-      try {
-        f.create(lockPath(path, next), false).close()
-        v = next
-      } catch { case _: java.io.IOException => /* lost the race; retry */ }
+      if (atomicClaim(f, lockPath(path, next))) v = next
+      // else: lost the race; rescan and retry
     }
     v
   }
+
+  /** create-if-absent that is ATOMIC on every scheme: HDFS/object
+    * stores get the real exclusive create; the local filesystem needs
+    * java.io's O_EXCL createNewFile — Hadoop's ChecksumFileSystem
+    * implements overwrite=false as exists-then-create, a TOCTOU race
+    * two same-box committers WILL hit. */
+  private def atomicClaim(f: FileSystem, p: Path): Boolean =
+    if (f.getScheme == "file")
+      new java.io.File(p.toUri.getPath).createNewFile()
+    else
+      try { f.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
 
   private def publish(spark: SparkSession, path: String, v: Int,
       rows: Long, files: Seq[String],
@@ -99,7 +109,8 @@ object VersionedTable {
     val body = rows.toString + "\n" +
       batchTag.map(b => s"# batch=$b\n").getOrElse("") +
       files.mkString("\n") + "\n"
-    val tmp = new Path(manifestDir(path), f".tmp-v$v%05d")
+    val tmp = new Path(manifestDir(path),
+      s".tmp-${java.util.UUID.randomUUID.toString.take(8)}")
     val out = f.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     // we own this version number (the lock) — the rename target cannot
@@ -137,6 +148,7 @@ object VersionedTable {
       else spark.read.parquet(newFiles.map(r => s"$path/$r"): _*).count()
     val v = claimNext(spark, path)
     val (baseRows, baseFiles) = {
+      if (mode == "append") awaitPredecessors(spark, path, v)
       val committed = versions(spark, path).filter(_ < v)
       if (mode == "append" && committed.nonEmpty)
         readManifest(spark, path, committed.max)
@@ -145,6 +157,22 @@ object VersionedTable {
     publish(spark, path, v, baseRows + newRows, baseFiles ++ newFiles,
       batchTag)
     v
+  }
+
+  /** Append must base on its TRUE predecessor chain: a racing writer
+    * that claimed a smaller number but has not yet published would
+    * otherwise be invisible at base-read time and its rows silently
+    * dropped from every later append (the classic lost update). Waiting
+    * on smaller-numbered locks is deadlock-free — writers only ever
+    * wait DOWNWARD. A lock that never resolves within the timeout is a
+    * crashed writer: its number stays a documented gap and the append
+    * proceeds without it. */
+  private def awaitPredecessors(spark: SparkSession, path: String,
+      v: Int, timeoutMs: Long = 60000L): Unit = {
+    val deadline = System.currentTimeMillis + timeoutMs
+    while (System.currentTimeMillis < deadline &&
+      listNumbered(spark, path, "lock").exists(_ < v))
+      Thread.sleep(50)
   }
 
   /** Micro-batch ids already committed (the `# batch=` manifest tags).

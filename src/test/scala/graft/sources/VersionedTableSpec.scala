@@ -115,6 +115,36 @@ class VersionedTableSpec extends SparkSpec {
     assert(dataFiles(path).size > filesBefore, "old files must survive for old readers")
   }
 
+  test("racing committers: every commit lands, versions are distinct, appends lose no rows") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = freshPath()
+    val nat = Tables(spark, dir, "nation")
+    VersionedTable.commit(nat.limit(0), path) // seed v1 (empty)
+    val futures = (0 until 4).map { i =>
+      Future(VersionedTable.commit(
+        nat.filter(col("n_nationkey") % 4 === i), path, mode = "append"))
+    }
+    val got = Await.result(Future.sequence(futures), 120.seconds)
+    assert(got.toSet.size == 4, s"duplicate version numbers: $got")
+    assert(VersionedTable.versions(spark, path).size == 5)
+    // no lost updates: appends wait for their true predecessor chain
+    // (smaller-numbered locks) before basing, so the final version is
+    // the union of every increment
+    val finalV = got.max
+    assert(VersionedTable.read(spark, path, Some(finalV)).count()
+      == nat.count(), "concurrent appends lost rows")
+    // and every intermediate version still contains its own increment
+    (0 until 4).foreach { i =>
+      val v = got(i)
+      val rows = VersionedTable.read(spark, path, Some(v))
+        .filter(col("n_nationkey") % 4 === i).count()
+      assert(rows == nat.filter(col("n_nationkey") % 4 === i).count(),
+        s"version $v lost its own increment")
+    }
+  }
+
   private def dataFiles(path: String): Set[String] = {
     val root = new java.io.File(path, "data")
     if (!root.exists()) Set.empty
