@@ -3992,6 +3992,40 @@ object SparkEntry {
           col("w"), col("alloc_tokens"), col("est_docs"))
     }),
 
+    // ----- WATERFILL MIXTURE PLAN: q_mix_plan with per-source
+    // availability caps — proportional shares saturate small sources,
+    // and the leftover budget redistributes among the unsaturated ones
+    // ∝ weight (two redistribution rounds, the fixed-point of a 5-source
+    // mix). Pure BIGINT window sums + integer division: engine-exact.
+    // The readout every over-weighted low-resource source needs before
+    // a training run commits to a mixture. -----
+    "q_mix_waterfill" -> ((s, dir) => {
+      val budget = 5000L
+      val all = Window.partitionBy()
+      TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+        .selectExpr("source", "CAST(size(toks) AS BIGINT) AS n_toks")
+        .groupBy(col("source"))
+        .agg(sum(col("n_toks")).as("avail"))
+        .withColumn("w", expr(Sampling.weightExpr("source", mixtureWeights)))
+        .withColumn("sumw", sum(col("w")).over(all))
+        .withColumn("a1",
+          least(col("avail"), expr(s"(${budget}L * w) div sumw")))
+        .withColumn("l1", lit(budget) - sum(col("a1")).over(all))
+        .withColumn("w1", sum(when(col("a1") < col("avail"), col("w"))
+          .otherwise(0L)).over(all))
+        .withColumn("a2", when(col("a1") < col("avail") && col("w1") > 0,
+          least(col("avail"), col("a1") + expr("(l1 * w) div w1")))
+          .otherwise(col("a1")))
+        .withColumn("l2", lit(budget) - sum(col("a2")).over(all))
+        .withColumn("w2", sum(when(col("a2") < col("avail"), col("w"))
+          .otherwise(0L)).over(all))
+        .withColumn("alloc", when(col("a2") < col("avail") && col("w2") > 0,
+          least(col("avail"), col("a2") + expr("(l2 * w) div w2")))
+          .otherwise(col("a2")))
+        .select(col("source"), col("avail"), col("w"), col("alloc"),
+          (col("alloc") === col("avail")).as("saturated"))
+    }),
+
     // ----- QUALITY-STRATIFIED SAMPLING (the CCNet knob composed end to
     // end): score every doc under the corpus LM, tercile it per language
     // (tail/middle/head), then keep head 100%, middle 50%, tail 10% by
@@ -7132,6 +7166,45 @@ object SparkEntry {
            FROM ww, s"""
       },
 
+      "q_mix_waterfill" -> {
+        val wCase = mixtureWeights.toSeq.sortBy(_._1)
+          .foldRight("CAST(0 AS BIGINT)") { case ((s, w), els) =>
+            s"CASE WHEN source = '$s' THEN CAST($w AS BIGINT) ELSE $els END"
+          }
+        s"""WITH tk AS (SELECT source,
+                  CAST(len(${duckTokens("text")}) AS BIGINT) AS n_toks
+                FROM documents),
+           a AS (SELECT source, CAST(SUM(n_toks) AS BIGINT) AS avail
+                 FROM tk GROUP BY source),
+           ww AS (SELECT *, $wCase AS w FROM a),
+           r1 AS (SELECT *,
+                    least(avail, (5000 * w)
+                      // CAST(SUM(w) OVER () AS BIGINT)) AS a1
+                  FROM ww),
+           r2 AS (SELECT *,
+                    5000 - CAST(SUM(a1) OVER () AS BIGINT) AS l1,
+                    CAST(SUM(CASE WHEN a1 < avail THEN w ELSE 0 END)
+                      OVER () AS BIGINT) AS w1
+                  FROM r1),
+           r3 AS (SELECT *,
+                    CASE WHEN a1 < avail AND w1 > 0
+                         THEN least(avail, a1 + (l1 * w) // w1)
+                         ELSE a1 END AS a2
+                  FROM r2),
+           r4 AS (SELECT *,
+                    5000 - CAST(SUM(a2) OVER () AS BIGINT) AS l2,
+                    CAST(SUM(CASE WHEN a2 < avail THEN w ELSE 0 END)
+                      OVER () AS BIGINT) AS w2
+                  FROM r3)
+           SELECT source, avail, w,
+                  CASE WHEN a2 < avail AND w2 > 0
+                       THEN least(avail, a2 + (l2 * w) // w2)
+                       ELSE a2 END AS alloc,
+                  CASE WHEN a2 < avail AND w2 > 0
+                       THEN least(avail, a2 + (l2 * w) // w2)
+                       ELSE a2 END = avail AS saturated
+           FROM r4"""
+      },
       "q_quality_sample" ->
         s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
            bg AS (SELECT doc_id, unnest(list_distinct(${duckShingles("toks", 2)})) AS bigram FROM tk),
