@@ -6,13 +6,20 @@ import scala.collection.mutable.LinkedHashMap
   *
   * {{{
   * {"metric":"total","value":<cold sec>,"unit":"sec",
-  *  "queries":{name:coldSec,...},          // cold pass (comparable to r1/r2)
-  *  "warm":{name:warmSec,...},             // second pass, JIT/codegen warm
-  *  "gc":{name:gcMs,...},                  // JVM GC ms attributed per cold query
-  *  "warm_gc":{name:gcMs,...},             // same for the warm pass
+  *  "n_queries":N,"warm_total":<sec>,
+  *  "queries":{name:coldSec,...},          // HEADLINE subset only (see below)
   *  "errors":{name:"Class: msg",...},      // failures surface here, not as timings
-  *  "sf":"<dir>"}
+  *  "detail":"BENCH_FULL.json","sf":"<dir>"}
   * }}}
+  *
+  * The stdout line is deliberately COMPACT (≤ ~1.5 KB): the driver that
+  * consumes it tail-captures only the last ~2 KB of the sbt run, and the
+  * rounds 1–3 lines — which inlined every per-query map — were truncated
+  * mid-JSON and recorded as `parsed: null`. The stdout `queries` map
+  * therefore carries just the 22 TPC-H heads plus the flagship pipeline
+  * operators; the COMPLETE per-query cold/warm/gc maps for all queries go
+  * to `BENCH_FULL.json` in the working directory (the repo root under the
+  * driver's sbt invocation), named in the line's `detail` field.
   *
   * Two full passes over every query: the cold pass includes JIT/codegen cost
   * for each query's distinct expressions; the warm pass isolates steady-state
@@ -78,6 +85,22 @@ object Bench {
       case c             => c.toString
     }
 
+  /** Queries inlined in the compact stdout line: the 22 TPC-H heads plus
+    * the flagship LLM-pipeline operators. Everything else is in
+    * BENCH_FULL.json. */
+  private val headline: Seq[String] = Seq(
+    "q1_agg", "q2_top_supplier", "q3_shipping", "q4_order_priority",
+    "q5_region_volume", "q6_forecast", "q7_nation_volume",
+    "q8_market_share", "q9_profit", "q10_returns", "q11_value_share",
+    "q12_late_lines", "q13_custdist", "q14_promo_share",
+    "q15_top_revenue", "q16_supplier_cnt", "q17_small_qty",
+    "q18_big_orders", "q19_disjunctive", "q20_excess_parts",
+    "q21_lonely_return", "q22_quiet_rich",
+    "q_dedup_minhash_lsh", "q_setsim_prefix", "q_span_dup",
+    "q_corpus_clean3", "q_ann_ivf2", "q_ann_pq2", "q_sem_dedup",
+    "q_bm25", "q_bigram_lm", "q_pagerank", "q_record_linkage",
+    "q_basket_lift", "q_ingest_dedup2", "q_media_embed_dedup")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -101,10 +124,21 @@ object Bench {
     val errJson = errors
       .map { case (k, v) => "\"" + k + "\":\"" + jescape(v) + "\"" }
       .mkString("{", ",", "}")
-    println(
-      s"""{"metric":"total","value":${math.rint(total * 100) / 100},"unit":"sec","warm_total":${math
+    // full per-query detail → file (driver's cwd = repo root); stdout
+    // stays under the consumer's ~2 KB tail-capture window
+    val full =
+      s"""{"metric":"total","value":${math.rint(total * 100) / 100},"unit":"sec","n_queries":${names.size},"warm_total":${math
           .rint(warmTotal * 100) / 100},"queries":${jmap(cold)},"warm":${jmap(
-          warm)},"gc":${jmap(coldGc)},"warm_gc":${jmap(warmGc)},"errors":$errJson,"sf":"$sfDir"}""")
+          warm)},"gc":${jmap(coldGc)},"warm_gc":${jmap(warmGc)},"errors":$errJson,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
+    val head = LinkedHashMap.from(
+      headline.flatMap(n => cold.get(n).map(n -> _)))
+    println(
+      s"""{"metric":"total","value":${math.rint(total * 100) / 100},"unit":"sec","n_queries":${names.size},"warm_total":${math
+          .rint(warmTotal * 100) / 100},"queries":${jmap(head)},"errors":$errJson,"detail":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

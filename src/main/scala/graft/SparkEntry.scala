@@ -4088,6 +4088,121 @@ object SparkEntry {
           sum(col("wq")).as("sw"))
         .withColumn("eff_docs", expr("CAST(sw AS DOUBLE) / 1000000000"))
         .select(col("source"), col("n_docs"), col("sw"), col("eff_docs"))
+    }),
+
+    // ----- IVM for a JOIN view (the q_ivm_counts big sibling): view =
+    // per-priority lineitem counts THROUGH the orders join. CDC delta
+    // arrives on the FACT side only, so maintenance = old aggregate +
+    // (delta ⋈ dim) — the delta join costs |delta|, never |fact|; the
+    // direct recompute it must equal re-joins everything. The readout a
+    // 100 TB nightly-refresh pipeline checks before trusting maintained
+    // aggregates. -----
+    "q_ivm_join" -> ((s, dir) => {
+      // persist barrier: the 2-col fact projection fans out to the
+      // base/delta filters, each consumed by a join + aggregate
+      val li = Dedup.persistTracked(t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity")))
+      // ord feeds all three aggregation paths — persist or scan ×3
+      val ord = Dedup.persistTracked(t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority")))
+      val base = li.filter(col("l_orderkey") % 13 =!= 0)
+      val delta = li.filter(col("l_orderkey") % 13 === 0)
+      def agg(fact: DataFrame) = fact
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty"))
+      val maintained = agg(base)
+        .withColumnRenamed("n", "n_old").withColumnRenamed("qty", "q_old")
+        .join(agg(delta)
+          .withColumnRenamed("n", "dn").withColumnRenamed("qty", "dq"),
+          Seq("o_orderpriority"), "full_outer")
+        .select(col("o_orderpriority"),
+          (coalesce(col("n_old"), lit(0L)) +
+            coalesce(col("dn"), lit(0L))).as("maintained_n"),
+          (coalesce(col("q_old"), lit(BigDecimal(0)).cast(DecimalType(18, 2))) +
+            coalesce(col("dq"), lit(BigDecimal(0)).cast(DecimalType(18, 2))))
+            .cast(DecimalType(18, 2)).as("maintained_qty"))
+      val direct = agg(li)
+        .withColumnRenamed("n", "direct_n").withColumnRenamed("qty", "direct_qty")
+      maintained.join(direct, Seq("o_orderpriority"), "full_outer")
+        .select(col("o_orderpriority"),
+          col("maintained_n"), col("direct_n"),
+          col("maintained_qty").cast("double").as("maintained_qty"),
+          col("direct_qty").cast("double").as("direct_qty"),
+          (col("maintained_n") === col("direct_n") &&
+            col("maintained_qty") === col("direct_qty")).as("consistent"))
+    }),
+
+    // ----- SCAN-SPLIT PLANNING readout: how a maxPartitionBytes-style
+    // coalescer packs each source's docs (ordered by doc_id, exclusive
+    // prefix-sum of bytes, split = floor(prefix / target)) — the
+    // small-files diagnosis a compaction job is sized from: splits per
+    // source, files per split, bytes per split. Pure window arithmetic,
+    // one shuffle on source. -----
+    "q_scan_plan" -> ((s, dir) => {
+      val target = 4096L
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("prefix", coalesce(
+          sum(col("n_chars")).over(Window.partitionBy(col("source"))
+            .orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        // integer division (`div`), NOT double-divide-then-cast: Spark's
+        // double→long cast truncates while DuckDB's rounds — div/`//`
+        // are exact and identical in both engines
+        .withColumn("split_id", expr(s"prefix div $target"))
+        .groupBy(col("source"), col("split_id"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("n_chars")).as("split_chars"))
+    }),
+
+    // ----- MATRYOSHKA-TRUNCATION recall: search quality if only the
+    // first 16 of 64 embedding dims are indexed (MRL-style truncation —
+    // 4× less index memory and ADC work). Per query: |top-5 on 16 dims
+    // ∩ top-5 on full dims| — the dimension-budget sizing readout next
+    // to q_ann_recall_report's nprobe/m one. -----
+    "q_ann_matryoshka" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = Dedup.persistTracked(emb.filter(col("vec_id") < 10))
+      val truth = Dedup.persistTracked(
+        Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+          .select(col("qid"), col("cid")))
+      val sliced = emb.withColumn("emb16", expr("slice(embedding, 1, 16)"))
+      val qs = q.withColumn("emb16", expr("slice(embedding, 1, 16)"))
+      val trunc = Similarity.bruteForceTopK(sliced, qs, "vec_id",
+          "emb16", k = 5)
+        .select(col("qid"), col("cid"))
+      truth.groupBy(col("qid")).agg(count(lit(1)).as("n_truth"))
+        .join(truth.join(trunc, Seq("qid", "cid"))
+          .groupBy(col("qid")).agg(count(lit(1)).as("n_hit")),
+          Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") /
+            col("n_truth")).as("recall"))
+    }),
+
+    // ----- SEMANTIC DECONTAMINATION: corpus vectors whose nearest
+    // benchmark vector exceeds a cosine threshold — the embedding-level
+    // complement of q_decontaminate's n-gram overlap (catches
+    // paraphrased benchmark leakage n-grams miss). Benchmark side is
+    // broadcast-sized; corpus side streams through one scan. -----
+    "q_contam_embedding" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val bench = broadcast(emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("bench_id"), col("embedding").as("bv")))
+      val corpus = emb.filter(col("vec_id") >= 20)
+        .select(col("vec_id"), col("embedding"))
+      val scored = corpus.crossJoin(bench)
+        .select(col("vec_id"), col("bench_id"),
+          GraftFunctions.cosineSim(col("embedding"), col("bv")).as("cosine"))
+        .filter(col("cosine") >= 0.35)
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cosine").desc, col("bench_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("bench_id"), col("cosine"))
     })
   )
 
@@ -7303,7 +7418,81 @@ object SparkEntry {
                   CAST(SUM(CAST(ROUND(1000000000.0 / csize) AS BIGINT)) AS BIGINT) AS sw,
                   CAST(SUM(CAST(ROUND(1000000000.0 / csize) AS BIGINT)) AS DOUBLE) / 1000000000 AS eff_docs
            FROM cs GROUP BY source"""
-      }
+      },
+
+      // Maintained = base aggregate + (delta ⋈ dim); the oracle computes
+      // both paths and the consistency flag exactly as the Spark side.
+      "q_ivm_join" ->
+        s"""WITH li AS (SELECT l_orderkey, l_quantity FROM lineitem),
+           ord AS (SELECT o_orderkey, o_orderpriority FROM orders),
+           agg_base AS (SELECT o_orderpriority, COUNT(*) AS n_old,
+                               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q_old
+                        FROM li JOIN ord ON l_orderkey = o_orderkey
+                        WHERE l_orderkey % 13 <> 0 GROUP BY o_orderpriority),
+           agg_delta AS (SELECT o_orderpriority, COUNT(*) AS dn,
+                                SUM(CAST(l_quantity AS DECIMAL(18,2))) AS dq
+                         FROM li JOIN ord ON l_orderkey = o_orderkey
+                         WHERE l_orderkey % 13 = 0 GROUP BY o_orderpriority),
+           maint AS (SELECT coalesce(b.o_orderpriority, d.o_orderpriority) AS o_orderpriority,
+                            CAST(coalesce(b.n_old, 0) + coalesce(d.dn, 0) AS BIGINT) AS maintained_n,
+                            CAST(coalesce(b.q_old, 0) + coalesce(d.dq, 0) AS DECIMAL(18,2)) AS maintained_qty
+                     FROM agg_base b FULL OUTER JOIN agg_delta d
+                       ON b.o_orderpriority = d.o_orderpriority),
+           direct AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS direct_n,
+                             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS direct_qty
+                      FROM li JOIN ord ON l_orderkey = o_orderkey
+                      GROUP BY o_orderpriority)
+           SELECT coalesce(m.o_orderpriority, t.o_orderpriority) AS o_orderpriority,
+                  maintained_n, direct_n,
+                  CAST(maintained_qty AS DOUBLE) AS maintained_qty,
+                  CAST(direct_qty AS DOUBLE) AS direct_qty,
+                  (maintained_n = direct_n AND maintained_qty = direct_qty) AS consistent
+           FROM maint m FULL OUTER JOIN direct t
+             ON m.o_orderpriority = t.o_orderpriority""",
+
+      "q_scan_plan" ->
+        s"""WITH p AS (SELECT source, doc_id, n_chars,
+                   coalesce(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+            FROM documents)
+           SELECT source, CAST(prefix // 4096 AS BIGINT) AS split_id,
+                  COUNT(*) AS n_files, CAST(SUM(n_chars) AS BIGINT) AS split_chars
+           FROM p GROUP BY source, prefix // 4096""",
+
+      "q_ann_matryoshka" ->
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+           c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+           truth AS (SELECT qid, cid FROM (
+                       SELECT qid, cid,
+                              ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY ${duckCosine("qv", "cv")} DESC, cid) AS r
+                       FROM q CROSS JOIN c WHERE qid <> cid) WHERE r <= 5),
+           q16 AS (SELECT qid, qv[1:16] AS qv FROM q),
+           c16 AS (SELECT cid, cv[1:16] AS cv FROM c),
+           trunc AS (SELECT qid, cid FROM (
+                       SELECT qid, cid,
+                              ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY ${duckCosine("qv", "cv")} DESC, cid) AS r
+                       FROM q16 CROSS JOIN c16 WHERE qid <> cid) WHERE r <= 5),
+           nt AS (SELECT qid, COUNT(*) AS n_truth FROM truth GROUP BY qid),
+           nh AS (SELECT t.qid, COUNT(*) AS n_hit FROM truth t
+                  JOIN trunc u ON t.qid = u.qid AND t.cid = u.cid GROUP BY t.qid)
+           SELECT nt.qid, CAST(coalesce(nh.n_hit, 0) AS BIGINT) AS n_hit,
+                  CAST(coalesce(nh.n_hit, 0) AS DOUBLE) / nt.n_truth AS recall
+           FROM nt LEFT JOIN nh ON nt.qid = nh.qid""",
+
+      "q_contam_embedding" ->
+        s"""WITH bench AS (SELECT vec_id AS bench_id, embedding AS bv
+                     FROM embeddings WHERE vec_id < 20),
+           corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
+           scored AS (SELECT vec_id, bench_id,
+                             ${duckCosine("embedding", "bv")} AS cosine
+                      FROM corpus CROSS JOIN bench),
+           hits AS (SELECT vec_id, bench_id, cosine,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY cosine DESC, bench_id) AS rn
+                    FROM scored WHERE cosine >= 0.35)
+           SELECT vec_id, bench_id, cosine FROM hits WHERE rn = 1"""
     )
   }
 }
