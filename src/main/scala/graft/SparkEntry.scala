@@ -4203,6 +4203,30 @@ object SparkEntry {
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("bench_id"), col("cosine"))
+    }),
+
+    // ----- PERCEPTUAL IMAGE DEDUP: decode each synthesized P6 PPM with
+    // the REAL pixel parser, compute the classic average-hash (integer
+    // grayscale vs image mean, one bit per pixel), and pair documents
+    // with IDENTICAL aHash — image near-dup as a groupBy of longs, no
+    // pairwise pixel compare ever. The oracle replays the byte math in
+    // SQL. -----
+    "q_media_phash" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = t(s, dir, "documents")
+        .selectExpr("doc_id",
+          "encode(concat('P6', chr(10), '4 3', chr(10), '255', chr(10), " +
+            "rpad(text, 36, 'x')), 'UTF-8') AS bytes")
+        .as[(Long, Array[Byte])]
+      // persist: the hash frame feeds both sides of the pair self-join —
+      // without the barrier every consumer re-decodes the corpus
+      val h = Dedup.persistTracked(
+        graft.operators.Multimodal.ppmAHash(payloads)
+          .select(col("id").as("doc_id"), col("ahash")).toDF())
+      h.select(col("doc_id").as("doc_a"), col("ahash"))
+        .join(h.select(col("doc_id").as("doc_b"), col("ahash")), Seq("ahash"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("ahash"))
     })
   )
 
@@ -7492,7 +7516,25 @@ object SparkEntry {
                            ROW_NUMBER() OVER (PARTITION BY vec_id
                              ORDER BY cosine DESC, bench_id) AS rn
                     FROM scored WHERE cosine >= 0.35)
-           SELECT vec_id, bench_id, cosine FROM hits WHERE rn = 1"""
+           SELECT vec_id, bench_id, cosine FROM hits WHERE rn = 1""",
+
+      // Same synthesized-PPM byte math as q_media_features; the hash is
+      // integer end-to-end (gray = byte-triple // 3, mean = sum // 12,
+      // bit 11-k per pixel) so equality is engine-exact.
+      "q_media_phash" ->
+        """WITH img AS (SELECT doc_id, rpad(text, 36, 'x') AS body FROM documents),
+           g AS (SELECT doc_id, list_transform(range(0, 12), k ->
+                   (ord(substr(body, CAST(3*k+1 AS INT), 1)) +
+                    ord(substr(body, CAST(3*k+2 AS INT), 1)) +
+                    ord(substr(body, CAST(3*k+3 AS INT), 1))) // 3) AS gray
+                 FROM img),
+           h AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 12), k ->
+                   CASE WHEN gray[CAST(k+1 AS INT)] > list_sum(gray) // 12
+                        THEN (1::BIGINT << CAST(11-k AS INT)) ELSE 0::BIGINT END))
+                 AS BIGINT) AS ahash
+                 FROM g)
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ahash
+           FROM h a JOIN h b ON a.ahash = b.ahash AND a.doc_id < b.doc_id"""
     )
   }
 }

@@ -74,12 +74,11 @@ object Multimodal {
       duration_s: Double,
       mean_abs: Double)
 
-  /** REAL decoder: binary P6 PPM (`P6 <ws> w <ws> h <ws> maxval <1 ws>
-    * RGB bytes`, `#` comments allowed in the header). Returns None when
-    * the payload isn't a complete P6 image. Per-channel means are exact
-    * integer sums divided once in double — deterministic and
-    * reproducible in plain SQL byte math (the q_media_features oracle). */
-  def decodePpm(id: Long, bytes: Array[Byte]): Option[ImageFeatures] = {
+  /** P6 PPM header parse: returns (width, height, maxval, body offset)
+    * or None when the payload isn't a complete P6 image. `#` comments
+    * allowed in the header; exactly one whitespace byte after maxval,
+    * then raw RGB. */
+  private def parseP6(bytes: Array[Byte]): Option[(Long, Long, Long, Int)] = {
     if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
     var p = 2
     def skipWs(): Unit = {
@@ -100,20 +99,69 @@ object Multimodal {
       v
     }
     val w = int(); val h = int(); val mv = int()
-    p += 1 // exactly one whitespace byte after maxval, then raw RGB
-    if (w <= 0 || h <= 0 || mv <= 0 || bytes.length < p + 3 * w * h)
-      return None
-    var sr = 0L; var sg = 0L; var sb = 0L
-    var i = 0
-    val n = (w * h).toInt
-    while (i < n) {
-      sr += bytes(p + 3 * i) & 0xff
-      sg += bytes(p + 3 * i + 1) & 0xff
-      sb += bytes(p + 3 * i + 2) & 0xff
-      i += 1
+    p += 1
+    if (w <= 0 || h <= 0 || mv <= 0 || bytes.length < p + 3 * w * h) None
+    else Some((w, h, mv, p))
+  }
+
+  /** REAL decoder: binary P6 PPM. Per-channel means are exact integer
+    * sums divided once in double — deterministic and reproducible in
+    * plain SQL byte math (the q_media_features oracle). */
+  def decodePpm(id: Long, bytes: Array[Byte]): Option[ImageFeatures] =
+    parseP6(bytes).map { case (w, h, mv, p) =>
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var i = 0
+      val n = (w * h).toInt
+      while (i < n) {
+        sr += bytes(p + 3 * i) & 0xff
+        sg += bytes(p + 3 * i + 1) & 0xff
+        sb += bytes(p + 3 * i + 2) & 0xff
+        i += 1
+      }
+      ImageFeatures(id, w, h, mv, sr / n.toDouble, sg / n.toDouble,
+        sb / n.toDouble)
     }
-    Some(ImageFeatures(id, w, h, mv, sr / n.toDouble, sg / n.toDouble,
-      sb / n.toDouble))
+
+  case class ImageHash(id: Long, width: Long, height: Long, ahash: Long)
+
+  /** Perceptual AVERAGE-HASH over a decoded P6 PPM (aHash, the classic
+    * image near-dup key): per-pixel integer grayscale (r+g+b)/3, image
+    * mean by integer division, bit (n-1-k) set iff pixel k's gray
+    * exceeds the mean (MSB = first pixel). Two images with the same
+    * aHash are near-duplicates at the decoded resolution — equality on
+    * the hash is the BLOCKED-dedup key, so image dedup is a groupBy of
+    * longs, never a pairwise pixel compare. Integer end-to-end: plain
+    * SQL byte arithmetic reproduces the hash exactly (the
+    * q_media_phash oracle). Requires w*h <= 63 bits; larger images
+    * should be resized/downsampled first. */
+  def ppmAHash(ds: Dataset[(Long, Array[Byte])]): Dataset[ImageHash] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap { case (id, bytes) =>
+      parseP6(bytes).flatMap { case (w, h, _, p) =>
+        val n = (w * h).toInt
+        if (n > 63) None
+        else {
+          val gray = new Array[Long](n)
+          var sum = 0L
+          var i = 0
+          while (i < n) {
+            gray(i) = ((bytes(p + 3 * i) & 0xff) + (bytes(p + 3 * i + 1) & 0xff) +
+              (bytes(p + 3 * i + 2) & 0xff)) / 3
+            sum += gray(i)
+            i += 1
+          }
+          val mean = sum / n
+          var hash = 0L
+          i = 0
+          while (i < n) {
+            if (gray(i) > mean) hash |= 1L << (n - 1 - i)
+            i += 1
+          }
+          Some(ImageHash(id, w, h, hash))
+        }
+      }
+    })
   }
 
   /** REAL decoder: RIFF/WAVE, PCM 16-bit little-endian. Walks the chunk

@@ -724,6 +724,37 @@ class OperatorSpec extends SparkSpec {
       Array(2f, 2f, 255f, 25f, 50f, 200f)))
   }
 
+  test("PPM aHash: hand-computed bits, dup detection, rejection paths") {
+    import spark.implicits._
+    // 2x2 image, grays: (10+50+200)/3=86, (20+50+200)/3=90,
+    // (30+50+200)/3=93, (40+50+200)/3=96; mean=(86+90+93+96)/4=91
+    // bits (MSB=pixel 0): gray>91 → 0,0,1,1 → 0b0011 = 3
+    val header = "P6\n2 2\n255\n".getBytes("ISO-8859-1")
+    val pix = Array(10, 50, 200, 20, 50, 200, 30, 50, 200, 40, 50, 200)
+      .map(_.toByte)
+    val shuffled = Array(20, 50, 200, 10, 50, 200, 30, 50, 200, 40, 50, 200)
+      .map(_.toByte) // pixel 0/1 swapped: same mean, different bit layout? no — both below mean → same hash
+    val brighter = Array(200, 200, 200, 20, 50, 200, 30, 50, 200, 40, 50, 200)
+      .map(_.toByte) // pixel 0 bright: different hash
+    val ds = spark.createDataset(Seq(
+      1L -> (header ++ pix),
+      2L -> (header ++ pix),           // byte-identical dup
+      3L -> (header ++ shuffled),      // perceptually equal under aHash
+      4L -> (header ++ brighter),
+      5L -> "not an image".getBytes)) // dropped, not mis-hashed
+    val out = Multimodal.ppmAHash(ds).collect().map(h => h.id -> h.ahash).toMap
+    assert(out.size == 4)
+    assert(out(1L) == 3L)
+    assert(out(2L) == out(1L))
+    assert(out(3L) == out(1L))
+    assert(out(4L) != out(1L))
+    // >63-pixel images are rejected (hash would not fit a long)
+    val big = s"P6\n8 8\n255\n".getBytes("ISO-8859-1") ++
+      Array.fill(192)(7.toByte)
+    assert(Multimodal.ppmAHash(spark.createDataset(Seq(9L -> big)))
+      .count() == 0)
+  }
+
   test("WAV decode: RIFF chunk walk, duration and mean amplitude") {
     // 1 channel, 8000 Hz, 16-bit PCM, 4 samples: +100 -100 +300 -300
     def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
