@@ -257,6 +257,70 @@ object VersionedTable {
     v
   }
 
+  /** Targeted DELETE (the right-to-be-forgotten path): commit a new
+    * version without the rows matching `predicate`, rewriting ONLY the
+    * data files that actually contain matches — every untouched file is
+    * re-listed in the new manifest verbatim. At 100 TB this is the
+    * difference between rewriting a partition's worth of files and
+    * rewriting the table: the match scan prunes columns to the
+    * predicate's and ships back only distinct FILE NAMES (driver-sized),
+    * then the rewrite job reads just the hit files.
+    *
+    * History semantics are the lakehouse ones: prior versions still
+    * list the old files, so time travel BEFORE the delete still sees
+    * the deleted rows until those versions are vacuumed
+    * ([[orphanDataDirs]] after retention). Vacuum granularity is the
+    * commit DIRECTORY, and the new manifest re-lists untouched files
+    * from their original dirs — so full physical forgetting is
+    * deleteWhere + [[compact]] (fresh layout, nothing references the
+    * old dirs) + retention lapse + vacuum; the spec pins that
+    * composition. Returns the new version number. */
+  def deleteWhere(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions.col
+    val latest = versions(spark, path).last
+    val (_, files) = readManifest(spark, path, latest)
+    val abs = files.map(r => s"$path/$r")
+    // relative manifest path of each absolute scan path, by suffix
+    def rel(filePath: String): String = {
+      val i = filePath.lastIndexOf("/data/")
+      filePath.substring(i + 1)
+    }
+    val hitFiles = spark.read.parquet(abs: _*)
+      .filter(predicate)
+      .select(col("_metadata.file_path").as("f"))
+      .distinct().collect().map(r => rel(r.getString(0))).toSet
+    val keep = files.filterNot(hitFiles.contains)
+    val keepRows =
+      if (keep.isEmpty) 0L
+      else spark.read.parquet(keep.map(r => s"$path/$r"): _*).count()
+    val nonce = java.util.UUID.randomUUID.toString.take(8)
+    val dataDir = new Path(path, s"data/c-$nonce")
+    val (newFiles, newRows) =
+      if (hitFiles.isEmpty) (Seq.empty[String], 0L)
+      else {
+        // survivors = rows where the predicate is NOT TRUE (false OR
+        // null) — SQL DELETE semantics; plain !pred would also drop
+        // null-evaluating rows, which the hit-file scan (pred = TRUE)
+        // never selected — the two passes must agree on row fate
+        val survivors = spark.read
+          .parquet(hitFiles.toSeq.sorted.map(r => s"$path/$r"): _*)
+          .filter(!org.apache.spark.sql.functions
+            .coalesce(predicate, org.apache.spark.sql.functions.lit(false)))
+        survivors.write.parquet(dataDir.toString)
+        val f = fs(spark, path)
+        val names = f.listStatus(dataDir).toSeq.map(_.getPath.getName)
+          .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+          .sorted.map(n => s"data/c-$nonce/$n")
+        val rows = if (names.isEmpty) 0L
+          else spark.read.parquet(names.map(r => s"$path/$r"): _*).count()
+        (names, rows)
+      }
+    val v = claimNext(spark, path)
+    publish(spark, path, v, keepRows + newRows, keep ++ newFiles)
+    v
+  }
+
   /** Data directories referenced by NO version in `keepVersions`
     * (crashed writers; all-rewritten overwrites) — the vacuum candidate
     * list. Deletion is left to the caller: at scale you check the

@@ -145,6 +145,51 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("deleteWhere: targeted rewrite only, time travel keeps history, vacuum completes the forgetting") {
+    val path = freshPath()
+    val cust = Tables(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey")
+    // range-partitioned layout: matches are CONFINED to some files
+    val v1 = VersionedTable.commit(
+      cust.repartitionByRange(4, col("c_custkey")), path)
+    val filesV1 = dataFiles(path)
+    val n = cust.count()
+    val nDel = cust.filter(col("c_custkey") <= 5).count()
+    assert(nDel > 0 && nDel < n)
+    val v2 = VersionedTable.deleteWhere(spark, path, col("c_custkey") <= 5)
+    assert(v2 == v1 + 1)
+    // latest no longer has the rows; manifest count agrees with no I/O
+    val r2 = VersionedTable.read(spark, path)
+    assert(r2.filter(col("c_custkey") <= 5).count() == 0)
+    assert(r2.count() == n - nDel)
+    assert(VersionedTable.rowCount(spark, path, v2) == n - nDel)
+    // time travel BEFORE the delete still sees them (until vacuum)
+    assert(VersionedTable.read(spark, path, Some(v1))
+      .filter(col("c_custkey") <= 5).count() == nDel)
+    // only hit files were rewritten: the untouched v1 files are
+    // re-listed, not copied (they are still the same physical files)
+    val after = dataFiles(path)
+    val survivingOld = after.intersect(filesV1)
+    assert(survivingOld == filesV1, "delete must not destroy v1's files")
+    val newFiles = after -- filesV1
+    assert(newFiles.nonEmpty, "matching files must be rewritten")
+    assert(newFiles.size < filesV1.size,
+      s"range layout confines matches to a strict subset of files " +
+        s"(rewrote ${newFiles.size} of ${filesV1.size})")
+    // compliance completion: vacuum granularity is the commit DIR, and
+    // v2 still re-lists v1's untouched files from v1's dir — so the
+    // full forgetting flow is delete + COMPACT (fresh physical layout)
+    // + retention lapse + vacuum: after compaction, v1's dir (still
+    // holding the deleted bytes) is referenced by no retained version
+    val v3 = VersionedTable.compact(spark, path, 2)
+    val orphans = VersionedTable.orphanDataDirs(spark, path, Seq(v3))
+    assert(orphans.nonEmpty, "post-compact, the pre-delete dir must be a vacuum candidate")
+    assert(VersionedTable.read(spark, path, Some(v3)).count() == n - nDel)
+    // a delete matching nothing is a clean no-op version
+    val v4 = VersionedTable.deleteWhere(spark, path, col("c_custkey") < 0)
+    assert(VersionedTable.read(spark, path, Some(v4)).count() == n - nDel)
+  }
+
   private def dataFiles(path: String): Set[String] = {
     val root = new java.io.File(path, "data")
     if (!root.exists()) Set.empty
