@@ -882,11 +882,15 @@ object SparkEntry {
 
     // ----- multimodal composition: DECODED media features through the
     // embedding dedup stack end-to-end — synthesize a P6 PPM per doc,
-    // decode it (real pixel math), pack the per-channel means into an
-    // Array[Float] feature column, then run random-hyperplane LSH +
-    // exact cosine verify over those DECODED features. Proves the
-    // multimodal column story composes with the similarity operators;
-    // the oracle replays byte math + sig + cosine in SQL -----
+    // decode it (real pixel math), and run random-hyperplane LSH +
+    // exact cosine verify over MEAN-CENTERED per-pixel grayscale
+    // vectors. Centering is load-bearing: raw channel means of
+    // ASCII-derived images cluster so tightly that every doc paired
+    // with every other (measured: ~200k pairs at sf0.1 even at
+    // threshold 0.9999 — a quadratic blow-up at scale); centered
+    // cosine is pattern correlation, so only genuinely shared pixel
+    // layouts pair. The oracle replays byte math + sig + cosine in
+    // SQL -----
     "q_media_embed_dedup" -> ((s, dir) => {
       import s.implicits._
       val payloads = t(s, dir, "documents")
@@ -894,13 +898,13 @@ object SparkEntry {
           "encode(concat('P6', chr(10), '4 3', chr(10), '255', chr(10), " +
             "rpad(text, 36, 'x')), 'UTF-8') AS bytes")
         .as[(Long, Array[Byte])]
-      val fv = graft.operators.Multimodal.ppmFeatures(payloads)
+      val fv = graft.operators.Multimodal.ppmGrays(payloads).toDF()
+        .withColumn("gsum", expr("aggregate(grays, 0L, (a, b) -> a + b)"))
         .selectExpr("id AS doc_id",
-          "array(CAST(mean_r AS FLOAT), CAST(mean_g AS FLOAT), " +
-            "CAST(mean_b AS FLOAT), CAST(0 AS FLOAT), CAST(0 AS FLOAT), " +
-            "CAST(0 AS FLOAT), CAST(0 AS FLOAT), CAST(0 AS FLOAT)) AS fv")
-      Dedup.embeddingPairs(fv, "doc_id", "fv", threshold = 0.9999,
-        nbits = 8, dim = 8)
+          "transform(grays, x -> CAST(CAST(x AS DOUBLE) - " +
+            "CAST(gsum AS DOUBLE) / 12.0 AS FLOAT)) AS fv")
+      Dedup.embeddingPairs(fv, "doc_id", "fv", threshold = 0.99,
+        nbits = 8, dim = 12)
     }),
 
     // ----- TPC-H Q18-style: large-volume orders (agg → join → top-k) -----
@@ -1444,9 +1448,12 @@ object SparkEntry {
     // even need 64 dims" precursor to pcaProject. -----
     "q_cov_corr_pairs" -> ((s, dir) => {
       val d = 64
-      val flat = t(s, dir, "embeddings")
+      // persist: the 1-row component buffer fans out to the diagonal
+      // frame AND both sides of the pair join — without the barrier the
+      // corpus-scale aggregation re-executes 3x
+      val flat = Dedup.persistTracked(t(s, dir, "embeddings")
         .agg(graft.functions.SigAgg.covComponents(d)(col("embedding"))
-          .as("st"))
+          .as("st")))
       val cells = flat
         .select(col("st"), explode(sequence(lit(0L), lit(d - 1L))).as("i"))
         .select(col("st"), col("i"),
@@ -5143,21 +5150,21 @@ object SparkEntry {
            FROM pix GROUP BY doc_id""",
       "q_media_embed_dedup" ->
         s"""WITH img AS (SELECT doc_id, rpad(text, 36, 'x') AS body FROM documents),
-           pix AS (SELECT doc_id, i, ord(substr(body, CAST(i AS INT), 1)) AS v
-                   FROM img CROSS JOIN (SELECT unnest(range(1, 37)) AS i) ii),
-           feat AS (SELECT doc_id, [
-                  CAST(CAST(SUM(CASE WHEN (i - 1) % 3 = 0 THEN v ELSE 0 END) AS DOUBLE) / 12 AS FLOAT),
-                  CAST(CAST(SUM(CASE WHEN (i - 1) % 3 = 1 THEN v ELSE 0 END) AS DOUBLE) / 12 AS FLOAT),
-                  CAST(CAST(SUM(CASE WHEN (i - 1) % 3 = 2 THEN v ELSE 0 END) AS DOUBLE) / 12 AS FLOAT),
-                  CAST(0 AS FLOAT), CAST(0 AS FLOAT), CAST(0 AS FLOAT),
-                  CAST(0 AS FLOAT), CAST(0 AS FLOAT)] AS fv
-                FROM pix GROUP BY doc_id),
-           sigs AS (SELECT doc_id, fv, ${duckSimSig("fv", 8, 8)} AS sig FROM feat)
+           g AS (SELECT doc_id, list_transform(range(0, 12), k ->
+                   (ord(substr(body, CAST(3*k+1 AS INT), 1)) +
+                    ord(substr(body, CAST(3*k+2 AS INT), 1)) +
+                    ord(substr(body, CAST(3*k+3 AS INT), 1))) // 3) AS gray
+                 FROM img),
+           feat AS (SELECT doc_id, list_transform(gray, x ->
+                      CAST(CAST(x AS DOUBLE) -
+                           CAST(list_sum(gray) AS DOUBLE) / 12.0 AS FLOAT)) AS fv
+                    FROM g),
+           sigs AS (SELECT doc_id, fv, ${duckSimSig("fv", 8, 12)} AS sig FROM feat)
            SELECT * FROM (
              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                     ${duckCosine("a.fv", "b.fv")} AS cosine
              FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.doc_id < b.doc_id)
-           WHERE cosine >= 0.9999""",
+           WHERE cosine >= 0.99""",
       "q18_big_orders" ->
         """WITH big AS (SELECT l_orderkey,
                                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -201,6 +201,35 @@ object Multimodal {
       if (nSamples == 0) 0.0 else sumAbs / nSamples.toDouble))
   }
 
+  case class ImageGrays(id: Long, grays: Array[Long])
+
+  /** Per-pixel integer grayscale vector ((r+g+b)/3 per pixel,
+    * row-major) of a decoded P6 PPM — the raw material for perceptual
+    * features: [[ppmAHash]] thresholds it against the image mean, and
+    * mean-CENTERED float casts of it feed the embedding dedup stack
+    * (cosine of centered pixel vectors = pattern correlation, the
+    * normalization that lets brightness-shifted copies pair while
+    * unrelated images do not — uncentered channel means cluster so
+    * tightly that every ASCII-derived image looks like every other).
+    * Non-PPM payloads are dropped. */
+  def ppmGrays(ds: Dataset[(Long, Array[Byte])]): Dataset[ImageGrays] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap { case (id, bytes) =>
+      parseP6(bytes).map { case (w, h, _, p) =>
+        val n = (w * h).toInt
+        val gray = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          gray(i) = ((bytes(p + 3 * i) & 0xff) + (bytes(p + 3 * i + 1) & 0xff) +
+            (bytes(p + 3 * i + 2) & 0xff)) / 3
+          i += 1
+        }
+        ImageGrays(id, gray)
+      }
+    })
+  }
+
   /** Partition-batched feature extraction over a typed Dataset. Payloads
     * with a recognized container magic are decoded for real (PPM pixel
     * means / WAV sample stats packed into the fixed-width feature
