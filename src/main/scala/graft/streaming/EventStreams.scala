@@ -111,4 +111,34 @@ object EventStreams {
       .filter(col("dsir_w") >= minW)
       .select(col(idCol), col("nb"), col("dsir_w"))
   }
+
+  /** Streaming DECONTAMINATION gate: drop arriving docs that share
+    * `maxHits`-or-more distinct word n-grams with a benchmark set
+    * compiled OFFLINE into a fixed-size Bloom mask
+    * ([[graft.operators.Bloom.buildMask]] over the benchmark's shingle
+    * hashes — same polyHash family as the batch
+    * [[graft.operators.TextAnalysis.decontaminate]], so batch and
+    * stream agree on what collides). Entirely STATELESS: tokenize →
+    * distinct shingle hashes → count mask hits, folded per row — append
+    * mode, no state store, no watermark, no shuffle; the mask rides the
+    * closure as one long[] (m bits however large the benchmark grows).
+    *
+    * Directionality: a doc whose every shingle MISSES the mask is
+    * DEFINITELY uncontaminated (Bloom has no false negatives), so
+    * contamination can never slip past the gate; a clean doc is dropped
+    * only if `maxHits` distinct shingles all false-positive at the
+    * documented FPP — conservative in exactly the direction
+    * decontamination wants. Survivors carry their `n_hits` for audit. */
+  def decontamGate(stream: DataFrame, idCol: String, textCol: String,
+      mask: Array[Long], k: Int, n: Int = 5, maxHits: Int = 1): DataFrame = {
+    import graft.functions.GraftFunctions
+    stream
+      .withColumn("ghs",
+        array_distinct(GraftFunctions.shingleHashes(col(textCol), n)))
+      .withColumn("n_hits", aggregate(col("ghs"), lit(0L),
+        (acc, g) => acc +
+          when(GraftFunctions.bloomContains(g, mask, k), 1L).otherwise(0L)))
+      .filter(col("n_hits") < maxHits)
+      .select(col(idCol), col("n_hits"))
+  }
 }

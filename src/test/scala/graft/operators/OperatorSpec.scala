@@ -755,6 +755,31 @@ class OperatorSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("PPM aHash property: invariant under uniform brightness shift") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // shifting every channel by c shifts each integer gray by exactly c
+    // ((r+c)+(g+c)+(b+c))/3 = gray + c, and the mean by c — so every
+    // gray>mean comparison, hence the hash, is unchanged. The defining
+    // perceptual property: exposure changes don't break dup detection.
+    val imgGen = for {
+      w <- Gen.choose(1, 4); h <- Gen.choose(1, 4)
+      px <- Gen.listOfN(3 * w * h, Gen.choose(0, 155))
+      c <- Gen.choose(0, 100)
+    } yield (w, h, px.map(_.toByte).toArray, c)
+    val prop = Prop.forAll(imgGen) { case (w, h, px, c) =>
+      val header = s"P6\n$w $h\n255\n".getBytes("ISO-8859-1")
+      val shifted = px.map(b => ((b & 0xff) + c).toByte)
+      val out = Multimodal.ppmAHash(spark.createDataset(Seq(
+        1L -> (header ++ px), 2L -> (header ++ shifted))))
+        .collect().map(r => r.id -> r.ahash).toMap
+      out(1L) == out(2L)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("WAV decode: RIFF chunk walk, duration and mean amplitude") {
     // 1 channel, 8000 Hz, 16-bit PCM, 4 samples: +100 -100 +300 -300
     def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)

@@ -162,4 +162,38 @@ class EventStreamsSpec extends SparkSpec {
     val kept = spark.table("dsir_gated").collect().map(_.getLong(0)).toSet
     assert(kept == got.filter(_._2._2 >= thr).keySet)
   }
+
+  test("streaming decontamination gate: batch-flagged docs never pass, clean docs do") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array_distinct, col, explode}
+    import graft.operators.{Bloom, TextAnalysis}
+    import graft.functions.GraftFunctions
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = docs.filter(col("doc_id") < 20)
+    val corpus = docs.filter(col("doc_id") >= 20)
+    // offline step: the benchmark's distinct 5-gram hashes -> Bloom mask
+    val benchGrams = bench.select(explode(array_distinct(
+      GraftFunctions.shingleHashes(col("text"), 5))).as("gh")).distinct()
+    val mask = Bloom.buildMask(benchGrams, "gh", 1 << 20, 5)
+    // batch truth: every doc the batch operator flags as sharing >= 1
+    // benchmark n-gram (same polyHash family as the gate)
+    val flagged = TextAnalysis.decontaminate(corpus, bench, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty, "fixture must contain contaminated docs")
+    val sample = corpus.select("doc_id", "text").as[Doc].collect()
+    val mem = MemoryStream[Doc]
+    mem.addData(sample: _*)
+    val out = EventStreams.decontamGate(mem.toDF(), "doc_id", "text",
+      mask, k = 5)
+    val q = out.writeStream.format("memory").queryName("decontam")
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.table("decontam").collect().map(_.getLong(0)).toSet
+    // the hard guarantee: contamination can never slip past the gate
+    // (Bloom has no false negatives on the benchmark's grams)
+    assert(kept.intersect(flagged).isEmpty)
+    // and at 2^20 bits no clean doc false-positives into a drop
+    assert(kept == sample.map(_.doc_id).toSet -- flagged)
+  }
 }
