@@ -1174,6 +1174,17 @@ object SparkEntry {
         docs.filter(col("doc_id") < 20), "doc_id", "text")
     }),
 
+    // ----- FUNNEL AUDIT of the full pipeline: docs surviving each
+    // stage — the attrition dashboard a data team reads before
+    // committing a snapshot (survivor-only output can't show a stage
+    // suddenly eating the corpus) -----
+    "q_corpus_funnel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.CorpusPipeline.cleanFunnel(
+        docs.filter(col("doc_id") >= 20),
+        docs.filter(col("doc_id") < 20), "doc_id", "text")
+    }),
+
     // ----- mergeable HLL sketches: per-group sketch + union-merge to a
     // corpus-wide estimate WITHOUT re-scanning (the 100 TB pattern:
     // partial sketches combine associatively, so distinct counts
@@ -5122,6 +5133,57 @@ object SparkEntry {
            SELECT s.doc_id, s.fp FROM survivors s
            LEFT JOIN l3 ON s.doc_id = l3.id
            WHERE l3.label IS NULL OR l3.label = s.doc_id"""
+      },
+
+      // Same CTE chain as q_corpus_clean3; the head swaps the survivor
+      // projection for one count per pipeline stage.
+      "q_corpus_funnel" -> {
+        val rounds = (1 to 3).map { i =>
+          s"""l$i AS (SELECT n.id, least(n.label, coalesce(m.nm, n.label)) AS label
+                FROM l${i - 1} n LEFT JOIN (
+                  SELECT e.src, MIN(l.label) AS nm FROM edges e
+                  JOIN l${i - 1} l ON e.dst = l.id GROUP BY e.src) m
+                ON n.id = m.src)"""
+        }.mkString(",\n")
+        s"""WITH base AS (SELECT doc_id, text, ${duckTokens("text")} AS toks FROM documents WHERE doc_id >= 20),
+           rep AS (SELECT doc_id, text, toks,
+                          len(toks) AS n_tokens,
+                          CAST(len(list_distinct(toks)) AS DOUBLE) / nullif(len(toks), 0) AS distinct_ratio,
+                          CAST(list_max(list_transform(list_distinct(toks), w -> len(list_filter(toks, x -> x = w)))) AS DOUBLE) / nullif(len(toks), 0) AS top_share
+                   FROM base),
+           gated AS (SELECT doc_id, text, toks, ${duckStrHash("text")} AS fp FROM rep
+                     WHERE n_tokens >= 20 AND n_tokens <= 90
+                       AND distinct_ratio >= 0.45 AND top_share <= 0.12),
+           gg AS (SELECT doc_id, unnest(list_distinct(list_transform(${duckShingles("toks", 5)}, s -> ${duckStrHash("s")}))) AS gh FROM gated),
+           bb AS (SELECT doc_id, unnest(list_distinct(list_transform(${duckShingles("toks2", 5)}, s -> ${duckStrHash("s")}))) AS gh
+                  FROM (SELECT doc_id, ${duckTokens("text")} AS toks2 FROM documents WHERE doc_id < 20)),
+           contaminated AS (SELECT DISTINCT g.doc_id FROM gg g JOIN bb b USING (gh)),
+           clean0 AS (SELECT * FROM gated WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+           keepers AS (SELECT fp, MIN(doc_id) AS doc_id FROM clean0 GROUP BY fp),
+           survivors AS (SELECT c.doc_id, c.fp, c.toks
+                         FROM clean0 c JOIN keepers k
+                           ON c.fp = k.fp AND c.doc_id = k.doc_id),
+           sh AS (SELECT doc_id, list_distinct(${duckShingles("toks", 3)}) AS shingles FROM survivors),
+           hs AS (SELECT doc_id, ${duckWordHashes("shingles")} AS hs FROM sh),
+           sigs AS (SELECT doc_id, ${duckMinhash("hs", 12)} AS mh FROM hs),
+           buckets AS (SELECT doc_id, band, ${duckBandBucket("mh", "band", 3)} AS bucket
+                       FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bands),
+           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM buckets a JOIN buckets b
+                      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+           edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                     UNION ALL SELECT doc_b AS src, doc_a AS dst FROM cand),
+           nodes AS (SELECT DISTINCT src AS id FROM edges),
+           l0 AS (SELECT id, id AS label FROM nodes),
+           $rounds,
+           final AS (SELECT s.doc_id FROM survivors s
+                     LEFT JOIN l3 ON s.doc_id = l3.id
+                     WHERE l3.label IS NULL OR l3.label = s.doc_id)
+           SELECT CAST(0 AS BIGINT) AS stage_ord, 'ingest' AS stage, COUNT(*) AS n_docs FROM base
+           UNION ALL SELECT 1, 'quality_gate', COUNT(*) FROM gated
+           UNION ALL SELECT 2, 'decontaminated', COUNT(*) FROM clean0
+           UNION ALL SELECT 3, 'exact_dedup', COUNT(*) FROM keepers
+           UNION ALL SELECT 4, 'near_dedup', COUNT(*) FROM final"""
       },
       "q_media_meta" ->
         """SELECT doc_id,

@@ -75,7 +75,19 @@ object CorpusPipeline {
     * signatures computed in-scope. The payload text never shuffles in
     * any stage. */
   def cleanFull(docs: DataFrame, bench: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String): DataFrame =
+    fullStages(docs, bench, idCol, textCol).deduped
+      .select(col(idCol), col("fp"))
+
+  /** The intermediate frames of [[cleanFull]], one per pipeline stage —
+    * shared by the survivor query and the funnel audit so both run the
+    * SAME plan shapes (persist barriers included). */
+  private[operators] case class Stages(
+      gated: DataFrame, clean: DataFrame, keepers: DataFrame,
+      deduped: DataFrame)
+
+  private[operators] def fullStages(docs: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String): Stages = {
     import graft.functions.GraftFunctions
     // persist the slim survivor projection: the gate's repetition
     // scores (top_share is O(distinct x n) per doc) feed BOTH the
@@ -98,7 +110,10 @@ object CorpusPipeline {
       .decontaminate(gated.select(col(idCol), col(textCol)), bench,
         idCol, textCol)
       .select(idCol)
-    val cleanDocs = gated.join(contaminated, Seq(idCol), "left_anti")
+    // persist: tiny id list, but its subtree (n-gram explode + benchmark
+    // join) would otherwise re-execute once per downstream consumer
+    val cleanDocs = Dedup.persistTracked(
+      gated.join(contaminated, Seq(idCol), "left_anti"))
     val keepers = cleanDocs.groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
     val survivors = Dedup.persistTracked(cleanDocs
       .join(keepers, Seq("fp", idCol))
@@ -109,10 +124,32 @@ object CorpusPipeline {
       .select(col("doc_a"), col("doc_b"))
     val labels = Dedup.clusters(pairs, "doc_a", "doc_b")
       .withColumnRenamed("doc_a", "__cid")
-    survivors
+    val deduped = survivors
       .join(labels, col(idCol) === col("__cid"), "left")
       .filter(col("cluster").isNull || col("cluster") === col(idCol))
-      .select(col(idCol), col("fp"))
+    Stages(gated, cleanDocs, keepers, deduped)
+  }
+
+  /** FUNNEL AUDIT of [[cleanFull]]: documents surviving each stage —
+    * the per-stage attrition readout every corpus pipeline dashboards
+    * before committing a training snapshot (a stage suddenly eating 40%
+    * of the corpus is a bug or a data-drift signal, and survivor-only
+    * output cannot show it). One row per stage: (stage_ord, stage,
+    * n_docs). The stage frames are shared with [[cleanFull]] (persist
+    * barriers included), so the funnel costs the same one pass plus
+    * four tiny count aggregates. */
+  def cleanFunnel(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val st = fullStages(docs, bench, idCol, textCol)
+    def row(ord: Int, name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(ord.toLong).as("stage_ord"), lit(name).as("stage"),
+          col("n_docs"))
+    row(0, "ingest", docs)
+      .unionAll(row(1, "quality_gate", st.gated))
+      .unionAll(row(2, "decontaminated", st.clean))
+      .unionAll(row(3, "exact_dedup", st.keepers))
+      .unionAll(row(4, "near_dedup", st.deduped))
   }
 
   /** Cluster-aware variant of [[clean]]: instead of dropping the higher
