@@ -290,6 +290,11 @@ object SparkEntry {
         .select(col("text"), col("keeper"), col("n_copies"))),
     "q_dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text")),
+    // CHAR-n-gram MinHash twin: the near-dup path for scripts without
+    // whitespace, where word tokenization collapses a doc to one token
+    "q_dedup_char_ngram" -> ((s, dir) =>
+      Dedup.charMinhashCandidates(t(s, dir, "documents"), "doc_id",
+        "text", n = 6)),
     // same candidates under the viral-bucket skew bound: (band, bucket)
     // groups larger than 8 are dropped before the self-join
     "q_dedup_capped" -> ((s, dir) =>
@@ -4588,6 +4593,21 @@ object SparkEntry {
            FROM rk GROUP BY doc_id""",
       "q_dedup_minhash_lsh" ->
         s"""$minhashCtes
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(len(list_filter(list_transform(range(1, 13), i -> a.mh[i] = b.mh[i]), v -> v)) AS DOUBLE) / 12 AS est_jaccard
+           FROM buckets a JOIN buckets b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""",
+      // char 6-gram MinHash: grams are positional char-window hashes of
+      // the lowercased text (character-indexed substr, same polyHash
+      // fold), deduped before the signature
+      "q_dedup_char_ngram" ->
+        s"""WITH chs AS (SELECT doc_id, list_distinct(list_transform(
+                   range(1, length(lower(text)) - 4),
+                   i -> ${duckStrHash("substr(lower(text), CAST(i AS INT), 6)")})) AS hs
+                 FROM documents),
+           sigs AS (SELECT doc_id, ${duckMinhash("hs", 12)} AS mh FROM chs),
+           buckets AS (SELECT doc_id, mh, band, ${duckBandBucket("mh", "band", 3)} AS bucket
+                       FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bands)
            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                   CAST(len(list_filter(list_transform(range(1, 13), i -> a.mh[i] = b.mh[i]), v -> v)) AS DOUBLE) / 12 AS est_jaccard
            FROM buckets a JOIN buckets b

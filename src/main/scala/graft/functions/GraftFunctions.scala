@@ -37,6 +37,10 @@ object GraftFunctions {
   /** Positional (non-deduped) shingle polyHashes; see [[ShingleHashes]]. */
   def shingleHashes(text: Column, n: Int): Column =
     c(ShingleHashes(e(text), n))
+
+  /** Positional CHARACTER n-gram polyHashes; see [[CharShingleHashes]]. */
+  def charShingleHashes(text: Column, n: Int): Column =
+    c(CharShingleHashes(e(text), n))
   def ivfCell(vec: Column, nc: Int): Column = c(IvfCell(e(vec), nc))
   def shingleRows(text: Column, n: Int): Column = c(ShingleRows(e(text), n))
   def bloomContains(key: Column, mask: Array[Long], k: Int): Column =

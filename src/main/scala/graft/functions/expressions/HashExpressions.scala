@@ -141,6 +141,35 @@ object HashImpl {
     new GenericArrayData(out)
   }
 
+  /** CHARACTER n-gram hashes: the polyHash of every n-char window of the
+    * lowercased text, in position order, duplicates kept — the shingle
+    * stream for scripts WITHOUT whitespace (CJK, Thai), where the word
+    * tokenizer collapses a document to one giant token and word-level
+    * MinHash goes blind. Element i (0-based) is exactly
+    * `polyHash(substr(lower(text), i+1, n))` over CHARACTERS, matching
+    * DuckDB's character-indexed `substr` + the ord() string-hash fold
+    * for ASCII and BMP text alike (supplementary-plane text would split
+    * surrogate pairs differently than codepoint-indexed substr — same
+    * documented caveat as the rest of the hash family). */
+  def charShingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toLowerCase.toString
+    val m = s.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var acc = 0L
+      var j = 0
+      while (j < n) {
+        acc = (acc * 31 + s.charAt(i + j)) % P
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** LSH band-bucket hash: fold (acc*31 + x) % P over signature entries
     * [band*r, band*r + r); same fold as XFormulas.sparkBandBucket /
     * duckBandBucket (1-indexed slice there, 0-indexed here). */
@@ -559,6 +588,26 @@ case class ShingleHashes(child: Expression, n: Int)
     defineCodeGen(ctx, ev,
       c => s"graft.functions.expressions.HashImpl.shingleHashes($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** Positional CHARACTER n-gram hashes of a string (see
+  * [[HashImpl.charShingleHashes]]) — the whitespace-free-script twin of
+  * [[ShingleHashes]]. */
+case class CharShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_char_shingle_hashes"
+  protected override def nullSafeEval(input: Any): Any =
+    HashImpl.charShingleHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expressions.HashImpl.charShingleHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): CharShingleHashes =
     copy(child = newChild)
 }
 

@@ -168,6 +168,32 @@ object Dedup {
       .distinct()
   }
 
+  /** CHARACTER-n-gram MinHash-LSH candidates — the near-dup path for
+    * text the word tokenizer cannot segment (CJK, Thai, no-whitespace
+    * boilerplate): a whitespace-free document collapses to ONE token, so
+    * word-shingle MinHash sees a single shingle and every such doc
+    * collides with every other. Char n-grams shingle the raw codepoint
+    * stream instead; everything downstream (signature, banding, skew
+    * cap, pair estimate) is the word path unchanged. The gram stream is
+    * the native codegen'd [[graft.functions.expressions.CharShingleHashes]];
+    * the signature folds precomputed LONG hashes through the HOF form
+    * (no string re-splitting — the cost the native word-path MinHashSig
+    * exists to avoid is already gone here).
+    *
+    * Same scale shape as [[minhashCandidates]]: the exchange carries
+    * (band, bucket, id) and k-long signatures, never text. */
+  def charMinhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, k: Int = 12, bands: Int = 4,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    // persist: same projection-collapse trap as minhashCandidates
+    val sigs = persistTracked(df
+      .withColumn("__chs", array_distinct(
+        GraftFunctions.charShingleHashes(col(textCol), n)))
+      .select(col(idCol),
+        expr(graft.functions.XFormulas.sparkMinhash("__chs", k)).as("mh")))
+    candidatesFromSignatures(sigs, idCol, "mh", k, bands, maxBucket)
+  }
+
   /** CROSS-CORPUS candidates: an incoming batch vs the existing base —
     * the INGEST path. Deduplicating a crawl increment against a 100 TB
     * corpus must NOT re-pair the corpus with itself (that work is

@@ -104,6 +104,26 @@ class HashExpressionsSpec extends SparkSpec {
     assert(rep.getInt(0) == 5 && rep.getInt(1) == 4)
   }
 
+  test("CharShingleHashes == substring HOF hash chain on every document") {
+    val docs = Tables(spark, dir, "documents")
+    // HOF twin: polyHash of each 6-char window of the lowercased text,
+    // character-indexed substring — the form the DuckDB oracle runs
+    val mismatch = docs.select(
+      GraftFunctions.charShingleHashes(col("text"), 6).as("native"),
+      expr("IF(length(text) < 6, array(), " +
+        "transform(sequence(1L, length(lower(text)) - 5L), " +
+        s"i -> ${sparkStrHash("substring(lower(text), CAST(i AS INT), 6)")}))")
+        .as("hof"))
+      .filter("native <> hof")
+    assert(mismatch.count() == 0)
+    // short-text contract: fewer chars than n yields an empty stream
+    import spark.implicits._
+    val short = Seq(Tuple1("abc")).toDF("text")
+      .select(GraftFunctions.charShingleHashes(col("text"), 6).as("h"))
+      .selectExpr("size(h) AS n").head()
+    assert(short.getInt(0) == 0)
+  }
+
   test("BandBucket == HOF band bucket for every (doc, band)") {
     val sigs = Tables(spark, dir, "documents")
       .selectExpr("doc_id", s"${sparkTokens("text")} AS toks")

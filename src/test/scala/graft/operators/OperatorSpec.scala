@@ -50,6 +50,28 @@ class OperatorSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("char-ngram minhash pairs no-whitespace near-dups the word path cannot see") {
+    import spark.implicits._
+    // CJK-style fixture: no spaces anywhere. 1 and 2 differ by one char;
+    // 3 is unrelated. The word tokenizer sees ONE token per doc -> zero
+    // 3-token shingles -> every doc gets the degenerate all-zeros
+    // signature and the word path is blind (all-pairs or nothing).
+    val base = "abcdefghijklmnopqrstuvwxyz0123456789" * 3
+    val fixture = Seq(
+      (1L, base), (2L, base.dropRight(1) + "!"),
+      (3L, base.reverse)).toDF("doc_id", "text")
+    val char = Dedup.charMinhashCandidates(fixture, "doc_id", "text", n = 6)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(char.contains((1L, 2L)), "near-identical no-space docs must pair")
+    assert(!char.contains((1L, 3L)) && !char.contains((2L, 3L)),
+      "unrelated no-space docs must not pair")
+    // the word path cannot distinguish them: every doc's signature is
+    // the degenerate empty-shingle sig (documented MinHash convention)
+    val wordSigs = Dedup.minhashSignatures(fixture, "doc_id", "text")
+      .selectExpr("array_max(mh) AS hi").collect().map(_.getLong(0))
+    assert(wordSigs.forall(_ == 0L))
+  }
+
   test("minhash est_jaccard is bounded and symmetric-pair-unique") {
     val c = Dedup.minhashCandidates(docs, "doc_id", "text")
     assert(c.filter("est_jaccard < 0 OR est_jaccard > 1").count() == 0)
