@@ -41,6 +41,10 @@ object GraftFunctions {
   /** Positional CHARACTER n-gram polyHashes; see [[CharShingleHashes]]. */
   def charShingleHashes(text: Column, n: Int): Column =
     c(CharShingleHashes(e(text), n))
+
+  /** MinHash signature over precomputed long hashes; see [[MinHashLongs]]. */
+  def minhashLongs(hashes: Column, k: Int): Column =
+    c(MinHashLongs(e(hashes), k))
   def ivfCell(vec: Column, nc: Int): Column = c(IvfCell(e(vec), nc))
   def shingleRows(text: Column, n: Int): Column = c(ShingleRows(e(text), n))
   def bloomContains(key: Column, mask: Array[Long], k: Int): Column =
@@ -68,6 +72,10 @@ object GraftFunctions {
     "graft_bandbucket" -> (args => BandBucket(args.head, args(1),
       args(2).asInstanceOf[Literal].value.asInstanceOf[Number].intValue)),
     "graft_shingles" -> (args => Shingles(args.head,
+      args(1).asInstanceOf[Literal].value.asInstanceOf[Number].intValue)),
+    "graft_char_shingle_hashes" -> (args => CharShingleHashes(args.head,
+      args(1).asInstanceOf[Literal].value.asInstanceOf[Number].intValue)),
+    "graft_minhash_longs" -> (args => MinHashLongs(args.head,
       args(1).asInstanceOf[Literal].value.asInstanceOf[Number].intValue)),
     "graft_ivfcell" -> (args => IvfCell(args.head,
       args(1).asInstanceOf[Literal].value.asInstanceOf[Number].intValue)))

@@ -141,6 +141,31 @@ object HashImpl {
     new GenericArrayData(out)
   }
 
+  /** MinHash signature over PRECOMPUTED long hashes (the
+    * [[charShingleHashes]] stream, or any graft hash column): the same
+    * k-permutation fold as [[minhash]] minus the string re-hash.
+    * Empty-array convention matches: all-zeros signature. */
+  def minhashLongs(arr: ArrayData, k: Int): ArrayData = {
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = arr.numElements()
+    var w = 0
+    while (w < n) {
+      val h = arr.getLong(w)
+      var i = 0
+      while (i < k) {
+        val a = (1103515245L * i + 12345L) % P
+        val b = (1299709L * i + 7919L) % P
+        val v = (a * h + b) % P
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      w += 1
+    }
+    if (n == 0) java.util.Arrays.fill(mins, 0L)
+    new GenericArrayData(mins)
+  }
+
   /** CHARACTER n-gram hashes: the polyHash of every n-char window of the
     * lowercased text, in position order, duplicates kept — the shingle
     * stream for scripts WITHOUT whitespace (CJK, Thai), where the word
@@ -588,6 +613,27 @@ case class ShingleHashes(child: Expression, n: Int)
     defineCodeGen(ctx, ev,
       c => s"graft.functions.expressions.HashImpl.shingleHashes($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** MinHash signature over an array<bigint> of precomputed hashes — the
+  * [[MinHashSig]] twin for hash streams that skip string shingles
+  * entirely (char n-grams, stored fingerprints). */
+case class MinHashLongs(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_longs"
+  protected override def nullSafeEval(input: Any): Any =
+    HashImpl.minhashLongs(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expressions.HashImpl.minhashLongs($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashLongs =
     copy(child = newChild)
 }
 

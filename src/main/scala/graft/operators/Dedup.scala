@@ -174,11 +174,11 @@ object Dedup {
     * word-shingle MinHash sees a single shingle and every such doc
     * collides with every other. Char n-grams shingle the raw codepoint
     * stream instead; everything downstream (signature, banding, skew
-    * cap, pair estimate) is the word path unchanged. The gram stream is
-    * the native codegen'd [[graft.functions.expressions.CharShingleHashes]];
-    * the signature folds precomputed LONG hashes through the HOF form
-    * (no string re-splitting — the cost the native word-path MinHashSig
-    * exists to avoid is already gone here).
+    * cap, pair estimate) is the word path unchanged. Both stages are
+    * native codegen'd expressions
+    * ([[graft.functions.expressions.CharShingleHashes]] →
+    * [[graft.functions.expressions.MinHashLongs]]) — no string
+    * re-splitting, no HOF lambda in the hot path.
     *
     * Same scale shape as [[minhashCandidates]]: the exchange carries
     * (band, bucket, id) and k-long signatures, never text. */
@@ -187,10 +187,9 @@ object Dedup {
       maxBucket: Int = Int.MaxValue): DataFrame = {
     // persist: same projection-collapse trap as minhashCandidates
     val sigs = persistTracked(df
-      .withColumn("__chs", array_distinct(
-        GraftFunctions.charShingleHashes(col(textCol), n)))
       .select(col(idCol),
-        expr(graft.functions.XFormulas.sparkMinhash("__chs", k)).as("mh")))
+        GraftFunctions.minhashLongs(array_distinct(
+          GraftFunctions.charShingleHashes(col(textCol), n)), k).as("mh")))
     candidatesFromSignatures(sigs, idCol, "mh", k, bands, maxBucket)
   }
 

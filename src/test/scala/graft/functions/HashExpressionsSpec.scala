@@ -124,6 +124,25 @@ class HashExpressionsSpec extends SparkSpec {
     assert(short.getInt(0) == 0)
   }
 
+  test("MinHashLongs == HOF minhash over precomputed hashes (incl. empty)") {
+    val docs = Tables(spark, dir, "documents")
+    val frames = docs.selectExpr(
+      s"array_distinct(${sparkWordHashes(sparkTokens("text"))}) AS hs")
+    val bad = frames.select(
+      GraftFunctions.minhashLongs(col("hs"), 12).as("native"),
+      expr(sparkMinhash("hs", 12)).as("hof"))
+      .filter("native <> hof")
+    assert(bad.count() == 0)
+    // empty hash stream: degenerate all-zeros signature on both forms
+    import spark.implicits._
+    val empty = Seq(Tuple1(Seq.empty[Long])).toDF("hs")
+      .select(GraftFunctions.minhashLongs(col("hs"), 12).as("native"),
+        expr(sparkMinhash("hs", 12)).as("hof"))
+      .head()
+    assert(empty.getSeq[Long](0).forall(_ == 0L))
+    assert(empty.getSeq[Long](0) == empty.getSeq[Long](1))
+  }
+
   test("BandBucket == HOF band bucket for every (doc, band)") {
     val sigs = Tables(spark, dir, "documents")
       .selectExpr("doc_id", s"${sparkTokens("text")} AS toks")

@@ -42,6 +42,33 @@ class SqlSurfaceSpec extends SparkSpec {
       s"only-sql=${(sql -- df).take(5)} only-df=${(df -- sql).take(5)}")
   }
 
+  test("char-ngram MinHash candidates in pure SQL == Dedup.charMinhashCandidates") {
+    GraftFunctions.register(spark)
+    Tables(spark, dir, "documents").createOrReplaceTempView("docs_sql")
+    val sql = spark.sql(
+      """WITH sigs AS (
+        |  SELECT doc_id, graft_minhash_longs(
+        |    array_distinct(graft_char_shingle_hashes(text, 6)), 12) AS mh
+        |  FROM docs_sql
+        |),
+        |buckets AS (
+        |  SELECT doc_id, mh, band, graft_bandbucket(mh, band, 3) AS bucket
+        |  FROM sigs LATERAL VIEW explode(sequence(0L, 3L)) AS band
+        |)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM buckets a JOIN buckets b
+        |  ON a.band = b.band AND a.bucket = b.bucket
+        | AND a.doc_id < b.doc_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val df = Dedup.charMinhashCandidates(
+      Tables(spark, dir, "documents"), "doc_id", "text", n = 6)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.releaseCaches()
+    assert(sql == df,
+      s"only-sql=${(sql -- df).take(5)} only-df=${(df -- sql).take(5)}")
+  }
+
   test("Bloom novelty ingest in pure SQL == Bloom.noveltyFilter") {
     import graft.operators.Bloom
     GraftFunctions.register(spark)
