@@ -3186,6 +3186,49 @@ object SparkEntry {
     // rank-based, so no cross-modality score calibration needed). Both
     // arms are top-k-bounded BEFORE fusion: per-modality candidate
     // generation then a candidate-sized join, never a corpus-wide one -----
+    // ----- RETRIEVAL QUALITY: nDCG@10 of cosine ranking against
+    // label-match relevance (same-label candidate = relevant) — the
+    // offline eval gate a retrieval stack runs before shipping an index
+    // change. Discount weights are FIXED-POINT ppm literals of
+    // 1/log2(i+1) (log() is engine-specific; a driver-side constant
+    // table embedded in both dialects is exact), DCG/IDCG are BIGINT
+    // sums, nDCG is one guarded division. -----
+    "q_retrieval_ndcg" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = Dedup.persistTracked(emb.filter(col("vec_id") < 10))
+      val ranked = Similarity.bruteForceTopK(emb, q, "vec_id",
+          "embedding", k = 10)
+        .select(col("qid"), col("cid"), col("rank"))
+      // persist the slim label projection: it feeds two label joins and
+      // the per-label counts — one embeddings scan, not three more
+      val labels = Dedup.persistTracked(
+        emb.select(col("vec_id"), col("label")))
+      val wCase = ndcgW.zipWithIndex
+        .map { case (w, i) => s"WHEN rank = ${i + 1} THEN ${w}L" }
+        .mkString("CASE ", " ", " ELSE 0L END")
+      val cumArr = s"array(${ndcgCum.map(_ + "L").mkString(", ")})"
+      // per-label candidate counts: R = same-label candidates besides
+      // the query itself, capped at k — broadcast-tiny
+      val labCnt = labels.groupBy(col("label")).agg(count(lit(1)).as("n_lab"))
+      val scored = ranked
+        .join(labels.select(col("vec_id").as("qid"), col("label").as("ql")), "qid")
+        .join(labels.select(col("vec_id").as("cid"), col("label").as("cl")), "cid")
+        .withColumn("relw",
+          when(col("ql") === col("cl"), expr(wCase)).otherwise(lit(0L)))
+        .groupBy(col("qid"), col("ql"))
+        .agg(sum(col("relw")).as("dcg_ppm"))
+      scored
+        .join(broadcast(labCnt.select(col("label").as("ql"), col("n_lab"))), "ql")
+        .withColumn("r_cap", least(col("n_lab") - 1, lit(10L)))
+        .withColumn("idcg_ppm",
+          when(col("r_cap") <= 0, lit(0L))
+            .otherwise(element_at(expr(cumArr), col("r_cap").cast("int"))))
+        .select(col("qid"), col("dcg_ppm"),
+          col("idcg_ppm"),
+          (col("dcg_ppm").cast("double") /
+            nullif(col("idcg_ppm"), lit(0L))).as("ndcg"))
+    }),
+
     "q_hybrid_rrf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val docTok = Dedup.persistTracked(
@@ -4257,6 +4300,14 @@ object SparkEntry {
     * map get weight 0 and are dropped — counted in `total` only). */
   private val mixtureWeights: Map[String, Long] =
     Map("src0" -> 4L, "src1" -> 2L, "src2" -> 1L, "src3" -> 3L, "src4" -> 1L)
+
+  /** nDCG@10 discount weights round(1e6/log2(i+1)), i = 1..10, and their
+    * cumulative sums (= ideal DCG of the first R ranks). Driver-side
+    * constants embedded as literals in BOTH dialects — log() is not
+    * engine-portable, a literal table is. */
+  private val ndcgW: Seq[Long] =
+    (1 to 10).map(i => math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+  private val ndcgCum: Seq[Long] = ndcgW.scanLeft(0L)(_ + _).tail
 
   /** DuckDB-equivalent SQL per query (same table names; same column
     * aliases — the driver's compare sorts columns by name). Integer sums
@@ -7593,6 +7644,32 @@ object SparkEntry {
            SELECT nt.qid, CAST(coalesce(nh.n_hit, 0) AS BIGINT) AS n_hit,
                   CAST(coalesce(nh.n_hit, 0) AS DOUBLE) / nt.n_truth AS recall
            FROM nt LEFT JOIN nh ON nt.qid = nh.qid""",
+
+      "q_retrieval_ndcg" -> {
+        val wCase = ndcgW.zipWithIndex
+          .map { case (w, i) => s"WHEN r = ${i + 1} THEN $w" }
+          .mkString("CASE ", " ", " ELSE 0 END")
+        val cumList = ndcgCum.mkString("[", ", ", "]")
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+                 FROM embeddings WHERE vec_id < 10),
+           c AS (SELECT vec_id AS cid, embedding AS cv, label AS cl FROM embeddings),
+           ranked AS (SELECT qid, ql, cid, cl, r FROM (
+                        SELECT qid, ql, cid, cl,
+                               ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY ${duckCosine("qv", "cv")} DESC, cid) AS r
+                        FROM q CROSS JOIN c WHERE qid <> cid) WHERE r <= 10),
+           dcg AS (SELECT qid, ql,
+                          CAST(SUM(CASE WHEN ql = cl THEN ($wCase) ELSE 0 END) AS BIGINT) AS dcg_ppm
+                   FROM ranked GROUP BY qid, ql),
+           lab AS (SELECT label, COUNT(*) AS n_lab FROM embeddings GROUP BY label)
+           SELECT qid, dcg_ppm,
+                  CAST(CASE WHEN least(n_lab - 1, 10) <= 0 THEN 0
+                       ELSE ($cumList)[CAST(least(n_lab - 1, 10) AS INT)] END AS BIGINT) AS idcg_ppm,
+                  CAST(dcg_ppm AS DOUBLE) /
+                    nullif(CAST(CASE WHEN least(n_lab - 1, 10) <= 0 THEN 0
+                         ELSE ($cumList)[CAST(least(n_lab - 1, 10) AS INT)] END AS BIGINT), 0) AS ndcg
+           FROM dcg JOIN lab ON dcg.ql = lab.label"""
+      },
 
       "q_contam_embedding" ->
         s"""WITH bench AS (SELECT vec_id AS bench_id, embedding AS bv
