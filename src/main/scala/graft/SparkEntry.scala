@@ -4092,6 +4092,38 @@ object SparkEntry {
           (col("alloc") === col("avail")).as("saturated"))
     }),
 
+    // ----- NEYMAN-ALLOCATION EVAL SAMPLE PLAN: split a human-eval /
+    // annotation budget across sources ∝ N_h·S_h (stratum size times
+    // stratum stddev — the allocation minimizing the estimator's
+    // variance; uniform and proportional allocation both waste budget
+    // on low-variance strata). Variance from exact BIGINT moments, the
+    // one quantization is round(1e6·N·S), then pure integer floor-share
+    // + LARGEST-REMAINDER rounding so the allocation sums to the budget
+    // exactly — engine-exact end to end. -----
+    "q_neyman_sample" -> ((s, dir) => {
+      val budget = 100L
+      val all = Window.partitionBy()
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sx"),
+          sum(col("n_chars") * col("n_chars")).as("sx2"))
+        .withColumn("sd", expr(
+          "sqrt(CAST(n_docs * sx2 - sx * sx AS DOUBLE) / (n_docs * n_docs))"))
+        .withColumn("w", expr(
+          "CAST(ROUND(1000000.0 * n_docs * sd) AS BIGINT)"))
+        .withColumn("sumw", sum(col("w")).over(all))
+        .withColumn("base", expr(s"(${budget}L * w) div sumw"))
+        .withColumn("rem", expr(s"${budget}L * w - base * sumw"))
+        .withColumn("leftover", lit(budget) - sum(col("base")).over(all))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+        .withColumn("alloc",
+          col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+        .select(col("source"), col("n_docs"), col("sd"), col("w"),
+          col("alloc"))
+    }),
+
     // ----- QUALITY-STRATIFIED SAMPLING (the CCNet knob composed end to
     // end): score every doc under the corpus LM, tercile it per language
     // (tail/middle/head), then keep head 100%, middle 50%, tail 10% by
@@ -7644,6 +7676,33 @@ object SparkEntry {
            SELECT nt.qid, CAST(coalesce(nh.n_hit, 0) AS BIGINT) AS n_hit,
                   CAST(coalesce(nh.n_hit, 0) AS DOUBLE) / nt.n_truth AS recall
            FROM nt LEFT JOIN nh ON nt.qid = nh.qid""",
+
+      // Same quantize-once-then-integer discipline as the waterfill
+      // oracle; COUNT/SUM cast to BIGINT (DuckDB SUM(int) is HUGEINT).
+      "q_neyman_sample" ->
+        s"""WITH st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sx,
+                   CAST(SUM(n_chars * n_chars) AS BIGINT) AS sx2
+            FROM documents GROUP BY source),
+           sd AS (SELECT source, n_docs,
+                         sqrt(CAST(n_docs * sx2 - sx * sx AS DOUBLE) / (n_docs * n_docs)) AS sd
+                  FROM st),
+           w AS (SELECT source, n_docs, sd,
+                        CAST(ROUND(1000000.0 * n_docs * sd) AS BIGINT) AS w
+                 FROM sd),
+           sh AS (SELECT source, n_docs, sd, w,
+                         CAST(SUM(w) OVER () AS BIGINT) AS sumw FROM w),
+           base AS (SELECT source, n_docs, sd, w, sumw,
+                           (100 * w) // sumw AS base,
+                           100 * w - ((100 * w) // sumw) * sumw AS rem
+                    FROM sh),
+           fin AS (SELECT source, n_docs, sd, w, base, rem,
+                          100 - CAST(SUM(base) OVER () AS BIGINT) AS leftover,
+                          ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+                   FROM base)
+           SELECT source, n_docs, sd, w,
+                  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+           FROM fin""",
 
       "q_retrieval_ndcg" -> {
         val wCase = ndcgW.zipWithIndex
