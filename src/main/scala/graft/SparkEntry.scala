@@ -1047,6 +1047,16 @@ object SparkEntry {
         .withColumn("positions", concat_ws(",", col("positions")))
     }),
 
+    // ----- EXCISION: the spans list executed — corpus text with the
+    // contaminated windows cut out (token-level surgery instead of
+    // dropping whole docs). clean_text is the normalized token stream
+    // (lowercased, single-spaced) on both engines. -----
+    "q_contam_excise" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.exciseContaminated(docs.filter(col("doc_id") >= 20),
+        docs.filter(col("doc_id") < 20), "doc_id", "text")
+    }),
+
     // ----- corpus bigram LM: top-20 bigrams with conditional p(w2|w1)
     "q_bigram_lm" -> ((s, dir) =>
       TextAnalysis.bigramLm(t(s, dir, "documents"), "text")
@@ -5474,6 +5484,30 @@ object SparkEntry {
                   array_to_string(list(pos ORDER BY pos), ',') AS positions,
                   COUNT(*) AS n_hits
            FROM g JOIN bg USING (gh) GROUP BY doc_id""",
+      // Kept token i survives iff no flagged 5-gram start p covers it
+      // (p <= i <= p+4, 1-based on both engines).
+      "q_contam_excise" ->
+        s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
+           sh AS (SELECT doc_id,
+                         list_transform(${duckShingles("toks", 5)}, s -> ${duckStrHash("s")}) AS ghs
+                  FROM tk),
+           g AS (SELECT doc_id, unnest(ghs) AS gh,
+                        unnest(range(1, len(ghs) + 1)) AS pos
+                 FROM sh WHERE doc_id >= 20),
+           bg AS (SELECT DISTINCT unnest(ghs) AS gh FROM sh WHERE doc_id < 20),
+           spans AS (SELECT doc_id, list(pos ORDER BY pos) AS ps
+                     FROM g JOIN bg USING (gh) GROUP BY doc_id),
+           rebuilt AS (SELECT t.doc_id, t.toks,
+                              list_filter(t.toks, (x, i) ->
+                                len(list_filter(coalesce(s.ps, []),
+                                  p -> p <= i AND i <= p + 4)) = 0) AS kept
+                       FROM tk t LEFT JOIN spans s USING (doc_id)
+                       WHERE t.doc_id >= 20)
+           SELECT doc_id,
+                  coalesce(array_to_string(kept, ' '), '') AS clean_text,
+                  CAST(len(toks) - len(kept) AS BIGINT) AS n_tokens_removed
+           FROM rebuilt""",
+
       "q_winnow_pairs" ->
         s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
            sh AS (SELECT doc_id,

@@ -190,6 +190,33 @@ object TextAnalysis {
         count(lit(1)).as("n_hits"))
   }
 
+  /** EXCISION pass over [[contaminatedSpans]]: emit the corpus with the
+    * contaminated windows CUT OUT — token i is dropped iff some flagged
+    * n-gram starting at position p covers it (p <= i <= p+n-1), the
+    * surgical alternative to dropping whole documents (count-only
+    * decontamination throws away everything around a one-line leak).
+    * Docs with no flagged spans pass through verbatim; the rebuild is a
+    * narrow HOF chain (index-filter + concat), so the only exchanges
+    * are the span detection's own. Returns (id, clean_text,
+    * n_tokens_removed). */
+  def exciseContaminated(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 5): DataFrame = {
+    val spans = contaminatedSpans(docs, bench, idCol, textCol, n)
+      .select(col(idCol), col("positions"))
+    docs.select(col(idCol), col(textCol))
+      .join(spans, Seq(idCol), "left")
+      .withColumn("ps", coalesce(col("positions"), expr("array()")))
+      .withColumn("toks",
+        graft.functions.GraftFunctions.tokens(col(textCol)))
+      .withColumn("kept", expr(
+        s"filter(transform(toks, (t, i) -> struct(t AS t, i + 1 AS ix)), " +
+          s"x -> NOT exists(ps, p -> p <= x.ix AND x.ix <= p + ${n - 1}))"))
+      .select(col(idCol),
+        expr("concat_ws(' ', transform(kept, x -> x.t))").as("clean_text"),
+        expr("CAST(size(toks) - size(kept) AS BIGINT)")
+          .as("n_tokens_removed"))
+  }
+
   /** Corpus BIGRAM LANGUAGE-MODEL table: conditional probability of each
     * bigram given its first word, `p = cnt(w1 w2) / cnt(w1 *)`. Counts
     * are DOCUMENT frequencies — the shingle generator emits each

@@ -257,6 +257,40 @@ object VersionedTable {
     v
   }
 
+  /** Snapshot DIFF between two committed versions, classified per key:
+    * insert / delete / update / unchanged — the CDC feed a downstream
+    * consumer derives WITHOUT the table ever emitting change events
+    * (this is how lakehouse tables serve incremental consumers). Only
+    * `keyCols ++ compareCols` are read (column-pruned at both scans);
+    * comparison is null-safe. One full-outer join on the key — with
+    * snapshots bucketed at rest it is exchange-free, and an
+    * append-mostly history means the overlap is shared files serving
+    * both sides from cache. */
+  def diff(spark: SparkSession, path: String, vOld: Int, vNew: Int,
+      keyCols: Seq[String], compareCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce => fnCoalesce, col, lit, when}
+    val cols = keyCols ++ compareCols
+    val o = read(spark, path, Some(vOld))
+      .select(cols.map(c => col(c).as(s"__o_$c")): _*)
+    val n = read(spark, path, Some(vNew))
+      .select(cols.map(c => col(c).as(s"__n_$c")): _*)
+    val on = keyCols.map(k => col(s"__o_$k") <=> col(s"__n_$k"))
+      .reduce(_ && _)
+    val changed = compareCols
+      .map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val oKeyNull = keyCols.map(k => col(s"__o_$k").isNull).reduce(_ && _)
+    val nKeyNull = keyCols.map(k => col(s"__n_$k").isNull).reduce(_ && _)
+    o.join(n, on, "full_outer")
+      .select(
+        keyCols.map(k =>
+          fnCoalesce(col(s"__o_$k"), col(s"__n_$k")).as(k)) ++
+        Seq(when(oKeyNull, "insert")
+          .when(nKeyNull, "delete")
+          .when(changed, "update")
+          .otherwise("unchanged").as("change_type")): _*)
+  }
+
   /** Targeted DELETE (the right-to-be-forgotten path): commit a new
     * version without the rows matching `predicate`, rewriting ONLY the
     * data files that actually contain matches — every untouched file is

@@ -190,6 +190,28 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, path, Some(v4)).count() == n - nDel)
   }
 
+  test("diff between versions classifies insert/delete/update/unchanged") {
+    val path = freshPath()
+    val nat = Tables(spark, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val v1 = VersionedTable.commit(nat.filter(col("n_nationkey") < 20), path)
+    // v2: drop key 0 (delete), add keys >= 20 (inserts), change key 1's
+    // region (update), keep the rest byte-identical (unchanged)
+    val v2 = VersionedTable.commit(
+      nat.filter(col("n_nationkey") =!= 0)
+        .withColumn("n_regionkey",
+          when(col("n_nationkey") === 1, lit(99L)).otherwise(col("n_regionkey"))),
+      path)
+    val d = VersionedTable.diff(spark, path, v1, v2,
+      Seq("n_nationkey"), Seq("n_name", "n_regionkey"))
+      .collect().map(r => r.get(0).toString.toLong -> r.getString(1)).toMap
+    assert(d(0L) == "delete")
+    assert(d(1L) == "update")
+    assert((20L until nat.count()).forall(k => d(k) == "insert"))
+    assert((2L until 20L).forall(k => d(k) == "unchanged"))
+    assert(d.size == nat.count())
+  }
+
   private def dataFiles(path: String): Set[String] = {
     val root = new java.io.File(path, "data")
     if (!root.exists()) Set.empty
