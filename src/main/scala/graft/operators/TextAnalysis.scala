@@ -201,9 +201,13 @@ object TextAnalysis {
     * n_tokens_removed). */
   def exciseContaminated(docs: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int = 5): DataFrame = {
-    val spans = contaminatedSpans(docs, bench, idCol, textCol, n)
+    // persist: the corpus projection feeds BOTH the span detection and
+    // the rebuild join — one corpus scan, not two
+    val slim = graft.operators.Dedup.persistTracked(
+      docs.select(col(idCol), col(textCol)))
+    val spans = contaminatedSpans(slim, bench, idCol, textCol, n)
       .select(col(idCol), col("positions"))
-    docs.select(col(idCol), col(textCol))
+    slim
       .join(spans, Seq(idCol), "left")
       .withColumn("ps", coalesce(col("positions"), expr("array()")))
       .withColumn("toks",
