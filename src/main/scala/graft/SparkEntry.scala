@@ -2071,6 +2071,17 @@ object SparkEntry {
         .withColumnRenamed("doc_a", "doc_id")
     }),
 
+    // ----- same clusters via ALTERNATING STAR CONTRACTION: O(log n)
+    // rounds regardless of component diameter (label prop tracks the
+    // diameter). The oracle is TRUE connected components (recursive
+    // closure), which star contraction reaches by construction -----
+    "q_dedup_clusters_star" -> ((s, dir) => {
+      val pairs = Dedup.minhashCandidates(
+        t(s, dir, "documents"), "doc_id", "text").select("doc_a", "doc_b")
+      Dedup.clustersStar(pairs, "doc_a", "doc_b")
+        .withColumnRenamed("doc_a", "doc_id")
+    }),
+
     // ----- EWMA (exponential smoothing) over the trailing 10 events per
     // user: weights are powers of 1/2 — EXACT in binary, so the fixed
     // left-to-right fold is bit-identical across engines (an arbitrary
@@ -5974,6 +5985,24 @@ object SparkEntry {
            $rounds
            SELECT id AS doc_id, label AS cluster FROM l3"""
       },
+      // TRUE connected components via recursive reachability closure
+      // (min reachable node per node) — star contraction's exact target,
+      // independent of any round count.
+      "q_dedup_clusters_star" ->
+        s"""WITH RECURSIVE ${minhashCtes.stripPrefix("WITH ")},
+           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM buckets a JOIN buckets b
+                      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+           edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                     UNION ALL SELECT doc_b AS src, doc_a AS dst FROM cand),
+           nodes AS (SELECT DISTINCT src AS id FROM edges),
+           reach AS (
+             SELECT id, id AS r FROM nodes
+             UNION
+             SELECT e.src AS id, reach.r FROM edges e
+             JOIN reach ON e.dst = reach.id)
+           SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id""",
+
       "q_ewma" ->
         """SELECT event_id, user_id, value,
                   list_reduce(list_prepend(0::DOUBLE, list_transform(range(0, len(vs)), i ->

@@ -575,6 +575,68 @@ object Dedup {
     labels.select(col("id").as(aCol), col("label").as("cluster"))
   }
 
+  /** Connected components by ALTERNATING STAR CONTRACTION (the
+    * large-star/small-star algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round hangs
+    * every node's larger neighbors off its minimum (large-star), then
+    * folds the remaining small edges onto the minimum (small-star).
+    * Converges in O(log n) rounds REGARDLESS of component diameter —
+    * the scalable complement to [[clustersConverged]], whose min-label
+    * rounds track the diameter (a 10M-doc chained candidate graph needs
+    * 10M label rounds but ~25 star rounds). Per round: two node-keyed
+    * aggregations + joins over the EDGE list (never adjacency
+    * matrices), lineage cut per round, and a set-equality convergence
+    * check on the star edges (two node-sized anti-join counts).
+    *
+    * Same contract as [[clusters]]: returns (aCol, cluster) with
+    * cluster = the component's minimum id, for every node appearing in
+    * `pairs`. Spec-proven equal to [[clustersConverged]] on a
+    * chain-shaped graph deep enough that fixed-round label prop is
+    * provably wrong and star contraction converges in ≤ half the
+    * rounds. */
+  def clustersStar(pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 12): DataFrame = {
+    def sym(e: DataFrame): DataFrame = e
+      .select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val base = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    var edges = sym(base).transform(checkpointTracked)
+    val nodes = persistTracked(edges.select(col("u").as("id")).distinct())
+    var round = 0
+    var stable = false
+    while (round < maxRounds && !stable) {
+      // LARGE-STAR: every neighbor strictly above u re-attaches to
+      // min(N(u) ∪ {u})
+      val m1 = edges.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym(edges.join(m1, "u").filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v")))
+        .transform(checkpointTracked)
+      // SMALL-STAR: the remaining (small) neighbors and u itself fold
+      // onto the minimum
+      val m2 = large.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val small = sym(
+        large.join(m2, "u").filter(col("v") <= col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionAll(m2.select(col("u"), col("m").as("v"))))
+        .transform(checkpointTracked)
+      stable = small.exceptAll(edges).isEmpty &&
+        edges.exceptAll(small).isEmpty
+      edges = small
+      round += 1
+    }
+    nodes
+      .join(edges.groupBy(col("u")).agg(min(col("v")).as("m")),
+        col("id") === col("u"), "left")
+      .select(col("id").as(aCol),
+        least(col("id"), coalesce(col("m"), col("id"))).as("cluster"))
+  }
+
   /** Duplicated-SPAN detection (the practical approximation of exact-
     * substring dedup, Lee et al. 2021 "Deduplicating Training Data Makes
     * Language Models Better"): a doc's w-token windows that also occur in

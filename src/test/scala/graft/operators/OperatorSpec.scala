@@ -50,6 +50,35 @@ class OperatorSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("star-contraction CC: exact on a deep chain where fixed-round label prop fails") {
+    import spark.implicits._
+    // 12-node chain 0-1-2-...-11 (diameter 11) plus an isolated pair:
+    // fixed 3-round label prop provably cannot close the chain; star
+    // contraction must — and in far fewer than diameter rounds
+    val chain = (0L until 11L).map(i => (i, i + 1)) ++ Seq((100L, 101L))
+    val pairs = chain.toDF("doc_a", "doc_b")
+    def labelMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = labelMap(Dedup.clustersStar(pairs, "doc_a", "doc_b"))
+    val truth = labelMap(Dedup.clustersConverged(pairs, "doc_a", "doc_b"))
+    assert(star == truth)
+    assert((0L to 11L).forall(star(_) == 0L) && star(100L) == 100L &&
+      star(101L) == 100L)
+    // log-round convergence: 4 alternating rounds suffice where label
+    // prop needs 11 — the property that matters on a 10M-doc chain
+    val starCapped = labelMap(
+      Dedup.clustersStar(pairs, "doc_a", "doc_b", maxRounds = 4))
+    assert(starCapped == truth)
+    val prop3 = labelMap(Dedup.clusters(pairs, "doc_a", "doc_b"))
+    assert(prop3 != truth, "3-round label prop must NOT close a diameter-11 chain")
+    // corpus-scale agreement: same clusters as the converged path on
+    // the real LSH candidate graph
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .select("doc_a", "doc_b")
+    assert(labelMap(Dedup.clustersStar(cand, "doc_a", "doc_b")) ==
+      labelMap(Dedup.clustersConverged(cand, "doc_a", "doc_b")))
+  }
+
   test("char-ngram minhash pairs no-whitespace near-dups the word path cannot see") {
     import spark.implicits._
     // CJK-style fixture: no spaces anywhere. 1 and 2 differ by one char;
