@@ -3451,6 +3451,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
     }),
 
+    // ----- ANTI-ENTROPY SYNC PLAN: q_table_checksum executed against a
+    // drifted replica — per-shard digests of the base and a replica
+    // missing some rows, joined to the list of shards needing re-sync
+    // (with row-count deltas). The repair job ships only those shards:
+    // digest compare is metadata-sized however big the table. -----
+    "q_sync_plan" -> ((s, dir) => {
+      // persist: the hashed projection feeds the base digest AND the
+      // replica digest (a filtered view of the same rows)
+      val rows = Dedup.persistTracked(t(s, dir, "orders")
+        .selectExpr("o_orderkey",
+          "o_orderkey % 16 AS shard",
+          "concat_ws('|', CAST(o_orderkey AS STRING), o_orderstatus, " +
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING)) AS row_str")
+        .select(col("o_orderkey"), col("shard"),
+          GraftFunctions.polyHash(col("row_str")).as("h")))
+      def digest(df: DataFrame) = df.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), sum(col("h")).as("cs"))
+      val base = digest(rows)
+      // the replica lost every 97th row (simulated partial CDC apply)
+      val replica = digest(rows.filter(col("o_orderkey") % 97 =!= 0))
+        .withColumnRenamed("n", "n_r").withColumnRenamed("cs", "cs_r")
+      base.join(replica, Seq("shard"), "full_outer")
+        .filter(!(col("cs") <=> col("cs_r")) || !(col("n") <=> col("n_r")))
+        .select(col("shard"), col("n").as("n_base"),
+          coalesce(col("n_r"), lit(0L)).as("n_replica"),
+          (col("n") - coalesce(col("n_r"), lit(0L))).as("rows_to_ship"))
+    }),
+
     // ----- INCREMENTAL VIEW MAINTENANCE: per-priority order counts
     // maintained from the OLD snapshot plus the CDC delta (inserts add,
     // deletes subtract; updates don't move counts between groups here
@@ -7245,6 +7273,22 @@ object SparkEntry {
            SELECT shard, COUNT(*) AS n_rows,
                   CAST(SUM(${duckStrHash("row_str")}) AS BIGINT) AS checksum
            FROM r GROUP BY shard""",
+      "q_sync_plan" ->
+        s"""WITH rh AS (SELECT o_orderkey, o_orderkey % 16 AS shard,
+                  ${duckStrHash("""concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR))""")} AS h
+                 FROM orders),
+           b AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(h) AS BIGINT) AS cs
+                 FROM rh GROUP BY shard),
+           rep AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_r,
+                          CAST(SUM(h) AS BIGINT) AS cs_r
+                   FROM rh WHERE o_orderkey % 97 <> 0 GROUP BY shard)
+           SELECT coalesce(b.shard, rep.shard) AS shard,
+                  n AS n_base, coalesce(n_r, 0) AS n_replica,
+                  n - coalesce(n_r, 0) AS rows_to_ship
+           FROM b FULL OUTER JOIN rep ON b.shard = rep.shard
+           WHERE cs IS DISTINCT FROM cs_r OR n IS DISTINCT FROM n_r""",
+
       "q_ivm_counts" ->
         """WITH cur AS (SELECT o_orderkey, o_orderpriority FROM orders),
            old AS (SELECT * FROM cur WHERE o_orderkey % 97 <> 0),

@@ -605,4 +605,73 @@ object StatefulOps {
       .transformWithState(new BloomDedupProcessor(mBits, k),
         TimeMode.None(), OutputMode.Append())
   }
+
+  case class TypedEv(key: String, etype: String, ts_us: Long)
+  case class TypedEvE(key: String, etype: String, ts_us: Long, ets: Timestamp)
+  case class FunnelState(stage: Int, firstUs: Long, lastUs: Long)
+  case class FunnelOut(key: String, stage_reached: Long, completed: Boolean,
+      duration_us: Long)
+
+  /** STREAMING FUNNEL with per-stage deadlines — the streaming twin of
+    * the batch `q_funnel_windowed` shape: each user's state tracks the
+    * furthest stage reached and when; an event advances the funnel iff
+    * it is the NEXT stage and lands within `deadlineUs` of the previous
+    * advance. Emits one row per outcome: completion (all stages, with
+    * end-to-end duration) or failure (deadline blown — detected either
+    * by a later in-key event or by the event-time timer when the user
+    * goes silent; a failed user may start a fresh funnel). Within a
+    * batch, rows sort by event time; cross-batch disorder is bounded by
+    * the watermark, the same contract as every windowed aggregation.
+    * State per key is three longs — eviction by event-time timer keeps
+    * the store bounded on an unbounded stream. */
+  def streamingFunnel(ds: Dataset[TypedEv], stages: Seq[String],
+      deadlineUs: Long, watermark: String = "10 minutes")
+      : Dataset[FunnelOut] = {
+    require(stages.size >= 2, "a funnel needs at least two stages")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val n = stages.size
+    ds.withColumn("ets", timestamp_micros(col("ts_us")))
+      .withWatermark("ets", watermark).as[TypedEvE]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[TypedEvE], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(FunnelOut(key, st.stage.toLong, completed = false,
+              st.lastUs - st.firstUs))
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
+            var st = state.getOption.getOrElse(FunnelState(0, 0L, 0L))
+            rows.toSeq.sortBy(e => (e.ts_us, e.etype)).foreach { e =>
+              // blown deadline observed via a later event: fail + reset
+              if (st.stage > 0 && st.stage < n &&
+                e.ts_us - st.lastUs > deadlineUs) {
+                out += FunnelOut(key, st.stage.toLong, completed = false,
+                  st.lastUs - st.firstUs)
+                st = FunnelState(0, 0L, 0L)
+              }
+              if (st.stage == 0) {
+                if (e.etype == stages.head) st = FunnelState(1, e.ts_us, e.ts_us)
+              } else if (st.stage < n && e.etype == stages(st.stage)) {
+                st = FunnelState(st.stage + 1, st.firstUs, e.ts_us)
+                if (st.stage == n) {
+                  out += FunnelOut(key, n.toLong, completed = true,
+                    e.ts_us - st.firstUs)
+                  st = FunnelState(0, 0L, 0L)
+                }
+              }
+            }
+            if (st.stage > 0) {
+              state.update(st)
+              // silent-user eviction: deadline past the watermark
+              state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + deadlineUs / 1000 + 1)
+            } else state.remove()
+            out.iterator
+          }
+      }
+  }
 }

@@ -574,4 +574,42 @@ class StatefulOpsSpec extends SparkSpec {
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("streaming funnel: completion, in-key deadline fail, timer eviction fail") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StatefulOps.{TypedEv, FunnelOut}
+    val stages = Seq("view", "cart", "buy")
+    val M = 60L * 1000000 // one minute in us
+    val mem = MemoryStream[TypedEv]
+    val q = StatefulOps.streamingFunnel(mem.toDS(), stages,
+      deadlineUs = 10 * M, watermark = "1 minute").writeStream
+      .format("memory").queryName("funnel")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        // u1 completes within deadlines (out of order in the batch)
+        TypedEv("u1", "buy", 8 * M), TypedEv("u1", "view", 1 * M),
+        TypedEv("u1", "cart", 4 * M),
+        // u2 reaches cart, then its next event blows the 10-min deadline
+        TypedEv("u2", "view", 1 * M), TypedEv("u2", "cart", 3 * M),
+        // u3 skips cart: stuck at stage 1 forever
+        TypedEv("u3", "view", 2 * M), TypedEv("u3", "buy", 5 * M))
+      q.processAllAvailable()
+      // u2's late event: observed in-key, fails the funnel
+      mem.addData(TypedEv("u2", "buy", 30 * M))
+      q.processAllAvailable()
+      // watermark push far ahead: u3's timer fires and evicts as failed
+      mem.addData(TypedEv("wm", "view", 300 * M))
+      q.processAllAvailable()
+      mem.addData(TypedEv("wm2", "view", 600 * M))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("funnel").as[FunnelOut].collect()
+      .groupBy(_.key).view.mapValues(_.toSeq).toMap
+    assert(out("u1") == Seq(FunnelOut("u1", 3, true, 7 * M)))
+    assert(out("u2").head.completed == false && out("u2").head.stage_reached == 2)
+    assert(out.contains("u3") && out("u3").head.stage_reached == 1 &&
+      !out("u3").head.completed)
+  }
 }
