@@ -3164,6 +3164,156 @@ object SparkEntry {
     // are never summed across terms). The df/avgdl corpus state is two
     // token aggregations; the per-term candidate row set is pruned by
     // the term filter before any join -----
+    // ----- bottom-k uniform-sample QUANTILE SKETCH (KMV family): per
+    // event type, p50/p90 estimated from the 256 rows with the smallest
+    // event-id hashes — a deterministic, MERGEABLE, bounded-state
+    // sample (≤ 2k longs per (group, partition) ride the shuffle) where
+    // exact `percentile` would per-group sort all 100 TB. Hash ties
+    // keep the smaller value, so the sample — and the estimates — are a
+    // pure function of the input SET (no RNG, no order dependence): the
+    // oracle replays them bit-for-bit. The exact percentiles ride along
+    // as the calibration readout (this query IS the "is k=256 enough"
+    // sizing check; production runs at scale drop the exact columns) -----
+    "q_sample_quantiles" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          graft.functions.GraftFunctions
+            .polyHash(col("event_id").cast("string")).as("h0"),
+          expr("CAST(floor(value * 10000D) AS BIGINT)").as("q"))
+        .select(col("event_type"), col("value"), col("q"),
+          expr("(h0 * 2654435761L) % 1000000007L").as("h"))
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          graft.functions.SigAgg.bottomKSample(256)(col("h"), col("q"))
+            .as("samp"),
+          expr("percentile(value, 0.5D)").as("exact_p50"),
+          expr("percentile(value, 0.9D)").as("exact_p90"))
+        .select(col("event_type"), col("n_rows"),
+          size(col("samp")).cast("long").as("n_sample"),
+          expr("CAST(element_at(samp, CAST(floor((size(samp) - 1) * 0.5D)" +
+            " AS INT) + 1) AS DOUBLE) / 10000.0D").as("est_p50"),
+          expr("CAST(element_at(samp, CAST(floor((size(samp) - 1) * 0.9D)" +
+            " AS INT) + 1) AS DOUBLE) / 10000.0D").as("est_p90"),
+          col("exact_p50"), col("exact_p90"))
+    }),
+
+    // ----- association RULES over the basket pairs (the directional
+    // complement of q_basket_lift): confidence = P(consequent | ante),
+    // support = P(pair) — exact single divisions over integer counts.
+    // Same one-shuffle basket shape as q_basket_lift: each order's
+    // sorted distinct brand set explodes ONCE into unordered pairs plus
+    // per-brand sentinels, one groupBy serves pair AND antecedent
+    // counts; rules fan both directions from the b1<b2 pair table
+    // (vocab²-sized, persisted for its two readers) -----
+    "q_assoc_rules" -> ((s, dir) => {
+      val sets = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_orderkey").as("okey"))
+        .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+      val counts = graft.operators.Dedup.persistTracked(sets
+        .select(explode(expr(
+          "flatten(transform(bs, (x, i) -> concat(" +
+            "array(struct(x AS b1, '' AS b2)), " +
+            "transform(slice(bs, i + 2, size(bs)), " +
+            "y -> struct(x AS b1, y AS b2)))))")).as("p"))
+        .select(col("p.b1"), col("p.b2"))
+        .groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("n_ab")))
+      val rules = counts.filter(col("b2") =!= "")
+        .select(explode(array(
+          struct(col("b1").as("antecedent"), col("b2").as("consequent"),
+            col("n_ab")),
+          struct(col("b2").as("antecedent"), col("b1").as("consequent"),
+            col("n_ab")))).as("r"))
+        .select(col("r.antecedent").as("antecedent"),
+          col("r.consequent").as("consequent"), col("r.n_ab").as("n_ab"))
+      val bc = counts.filter(col("b2") === "")
+        .select(col("b1").as("antecedent"), col("n_ab").as("n_a"))
+      val no = t(s, dir, "orders").agg(count(lit(1)).as("n_orders"))
+      rules.join(broadcast(bc), "antecedent")
+        .crossJoin(broadcast(no))
+        .filter(col("n_ab") >= 40)
+        .select(col("antecedent"), col("consequent"), col("n_ab"),
+          expr("CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE)")
+            .as("confidence"),
+          expr("CAST(n_ab AS DOUBLE) / CAST(n_orders AS DOUBLE)")
+            .as("support"))
+    }),
+
+    // ----- t-CLOSENESS audit — the distributional member of the
+    // k-anonymity / l-diversity family: a quasi-identifier group leaks
+    // even when large and diverse if its SENSITIVE-attribute
+    // distribution differs sharply from the global one. t = total-
+    // variation distance between the group's balance-band distribution
+    // and the global distribution, as the exact integer
+    // Σ|n_gv·n − n_v·n_g| over the (groups × bands) grid (absent cells
+    // included — they contribute n_v·n_g), halved by the one final
+    // division. Every frame past the first aggregate is grid-sized:
+    // broadcast joins, no second corpus scan -----
+    "q_t_closeness" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          expr("CAST(floor(c_acctbal / 4000.0D) AS BIGINT)").as("band"))
+      // persist: the cell-count table feeds the group, band, AND total
+      // rollups (multi-consumer recompute trap)
+      val gv = graft.operators.Dedup.persistTracked(
+        cust.groupBy(col("c_nationkey"), col("c_mktsegment"), col("band"))
+          .agg(count(lit(1)).as("n_gv")))
+      val g = gv.groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(sum(col("n_gv")).as("n_g"))
+      val v = gv.groupBy(col("band")).agg(sum(col("n_gv")).as("n_v"))
+      val n = v.agg(sum(col("n_v")).as("n_total"))
+      g.crossJoin(broadcast(v)).crossJoin(broadcast(n))
+        .join(gv, Seq("c_nationkey", "c_mktsegment", "band"), "left")
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n_g"),
+          col("n_total"),
+          expr("abs(coalesce(n_gv, 0L) * n_total - n_v * n_g)").as("d"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(max(col("n_g")).as("n_g"), sum(col("d")).as("tv_num"),
+          max(col("n_total")).as("nt"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n_g"),
+          col("tv_num"),
+          expr("CAST(tv_num AS DOUBLE) / CAST(2 * n_g * nt AS DOUBLE)")
+            .as("t_closeness"),
+          expr("CAST(tv_num AS DOUBLE) / CAST(2 * n_g * nt AS DOUBLE)" +
+            " > 0.3D").as("at_risk"))
+    }),
+
+    // ----- Gini-Simpson token DIVERSITY per source: 1 − Σnᵢ(nᵢ−1) /
+    // (N(N−1)) — the probability two random tokens differ. The log-free
+    // diversity metric (Shannon entropy needs an engine-specific log):
+    // exact BIGINT collision counts, ONE final division. Two narrow
+    // aggregations; the token text never leaves the first -----
+    "q_simpson_diversity" -> ((s, dir) => {
+      val tk = TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+        .select(col("source"), explode(col("toks")).as("word"))
+      tk.groupBy(col("source"), col("word")).agg(count(lit(1)).as("ni"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_types"), sum(col("ni")).as("n_tokens"),
+          sum(col("ni") * (col("ni") - 1)).as("coll"))
+        .select(col("source"), col("n_types"), col("n_tokens"), col("coll"),
+          expr("1.0D - CAST(coll AS DOUBLE) / " +
+            "nullif(CAST(n_tokens * (n_tokens - 1) AS DOUBLE), 0.0D)")
+            .as("simpson"))
+    }),
+
+    // ----- k-CORE of the near-dup candidate graph: nodes surviving 3
+    // peel rounds of degree ≥ 2 — the "dense duplication community"
+    // detector (a doc in the 2-core shares content with ≥2 docs that
+    // each share with ≥2 others; boilerplate families, not chance
+    // pairs). Bounded rounds, integer counting, per-round lineage cuts
+    // — see Graph.kcore -----
+    "q_kcore" -> ((s, dir) => {
+      val cand = Dedup.minhashCandidates(
+        t(s, dir, "documents"), "doc_id", "text").select("doc_a", "doc_b")
+      val edges = cand.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      Graph.kcore(edges, "src", "dst", k = 2, rounds = 3)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     "q_bm25" -> ((s, dir) => {
       // ONE tokenize pass: per-doc length + query-term occurrences kept
       // as a tiny filtered array (≤3 distinct terms), persisted — tf,
@@ -7102,6 +7252,110 @@ object SparkEntry {
                   CAST(2 * wx - (n_docs + 1) * sx AS DOUBLE)
                     / CAST(n_docs * sx AS DOUBLE) AS gini
            FROM g""",
+      "q_sample_quantiles" ->
+        // same fixed hash family; duplicate hashes collapse to the MIN
+        // value (the aggregator's tie rule), then the 256 smallest
+        // hashes' values sorted ascending are the sample
+        s"""WITH h AS (SELECT event_type, value,
+                  (${duckStrHash("CAST(event_id AS VARCHAR)")}
+                    * 2654435761) % 1000000007 AS h,
+                  CAST(floor(value * 10000) AS BIGINT) AS q
+                 FROM events),
+           d AS (SELECT event_type, h, MIN(q) AS q
+                 FROM h GROUP BY event_type, h),
+           r AS (SELECT event_type, q,
+                        ROW_NUMBER() OVER (PARTITION BY event_type
+                          ORDER BY h) AS rn FROM d),
+           samp AS (SELECT event_type, list_sort(list(q)) AS vs
+                    FROM r WHERE rn <= 256 GROUP BY event_type),
+           ex AS (SELECT event_type, COUNT(*) AS n_rows,
+                    percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS exact_p50,
+                    percentile_cont(0.9) WITHIN GROUP (ORDER BY value) AS exact_p90
+                  FROM events GROUP BY event_type)
+           SELECT event_type, n_rows, CAST(len(vs) AS BIGINT) AS n_sample,
+                  CAST(vs[CAST(floor((len(vs) - 1) * 0.5) AS BIGINT) + 1]
+                    AS DOUBLE) / 10000.0 AS est_p50,
+                  CAST(vs[CAST(floor((len(vs) - 1) * 0.9) AS BIGINT) + 1]
+                    AS DOUBLE) / 10000.0 AS est_p90,
+                  exact_p50, exact_p90
+           FROM ex JOIN samp USING (event_type)""",
+      "q_assoc_rules" ->
+        s"""WITH ob AS (SELECT DISTINCT l_orderkey AS okey, p_brand
+                 FROM lineitem JOIN part ON l_partkey = p_partkey),
+           pc AS (SELECT a.p_brand AS antecedent, b.p_brand AS consequent,
+                         COUNT(*) AS n_ab
+                  FROM ob a JOIN ob b
+                    ON a.okey = b.okey AND a.p_brand <> b.p_brand
+                  GROUP BY 1, 2),
+           bc AS (SELECT p_brand AS antecedent, COUNT(*) AS n_a
+                  FROM ob GROUP BY 1),
+           no AS (SELECT COUNT(*) AS n_orders FROM orders)
+           SELECT antecedent, consequent, n_ab,
+                  CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE) AS confidence,
+                  CAST(n_ab AS DOUBLE) / CAST(n_orders AS DOUBLE) AS support
+           FROM pc JOIN bc USING (antecedent) CROSS JOIN no
+           WHERE n_ab >= 40""",
+      "q_t_closeness" ->
+        s"""WITH c AS (SELECT c_nationkey, c_mktsegment,
+                  CAST(floor(c_acctbal / 4000.0) AS BIGINT) AS band
+                 FROM customer),
+           gv AS (SELECT c_nationkey, c_mktsegment, band, COUNT(*) AS n_gv
+                  FROM c GROUP BY 1, 2, 3),
+           g AS (SELECT c_nationkey, c_mktsegment,
+                        CAST(SUM(n_gv) AS BIGINT) AS n_g
+                 FROM gv GROUP BY 1, 2),
+           v AS (SELECT band, CAST(SUM(n_gv) AS BIGINT) AS n_v
+                 FROM gv GROUP BY 1),
+           n AS (SELECT CAST(SUM(n_v) AS BIGINT) AS n_total FROM v),
+           j AS (SELECT g.c_nationkey, g.c_mktsegment, g.n_g, n.n_total,
+                        ABS(COALESCE(gv.n_gv, 0) * n.n_total
+                          - v.n_v * g.n_g) AS d
+                 FROM g CROSS JOIN v CROSS JOIN n
+                 LEFT JOIN gv ON gv.c_nationkey = g.c_nationkey
+                   AND gv.c_mktsegment = g.c_mktsegment
+                   AND gv.band = v.band)
+           SELECT c_nationkey, c_mktsegment, MIN(n_g) AS n_g,
+                  CAST(SUM(d) AS BIGINT) AS tv_num,
+                  CAST(SUM(d) AS DOUBLE)
+                    / CAST(2 * MIN(n_g) * MIN(n_total) AS DOUBLE)
+                    AS t_closeness,
+                  CAST(SUM(d) AS DOUBLE)
+                    / CAST(2 * MIN(n_g) * MIN(n_total) AS DOUBLE) > 0.3
+                    AS at_risk
+           FROM j GROUP BY 1, 2""",
+      "q_simpson_diversity" ->
+        s"""WITH w AS (SELECT source, unnest(${duckTokens("text")}) AS word
+                 FROM documents),
+           c AS (SELECT source, word, COUNT(*) AS ni FROM w GROUP BY 1, 2),
+           g AS (SELECT source, COUNT(*) AS n_types,
+                        CAST(SUM(ni) AS BIGINT) AS n_tokens,
+                        CAST(SUM(ni * (ni - 1)) AS BIGINT) AS coll
+                 FROM c GROUP BY 1)
+           SELECT source, n_types, n_tokens, coll,
+                  1.0 - CAST(coll AS DOUBLE)
+                    / nullif(CAST(n_tokens * (n_tokens - 1) AS DOUBLE), 0.0)
+                    AS simpson
+           FROM g""",
+      "q_kcore" ->
+        // 3 unrolled peel rounds — pure integer counting, bit-identical
+        // to Graph.kcore's bounded peel
+        s"""$minhashCtes,
+           cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+                    FROM buckets a JOIN buckets b
+                      ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.doc_id < b.doc_id),
+           e0 AS (SELECT a AS src, b AS dst FROM cand
+                  UNION ALL SELECT b, a FROM cand),
+           k1 AS (SELECT src FROM e0 GROUP BY src HAVING COUNT(*) >= 2),
+           e1 AS (SELECT e.src, e.dst FROM e0 e
+                  JOIN k1 s ON e.src = s.src JOIN k1 d ON e.dst = d.src),
+           k2 AS (SELECT src FROM e1 GROUP BY src HAVING COUNT(*) >= 2),
+           e2 AS (SELECT e.src, e.dst FROM e1 e
+                  JOIN k2 s ON e.src = s.src JOIN k2 d ON e.dst = d.src),
+           k3 AS (SELECT src FROM e2 GROUP BY src HAVING COUNT(*) >= 2),
+           e3 AS (SELECT e.src, e.dst FROM e2 e
+                  JOIN k3 s ON e.src = s.src JOIN k3 d ON e.dst = d.src)
+           SELECT src AS doc_id, COUNT(*) AS deg FROM e3 GROUP BY src""",
       "q_bm25" ->
         s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
            w AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,

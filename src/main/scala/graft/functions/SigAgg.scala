@@ -212,6 +212,93 @@ object SigAgg {
     override def outputEncoder = ExpressionEncoder[Seq[Long]]()
   }
 
+  /** Bottom-k UNIFORM ROW SAMPLE keyed by a fixed hash — the quantile
+    * sketch of the KMV family. State: the (hash, value) pairs with the
+    * k smallest DISTINCT hashes, interleaved `[h0,v0,h1,v1,…]` sorted
+    * by hash; equal hashes keep the SMALLER value, so the state is a
+    * pure function of the input SET (order- and partitioning-
+    * independent — no RNG, no insertion-order dependence — which is
+    * what lets the DuckDB oracle reproduce the sample, and therefore
+    * the quantile estimates, bit-for-bit). With hashes of a unique row
+    * key uniform on [0, P), the surviving rows are a uniform random
+    * k-subset, so the sample's order statistics estimate the group's
+    * quantiles with the classic bounded-sample guarantees.
+    *
+    * reduce/merge are associative + commutative (sorted-merge keep-k,
+    * min-value on hash ties), so partial aggregation applies: the
+    * shuffle carries ≤ 2k longs per (group, partition) however many
+    * rows feed it — exact `percentile` over 100 TB needs a per-group
+    * sort of everything; this needs one bounded array. finish returns
+    * the sampled values sorted ASCENDING (hashes dropped): index
+    * `floor((n-1)·p)` (0-based) is the p-quantile estimate. */
+  private final class BottomKSample(k: Int)
+      extends Aggregator[(Long, Long), Array[Long], Seq[Long]] {
+    override def zero: Array[Long] = Array.empty
+    override def reduce(b: Array[Long], a: (Long, Long)): Array[Long] = {
+      val (h, v) = a
+      val n = b.length / 2
+      // binary search over the hash slots (even indices)
+      var lo = 0; var hi = n
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (b(2 * mid) < h) lo = mid + 1 else hi = mid
+      }
+      if (lo < n && b(2 * lo) == h) { // hash tie: keep the smaller value
+        if (v < b(2 * lo + 1)) b(2 * lo + 1) = v
+        b
+      } else if (n < k) {
+        val r = new Array[Long](2 * n + 2)
+        System.arraycopy(b, 0, r, 0, 2 * lo)
+        r(2 * lo) = h; r(2 * lo + 1) = v
+        System.arraycopy(b, 2 * lo, r, 2 * lo + 2, 2 * n - 2 * lo)
+        r
+      } else if (lo >= k) b // above the current k-th minimum hash
+      else {
+        val r = new Array[Long](2 * k)
+        System.arraycopy(b, 0, r, 0, 2 * lo)
+        r(2 * lo) = h; r(2 * lo + 1) = v
+        System.arraycopy(b, 2 * lo, r, 2 * lo + 2, 2 * k - 2 * lo - 2)
+        r
+      }
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else { // sorted-merge on hash, min value on ties, keep k pairs
+        val na = a.length / 2; val nb = b.length / 2
+        val r = new Array[Long](2 * math.min(k, na + nb))
+        var i = 0; var j = 0; var n = 0
+        while (n < k && (i < na || j < nb)) {
+          if (j >= nb || (i < na && a(2 * i) < b(2 * j))) {
+            r(2 * n) = a(2 * i); r(2 * n + 1) = a(2 * i + 1); i += 1
+          } else if (i >= na || b(2 * j) < a(2 * i)) {
+            r(2 * n) = b(2 * j); r(2 * n + 1) = b(2 * j + 1); j += 1
+          } else { // equal hashes
+            r(2 * n) = a(2 * i)
+            r(2 * n + 1) = math.min(a(2 * i + 1), b(2 * j + 1))
+            i += 1; j += 1
+          }
+          n += 1
+        }
+        if (2 * n == r.length) r else java.util.Arrays.copyOf(r, 2 * n)
+      }
+    override def finish(b: Array[Long]): Seq[Long] = {
+      val n = b.length / 2
+      val vs = new Array[Long](n)
+      var i = 0
+      while (i < n) { vs(i) = b(2 * i + 1); i += 1 }
+      java.util.Arrays.sort(vs)
+      vs.toSeq
+    }
+    override def bufferEncoder = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder = ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** `df.groupBy(g).agg(SigAgg.bottomKSample(256)(col("h"), col("q")))`
+    * → the quantized values of the k rows with the smallest key
+    * hashes, sorted ascending. */
+  def bottomKSample(k: Int) = udaf(new BottomKSample(k))
+
   /** Count-min cell column for hash row `r`: the same pairwise hash
     * family as the batch `q_cmsketch` SQL (minhash's a_r/b_r constants),
     * shared by the streaming processor so batch and stream sketches are

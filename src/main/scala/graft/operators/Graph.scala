@@ -100,4 +100,42 @@ object Graph {
     }
     dist
   }
+
+  /** Bounded-round k-CORE peel: repeatedly drop nodes of degree < k
+    * (with the edges touching them), `rounds` times. The true k-core is
+    * the fixed point; bounded rounds give the standard distributed
+    * approximation from above (every surviving node HAS degree ≥ k in
+    * the current subgraph — supersets of the real core shrink toward it
+    * monotonically each round).
+    *
+    * Input edges must be UNDIRECTED-expanded (both directions present),
+    * as produced by the candidate-pair explode in the callers. Each
+    * round is one degree aggregation plus two semi-joins of the edge
+    * list against the (node-count-sized) survivor table — no node ever
+    * sees more than its own adjacency, so the operator survives graphs
+    * with no single-machine representation. `checkpointTracked` cuts
+    * the per-round lineage (same discipline as [[pagerank]]); the peel
+    * is pure integer counting, so results are bit-identical across
+    * partitionings and engines.
+    *
+    * Returns surviving (id, deg) — degree within the peeled subgraph.
+    */
+  def kcore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int = 3): DataFrame = {
+    var e = Dedup.checkpointTracked(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    for (_ <- 1 to rounds) {
+      // persist: the survivor set feeds BOTH semi-joins (the
+      // multi-consumer recompute trap — see Dedup.minhashCandidates)
+      val keep = Dedup.persistTracked(
+        e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k)
+          .select(col("src").as("id")))
+      e = Dedup.checkpointTracked(
+        e.join(keep.withColumnRenamed("id", "src"), "src", "leftsemi")
+          .join(keep.withColumnRenamed("id", "dst"), "dst", "leftsemi")
+          .select(col("src"), col("dst")))
+    }
+    e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+  }
 }

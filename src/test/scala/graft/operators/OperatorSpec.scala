@@ -1147,6 +1147,48 @@ class OperatorSpec extends SparkSpec {
     one.foreach { m => u.indices.foreach(i => assert(u(i) <= m(i))) }
   }
 
+  test("bottom-k sample UDAF: set-function state, hash-tie min, partial agg") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // (hash, value) rows with a duplicated hash carrying two values
+    val rows = (1 to 200).map(i => ((i * 7919L) % 1000003L, i.toLong))
+    val withTie = rows ++ Seq((rows.head._1, -5L)) // same hash, smaller v
+    val df = withTie.toDF("h", "q")
+    def sample(d: org.apache.spark.sql.DataFrame) =
+      d.agg(graft.functions.SigAgg.bottomKSample(16)(col("h"), col("q"))
+        .as("s")).collect()(0).getSeq[Long](0)
+    // truth: min value per distinct hash, 16 smallest hashes, values sorted
+    val truth = withTie.groupBy(_._1).map { case (h, vs) =>
+      (h, vs.map(_._2).min) }.toSeq.sortBy(_._1).take(16).map(_._2).sorted
+    val got = sample(df)
+    assert(got == truth)
+    // partitioning-invariant (merge path) + map-side partial in the plan
+    assert(sample(df.repartition(13)) == got)
+    val plan = df.agg(graft.functions.SigAgg
+        .bottomKSample(16)(col("h"), col("q")).as("s"))
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("partial_bottomksample"))
+    // fewer rows than k: the sample IS the whole (deduped) value set
+    val small = Seq((9L, 2L), (3L, 7L), (9L, 4L)).toDF("h", "q")
+    assert(sample(small) == Seq(2L, 7L))
+  }
+
+  test("k-core peel: cycle survives 2-core, pendant chain peels away") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // triangle 1-2-3 plus a chain 3-4-5 hanging off it
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val core = Graph.kcore(edges, "src", "dst", k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 5 peels in round 1 (deg 1), then 4 (deg 1); the triangle is the 2-core
+    assert(core.keySet == Set(1L, 2L, 3L))
+    assert(core.values.forall(_ == 2L))
+    // k above the max degree: everything peels
+    assert(Graph.kcore(edges, "src", "dst", k = 4, rounds = 3).count() == 0)
+  }
+
   test("multimodal resize stub: geometry + length change, deterministic bytes") {
     val media = Multimodal.fromText(spark, docs, "doc_id", "text")
     val resized = Multimodal.resizeStub(media, 16, 16)
