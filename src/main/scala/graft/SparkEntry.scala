@@ -3297,6 +3297,40 @@ object SparkEntry {
             .as("simpson"))
     }),
 
+    // ----- HOLT double-exponential smoothing per event type: level +
+    // trend with α = β = 1/2, one-step-ahead forecast. The recursion
+    // state_t = f(state_{t-1}, x_t) is inherently SEQUENTIAL per
+    // series — it runs as a single HOF fold over the series' values in
+    // (ts, id) order after ONE shuffle groups each series; at 100 TB
+    // you partition by series key and each series folds within its own
+    // row (the standard per-entity time-series layout; cross-series
+    // parallelism is unbounded, within-series is not — that's the
+    // algorithm, not the engine). Power-of-two smoothing makes the
+    // float recursion ENGINE-EXACT: halving is lossless in IEEE and
+    // the fold order is pinned by the sort, so level/trend/forecast are
+    // bit-identical across engines and reruns — a general α would
+    // accumulate engine-specific rounding at every step. Accumulator
+    // is a uniform [level, trend, n] double-array (both dialects lack
+    // heterogeneous fold state) -----
+    "q_holt_smoothing" -> ((s, dir) => {
+      val step =
+        "IF(element_at(acc, 3) = 0.0D, array(x, 0.0D, 1.0D), " +
+          "array((x + element_at(acc, 1) + element_at(acc, 2)) / 2.0D, " +
+          "((x + element_at(acc, 1) + element_at(acc, 2)) / 2.0D " +
+          "- element_at(acc, 1)) / 2.0D + element_at(acc, 2) / 2.0D, " +
+          "element_at(acc, 3) + 1.0D))"
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("aggregate(transform(sort_array(collect_list(" +
+            "struct(ts, event_id, value))), s -> s.value), " +
+            s"array(0.0D, 0.0D, 0.0D), (acc, x) -> $step)").as("st"))
+        .select(col("event_type"), col("n"),
+          expr("element_at(st, 1)").as("level"),
+          expr("element_at(st, 2)").as("trend"),
+          expr("element_at(st, 1) + element_at(st, 2)").as("forecast"))
+    }),
+
     // ----- k-CORE of the near-dup candidate graph: nodes surviving 3
     // peel rounds of degree ≥ 2 — the "dense duplication community"
     // detector (a doc in the 2-core shares content with ≥2 docs that
@@ -7336,6 +7370,28 @@ object SparkEntry {
                     / nullif(CAST(n_tokens * (n_tokens - 1) AS DOUBLE), 0.0)
                     AS simpson
            FROM g""",
+      "q_holt_smoothing" ->
+        // same fold, same order, same power-of-two arithmetic —
+        // element lists are DOUBLE[] singletons so the accumulator and
+        // elements share one list type (list_reduce is monomorphic)
+        s"""WITH v AS (SELECT event_type,
+                  list(value ORDER BY ts, event_id) AS vals,
+                  COUNT(*) AS n
+                 FROM events GROUP BY event_type),
+           f AS (SELECT event_type, n,
+                  list_reduce(
+                    list_prepend([0.0, 0.0, 0.0],
+                      list_transform(vals, x -> [x])),
+                    (acc, x) -> CASE WHEN acc[3] = 0.0
+                      THEN [x[1], 0.0, 1.0]
+                      ELSE [(x[1] + acc[1] + acc[2]) / 2.0,
+                            ((x[1] + acc[1] + acc[2]) / 2.0 - acc[1])
+                              / 2.0 + acc[2] / 2.0,
+                            acc[3] + 1.0] END) AS st
+                 FROM v)
+           SELECT event_type, n, st[1] AS level, st[2] AS trend,
+                  st[1] + st[2] AS forecast
+           FROM f""",
       "q_kcore" ->
         // 3 unrolled peel rounds — pure integer counting, bit-identical
         // to Graph.kcore's bounded peel

@@ -231,36 +231,44 @@ object SigAgg {
     * sort of everything; this needs one bounded array. finish returns
     * the sampled values sorted ASCENDING (hashes dropped): index
     * `floor((n-1)·p)` (0-based) is the p-quantile estimate. */
+  /** Insert one (hash, value) pair into an interleaved `[h,v,…]`
+    * sorted-by-hash bottom-k pair array (hash tie keeps the smaller
+    * value; above-k hashes are dropped). Shared by the batch
+    * [[bottomKSample]] Aggregator and the streaming quantile-sample
+    * processor so both paths maintain bit-identical samples. */
+  private[graft] def bottomKInsert(
+      b: Array[Long], h: Long, v: Long, k: Int): Array[Long] = {
+    val n = b.length / 2
+    // binary search over the hash slots (even indices)
+    var lo = 0; var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (b(2 * mid) < h) lo = mid + 1 else hi = mid
+    }
+    if (lo < n && b(2 * lo) == h) { // hash tie: keep the smaller value
+      if (v < b(2 * lo + 1)) b(2 * lo + 1) = v
+      b
+    } else if (n < k) {
+      val r = new Array[Long](2 * n + 2)
+      System.arraycopy(b, 0, r, 0, 2 * lo)
+      r(2 * lo) = h; r(2 * lo + 1) = v
+      System.arraycopy(b, 2 * lo, r, 2 * lo + 2, 2 * n - 2 * lo)
+      r
+    } else if (lo >= k) b // above the current k-th minimum hash
+    else {
+      val r = new Array[Long](2 * k)
+      System.arraycopy(b, 0, r, 0, 2 * lo)
+      r(2 * lo) = h; r(2 * lo + 1) = v
+      System.arraycopy(b, 2 * lo, r, 2 * lo + 2, 2 * k - 2 * lo - 2)
+      r
+    }
+  }
+
   private final class BottomKSample(k: Int)
       extends Aggregator[(Long, Long), Array[Long], Seq[Long]] {
     override def zero: Array[Long] = Array.empty
-    override def reduce(b: Array[Long], a: (Long, Long)): Array[Long] = {
-      val (h, v) = a
-      val n = b.length / 2
-      // binary search over the hash slots (even indices)
-      var lo = 0; var hi = n
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        if (b(2 * mid) < h) lo = mid + 1 else hi = mid
-      }
-      if (lo < n && b(2 * lo) == h) { // hash tie: keep the smaller value
-        if (v < b(2 * lo + 1)) b(2 * lo + 1) = v
-        b
-      } else if (n < k) {
-        val r = new Array[Long](2 * n + 2)
-        System.arraycopy(b, 0, r, 0, 2 * lo)
-        r(2 * lo) = h; r(2 * lo + 1) = v
-        System.arraycopy(b, 2 * lo, r, 2 * lo + 2, 2 * n - 2 * lo)
-        r
-      } else if (lo >= k) b // above the current k-th minimum hash
-      else {
-        val r = new Array[Long](2 * k)
-        System.arraycopy(b, 0, r, 0, 2 * lo)
-        r(2 * lo) = h; r(2 * lo + 1) = v
-        System.arraycopy(b, 2 * lo, r, 2 * lo + 2, 2 * k - 2 * lo - 2)
-        r
-      }
-    }
+    override def reduce(b: Array[Long], a: (Long, Long)): Array[Long] =
+      bottomKInsert(b, a._1, a._2, k)
     override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
       if (a.isEmpty) b
       else if (b.isEmpty) a

@@ -354,6 +354,61 @@ object StatefulOps {
         OutputMode.Update())
   }
 
+  case class HashedValue(key: String, h: Long, q: Long)
+  case class QuantState(pairs: Seq[Long])
+  case class QuantOut(key: String, n_sample: Long, est_p50: Double,
+      est_p90: Double)
+
+  /** Continuously-maintained per-key QUANTILE estimates from a bottom-k
+    * uniform row sample: the streaming twin of the batch
+    * `SigAgg.bottomKSample` aggregator, sharing its insert routine so
+    * both paths hold bit-identical samples on identical input. State
+    * per key is AT MOST 2k longs (interleaved hash/value pairs) however
+    * many rows arrive — the percentile complement to the KMV
+    * distinct-count state, for latency/size monitoring where exact
+    * per-key percentiles would buffer the whole stream. Out-of-order
+    * arrival is immaterial: the bottom-k pair set is a commutative
+    * monoid (min-value on hash ties). Emits refreshed p50/p90 for every
+    * key touched in a batch; values arrive pre-quantized (×1e4), the
+    * single de-quantizing division happens at emit. */
+  private class QuantileSampleProcessor(k: Int,
+      ttl: Option[java.time.Duration])
+      extends StatefulProcessor[String, HashedValue, QuantOut] {
+    @transient private var state: ValueState[QuantState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[QuantState]("quant",
+        Encoders.product[QuantState],
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+    override def handleInputRows(key: String, rows: Iterator[HashedValue],
+        timers: TimerValues): Iterator[QuantOut] = {
+      var b = Option(state.get()).map(_.pairs.toArray)
+        .getOrElse(Array.empty[Long])
+      rows.foreach(r =>
+        b = graft.functions.SigAgg.bottomKInsert(b, r.h, r.q, k))
+      state.update(QuantState(b.toSeq))
+      val n = b.length / 2
+      val vs = new Array[Long](n)
+      var i = 0
+      while (i < n) { vs(i) = b(2 * i + 1); i += 1 }
+      java.util.Arrays.sort(vs)
+      def est(p: Double): Double =
+        vs(math.floor((n - 1) * p).toInt).toDouble / 10000.0
+      Iterator.single(QuantOut(key, n.toLong, est(0.5), est(0.9)))
+    }
+  }
+
+  /** Per-key streaming quantile estimates via `transformWithState`
+    * (see [[QuantileSampleProcessor]]). */
+  def quantileSampleTws(ds: Dataset[HashedValue], k: Int,
+      ttl: Option[java.time.Duration] = None): Dataset[QuantOut] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .transformWithState(new QuantileSampleProcessor(k, ttl),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Update())
+  }
+
   case class CmState(cnts: Seq[Long])
   case class CmOut(key: String, h: Long, est: Long)
 

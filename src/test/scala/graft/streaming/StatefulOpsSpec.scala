@@ -228,6 +228,54 @@ class StatefulOpsSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState quantile sample: bounded state, batch-aggregator parity (RocksDB)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // 300 rows for key a (k=8 far exceeded), delivered out of order
+      // across two batches; key b stays below k
+      def mix(i: Long): Long = (i * 2654435761L) % 1000000007L
+      val aRows = (1L to 300L).map(i => (mix(i), i * 10L)) // (hash, q)
+      val (late, early) = aRows.splitAt(150) // reversed arrival order
+      val mem = MemoryStream[StatefulOps.HashedValue]
+      val q = StatefulOps.quantileSampleTws(mem.toDS(), k = 8).writeStream
+        .format("memory").queryName("tws_quant")
+        .outputMode(OutputMode.Update).start()
+      try {
+        mem.addData(early.map { case (h, v) =>
+          StatefulOps.HashedValue("a", h, v) } ++
+          Seq(StatefulOps.HashedValue("b", mix(7), 70L)): _*)
+        q.processAllAvailable()
+        mem.addData(late.map { case (h, v) =>
+          StatefulOps.HashedValue("a", h, v) } ++
+          Seq(StatefulOps.HashedValue("b", mix(8), 30L)): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("tws_quant").as[StatefulOps.QuantOut].collect()
+      val lastA = rows.filter(_.key == "a").last
+      val lastB = rows.filter(_.key == "b").last
+      // bounded state: sample pinned at k even after 300 rows
+      assert(lastA.n_sample == 8L)
+      // batch parity: identical estimates to the batch aggregator's
+      // sample over the same rows, any arrival order
+      val batch = aRows.toDF("h", "q")
+        .agg(graft.functions.SigAgg.bottomKSample(8)(col("h"), col("q"))
+          .as("s"))
+        .selectExpr(
+          "CAST(element_at(s, CAST(floor((size(s) - 1) * 0.5D) AS INT) + 1) AS DOUBLE) / 10000.0D AS p50",
+          "CAST(element_at(s, CAST(floor((size(s) - 1) * 0.9D) AS INT) + 1) AS DOUBLE) / 10000.0D AS p90")
+        .collect()(0)
+      assert(lastA.est_p50 == batch.getDouble(0))
+      assert(lastA.est_p90 == batch.getDouble(1))
+      // below k: the sample is exact; p50 of {70, 30} picks index 0
+      assert(lastB.n_sample == 2L && lastB.est_p50 == 0.003)
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("transformWithState count-min: fixed state, over-count-only, exact when sparse (RocksDB)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
