@@ -30,6 +30,11 @@ object SparkEntry {
   /** Order-insensitive exact sum of a double column, returned as double. */
   private def dsum(c: Column): Column = sum(dec(c)).cast("double")
 
+  /** q_blocklist_scan's phrase list — shared by query and oracle. Includes
+    * a self-overlapping pattern and a suffix-contained pair on purpose. */
+  private val blocklistPats = Seq("a", "a a", "scan", "slow scan",
+    "hash join", "table table", "fast merge", "batch window")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Multi-table join chain + aggregation (SURVEY §2.4 J6 writ large). */
   def entry(spark: SparkSession): DataFrame =
@@ -1245,6 +1250,37 @@ object SparkEntry {
         .limit(100)
         .select(col("l_orderkey"), col("l_linenumber"), col("x"), col("y"),
           col("z"))),
+
+    // ----- HILBERT layout key — the locality-stronger sibling of
+    // q_zorder_key: consecutive keys are ALWAYS adjacent cells (unit
+    // Manhattan step, proven exhaustively in HilbertSpec), where z-order
+    // takes long diagonal jumps at power-of-2 seams — fewer row-group
+    // boundaries straddled per range scan. Ten statically-unrolled
+    // rotate-and-accumulate levels (XFormulas.hilbert*: all-integer CASE
+    // fragments shared verbatim with the oracle), a pure narrow map in
+    // whole-stage codegen. -----
+    "q_hilbert_key" -> ((s, dir) => {
+      val n = 1024
+      var df = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("l_orderkey % 1024").as("ox"),
+          expr("l_partkey % 1024").as("oy"),
+          expr("l_orderkey % 1024").as("x"),
+          expr("l_partkey % 1024").as("y"),
+          expr("CAST(0 AS BIGINT)").as("d"))
+      for (i <- 0 until 10) {
+        val s2 = n >> (i + 1)
+        df = df.select(col("l_orderkey"), col("l_linenumber"),
+          col("ox"), col("oy"),
+          expr(XFormulas.hilbertX(s2, n)).as("x"),
+          expr(XFormulas.hilbertY(s2, n)).as("y"),
+          expr(XFormulas.hilbertD(s2)).as("d"))
+      }
+      df.orderBy(col("d"), col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("ox").as("x"), col("oy").as("y"), col("d").as("h"))
+    }),
 
     // ----- time-to-convert: first click -> first purchase per user
     // (conditional min aggregation, one shuffle) -----
@@ -4125,6 +4161,99 @@ object SparkEntry {
     "q_heaps_law" -> ((s, dir) =>
       TextAnalysis.heapsLaw(t(s, dir, "documents"), "doc_id", "text")),
 
+    // ----- BLOCKLIST SCAN: per-(source, pattern) occurrence counts over a
+    // fixed phrase blocklist in ONE Aho–Corasick pass per document — the
+    // unsafe-content / compliance filter stage. The automaton rides the
+    // generated code as a single reference object (MultiPatternCounts), so
+    // the corpus is read ONCE however long the blocklist grows; the
+    // m-×-regexp alternative reads 100 TB m times. Greedy-left non-overlap
+    // semantics give every pattern an exact replace-count oracle; the list
+    // includes a self-overlapping pattern ('a a') and a suffix pair
+    // ('scan' ⊂ 'slow scan') to pin the automaton's dict-link and
+    // non-overlap behavior differentially. -----
+    "q_blocklist_scan" -> ((s, dir) => {
+      val counted = t(s, dir, "documents").select(col("source"),
+        GraftFunctions.multiCount(col("text"), blocklistPats).as("cnts"))
+      counted.select(col("source"), posexplode(col("cnts")).as(Seq("idx", "n")))
+        .groupBy(col("source"),
+          element_at(array(blocklistPats.map(lit): _*),
+            col("idx").cast("int") + 1).as("pattern"))
+        .agg(sum(col("n")).as("hits"),
+          sum(when(col("n") > 0, 1L).otherwise(0L)).as("docs_hit"))
+    }),
+
+    // ----- NFC NORMALIZATION DEDUP AUDIT: per source, how many distinct
+    // raw strings collapse once canonically composed (UAX #15 NFC) — the
+    // mixed-editor/OCR duplicate class exact dedup misses. Variants are
+    // derived in-query (composed U+00E9 vs decomposed e+U+0301 suffixes)
+    // since the synthetic corpus is ASCII; real corpora carry both forms
+    // natively. Scale shape: raw-distinct FIRST (strings dedup before the
+    // normalizer runs), then NFC over the already-distinct set — the
+    // native graft_nfc map has an ASCII no-allocation fast path and runs
+    // inside the scan stage. JVM Normalizer and DuckDB's utf8proc both
+    // implement the Unicode spec, so the oracle is exact. -----
+    "q_nfc_dedup" -> ((s, dir) => {
+      val v = t(s, dir, "documents")
+        .select(col("source"), explode(array(
+          concat(col("text"), lit(" café")), // composed U+00E9
+          concat(col("text"), lit(" café")))).as("variant")) // e + U+0301
+      val dv = Dedup.persistTracked(
+        v.groupBy(col("source"), col("variant")).agg(count(lit(1)).as("n")))
+      val raw = dv.groupBy(col("source"))
+        .agg(sum(col("n")).as("n_variants"),
+          count(lit(1)).as("n_raw_distinct"))
+      val nn = dv.select(col("source"),
+          GraftFunctions.nfc(col("variant")).as("nv")).distinct()
+        .groupBy(col("source")).agg(count(lit(1)).as("n_nfc_distinct"))
+      raw.join(nn, Seq("source"))
+        .withColumn("collapsed",
+          col("n_raw_distinct") - col("n_nfc_distinct"))
+    }),
+
+    // ----- TEMPERATURE-SCALED MIXTURE (α = 0.5): the multilingual-LM
+    // sampling rule p_i^α / Σ p_j^α that upsamples small sources without
+    // letting the head dominate. α = 0.5 makes the power a SQUARE ROOT —
+    // the one power both engines round correctly (pow() is not correctly
+    // rounded and engine-specific), and the sqrt is floor-quantized to
+    // BIGINT before the cross-source sum so the total is order-exact.
+    // One tiny aggregate + a 1-row scalar cross — nothing rescans. -----
+    "q_mix_temperature" -> ((s, dir) => {
+      val st = t(s, dir, "documents").groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("chars"))
+        .withColumn("q", expr(
+          "CAST(floor(sqrt(CAST(chars AS DOUBLE)) * 1048576.0D) AS BIGINT)"))
+      val tot = st.agg(sum(col("q")).as("qtot"), sum(col("chars")).as("ctot"))
+      st.crossJoin(broadcast(tot))
+        .select(col("source"), col("chars"), col("q"),
+          expr("CAST(chars AS DOUBLE) / CAST(ctot AS DOUBLE)").as("share_prop"),
+          expr("CAST(q AS DOUBLE) / CAST(qtot AS DOUBLE)").as("share_t05"),
+          expr("(CAST(q AS DOUBLE) / CAST(qtot AS DOUBLE)) / " +
+            "(CAST(chars AS DOUBLE) / CAST(ctot AS DOUBLE))").as("upsample"))
+    }),
+
+    // ----- SYSTEMATIC PPS SAMPLE (probability ∝ size, k = 25 per
+    // source): one pass, NO RNG — item selected iff its cumulative-weight
+    // interval crosses a multiple of total/k, all in exact BIGINT floor
+    // division, so the sample is deterministic and engine-identical.
+    // Items heavier than the step are certainty items (selected once).
+    // The prefix sum is the PER-SOURCE window — parallel across sources,
+    // never a global single-partition sort; at 100 TB swap in the
+    // two-phase exclusive prefix sum (q_scan_plan's shape) if one source
+    // outgrows a partition. -----
+    "q_pps_sample" -> ((s, dir) => {
+      val k = 25
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      val c = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("cum", sum(col("n_chars")).over(w))
+      val tot = c.groupBy(col("source")).agg(max(col("cum")).as("total"))
+      c.join(broadcast(tot), Seq("source"))
+        .filter(expr(
+          s"(cum * $k) DIV total > ((cum - n_chars) * $k) DIV total"))
+        .select(col("source"), col("doc_id"), col("n_chars"), col("cum"),
+          expr(s"(cum * $k) DIV total").as("bucket"))
+    }),
+
     // ----- LEAKAGE-SAFE TRAIN/VAL/TEST SPLIT: the 8/1/1 split is keyed
     // on the near-dup CLUSTER representative, not the doc id — so a
     // document and its near-duplicates land in the SAME split and eval
@@ -5846,6 +5975,24 @@ object SparkEntry {
                         l_orderkey % 1024 AS x, l_partkey % 1024 AS y
                  FROM lineitem)
            ORDER BY z, l_orderkey, l_linenumber LIMIT 100""",
+      "q_hilbert_key" -> {
+        // the same XFormulas.hilbert* fragments, stacked as CTE levels
+        val n = 1024
+        val levels = (0 until 10).map { i =>
+          val s2 = n >> (i + 1)
+          s"""h${i + 1} AS (SELECT l_orderkey, l_linenumber, ox, oy,
+             ${XFormulas.hilbertX(s2, n)} AS x,
+             ${XFormulas.hilbertY(s2, n)} AS y,
+             ${XFormulas.hilbertD(s2)} AS d FROM h$i)"""
+        }.mkString(",\n           ")
+        s"""WITH h0 AS (SELECT l_orderkey, l_linenumber,
+             l_orderkey % 1024 AS ox, l_partkey % 1024 AS oy,
+             l_orderkey % 1024 AS x, l_partkey % 1024 AS y,
+             CAST(0 AS BIGINT) AS d FROM lineitem),
+           $levels
+           SELECT l_orderkey, l_linenumber, ox AS x, oy AS y, d AS h
+           FROM h10 ORDER BY h, l_orderkey, l_linenumber LIMIT 100"""
+      },
       "q_time_to_convert" ->
         """SELECT user_id,
                   (first_purchase_us - first_click_us) // 1000000 AS secs_to_convert
@@ -7774,6 +7921,57 @@ object SparkEntry {
                   CAST(SUM(COALESCE(new_types, 0)) OVER (ORDER BY pd.doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types
            FROM pd LEFT JOIN nt ON pd.doc_id = nt.first_doc""",
+      "q_blocklist_scan" -> {
+        val vals = blocklistPats
+          .map(p => s"('${p.replace("'", "''")}')").mkString(",")
+        s"""WITH p(pattern) AS (VALUES $vals),
+           c AS (SELECT d.source, p.pattern,
+                   (length(d.text) - length(replace(d.text, p.pattern, '')))
+                     // length(p.pattern) AS n
+                 FROM documents d CROSS JOIN p)
+           SELECT source, pattern, CAST(SUM(n) AS BIGINT) AS hits,
+                  CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_hit
+           FROM c GROUP BY source, pattern"""
+      },
+      // chr(233) = precomposed é, chr(769) = combining acute: byte-exact
+      // twins of the Scala literals, kept as codepoints so the oracle SQL
+      // survives any transport encoding
+      "q_nfc_dedup" ->
+        """WITH v AS (
+             SELECT source, text || ' caf' || chr(233) AS variant FROM documents
+             UNION ALL
+             SELECT source, text || ' cafe' || chr(769) FROM documents),
+           dv AS (SELECT source, variant, COUNT(*) AS n FROM v GROUP BY source, variant),
+           raw AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_variants,
+                          CAST(COUNT(*) AS BIGINT) AS n_raw_distinct
+                   FROM dv GROUP BY source),
+           nn AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_nfc_distinct
+                  FROM (SELECT DISTINCT source, nfc_normalize(variant) FROM dv)
+                  GROUP BY source)
+           SELECT raw.source, n_variants, n_raw_distinct, n_nfc_distinct,
+                  n_raw_distinct - n_nfc_distinct AS collapsed
+           FROM raw JOIN nn ON raw.source = nn.source""",
+      "q_mix_temperature" ->
+        """WITH st AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars,
+                  CAST(floor(sqrt(CAST(SUM(n_chars) AS DOUBLE)) * 1048576.0) AS BIGINT) AS q
+                FROM documents GROUP BY source),
+           t AS (SELECT CAST(SUM(q) AS BIGINT) AS qtot,
+                        CAST(SUM(chars) AS BIGINT) AS ctot FROM st)
+           SELECT source, chars, q,
+                  CAST(chars AS DOUBLE) / CAST(ctot AS DOUBLE) AS share_prop,
+                  CAST(q AS DOUBLE) / CAST(qtot AS DOUBLE) AS share_t05,
+                  (CAST(q AS DOUBLE) / CAST(qtot AS DOUBLE)) /
+                    (CAST(chars AS DOUBLE) / CAST(ctot AS DOUBLE)) AS upsample
+           FROM st CROSS JOIN t""",
+      "q_pps_sample" ->
+        """WITH c AS (SELECT source, doc_id, n_chars,
+                  CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum
+                FROM documents),
+           t AS (SELECT source, MAX(cum) AS total FROM c GROUP BY source)
+           SELECT c.source, doc_id, n_chars, cum,
+                  CAST((cum * 25) // total AS BIGINT) AS bucket
+           FROM c JOIN t ON c.source = t.source
+           WHERE (cum * 25) // total > ((cum - n_chars) * 25) // total""",
       "q_dq_checks" ->
         """SELECT 'orphan_lineitem' AS "check", CAST(COUNT(*) AS BIGINT) AS n_bad
            FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)

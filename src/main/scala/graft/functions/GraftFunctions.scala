@@ -56,6 +56,14 @@ object GraftFunctions {
   def pqAdc(q: Column, codes: Column, cb: Column, m: Int, sd: Int): Column =
     c(PqAdc(e(q), e(codes), e(cb), m, sd))
 
+  /** Per-pattern greedy-left occurrence counts in one Aho–Corasick text
+    * scan; see [[MultiPatternCounts]]. */
+  def multiCount(text: Column, patterns: Seq[String]): Column =
+    c(MultiPatternCounts(e(text), patterns))
+
+  /** Unicode NFC canonical composition; see [[NfcNormalize]]. */
+  def nfc(text: Column): Column = c(NfcNormalize(e(text)))
+
   private[functions] val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_polyhash" -> (args => PolyHash(args.head)),
     "graft_minhash" -> (args => MinHashSig(args.head,
@@ -78,7 +86,19 @@ object GraftFunctions {
     "graft_minhash_longs" -> (args => MinHashLongs(args.head,
       args(1).asInstanceOf[Literal].value.asInstanceOf[Number].intValue)),
     "graft_ivfcell" -> (args => IvfCell(args.head,
-      args(1).asInstanceOf[Literal].value.asInstanceOf[Number].intValue)))
+      args(1).asInstanceOf[Literal].value.asInstanceOf[Number].intValue)),
+    "graft_multi_count" -> (args => {
+      // the pattern list must be a foldable array literal — the automaton
+      // is built once at plan time, not per row
+      require(args(1).foldable,
+        "graft_multi_count: pattern list must be a constant array")
+      val arr = args(1).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val pats = arr.toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+      MultiPatternCounts(args.head, pats.toSeq)
+    }),
+    "graft_nfc" -> (args => NfcNormalize(args.head)))
 
   /** Register the SQL functions on an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {

@@ -204,6 +204,26 @@ object XFormulas {
     s"list_reduce(list_prepend(0::DOUBLE, list_transform(range(0, $m), sb -> " +
       s"${duckPqSqDist(q, cb, "sb", s"($codes)[sb + 1]", sd)})), (acc, v) -> acc + v)"
 
+  // ---- Hilbert curve key (the xy2d iterative form): one CASE-fragment
+  // triple per level, ALL-integer and ANSI-dialect-free, so the SAME
+  // strings drive the Spark plan and the DuckDB oracle. Reads the
+  // PRE-rotation x, y of the level (evaluate the three fragments in one
+  // simultaneous SELECT). `s` is the level's sub-square size, `n` the
+  // full grid width. rx = (x & s) > 0, ry = (y & s) > 0; the d increment
+  // is s²·((3·rx) XOR ry) spelled as nested CASE (DuckDB's ^ is POWER,
+  // so the xor is arithmetic); the rotation is flip-then-swap when
+  // ry = 0. ----
+  def hilbertX(s: Int, n: Int, x: String = "x", y: String = "y"): String =
+    s"CASE WHEN ($y & $s) = 0 THEN (CASE WHEN ($x & $s) > 0 " +
+      s"THEN ${n - 1} - $y ELSE $y END) ELSE $x END"
+  def hilbertY(s: Int, n: Int, x: String = "x", y: String = "y"): String =
+    s"CASE WHEN ($y & $s) = 0 THEN (CASE WHEN ($x & $s) > 0 " +
+      s"THEN ${n - 1} - $x ELSE $x END) ELSE $y END"
+  def hilbertD(s: Int, x: String = "x", y: String = "y", d: String = "d"): String =
+    s"$d + CAST(${s.toLong * s} AS BIGINT) * " +
+      s"(CASE WHEN ($x & $s) = 0 THEN (CASE WHEN ($y & $s) > 0 THEN 1 ELSE 0 END) " +
+      s"ELSE (CASE WHEN ($y & $s) > 0 THEN 2 ELSE 3 END) END)"
+
   // ---- English stopword hit count over a token array ----
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
   def sparkStopHits(tokens: String): String =

@@ -84,7 +84,18 @@ object VersionedTable {
       val taken = (listNumbered(spark, path, "txt") ++
         listNumbered(spark, path, "lock"))
       val next = if (taken.isEmpty) 1 else taken.max + 1
-      if (atomicClaim(f, lockPath(path, next))) v = next
+      if (atomicClaim(f, lockPath(path, next))) {
+        // TOCTOU guard: a committer that already PUBLISHED `next` deletes
+        // its lock after the manifest rename, so if our directory listing
+        // predated its manifest we can win the RE-CREATED lock and
+        // double-assign the number (the publish rename would then fail).
+        // Publish strictly precedes lock deletion, so at this point the
+        // manifest existing is a deterministic stale-number signal:
+        // release and rescan.
+        if (f.exists(manifestPath(path, next)))
+          f.delete(lockPath(path, next), false)
+        else v = next
+      }
       // else: lost the race; rescan and retry
     }
     v

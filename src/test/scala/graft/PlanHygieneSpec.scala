@@ -38,6 +38,9 @@ class PlanHygieneSpec extends SparkSpec {
     "q_vocab_coverage", // 1-row total-token scalar crossed into the coverage
     "q_source_mix",     // 1-row max-token scalar crossed into the weights
     "q_basket_lift",    // 1-row order-count scalar crossed into the lift
+    "q_assoc_rules",    // 1-row order-count scalar crossed into the support
+    "q_t_closeness",    // band-count grid + 1-row total crossed into the TV grid
+    "q_mix_temperature", // 1-row quantized-sqrt totals crossed into the shares
     "q_hard_negatives", // brute-force shape: broadcast query set x candidates
     "q_bm25",           // 1-row corpus-stats scalar crossed into the scoring
     "q_hybrid_rrf",     // 1-row corpus/df/query-vector scalars crossed in
