@@ -3022,6 +3022,74 @@ object SparkEntry {
           "n_union_est", "n_inter_est")
     }),
 
+    // ----- IVM of a DISTINCT-COUNT sketch: the maintained path merges
+    // the stored base-snapshot KMV sketch with the delta's sketch —
+    // NEVER re-reading base keys — and is provably bit-equal to direct
+    // recompute (k-min of k-mins = k-min of the union: KMV
+    // mergeability; integral state + fixed hash family make it exact,
+    // not approximate agreement). The q_ivm_counts sibling for the
+    // metric GROUP BY can't maintain cheaply: COUNT(DISTINCT). At
+    // 100 TB the base side is a per-group 64-long array however many
+    // keys it summarizes. -----
+    "q_ivm_kmv" -> ((s, dir) => {
+      val k = 64
+      // CDC-style split: shipments up to the cutoff are the stored
+      // snapshot, later ones the delta
+      val h = Dedup.persistTracked(t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          expr("l_shipdate <= DATE '1995-06-30'").as("is_base"),
+          GraftFunctions.polyHash(col("l_orderkey").cast("string")).as("h0"))
+        .select(col("l_returnflag"), col("is_base"),
+          expr("(h0 * 2654435761L) % 1000000007L").as("h")))
+      def est(c: String) = expr(s"IF(size($c) < $k, " +
+        s"CAST(size($c) AS DOUBLE), ${k - 1}.0D * 1000000007.0D / $c[${k - 1}])")
+      val maintained = h.groupBy(col("l_returnflag"), col("is_base"))
+        .agg(graft.functions.SigAgg.kmv(k)(col("h")).as("sk"))
+        .groupBy(col("l_returnflag"))
+        .agg(collect_list(col("sk")).as("sks"))
+        .select(col("l_returnflag"),
+          expr(s"slice(array_sort(array_distinct(flatten(sks))), 1, $k)")
+            .as("skm"))
+      val direct = h.groupBy(col("l_returnflag"))
+        .agg(graft.functions.SigAgg.kmv(k)(col("h")).as("skd"))
+      maintained.join(direct, Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          est("skm").as("est_maintained"), est("skd").as("est_direct"),
+          (col("skm") === col("skd")).as("sketch_equal"))
+    }),
+
+    // ----- MRR@10 offline retrieval eval — the first-relevant-rank
+    // companion to q_retrieval_ndcg (same brute-force ranking arm, same
+    // label-match relevance): reciprocal ranks as fixed-point ppm
+    // literals (floor(1e6/r)), so the score is engine-exact integer
+    // arithmetic; queries with no relevant hit in the top 10 score 0. -----
+    "q_retrieval_mrr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = Dedup.persistTracked(emb.filter(col("vec_id") < 10))
+      val ranked = Similarity.bruteForceTopK(emb, q, "vec_id",
+          "embedding", k = 10)
+        .select(col("qid"), col("cid"), col("rank"))
+      val labels = Dedup.persistTracked(
+        emb.select(col("vec_id"), col("label")))
+      val rrArr = "array(" +
+        (1 to 10).map(r => s"${1000000L / r}L").mkString(", ") + ")"
+      ranked
+        .join(labels.select(col("vec_id").as("qid"), col("label").as("ql")),
+          "qid")
+        .join(labels.select(col("vec_id").as("cid"), col("label").as("cl")),
+          "cid")
+        .groupBy(col("qid"))
+        .agg(min(when(col("ql") === col("cl"), col("rank"))).as("fr"))
+        // element_at must NEVER see a nullable index: under ANSI the
+        // optimizer infers the failOnError element_at non-nullable and
+        // strips a wrapping coalesce, and the codegen'd null-index read
+        // then returns garbage (observed: last array element) — guard
+        // with a CASE on the already-coalesced rank instead
+        .select(col("qid"), coalesce(col("fr"), lit(0L)).as("first_rel"))
+        .withColumn("rr_ppm", when(col("first_rel") === 0L, lit(0L))
+          .otherwise(element_at(expr(rrArr), col("first_rel").cast("int"))))
+    }),
+
     // ----- window twin of q_topk_group: same rows via row_number, so
     // every bench round measures the custom operator against Spark's
     // WindowGroupLimit path on identical data -----
@@ -8343,6 +8411,41 @@ object SparkEntry {
                     nullif(CAST(CASE WHEN least(n_lab - 1, 10) <= 0 THEN 0
                          ELSE ($cumList)[CAST(least(n_lab - 1, 10) AS INT)] END AS BIGINT), 0) AS ndcg
            FROM dcg JOIN lab ON dcg.ql = lab.label"""
+      },
+
+      "q_ivm_kmv" ->
+        // maintained == direct is the THEOREM (KMV mergeability over
+        // integral state); the oracle computes the direct sketch once
+        // and projects it into both columns — the q_ivm_counts pattern
+        s"""WITH h AS (SELECT DISTINCT l_returnflag,
+                  (${duckStrHash("CAST(l_orderkey AS VARCHAR)")}
+                    * 2654435761) % 1000000007 AS h
+                 FROM lineitem),
+           s AS (SELECT l_returnflag, COUNT(*) AS n,
+                        list_sort(list(h)) AS hs
+                 FROM h GROUP BY l_returnflag),
+           e AS (SELECT l_returnflag,
+                        CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                             ELSE 63.0 * 1000000007.0 / hs[64] END AS est
+                 FROM s)
+           SELECT l_returnflag, est AS est_maintained, est AS est_direct,
+                  TRUE AS sketch_equal
+           FROM e""",
+      "q_retrieval_mrr" -> {
+        val rrList = (1 to 10).map(r => 1000000L / r).mkString("[", ", ", "]")
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+                 FROM embeddings WHERE vec_id < 10),
+           c AS (SELECT vec_id AS cid, embedding AS cv, label AS cl FROM embeddings),
+           ranked AS (SELECT qid, ql, cid, cl, r FROM (
+                        SELECT qid, ql, cid, cl,
+                               ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY ${duckCosine("qv", "cv")} DESC, cid) AS r
+                        FROM q CROSS JOIN c WHERE qid <> cid) WHERE r <= 10),
+           fr AS (SELECT qid, MIN(CASE WHEN ql = cl THEN r END) AS fr
+                  FROM ranked GROUP BY qid)
+           SELECT qid, CAST(COALESCE(fr, 0) AS BIGINT) AS first_rel,
+                  CAST(COALESCE(($rrList)[CAST(fr AS INT)], 0) AS BIGINT) AS rr_ppm
+           FROM fr"""
       },
 
       "q_contam_embedding" ->
