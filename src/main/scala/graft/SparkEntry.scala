@@ -1282,6 +1282,84 @@ object SparkEntry {
           col("ox").as("x"), col("oy").as("y"), col("d").as("h"))
     }),
 
+    // ----- LAYOUT PRUNABILITY COMPARISON — the design readout that
+    // justifies q_hilbert_key over q_zorder_key with a NUMBER: sort the
+    // same rows by each key, cut into 256-row "row groups", keep each
+    // group's (x, y) zone map, and count groups a reference box query
+    // (x,y each in a 100-wide band) cannot skip. Hilbert's unit-step
+    // locality ⇒ tighter bounding boxes ⇒ fewer groups scanned for the
+    // same rows returned. All-integer zone maps; the exact matching-row
+    // count rides along as the invariant both layouts must serve. -----
+    "q_layout_compare" -> ((s, dir) => {
+      val n = 1024
+      var base = t(s, dir, "lineitem")
+        .select(expr("l_orderkey % 1024").as("x"),
+          expr("l_partkey % 1024").as("y"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("z", expr((0 until 10).map(b =>
+          s"((x >> $b) & 1) * ${1L << (2 * b)}L + " +
+            s"((y >> $b) & 1) * ${1L << (2 * b + 1)}L").mkString(" + ")))
+        .withColumn("hx0", col("x")).withColumn("hy0", col("y"))
+        .withColumn("hd0", expr("CAST(0 AS BIGINT)"))
+      for (i <- 0 until 10) {
+        val s2 = n >> (i + 1)
+        base = base
+          .withColumn(s"hx${i + 1}",
+            expr(XFormulas.hilbertX(s2, n, s"hx$i", s"hy$i")))
+          .withColumn(s"hy${i + 1}",
+            expr(XFormulas.hilbertY(s2, n, s"hx$i", s"hy$i")))
+          .withColumn(s"hd${i + 1}",
+            expr(XFormulas.hilbertD(s2, s"hx$i", s"hy$i", s"hd$i")))
+      }
+      val keyed = Dedup.persistTracked(base
+        .select(col("x"), col("y"), col("l_orderkey"), col("l_linenumber"),
+          col("z"), col("hd10").as("h")))
+      def zones(key: String, layout: String) = keyed
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col(key), col("l_orderkey"), col("l_linenumber")))
+          .cast("long"))
+        .withColumn("chunk", expr("(rn - 1) DIV 256"))
+        .groupBy(col("chunk"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+          min(col("y")).as("ymin"), max(col("y")).as("ymax"))
+        .select(lit(layout).as("layout"), col("n_rows"),
+          expr("CASE WHEN xmin <= 199 AND xmax >= 100 AND " +
+            "ymin <= 399 AND ymax >= 300 THEN 1L ELSE 0L END").as("hit"))
+      val match_rows = keyed.filter(
+        expr("x BETWEEN 100 AND 199 AND y BETWEEN 300 AND 399"))
+        .agg(count(lit(1)).as("n_match"))
+      zones("z", "zorder").union(zones("h", "hilbert"))
+        .groupBy(col("layout"))
+        .agg(count(lit(1)).as("n_chunks"), sum(col("hit")).as("n_hit_chunks"),
+          sum(when(col("hit") === 1L, col("n_rows")).otherwise(0L))
+            .as("rows_scanned"))
+        .crossJoin(broadcast(match_rows))
+    }),
+
+    // ----- DETERMINISTIC WORD-DROPOUT AUGMENTATION: drop ~10% of each
+    // doc's tokens, chosen by an exact integer hash of
+    // (token, doc, position) — reproducible augmentation with NO RNG, so
+    // every epoch and every engine regenerates the identical augmented
+    // corpus (and the oracle can replay it). A pure narrow map (tokenize
+    // → positional hash filter → re-join) running inside the scan
+    // stage. -----
+    "q_word_dropout" -> ((s, dir) => {
+      val wh = XFormulas.sparkStrHash("element_at(toks, cast(i as int))")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr(XFormulas.sparkTokens("text")).as("toks"))
+        .withColumn("kept", expr(
+          s"IF(size(toks) < 1, array(), " +
+            s"filter(transform(sequence(1L, size(toks)), i -> " +
+            s"IF((($wh * 1103515245 + doc_id * 12345 + i * 7919) " +
+            s"% 1000000007) % 10 = 0, NULL, " +
+            s"element_at(toks, cast(i as int)))), w -> w IS NOT NULL))"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+          size(col("kept")).cast("long").as("n_kept"),
+          concat_ws(" ", col("kept")).as("aug_text"))
+    }),
+
     // ----- time-to-convert: first click -> first purchase per user
     // (conditional min aggregation, one shuffle) -----
     "q_time_to_convert" -> ((s, dir) =>
@@ -6060,6 +6138,56 @@ object SparkEntry {
            $levels
            SELECT l_orderkey, l_linenumber, ox AS x, oy AS y, d AS h
            FROM h10 ORDER BY h, l_orderkey, l_linenumber LIMIT 100"""
+      },
+      "q_layout_compare" -> {
+        val n = 1024
+        val zSql = (0 until 10).map(b =>
+          s"((ox >> $b) & 1) * (1::BIGINT << ${2 * b}) + " +
+            s"((oy >> $b) & 1) * (1::BIGINT << ${2 * b + 1})").mkString(" + ")
+        val levels = (0 until 10).map { i =>
+          val s2 = n >> (i + 1)
+          s"""h${i + 1} AS (SELECT okey, lnum, ox, oy,
+             ${XFormulas.hilbertX(s2, n)} AS x,
+             ${XFormulas.hilbertY(s2, n)} AS y,
+             ${XFormulas.hilbertD(s2)} AS d FROM h$i)"""
+        }.mkString(",\n           ")
+        def zone(key: String, layout: String) =
+          s"""(SELECT '$layout' AS layout, COUNT(*) AS n_rows,
+             CASE WHEN MIN(ox) <= 199 AND MAX(ox) >= 100 AND
+                       MIN(oy) <= 399 AND MAX(oy) >= 300 THEN 1 ELSE 0 END AS hit
+           FROM (SELECT ox, oy, (ROW_NUMBER() OVER (ORDER BY $key, okey, lnum) - 1) // 256 AS chunk
+                 FROM keyed)
+           GROUP BY chunk)"""
+        s"""WITH h0 AS (SELECT l_orderkey AS okey, l_linenumber AS lnum,
+             l_orderkey % 1024 AS ox, l_partkey % 1024 AS oy,
+             l_orderkey % 1024 AS x, l_partkey % 1024 AS y,
+             CAST(0 AS BIGINT) AS d FROM lineitem),
+           $levels,
+           keyed AS (SELECT okey, lnum, ox, oy,
+             CAST($zSql AS BIGINT) AS z, d AS h FROM h10),
+           m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_match FROM keyed
+                 WHERE ox BETWEEN 100 AND 199 AND oy BETWEEN 300 AND 399),
+           u AS (SELECT * FROM ${zone("z", "zorder")}
+                 UNION ALL SELECT * FROM ${zone("h", "hilbert")})
+           SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                  CAST(SUM(hit) AS BIGINT) AS n_hit_chunks,
+                  CAST(SUM(CASE WHEN hit = 1 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+                  n_match
+           FROM u CROSS JOIN m GROUP BY layout, n_match"""
+      },
+      "q_word_dropout" -> {
+        val wh = XFormulas.duckStrHash("(toks)[CAST(i AS INT)]")
+        s"""WITH tk AS (SELECT doc_id, ${XFormulas.duckTokens("text")} AS toks FROM documents),
+           k AS (SELECT doc_id, toks,
+                   list_filter(list_transform(range(1, len(toks) + 1), i ->
+                     CASE WHEN (($wh * 1103515245 + doc_id * 12345 + i * 7919)
+                       % 1000000007) % 10 = 0 THEN NULL
+                       ELSE (toks)[CAST(i AS INT)] END), w -> w IS NOT NULL) AS kept
+                 FROM tk)
+           SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                  CAST(len(kept) AS BIGINT) AS n_kept,
+                  array_to_string(kept, ' ') AS aug_text
+           FROM k"""
       },
       "q_time_to_convert" ->
         """SELECT user_id,

@@ -141,4 +141,23 @@ object EventStreams {
       .filter(col("n_hits") < maxHits)
       .select(col(idCol), col("n_hits"))
   }
+
+  /** Streaming BLOCKLIST gate: arriving docs scored against a fixed
+    * phrase blocklist in one Aho–Corasick pass
+    * ([[graft.functions.expressions.MultiPatternCounts]] — the automaton
+    * rides the plan as a reference object, the streaming twin of a
+    * broadcast, however long the blocklist grows). Entirely STATELESS:
+    * append mode, no state store, no shuffle. Docs with
+    * `maxHits`-or-more total occurrences are dropped; survivors carry
+    * their total for audit. Per-doc counts are the SAME expression the
+    * batch q_blocklist_scan aggregates, so batch and stream agree
+    * bit-for-bit on every document — spec-asserted. */
+  def blocklistGate(stream: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[String], maxHits: Long = 1L): DataFrame =
+    stream
+      .withColumn("cnts",
+        graft.functions.GraftFunctions.multiCount(col(textCol), patterns))
+      .withColumn("n_hits", aggregate(col("cnts"), lit(0L), (a, c) => a + c))
+      .filter(col("n_hits") < maxHits)
+      .select(col(idCol), col("n_hits"))
 }

@@ -41,6 +41,7 @@ class PlanHygieneSpec extends SparkSpec {
     "q_assoc_rules",    // 1-row order-count scalar crossed into the support
     "q_t_closeness",    // band-count grid + 1-row total crossed into the TV grid
     "q_mix_temperature", // 1-row quantized-sqrt totals crossed into the shares
+    "q_layout_compare", // 1-row exact-match count crossed into the readout
     "q_hard_negatives", // brute-force shape: broadcast query set x candidates
     "q_bm25",           // 1-row corpus-stats scalar crossed into the scoring
     "q_hybrid_rrf",     // 1-row corpus/df/query-vector scalars crossed in

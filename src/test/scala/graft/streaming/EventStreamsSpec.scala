@@ -196,4 +196,39 @@ class EventStreamsSpec extends SparkSpec {
     // and at 2^20 bits no clean doc false-positives into a drop
     assert(kept == sample.map(_.doc_id).toSet -- flagged)
   }
+
+  test("streaming blocklist gate agrees bit-for-bit with the batch expression") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{aggregate, col, lit}
+    import graft.functions.GraftFunctions
+    val pats = Seq("a", "slow scan", "hash join")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // batch truth: total occurrences per doc via the same expression
+    val batch = docs
+      .withColumn("n", aggregate(
+        GraftFunctions.multiCount(col("text"), pats), lit(0L), (a, c) => a + c))
+      .select("doc_id", "n").collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val sample = docs.select("doc_id", "text").as[Doc].collect().take(40)
+    // cap chosen from the batch truth so BOTH keep and drop paths fire
+    val counts = sample.map(d => batch(d.doc_id))
+    assert(counts.min < counts.max, "fixture must have count spread")
+    val mh = (counts.min + counts.max) / 2 + 1
+    val mem = MemoryStream[Doc]
+    mem.addData(sample: _*)
+    val out = EventStreams.blocklistGate(mem.toDF(), "doc_id", "text",
+      pats, maxHits = mh)
+    val q = out.writeStream.format("memory").queryName("blockgate")
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("blockgate").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // survivors = exactly the sample docs under the cap, with batch counts
+    val expected = sample.map(d => d.doc_id -> batch(d.doc_id))
+      .filter(_._2 < mh).toMap
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < sample.size,
+      "fixture must exercise both keep and drop paths")
+  }
 }
