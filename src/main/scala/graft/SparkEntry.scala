@@ -403,6 +403,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // ----- ColBERT MaxSim late interaction: an 8-token multi-vector
+    // query scores each "document" (= label group, queries excluded) by
+    // Σ_qtok max_dtok cos, quantized to BIGINT before max/sum — exact
+    // integer scores; see Similarity.maxSim for the serving funnel at
+    // corpus scale. -----
+    "q_colbert_maxsim" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.maxSim(emb.filter(col("vec_id") < 8),
+          emb.filter(col("vec_id") >= 8), "label", "embedding", "vec_id")
+        .orderBy(col("maxsim_q").desc, col("doc"))
+    }),
+
     // ----- similarity search over embeddings -----
     "q_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -8575,6 +8587,19 @@ object SparkEntry {
                   CAST(COALESCE(($rrList)[CAST(fr AS INT)], 0) AS BIGINT) AS rr_ppm
            FROM fr"""
       },
+
+      "q_colbert_maxsim" ->
+        s"""WITH q AS (SELECT vec_id AS qtok, embedding AS qv
+                 FROM embeddings WHERE vec_id < 8),
+           d AS (SELECT label AS doc, embedding AS dv
+                 FROM embeddings WHERE vec_id >= 8),
+           s AS (SELECT qtok, doc,
+                        CAST(round(${duckCosine("qv", "dv")} * 1000000000.0) AS BIGINT) AS qc
+                 FROM d CROSS JOIN q),
+           m AS (SELECT doc, qtok, MAX(qc) AS m FROM s GROUP BY doc, qtok)
+           SELECT doc, CAST(SUM(m) AS BIGINT) AS maxsim_q,
+                  CAST(COUNT(*) AS BIGINT) AS n_qtoks
+           FROM m GROUP BY doc""",
 
       "q_contam_embedding" ->
         s"""WITH bench AS (SELECT vec_id AS bench_id, embedding AS bv

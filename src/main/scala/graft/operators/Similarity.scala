@@ -105,6 +105,41 @@ object Similarity {
       .select(col("src_id"), col("tgt_id"), col("margin"))
   }
 
+  /** ColBERT-style LATE-INTERACTION scoring (MaxSim; Khattab & Zaharia,
+    * SIGIR 2020): a multi-vector query scores a multi-vector document as
+    * Σ over query tokens of (max over doc tokens of cosine) — token-level
+    * soft matching without cross-attention, the serving architecture
+    * where a document ships k small vectors instead of one pooled one.
+    *
+    * Determinism: every (qtok, dtok) cosine is quantized to
+    * `round(1e9·cos)` BIGINT BEFORE the max and the sum (the
+    * [[bitextMargin]] discipline), so the document score is exact
+    * integer arithmetic — engine- and partitioning-identical.
+    *
+    * Scale: the query token set is broadcast (guarded); doc tokens
+    * stream through ONE scan; then two grid-sized aggregations
+    * ((docs × qtoks) then docs). At corpus scale swap the broadcast
+    * cross for the IVF-PQ shortlist per query token and MaxSim only the
+    * shortlisted docs — the standard ColBERT serving funnel. */
+  def maxSim(queryToks: DataFrame, docToks: DataFrame, docCol: String,
+      vecCol: String, qIdCol: String,
+      maxQueryToks: Long = 1024L): DataFrame = {
+    val nq = queryToks.count()
+    require(nq <= maxQueryToks,
+      s"maxSim: $nq query tokens exceeds maxQueryToks=$maxQueryToks; " +
+        "shortlist docs per token first (IVF-PQ), then rescore")
+    val q = broadcast(queryToks
+      .select(col(qIdCol).as("qtok"), col(vecCol).as("qv")))
+    docToks.select(col(docCol).as("doc"), col(vecCol).as("dv"))
+      .crossJoin(q)
+      .select(col("qtok"), col("doc"),
+        round(GraftFunctions.cosineSim(col("qv"), col("dv")) *
+          lit(1000000000.0)).cast("long").as("qc"))
+      .groupBy(col("doc"), col("qtok")).agg(max(col("qc")).as("m"))
+      .groupBy(col("doc"))
+      .agg(sum(col("m")).as("maxsim_q"), count(lit(1)).as("n_qtoks"))
+  }
+
   /** IVF-style approximate top-k: both sides are assigned to the
     * argmax-dot cell of a fixed coarse-quantizer codebook (deterministic
     * pseudo-centroids; a production build would k-means them), and each

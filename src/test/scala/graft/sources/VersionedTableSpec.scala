@@ -27,6 +27,12 @@ class VersionedTableSpec extends SparkSpec {
     // manifest row counts match without data I/O
     assert(VersionedTable.rowCount(spark, path, 1) == exp1)
     assert(VersionedTable.rowCount(spark, path, 2) == nat.count())
+    // history readout: one row per version, counts from manifests only
+    val h = VersionedTable.history(spark, path)
+      .orderBy("version").collect()
+    assert(h.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(h.map(_.getLong(1)).toSeq == Seq(exp1, nat.count()))
+    assert(h.forall(r => r.getInt(2) > 0 && r.isNullAt(3)))
   }
 
   test("append re-lists old files instead of rewriting; rollback restores by manifest") {
