@@ -403,6 +403,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // ----- CONTRASTIVE (anchor, positive, negative) TRIPLE MINING for
+    // embedding/retrieval training: positives are high-confidence
+    // near-dup candidates (MinHash est ≥ 0.5); each pair's negative is
+    // HASH-PROPOSED from the dense id space (no RNG — every epoch and
+    // the oracle regenerate identical triples) and kept only if it is
+    // not the anchor, not the positive, and not ANY LSH candidate of
+    // the anchor (anti-join against the candidate set — cheap
+    // hard-negative hygiene; the collided few are dropped
+    // deterministically). Candidate table persisted: it feeds the
+    // positive filter AND the anti-join. -----
+    "q_contrastive_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cand = Dedup.persistTracked(
+        Dedup.minhashCandidates(docs, "doc_id", "text"))
+      val pos = cand.filter(col("est_jaccard") >= 0.5)
+        .select(col("doc_a").as("anchor"), col("doc_b").as("positive"))
+      val nd = docs.agg(max(col("doc_id")).as("mx"))
+      pos.crossJoin(broadcast(nd))
+        .withColumn("negative", expr(
+          "((anchor * 2654435761L + positive * 97L) % 1000000007L) % (mx + 1)"))
+        .filter(col("negative") =!= col("anchor") &&
+          col("negative") =!= col("positive"))
+        .join(cand.select(col("doc_a").as("ca"), col("doc_b").as("cb")),
+          least(col("anchor"), col("negative")) === col("ca") &&
+            greatest(col("anchor"), col("negative")) === col("cb"),
+          "left_anti")
+        .select(col("anchor"), col("positive"), col("negative"))
+    }),
+
     // ----- ColBERT MaxSim late interaction: an 8-token multi-vector
     // query scores each "document" (= label group, queries excluded) by
     // Σ_qtok max_dtok cos, quantized to BIGINT before max/sum — exact
@@ -2214,6 +2243,33 @@ object SparkEntry {
     // alpha would be, too, but halving makes the exactness obvious).
     // collect_list over a window frame is ordered BY the frame, giving
     // both engines the same weight-to-value pairing -----
+    // ----- WEEKLY SEASONALITY PROFILE: per (event_type, day-of-week)
+    // exact mean value vs the event type's overall mean — the
+    // seasonal-baseline readout that tells an anomaly detector which
+    // deviations are just "it's Sunday". Decimal-exact sums; the ratio
+    // is ONE division of identical operands per cell, and the flag
+    // thresholds are exact comparisons on it. One narrow scan, one
+    // cell-grid aggregate, grid-sized rollup after. -----
+    "q_seasonal_dow" -> ((s, dir) => {
+      // ts is epoch-nanos BIGINT (Tables.normalizeEventTs); session tz is
+      // UTC, so the micros→timestamp dow equals DuckDB's naive-timestamp
+      // dow exactly (Spark Sunday=1, DuckDB Sunday=0 — hence the -1)
+      val cells = Dedup.persistTracked(t(s, dir, "events")
+        .select(col("event_type"),
+          expr("dayofweek(timestamp_micros(ts div 1000)) - 1").as("dow"),
+          col("value"))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sv")))
+      val overall = cells.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n_all"), sum(col("sv")).as("sv_all"))
+      cells.join(overall, Seq("event_type"))
+        .select(col("event_type"), col("dow"), col("n"),
+          (col("sv").cast("double") / col("n")).as("mean_v"),
+          ((col("sv").cast("double") / col("n")) /
+            (col("sv_all").cast("double") / col("n_all"))).as("ratio"))
+        .withColumn("seasonal", col("ratio") > 1.2 || col("ratio") < 0.8)
+    }),
+
     "q_ewma" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(expr("ts div 1000"), col("event_id"))
@@ -5200,6 +5256,22 @@ object SparkEntry {
                   CAST(len(list_filter(list_transform(range(1, 13), i -> a.mh[i] = b.mh[i]), v -> v)) AS DOUBLE) / 12 AS est_jaccard
            FROM buckets a JOIN buckets b
              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""",
+      "q_contrastive_pairs" ->
+        s"""$minhashCtes,
+           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(len(list_filter(list_transform(range(1, 13), i -> a.mh[i] = b.mh[i]), v -> v)) AS DOUBLE) / 12 AS est
+                FROM buckets a JOIN buckets b
+                  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+           pos AS (SELECT doc_a AS anchor, doc_b AS positive FROM cand WHERE est >= 0.5),
+           nd AS (SELECT MAX(doc_id) AS mx FROM documents),
+           wn AS (SELECT anchor, positive,
+                    ((anchor * 2654435761 + positive * 97) % 1000000007) % (mx + 1) AS negative
+                  FROM pos CROSS JOIN nd)
+           SELECT anchor, positive, negative FROM wn
+           WHERE negative <> anchor AND negative <> positive
+             AND NOT EXISTS (SELECT 1 FROM cand c
+               WHERE least(anchor, negative) = c.doc_a
+                 AND greatest(anchor, negative) = c.doc_b)""",
       // char 6-gram MinHash: grams are positional char-window hashes of
       // the lowercased text (character-indexed substr, same polyHash
       // fold), deduped before the signature
@@ -6570,6 +6642,26 @@ object SparkEntry {
              JOIN reach ON e.dst = reach.id)
            SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id""",
 
+      "q_seasonal_dow" ->
+        // DuckDB dayofweek: Sunday = 0; Spark dayofweek: Sunday = 1 —
+        // the Spark side subtracts 1 so both emit the same dow
+        """WITH cells AS (SELECT event_type, CAST(dayofweek(ts) AS INT) AS dow,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(CAST(value AS DECIMAL(18,2))) AS sv
+                FROM events GROUP BY event_type, dayofweek(ts)),
+           o AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_all,
+                        SUM(sv) AS sv_all
+                 FROM cells GROUP BY event_type)
+           SELECT cells.event_type, dow, n,
+                  CAST(sv AS DOUBLE) / n AS mean_v,
+                  (CAST(sv AS DOUBLE) / n) /
+                    (CAST(sv_all AS DOUBLE) / n_all) AS ratio,
+                  ((CAST(sv AS DOUBLE) / n) /
+                    (CAST(sv_all AS DOUBLE) / n_all)) > CAST(1.2 AS DOUBLE)
+                  OR ((CAST(sv AS DOUBLE) / n) /
+                    (CAST(sv_all AS DOUBLE) / n_all)) < CAST(0.8 AS DOUBLE)
+                    AS seasonal
+           FROM cells JOIN o ON cells.event_type = o.event_type""",
       "q_ewma" ->
         """SELECT event_id, user_id, value,
                   list_reduce(list_prepend(0::DOUBLE, list_transform(range(0, len(vs)), i ->
