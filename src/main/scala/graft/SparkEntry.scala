@@ -1300,28 +1300,16 @@ object SparkEntry {
     // rotate-and-accumulate levels (XFormulas.hilbert*: all-integer CASE
     // fragments shared verbatim with the oracle), a pure narrow map in
     // whole-stage codegen. -----
-    "q_hilbert_key" -> ((s, dir) => {
-      val n = 1024
-      var df = t(s, dir, "lineitem")
+    "q_hilbert_key" -> ((s, dir) =>
+      t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
-          expr("l_orderkey % 1024").as("ox"),
-          expr("l_partkey % 1024").as("oy"),
           expr("l_orderkey % 1024").as("x"),
-          expr("l_partkey % 1024").as("y"),
-          expr("CAST(0 AS BIGINT)").as("d"))
-      for (i <- 0 until 10) {
-        val s2 = n >> (i + 1)
-        df = df.select(col("l_orderkey"), col("l_linenumber"),
-          col("ox"), col("oy"),
-          expr(XFormulas.hilbertX(s2, n)).as("x"),
-          expr(XFormulas.hilbertY(s2, n)).as("y"),
-          expr(XFormulas.hilbertD(s2)).as("d"))
-      }
-      df.orderBy(col("d"), col("l_orderkey"), col("l_linenumber"))
+          expr("l_partkey % 1024").as("y"))
+        .withColumn("h", GraftFunctions.hilbert(col("x"), col("y"), 10))
+        .orderBy(col("h"), col("l_orderkey"), col("l_linenumber"))
         .limit(100)
-        .select(col("l_orderkey"), col("l_linenumber"),
-          col("ox").as("x"), col("oy").as("y"), col("d").as("h"))
-    }),
+        .select(col("l_orderkey"), col("l_linenumber"), col("x"), col("y"),
+          col("h"))),
 
     // ----- LAYOUT PRUNABILITY COMPARISON — the design readout that
     // justifies q_hilbert_key over q_zorder_key with a NUMBER: sort the
@@ -1332,41 +1320,52 @@ object SparkEntry {
     // same rows returned. All-integer zone maps; the exact matching-row
     // count rides along as the invariant both layouts must serve. -----
     "q_layout_compare" -> ((s, dir) => {
-      val n = 1024
-      var base = t(s, dir, "lineitem")
+      // both keys are native codegen'd maps (the chained-Project hilbert
+      // form costs seconds of Janino compilation per plan shape that
+      // inlines it — HilbertKey is one static call per row)
+      val keyed = Dedup.persistTracked(t(s, dir, "lineitem")
         .select(expr("l_orderkey % 1024").as("x"),
           expr("l_partkey % 1024").as("y"),
           col("l_orderkey"), col("l_linenumber"))
         .withColumn("z", expr((0 until 10).map(b =>
           s"((x >> $b) & 1) * ${1L << (2 * b)}L + " +
             s"((y >> $b) & 1) * ${1L << (2 * b + 1)}L").mkString(" + ")))
-        .withColumn("hx0", col("x")).withColumn("hy0", col("y"))
-        .withColumn("hd0", expr("CAST(0 AS BIGINT)"))
-      for (i <- 0 until 10) {
-        val s2 = n >> (i + 1)
-        base = base
-          .withColumn(s"hx${i + 1}",
-            expr(XFormulas.hilbertX(s2, n, s"hx$i", s"hy$i")))
-          .withColumn(s"hy${i + 1}",
-            expr(XFormulas.hilbertY(s2, n, s"hx$i", s"hy$i")))
-          .withColumn(s"hd${i + 1}",
-            expr(XFormulas.hilbertD(s2, s"hx$i", s"hy$i", s"hd$i")))
+        .withColumn("h", GraftFunctions.hilbert(col("x"), col("y"), 10)))
+      // global rank WITHOUT a single-partition window: range-partition on
+      // the key (partition i holds smaller keys than i+1), rank within
+      // each partition in parallel, and add the exclusive prefix sum of
+      // partition counts (32-row window) — the two-phase shape that
+      // keeps the audit parallel at any scale. (key, okey, lnum) is a
+      // total order, so the rank — and the oracle hash — is independent
+      // of where the sampled range boundaries land.
+      def zones(key: String, layout: String) = {
+        // persist: the pid frame feeds the offset aggregation AND the
+        // rank join — unpersisted, the two subtrees re-run the range
+        // partitioner on fresh samples and the offsets misalign
+        val sorted = Dedup.persistTracked(keyed
+          .repartitionByRange(32, col(key), col("l_orderkey"),
+            col("l_linenumber"))
+          .withColumn("pid", spark_partition_id()))
+        val offs = sorted.groupBy(col("pid"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("off", coalesce(sum(col("cnt")).over(
+            Window.orderBy(col("pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("pid"), col("off"))
+        sorted
+          .withColumn("rn_p", row_number().over(
+            Window.partitionBy(col("pid")).orderBy(col(key),
+              col("l_orderkey"), col("l_linenumber"))).cast("long"))
+          .join(broadcast(offs), Seq("pid"))
+          .withColumn("chunk", expr("(off + rn_p - 1) DIV 256"))
+          .groupBy(col("chunk"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+            min(col("y")).as("ymin"), max(col("y")).as("ymax"))
+          .select(lit(layout).as("layout"), col("n_rows"),
+            expr("CASE WHEN xmin <= 199 AND xmax >= 100 AND " +
+              "ymin <= 399 AND ymax >= 300 THEN 1L ELSE 0L END").as("hit"))
       }
-      val keyed = Dedup.persistTracked(base
-        .select(col("x"), col("y"), col("l_orderkey"), col("l_linenumber"),
-          col("z"), col("hd10").as("h")))
-      def zones(key: String, layout: String) = keyed
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col(key), col("l_orderkey"), col("l_linenumber")))
-          .cast("long"))
-        .withColumn("chunk", expr("(rn - 1) DIV 256"))
-        .groupBy(col("chunk"))
-        .agg(count(lit(1)).as("n_rows"),
-          min(col("x")).as("xmin"), max(col("x")).as("xmax"),
-          min(col("y")).as("ymin"), max(col("y")).as("ymax"))
-        .select(lit(layout).as("layout"), col("n_rows"),
-          expr("CASE WHEN xmin <= 199 AND xmax >= 100 AND " +
-            "ymin <= 399 AND ymax >= 300 THEN 1L ELSE 0L END").as("hit"))
       val match_rows = keyed.filter(
         expr("x BETWEEN 100 AND 199 AND y BETWEEN 300 AND 399"))
         .agg(count(lit(1)).as("n_match"))
@@ -3774,6 +3773,63 @@ object SparkEntry {
             "(1.0e0 - CAST(k_a + k_b AS DOUBLE) / (n_a + n_b)) * " +
             "(1.0e0 / n_a + 1.0e0 / n_b))"))
         .withColumn("significant", abs(col("z")) > 1.96)
+    }),
+
+    // ----- CROSS-SOURCE QUANTILE NORMALIZATION: map each source's
+    // length distribution onto the POOLED distribution by rank — the
+    // score-calibration step that makes per-source quality scores
+    // comparable before a global threshold (a "0.8" from a lenient
+    // scorer and a strict one stop meaning different things). Entirely
+    // integer: per-source rank r of n_s maps to pooled order statistic
+    // at index max(1, (r·N) div n_s) — no percentiles, no floats, one
+    // equi join on the index. Per-source windows parallelize; the
+    // pooled ranking is the one global sort (design-time shape: at
+    // 100 TB bucket the pooled side by value range first). -----
+    "q_quantile_norm" -> ((s, dir) => {
+      val docs = Dedup.persistTracked(t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars")))
+      val pooled = docs
+        .withColumn("gi", row_number().over(
+          Window.orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+        .select(col("gi"), col("n_chars").as("pooled_chars"))
+      val n = docs.agg(count(lit(1)).as("nn"))
+      docs
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+        .withColumn("n_s", count(lit(1)).over(
+          Window.partitionBy(col("source"))))
+        .crossJoin(broadcast(n))
+        .withColumn("gi", expr("greatest(1L, (r * nn) DIV n_s)"))
+        .join(pooled, Seq("gi"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("r"), col("pooled_chars").as("norm_chars"))
+    }),
+
+    // ----- WILSON 95% CI per A/B arm — the interval readout behind
+    // q_ab_test's yes/no: score intervals stay inside [0,1] and behave
+    // at small k where the normal interval fails. z = 1.96 and
+    // z² = 3.8416 ride as exact double literals; sqrt is the one
+    // non-trivial function that is correctly rounded in both engines,
+    // and every other step is a double op on identical operands — the
+    // whole interval is engine-exact with no fixed-point scaffolding. -----
+    "q_ab_wilson" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+            col("value") > 144, 1L).otherwise(0L)).as("conv"))
+        .withColumn("cohort", col("user_id") % 2)
+        .groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("k"))
+        .withColumn("p_hat", expr("CAST(k AS DOUBLE) / n"))
+        .withColumn("denom", expr("1.0e0 + 3.8416e0 / n"))
+        .withColumn("center",
+          expr("(p_hat + 3.8416e0 / (2.0e0 * n)) / denom"))
+        .withColumn("half", expr(
+          "1.96e0 * sqrt(p_hat * (1.0e0 - p_hat) / n + " +
+            "3.8416e0 / (4.0e0 * n * n)) / denom"))
+        .select(col("cohort"), col("n"), col("k"), col("p_hat"),
+          expr("center - half").as("lo"), expr("center + half").as("hi"))
     }),
 
     // ----- LAST-TOUCH ATTRIBUTION: every purchase credited to the most
@@ -7933,6 +7989,42 @@ object SparkEntry {
                  FROM p)
            SELECT p_partkey, price_c, sz FROM m
            WHERE (m1 IS NULL OR m1 < sz) AND m2 = sz""",
+      "q_quantile_norm" ->
+        """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+           pooled AS (SELECT ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS gi,
+                             n_chars AS pooled_chars
+                      FROM d),
+           nn AS (SELECT COUNT(*) AS nn FROM d),
+           r AS (SELECT doc_id, source, n_chars,
+                        ROW_NUMBER() OVER (PARTITION BY source
+                          ORDER BY n_chars, doc_id) AS r,
+                        COUNT(*) OVER (PARTITION BY source) AS n_s
+                 FROM d)
+           SELECT doc_id, r.source, r.n_chars, CAST(r.r AS BIGINT) AS r,
+                  pooled_chars AS norm_chars
+           FROM r CROSS JOIN nn
+           JOIN pooled ON pooled.gi = greatest(1, (r.r * nn.nn) // r.n_s)""",
+      "q_ab_wilson" ->
+        """WITH u AS (SELECT user_id,
+                  MAX(CASE WHEN event_type = 'purchase' AND value > 144
+                      THEN 1 ELSE 0 END) AS conv,
+                  user_id % 2 AS cohort
+                 FROM events GROUP BY user_id),
+           c AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(conv) AS BIGINT) AS k
+                 FROM u GROUP BY cohort),
+           w AS (SELECT cohort, n, k,
+                        CAST(k AS DOUBLE) / n AS p_hat,
+                        1.0e0 + 3.8416e0 / n AS denom
+                 FROM c),
+           w2 AS (SELECT cohort, n, k, p_hat,
+                        (p_hat + 3.8416e0 / (2.0e0 * n)) / denom AS center,
+                        1.96e0 * sqrt(p_hat * (1.0e0 - p_hat) / n +
+                          3.8416e0 / (4.0e0 * n * n)) / denom AS half
+                 FROM w)
+           SELECT cohort, n, k, p_hat,
+                  center - half AS lo, center + half AS hi
+           FROM w2""",
       "q_ab_test" ->
         """WITH u AS (SELECT user_id,
                   MAX(CASE WHEN event_type = 'purchase' AND value > 144

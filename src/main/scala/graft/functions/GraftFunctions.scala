@@ -64,6 +64,10 @@ object GraftFunctions {
   /** Unicode NFC canonical composition; see [[NfcNormalize]]. */
   def nfc(text: Column): Column = c(NfcNormalize(e(text)))
 
+  /** Hilbert-curve layout key of two bigint coords; see [[HilbertKey]]. */
+  def hilbert(x: Column, y: Column, order: Int): Column =
+    c(HilbertKey(e(x), e(y), order))
+
   private[functions] val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_polyhash" -> (args => PolyHash(args.head)),
     "graft_minhash" -> (args => MinHashSig(args.head,
@@ -98,7 +102,9 @@ object GraftFunctions {
         .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
       MultiPatternCounts(args.head, pats.toSeq)
     }),
-    "graft_nfc" -> (args => NfcNormalize(args.head)))
+    "graft_nfc" -> (args => NfcNormalize(args.head)),
+    "graft_hilbert" -> (args => HilbertKey(args.head, args(1),
+      args(2).asInstanceOf[Literal].value.asInstanceOf[Number].intValue)))
 
   /** Register the SQL functions on an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {

@@ -28,6 +28,59 @@ object NormalizeImpl {
   }
 }
 
+/** JVM side of [[HilbertKey]]: the iterative xy2d walk (the standard
+  * rotate-and-accumulate form). Bit-identical to the unrolled
+  * [[graft.functions.XFormulas.hilbertX]]/Y/D CASE-fragment chain the
+  * DuckDB oracle runs — HilbertSpec pins the equality exhaustively. */
+object HilbertImpl {
+  def xy2d(xIn: Long, yIn: Long, order: Int): Long = {
+    var x = xIn; var y = yIn
+    val n = 1L << order
+    var s = n >> 1
+    var d = 0L
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) { // flip (when rx = 1) then swap
+        val nx = if (rx == 1) n - 1 - y else y
+        val ny = if (rx == 1) n - 1 - x else x
+        x = nx; y = ny
+      }
+      s >>= 1
+    }
+    d
+  }
+}
+
+/** Hilbert-curve key of an (x, y) cell: ONE codegen'd static call per
+  * row instead of a 10-level chained-Project rotate-and-accumulate —
+  * the chain's generated code is large enough that every plan shape
+  * containing it pays seconds of Janino compilation (measured ~2.5 s
+  * per distinct stage), while this expression is a single invoke. The
+  * SQL-fragment chain stays as the oracle's form and the differential
+  * proof ([[graft.functions.XFormulas.hilbertX]], HilbertSpec). */
+case class HilbertKey(left: Expression, right: Expression, order: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(order >= 1 && order <= 31, s"order must be in [1, 31], got $order")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == org.apache.spark.sql.types.LongType &&
+      right.dataType == org.apache.spark.sql.types.LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two bigint coordinates, got " +
+        s"${left.dataType} / ${right.dataType}")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_hilbert"
+  protected override def nullSafeEval(x: Any, y: Any): Any =
+    HilbertImpl.xy2d(x.asInstanceOf[Long], y.asInstanceOf[Long], order)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) =>
+      s"graft.functions.expressions.HilbertImpl.xy2d($x, $y, $order)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): HilbertKey = copy(left = l, right = r)
+}
+
 /** Unicode NFC normalization (canonical composition): `café` typed as
   * `e`+COMBINING ACUTE and as the precomposed U+00E9 become the SAME
   * string, so fingerprint/exact-dedup stages stop treating visually

@@ -51,6 +51,7 @@ class PlanHygieneSpec extends SparkSpec {
     "q_retrieval_mrr",  // same brute-force ranking arm as q_retrieval_ndcg
     "q_colbert_maxsim", // broadcast 8-token query set x doc-token scan
     "q_contrastive_pairs", // 1-row max-doc-id scalar crossed into the neg pick
+    "q_quantile_norm",  // 1-row pooled-count scalar crossed into the index map
     "q_contam_embedding", // broadcast benchmark set x corpus scan
     "q15_top_revenue",  // 1-row max-revenue scalar crossed into the filter
     "q_ks_test",        // 1-row cohort-totals scalar crossed into the max

@@ -38,6 +38,20 @@ class HilbertSpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("native HilbertKey == the unrolled fragment chain (the oracle's form)") {
+    // the queries run the native expression; the oracle runs the CASE
+    // fragments — this equality is what keeps them differential
+    val frag = curve(16, 4).map { case (x, y, d) => ((x, y), d) }.toMap
+    import spark.implicits._
+    val native = spark.range(256).selectExpr(
+      "CAST(id % 16 AS BIGINT) AS x", "CAST(id DIV 16 AS BIGINT) AS y")
+      .select(col("x"), col("y"),
+        GraftFunctions.hilbert(col("x"), col("y"), 4).as("h"))
+      .collect().map(r => ((r.getLong(0).toInt, r.getLong(1).toInt),
+        r.getLong(2)))
+    assert(native.forall { case (xy, h) => frag(xy) == h })
+  }
+
   test("z-order takes non-unit jumps where Hilbert never does") {
     // the comparative claim in q_hilbert_key's doc, pinned on the same grid
     val z = (0 until 256).map { id =>
