@@ -1082,6 +1082,45 @@ object SparkEntry {
         docs.filter(col("doc_id") < 20), "doc_id", "text")
     }),
 
+    // ----- CONTAMINATION DEFENSE-IN-DEPTH MATRIX: every corpus doc
+    // cross-tabulated by which detection layer flags it — byte-exact
+    // text match, 5-gram hash overlap (q_decontaminate's layer), and
+    // embedding cosine (q_contam_embedding's layer, vec ids aligned
+    // with doc ids). The 2×2×2 readout says whether the layers are
+    // redundant or complementary — the audit that justifies running
+    // (or dropping) each one at 100 TB. Layers reuse the existing
+    // operators' exact machinery; flags ride LEFT joins on ids. -----
+    "q_contam_matrix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = Dedup.persistTracked(
+        docs.filter(col("doc_id") >= 20).select(col("doc_id"), col("text")))
+      val bench = Dedup.persistTracked(
+        docs.filter(col("doc_id") < 20).select(col("doc_id"), col("text")))
+      val ngramFlag = TextAnalysis.decontaminate(corpus, bench,
+          "doc_id", "text")
+        .select(col("doc_id")).withColumn("ngram_hit", lit(true))
+      val emb = t(s, dir, "embeddings")
+      val semFlag = emb.filter(col("vec_id") >= 20)
+        .select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(emb.filter(col("vec_id") < 20)
+          .select(col("embedding").as("bv"))))
+        .filter(GraftFunctions.cosineSim(col("embedding"), col("bv"))
+          >= 0.35)
+        .select(col("vec_id").as("doc_id")).distinct()
+        .withColumn("sem_hit", lit(true))
+      val exactFlag = corpus
+        .join(bench.select(col("text")).distinct(), Seq("text"))
+        .select(col("doc_id")).withColumn("exact_hit", lit(true))
+      corpus.select(col("doc_id"))
+        .join(exactFlag, Seq("doc_id"), "left")
+        .join(ngramFlag, Seq("doc_id"), "left")
+        .join(semFlag, Seq("doc_id"), "left")
+        .groupBy(coalesce(col("exact_hit"), lit(false)).as("exact_hit"),
+          coalesce(col("ngram_hit"), lit(false)).as("ngram_hit"),
+          coalesce(col("sem_hit"), lit(false)).as("sem_hit"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     // ----- WHERE the contamination is: 1-based positions of benchmark
     // 5-gram collisions per doc — the span list an excision pass masks
     "q_contam_spans" -> ((s, dir) => {
@@ -2730,6 +2769,33 @@ object SparkEntry {
     "q_record_linkage" -> ((s, dir) =>
       graft.operators.Linkage.linkWithinDeletes(t(s, dir, "customer"),
         "c_custkey", "c_name", Seq("c_nationkey"))),
+
+    // ----- GOLDEN RECORD (MDM consolidation): linkage pairs → connected
+    // components → one canonical row per entity cluster under explicit
+    // survivorship rules (name/id from the MIN member — deterministic
+    // because keys are unique; balance = exact decimal MAX; the
+    // segment-count column surfaces clusters whose members disagree —
+    // the "needs a steward" queue). Same bounded-3-round CC caveat as
+    // q_leakage_split (exact for diameter ≤ 3; both engines run the
+    // SAME rounds so the oracle matches regardless). Cluster work is
+    // pair-table-sized; the customer table joins back ONCE. -----
+    "q_golden_record" -> ((s, dir) => {
+      val cust = Dedup.persistTracked(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_mktsegment"), col("c_acctbal")))
+      val pairs = graft.operators.Linkage.linkWithinDeletes(cust,
+        "c_custkey", "c_name", Seq("c_nationkey"))
+        .select(col("id_a"), col("id_b"))
+      val cl = Dedup.clusters(pairs, "id_a", "id_b")
+        .withColumnRenamed("id_a", "c_custkey")
+      cust.join(cl, Seq("c_custkey"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("c_custkey")).as("canonical_id"),
+          expr("min_by(c_name, c_custkey)").as("canonical_name"),
+          max(dec(col("c_acctbal"))).cast("double").as("max_bal"),
+          countDistinct(col("c_mktsegment")).as("n_segments"))
+    }),
 
     // ----- CROSS-TABLE entity resolution: customers vs suppliers whose
     // source-normalized names (prefix stripped) are within one edit,
@@ -6109,6 +6175,32 @@ object SparkEntry {
                   COUNT(DISTINCT gh) AS n_shared_ngrams,
                   COUNT(DISTINCT bench_id) AS n_bench_docs
            FROM c JOIN b USING (gh) GROUP BY doc_id_c""",
+      "q_contam_matrix" ->
+        s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
+           g AS (SELECT doc_id,
+                        unnest(list_distinct(list_transform(${duckShingles("toks", 5)}, s -> ${duckStrHash("s")}))) AS gh
+                 FROM tk),
+           ng AS (SELECT DISTINCT c.doc_id FROM
+                    (SELECT doc_id, gh FROM g WHERE doc_id >= 20) c
+                    JOIN (SELECT doc_id AS bid, gh FROM g WHERE doc_id < 20) b
+                    USING (gh)),
+           ex AS (SELECT DISTINCT d.doc_id FROM documents d
+                  JOIN documents b2 ON d.text = b2.text AND b2.doc_id < 20
+                  WHERE d.doc_id >= 20),
+           sem AS (SELECT DISTINCT v.vec_id AS doc_id
+                   FROM embeddings v CROSS JOIN embeddings bv
+                   WHERE v.vec_id >= 20 AND bv.vec_id < 20
+                     AND ${duckCosine("v.embedding", "bv.embedding")} >= CAST(0.35 AS DOUBLE)),
+           sp AS (SELECT doc_id FROM documents WHERE doc_id >= 20)
+           SELECT COALESCE(e.h, FALSE) AS exact_hit,
+                  COALESCE(n.h, FALSE) AS ngram_hit,
+                  COALESCE(s2.h, FALSE) AS sem_hit,
+                  CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM sp
+           LEFT JOIN (SELECT doc_id, TRUE AS h FROM ex) e USING (doc_id)
+           LEFT JOIN (SELECT doc_id, TRUE AS h FROM ng) n USING (doc_id)
+           LEFT JOIN (SELECT doc_id, TRUE AS h FROM sem) s2 USING (doc_id)
+           GROUP BY 1, 2, 3""",
       "q_contam_spans" ->
         s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
            sh AS (SELECT doc_id,
@@ -7427,6 +7519,34 @@ object SparkEntry {
            FROM customer a JOIN customer b
              ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
            WHERE levenshtein(a.c_name, b.c_name) <= 1""",
+      "q_golden_record" -> {
+        // brute blocked pairs (the deletion-neighborhood generator is
+        // provably complete for edit <= 1) + the same 3 unrolled CC
+        // rounds as Dedup.clusters, then the survivorship rollup
+        val rounds = (1 to 3).map { i =>
+          s"""l$i AS (SELECT n.id, least(n.label, coalesce(m.nm, n.label)) AS label
+                FROM l${i - 1} n LEFT JOIN (
+                  SELECT e.src, MIN(l.label) AS nm FROM edges e
+                  JOIN l${i - 1} l ON e.dst = l.id GROUP BY e.src) m
+                ON n.id = m.src)"""
+        }.mkString(",\n           ")
+        s"""WITH pairs AS (SELECT a.c_custkey AS pa, b.c_custkey AS pb
+             FROM customer a JOIN customer b
+               ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+             WHERE levenshtein(a.c_name, b.c_name) <= 1),
+           edges AS (SELECT pa AS src, pb AS dst FROM pairs
+                     UNION ALL SELECT pb, pa FROM pairs),
+           nodes AS (SELECT DISTINCT src AS id FROM edges),
+           l0 AS (SELECT id, id AS label FROM nodes),
+           $rounds
+           SELECT label AS cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+                  MIN(c.c_custkey) AS canonical_id,
+                  min_by(c.c_name, c.c_custkey) AS canonical_name,
+                  CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_bal,
+                  CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+           FROM l3 JOIN customer c ON l3.id = c.c_custkey
+           GROUP BY label"""
+      },
       "q_linkage_cross" ->
         // brute blocked cross-table definition — proves the deletion-
         // neighborhood candidate generator is complete across tables

@@ -52,6 +52,12 @@ class HilbertSpec extends SparkSpec {
     assert(native.forall { case (xy, h) => frag(xy) == h })
   }
 
+  test("SQL surface: graft_hilbert matches the JVM impl") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT graft_hilbert(3L, 5L, 4) AS h").head().getLong(0)
+    assert(r == graft.functions.expressions.HilbertImpl.xy2d(3L, 5L, 4))
+  }
+
   test("z-order takes non-unit jumps where Hilbert never does") {
     // the comparative claim in q_hilbert_key's doc, pinned on the same grid
     val z = (0 until 256).map { id =>

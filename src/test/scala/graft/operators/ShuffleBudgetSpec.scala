@@ -116,6 +116,38 @@ class ShuffleBudgetSpec extends SparkSpec {
         s"exact dedup shuffled $bytes vs $textBytes text bytes")
     }
   }
+
+  test("word dropout: ZERO exchanges — augmentation is a pure narrow map") {
+    withoutAqe {
+      val (n, _) = shuffleProfile(
+        SparkEntryAccess.run(spark, dir, "q_word_dropout"))
+      assert(n == 0, s"expected a fully narrow plan, found $n exchanges")
+    }
+  }
+
+  test("blocklist scan: the AC pass shuffles per-pattern COUNTS, never text") {
+    withoutAqe {
+      val docs = Tables(spark, dir, "documents")
+      val textBytes = docs.agg(sum(length(col("text")))).head.getLong(0)
+      val (n, bytes) = shuffleProfile(
+        SparkEntryAccess.run(spark, dir, "q_blocklist_scan"))
+      assert(n == 1, s"expected one aggregation exchange, found $n")
+      assert(bytes < textBytes / 4,
+        s"blocklist scan shuffled $bytes vs $textBytes text bytes")
+    }
+  }
+
+  test("MaxSim: exchanges carry (doc, qtok, int) grid rows, never vectors") {
+    withoutAqe {
+      val emb = Tables(spark, dir, "embeddings")
+      val vecBytes = emb.agg(sum(size(col("embedding")) * 4))
+        .head.getLong(0)
+      val (_, bytes) = shuffleProfile(
+        SparkEntryAccess.run(spark, dir, "q_colbert_maxsim"))
+      assert(bytes < vecBytes / 2,
+        s"MaxSim shuffled $bytes vs $vecBytes vector bytes")
+    }
+  }
 }
 
 /** Test-local accessor: runs a SparkEntry query by name. */
