@@ -2281,6 +2281,64 @@ object SparkEntry {
     // alpha would be, too, but halving makes the exactness obvious).
     // collect_list over a window frame is ordered BY the frame, giving
     // both engines the same weight-to-value pairing -----
+    // ----- INTER-ARRIVAL BURSTINESS per event type: mean/std of the
+    // gaps between consecutive events and the burstiness index
+    // B = (σ−μ)/(σ+μ) (Goh & Barabási) — B→−1 periodic, 0 Poisson,
+    // →1 bursty; the traffic-shape readout behind rate-limit and
+    // capacity sizing. Gaps in whole seconds keep Σx² inside BIGINT;
+    // variance from exact integer moments, σ via the one
+    // correctly-rounded function (sqrt), every division on identical
+    // operands. One lag window per type (parallel across types), one
+    // tiny aggregate. -----
+    "q_interarrival" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"), col("ts"), col("event_id"))
+        .withColumn("gap_s",
+          expr("(ts - lag(ts) OVER (PARTITION BY event_type " +
+            "ORDER BY ts, event_id)) div 1000000000"))
+        .filter(col("gap_s").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"), sum(col("gap_s")).as("sx"),
+          sum(col("gap_s") * col("gap_s")).as("sxx"))
+        .select(col("event_type"), col("n_gaps"),
+          expr("CAST(sx AS DOUBLE) / n_gaps").as("mean_gap_s"),
+          expr("sqrt(CAST(n_gaps * sxx - sx * sx AS DOUBLE)) / n_gaps")
+            .as("std_gap_s"))
+        // nullif: all-sub-second gaps floor to 0 → 0/0 is IEEE NaN in
+        // Spark but NULL in DuckDB; both sides go NULL
+        .withColumn("burstiness", expr(
+          "(std_gap_s - mean_gap_s) / nullif(std_gap_s + mean_gap_s, 0.0D)"))
+    }),
+
+    // ----- LAST-DIGIT UNIFORMITY audit — the synthetic/fabricated-data
+    // complement to q_benford (first digits follow Benford; LAST digits
+    // of organic amounts are near-uniform, and humans inventing numbers
+    // break both): chi² of the price-cents last digit vs uniform,
+    // scaled to exact integers — Σ(10·obs − n)² is BIGINT-exact, ONE
+    // division by 10n at the end. One narrow scan + a 10-group
+    // aggregate + a 1-row rollup. -----
+    "q_last_digit" -> ((s, dir) => {
+      val d = t(s, dir, "orders")
+        .select(expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) % 10")
+          .as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("obs"))
+      val tot = d.agg(sum(col("obs")).as("n"))
+      d.crossJoin(broadcast(tot))
+        .select(col("digit"), col("obs"),
+          expr("(10 * obs - n) * (10 * obs - n)").as("dev_sq"),
+          col("n"))
+        .groupBy(col("n"))
+        .agg(count(lit(1)).as("n_digits"),
+          sum(col("dev_sq")).as("dev_sum"))
+        .select(col("n"), col("n_digits"),
+          expr("CAST(dev_sum AS DOUBLE) / CAST(10 * n AS DOUBLE)")
+            .as("chi2"),
+          // 16.92 = chi²(9 dof, 0.05): flag if the digits are NOT uniform
+          expr("CAST(dev_sum AS DOUBLE) / CAST(10 * n AS DOUBLE) " +
+            "> CAST(16.92 AS DOUBLE)").as("suspicious"))
+    }),
+
     // ----- WEEKLY SEASONALITY PROFILE: per (event_type, day-of-week)
     // exact mean value vs the event type's overall mean — the
     // seasonal-baseline readout that tells an anomaly detector which
@@ -6790,6 +6848,39 @@ object SparkEntry {
              JOIN reach ON e.dst = reach.id)
            SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id""",
 
+      "q_interarrival" ->
+        // Spark ts is epoch-nanos BIGINT, DuckDB's is TIMESTAMP(us):
+        // (Δnanos div 1e9) == (Δmicros // 1e6) exactly
+        """WITH e AS (SELECT event_type, epoch_us(ts) AS us, event_id FROM events),
+           g AS (SELECT event_type,
+                   (us - lag(us) OVER (PARTITION BY event_type
+                      ORDER BY us, event_id)) // 1000000 AS gap_s
+                 FROM e),
+           a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                        CAST(SUM(gap_s) AS BIGINT) AS sx,
+                        CAST(SUM(gap_s * gap_s) AS BIGINT) AS sxx
+                 FROM g WHERE gap_s IS NOT NULL GROUP BY event_type),
+           b AS (SELECT event_type, n_gaps,
+                        CAST(sx AS DOUBLE) / n_gaps AS mean_gap_s,
+                        sqrt(CAST(n_gaps * sxx - sx * sx AS DOUBLE)) / n_gaps AS std_gap_s
+                 FROM a)
+           SELECT event_type, n_gaps, mean_gap_s, std_gap_s,
+                  (std_gap_s - mean_gap_s) /
+                    nullif(std_gap_s + mean_gap_s, 0.0) AS burstiness
+           FROM b""",
+      "q_last_digit" ->
+        """WITH d AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) % 10 AS digit
+                 FROM orders),
+           c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS obs FROM d GROUP BY digit),
+           t AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM c),
+           x AS (SELECT digit, obs, (10 * obs - n) * (10 * obs - n) AS dev_sq, n
+                 FROM c CROSS JOIN t)
+           SELECT n, CAST(COUNT(*) AS BIGINT) AS n_digits,
+                  CAST(CAST(SUM(dev_sq) AS BIGINT) AS DOUBLE) /
+                    CAST(10 * n AS DOUBLE) AS chi2,
+                  (CAST(CAST(SUM(dev_sq) AS BIGINT) AS DOUBLE) /
+                    CAST(10 * n AS DOUBLE)) > CAST(16.92 AS DOUBLE) AS suspicious
+           FROM x GROUP BY n""",
       "q_seasonal_dow" ->
         // DuckDB dayofweek: Sunday = 0; Spark dayofweek: Sunday = 1 —
         // the Spark side subtracts 1 so both emit the same dow
