@@ -52,29 +52,42 @@ object SigAgg {
     * mergeable. Counts are lower bounds (order-dependent), but the
     * CONTAINMENT guarantee is deterministic — which is exactly what the
     * oracle checks (the same flag pattern as the approx-agg queries). */
+  /** The MG decrement-all insert step — shared by the batch aggregator
+    * and the streaming processor (StatefulOps.misraGriesTws), so both
+    * paths apply the identical sketch transition. */
+  private[graft] def mgInsert(m: Map[String, Long], item: String,
+      k: Int): Map[String, Long] =
+    m.get(item) match {
+      case Some(c) => m.updated(item, c + 1)
+      case None if m.size < k => m.updated(item, 1L)
+      case None =>
+        m.foldLeft(Map.empty[String, Long]) { case (acc, (x, c)) =>
+          if (c > 1) acc.updated(x, c - 1) else acc
+        }
+    }
+
+  /** Mergeable-summaries combine (Agarwal et al.): sum then subtract the
+    * (k+1)-th largest. Shared for the same reason as [[mgInsert]]. */
+  private[graft] def mgMerge(a: Map[String, Long], b: Map[String, Long],
+      k: Int): Map[String, Long] = {
+    val c = (a.keySet ++ b.keySet).iterator
+      .map(x => x -> (a.getOrElse(x, 0L) + b.getOrElse(x, 0L))).toMap
+    if (c.size <= k) c
+    else {
+      val cut = c.values.toSeq.sorted(Ordering[Long].reverse).apply(k)
+      c.foldLeft(Map.empty[String, Long]) { case (acc, (x, v)) =>
+        if (v > cut) acc.updated(x, v - cut) else acc
+      }
+    }
+  }
+
   private final class MisraGries(k: Int)
       extends Aggregator[String, Map[String, Long], Map[String, Long]] {
     override def zero: Map[String, Long] = Map.empty
     override def reduce(m: Map[String, Long], item: String): Map[String, Long] =
-      m.get(item) match {
-        case Some(c) => m.updated(item, c + 1)
-        case None if m.size < k => m.updated(item, 1L)
-        case None =>
-          m.foldLeft(Map.empty[String, Long]) { case (acc, (x, c)) =>
-            if (c > 1) acc.updated(x, c - 1) else acc
-          }
-      }
-    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-      val c = (a.keySet ++ b.keySet).iterator
-        .map(x => x -> (a.getOrElse(x, 0L) + b.getOrElse(x, 0L))).toMap
-      if (c.size <= k) c
-      else {
-        val cut = c.values.toSeq.sorted(Ordering[Long].reverse).apply(k)
-        c.foldLeft(Map.empty[String, Long]) { case (acc, (x, v)) =>
-          if (v > cut) acc.updated(x, v - cut) else acc
-        }
-      }
-    }
+      mgInsert(m, item, k)
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      mgMerge(a, b, k)
     override def finish(b: Map[String, Long]): Map[String, Long] = b
     override def bufferEncoder = ExpressionEncoder[Map[String, Long]]()
     override def outputEncoder = ExpressionEncoder[Map[String, Long]]()

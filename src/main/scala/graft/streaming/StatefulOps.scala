@@ -464,6 +464,53 @@ object StatefulOps {
         OutputMode.Update())
   }
 
+  case class KeyedItem(key: String, item: String)
+  case class MgState(items: Seq[String], counts: Seq[Long])
+  case class MgOut(key: String, item: String, cnt_lb: Long)
+
+  /** Streaming MISRA-GRIES heavy hitters per key — the bounded-memory
+    * "what dominates this stream" gate (top sources, hot tokens, spam
+    * senders): state per key is AT MOST k (item, count) counters however
+    * many distinct items arrive, and any item whose true frequency
+    * exceeds n/(k+1) is GUARANTEED to be among them (counts are lower
+    * bounds). Completes the streaming sketch family next to KMV ("how
+    * many distinct") and count-min ("how often THIS item"). Inserts are
+    * [[graft.functions.SigAgg.mgInsert]] — literally the batch
+    * aggregator's reduce step — so a streamed prefix and a batch run
+    * apply the identical sketch transition; spec pins the containment
+    * guarantee across micro-batches. Emits the refreshed sketch for
+    * every key touched in a batch (Update mode). */
+  private class MisraGriesProcessor(k: Int, ttl: Option[java.time.Duration])
+      extends StatefulProcessor[String, KeyedItem, MgOut] {
+    @transient private var state: ValueState[MgState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[MgState]("mg",
+        Encoders.product[MgState],
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+    override def handleInputRows(key: String, rows: Iterator[KeyedItem],
+        timers: TimerValues): Iterator[MgOut] = {
+      var m = Option(state.get())
+        .map(s => s.items.zip(s.counts).toMap)
+        .getOrElse(Map.empty[String, Long])
+      rows.foreach(r => m = graft.functions.SigAgg.mgInsert(m, r.item, k))
+      val sorted = m.toSeq.sortBy { case (it, c) => (-c, it) }
+      state.update(MgState(sorted.map(_._1), sorted.map(_._2)))
+      sorted.iterator.map { case (it, c) => MgOut(key, it, c) }
+    }
+  }
+
+  /** Per-key streaming Misra-Gries heavy hitters via
+    * `transformWithState` (see [[MisraGriesProcessor]]). */
+  def misraGriesTws(ds: Dataset[KeyedItem], k: Int,
+      ttl: Option[java.time.Duration] = None): Dataset[MgOut] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .transformWithState(new MisraGriesProcessor(k, ttl),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Update())
+  }
+
   case class DocIn(doc_id: Long, mh: Seq[Long], bucketKey: String)
   case class BucketState(ids: Seq[Long], sigs: Seq[Seq[Long]])
   case class NearDupHit(new_id: Long, seen_id: Long, est_jaccard: Double)

@@ -660,4 +660,49 @@ class StatefulOpsSpec extends SparkSpec {
     assert(out.contains("u3") && out("u3").head.stage_reached == 1 &&
       !out("u3").head.completed)
   }
+
+  test("transformWithState Misra-Gries: bounded state, containment guarantee (RocksDB)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val k = 4
+      // key a: 'hot' appears 120 times among 300 rows (freq > n/(k+1) =
+      // 60 — MUST survive); 60 distinct cold items appear 3x each,
+      // delivered across two batches
+      val cold = (1 to 60).flatMap(i => Seq.fill(3)(s"cold$i"))
+      val aItems = new scala.util.Random(7)
+        .shuffle((Seq.fill(120)("hot") ++ cold).toList)
+      val mem = MemoryStream[StatefulOps.KeyedItem]
+      val q = StatefulOps.misraGriesTws(mem.toDS(), k).writeStream
+        .format("memory").queryName("tws_mg")
+        .outputMode(OutputMode.Update).start()
+      var afterB1 = 0L
+      try {
+        mem.addData(aItems.take(150).map(StatefulOps.KeyedItem("a", _)) ++
+          Seq(StatefulOps.KeyedItem("b", "x")): _*)
+        q.processAllAvailable()
+        afterB1 = spark.table("tws_mg").count()
+        mem.addData(aItems.drop(150).map(StatefulOps.KeyedItem("a", _)) ++
+          Seq(StatefulOps.KeyedItem("b", "x")): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("tws_mg").as[StatefulOps.MgOut].collect()
+      // the FINAL sketch = rows emitted by the second batch only (the
+      // memory sink appends update rows in batch order)
+      val fin = rows.drop(afterB1.toInt)
+      val lastA = fin.filter(_.key == "a")
+        .map(o => o.item -> o.cnt_lb).toMap
+      // bounded state: at most k counters after 61 distinct items
+      assert(lastA.size <= k)
+      // containment guarantee: the true heavy hitter is present, with a
+      // lower-bound count no greater than its true frequency
+      assert(lastA.contains("hot") && lastA("hot") <= 120L)
+      // b: two batches of the same single item accumulate exactly
+      val lastB = rows.filter(_.key == "b").last
+      assert(lastB.item == "x" && lastB.cnt_lb == 2L)
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
