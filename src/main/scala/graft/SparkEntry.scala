@@ -284,6 +284,26 @@ object SparkEntry {
       TextAnalysis.stats(t(s, dir, "documents"), "doc_id", "text")),
     "q_text_lang" -> ((s, dir) =>
       TextAnalysis.langGuess(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ----- LANG-ID CONFUSION MATRIX: the heuristic classifier's guesses
+    // cross-tabulated against the corpus's labeled lang — the eval that
+    // says whether the cheap stopword gate is good enough to route docs
+    // at ingest, and per (label, guess) cell counts + the label's recall
+    // as one exact division. Classifier and matrix are two tiny
+    // aggregations over one scan. -----
+    "q_langid_confusion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val g = TextAnalysis.langGuess(docs, "doc_id", "text")
+      val cells = Dedup.persistTracked(
+        docs.select(col("doc_id"), col("lang"))
+          .join(g, Seq("doc_id"))
+          .groupBy(col("lang"), col("lang_guess"))
+          .agg(count(lit(1)).as("n_docs")))
+      val tot = cells.groupBy(col("lang")).agg(sum(col("n_docs")).as("n_lang"))
+      cells.join(broadcast(tot), Seq("lang"))
+        .select(col("lang"), col("lang_guess"), col("n_docs"),
+          expr("CAST(n_docs AS DOUBLE) / n_lang").as("cell_rate"))
+    }),
     "q_text_quality" -> ((s, dir) =>
       TextAnalysis.quality(t(s, dir, "documents"), "doc_id", "text")),
     "q_text_fingerprint" -> ((s, dir) =>
@@ -5400,6 +5420,21 @@ object SparkEntry {
                                WHEN $stop >= 1 THEN 'maybe_en'
                                ELSE 'other' END AS lang_guess
            FROM tk""",
+      "q_langid_confusion" ->
+        s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
+           g AS (SELECT doc_id, CASE WHEN $stop >= 2 THEN 'en'
+                               WHEN $stop >= 1 THEN 'maybe_en'
+                               ELSE 'other' END AS lang_guess
+                 FROM tk),
+           cells AS (SELECT d.lang, g.lang_guess,
+                            CAST(COUNT(*) AS BIGINT) AS n_docs
+                     FROM documents d JOIN g USING (doc_id)
+                     GROUP BY d.lang, g.lang_guess),
+           t AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_lang
+                 FROM cells GROUP BY lang)
+           SELECT cells.lang, lang_guess, n_docs,
+                  CAST(n_docs AS DOUBLE) / n_lang AS cell_rate
+           FROM cells JOIN t ON cells.lang = t.lang""",
       "q_text_quality" ->
         s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents)
            SELECT doc_id,
