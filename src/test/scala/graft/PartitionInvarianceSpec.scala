@@ -1,0 +1,49 @@
+package graft
+
+import graft.athenaeum.SparkSpec
+
+/** The repo's determinism discipline (fixed-point integer sums, decimal
+  * aggregates, quantize-before-aggregate, unique-key tie-breaks) claims
+  * results are independent of physical partitioning. This spec makes
+  * the claim EXECUTABLE for a representative slice of the surface: each
+  * query runs under 5 and 32 shuffle partitions and must produce
+  * IDENTICAL rows — including every double bit. Queries whose outputs
+  * are deliberately order-dependent lower bounds (Misra-Gries counts)
+  * are out of scope by design. */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // windows, sketches, iterative graph rounds, quantized similarity,
+  // prefix-sum sampling, hash-keyed augmentation, sqrt-based intervals
+  private val names = Seq(
+    "q_kmv_distinct", "q_pagerank", "q_pps_sample", "q_layout_compare",
+    "q_colbert_maxsim", "q_hilbert_key", "q_mix_temperature",
+    "q_word_dropout", "q_quantile_norm", "q_bigram_lm", "q_ab_wilson",
+    "q_interarrival", "q_seasonal_dow", "q_ivm_kmv", "q_golden_record")
+
+  private def canon(name: String, parts: Int): Seq[String] = {
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      val rows = SparkEntry.queries(name)(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      rows
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      graft.operators.Dedup.releaseAll(spark)
+    }
+  }
+
+  names.foreach { name =>
+    test(s"$name: identical rows under 5 vs 32 shuffle partitions") {
+      val a = canon(name, 5)
+      val b = canon(name, 32)
+      assert(a.nonEmpty, s"$name returned no rows")
+      assert(a == b,
+        s"$name diverged across partitionings: " +
+          a.zip(b).find { case (x, y) => x != y }.map {
+            case (x, y) => s"first diff:\n  p5 : $x\n  p32: $y" }
+          .getOrElse(s"sizes ${a.size} vs ${b.size}"))
+    }
+  }
+}
