@@ -5079,6 +5079,25 @@ object SparkEntry {
         .select(col("vec_id"), col("bench_id"), col("cosine"))
     }),
 
+    // ----- REAL IMAGE RESIZE: decode each synthesized 4×3 P6 PPM and
+    // nearest-neighbor downsample to 2×2 on actual pixel math
+    // (all-integer sampling: srcX = x·srcW div dw) — the pre-feature
+    // downsample stage, oracle-replayed byte-for-byte from the padded
+    // text. Output is the four resized grays as scalar columns. -----
+    "q_media_resize" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = t(s, dir, "documents")
+        .selectExpr("doc_id",
+          "encode(concat('P6', chr(10), '4 3', chr(10), '255', chr(10), " +
+            "rpad(text, 36, 'x')), 'UTF-8') AS bytes")
+        .as[(Long, Array[Byte])]
+      graft.operators.Multimodal.ppmResizeGrays(payloads, 2, 2)
+        .toDF()
+        .select(col("id").as("doc_id"), col("src_w"), col("src_h"),
+          expr("grays[0]").as("g00"), expr("grays[1]").as("g01"),
+          expr("grays[2]").as("g10"), expr("grays[3]").as("g11"))
+    }),
+
     // ----- PERCEPTUAL IMAGE DEDUP: decode each synthesized P6 PPM with
     // the REAL pixel parser, compute the classic average-hash (integer
     // grayscale vs image mean, one bit per pixel), and pair documents
@@ -9047,6 +9066,21 @@ object SparkEntry {
       // Same synthesized-PPM byte math as q_media_features; the hash is
       // integer end-to-end (gray = byte-triple // 3, mean = sum // 12,
       // bit 11-k per pixel) so equality is engine-exact.
+      "q_media_resize" -> {
+        // dst(x,y) samples src(x·4 div 2, y·3 div 2) → src pixels (0,0),
+        // (2,0), (0,1), (2,1); pixel (x,y) starts at byte 3·(y·4+x) of
+        // the 36-byte padded-text body (1-based substring)
+        def g(off: Int) =
+          s"(ord(substring(b, ${off + 1}, 1)) + ord(substring(b, ${off + 2}, 1)) + " +
+            s"ord(substring(b, ${off + 3}, 1))) // 3"
+        s"""WITH p AS (SELECT doc_id, rpad(text, 36, 'x') AS b FROM documents)
+           SELECT doc_id, CAST(4 AS BIGINT) AS src_w, CAST(3 AS BIGINT) AS src_h,
+                  CAST(${g(0)} AS BIGINT) AS g00,
+                  CAST(${g(6)} AS BIGINT) AS g01,
+                  CAST(${g(12)} AS BIGINT) AS g10,
+                  CAST(${g(18)} AS BIGINT) AS g11
+           FROM p"""
+      },
       "q_media_phash" ->
         """WITH img AS (SELECT doc_id, rpad(text, 36, 'x') AS body FROM documents),
            g AS (SELECT doc_id, list_transform(range(0, 12), k ->

@@ -268,6 +268,43 @@ object Multimodal {
     ds.mapPartitions(_.flatMap { case (id, b) => decodePpm(id, b) })
   }
 
+  case class ResizedGrays(id: Long, src_w: Long, src_h: Long,
+      grays: Array[Long])
+
+  /** REAL nearest-neighbor resize of DECODED P6 pixels to (dw × dh),
+    * emitted as the resized integer grayscale grid — the downsample
+    * stage a vision pipeline runs before feature extraction, on actual
+    * pixel math (srcX = x·srcW div dw — all-integer sampling, so the
+    * oracle replays it byte-for-byte; q_media_resize). Non-PPM payloads
+    * are dropped; [[resizeStub]] remains the fallback for codec-less
+    * formats. A narrow per-row map inside the scan stage: payloads
+    * never shuffle, only the dw·dh gray longs move onward. */
+  def ppmResizeGrays(ds: Dataset[(Long, Array[Byte])], dw: Int, dh: Int)
+      : Dataset[ResizedGrays] = {
+    require(dw > 0 && dh > 0, s"target dims must be positive: $dw x $dh")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap { case (id, bytes) =>
+      parseP6(bytes).map { case (w, h, _, p) =>
+        val out = new Array[Long](dw * dh)
+        var y = 0
+        while (y < dh) {
+          val sy = y * h / dh
+          var x = 0
+          while (x < dw) {
+            val sx = x * w / dw
+            val o = p + 3 * (sy * w + sx).toInt
+            out(y * dw + x) = ((bytes(o) & 0xff) + (bytes(o + 1) & 0xff) +
+              (bytes(o + 2) & 0xff)) / 3
+            x += 1
+          }
+          y += 1
+        }
+        ResizedGrays(id, w, h, out)
+      }
+    })
+  }
+
   /** STUB resize: deterministic downsample of the opaque payload to a
     * target (w, h) — picks one byte per output cell by stride (a real
     * implementation decodes, interpolates, re-encodes; the byte-level

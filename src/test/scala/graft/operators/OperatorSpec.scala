@@ -806,6 +806,28 @@ class OperatorSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("PPM nearest-neighbor resize: hand-computed sampled grays, non-PPM dropped") {
+    import spark.implicits._
+    // 4x3 source, pixel (x,y) = rgb all equal to 10*(y*4+x) → gray =
+    // 10*(y*4+x). 2x2 target samples src (x*4 div 2, y*3 div 2) =
+    // (0,0),(2,0),(0,1),(2,1) → grays 0, 20, 40, 60
+    val header = "P6\n4 3\n255\n".getBytes("ISO-8859-1")
+    val pix = (0 until 12).flatMap(i =>
+      Seq(10 * i, 10 * i, 10 * i)).map(_.toByte).toArray
+    val ds = spark.createDataset(Seq(
+      1L -> (header ++ pix),
+      2L -> "not an image".getBytes))
+    val out = Multimodal.ppmResizeGrays(ds, 2, 2).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.id == 1L && r.src_w == 4L && r.src_h == 3L)
+    assert(r.grays.toSeq == Seq(0L, 20L, 40L, 60L))
+    // identity resize returns every gray unchanged
+    val full = Multimodal.ppmResizeGrays(
+      spark.createDataset(Seq(1L -> (header ++ pix))), 4, 3).collect()(0)
+    assert(full.grays.toSeq == (0 until 12).map(i => 10L * i))
+  }
+
   test("PPM aHash property: invariant under uniform brightness shift") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import spark.implicits._
