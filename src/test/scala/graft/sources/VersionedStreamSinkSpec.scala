@@ -40,4 +40,41 @@ class VersionedStreamSinkSpec extends SparkSpec {
       Seq(VtRow(4, "d")).toDF(), 2L, path).contains(3))
     assert(VersionedTable.read(spark, path).count() == 4)
   }
+
+  test("stream-static enrichment against a PINNED snapshot ignores later commits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-vd").toString + "/dim"
+    // v1 dimension; v2 lands AFTER the stream starts — a pinned join
+    // must keep serving v1 (reproducible enrichment: a training run
+    // re-joins the exact dimension its config recorded)
+    VersionedTable.commit(Seq(VtRow(1, "one_v1"), VtRow(2, "two_v1")).toDF(),
+      path)
+    val mem = MemoryStream[VtRow]
+    val dimV1 = VersionedTable.read(spark, path, Some(1))
+      .select(col("id"), col("payload").as("dim_payload"))
+    val out = mem.toDS().toDF().select(col("id"), col("payload"))
+      .join(dimV1, Seq("id"))
+    val q = out.writeStream.format("memory").queryName("vt_enrich")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(VtRow(1, "e1"))
+      q.processAllAvailable()
+      // dimension moves on; the pinned stream must not see it
+      VersionedTable.commit(
+        Seq(VtRow(1, "one_v2"), VtRow(2, "two_v2")).toDF(), path)
+      mem.addData(VtRow(2, "e2"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("vt_enrich").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(rows == Set((1L, "one_v1"), (2L, "two_v1")),
+      s"pinned enrichment leaked a later version: ${rows.mkString(", ")}")
+    // and an UNPINNED read picks up v2 for new (batch) consumers
+    assert(VersionedTable.read(spark, path)
+      .filter(col("id") === 1).select("payload").head().getString(0)
+      == "one_v2")
+  }
 }
