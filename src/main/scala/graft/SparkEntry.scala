@@ -2301,6 +2301,24 @@ object SparkEntry {
     // alpha would be, too, but halving makes the exactness obvious).
     // collect_list over a window frame is ordered BY the frame, giving
     // both engines the same weight-to-value pairing -----
+    // ----- USER LIFETIME / ENGAGEMENT: per user, first/last activity,
+    // span, distinct ACTIVE DAYS, and events-per-active-day — the
+    // engagement segmentation behind retention targeting (all integer
+    // day buckets; one narrow scan + one aggregate). Top-100 heaviest
+    // users by events with a deterministic tie-break. -----
+    "q_user_lifetime" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"),
+          col("ts"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("day")).as("active_days"),
+          min(col("ts")).as("first_ns"), max(col("ts")).as("last_ns"))
+        .select(col("user_id"), col("n_events"), col("active_days"),
+          expr("(last_ns - first_ns) div 86400000000000").as("span_days"),
+          expr("CAST(n_events AS DOUBLE) / active_days").as("events_per_day"))
+        .orderBy(col("n_events").desc, col("user_id")).limit(100)),
+
     // ----- INTER-ARRIVAL BURSTINESS per event type: mean/std of the
     // gaps between consecutive events and the burstiness index
     // B = (σ−μ)/(σ+μ) (Goh & Barabási) — B→−1 periodic, 0 Poisson,
@@ -6902,6 +6920,18 @@ object SparkEntry {
              JOIN reach ON e.dst = reach.id)
            SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id""",
 
+      "q_user_lifetime" ->
+        // Spark ts is epoch-nanos; DuckDB micros: day = us // 86400e6
+        // equals nanos div 86400e9, and span uses the same equivalence
+        """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+           a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                        CAST(COUNT(DISTINCT us // 86400000000) AS BIGINT) AS active_days,
+                        MIN(us) AS first_us, MAX(us) AS last_us
+                 FROM e GROUP BY user_id)
+           SELECT user_id, n_events, active_days,
+                  CAST((last_us - first_us) // 86400000000 AS BIGINT) AS span_days,
+                  CAST(n_events AS DOUBLE) / active_days AS events_per_day
+           FROM a ORDER BY n_events DESC, user_id LIMIT 100""",
       "q_interarrival" ->
         // Spark ts is epoch-nanos BIGINT, DuckDB's is TIMESTAMP(us):
         // (Δnanos div 1e9) == (Δmicros // 1e6) exactly
