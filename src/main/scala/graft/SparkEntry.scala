@@ -423,6 +423,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // ----- CROSS-SOURCE DUPLICATION MATRIX: high-confidence near-dup
+    // pairs rolled up by unordered source pair — the "which feeds copy
+    // from which" provenance readout that decides dedup ORDER (dedup the
+    // copier against the origin, not vice versa) and flags same-crawl
+    // sources before they double-count in a mixture. Candidates reuse
+    // the capped LSH pass; the id→source map broadcasts onto both pair
+    // ends. -----
+    "q_dedup_source_matrix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val src = Dedup.persistTracked(
+        docs.select(col("doc_id"), col("source")))
+      Dedup.minhashCandidates(docs, "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+        .join(broadcast(src.select(col("doc_id").as("doc_a"),
+          col("source").as("source_a"))), "doc_a")
+        .join(broadcast(src.select(col("doc_id").as("doc_b"),
+          col("source").as("source_b"))), "doc_b")
+        .groupBy(least(col("source_a"), col("source_b")).as("src1"),
+          greatest(col("source_a"), col("source_b")).as("src2"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // ----- CONTRASTIVE (anchor, positive, negative) TRIPLE MINING for
     // embedding/retrieval training: positives are high-confidence
     // near-dup candidates (MinHash est ≥ 0.5); each pair's negative is
@@ -5508,6 +5530,20 @@ object SparkEntry {
                   CAST(len(list_filter(list_transform(range(1, 13), i -> a.mh[i] = b.mh[i]), v -> v)) AS DOUBLE) / 12 AS est_jaccard
            FROM buckets a JOIN buckets b
              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""",
+      "q_dedup_source_matrix" ->
+        s"""$minhashCtes,
+           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(len(list_filter(list_transform(range(1, 13), i -> a.mh[i] = b.mh[i]), v -> v)) AS DOUBLE) / 12 AS est
+                FROM buckets a JOIN buckets b
+                  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+           SELECT least(da.source, db.source) AS src1,
+                  greatest(da.source, db.source) AS src2,
+                  CAST(COUNT(*) AS BIGINT) AS n_pairs
+           FROM cand
+           JOIN documents da ON cand.doc_a = da.doc_id
+           JOIN documents db ON cand.doc_b = db.doc_id
+           WHERE est >= 0.5
+           GROUP BY 1, 2""",
       "q_contrastive_pairs" ->
         s"""$minhashCtes,
            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
