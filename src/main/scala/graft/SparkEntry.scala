@@ -2323,6 +2323,28 @@ object SparkEntry {
     // alpha would be, too, but halving makes the exactness obvious).
     // collect_list over a window frame is ordered BY the frame, giving
     // both engines the same weight-to-value pairing -----
+    // ----- SHARD BALANCE PLAN: assign docs to 8 fixed shards by
+    // sorted-round-robin (heaviest first, shard = (rank−1) mod 8 — the
+    // classic LPT-style greedy a deterministic assignment allows) and
+    // read out per-shard bytes plus the imbalance ratio vs perfect —
+    // the "will one worker finish last" sizing readout before a fixed
+    // fan-out export/training job. One global rank over (size, id) —
+    // design-time audit; production writers use the two-phase rank of
+    // q_layout_compare at scale. -----
+    "q_shard_plan" -> ((s, dir) => {
+      val sharded = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n_chars").desc, col("doc_id"))).cast("long"))
+        .withColumn("shard", expr("(rank - 1) % 8"))
+      val per = sharded.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
+      val tot = per.agg(sum(col("bytes")).as("tb"))
+      per.crossJoin(broadcast(tot))
+        .select(col("shard"), col("n_docs"), col("bytes"),
+          expr("CAST(8 * bytes AS DOUBLE) / tb").as("load_vs_perfect"))
+    }),
+
     // ----- USER LIFETIME / ENGAGEMENT: per user, first/last activity,
     // span, distinct ACTIVE DAYS, and events-per-active-day — the
     // engagement segmentation behind retention targeting (all integer
@@ -6956,6 +6978,18 @@ object SparkEntry {
              JOIN reach ON e.dst = reach.id)
            SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id""",
 
+      "q_shard_plan" ->
+        """WITH r AS (SELECT doc_id, n_chars,
+                  ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+                 FROM documents),
+           p AS (SELECT (rank - 1) % 8 AS shard,
+                        CAST(COUNT(*) AS BIGINT) AS n_docs,
+                        CAST(SUM(n_chars) AS BIGINT) AS bytes
+                 FROM r GROUP BY (rank - 1) % 8),
+           t AS (SELECT CAST(SUM(bytes) AS BIGINT) AS tb FROM p)
+           SELECT shard, n_docs, bytes,
+                  CAST(8 * bytes AS DOUBLE) / tb AS load_vs_perfect
+           FROM p CROSS JOIN t""",
       "q_user_lifetime" ->
         // Spark ts is epoch-nanos; DuckDB micros: day = us // 86400e6
         // equals nanos div 86400e9, and span uses the same equivalence

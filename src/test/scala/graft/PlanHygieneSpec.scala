@@ -53,6 +53,7 @@ class PlanHygieneSpec extends SparkSpec {
     "q_contrastive_pairs", // 1-row max-doc-id scalar crossed into the neg pick
     "q_quantile_norm",  // 1-row pooled-count scalar crossed into the index map
     "q_last_digit",     // 1-row total-count scalar crossed into the chi2 grid
+    "q_shard_plan",     // 1-row total-bytes scalar crossed into the balance
     "q_contam_embedding", // broadcast benchmark set x corpus scan
     "q_contam_matrix",  // same broadcast benchmark-vector arm as q_contam_embedding
     "q15_top_revenue",  // 1-row max-revenue scalar crossed into the filter
