@@ -2323,6 +2323,49 @@ object SparkEntry {
     // alpha would be, too, but halving makes the exactness obvious).
     // collect_list over a window frame is ordered BY the frame, giving
     // both engines the same weight-to-value pairing -----
+    // ----- TOKEN-BUDGET TRIM: per source, keep the HIGHEST-QUALITY
+    // docs until a 20k-token budget fills (greedy by the exact quality
+    // score, doc-id tie-break; a doc is kept iff the running total
+    // THROUGH it fits) — "fill the budget with the best tokens", the
+    // selection step after q_mix_plan decides each source's budget.
+    // Per-source windows parallelize; payloads never move, only
+    // (id, ntok, quality). -----
+    "q_budget_trim" -> ((s, dir) => {
+      val budget = 20000L
+      val scored = TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("source"),
+          size(col("toks")).cast("long").as("ntok"),
+          expr(TextAnalysis.qualityExpr).as("quality"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      scored.withColumn("cum", sum(col("ntok")).over(w))
+        .withColumn("kept", col("cum") <= budget)
+        .groupBy(col("source"))
+        .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("ntok")).otherwise(0L)).as("tok_kept"),
+          sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"))
+    }),
+
+    // ----- EMBEDDING NORM OUTLIERS: the broken-vector detector (zeroed,
+    // truncated, or exploding embeddings corrupt every cosine downstream)
+    // — L2 norm per vector as a fixed-order fold quantized to BIGINT,
+    // flagged against fixed sanity bounds; the 5 smallest and 5 largest
+    // norms surface for inspection. One narrow scan + a top-k. -----
+    "q_emb_norms" -> ((s, dir) => {
+      val normQ = "CAST(round(sqrt(aggregate(embedding, 0D, " +
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) " +
+        "* 1000000000.0D) AS BIGINT)"
+      val n = Dedup.persistTracked(t(s, dir, "embeddings")
+        .select(col("vec_id"), expr(normQ).as("norm_q")))
+      val lo = n.orderBy(col("norm_q"), col("vec_id")).limit(5)
+        .withColumn("tail", lit("smallest"))
+      val hi = n.orderBy(col("norm_q").desc, col("vec_id")).limit(5)
+        .withColumn("tail", lit("largest"))
+      lo.union(hi)
+        .withColumn("suspicious",
+          col("norm_q") < 100000000L || col("norm_q") > 100000000000L)
+    }),
+
     // ----- SHARD BALANCE PLAN: assign docs to 8 fixed shards by
     // sorted-round-robin (heaviest first, shard = (rank−1) mod 8 — the
     // classic LPT-style greedy a deterministic assignment allows) and
@@ -6978,6 +7021,35 @@ object SparkEntry {
              JOIN reach ON e.dst = reach.id)
            SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id""",
 
+      "q_budget_trim" ->
+        s"""WITH tk AS (SELECT doc_id, source, ${duckTokens("text")} AS toks FROM documents),
+           s AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS ntok,
+                  0.4 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) +
+                  0.3 * (CAST($stop AS DOUBLE) / len(toks)) +
+                  0.3 * (CAST(len(list_filter(toks, w -> length(w) <= 5)) AS DOUBLE) / len(toks)) AS quality
+                 FROM tk),
+           c AS (SELECT source, ntok,
+                        SUM(ntok) OVER (PARTITION BY source
+                          ORDER BY quality DESC, doc_id) AS cum
+                 FROM s)
+           SELECT source,
+                  CAST(SUM(CASE WHEN cum <= 20000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                  CAST(SUM(CASE WHEN cum <= 20000 THEN ntok ELSE 0 END) AS BIGINT) AS tok_kept,
+                  CAST(SUM(CASE WHEN cum > 20000 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+           FROM c GROUP BY source""",
+      "q_emb_norms" -> {
+        val normQ = "CAST(round(sqrt(list_reduce(list_prepend(0::DOUBLE, " +
+          "list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), " +
+          "(acc, v) -> acc + v)) * 1000000000.0) AS BIGINT)"
+        s"""WITH n AS (SELECT vec_id, $normQ AS norm_q FROM embeddings),
+           lo AS (SELECT vec_id, norm_q, 'smallest' AS tail FROM n
+                  ORDER BY norm_q, vec_id LIMIT 5),
+           hi AS (SELECT vec_id, norm_q, 'largest' AS tail FROM n
+                  ORDER BY norm_q DESC, vec_id LIMIT 5)
+           SELECT vec_id, norm_q, tail,
+                  norm_q < 100000000 OR norm_q > 100000000000 AS suspicious
+           FROM (SELECT * FROM lo UNION ALL SELECT * FROM hi)"""
+      },
       "q_shard_plan" ->
         """WITH r AS (SELECT doc_id, n_chars,
                   ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rank
