@@ -4417,6 +4417,57 @@ object SparkEntry {
             "CAST(n2 AS DOUBLE))").as("ks_d"))
     }),
 
+    // ----- LENGTH-DISTRIBUTION DRIFT between sources: the exact-integer
+    // two-sample KS statistic over doc lengths, src0 vs src1 — catches a
+    // feed whose extraction started truncating (vocab-overlap and TVD
+    // look at WORDS; this is the shape-of-documents drift). Same
+    // max|c1·n2 − c2·n1| construction as q_ks_test, one final
+    // division. -----
+    "q_len_drift_ks" -> ((s, dir) => {
+      val v = t(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"), col("n_chars"))
+      val counts = v.groupBy(col("n_chars"))
+        .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("d1"),
+          sum(when(col("source") === "src1", 1L).otherwise(0L)).as("d2"))
+      val w = Window.orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = counts
+        .withColumn("c1", sum(col("d1")).over(w))
+        .withColumn("c2", sum(col("d2")).over(w))
+      val totals = cum.agg(max(col("c1")).as("n1"), max(col("c2")).as("n2"))
+      cum.crossJoin(broadcast(totals))
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          max(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("numr"))
+        .select(col("n1"), col("n2"),
+          expr("CAST(numr AS DOUBLE) / (CAST(n1 AS DOUBLE) * " +
+            "CAST(n2 AS DOUBLE))").as("ks_d"))
+    }),
+
+    // ----- CONVERSION LATENCY BUCKETS: the q_time_to_convert rollup —
+    // what share of first purchases land within 1h / 24h / 7d of the
+    // first click (exact integer second buckets; shares as one division
+    // each) — the attribution-window sizing readout. -----
+    "q_conversion_window" -> ((s, dir) => {
+      val ttc = t(s, dir, "events")
+        .withColumn("t_us", expr("ts div 1000"))
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "click", col("t_us")))
+            .as("fc"),
+          min(when(col("event_type") === "purchase", col("t_us")))
+            .as("fp"))
+        .filter(col("fc").isNotNull && col("fp").isNotNull &&
+          col("fp") >= col("fc"))
+        .select(expr("(fp - fc) div 1000000").as("secs"))
+      ttc.agg(count(lit(1)).as("n_converted"),
+          sum(when(col("secs") <= 3600L, 1L).otherwise(0L)).as("in_1h"),
+          sum(when(col("secs") <= 86400L, 1L).otherwise(0L)).as("in_24h"),
+          sum(when(col("secs") <= 604800L, 1L).otherwise(0L)).as("in_7d"))
+        .select(col("n_converted"), col("in_1h"), col("in_24h"), col("in_7d"),
+          expr("CAST(in_1h AS DOUBLE) / n_converted").as("share_1h"),
+          expr("CAST(in_24h AS DOUBLE) / n_converted").as("share_24h"))
+    }),
+
     // ----- DEDUP SAVINGS accounting: per source, how many documents and
     // characters the near-dup cluster policy would drop (everything but
     // each cluster's min-id representative) — the storage/compute
@@ -7582,6 +7633,41 @@ object SparkEntry {
                   CAST(MAX(abs(c1 * n2 - c2 * n1)) AS DOUBLE)
                     / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_d
            FROM cum CROSS JOIN t GROUP BY n1, n2""",
+      "q_len_drift_ks" ->
+        """WITH c AS (SELECT n_chars,
+                  CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d1,
+                  CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d2
+                 FROM documents WHERE source IN ('src0', 'src1')
+                 GROUP BY n_chars),
+           cum AS (SELECT n_chars,
+                  CAST(SUM(d1) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS c1,
+                  CAST(SUM(d2) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS c2
+                 FROM c),
+           t AS (SELECT MAX(c1) AS n1, MAX(c2) AS n2 FROM cum)
+           SELECT n1, n2,
+                  CAST(MAX(abs(c1 * n2 - c2 * n1)) AS DOUBLE)
+                    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_d
+           FROM cum CROSS JOIN t GROUP BY n1, n2""",
+      "q_conversion_window" ->
+        """WITH u AS (SELECT user_id,
+                  MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS fc,
+                  MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp
+                 FROM events GROUP BY user_id),
+           s AS (SELECT (fp - fc) // 1000000 AS secs FROM u
+                 WHERE fc IS NOT NULL AND fp IS NOT NULL AND fp >= fc),
+           a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+                  CAST(SUM(CASE WHEN secs <= 3600 THEN 1 ELSE 0 END) AS BIGINT) AS in_1h,
+                  CAST(SUM(CASE WHEN secs <= 86400 THEN 1 ELSE 0 END) AS BIGINT) AS in_24h,
+                  CAST(SUM(CASE WHEN secs <= 604800 THEN 1 ELSE 0 END) AS BIGINT) AS in_7d
+                 FROM s)
+           SELECT n_converted, in_1h, in_24h, in_7d,
+                  CAST(in_1h AS DOUBLE) / n_converted AS share_1h,
+                  CAST(in_24h AS DOUBLE) / n_converted AS share_24h
+           FROM a""",
       "q_dedup_savings" -> {
         // same 3 unrolled propagation rounds as q_dedup_clusters
         val rounds = (1 to 3).map { i =>

@@ -58,6 +58,7 @@ class PlanHygieneSpec extends SparkSpec {
     "q_contam_matrix",  // same broadcast benchmark-vector arm as q_contam_embedding
     "q15_top_revenue",  // 1-row max-revenue scalar crossed into the filter
     "q_ks_test",        // 1-row cohort-totals scalar crossed into the max
+    "q_len_drift_ks",   // same 1-row totals cross as q_ks_test
     "q_dq_checks",      // three 1-row constraint aggregates crossed + stacked
     // reference theta-join surface (J2/J3): inequality-only predicates
     // have no equi key, so a nested loop is the ONLY plan; both queries
