@@ -423,6 +423,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // ----- DEDUP THRESHOLD SWEEP: candidate-pair counts at est-Jaccard
+    // 0.3 / 0.5 / 0.7 in ONE pass over the capped LSH candidates — the
+    // aggressiveness-tuning readout (how much more a looser threshold
+    // would drop) read before committing a dedup policy. -----
+    "q_dedup_thresholds" -> ((s, dir) =>
+      Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("est_jaccard") >= 0.3, 1L).otherwise(0L)).as("n_03"),
+          sum(when(col("est_jaccard") >= 0.5, 1L).otherwise(0L)).as("n_05"),
+          sum(when(col("est_jaccard") >= 0.7, 1L).otherwise(0L)).as("n_07"))),
+
     // ----- CROSS-SOURCE DUPLICATION MATRIX: high-confidence near-dup
     // pairs rolled up by unordered source pair — the "which feeds copy
     // from which" provenance readout that decides dedup ORDER (dedup the
@@ -5646,6 +5657,17 @@ object SparkEntry {
                   CAST(len(list_filter(list_transform(range(1, 13), i -> a.mh[i] = b.mh[i]), v -> v)) AS DOUBLE) / 12 AS est_jaccard
            FROM buckets a JOIN buckets b
              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""",
+      "q_dedup_thresholds" ->
+        s"""$minhashCtes,
+           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(len(list_filter(list_transform(range(1, 13), i -> a.mh[i] = b.mh[i]), v -> v)) AS DOUBLE) / 12 AS est
+                FROM buckets a JOIN buckets b
+                  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+                  CAST(SUM(CASE WHEN est >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_03,
+                  CAST(SUM(CASE WHEN est >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_05,
+                  CAST(SUM(CASE WHEN est >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_07
+           FROM cand""",
       "q_dedup_source_matrix" ->
         s"""$minhashCtes,
            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
