@@ -88,7 +88,7 @@ object Bench {
   /** Queries inlined in the compact stdout line: the 22 TPC-H heads plus
     * the flagship LLM-pipeline operators. Everything else is in
     * BENCH_FULL.json. */
-  private val headline: Seq[String] = Seq(
+  private[graft] val headline: Seq[String] = Seq(
     "q1_agg", "q2_top_supplier", "q3_shipping", "q4_order_priority",
     "q5_region_volume", "q6_forecast", "q7_nation_volume",
     "q8_market_share", "q9_profit", "q10_returns", "q11_value_share",

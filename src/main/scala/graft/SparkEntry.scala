@@ -370,6 +370,39 @@ object SparkEntry {
         s.read.parquet(path), "doc_id", "text")
         .select(col("new_id"), col("base_id"), col("est_jaccard"))
     }),
+    // VERSIONED LSH INDEX ingest: the base corpus's bucket table lives
+    // in a versioned-snapshot table; each ingest joins a PINNED version,
+    // so a concurrent index append (vN+1 landing mid-flight) cannot
+    // change an in-flight dedup's candidate set. Step 1 commits the base
+    // index as v_base; ingest A runs against the pinned v_base; then
+    // A's own buckets land as an APPEND version (the index grows); and
+    // ingest B STILL joins the pinned v_base — if the pin leaked, B
+    // would also pair against A's buckets and the oracle hash would
+    // catch it. At 100 TB: snapshot isolation for the dedup index with
+    // O(manifest) commit cost, never a table rewrite.
+    "q_ingest_dedup3" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val docs = t(s, dir, "documents")
+      val path = "/tmp/graft_lsh_vtab_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = docs.filter(col("doc_id") % 10 >= 2)
+      val incA = docs.filter(col("doc_id") % 10 === 0)
+      val incB = docs.filter(col("doc_id") % 10 === 1)
+      val vBase = VersionedTable.commit(
+        Dedup.lshIndex(
+          Dedup.minhashSignatures(base, "doc_id", "text"), "doc_id"),
+        path, "overwrite")
+      val pinned = VersionedTable.read(s, path, Some(vBase))
+      val pairsA = Dedup.ingestAgainstIndex(incA, pinned, "doc_id", "text")
+        .select(col("new_id"), col("base_id"), col("est_jaccard"))
+      // vN+1 lands while the pin is open: the increment's buckets APPEND
+      VersionedTable.commit(
+        Dedup.lshIndex(
+          Dedup.minhashSignatures(incA, "doc_id", "text"), "doc_id"),
+        path, "append")
+      val pairsB = Dedup.ingestAgainstIndex(incB, pinned, "doc_id", "text")
+        .select(col("new_id"), col("base_id"), col("est_jaccard"))
+      pairsA.union(pairsB)
+    }),
     // containment (|A∩B|/|A|) on the LSH candidates: catches short docs
     // embedded in longer ones, which symmetric Jaccard dilutes away
     "q_dedup_containment" -> ((s, dir) =>
@@ -798,11 +831,15 @@ object SparkEntry {
         lag(col("o_totalprice"), 1).over(w).as("prev_price"),
         lead(col("o_totalprice"), 1).over(w).as("next_price"))
     }),
-    "q_ntile" -> ((s, dir) => {
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      t(s, dir, "orders").select(col("o_orderkey"),
-        ntile(4).over(w).cast("long").as("tile"))
-    }),
+    // global NTILE without the single-partition window: two-phase
+    // range-partitioned rank + broadcast total (plans.ParallelRank) —
+    // the orders table is fact-sized, so the global sort must stay
+    // parallel at 100 TB
+    "q_ntile" -> ((s, dir) =>
+      graft.plans.ParallelRank.ntile(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        "tile", 4, 32, col("o_totalprice"), col("o_orderkey"))
+        .select(col("o_orderkey"), col("tile"))),
 
     // ----- scalar subquery (broadcast the 1-row aggregate) -----
     "q_scalar_subquery" -> ((s, dir) => {
@@ -1230,9 +1267,11 @@ object SparkEntry {
     }),
 
     // ----- RFM customer segmentation: recency/frequency/monetary
-    // quartiles (the customer table is dimension-sized, so the three
-    // global ntile sorts are single-stage; at fact-table cardinality
-    // ntile would become a range-partitioned sort) -----
+    // quartiles. Each quartile is a GLOBAL ntile over the per-customer
+    // table — computed with the two-phase range-partitioned rank
+    // (plans.ParallelRank), never a single-partition window: the
+    // per-customer frame is itself fact-scaled (hundreds of millions of
+    // customers at 100 TB) -----
     "q_rfm" -> ((s, dir) => {
       val cust = t(s, dir, "orders")
         .withColumn("t_us", expr("unix_micros(cast(o_orderdate as timestamp))"))
@@ -1240,13 +1279,12 @@ object SparkEntry {
         .agg(max(col("t_us")).as("last_us"),
           count(lit(1)).as("freq"),
           sum(dec(col("o_totalprice"))).cast("double").as("monetary"))
-      cust
-        .withColumn("rq", ntile(4).over(
-          Window.orderBy(col("last_us").desc, col("o_custkey"))).cast("long"))
-        .withColumn("fq", ntile(4).over(
-          Window.orderBy(col("freq").desc, col("o_custkey"))).cast("long"))
-        .withColumn("mq", ntile(4).over(
-          Window.orderBy(col("monetary").desc, col("o_custkey"))).cast("long"))
+      val r1 = graft.plans.ParallelRank.ntile(cust, "rq", 4, 32,
+        col("last_us").desc, col("o_custkey"))
+      val r2 = graft.plans.ParallelRank.ntile(r1, "fq", 4, 32,
+        col("freq").desc, col("o_custkey"))
+      graft.plans.ParallelRank.ntile(r2, "mq", 4, 32,
+        col("monetary").desc, col("o_custkey"))
         .withColumn("segment", expr("concat(rq, fq, mq)"))
         .select(col("o_custkey"), col("freq"), col("monetary"),
           col("rq"), col("fq"), col("mq"), col("segment"))
@@ -1423,33 +1461,15 @@ object SparkEntry {
           s"((x >> $b) & 1) * ${1L << (2 * b)}L + " +
             s"((y >> $b) & 1) * ${1L << (2 * b + 1)}L").mkString(" + ")))
         .withColumn("h", GraftFunctions.hilbert(col("x"), col("y"), 10)))
-      // global rank WITHOUT a single-partition window: range-partition on
-      // the key (partition i holds smaller keys than i+1), rank within
-      // each partition in parallel, and add the exclusive prefix sum of
-      // partition counts (32-row window) — the two-phase shape that
-      // keeps the audit parallel at any scale. (key, okey, lnum) is a
+      // global rank WITHOUT a single-partition window: the two-phase
+      // range-partitioned rank, now factored into plans.ParallelRank
+      // (this query was the shape's prototype). (key, okey, lnum) is a
       // total order, so the rank — and the oracle hash — is independent
       // of where the sampled range boundaries land.
       def zones(key: String, layout: String) = {
-        // persist: the pid frame feeds the offset aggregation AND the
-        // rank join — unpersisted, the two subtrees re-run the range
-        // partitioner on fresh samples and the offsets misalign
-        val sorted = Dedup.persistTracked(keyed
-          .repartitionByRange(32, col(key), col("l_orderkey"),
-            col("l_linenumber"))
-          .withColumn("pid", spark_partition_id()))
-        val offs = sorted.groupBy(col("pid"))
-          .agg(count(lit(1)).as("cnt"))
-          .withColumn("off", coalesce(sum(col("cnt")).over(
-            Window.orderBy(col("pid"))
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select(col("pid"), col("off"))
-        sorted
-          .withColumn("rn_p", row_number().over(
-            Window.partitionBy(col("pid")).orderBy(col(key),
-              col("l_orderkey"), col("l_linenumber"))).cast("long"))
-          .join(broadcast(offs), Seq("pid"))
-          .withColumn("chunk", expr("(off + rn_p - 1) DIV 256"))
+        graft.plans.ParallelRank.rowNumber(keyed, "grn", 32,
+            col(key), col("l_orderkey"), col("l_linenumber"))
+          .withColumn("chunk", expr("(grn - 1) DIV 256"))
           .groupBy(col("chunk"))
           .agg(count(lit(1)).as("n_rows"),
             min(col("x")).as("xmin"), max(col("x")).as("xmax"),
@@ -1533,11 +1553,15 @@ object SparkEntry {
       val counts = TextAnalysis.withTokens(t(s, dir, "documents"), "text")
         .select(explode(col("toks")).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
-      val byFreq = Window.orderBy(col("n").desc, col("token"))
-      counts
-        .withColumn("rank", row_number().over(byFreq).cast("long"))
-        .withColumn("cum", sum(col("n")).over(
-          byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // rank AND running sum over (n desc, token) in ONE two-phase pass —
+      // the vocab table is type-sized but unbounded at 100 TB, so even
+      // this rank never rides a single-partition window
+      graft.plans.ParallelRank.withRunningAggs(counts, 32,
+          Seq(graft.plans.ParallelRank.RunCol("rank", lit(1L), "sum",
+              inclusive = true),
+            graft.plans.ParallelRank.RunCol("cum", col("n"), "sum",
+              inclusive = true)),
+          col("n").desc, col("token"))
         .crossJoin(broadcast(
           TextAnalysis.withTokens(t(s, dir, "documents"), "text")
             .agg(sum(size(col("toks")).cast("long")).as("total"))))
@@ -2382,14 +2406,13 @@ object SparkEntry {
     // classic LPT-style greedy a deterministic assignment allows) and
     // read out per-shard bytes plus the imbalance ratio vs perfect —
     // the "will one worker finish last" sizing readout before a fixed
-    // fan-out export/training job. One global rank over (size, id) —
-    // design-time audit; production writers use the two-phase rank of
-    // q_layout_compare at scale. -----
+    // fan-out export/training job. The global rank over (size, id) is
+    // the two-phase range-partitioned rank (plans.ParallelRank) — the
+    // same shape a production shard writer uses at scale. -----
     "q_shard_plan" -> ((s, dir) => {
-      val sharded = t(s, dir, "documents")
-        .select(col("doc_id"), col("n_chars"))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("n_chars").desc, col("doc_id"))).cast("long"))
+      val sharded = graft.plans.ParallelRank.rowNumber(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "rank", 32, col("n_chars").desc, col("doc_id"))
         .withColumn("shard", expr("(rank - 1) % 8"))
       val per = sharded.groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
@@ -2405,15 +2428,18 @@ object SparkEntry {
     // day buckets; one narrow scan + one aggregate). Top-100 heaviest
     // users by events with a deterministic tie-break. -----
     "q_user_lifetime" -> ((s, dir) =>
+      // floor each ts to MICROS first (t_us = ts div 1000), then bucket
+      // and difference in micros — the oracle's epoch_us(ts) values are
+      // per-value-floored micros, and difference-of-floors != floor-of-
+      // difference on a nanos-typed events variant
       t(s, dir, "events")
-        .select(col("user_id"), expr("ts div 86400000000000").as("day"),
-          col("ts"))
+        .select(col("user_id"), expr("ts div 1000").as("t_us"))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"),
-          countDistinct(col("day")).as("active_days"),
-          min(col("ts")).as("first_ns"), max(col("ts")).as("last_ns"))
+          countDistinct(expr("t_us div 86400000000")).as("active_days"),
+          min(col("t_us")).as("first_us"), max(col("t_us")).as("last_us"))
         .select(col("user_id"), col("n_events"), col("active_days"),
-          expr("(last_ns - first_ns) div 86400000000000").as("span_days"),
+          expr("(last_us - first_us) div 86400000000").as("span_days"),
           expr("CAST(n_events AS DOUBLE) / active_days").as("events_per_day"))
         .orderBy(col("n_events").desc, col("user_id")).limit(100)),
 
@@ -2422,23 +2448,33 @@ object SparkEntry {
     // B = (σ−μ)/(σ+μ) (Goh & Barabási) — B→−1 periodic, 0 Poisson,
     // →1 bursty; the traffic-shape readout behind rate-limit and
     // capacity sizing. Gaps in whole seconds keep Σx² inside BIGINT;
-    // variance from exact integer moments, σ via the one
-    // correctly-rounded function (sqrt), every division on identical
-    // operands. One lag window per type (parallel across types), one
-    // tiny aggregate. -----
+    // the variance numerator then multiplies as DOUBLE — identical IEEE
+    // ops on identical operands on both sides, with no BIGINT-overflow
+    // cliff — and σ rides the one correctly-rounded function (sqrt).
+    // One lag window per type (parallel across types), one tiny
+    // aggregate. -----
     "q_interarrival" -> ((s, dir) => {
+      // floor each ts to MICROS before lagging/differencing (the
+      // q_time_to_convert convention): the oracle differences
+      // per-value-floored epoch_us values, and difference-of-floors !=
+      // floor-of-difference on a nanos-typed events variant. The
+      // variance numerator multiplies as DOUBLE on both sides — the
+      // BIGINT product n_gaps*sxx can pass 2^63 under one dominant
+      // multi-week gap, and the engines' overflow behaviors differ.
       t(s, dir, "events")
-        .select(col("event_type"), col("ts"), col("event_id"))
+        .select(col("event_type"), expr("ts div 1000").as("t_us"),
+          col("event_id"))
         .withColumn("gap_s",
-          expr("(ts - lag(ts) OVER (PARTITION BY event_type " +
-            "ORDER BY ts, event_id)) div 1000000000"))
+          expr("(t_us - lag(t_us) OVER (PARTITION BY event_type " +
+            "ORDER BY t_us, event_id)) div 1000000"))
         .filter(col("gap_s").isNotNull)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_gaps"), sum(col("gap_s")).as("sx"),
           sum(col("gap_s") * col("gap_s")).as("sxx"))
         .select(col("event_type"), col("n_gaps"),
           expr("CAST(sx AS DOUBLE) / n_gaps").as("mean_gap_s"),
-          expr("sqrt(CAST(n_gaps * sxx - sx * sx AS DOUBLE)) / n_gaps")
+          expr("sqrt(CAST(n_gaps AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+            "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / n_gaps")
             .as("std_gap_s"))
         // nullif: all-sub-second gaps floor to 0 → 0/0 is IEEE NaN in
         // Spark but NULL in DuckDB; both sides go NULL
@@ -3147,9 +3183,8 @@ object SparkEntry {
         .selectExpr("user_id", "(ts div 1000) div 86400000000 AS day")
         .groupBy(col("user_id")).agg(min(col("day")).as("day"))
         .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
-      firstDay.withColumn("cum_users", sum(col("new_users")).over(
-        Window.orderBy(col("day"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      graft.plans.ParallelRank.runningSum(firstDay, "cum_users",
+        col("new_users"), 8, col("day"))
     }),
 
     // ----- trailing 7-day active users per day (DAU->WAU rollup): each
@@ -3960,36 +3995,33 @@ object SparkEntry {
           "((tf * 2.2e0) / (tf + 1.2e0 * (0.25e0 + (0.75e0 * dl) / " +
             "(CAST(sum_dl AS DOUBLE) / nd)))) * " +
             "((nd - dfq + 0.5e0) / (dfq + 0.5e0))"))
-        .withColumn("lex_rank", row_number().over(
-          Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
-        .filter(col("lex_rank") <= 100)
+        .transform(d => graft.plans.ParallelRank.rankedTopK(d, "lex_rank",
+          100, col("score").desc, col("doc_id")))
         .select(col("doc_id"), col("lex_rank"))
       val qv = broadcast(emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("qv")))
       val sem = emb.filter(col("vec_id") =!= 0).crossJoin(qv)
         .select(col("vec_id").as("doc_id"), GraftFunctions
           .cosineSim(col("embedding"), col("qv")).as("cos"))
-        .withColumn("sem_rank", row_number().over(
-          Window.orderBy(col("cos").desc, col("doc_id"))).cast("long"))
-        .filter(col("sem_rank") <= 100)
+        .transform(d => graft.plans.ParallelRank.rankedTopK(d, "sem_rank",
+          100, col("cos").desc, col("doc_id")))
         .select(col("doc_id"), col("sem_rank"))
       lex.join(sem, Seq("doc_id"), "full_outer")
         .withColumn("rrf", expr(
           "coalesce(1.0e0 / (60 + lex_rank), 0.0e0) + " +
             "coalesce(1.0e0 / (60 + sem_rank), 0.0e0)"))
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
-        .filter(col("rn") <= 15)
+        .transform(d => graft.plans.ParallelRank.rankedTopK(d, "rn", 15,
+          col("rrf").desc, col("doc_id")))
     }),
 
     // ----- PARETO FRONTIER (skyline) selection: parts not dominated in
     // (minimize price, maximize size) — the multi-objective data-
-    // selection shape (e.g. quality-vs-length corpus picks). Two
-    // windows replace the quadratic "exists dominator" self-join: the
-    // strictly-cheaper running max via a RANGE frame on integer cents,
-    // and the same-price max for equal-price strict dominance. One
-    // global sort at 100 TB — for a true frontier that is inherent
-    // (any skyline needs a total order on one objective); rows never
+    // selection shape (e.g. quality-vs-length corpus picks). A per-price
+    // aggregate + the two-phase exclusive running max replace the
+    // quadratic "exists dominator" self-join: m2 = same-price max for
+    // equal-price strict dominance, m1 = max over strictly cheaper
+    // prices. The skyline's inherent total order rides the parallel
+    // range shuffle, not a single-partition window; rows never
     // self-join -----
     "q_pareto" -> ((s, dir) => {
       val p = t(s, dir, "part")
@@ -3997,11 +4029,15 @@ object SparkEntry {
           expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
             .as("price_c"),
           col("p_size").cast("long").as("sz"))
-      val cheaper = Window.orderBy(col("price_c"))
-        .rangeBetween(Window.unboundedPreceding, -1)
-      val samePrice = Window.partitionBy(col("price_c"))
-      p.withColumn("m1", max(col("sz")).over(cheaper))
-        .withColumn("m2", max(col("sz")).over(samePrice))
+      // the strictly-cheaper running max runs on the per-price AGGREGATE
+      // (one row per distinct price), two-phase range-partitioned
+      // (plans.ParallelRank) — never a single-partition window; rows on
+      // the aggregate are price-distinct, so the ROWS-exclusive frame
+      // equals the RANGE-exclusive frame of the naive plan
+      val priceAgg = graft.plans.ParallelRank.runningMaxExclusive(
+        p.groupBy(col("price_c")).agg(max(col("sz")).as("m2")),
+        "m1", col("m2"), 32, col("price_c"))
+      p.join(priceAgg, Seq("price_c"))
         .filter((col("m1").isNull || col("m1") < col("sz")) &&
           col("m2") === col("sz"))
         .select(col("p_partkey"), col("price_c"), col("sz"))
@@ -4043,14 +4079,13 @@ object SparkEntry {
     // integer: per-source rank r of n_s maps to pooled order statistic
     // at index max(1, (r·N) div n_s) — no percentiles, no floats, one
     // equi join on the index. Per-source windows parallelize; the
-    // pooled ranking is the one global sort (design-time shape: at
-    // 100 TB bucket the pooled side by value range first). -----
+    // pooled ranking is the two-phase range-partitioned rank
+    // (plans.ParallelRank) — parallel at any scale. -----
     "q_quantile_norm" -> ((s, dir) => {
       val docs = Dedup.persistTracked(t(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("n_chars")))
-      val pooled = docs
-        .withColumn("gi", row_number().over(
-          Window.orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+      val pooled = graft.plans.ParallelRank.rowNumber(docs, "gi", 32,
+          col("n_chars"), col("doc_id"))
         .select(col("gi"), col("n_chars").as("pooled_chars"))
       val n = docs.agg(count(lit(1)).as("nn"))
       docs
@@ -4414,11 +4449,15 @@ object SparkEntry {
       val counts = v.groupBy(col("v_c"))
         .agg(sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("d1"),
           sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("d2"))
-      val w = Window.orderBy(col("v_c"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = counts
-        .withColumn("c1", sum(col("d1")).over(w))
-        .withColumn("c2", sum(col("d2")).over(w))
+      // both CDFs in one two-phase pass over the distinct-value order —
+      // the value domain is bounded here, but the parallel shape costs
+      // nothing and keeps the logs free of single-partition windows
+      val cum = graft.plans.ParallelRank.withRunningAggs(counts, 8,
+        Seq(graft.plans.ParallelRank.RunCol("c1", col("d1"), "sum",
+            inclusive = true),
+          graft.plans.ParallelRank.RunCol("c2", col("d2"), "sum",
+            inclusive = true)),
+        col("v_c"))
       val totals = cum.agg(max(col("c1")).as("n1"), max(col("c2")).as("n2"))
       cum.crossJoin(broadcast(totals))
         .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
@@ -4441,11 +4480,12 @@ object SparkEntry {
       val counts = v.groupBy(col("n_chars"))
         .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("d1"),
           sum(when(col("source") === "src1", 1L).otherwise(0L)).as("d2"))
-      val w = Window.orderBy(col("n_chars"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = counts
-        .withColumn("c1", sum(col("d1")).over(w))
-        .withColumn("c2", sum(col("d2")).over(w))
+      val cum = graft.plans.ParallelRank.withRunningAggs(counts, 8,
+        Seq(graft.plans.ParallelRank.RunCol("c1", col("d1"), "sum",
+            inclusive = true),
+          graft.plans.ParallelRank.RunCol("c2", col("d2"), "sum",
+            inclusive = true)),
+        col("n_chars"))
       val totals = cum.agg(max(col("c1")).as("n1"), max(col("c2")).as("n2"))
       cum.crossJoin(broadcast(totals))
         .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
@@ -4968,13 +5008,16 @@ object SparkEntry {
         "WHEN '3' THEN 124939L WHEN '4' THEN 96910L WHEN '5' THEN 79181L " +
         "WHEN '6' THEN 66947L WHEN '7' THEN 57992L WHEN '8' THEN 51153L " +
         "ELSE 45757L END"
-      t(s, dir, "lineitem")
+      val digits = Dedup.persistTracked(t(s, dir, "lineitem")
         .filter(col("l_extendedprice") >= 1)
         .selectExpr("substring(CAST(CAST(floor(l_extendedprice) AS BIGINT)" +
           " AS STRING), 1, 1) AS digit")
         .groupBy(col("digit"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+        .agg(count(lit(1)).as("n")))
+      // grand total as a broadcast 1-row scalar, not an unpartitioned
+      // window (WindowExec with no partition spec single-tasks the frame)
+      digits
+        .crossJoin(broadcast(digits.agg(sum(col("n")).as("total"))))
         .selectExpr("digit", "n",
           "(n * 1000000L) div total AS obs_ppm",
           s"$exp AS exp_ppm",
@@ -4992,8 +5035,10 @@ object SparkEntry {
         .selectExpr("source", "CAST(size(toks) AS BIGINT) AS n_toks")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"))
-      agg.withColumn("w", expr(Sampling.weightExpr("source", mixtureWeights)))
-        .withColumn("sumw", sum(col("w")).over(Window.partitionBy()))
+      val weighted = Dedup.persistTracked(agg.withColumn("w",
+        expr(Sampling.weightExpr("source", mixtureWeights))))
+      weighted
+        .crossJoin(broadcast(weighted.agg(sum(col("w")).as("sumw"))))
         .withColumn("alloc_tokens", expr(s"(${budget}L * w) div sumw"))
         .withColumn("est_docs",
           expr("(alloc_tokens * n_docs) div total_tokens"))
@@ -5010,24 +5055,29 @@ object SparkEntry {
     // a training run commits to a mixture. -----
     "q_mix_waterfill" -> ((s, dir) => {
       val budget = 5000L
-      val all = Window.partitionBy()
-      TextAnalysis.withTokens(t(s, dir, "documents"), "text")
-        .selectExpr("source", "CAST(size(toks) AS BIGINT) AS n_toks")
-        .groupBy(col("source"))
-        .agg(sum(col("n_toks")).as("avail"))
-        .withColumn("w", expr(Sampling.weightExpr("source", mixtureWeights)))
-        .withColumn("sumw", sum(col("w")).over(all))
+      // each redistribution round's frame-wide sums ride broadcast 1-row
+      // scalars (persist-barriered so every round sees one computation),
+      // not unpartitioned windows
+      val base = Dedup.persistTracked(
+        TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+          .selectExpr("source", "CAST(size(toks) AS BIGINT) AS n_toks")
+          .groupBy(col("source"))
+          .agg(sum(col("n_toks")).as("avail"))
+          .withColumn("w",
+            expr(Sampling.weightExpr("source", mixtureWeights))))
+      val f1 = Dedup.persistTracked(base
+        .crossJoin(broadcast(base.agg(sum(col("w")).as("sumw"))))
         .withColumn("a1",
-          least(col("avail"), expr(s"(${budget}L * w) div sumw")))
-        .withColumn("l1", lit(budget) - sum(col("a1")).over(all))
-        .withColumn("w1", sum(when(col("a1") < col("avail"), col("w"))
-          .otherwise(0L)).over(all))
+          least(col("avail"), expr(s"(${budget}L * w) div sumw"))))
+      val s2 = f1.agg((lit(budget) - sum(col("a1"))).as("l1"),
+        sum(when(col("a1") < col("avail"), col("w")).otherwise(0L)).as("w1"))
+      val f2 = Dedup.persistTracked(f1.crossJoin(broadcast(s2))
         .withColumn("a2", when(col("a1") < col("avail") && col("w1") > 0,
           least(col("avail"), col("a1") + expr("(l1 * w) div w1")))
-          .otherwise(col("a1")))
-        .withColumn("l2", lit(budget) - sum(col("a2")).over(all))
-        .withColumn("w2", sum(when(col("a2") < col("avail"), col("w"))
-          .otherwise(0L)).over(all))
+          .otherwise(col("a1"))))
+      val s3 = f2.agg((lit(budget) - sum(col("a2"))).as("l2"),
+        sum(when(col("a2") < col("avail"), col("w")).otherwise(0L)).as("w2"))
+      f2.crossJoin(broadcast(s3))
         .withColumn("alloc", when(col("a2") < col("avail") && col("w2") > 0,
           least(col("avail"), col("a2") + expr("(l2 * w) div w2")))
           .otherwise(col("a2")))
@@ -5045,8 +5095,10 @@ object SparkEntry {
     // exactly — engine-exact end to end. -----
     "q_neyman_sample" -> ((s, dir) => {
       val budget = 100L
-      val all = Window.partitionBy()
-      t(s, dir, "documents")
+      // frame-wide sums as broadcast 1-row scalars + the two-phase rank
+      // for the largest-remainder order — no unpartitioned windows even
+      // on this stratum-sized frame
+      val stats = Dedup.persistTracked(t(s, dir, "documents")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sx"),
@@ -5054,13 +5106,16 @@ object SparkEntry {
         .withColumn("sd", expr(
           "sqrt(CAST(n_docs * sx2 - sx * sx AS DOUBLE) / (n_docs * n_docs))"))
         .withColumn("w", expr(
-          "CAST(ROUND(1000000.0 * n_docs * sd) AS BIGINT)"))
-        .withColumn("sumw", sum(col("w")).over(all))
+          "CAST(ROUND(1000000.0 * n_docs * sd) AS BIGINT)")))
+      val shares = Dedup.persistTracked(stats
+        .crossJoin(broadcast(stats.agg(sum(col("w")).as("sumw"))))
         .withColumn("base", expr(s"(${budget}L * w) div sumw"))
-        .withColumn("rem", expr(s"${budget}L * w - base * sumw"))
-        .withColumn("leftover", lit(budget) - sum(col("base")).over(all))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+        .withColumn("rem", expr(s"${budget}L * w - base * sumw")))
+      val leftover = shares.agg(
+        (lit(budget) - sum(col("base"))).as("leftover"))
+      graft.plans.ParallelRank.rowNumber(shares, "rk", 4,
+          col("rem").desc, col("source"))
+        .crossJoin(broadcast(leftover))
         .withColumn("alloc",
           col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
         .select(col("source"), col("n_docs"), col("sd"), col("w"),
@@ -5755,6 +5810,16 @@ object SparkEntry {
                   CAST(len(list_filter(list_transform(range(1, 13), i -> n.mh[i] = b.mh[i]), v -> v)) AS DOUBLE) / 12 AS est_jaccard
            FROM (SELECT * FROM buckets WHERE doc_id % 10 = 0) n
            JOIN (SELECT * FROM buckets WHERE doc_id % 10 <> 0) b
+             ON n.band = b.band AND n.bucket = b.bucket""",
+      // both ingests join the PINNED base version (doc_id % 10 >= 2):
+      // increment A's appended buckets must NOT appear as base_ids, so
+      // the oracle's base side is exactly the v_base corpus slice
+      "q_ingest_dedup3" ->
+        s"""$minhashCtes
+           SELECT DISTINCT n.doc_id AS new_id, b.doc_id AS base_id,
+                  CAST(len(list_filter(list_transform(range(1, 13), i -> n.mh[i] = b.mh[i]), v -> v)) AS DOUBLE) / 12 AS est_jaccard
+           FROM (SELECT * FROM buckets WHERE doc_id % 10 IN (0, 1)) n
+           JOIN (SELECT * FROM buckets WHERE doc_id % 10 >= 2) b
              ON n.band = b.band AND n.bucket = b.bucket""",
       "q_dedup_containment" ->
         s"""$minhashCtes,
@@ -7098,8 +7163,8 @@ object SparkEntry {
         s"""WITH tk AS (SELECT doc_id, source, ${duckTokens("text")} AS toks FROM documents),
            s AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS ntok,
                   0.4 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) +
-                  0.3 * (CAST($stop AS DOUBLE) / len(toks)) +
-                  0.3 * (CAST(len(list_filter(toks, w -> length(w) <= 5)) AS DOUBLE) / len(toks)) AS quality
+                  0.3 * (CAST($stop AS DOUBLE) / nullif(len(toks), 0)) +
+                  0.3 * (CAST(len(list_filter(toks, w -> length(w) <= 5)) AS DOUBLE) / nullif(len(toks), 0)) AS quality
                  FROM tk),
            c AS (SELECT source, ntok,
                         SUM(ntok) OVER (PARTITION BY source
@@ -7161,7 +7226,8 @@ object SparkEntry {
                  FROM g WHERE gap_s IS NOT NULL GROUP BY event_type),
            b AS (SELECT event_type, n_gaps,
                         CAST(sx AS DOUBLE) / n_gaps AS mean_gap_s,
-                        sqrt(CAST(n_gaps * sxx - sx * sx AS DOUBLE)) / n_gaps AS std_gap_s
+                        sqrt(CAST(n_gaps AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / n_gaps AS std_gap_s
                  FROM a)
            SELECT event_type, n_gaps, mean_gap_s, std_gap_s,
                   (std_gap_s - mean_gap_s) /

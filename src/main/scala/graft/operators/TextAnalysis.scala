@@ -409,13 +409,15 @@ object TextAnalysis {
     * row per occupied bucket — at most `buckets` rows regardless of
     * corpus size. */
   private def dsirModel(g: DataFrame, buckets: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1))
-    g.groupBy(col("b"))
+    // corpus-wide totals as a broadcast 1-row scalar, not a
+    // constant-key window (a constant partition key still moves the
+    // whole frame to one task)
+    val counts = Dedup.persistTracked(g.groupBy(col("b"))
       .agg(count(lit(1)).as("n_r"),
-        sum(when(col("is_target"), 1L).otherwise(0L)).as("n_t"))
-      .withColumn("nr_tot", sum(col("n_r")).over(w))
-      .withColumn("nt_tot", sum(col("n_t")).over(w))
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("n_t")))
+    counts
+      .crossJoin(broadcast(counts.agg(sum(col("n_r")).as("nr_tot"),
+        sum(col("n_t")).as("nt_tot"))))
       .withColumn("rq", expr(
         s"CAST(ROUND(1000000 * (CAST((n_t + 1) * (nr_tot + $buckets) AS DOUBLE) " +
           s"/ CAST((n_r + 1) * (nt_tot + $buckets) AS DOUBLE))) AS BIGINT)"))
@@ -478,9 +480,10 @@ object TextAnalysis {
     * plots to spot saturation (flattening = mostly-duplicate tail) or
     * contamination (a jump = injected foreign vocabulary). Each word's
     * type contribution is attributed to its first-occurrence document;
-    * both curves are exact BIGINT window prefix sums over the per-doc
-    * aggregates (corpus-sized work is the two partial/final
-    * aggregations; the window runs over n_docs rows). */
+    * both curves are exact BIGINT prefix sums over the per-doc
+    * aggregates, computed with the two-phase range-partitioned shape
+    * (plans.ParallelRank) — the per-doc frame is itself data-sized, so
+    * even this "readout" stage never single-tasks. */
   def heapsLaw(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = Dedup.persistTracked(withTokens(df, textCol)
       .select(col(idCol), explode(col("toks")).as("word")))
@@ -489,16 +492,18 @@ object TextAnalysis {
     val newTypes = toks.groupBy(col("word"))
       .agg(min(col(idCol)).as("first_doc"))
       .groupBy(col("first_doc")).agg(count(lit(1)).as("new_types"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col(idCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, org.apache.spark.sql.expressions.Window
-        .currentRow)
-    perDoc.join(newTypes, perDoc(idCol) === newTypes("first_doc"), "left")
+    // the per-doc frame is data-sized, so both prefix sums ride the
+    // two-phase range-partitioned shape, never a global window
+    val joined = perDoc
+      .join(newTypes, perDoc(idCol) === newTypes("first_doc"), "left")
       .select(perDoc(idCol), col("n_tokens"),
         coalesce(col("new_types"), lit(0L)).as("new_types"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-      .withColumn("cum_types", sum(col("new_types")).over(w))
+    graft.plans.ParallelRank.withRunningAggs(joined, 32,
+        Seq(graft.plans.ParallelRank.RunCol("cum_tokens", col("n_tokens"),
+            "sum", inclusive = true),
+          graft.plans.ParallelRank.RunCol("cum_types", col("new_types"),
+            "sum", inclusive = true)),
+        col(idCol))
       .select(col(idCol), col("cum_tokens"), col("cum_types"))
   }
 }

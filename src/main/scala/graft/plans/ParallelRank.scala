@@ -1,0 +1,164 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-phase distributed replacements for GLOBAL (unpartitioned) window
+  * functions — the one plan shape Spark cannot parallelize on its own
+  * (`WindowExec: No Partition Defined … moving all data to a single
+  * partition`). A global rank / running sum / running max over a total
+  * order is computed here as:
+  *
+  *   1. `repartitionByRange(parts, sortCols)` — partition i holds strictly
+  *      smaller keys than partition i+1 (sampled boundaries; the frame is
+  *      persisted so every consumer sees ONE boundary draw),
+  *   2. a per-partition window PARTITIONED BY the physical partition id —
+  *      fully parallel, never a single-task sort,
+  *   3. an exclusive prefix fold over the ≤`parts` per-partition totals,
+  *      computed with one `collect_list` + `aggregate` higher-order
+  *      function on a single row — no window at all, no join fan-out, and
+  *      (unlike a 32-row `Window.orderBy(pid)`) no unpartitioned-window
+  *      WARN in the logs,
+  *   4. a broadcast equi-join of the offsets back onto the partitions.
+  *
+  * Because the sort columns form a TOTAL order (callers tie-break), the
+  * result is independent of where the sampled range boundaries land.
+  * Cost at 100 TB: one range shuffle + one pid hash shuffle of the data,
+  * plus a `parts`-row fold — vs. the single-task global sort it replaces.
+  */
+object ParallelRank {
+
+  /** One running aggregate to compute over the global order.
+    * `value` must be BIGINT-typed (the prefix fold is exact-integer).
+    * `op` is "sum" or "max"; `inclusive` selects the frame
+    * (unboundedPreceding..currentRow vs ..-1 i.e. strictly earlier). */
+  final case class RunCol(out: String, value: Column, op: String,
+      inclusive: Boolean) {
+    require(op == "sum" || op == "max", s"unsupported op $op")
+  }
+
+  /** Exclusive prefix fold over the per-partition totals: collapse the
+    * (pid, totals…) rows into ONE sorted array and fold left with the
+    * `aggregate` HOF, emitting each pid's prefix BEFORE combining its own
+    * total. sum starts at 0; max starts at NULL (no earlier partition →
+    * NULL, matching an empty exclusive frame) and combines with
+    * `greatest`, which skips NULLs. */
+  private def exclusiveOffsets(totals: DataFrame,
+      runs: Seq[RunCol]): DataFrame = {
+    val n = runs.size
+    val outDdl = (0 until n).map(i => s"__o$i: BIGINT").mkString(", ")
+    val zeros = runs.zipWithIndex.map { case (r, i) =>
+      val z = if (r.op == "sum") "0L" else "CAST(NULL AS BIGINT)"
+      s"'__r$i', $z"
+    }.mkString(", ")
+    val emits = (0 until n).map(i => s"'__o$i', acc.__r$i").mkString(", ")
+    val combines = runs.zipWithIndex.map { case (r, i) =>
+      val c =
+        if (r.op == "sum") s"acc.__r$i + x.__t$i"
+        else s"greatest(acc.__r$i, x.__t$i)"
+      s"'__r$i', $c"
+    }.mkString(", ")
+    totals
+      .agg(sort_array(collect_list(struct(
+        col("__pid") +: (0 until n).map(i => col(s"__t$i")): _*))).as("pc"))
+      .selectExpr(
+        s"""inline(aggregate(pc,
+           |  named_struct(
+           |    'arr', CAST(array() AS ARRAY<STRUCT<__pid: INT, $outDdl>>),
+           |    $zeros),
+           |  (acc, x) -> named_struct(
+           |    'arr', array_append(acc.arr,
+           |             named_struct('__pid', x.__pid, $emits)),
+           |    $combines),
+           |  acc -> acc.arr))""".stripMargin)
+  }
+
+  /** Core: add every requested running aggregate over the global order
+    * given by `sort` (must be a total order). Output columns are BIGINT.
+    * All runs share ONE range shuffle and ONE per-partition window pass. */
+  def withRunningAggs(df: DataFrame, parts: Int, runs: Seq[RunCol],
+      sort: Column*): DataFrame = {
+    require(runs.nonEmpty && sort.nonEmpty)
+    // persist: the offsets fold and the rank join both consume this frame;
+    // unpersisted, the two subtrees would re-run the range partitioner on
+    // fresh samples and the offsets would misalign with the partitions
+    val sorted = graft.operators.Dedup.persistTracked(
+      df.repartitionByRange(parts, sort: _*)
+        .withColumn("__pid", spark_partition_id()))
+    val aggs = runs.zipWithIndex.map { case (r, i) =>
+      (if (r.op == "sum") sum(r.value) else max(r.value)).as(s"__t$i")
+    }
+    val offs = exclusiveOffsets(
+      sorted.groupBy(col("__pid")).agg(aggs.head, aggs.tail: _*), runs)
+    val base = Window.partitionBy(col("__pid")).orderBy(sort: _*)
+    val withPart = runs.zipWithIndex.foldLeft(sorted) { case (d, (r, i)) =>
+      val frame =
+        if (r.inclusive)
+          base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        else base.rowsBetween(Window.unboundedPreceding, -1)
+      val f = if (r.op == "sum") sum(r.value) else max(r.value)
+      d.withColumn(s"__p$i", f.over(frame))
+    }
+    val joined = withPart.join(broadcast(offs), Seq("__pid"))
+    val out = runs.zipWithIndex.foldLeft(joined) { case (d, (r, i)) =>
+      val c =
+        if (r.op == "sum")
+          coalesce(col(s"__o$i"), lit(0L)) + coalesce(col(s"__p$i"), lit(0L))
+        else greatest(col(s"__o$i"), col(s"__p$i"))
+      d.withColumn(r.out, c)
+    }
+    out.drop("__pid" +:
+      runs.indices.flatMap(i => Seq(s"__p$i", s"__o$i")): _*)
+  }
+
+  /** Global `row_number()` (1-based BIGINT) over a total order — the
+    * drop-in for `row_number().over(Window.orderBy(…))`. */
+  def rowNumber(df: DataFrame, out: String, parts: Int,
+      sort: Column*): DataFrame =
+    withRunningAggs(df, parts, Seq(RunCol(out, lit(1L), "sum",
+      inclusive = true)), sort: _*)
+
+  /** Global inclusive running sum of a BIGINT column over a total order. */
+  def runningSum(df: DataFrame, out: String, value: Column, parts: Int,
+      sort: Column*): DataFrame =
+    withRunningAggs(df, parts, Seq(RunCol(out, value, "sum",
+      inclusive = true)), sort: _*)
+
+  /** Global EXCLUSIVE running max (max over strictly earlier rows; NULL
+    * for the first row) — the skyline/frontier building block. */
+  def runningMaxExclusive(df: DataFrame, out: String, value: Column,
+      parts: Int, sort: Column*): DataFrame =
+    withRunningAggs(df, parts, Seq(RunCol(out, value, "max",
+      inclusive = false)), sort: _*)
+
+  /** Global NTILE(k) with exact SQL semantics (the first n mod k buckets
+    * get one extra row), from the two-phase global rank plus one broadcast
+    * total count. The ELSE branch divides by `n DIV k`, which is 0 only
+    * when n < k — and then every rank satisfies the THEN guard, so the
+    * division never evaluates on a taken branch. */
+  def ntile(df: DataFrame, out: String, k: Int, parts: Int,
+      sort: Column*): DataFrame = {
+    val in = graft.operators.Dedup.persistTracked(df)
+    val n = in.agg(count(lit(1)).as("__n"))
+    rowNumber(in, "__gr", parts, sort: _*)
+      .crossJoin(broadcast(n))
+      .withColumn(out, expr(
+        s"""CAST(CASE
+           |  WHEN __gr <= (__n DIV $k + 1L) * (__n % $k)
+           |    THEN (__gr - 1L) DIV (__n DIV $k + 1L) + 1L
+           |  ELSE __n % $k +
+           |    (__gr - 1L - (__n DIV $k + 1L) * (__n % $k)) DIV (__n DIV $k)
+           |    + 1L
+           |END AS BIGINT)""".stripMargin))
+      .drop("__gr", "__n")
+  }
+
+  /** Exact global top-k WITH dense 1..k ranks and no unpartitioned
+    * window: `orderBy(…).limit(k)` plans as TakeOrderedAndProject
+    * (parallel per-partition partial top-k, merged k-row result), then
+    * the k-row frame is ranked by the same two-phase shape. */
+  def rankedTopK(df: DataFrame, out: String, k: Int,
+      sort: Column*): DataFrame =
+    rowNumber(df.orderBy(sort: _*).limit(k), out, 4, sort: _*)
+}

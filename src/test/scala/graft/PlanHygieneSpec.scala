@@ -1,6 +1,11 @@
 package graft
 
 import graft.athenaeum.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{WindowGroupLimit, Window => LWindow}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.columnar.{InMemoryRelation, InMemoryTableScanExec}
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 
 /** Meta-guard over EVERY SparkEntry query's physical plan: no query may
   * silently regress to a nested-loop/cartesian shape (the classic
@@ -59,6 +64,13 @@ class PlanHygieneSpec extends SparkSpec {
     "q15_top_revenue",  // 1-row max-revenue scalar crossed into the filter
     "q_ks_test",        // 1-row cohort-totals scalar crossed into the max
     "q_len_drift_ks",   // same 1-row totals cross as q_ks_test
+    "q_ntile",          // 1-row total-count scalar of ParallelRank.ntile
+    "q_rfm",            // three ParallelRank.ntile total-count scalars
+    "q_benford",        // 1-row digit-total scalar crossed into the ppm
+    "q_mix_plan",       // 1-row weight-sum scalar crossed into the shares
+    "q_mix_waterfill",  // per-round 1-row redistribution scalars crossed
+    "q_neyman_sample",  // 1-row weight-sum + leftover scalars crossed
+    "q_dsir_weights",   // 1-row corpus-totals scalar in dsirModel
     "q_dq_checks",      // three 1-row constraint aggregates crossed + stacked
     // reference theta-join surface (J2/J3): inequality-only predicates
     // have no equi key, so a nested loop is the ONLY plan; both queries
@@ -91,6 +103,52 @@ class PlanHygieneSpec extends SparkSpec {
     // pruned column (6.5x warm win vs the all-column pass; the per-job
     // scheduling tradeoff is documented in Profiling.scala's scaladoc)
     "q_profile" -> 6)
+
+  // Queries allowed to keep a GLOBAL (unpartitioned) window, with the
+  // bounded-domain reason pinned. Empty today: every global rank /
+  // running sum / ntile in the repo rides plans.ParallelRank's two-phase
+  // range-partitioned shape, and frame-wide totals ride broadcast 1-row
+  // scalars. Add a name here ONLY with a proof the window's input is
+  // bounded (not data-sized) at any scale factor.
+  private val allowedGlobalWindow = Set.empty[String]
+
+  /** Unpartitioned Window/WindowGroupLimit nodes in the physical plan,
+    * descending into cached (InMemoryRelation) subtrees — a persist
+    * barrier must not hide a single-partition window from the guard. */
+  private def physicalGlobalWindows(p: SparkPlan): Seq[String] =
+    p.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        Seq("WindowExec")
+      case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+        Seq("WindowGroupLimitExec")
+      case s: InMemoryTableScanExec =>
+        physicalGlobalWindows(s.relation.cachedPlan)
+    }.flatten
+
+  private def globalWindows(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => Seq("Window")
+      case w: WindowGroupLimit if w.partitionSpec.isEmpty =>
+        Seq("WindowGroupLimit")
+      case im: InMemoryRelation => physicalGlobalWindows(im.cachedPlan)
+    }.flatten
+
+  test("no query moves data to a single partition via an unpartitioned window") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val hits = globalWindows(fn(spark, dir))
+          if (hits.nonEmpty && !allowedGlobalWindow(name))
+            Some(s"$name: ${hits.mkString(", ")}")
+          else None
+        } catch {
+          case e: Throwable => Some(s"$name (plan failed: ${e.getMessage})")
+        } finally graft.operators.Dedup.releaseAll(spark)
+    }
+    assert(offenders.isEmpty,
+      "single-partition windows (use plans.ParallelRank's two-phase " +
+        s"rank/running-agg instead): ${offenders.mkString("; ")}")
+  }
 
   test("no query re-scans a base relation 3+ times (multi-consumer recompute guard)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -16,6 +16,23 @@ class SqlSurfaceSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("null array elements on the SQL surface null-skip, never crash") {
+    GraftFunctions.register(spark)
+    // array_intersect semantics: a NULL element never counts toward the
+    // overlap, and never NPEs the sort inside the merge
+    val r = spark.sql(
+      """SELECT
+        |  graft_set_overlap(array('a', CAST(NULL AS STRING), 'b'),
+        |                    array('b', 'a')) AS o_str,
+        |  graft_set_overlap(array(1L, CAST(NULL AS BIGINT), 2L),
+        |                    array(2L, 3L)) AS o_long,
+        |  graft_top_count(array('x', CAST(NULL AS STRING), 'x')) AS top
+        |""".stripMargin).collect().head
+    assert(r.getLong(0) == 2L, "string overlap should skip the null")
+    assert(r.getLong(1) == 1L, "long overlap should skip the null")
+    assert(r.getLong(2) == 2L, "top count should skip the null")
+  }
+
   test("MinHash-LSH candidates in pure SQL == Dedup.minhashCandidates") {
     GraftFunctions.register(spark)
     Tables(spark, dir, "documents").createOrReplaceTempView("docs_sql")
