@@ -43,7 +43,10 @@ object ParallelRank {
     * `aggregate` HOF, emitting each pid's prefix BEFORE combining its own
     * total. sum starts at 0; max starts at NULL (no earlier partition →
     * NULL, matching an empty exclusive frame) and combines with
-    * `greatest`, which skips NULLs. */
+    * `greatest`, which skips NULLs. The finish lambda also stamps every
+    * row with the GRAND total `__g<i>` (the fold's final accumulator) —
+    * a free global count/sum/max that saves consumers a second
+    * aggregation pass over the data (ntile uses it as n). */
   private def exclusiveOffsets(totals: DataFrame,
       runs: Seq[RunCol]): DataFrame = {
     val n = runs.size
@@ -53,6 +56,8 @@ object ParallelRank {
       s"'__r$i', $z"
     }.mkString(", ")
     val emits = (0 until n).map(i => s"'__o$i', acc.__r$i").mkString(", ")
+    val finals = (0 until n).map(i =>
+      s"'__o$i', s.__o$i, '__g$i', acc.__r$i").mkString(", ")
     val combines = runs.zipWithIndex.map { case (r, i) =>
       val c =
         if (r.op == "sum") s"acc.__r$i + x.__t$i"
@@ -71,7 +76,8 @@ object ParallelRank {
            |    'arr', array_append(acc.arr,
            |             named_struct('__pid', x.__pid, $emits)),
            |    $combines),
-           |  acc -> acc.arr))""".stripMargin)
+           |  acc -> transform(acc.arr,
+           |    s -> named_struct('__pid', s.__pid, $finals))))""".stripMargin)
   }
 
   /** Core: add every requested running aggregate over the global order
@@ -109,15 +115,44 @@ object ParallelRank {
       d.withColumn(r.out, c)
     }
     out.drop("__pid" +:
-      runs.indices.flatMap(i => Seq(s"__p$i", s"__o$i")): _*)
+      runs.indices.flatMap(i => Seq(s"__p$i", s"__o$i", s"__g$i")): _*)
+  }
+
+  /** Shared core of [[rowNumber]]/[[ntile]]: the input plus `__gr` (the
+    * 1-based global rank over `sort`) and `__n` (the total row count,
+    * read off the prefix fold's final accumulator — no second pass). */
+  private def globalRank(df: DataFrame, parts: Int,
+      sort: Column*): DataFrame = {
+    val sorted = graft.operators.Dedup.persistTracked(
+      df.repartitionByRange(parts, sort: _*)
+        .sortWithinPartitions(sort: _*)
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__mono", monotonically_increasing_id()))
+    val offs = exclusiveOffsets(
+      sorted.groupBy(col("__pid")).agg(count(lit(1)).as("__t0")),
+      Seq(RunCol("__gr", lit(1L), "sum", inclusive = true)))
+    sorted.join(broadcast(offs), Seq("__pid"))
+      .withColumn("__gr",
+        col("__o0") + col("__mono").bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
+      .withColumnRenamed("__g0", "__n")
+      .drop("__pid", "__mono", "__o0")
   }
 
   /** Global `row_number()` (1-based BIGINT) over a total order — the
-    * drop-in for `row_number().over(Window.orderBy(…))`. */
+    * drop-in for `row_number().over(Window.orderBy(…))`.
+    *
+    * Cheaper than the general running-agg path: after the range shuffle
+    * the frame is sorted WITHIN each partition and the in-partition
+    * position is read off `monotonically_increasing_id`'s low 33 bits
+    * (the id is partitionId·2³³ + row offset in partition order) — no
+    * second pid-hash shuffle, no window sort, ONE exchange total. The
+    * persist pins the nondeterministic ids so the offsets fold and the
+    * rank join see the same draw. */
   def rowNumber(df: DataFrame, out: String, parts: Int,
       sort: Column*): DataFrame =
-    withRunningAggs(df, parts, Seq(RunCol(out, lit(1L), "sum",
-      inclusive = true)), sort: _*)
+    globalRank(df, parts, sort: _*)
+      .withColumnRenamed("__gr", out)
+      .drop("__n")
 
   /** Global inclusive running sum of a BIGINT column over a total order. */
   def runningSum(df: DataFrame, out: String, value: Column, parts: Int,
@@ -133,16 +168,14 @@ object ParallelRank {
       inclusive = false)), sort: _*)
 
   /** Global NTILE(k) with exact SQL semantics (the first n mod k buckets
-    * get one extra row), from the two-phase global rank plus one broadcast
-    * total count. The ELSE branch divides by `n DIV k`, which is 0 only
-    * when n < k — and then every rank satisfies the THEN guard, so the
-    * division never evaluates on a taken branch. */
+    * get one extra row), from the two-phase global rank; the total count
+    * rides the prefix fold's grand-total column, so no second pass and
+    * no scalar cross join. The ELSE branch divides by `n DIV k`, which
+    * is 0 only when n < k — and then every rank satisfies the THEN
+    * guard, so the division never evaluates on a taken branch. */
   def ntile(df: DataFrame, out: String, k: Int, parts: Int,
-      sort: Column*): DataFrame = {
-    val in = graft.operators.Dedup.persistTracked(df)
-    val n = in.agg(count(lit(1)).as("__n"))
-    rowNumber(in, "__gr", parts, sort: _*)
-      .crossJoin(broadcast(n))
+      sort: Column*): DataFrame =
+    globalRank(df, parts, sort: _*)
       .withColumn(out, expr(
         s"""CAST(CASE
            |  WHEN __gr <= (__n DIV $k + 1L) * (__n % $k)
@@ -152,13 +185,21 @@ object ParallelRank {
            |    + 1L
            |END AS BIGINT)""".stripMargin))
       .drop("__gr", "__n")
-  }
 
   /** Exact global top-k WITH dense 1..k ranks and no unpartitioned
     * window: `orderBy(…).limit(k)` plans as TakeOrderedAndProject
-    * (parallel per-partition partial top-k, merged k-row result), then
-    * the k-row frame is ranked by the same two-phase shape. */
+    * (parallel per-partition partial top-k, merged k-row result — a
+    * SINGLE partition by construction, `coalesce(1)` pins that against
+    * planner drift), then the ≤k-row frame is ranked by a window
+    * PARTITIONED on the physical partition id: one partition holds all
+    * k rows, so the per-partition rank IS the global rank, the
+    * partition spec is non-empty (no single-partition-window WARN), and
+    * no extra shuffle or sampling job is spent on a k-row frame. */
   def rankedTopK(df: DataFrame, out: String, k: Int,
       sort: Column*): DataFrame =
-    rowNumber(df.orderBy(sort: _*).limit(k), out, 4, sort: _*)
+    df.orderBy(sort: _*).limit(k).coalesce(1)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn(out, row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(sort: _*)).cast("long"))
+      .drop("__pid")
 }

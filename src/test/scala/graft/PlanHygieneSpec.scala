@@ -64,8 +64,6 @@ class PlanHygieneSpec extends SparkSpec {
     "q15_top_revenue",  // 1-row max-revenue scalar crossed into the filter
     "q_ks_test",        // 1-row cohort-totals scalar crossed into the max
     "q_len_drift_ks",   // same 1-row totals cross as q_ks_test
-    "q_ntile",          // 1-row total-count scalar of ParallelRank.ntile
-    "q_rfm",            // three ParallelRank.ntile total-count scalars
     "q_benford",        // 1-row digit-total scalar crossed into the ppm
     "q_mix_plan",       // 1-row weight-sum scalar crossed into the shares
     "q_mix_waterfill",  // per-round 1-row redistribution scalars crossed
