@@ -104,6 +104,50 @@ class ShuffleBudgetSpec extends SparkSpec {
     }
   }
 
+  test("ParallelRank.rowNumber: ONE data-sized range exchange, no window, prefix traffic is partition-count-sized") {
+    withoutAqe {
+      import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      import org.apache.spark.sql.execution.window.WindowExec
+      // descend into the persisted subtree: the range exchange lives
+      // under the InMemoryRelation barrier
+      def all[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
+        p.collect {
+          case s: InMemoryTableScanExec =>
+            all(s.relation.cachedPlan)(pf) ++
+              (if (pf.isDefinedAt(s)) Seq(pf(s)) else Nil)
+          case n if pf.isDefinedAt(n) => Seq(pf(n))
+        }.flatten
+      val li = Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"))
+      val ranked = graft.plans.ParallelRank.rowNumber(li, "rn", 8,
+        col("l_orderkey"), col("l_linenumber"))
+      ranked.collect()
+      val plan = ranked.queryExecution.executedPlan
+      // the persisted frame is scanned from two branches (offsets fold +
+      // rank join) — both reach the SAME cached exchange instance, so
+      // dedup by identity before counting
+      val exchanges = all(plan) { case e: ShuffleExchangeExec => e }
+        .foldLeft(Vector.empty[ShuffleExchangeExec])((acc, e) =>
+          if (acc.exists(_ eq e)) acc else acc :+ e)
+      val (range, rest) = exchanges.partition(
+        _.outputPartitioning.isInstanceOf[RangePartitioning])
+      assert(range.length == 1,
+        s"expected exactly one range exchange, found ${range.length}")
+      // everything else (per-partition counts -> prefix fold) moves
+      // partition-count-sized rows, never the data
+      val restBytes = rest
+        .map(_.metrics("shuffleBytesWritten").value).sum
+      assert(restBytes < 10 * 1024,
+        s"prefix-fold traffic was $restBytes bytes — expected ~8 rows")
+      val windows = all(plan) { case w: WindowExec => w }
+      assert(windows.isEmpty,
+        s"mono-id rank path must not plan a window, found ${windows.length}")
+      Dedup.releaseAll(spark)
+    }
+  }
+
   test("exact dedup groups on fingerprints: shuffle stays below the text volume") {
     withoutAqe {
       val docs = Tables(spark, dir, "documents")
