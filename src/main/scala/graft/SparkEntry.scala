@@ -403,6 +403,36 @@ object SparkEntry {
         .select(col("new_id"), col("base_id"), col("est_jaccard"))
       pairsA.union(pairsB)
     }),
+    // INCREMENTAL CLUSTER MAINTENANCE: fold the increment's candidate
+    // pairs into the base corpus's EXISTING true-CC labels without
+    // re-clustering the base (Dedup.incrementalClusters: cross edges
+    // contract onto base representatives, CC runs on the
+    // increment-sized contracted graph, one rep-keyed remap join moves
+    // merged components wholesale). The oracle is the FULL-corpus
+    // recursive-CC recompute — the incremental path must reproduce it
+    // hash-exactly, including increments that transitively merge two
+    // existing base components.
+    "q_ingest_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sigsB = Dedup.persistTracked(Dedup.minhashSignatures(
+        docs.filter(col("doc_id") % 10 >= 2), "doc_id", "text"))
+      val sigsI = Dedup.persistTracked(Dedup.minhashSignatures(
+        docs.filter(col("doc_id") % 10 < 2), "doc_id", "text"))
+      val baseLabels = Dedup.clustersStar(
+        Dedup.candidatesFromSignatures(sigsB, "doc_id")
+          .select(col("doc_a"), col("doc_b")),
+        "doc_a", "doc_b")
+        .withColumnRenamed("doc_a", "doc_id")
+      val cross = Dedup.lshIndex(sigsI, "doc_id")
+        .select(col("doc_id").as("new_id"), col("band"), col("bucket"))
+        .join(Dedup.lshIndex(sigsB, "doc_id")
+          .select(col("doc_id").as("base_id"), col("band"), col("bucket")),
+          Seq("band", "bucket"))
+        .select(col("new_id"), col("base_id")).distinct()
+      val intra = Dedup.candidatesFromSignatures(sigsI, "doc_id")
+        .select(col("doc_a"), col("doc_b"))
+      Dedup.incrementalClusters(baseLabels, "doc_id", cross, intra)
+    }),
     // containment (|A∩B|/|A|) on the LSH candidates: catches short docs
     // embedded in longer ones, which symmetric Jaccard dilutes away
     "q_dedup_containment" -> ((s, dir) =>
@@ -5811,6 +5841,23 @@ object SparkEntry {
            FROM (SELECT * FROM buckets WHERE doc_id % 10 = 0) n
            JOIN (SELECT * FROM buckets WHERE doc_id % 10 <> 0) b
              ON n.band = b.band AND n.bucket = b.bucket""",
+      // the incremental path must equal the FULL recompute: true CC
+      // over the whole corpus's candidate graph (bucket membership is
+      // per-doc, so base-base ∪ cross ∪ intra IS the full pair set)
+      "q_ingest_clusters" ->
+        s"""WITH RECURSIVE ${minhashCtes.stripPrefix("WITH ")},
+           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM buckets a JOIN buckets b
+                      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+           edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                     UNION ALL SELECT doc_b AS src, doc_a AS dst FROM cand),
+           nodes AS (SELECT DISTINCT src AS id FROM edges),
+           reach AS (
+             SELECT id, id AS r FROM nodes
+             UNION
+             SELECT e.src AS id, reach.r FROM edges e
+             JOIN reach ON e.dst = reach.id)
+           SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id""",
       // both ingests join the PINNED base version (doc_id % 10 >= 2):
       // increment A's appended buckets must NOT appear as base_ids, so
       // the oracle's base side is exactly the v_base corpus slice

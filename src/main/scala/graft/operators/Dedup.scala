@@ -637,6 +637,66 @@ object Dedup {
         least(col("id"), coalesce(col("m"), col("id"))).as("cluster"))
   }
 
+  /** INCREMENTAL cluster maintenance: fold an increment's candidate
+    * pairs into EXISTING base cluster labels WITHOUT re-clustering the
+    * base — the nightly-crawl case where the corpus's near-dup labels
+    * are already stored and only the increment should cost anything.
+    *
+    * Inputs: `baseLabels` (idCol, cluster) — true-CC labels of the base
+    * corpus (cluster = the component's minimum id, [[clustersStar]]'s
+    * contract); `crossPairs` (new_id, base_id) — increment×base LSH
+    * candidates (e.g. [[ingestAgainstIndex]]); `incPairs`
+    * (doc_a, doc_b) — candidates within the increment.
+    *
+    * Algorithm (union-find contraction): every cross edge re-attaches
+    * the new doc to the base doc's REPRESENTATIVE (or to the base doc
+    * itself when it carried no label — a singleton until now); true CC
+    * then runs on this CONTRACTED graph, whose size is proportional to
+    * the increment plus the touched representatives, never the base
+    * corpus. A new doc linking two base components transitively MERGES
+    * them: the contracted component contains both reps, and the final
+    * rep-remap join moves every affected base label wholesale. Because
+    * contracting components to their minimum preserves both
+    * connectivity and the global minimum, the output is EXACTLY the
+    * labels a full re-cluster of base+increment would produce —
+    * `q_ingest_clusters`' oracle is the full-corpus recursive-CC SQL,
+    * and the hash must match.
+    *
+    * Scale: base text is never touched (pairs arrive from the stored
+    * LSH index); the base-sized work is ONE broadcast-able join of the
+    * label table against the contracted-node remap (rep-keyed, tiny);
+    * everything else is increment-sized. */
+  def incrementalClusters(baseLabels: DataFrame, idCol: String,
+      crossPairs: DataFrame, incPairs: DataFrame,
+      maxRounds: Int = 12): DataFrame = {
+    val bl = persistTracked(baseLabels.select(col(idCol), col("cluster")))
+    val crossRep = crossPairs
+      .join(bl.select(col(idCol).as("base_id"), col("cluster").as("rep")),
+        Seq("base_id"), "left")
+      .select(col("new_id").as("a"),
+        coalesce(col("rep"), col("base_id")).as("b"))
+    val intra = incPairs
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val contracted = persistTracked(
+      clustersStar(crossRep.unionAll(intra), "a", "b"))
+    // rep remap: a base component whose representative appears in the
+    // contracted graph takes the contracted component's (global-min)
+    // label; untouched components keep theirs
+    val updatedBase = bl
+      .join(contracted
+          .select(col("a").as("cluster"), col("cluster").as("newc")),
+        Seq("cluster"), "left")
+      .select(col(idCol), coalesce(col("newc"), col("cluster")).as("cluster"))
+    // contracted nodes that are NOT base representatives: the
+    // increment's docs and formerly-singleton base docs — their label
+    // comes straight off the contracted CC
+    val fresh = contracted
+      .join(bl.select(col("cluster").as("a")).distinct(),
+        Seq("a"), "left_anti")
+      .select(col("a").as(idCol), col("cluster"))
+    updatedBase.unionAll(fresh)
+  }
+
   /** Duplicated-SPAN detection (the practical approximation of exact-
     * substring dedup, Lee et al. 2021 "Deduplicating Training Data Makes
     * Language Models Better"): a doc's w-token windows that also occur in
