@@ -433,6 +433,45 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"))
       Dedup.incrementalClusters(baseLabels, "doc_id", cross, intra)
     }),
+    // the PRODUCTION LOOP, two nights of it: increment A folds into the
+    // stored labels, the result COMMITS as a VersionedTable snapshot,
+    // increment B folds into the snapshot READ BACK from storage —
+    // iterated incremental maintenance with a durability hop between
+    // steps. The oracle is still the one-shot full-corpus CC recompute:
+    // iterating the exact incremental step composes to the batch answer
+    // (each step's output is the true CC of everything seen so far).
+    "q_ingest_clusters2" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val docs = t(s, dir, "documents")
+      val path = "/tmp/graft_cluster_vtab_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val sigs = Dedup.persistTracked(
+        Dedup.minhashSignatures(docs, "doc_id", "text")
+          .withColumn("slice", col("doc_id") % 10))
+      def sigsOf(pred: Column) = sigs.filter(pred).drop("slice")
+      val sigsBase = sigsOf(col("slice") >= 4)
+      val sigsA = sigsOf(col("slice") < 2)
+      val sigsB = sigsOf(col("slice") >= 2 && col("slice") < 4)
+      def cross(incSigs: DataFrame, priorSigs: DataFrame) =
+        Dedup.lshIndex(incSigs, "doc_id")
+          .select(col("doc_id").as("new_id"), col("band"), col("bucket"))
+          .join(Dedup.lshIndex(priorSigs, "doc_id")
+            .select(col("doc_id").as("base_id"), col("band"), col("bucket")),
+            Seq("band", "bucket"))
+          .select(col("new_id"), col("base_id")).distinct()
+      def intra(s0: DataFrame) =
+        Dedup.candidatesFromSignatures(s0, "doc_id")
+          .select(col("doc_a"), col("doc_b"))
+      val labels0 = Dedup.clustersStar(intra(sigsBase), "doc_a", "doc_b")
+        .withColumnRenamed("doc_a", "doc_id")
+      val labels1 = Dedup.incrementalClusters(labels0, "doc_id",
+        cross(sigsA, sigsBase), intra(sigsA))
+      val v1 = VersionedTable.commit(labels1, path, "overwrite")
+      val stored = VersionedTable.read(s, path, Some(v1))
+      Dedup.incrementalClusters(stored, "doc_id",
+        cross(sigsB, sigsOf(col("slice") >= 4 || col("slice") < 2)),
+        intra(sigsB))
+    }),
     // containment (|A∩B|/|A|) on the LSH candidates: catches short docs
     // embedded in longer ones, which symmetric Jaccard dilutes away
     "q_dedup_containment" -> ((s, dir) =>
@@ -5845,6 +5884,22 @@ object SparkEntry {
       // over the whole corpus's candidate graph (bucket membership is
       // per-doc, so base-base ∪ cross ∪ intra IS the full pair set)
       "q_ingest_clusters" ->
+        s"""WITH RECURSIVE ${minhashCtes.stripPrefix("WITH ")},
+           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM buckets a JOIN buckets b
+                      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+           edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                     UNION ALL SELECT doc_b AS src, doc_a AS dst FROM cand),
+           nodes AS (SELECT DISTINCT src AS id FROM edges),
+           reach AS (
+             SELECT id, id AS r FROM nodes
+             UNION
+             SELECT e.src AS id, reach.r FROM edges e
+             JOIN reach ON e.dst = reach.id)
+           SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id""",
+      // iterated incremental + a VersionedTable hop must still equal
+      // the one-shot full recompute
+      "q_ingest_clusters2" ->
         s"""WITH RECURSIVE ${minhashCtes.stripPrefix("WITH ")},
            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                     FROM buckets a JOIN buckets b
