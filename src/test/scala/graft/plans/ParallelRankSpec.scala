@@ -98,6 +98,20 @@ class ParallelRankSpec extends SparkSpec {
     assert(got.size == 25)
   }
 
+  test("degenerate frames: empty input yields empty output, one row ranks 1") {
+    import spark.implicits._
+    val empty = spark.emptyDataset[(Long, Long)].toDF("id", "v")
+    assert(ParallelRank.rowNumber(empty, "rn", 4, col("v"), col("id"))
+      .count() == 0)
+    assert(ParallelRank.runningSum(empty, "cs", col("v"), 4, col("id"))
+      .count() == 0)
+    val one = Seq((7L, 3L)).toDF("id", "v")
+    val r = ParallelRank.ntile(one, "t", 4, 4, col("v"), col("id"))
+      .select("id", "t").collect().head
+    Dedup.releaseAll(spark)
+    assert(r.getLong(0) == 7L && r.getLong(1) == 1L)
+  }
+
   test("multi-run withRunningAggs: rank and sum share one pass") {
     val df = frame(250)
     val got = ParallelRank.withRunningAggs(df, 5,
