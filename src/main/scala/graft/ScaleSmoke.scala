@@ -63,11 +63,21 @@ object ScaleSmoke {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder("graft-scale-smoke", cpus.toInt)
       .config("spark.ui.enabled", "false")
+      // the nanos-typed events.parquet variant (see Tables.apply) would
+      // otherwise fail schema resolution on the raw read in amplify
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val marker = new java.io.File(s"$out/_AMPLIFIED_OK_$k")
+    // the marker encodes src AND K: a re-run against a different source
+    // or factor must re-amplify, and stale markers from other configs
+    // are swept so they can never validate the wrong corpus
+    val cfg = s"${src.replaceAll("[^A-Za-z0-9]", "_")}_x$k"
+    val marker = new java.io.File(s"$out/_AMPLIFIED_OK_$cfg")
     if (!marker.exists()) {
       amplify(spark, src, out, k)
+      Option(new java.io.File(out).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("_AMPLIFIED_OK_"))
+        .foreach(_.delete())
       marker.createNewFile()
     }
     def run(name: String, dir: String): (Long, Double) = {

@@ -423,12 +423,7 @@ object SparkEntry {
           .select(col("doc_a"), col("doc_b")),
         "doc_a", "doc_b")
         .withColumnRenamed("doc_a", "doc_id")
-      val cross = Dedup.lshIndex(sigsI, "doc_id")
-        .select(col("doc_id").as("new_id"), col("band"), col("bucket"))
-        .join(Dedup.lshIndex(sigsB, "doc_id")
-          .select(col("doc_id").as("base_id"), col("band"), col("bucket")),
-          Seq("band", "bucket"))
-        .select(col("new_id"), col("base_id")).distinct()
+      val cross = Dedup.crossCandidatesFromSignatures(sigsI, sigsB, "doc_id")
       val intra = Dedup.candidatesFromSignatures(sigsI, "doc_id")
         .select(col("doc_a"), col("doc_b"))
       Dedup.incrementalClusters(baseLabels, "doc_id", cross, intra)
@@ -453,12 +448,7 @@ object SparkEntry {
       val sigsA = sigsOf(col("slice") < 2)
       val sigsB = sigsOf(col("slice") >= 2 && col("slice") < 4)
       def cross(incSigs: DataFrame, priorSigs: DataFrame) =
-        Dedup.lshIndex(incSigs, "doc_id")
-          .select(col("doc_id").as("new_id"), col("band"), col("bucket"))
-          .join(Dedup.lshIndex(priorSigs, "doc_id")
-            .select(col("doc_id").as("base_id"), col("band"), col("bucket")),
-            Seq("band", "bucket"))
-          .select(col("new_id"), col("base_id")).distinct()
+        Dedup.crossCandidatesFromSignatures(incSigs, priorSigs, "doc_id")
       def intra(s0: DataFrame) =
         Dedup.candidatesFromSignatures(s0, "doc_id")
           .select(col("doc_a"), col("doc_b"))
@@ -2540,10 +2530,14 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_gaps"), sum(col("gap_s")).as("sx"),
           sum(col("gap_s") * col("gap_s")).as("sxx"))
+        // greatest(…, 0): past 2^53 the two products round independently
+        // and near-constant gaps can make the difference land a few ulps
+        // NEGATIVE — Spark's sqrt would return NaN but DuckDB RAISES on
+        // a negative sqrt, so both sides clamp before the root
         .select(col("event_type"), col("n_gaps"),
           expr("CAST(sx AS DOUBLE) / n_gaps").as("mean_gap_s"),
-          expr("sqrt(CAST(n_gaps AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
-            "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / n_gaps")
+          expr("sqrt(greatest(CAST(n_gaps AS DOUBLE) * CAST(sxx AS DOUBLE)" +
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0e0)) / n_gaps")
             .as("std_gap_s"))
         // nullif: all-sub-second gaps floor to 0 → 0/0 is IEEE NaN in
         // Spark but NULL in DuckDB; both sides go NULL
@@ -7315,8 +7309,10 @@ object SparkEntry {
                   CAST(n_events AS DOUBLE) / active_days AS events_per_day
            FROM a ORDER BY n_events DESC, user_id LIMIT 100""",
       "q_interarrival" ->
-        // Spark ts is epoch-nanos BIGINT, DuckDB's is TIMESTAMP(us):
-        // (Δnanos div 1e9) == (Δmicros // 1e6) exactly
+        // both sides floor each ts to MICROS per value and difference
+        // in micros (the raw-Δnanos form is NOT equivalent on a
+        // nanos-typed events variant: difference-of-floors !=
+        // floor-of-difference)
         """WITH e AS (SELECT event_type, epoch_us(ts) AS us, event_id FROM events),
            g AS (SELECT event_type,
                    (us - lag(us) OVER (PARTITION BY event_type
@@ -7328,8 +7324,8 @@ object SparkEntry {
                  FROM g WHERE gap_s IS NOT NULL GROUP BY event_type),
            b AS (SELECT event_type, n_gaps,
                         CAST(sx AS DOUBLE) / n_gaps AS mean_gap_s,
-                        sqrt(CAST(n_gaps AS DOUBLE) * CAST(sxx AS DOUBLE)
-                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / n_gaps AS std_gap_s
+                        sqrt(greatest(CAST(n_gaps AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0e0)) / n_gaps AS std_gap_s
                  FROM a)
            SELECT event_type, n_gaps, mean_gap_s, std_gap_s,
                   (std_gap_s - mean_gap_s) /

@@ -637,6 +637,33 @@ object Dedup {
         least(col("id"), coalesce(col("m"), col("id"))).as("cluster"))
   }
 
+  /** Increment×base candidate pairs from two PRECOMPUTED signature
+    * frames — the contraction input of [[incrementalClusters]]. Same
+    * band join as [[ingestAgainstIndex]] (which re-signs the new batch
+    * from text; this variant is for pipelines that already hold both
+    * signature frames). `maxBucket` caps viral (band, bucket) groups on
+    * the BASE side, where the mass accumulates — without it one
+    * degenerate bucket quadratically inflates the "increment-sized"
+    * pair set. Returns distinct (new_id, base_id). */
+  def crossCandidatesFromSignatures(incSigs: DataFrame, baseSigs: DataFrame,
+      idCol: String, k: Int = 12, bands: Int = 4,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val base0 = lshIndex(baseSigs, idCol, k, bands)
+    val base =
+      if (maxBucket == Int.MaxValue) base0
+      else base0
+        .withColumn("bucket_n",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+        .filter(col("bucket_n") <= maxBucket)
+        .drop("bucket_n")
+    lshIndex(incSigs, idCol, k, bands)
+      .select(col(idCol).as("new_id"), col("band"), col("bucket"))
+      .join(base.select(col(idCol).as("base_id"), col("band"),
+        col("bucket")), Seq("band", "bucket"))
+      .select(col("new_id"), col("base_id"))
+      .distinct()
+  }
+
   /** INCREMENTAL cluster maintenance: fold an increment's candidate
     * pairs into EXISTING base cluster labels WITHOUT re-clustering the
     * base — the nightly-crawl case where the corpus's near-dup labels
@@ -678,7 +705,7 @@ object Dedup {
     val intra = incPairs
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val contracted = persistTracked(
-      clustersStar(crossRep.unionAll(intra), "a", "b"))
+      clustersStar(crossRep.unionAll(intra), "a", "b", maxRounds))
     // rep remap: a base component whose representative appears in the
     // contracted graph takes the contracted component's (global-min)
     // label; untouched components keep theirs

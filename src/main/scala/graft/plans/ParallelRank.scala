@@ -128,8 +128,19 @@ object ParallelRank {
         .sortWithinPartitions(sort: _*)
         .withColumn("__pid", spark_partition_id())
         .withColumn("__mono", monotonically_increasing_id()))
-    val offs = exclusiveOffsets(
-      sorted.groupBy(col("__pid")).agg(count(lit(1)).as("__t0")),
+    // the mono-id position is exact only while every partition holds
+    // < 2^33 rows (the id is pid·2^33 + offset; past that the counter
+    // bleeds into the partition bits and ranks silently wrap). The
+    // per-partition counts are already in hand here, so enforce the
+    // envelope as a FAIL-FAST on the totals path — the check rides the
+    // value expression itself, so the optimizer cannot prune it.
+    val totals = sorted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__t0"))
+      .withColumn("__t0", expr(
+        s"IF(__t0 < ${1L << 33}L, __t0, CAST(raise_error(" +
+          "'ParallelRank: a range partition exceeds 2^33 rows — " +
+          "raise the parts argument') AS BIGINT))"))
+    val offs = exclusiveOffsets(totals,
       Seq(RunCol("__gr", lit(1L), "sum", inclusive = true)))
     sorted.join(broadcast(offs), Seq("__pid"))
       .withColumn("__gr",
