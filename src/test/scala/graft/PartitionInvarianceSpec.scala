@@ -20,7 +20,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_kmv_distinct", "q_pagerank", "q_pps_sample", "q_layout_compare",
     "q_colbert_maxsim", "q_hilbert_key", "q_mix_temperature",
     "q_word_dropout", "q_quantile_norm", "q_bigram_lm", "q_ab_wilson",
-    "q_interarrival", "q_seasonal_dow", "q_ivm_kmv", "q_golden_record")
+    "q_interarrival", "q_seasonal_dow", "q_ivm_kmv", "q_golden_record",
+    // the round-5 two-phase global ranks: the rank must not depend on
+    // where the sampled range boundaries land or how many shuffle
+    // partitions feed them
+    "q_ntile", "q_rfm", "q_pareto", "q_ingest_clusters")
 
   private def canon(name: String, parts: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
