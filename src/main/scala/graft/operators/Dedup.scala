@@ -586,7 +586,10 @@ object Dedup {
     * 10M label rounds but ~25 star rounds). Per round: two node-keyed
     * aggregations + joins over the EDGE list (never adjacency
     * matrices), lineage cut per round, and a set-equality convergence
-    * check on the star edges (two node-sized anti-join counts).
+    * check on the star edges: a one-row (count, hash-sum) signature per
+    * round — unequal signatures prove inequality exactly — with the
+    * two-sided exceptAll confirmation paid only at the round that
+    * actually converged.
     *
     * Same contract as [[clusters]]: returns (aCol, cluster) with
     * cluster = the component's minimum id, for every node appearing in
@@ -594,8 +597,49 @@ object Dedup {
     * chain-shaped graph deep enough that fixed-round label prop is
     * provably wrong and star contraction converges in ≤ half the
     * rounds. */
+  /** Edge bound for [[clustersStar]]'s driver-side fast path: below this
+    * many distinct symmetric edges the contraction graph is
+    * broadcast-sized and the exact local union-find replaces the
+    * distributed rounds. A few MB of driver memory at most. */
+  val localCcMaxEdges: Long = 200000L
+
+  /** Exact driver-side connected components (path-compressed union-find
+    * with min-id roots) over a broadcast-threshold-sized DISTINCT
+    * symmetric edge list. Attaching the larger root under the smaller
+    * keeps every root the minimum of its component, so labels come
+    * straight off find(). The collect is bounded by [[localCcMaxEdges]];
+    * the result returns to the cluster as a local relation — the same
+    * lifecycle as a broadcast-join small side. */
+  private def localUnionFind(edges: DataFrame, aCol: String): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val idType = edges.schema("u").dataType
+    val es = edges
+      .select(col("u").cast("long"), col("v").cast("long")).collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrDefault(x, x) != x) x = parent.getOrDefault(x, x)
+      var y = x0 // path-compress the walked chain onto the root
+      while (parent.getOrDefault(y, y) != x) {
+        val n = parent.getOrDefault(y, y); parent.put(y, x); y = n
+      }
+      x
+    }
+    es.foreach { r =>
+      val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    es.iterator.map(_.getLong(0)).toSet[Long].toSeq
+      .map(id => (id, find(id)))
+      .toDF("u0", "c0")
+      .select(col("u0").cast(idType).as(aCol),
+        col("c0").cast(idType).as("cluster"))
+  }
+
   def clustersStar(pairs: DataFrame, aCol: String, bCol: String,
-      maxRounds: Int = 12): DataFrame = {
+      maxRounds: Int = 12,
+      localMaxEdges: Long = localCcMaxEdges): DataFrame = {
     def sym(e: DataFrame): DataFrame = e
       .select(explode(array(
         struct(col("u"), col("v")),
@@ -606,6 +650,39 @@ object Dedup {
     val base = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
     var edges = sym(base).transform(checkpointTracked)
     val nodes = persistTracked(edges.select(col("u").as("id")).distinct())
+    // SMALL-GRAPH FAST PATH: the contraction graph is often tiny relative
+    // to the corpus it came from — LSH candidates of a lightly-duplicated
+    // corpus, or [[incrementalClusters]]' increment-sized contracted
+    // graph. Below a broadcast-sized edge bound, a dozen distributed
+    // rounds (each: two shuffles + a lineage cut + a convergence probe)
+    // are pure scheduler overhead, so run an exact driver-side union-find
+    // instead — the same "small side goes local" call Spark itself makes
+    // at the broadcast-join threshold. The bound caps driver memory
+    // (200k edges of longs is a few MB); above it the O(log n) star
+    // contraction runs fully distributed as before. Output contract is
+    // identical: cluster = the component's minimum id, for every node.
+    val idIntegral = edges.schema("u").dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+    if (idIntegral && edges.count() <= localMaxEdges)
+      return localUnionFind(edges, aCol)
+    // Cheap-first set-equality: both edge frames are DISTINCT symmetric
+    // sets, so (count, sum of 64-bit edge hash) differing PROVES the sets
+    // differ — no join. Only the round whose signatures match pays the
+    // exact two-sided exceptAll confirmation (once, at convergence),
+    // instead of two shuffle joins EVERY round. The previous round's
+    // `small` signature is this round's `edges` signature, so each round
+    // computes exactly one map-side aggregate over the checkpointed edges.
+    // bit_xor, not sum: order-independent, cannot overflow under ANSI,
+    // and valid as a SET signature because the frames are distinct
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var edgeSig = sig(edges)
     var round = 0
     var stable = false
     while (round < maxRounds && !stable) {
@@ -625,8 +702,10 @@ object Dedup {
           .select(col("v").as("u"), col("m").as("v"))
           .unionAll(m2.select(col("u"), col("m").as("v"))))
         .transform(checkpointTracked)
-      stable = small.exceptAll(edges).isEmpty &&
-        edges.exceptAll(small).isEmpty
+      val smallSig = sig(small)
+      stable = smallSig == edgeSig &&
+        small.exceptAll(edges).isEmpty && edges.exceptAll(small).isEmpty
+      edgeSig = smallSig
       edges = small
       round += 1
     }

@@ -64,10 +64,16 @@ class OperatorSpec extends SparkSpec {
     assert(star == truth)
     assert((0L to 11L).forall(star(_) == 0L) && star(100L) == 100L &&
       star(101L) == 100L)
+    // both contraction paths, same answer: the driver-side union-find
+    // fast path (default threshold) vs the distributed star rounds
+    // (forced via localMaxEdges = -1)
+    val starDist = labelMap(Dedup.clustersStar(pairs, "doc_a", "doc_b",
+      localMaxEdges = -1L))
+    assert(starDist == truth)
     // log-round convergence: 4 alternating rounds suffice where label
     // prop needs 11 — the property that matters on a 10M-doc chain
-    val starCapped = labelMap(
-      Dedup.clustersStar(pairs, "doc_a", "doc_b", maxRounds = 4))
+    val starCapped = labelMap(Dedup.clustersStar(pairs, "doc_a", "doc_b",
+      maxRounds = 4, localMaxEdges = -1L))
     assert(starCapped == truth)
     val prop3 = labelMap(Dedup.clusters(pairs, "doc_a", "doc_b"))
     assert(prop3 != truth, "3-round label prop must NOT close a diameter-11 chain")
