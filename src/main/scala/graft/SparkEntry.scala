@@ -2391,6 +2391,45 @@ object SparkEntry {
     "q_segment_dedup" -> ((s, dir) =>
       Dedup.segmentDedup(t(s, dir, "documents"), "doc_id", "text")),
 
+    // ----- boilerplate EXCISION: a 10-token segment present in >= 3
+    // DISTINCT docs is corpus boilerplate and every occurrence is
+    // removed (RefinedWeb's repeated-paragraph rule; segmentDedup above
+    // keeps first occurrences — boilerplate deserves none) -----
+    "q_boilerplate" -> ((s, dir) =>
+      Dedup.boilerplateExcise(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ----- corpus-level boilerplate report off the same rule: how many
+    // distinct segments are boilerplate, and what fraction of all
+    // segment occurrences they absorb -----
+    "q_boilerplate_stats" -> ((s, dir) =>
+      Dedup.boilerplateExcise(t(s, dir, "documents"), "doc_id", "text")
+        .agg(
+          sum(col("n_boiler")).as("n_boiler_occ"),
+          sum(col("n_kept") + col("n_boiler")).as("n_segments"),
+          (sum(col("n_boiler")).cast("double") /
+            sum(col("n_kept") + col("n_boiler"))).as("boiler_frac"))),
+
+    // ----- GLOBAL rank family through PLAIN SQL text: no ParallelRank
+    // call anywhere — the GlobalWindowRule optimizer rewrite plans these
+    // `OVER (ORDER BY …)` windows as the two-phase range-partitioned
+    // shape (PlanHygieneSpec proves no single-partition window stage
+    // survives), and the DuckDB oracle runs the IDENTICAL SQL -----
+    "q_sql_global_rank" -> ((s, dir) => {
+      graft.plans.GlobalWindowRule.enableAuto(s)
+      t(s, dir, "orders").createOrReplaceTempView("orders_gwr")
+      s.sql(
+        """SELECT o_orderkey,
+          |  CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+          |    AS BIGINT) AS rn,
+          |  CAST(rank() OVER (ORDER BY o_orderpriority) AS BIGINT) AS rk,
+          |  CAST(dense_rank() OVER (ORDER BY o_orderpriority)
+          |    AS BIGINT) AS dr,
+          |  CAST(ntile(7) OVER (ORDER BY o_totalprice DESC, o_orderkey)
+          |    AS BIGINT) AS nt,
+          |  percent_rank() OVER (ORDER BY o_orderpriority) AS pr
+          |FROM orders_gwr""".stripMargin)
+    }),
+
     // ----- near-dup clusters: bounded min-label propagation over the
     // LSH candidate pairs (rows-only check: iterative, not one SQL) -----
     "q_dedup_clusters" -> ((s, dir) => {
@@ -5769,6 +5808,55 @@ object SparkEntry {
                   COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
                   COUNT(*) FILTER (WHERE rn > 1) AS n_dropped
            FROM rk GROUP BY doc_id""",
+      "q_boilerplate" ->
+        s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
+           ex AS (SELECT doc_id, toks,
+                  unnest(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS pos
+                FROM tk WHERE len(toks) >= 1),
+           ch AS (SELECT doc_id, pos,
+                  array_to_string(toks[(pos * 10 + 1):(pos * 10 + 10)], ' ') AS chunk
+                FROM ex),
+           hs AS (SELECT doc_id, pos, chunk, ${duckStrHash("chunk")} AS h FROM ch),
+           bo AS (SELECT h FROM hs GROUP BY h
+                  HAVING COUNT(DISTINCT doc_id) >= 3),
+           fl AS (SELECT hs.doc_id, hs.pos, hs.chunk,
+                  (bo.h IS NOT NULL) AS boiler
+                FROM hs LEFT JOIN bo ON hs.h = bo.h)
+           SELECT doc_id,
+                  COALESCE(array_to_string(
+                    list(chunk ORDER BY pos) FILTER (WHERE NOT boiler), ' '),
+                    '') AS clean_text,
+                  CAST(COUNT(*) FILTER (WHERE NOT boiler) AS BIGINT) AS n_kept,
+                  CAST(COUNT(*) FILTER (WHERE boiler) AS BIGINT) AS n_boiler
+           FROM fl GROUP BY doc_id""",
+      "q_boilerplate_stats" ->
+        s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
+           ex AS (SELECT doc_id, toks,
+                  unnest(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS pos
+                FROM tk WHERE len(toks) >= 1),
+           ch AS (SELECT doc_id, pos,
+                  array_to_string(toks[(pos * 10 + 1):(pos * 10 + 10)], ' ') AS chunk
+                FROM ex),
+           hs AS (SELECT doc_id, pos, ${duckStrHash("chunk")} AS h FROM ch),
+           bo AS (SELECT h FROM hs GROUP BY h
+                  HAVING COUNT(DISTINCT doc_id) >= 3)
+           SELECT CAST(COUNT(*) FILTER (WHERE bo.h IS NOT NULL) AS BIGINT)
+                    AS n_boiler_occ,
+                  CAST(COUNT(*) AS BIGINT) AS n_segments,
+                  CAST(COUNT(*) FILTER (WHERE bo.h IS NOT NULL) AS DOUBLE) /
+                    COUNT(*) AS boiler_frac
+           FROM hs LEFT JOIN bo ON hs.h = bo.h""",
+      "q_sql_global_rank" ->
+        """SELECT o_orderkey,
+          |  CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+          |    AS BIGINT) AS rn,
+          |  CAST(rank() OVER (ORDER BY o_orderpriority) AS BIGINT) AS rk,
+          |  CAST(dense_rank() OVER (ORDER BY o_orderpriority)
+          |    AS BIGINT) AS dr,
+          |  CAST(ntile(7) OVER (ORDER BY o_totalprice DESC, o_orderkey)
+          |    AS BIGINT) AS nt,
+          |  percent_rank() OVER (ORDER BY o_orderpriority) AS pr
+          |FROM orders""".stripMargin,
       "q_dedup_minhash_lsh" ->
         s"""$minhashCtes
            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -129,5 +129,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (FunctionIdentifier(name), new ExpressionInfo("graft", name), builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.BucketedRangeJoinRule)
+    ext.injectOptimizerRule(_ => graft.plans.GlobalWindowRule)
   }
 }

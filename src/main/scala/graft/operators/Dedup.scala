@@ -485,6 +485,54 @@ object Dedup {
         count(when(col("rn") > 1, 1)).as("n_dropped"))
   }
 
+  /** FREQUENCY-threshold boilerplate EXCISION (the RefinedWeb/CCNet
+    * repeated-paragraph rule): a segment occurring in >= `minDocs`
+    * DISTINCT documents is corpus boilerplate — cookie banners,
+    * navigation chrome, license footers — and EVERY occurrence is
+    * removed. Contrast [[segmentDedup]], which keeps the first
+    * occurrence: right for content dedup, wrong for boilerplate, where
+    * the first copy is as worthless as the rest. Documents are then
+    * reassembled from their surviving segments (a fully-boilerplate doc
+    * survives with empty clean_text, so downstream joins keep their
+    * row). Returns (id, clean_text, n_kept, n_boiler).
+    *
+    * Scale: the frequency pass aggregates 64-bit segment hashes
+    * (doc-local hashing is narrow; the distinct-doc count combines
+    * map-side), so segment TEXT rides only the one reassembly shuffle.
+    * The boiler-position frame is (id, pos)-sized and semi-joins back —
+    * at 100 TB the heavy exchange is the reassembly groupBy the caller
+    * pays in any excision pipeline. */
+  def boilerplateExcise(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 10, minDocs: Int = 3): DataFrame = {
+    // persist: the chunk stream feeds the hash-frequency pass AND the
+    // reassembly — unpersisted, tokenize+chunk would run twice
+    val ch = persistTracked(TextAnalysis.withTokens(docs, textCol)
+      .filter(size(col("toks")) >= 1)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, CAST(ceil(size(toks) / $chunkTokens.0D) " +
+          s"AS INT) - 1, 1), i -> array_join(slice(toks, " +
+          s"i * $chunkTokens + 1, $chunkTokens), ' '))"))
+        .as(Seq("pos", "chunk"))))
+    val hashed = ch.select(col(idCol), col("pos"),
+      GraftFunctions.polyHash(col("chunk")).as("h"))
+    val boilerHashes = hashed.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select(col("h"))
+    val boilerPos = hashed.join(boilerHashes, Seq("h"), "left_semi")
+      .select(col(idCol).as("__bid"), col("pos").as("__bpos"),
+        lit(true).as("__boiler"))
+    ch.join(boilerPos,
+        col(idCol) === col("__bid") && col("pos") === col("__bpos"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(" +
+          "CASE WHEN __boiler IS NULL THEN struct(pos, chunk) END)), " +
+          "s -> s.chunk), ' ')").as("clean_text"),
+        count(when(col("__boiler").isNull, 1)).as("n_kept"),
+        count(when(col("__boiler").isNotNull, 1)).as("n_boiler"))
+  }
+
   /** Near-dup CLUSTERS from candidate pairs: bounded min-label
     * propagation (k rounds of "my label = min(label, neighbors'
     * labels)"). After enough rounds every member of a connected

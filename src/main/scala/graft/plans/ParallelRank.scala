@@ -197,6 +197,133 @@ object ParallelRank {
            |END AS BIGINT)""".stripMargin))
       .drop("__gr", "__n")
 
+  /** Every rank-family output in one STATELESS two-phase pass: optional
+    * global row_number / rank / dense_rank (all 1-based BIGINT) plus the
+    * total row count, over the global order given by `sort`.
+    *
+    * Unlike the persist-backed helpers above, this path never caches and
+    * never samples at EXECUTION time, so every subtree that consumes the
+    * frame can be independently recomputed and still agree — the
+    * property [[GlobalWindowRule]] needs, because a plan spliced by an
+    * optimizer rule is re-optimized, pruned, and duplicated by later
+    * batches, and a persist()-registered fragment does not survive that
+    * (a pruned copy no longer matches its cache entry). The recipe:
+    *
+    *   1. BUILD TIME (two driver jobs, run while this method executes):
+    *      count the rows, then hash-sample ~64 keys per bucket
+    *      (`xxhash64(key) % m == 0` — a pure per-row predicate, so the
+    *      sample is identical on every recompute), sort the sample, and
+    *      read bucket CUTPOINTS off it. The cutpoints become LITERALS in
+    *      the plan: partitioning is now a pure function of the row.
+    *   2. Assign each row its bucket with a codegen'd binary-search CASE
+    *      tree over the cutpoints (O(log buckets) comparisons per row;
+    *      an array-HOF count would be interpreted and O(buckets)).
+    *   3. Per-bucket counts (+ distinct-key counts for dense_rank) via a
+    *      map-side-combined aggregation — a tiny (≤4·parts row) frame —
+    *      folded into exclusive prefix offsets and broadcast back.
+    *   4. In-bucket row_number/rank/dense_rank with a window PARTITIONED
+    *      BY the bucket id (parallel; its hash exchange is the only
+    *      full-data shuffle), plus the broadcast offset.
+    *
+    * Ties: equal full sort keys are equal on the first sort column, and
+    * the bucket is a function of the first sort column only — so a tie
+    * group never spans buckets and in-bucket tie structure IS global tie
+    * structure (rank/dense_rank exact). Nulls in the first key follow
+    * its null ordering (bucket 1 for nulls-first, last bucket for
+    * nulls-last). Heavy ties on the first key flood one bucket — the
+    * same skew a range partitioner has, fail-fast at 2^31 rows/bucket
+    * (in-bucket row_number is 32-bit).
+    *
+    * REQUIRES a deterministic input: the offsets pass and the rank pass
+    * recompute `df` independently (callers like [[GlobalWindowRule]]
+    * guard this). `sampleFrom`, when given, must be a cardinality- and
+    * key-multiset-preserving view of `df` (e.g. the plan under a stack
+    * of window operators): the count/sample jobs AND the per-bucket
+    * offsets aggregation run against it instead — same counts, same tie
+    * structure, but neither build-time jobs nor the offsets branch ever
+    * execute operators `df` merely wraps. */
+  def rankFamily(df: DataFrame, parts: Int, sort: Seq[Column],
+      rowNumOut: Option[String] = None, rankOut: Option[String] = None,
+      denseOut: Option[String] = None, totalOut: Option[String] = None,
+      sampleFrom: Option[DataFrame] = None): DataFrame = {
+    require(sort.nonEmpty, "rankFamily needs a sort order")
+    require((rowNumOut ++ rankOut ++ denseOut ++ totalOut).nonEmpty,
+      "rankFamily: no outputs requested")
+    val (keyCol, asc, nullsFirst) =
+      org.apache.spark.sql.GraftSqlBridge.sortSpec(sort.head)
+    val buckets = math.max(parts, 1) * 4 // 4× smooths bucket→reducer hash collisions
+    val src = sampleFrom.getOrElse(df)
+    val n = src.count()
+    val target = buckets.toLong * 64
+    val m = math.max(1L, n / target)
+    val dirKey = if (asc) col("__gwk").asc else col("__gwk").desc
+    // limit() is a top-k safety cap for the driver; it binds only when
+    // the binomial sample lands >4× its mean (practically never), and a
+    // mildly biased cutpoint set only costs balance, not correctness
+    val sampled = src.select(keyCol.as("__gwk"))
+      .filter(col("__gwk").isNotNull &&
+        pmod(xxhash64(col("__gwk")), lit(m)) === lit(0L))
+      .orderBy(dirKey)
+      .limit((target * 4).toInt)
+      .collect().map(_.get(0))
+    val dt = src.select(keyCol.as("__gwk")).schema.head.dataType
+    val cuts: IndexedSeq[Column] =
+      if (sampled.isEmpty) IndexedSeq.empty
+      else (1 until buckets).map { i =>
+        org.apache.spark.sql.GraftSqlBridge.column(
+          org.apache.spark.sql.catalyst.expressions.Literal.create(
+            sampled((i.toLong * sampled.length / buckets).toInt), dt))
+      }
+    def passed(cut: Column): Column =
+      if (asc) keyCol > cut else keyCol < cut
+    // bucket = 1 + number of cutpoints the key has passed in sort order,
+    // found by binary search (passed() is monotone over the sorted cuts;
+    // duplicate cutpoints just leave empty buckets). A null key yields
+    // null predicates, falls through every otherwise() to bucket 1 —
+    // exactly nulls-first; nulls-last is pinned explicitly.
+    def tree(lo: Int, hi: Int): Column =
+      if (lo >= hi) lit(lo + 1)
+      else {
+        val mid = (lo + hi) / 2
+        when(passed(cuts(mid)), tree(mid + 1, hi)).otherwise(tree(lo, mid))
+      }
+    val bucket =
+      if (cuts.isEmpty) lit(1)
+      else if (nullsFirst) tree(0, cuts.length)
+      else when(keyCol.isNull, lit(buckets)).otherwise(tree(0, cuts.length))
+    val withB = df.withColumn("__pid", bucket)
+    // dense_rank offsets need per-bucket DISTINCT sort-KEY counts:
+    // unwrap sort columns to their bare value expressions for the struct
+    val keyCols = sort.map(org.apache.spark.sql.GraftSqlBridge.sortChild)
+    val needDense = denseOut.nonEmpty
+    val aggs = Seq(count(lit(1)).as("__t0")) ++
+      (if (needDense)
+        Seq(countDistinct(struct(keyCols: _*)).as("__t1")) else Nil)
+    val runs =
+      Seq(RunCol("__cnt", lit(1L), "sum", inclusive = true)) ++
+      (if (needDense)
+        Seq(RunCol("__dk", lit(1L), "sum", inclusive = true)) else Nil)
+    val totals = src.withColumn("__pid", bucket).groupBy(col("__pid"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("__t0", expr(
+        s"IF(__t0 < ${1L << 31}L, __t0, CAST(raise_error(" +
+          "'ParallelRank.rankFamily: a bucket exceeds 2^31 rows — " +
+          "first sort key too skewed') AS BIGINT))"))
+    val offs = exclusiveOffsets(totals, runs)
+    val wbase = Window.partitionBy(col("__pid")).orderBy(sort: _*)
+    var out = withB.join(broadcast(offs), Seq("__pid"))
+    rowNumOut.foreach { o => out = out.withColumn(o,
+      col("__o0") + row_number().over(wbase).cast("long")) }
+    rankOut.foreach { o => out = out.withColumn(o,
+      col("__o0") + rank().over(wbase).cast("long")) }
+    denseOut.foreach { o => out = out.withColumn(o,
+      col("__o1") + dense_rank().over(wbase).cast("long")) }
+    totalOut.foreach { o => out = out.withColumn(o, col("__g0")) }
+    val helpers = Seq("__pid", "__o0", "__g0") ++
+      (if (needDense) Seq("__o1", "__g1") else Nil)
+    out.drop(helpers: _*)
+  }
+
   /** Exact global top-k WITH dense 1..k ranks and no unpartitioned
     * window: `orderBy(…).limit(k)` plans as TakeOrderedAndProject
     * (parallel per-partition partial top-k, merged k-row result — a

@@ -19,4 +19,44 @@ object GraftSqlBridge {
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The bare value column under a sort Column: unwraps BOTH sort
+    * spellings — the ColumnNode-level SortOrder that `col.asc`/`.desc`
+    * build, and a catalyst SortOrder wrapped via [[column]]. Non-sort
+    * columns pass through. Needed wherever a sort key must ALSO be
+    * evaluated as a value (e.g. distinct-key counting in
+    * graft.plans.ParallelRank) — a raw SortOrder is Unevaluable. */
+  def sortChild(c: Column): Column = c.node match {
+    case so: org.apache.spark.sql.internal.SortOrder => new Column(so.child)
+    case e: classic.ExpressionColumnNode => e.expression match {
+      case so: org.apache.spark.sql.catalyst.expressions.SortOrder =>
+        column(so.child)
+      case _ => c
+    }
+    case _ => c
+  }
+
+  /** Full sort spec of a sort Column: (bare value column, ascending?,
+    * nulls first?). A plain non-sort column gets Spark's `orderBy`
+    * default, ascending nulls-first. Both sort spellings of
+    * [[sortChild]] are handled. Needed where a caller must REBUILD the
+    * ordering against a different frame (e.g. the cutpoint sample sort
+    * in graft.plans.ParallelRank.rankFamily). */
+  def sortSpec(c: Column): (Column, Boolean, Boolean) = {
+    import org.apache.spark.sql.internal.{SortOrder => NodeSO}
+    import org.apache.spark.sql.catalyst.expressions.{
+      SortOrder => CatSO, Ascending, NullsFirst}
+    c.node match {
+      case so: NodeSO =>
+        (new Column(so.child), so.sortDirection == NodeSO.Ascending,
+          so.nullOrdering == NodeSO.NullsFirst)
+      case e: classic.ExpressionColumnNode => e.expression match {
+        case so: CatSO =>
+          (column(so.child), so.direction == Ascending,
+            so.nullOrdering == NullsFirst)
+        case _ => (c, true, true)
+      }
+      case _ => (c, true, true)
+    }
+  }
 }

@@ -100,7 +100,13 @@ class PlanHygieneSpec extends SparkSpec {
     // per-column aggregate union BY DESIGN: each branch scans exactly one
     // pruned column (6.5x warm win vs the all-column pass; the per-job
     // scheduling tradeoff is documented in Profiling.scala's scaladoc)
-    "q_profile" -> 6)
+    "q_profile" -> 6,
+    // GlobalWindowRule's STATELESS rewrite: the query stacks two windows
+    // with different ORDER BYs, and each rewrite adds one single-column
+    // map-side-combined offsets scan beside the full-row pass — the
+    // deliberate price of a cache-free recompute-safe plan (the offsets
+    // scans read ONE column each; see ParallelRank.rankFamily scaladoc)
+    "q_sql_global_rank" -> 3)
 
   // Queries allowed to keep a GLOBAL (unpartitioned) window, with the
   // bounded-domain reason pinned. Empty today: every global rank /

@@ -85,6 +85,34 @@ class OperatorSpec extends SparkSpec {
       labelMap(Dedup.clustersConverged(cand, "doc_a", "doc_b")))
   }
 
+  test("boilerplate excision drops EVERY occurrence, segmentDedup keeps the first") {
+    import spark.implicits._
+    // 10-token banner shared by docs 1-3 (boilerplate at minDocs=3);
+    // a 10-token segment shared by only docs 1-2 (below threshold);
+    // doc 4 is banner-only and must survive with empty clean_text
+    val banner = (1 to 10).map(i => s"b$i").mkString(" ")
+    val pair = (1 to 10).map(i => s"p$i").mkString(" ")
+    val u = (1 to 10).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$banner $pair $u"),
+      (2L, s"$banner $pair"),
+      (3L, s"$banner"),
+      (4L, s"$banner")).toDF("doc_id", "text")
+    val out = Dedup.boilerplateExcise(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    Dedup.releaseAll(spark)
+    assert(out(1L) == (s"$pair $u", 2L, 1L))
+    assert(out(2L) == (pair, 1L, 1L))
+    assert(out(3L) == ("", 0L, 1L))
+    assert(out(4L) == ("", 0L, 1L))
+    // contrast: segmentDedup would KEEP doc 1's banner (first occurrence)
+    val sd = Dedup.segmentDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    Dedup.releaseAll(spark)
+    assert(sd(1L) == s"$banner $pair $u")
+  }
+
   test("char-ngram minhash pairs no-whitespace near-dups the word path cannot see") {
     import spark.implicits._
     // CJK-style fixture: no spaces anywhere. 1 and 2 differ by one char;

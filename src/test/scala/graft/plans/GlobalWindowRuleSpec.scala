@@ -1,0 +1,186 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.athenaeum.SparkSpec
+
+/** The transparent global-window rewrite: plain `OVER (ORDER BY …)`
+  * rank-family windows must plan WITHOUT any single-partition window
+  * stage and still return exactly what the naive plan returns. The
+  * naive baseline is computed with the graft rules removed — with the
+  * rule active, any matchable spelling would itself be rewritten. */
+class GlobalWindowRuleSpec extends SparkSpec {
+
+  private def withRuleDisabled[T](f: => T): T = {
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Nil
+    try f finally spark.experimental.extraOptimizations = saved
+  }
+
+  /** Deterministic frame with heavy TIES in v (7 distinct values over
+    * 300 rows) so rank/dense_rank differ from row_number, spread over
+    * several input partitions. */
+  private def frame(n: Int = 300): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      (i.toLong, ((i * 2654435761L) % 7L + 7L) % 7L)
+    }.toDF("id", "v").repartition(5)
+  }
+
+  private def unpartitionedWindows(p: SparkPlan): Seq[String] = {
+    val self = p.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => Seq("WindowExec")
+      case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+        Seq("WindowGroupLimitExec")
+      case a: AdaptiveSparkPlanExec =>
+        unpartitionedWindows(a.executedPlan)
+    }
+    self.flatten
+  }
+
+  private def assertNoGlobalWindow(df: DataFrame): Unit = {
+    df.collect() // finalize any adaptive plan first
+    val bad = unpartitionedWindows(df.queryExecution.executedPlan)
+    assert(bad.isEmpty, s"unpartitioned window stages: $bad\n" +
+      df.queryExecution.executedPlan.toString.take(3000))
+  }
+
+  test("row_number over a total order: rewritten, parallel, identical") {
+    GlobalWindowRule.enableAuto(spark)
+    val df = frame()
+    val w = Window.orderBy(col("v"), col("id"))
+    val got = df.withColumn("rn", row_number().over(w))
+    assertNoGlobalWindow(got)
+    val want = withRuleDisabled {
+      df.withColumn("rn", row_number().over(w)).collect()
+        .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    }
+    val gotMap = got.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(gotMap == want)
+    // schema preserved exactly (row_number stays IntegerType)
+    assert(got.schema("rn").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+  }
+
+  test("rank + dense_rank + percent_rank + ntile in ONE window node") {
+    GlobalWindowRule.enableAuto(spark)
+    val df = frame()
+    val w = Window.orderBy(col("v")) // real ties: 7 distinct keys
+    def q(d: DataFrame): DataFrame = d
+      .withColumn("rk", rank().over(w))
+      .withColumn("dr", dense_rank().over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("nt", ntile(7).over(w))
+    val got = q(df)
+    assertNoGlobalWindow(got)
+    // ties make per-row comparison valid for all four outputs (none
+    // depends on intra-tie order: rank/dense_rank/percent_rank are
+    // tie-constant, and ntile(7) boundaries land between tie groups
+    // here is NOT guaranteed — so compare ntile as a multiset per v)
+    def tieConstant(d: DataFrame) = d.select("id", "rk", "dr", "pr")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2),
+        r.getDouble(3))).toMap
+    def ntileHist(d: DataFrame) = d.groupBy("v", "nt").count()
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val (wantTie, wantNt) = withRuleDisabled {
+      val n = q(df)
+      (tieConstant(n), ntileHist(n))
+    }
+    assert(tieConstant(got) == wantTie)
+    assert(ntileHist(got) == wantNt)
+  }
+
+  test("ntile remainder rule and percent_rank n=1 edge") {
+    GlobalWindowRule.enableAuto(spark)
+    import spark.implicits._
+    // 10 rows, ntile(4) -> buckets of 3,3,2,2 (first n mod k get extra)
+    val ten = (1 to 10).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+    val nt = ten.withColumn("nt",
+      ntile(4).over(Window.orderBy(col("v"))))
+    assertNoGlobalWindow(nt)
+    val sizes = nt.groupBy("nt").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes == Map(1 -> 3L, 2 -> 3L, 3 -> 2L, 4 -> 2L))
+    val one = Seq((1L, 5L)).toDF("id", "v")
+      .withColumn("pr", percent_rank().over(Window.orderBy(col("v"))))
+    assert(one.collect().head.getDouble(2) == 0.0)
+  }
+
+  test("descending order with a tie-break rewrites correctly") {
+    GlobalWindowRule.enableAuto(spark)
+    val df = frame()
+    val w = Window.orderBy(col("v").desc, col("id").asc)
+    val got = df.withColumn("rn", row_number().over(w))
+    assertNoGlobalWindow(got)
+    val want = withRuleDisabled {
+      df.withColumn("rn", row_number().over(w)).collect()
+        .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    }
+    assert(got.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap == want)
+  }
+
+  test("SQL surface: OVER (ORDER BY) through spark.sql rewrites too") {
+    GlobalWindowRule.enableAuto(spark)
+    frame().createOrReplaceTempView("gw_t")
+    val got = spark.sql(
+      "SELECT id, rank() OVER (ORDER BY v) AS rk FROM gw_t")
+    assertNoGlobalWindow(got)
+    val want = withRuleDisabled {
+      spark.sql("SELECT id, rank() OVER (ORDER BY v) AS rk FROM gw_t")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    }
+    assert(got.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap == want)
+  }
+
+  test("top-k filter directly above the rank is LEFT to WindowGroupLimit") {
+    GlobalWindowRule.enableAuto(spark)
+    val df = frame()
+    val topk = df
+      .withColumn("rn", row_number().over(Window.orderBy(col("v"), col("id"))))
+      .filter(col("rn") <= 10)
+    // the rule must NOT fire: Spark's own group-limit shape (bounded
+    // k·parts final) beats a full range shuffle for top-k
+    val optimized = topk.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("Window"), optimized.take(2000))
+    assert(topk.count() == 10)
+    assert(topk.agg(max("rn")).collect().head.getInt(0) == 10)
+  }
+
+  test("unsupported window functions leave the node untouched") {
+    GlobalWindowRule.enableAuto(spark)
+    val df = frame()
+    val w = Window.orderBy(col("v"), col("id"))
+    // lag is not rank-family: node must not be rewritten (mixing would
+    // double the pass), and results must still be correct
+    val lagged = df.withColumn("prev", lag(col("id"), 1).over(w))
+      .withColumn("rn", row_number().over(w))
+    val want = withRuleDisabled {
+      df.withColumn("prev", lag(col("id"), 1).over(w))
+        .withColumn("rn", row_number().over(w))
+        .collect().map(r => r.getLong(0) ->
+          (Option(r.get(2)).map(_.asInstanceOf[Long]), r.getInt(3))).toMap
+    }
+    val gotMap = lagged.collect().map(r => r.getLong(0) ->
+      (Option(r.get(2)).map(_.asInstanceOf[Long]), r.getInt(3))).toMap
+    assert(gotMap == want)
+  }
+
+  test("partitioned windows are never touched") {
+    GlobalWindowRule.enableAuto(spark)
+    val df = frame()
+    val w = Window.partitionBy(col("v")).orderBy(col("id"))
+    val got = df.withColumn("rn", row_number().over(w))
+    val optimized = got.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("Window"), optimized.take(2000))
+    val want = withRuleDisabled {
+      df.withColumn("rn", row_number().over(w)).collect()
+        .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    }
+    assert(got.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap == want)
+  }
+}

@@ -24,6 +24,18 @@ class ParallelRankSpec extends SparkSpec {
     }.toDF("id", "v").repartition(5)
   }
 
+  // The naive sides below MUST stay naive: another suite may have
+  // enabled GlobalWindowRule on the shared session, which would rewrite
+  // them into the very ParallelRank shape under test (a differential
+  // spec comparing an implementation against itself proves nothing).
+  // Run every test in this suite with the graft extra rules removed.
+  override protected def withFixture(test: NoArgTest): org.scalatest.Outcome = {
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Nil
+    try super.withFixture(test)
+    finally spark.experimental.extraOptimizations = saved
+  }
+
   private def naiveRank(df: DataFrame): DataFrame =
     df.withColumn("rn", row_number().over(
       Window.orderBy(col("v"), col("id"))).cast("long"))
