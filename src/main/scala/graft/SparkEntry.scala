@@ -2430,6 +2430,26 @@ object SparkEntry {
           |FROM orders_gwr""".stripMargin)
     }),
 
+    // ----- GLOBAL running aggregates + cume_dist through PLAIN SQL: the
+    // GlobalWindowRule rewrite extends past ranks — sum/count/max with
+    // the SQL default RANGE frame and cume_dist replan as the two-phase
+    // shape (typed decimal prefix fold; peers included so ties are
+    // deterministic). Revenue sums ride DECIMAL for exact association;
+    // the DuckDB oracle runs the IDENTICAL SQL -----
+    "q_sql_running" -> ((s, dir) => {
+      graft.plans.GlobalWindowRule.enableAuto(s)
+      t(s, dir, "orders").createOrReplaceTempView("orders_gwr2")
+      s.sql(
+        """SELECT o_orderkey,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+          |    OVER (ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS run_rev,
+          |  count(*) OVER (ORDER BY o_orderdate, o_orderkey) AS run_n,
+          |  max(o_totalprice)
+          |    OVER (ORDER BY o_orderdate, o_orderkey) AS run_max,
+          |  cume_dist() OVER (ORDER BY o_orderpriority) AS cd
+          |FROM orders_gwr2""".stripMargin)
+    }),
+
     // ----- near-dup clusters: bounded min-label propagation over the
     // LSH candidate pairs (rows-only check: iterative, not one SQL) -----
     "q_dedup_clusters" -> ((s, dir) => {
@@ -5856,6 +5876,15 @@ object SparkEntry {
           |  CAST(ntile(7) OVER (ORDER BY o_totalprice DESC, o_orderkey)
           |    AS BIGINT) AS nt,
           |  percent_rank() OVER (ORDER BY o_orderpriority) AS pr
+          |FROM orders""".stripMargin,
+      "q_sql_running" ->
+        """SELECT o_orderkey,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+          |    OVER (ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS run_rev,
+          |  count(*) OVER (ORDER BY o_orderdate, o_orderkey) AS run_n,
+          |  max(o_totalprice)
+          |    OVER (ORDER BY o_orderdate, o_orderkey) AS run_max,
+          |  cume_dist() OVER (ORDER BY o_orderpriority) AS cd
           |FROM orders""".stripMargin,
       "q_dedup_minhash_lsh" ->
         s"""$minhashCtes

@@ -24,11 +24,18 @@ import org.apache.spark.sql.types.IntegerType
   *     offsets, broadcast back — no single-partition stage anywhere.
   *
   * Supported functions (all must match for a Window node to rewrite):
-  * `row_number`, `rank`, `dense_rank`, `ntile(lit)`, `percent_rank`.
-  * Semantics are preserved exactly — including SQL ntile's uneven-bucket
-  * rule and percent_rank's n=1 → 0.0 case; ties among equal sort keys
-  * get an arbitrary row_number order, exactly as in the single-partition
-  * plan (Spark never promises a tie order).
+  * `row_number`, `rank`, `dense_rank`, `ntile(lit)`, `percent_rank`,
+  * `cume_dist`, and the RUNNING aggregates `sum`/`min`/`max`/`count`
+  * when they carry the SQL default frame (RANGE UNBOUNDED
+  * PRECEDING..CURRENT ROW — peers included, tie-order-independent) and,
+  * for sum, an associative-exact value type (integral/decimal; fp sums
+  * would re-round under per-bucket partials and are left alone, as are
+  * DISTINCT/FILTER aggregates and explicit ROWS frames). Semantics are
+  * preserved exactly — including SQL ntile's uneven-bucket rule,
+  * percent_rank's n=1 → 0.0 case, and NULL-over-all-NULL-frame sums;
+  * ties among equal sort keys get an arbitrary row_number order,
+  * exactly as in the single-partition plan (Spark never promises a tie
+  * order).
   *
   * Deliberately NOT rewritten:
   *   - windows whose rank output feeds a literal top-k Filter directly
@@ -67,16 +74,61 @@ object GlobalWindowRule extends Rule[LogicalPlan] {
         spark.experimental.extraOptimizations :+ this
   }
 
-  private def fnOf(ne: NamedExpression): Option[Expression] = ne match {
-    case Alias(WindowExpression(fn,
-        WindowSpecDefinition(Nil, _, _)), _) => Some(fn)
-    case _ => None
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{
+    AggregateExpression, Complete, Count, Max, Min, Sum}
+
+  /** What a global window expression rewrites to: a rank-family
+    * function, a running aggregate (SQL default RANGE frame), or
+    * cume_dist. */
+  private sealed trait GwFn
+  private final case class RankF(fn: Expression) extends GwFn
+  private final case class AggF(value: Expression, op: String) extends GwFn
+  private case object CumeF extends GwFn
+
+  /** Only the SQL DEFAULT running frame (RANGE UNBOUNDED
+    * PRECEDING..CURRENT ROW — what an ORDER BY with no frame clause
+    * resolves to) is rewritten for aggregates: its peers-included
+    * semantics make the result independent of intra-tie order, so the
+    * parallel plan can promise bit-identical output. Explicit ROWS
+    * frames are tie-order-dependent in the naive plan too, but
+    * rewriting would CHANGE which arbitrary result the user sees —
+    * leave them alone. */
+  private def runningRange(f: Expression): Boolean = f match {
+    case SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow) =>
+      true
+    case _ => false
   }
 
-  private def supported(fn: Expression): Boolean = fn match {
-    case _: RowNumber | _: Rank | _: DenseRank | _: PercentRank => true
-    case NTile(Literal(k: Int, IntegerType)) => k > 0
-    case _ => false
+  /** Aggregate value types whose sum is associative-exact. Float/double
+    * sums reassociate under the two-phase plan (per-bucket partials) and
+    * would drift from the naive single-partition rounding — skipped. */
+  private def exactSum(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
+
+  private def classify(ne: NamedExpression): Option[GwFn] = ne match {
+    case Alias(WindowExpression(fn,
+        WindowSpecDefinition(Nil, _, frame)), _) => fn match {
+      case _: RowNumber | _: Rank | _: DenseRank | _: PercentRank =>
+        Some(RankF(fn))
+      case NTile(Literal(k: Int, IntegerType)) if k > 0 => Some(RankF(fn))
+      case _: CumeDist if runningRange(frame) => Some(CumeF)
+      case AggregateExpression(af, Complete, false, None, _)
+          if runningRange(frame) => af match {
+        case Sum(v, _) if exactSum(v.dataType) => Some(AggF(v, "sum"))
+        case Min(v) => Some(AggF(v, "min"))
+        case Max(v) => Some(AggF(v, "max"))
+        case Count(Seq(v)) => Some(AggF(v, "count"))
+        case _ => None
+      }
+      case _ => None
+    }
+    case _ => None
   }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -116,7 +168,8 @@ object GlobalWindowRule extends Rule[LogicalPlan] {
       case w @ Window(wexprs, Seq(), orderSpec, child, _)
           if orderSpec.nonEmpty && wexprs.nonEmpty &&
             orderSpec.forall(_.deterministic) &&
-            wexprs.forall(e => fnOf(e).exists(supported)) &&
+            wexprs.forall(_.deterministic) &&
+            wexprs.forall(e => classify(e).isDefined) &&
             !wexprs.exists(e => skip.contains(e.exprId.id)) &&
             !child.output.exists(_.name.startsWith("__gw_")) &&
             child.find(p => p.expressions.exists(!_.deterministic)).isEmpty =>
@@ -169,18 +222,28 @@ object GlobalWindowRule extends Rule[LogicalPlan] {
         case (Descending, NullsLast) => c.desc_nulls_last
       }
     }
-    val fns: Seq[(Alias, Expression)] = w.windowExpressions.map { ne =>
-      ne.asInstanceOf[Alias] -> fnOf(ne).get
+    val fns: Seq[(Alias, GwFn)] = w.windowExpressions.map { ne =>
+      ne.asInstanceOf[Alias] -> classify(ne).get
     }
-    def any(p: Expression => Boolean) = fns.exists { case (_, f) => p(f) }
+    def any(p: Expression => Boolean) = fns.exists {
+      case (_, RankF(f)) => p(f)
+      case _ => false
+    }
     val needRn = any(f => f.isInstanceOf[RowNumber] || f.isInstanceOf[NTile])
     val needRk =
       any(f => f.isInstanceOf[Rank] || f.isInstanceOf[PercentRank])
     val needDr = any(_.isInstanceOf[DenseRank])
-    val needN =
+    val hasCume = fns.exists(_._2 == CumeF)
+    val needN = hasCume ||
       any(f => f.isInstanceOf[NTile] || f.isInstanceOf[PercentRank])
+    val rangeAggs = fns.zipWithIndex.collect {
+      case ((_, AggF(v, op)), i) =>
+        ParallelRank.RangeAgg(s"__gw_agg_$i", GraftSqlBridge.column(v), op)
+    } ++ (if (hasCume) // one shared peers-inclusive row count
+      Seq(ParallelRank.RangeAgg("__gw_cd", lit(1L), "count")) else Nil)
     val src = sampleSource(w.child,
-      AttributeSet(w.orderSpec.flatMap(_.references)))
+      AttributeSet(w.orderSpec.flatMap(_.references) ++
+        fns.collect { case (_, AggF(v, _)) => v }.flatMap(_.references)))
     var out = ParallelRank.rankFamily(df, parts, sortCols,
       rowNumOut = if (needRn) Some("__gw_rn") else None,
       rankOut = if (needRk) Some("__gw_rk") else None,
@@ -188,22 +251,30 @@ object GlobalWindowRule extends Rule[LogicalPlan] {
       totalOut = if (needN) Some("__gw_n") else None,
       sampleFrom =
         if (src eq w.child) None
-        else Some(GraftSqlBridge.ofRows(spark, src)))
+        else Some(GraftSqlBridge.ofRows(spark, src)),
+      rangeAggs = rangeAggs)
     // one derived output column per original window expression, named so
-    // the final Project can find it and re-attach the original ExprId
-    val outNames = fns.zipWithIndex.map { case ((a, f), i) =>
+    // the final Project can find it and re-attach the original ExprId;
+    // every branch casts/lands on the original expression's dataType so
+    // the re-attached attribute's schema is untouched
+    val outNames = fns.zipWithIndex.map { case ((a, gf), i) =>
       val name = s"__gw_out_$i"
-      val c = f match {
-        case _: RowNumber => col("__gw_rn").cast("int")
-        case _: Rank => col("__gw_rk").cast("int")
-        case _: DenseRank => col("__gw_dr").cast("int")
-        case _: PercentRank =>
-          // SQL percent_rank: (rank-1)/(n-1), defined as 0.0 when n = 1
-          when(col("__gw_n") > 1L,
-            (col("__gw_rk") - 1L).cast("double") /
-              (col("__gw_n") - 1L).cast("double"))
-            .otherwise(lit(0.0))
-        case NTile(Literal(k: Int, IntegerType)) => expr(ntileSql(k))
+      val c = gf match {
+        case RankF(f) => f match {
+          case _: RowNumber => col("__gw_rn").cast("int")
+          case _: Rank => col("__gw_rk").cast("int")
+          case _: DenseRank => col("__gw_dr").cast("int")
+          case _: PercentRank =>
+            // SQL percent_rank: (rank-1)/(n-1), defined as 0.0 when n = 1
+            when(col("__gw_n") > 1L,
+              (col("__gw_rk") - 1L).cast("double") /
+                (col("__gw_n") - 1L).cast("double"))
+              .otherwise(lit(0.0))
+          case NTile(Literal(k: Int, IntegerType)) => expr(ntileSql(k))
+        }
+        case AggF(_, _) => col(s"__gw_agg_$i").cast(a.child.dataType)
+        case CumeF =>
+          col("__gw_cd").cast("double") / col("__gw_n").cast("double")
       }
       out = out.withColumn(name, c)
       (a, name)

@@ -38,30 +38,60 @@ object ParallelRank {
     require(op == "sum" || op == "max", s"unsupported op $op")
   }
 
+  /** One GLOBAL running aggregate for [[rankFamily]]'s `rangeAggs`:
+    * `op` in sum/min/max/count over `value`, SQL default frame (RANGE
+    * UNBOUNDED PRECEDING..CURRENT ROW — peers included). Pass
+    * `lit(1)` as value for count(*) semantics. Value types flow
+    * through typed (decimal sums stay decimal); callers must keep fp
+    * sums out (reassociation changes float/double rounding). */
+  final case class RangeAgg(out: String, value: Column, op: String) {
+    require(Set("sum", "min", "max", "count")(op), s"unsupported op $op")
+  }
+
+  /** One fold column for [[foldOffsets]]: `op` in sum/min/max, `ddl` the
+    * accumulator's SQL type, `zeroInit` selects a typed-0 start (counts:
+    * never NULL) vs a NULL start with SQL null-skip semantics (value
+    * sums: the prefix is NULL until the first non-null total, exactly an
+    * all-NULL window frame). */
+  private final case class FoldSpec(op: String, ddl: String,
+      zeroInit: Boolean)
+
   /** Exclusive prefix fold over the per-partition totals: collapse the
     * (pid, totals…) rows into ONE sorted array and fold left with the
     * `aggregate` HOF, emitting each pid's prefix BEFORE combining its own
-    * total. sum starts at 0; max starts at NULL (no earlier partition →
-    * NULL, matching an empty exclusive frame) and combines with
-    * `greatest`, which skips NULLs. The finish lambda also stamps every
-    * row with the GRAND total `__g<i>` (the fold's final accumulator) —
-    * a free global count/sum/max that saves consumers a second
-    * aggregation pass over the data (ntile uses it as n). */
-  private def exclusiveOffsets(totals: DataFrame,
-      runs: Seq[RunCol]): DataFrame = {
-    val n = runs.size
-    val outDdl = (0 until n).map(i => s"__o$i: BIGINT").mkString(", ")
-    val zeros = runs.zipWithIndex.map { case (r, i) =>
-      val z = if (r.op == "sum") "0L" else "CAST(NULL AS BIGINT)"
+    * total. zeroInit sums start at a typed 0 and add unconditionally
+    * (count totals are never NULL); NULL-init sums skip NULL totals the
+    * way SQL SUM skips NULL values; min/max start at NULL and combine
+    * with `least`/`greatest`, which skip NULLs. Sum combines re-CAST to
+    * the accumulator type (decimal addition widens precision by one and
+    * the HOF's accumulator type is fixed). The finish lambda also stamps
+    * every row with the GRAND total `__g<i>` (the fold's final
+    * accumulator) — a free global count/sum saving consumers a second
+    * pass over the data (ntile uses it as n). */
+  private def foldOffsets(totals: DataFrame,
+      specs: Seq[FoldSpec]): DataFrame = {
+    val n = specs.size
+    val outDdl = specs.zipWithIndex
+      .map { case (s, i) => s"__o$i: ${s.ddl}" }.mkString(", ")
+    val zeros = specs.zipWithIndex.map { case (s, i) =>
+      val z = if (s.op == "sum" && s.zeroInit) s"CAST(0 AS ${s.ddl})"
+        else s"CAST(NULL AS ${s.ddl})"
       s"'__r$i', $z"
     }.mkString(", ")
     val emits = (0 until n).map(i => s"'__o$i', acc.__r$i").mkString(", ")
     val finals = (0 until n).map(i =>
       s"'__o$i', s.__o$i, '__g$i', acc.__r$i").mkString(", ")
-    val combines = runs.zipWithIndex.map { case (r, i) =>
-      val c =
-        if (r.op == "sum") s"acc.__r$i + x.__t$i"
-        else s"greatest(acc.__r$i, x.__t$i)"
+    val combines = specs.zipWithIndex.map { case (s, i) =>
+      val c = s.op match {
+        case "sum" if s.zeroInit =>
+          s"CAST(acc.__r$i + x.__t$i AS ${s.ddl})"
+        case "sum" =>
+          s"CASE WHEN x.__t$i IS NULL THEN acc.__r$i ELSE " +
+            s"CAST(coalesce(acc.__r$i, CAST(0 AS ${s.ddl})) + x.__t$i " +
+            s"AS ${s.ddl}) END"
+        case "max" => s"greatest(acc.__r$i, x.__t$i)"
+        case "min" => s"least(acc.__r$i, x.__t$i)"
+      }
       s"'__r$i', $c"
     }.mkString(", ")
     totals
@@ -79,6 +109,13 @@ object ParallelRank {
            |  acc -> transform(acc.arr,
            |    s -> named_struct('__pid', s.__pid, $finals))))""".stripMargin)
   }
+
+  /** BIGINT convenience wrapper over [[foldOffsets]] for the RunCol
+    * callers (counts and exact-integer runs). */
+  private def exclusiveOffsets(totals: DataFrame,
+      runs: Seq[RunCol]): DataFrame =
+    foldOffsets(totals,
+      runs.map(r => FoldSpec(r.op, "BIGINT", zeroInit = r.op == "sum")))
 
   /** Core: add every requested running aggregate over the global order
     * given by `sort` (must be a total order). Output columns are BIGINT.
@@ -241,14 +278,25 @@ object ParallelRank {
     * of window operators): the count/sample jobs AND the per-bucket
     * offsets aggregation run against it instead — same counts, same tie
     * structure, but neither build-time jobs nor the offsets branch ever
-    * execute operators `df` merely wraps. */
+    * execute operators `df` merely wraps.
+    *
+    * `rangeAggs` adds GLOBAL running aggregates over the same order with
+    * the SQL default frame (RANGE UNBOUNDED PRECEDING..CURRENT ROW —
+    * peers included, so the result is tie-order-independent): per-bucket
+    * totals ride the same tiny offsets aggregation, the prefix fold runs
+    * typed (decimal sums stay decimal), and the in-bucket pass is a
+    * RANGE-frame window on the same bucket partitioning. Exactness note:
+    * callers must not request fp sums here — per-bucket reassociation
+    * changes float/double rounding ([[GlobalWindowRule]] filters those);
+    * integral/decimal sums, min/max, count are associative-exact. */
   def rankFamily(df: DataFrame, parts: Int, sort: Seq[Column],
       rowNumOut: Option[String] = None, rankOut: Option[String] = None,
       denseOut: Option[String] = None, totalOut: Option[String] = None,
-      sampleFrom: Option[DataFrame] = None): DataFrame = {
+      sampleFrom: Option[DataFrame] = None,
+      rangeAggs: Seq[RangeAgg] = Nil): DataFrame = {
     require(sort.nonEmpty, "rankFamily needs a sort order")
-    require((rowNumOut ++ rankOut ++ denseOut ++ totalOut).nonEmpty,
-      "rankFamily: no outputs requested")
+    require((rowNumOut ++ rankOut ++ denseOut ++ totalOut).nonEmpty ||
+      rangeAggs.nonEmpty, "rankFamily: no outputs requested")
     val (keyCol, asc, nullsFirst) =
       org.apache.spark.sql.GraftSqlBridge.sortSpec(sort.head)
     val buckets = math.max(parts, 1) * 4 // 4× smooths bucket→reducer hash collisions
@@ -296,21 +344,43 @@ object ParallelRank {
     // unwrap sort columns to their bare value expressions for the struct
     val keyCols = sort.map(org.apache.spark.sql.GraftSqlBridge.sortChild)
     val needDense = denseOut.nonEmpty
+    val aggBase = if (needDense) 2 else 1
     val aggs = Seq(count(lit(1)).as("__t0")) ++
       (if (needDense)
-        Seq(countDistinct(struct(keyCols: _*)).as("__t1")) else Nil)
-    val runs =
-      Seq(RunCol("__cnt", lit(1L), "sum", inclusive = true)) ++
-      (if (needDense)
-        Seq(RunCol("__dk", lit(1L), "sum", inclusive = true)) else Nil)
+        Seq(countDistinct(struct(keyCols: _*)).as("__t1")) else Nil) ++
+      rangeAggs.zipWithIndex.map { case (ra, j) =>
+        (ra.op match {
+          case "sum"   => sum(ra.value)
+          case "min"   => min(ra.value)
+          case "max"   => max(ra.value)
+          case "count" => count(ra.value)
+        }).as(s"__t${aggBase + j}")
+      }
     val totals = src.withColumn("__pid", bucket).groupBy(col("__pid"))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("__t0", expr(
         s"IF(__t0 < ${1L << 31}L, __t0, CAST(raise_error(" +
           "'ParallelRank.rankFamily: a bucket exceeds 2^31 rows — " +
           "first sort key too skewed') AS BIGINT))"))
-    val offs = exclusiveOffsets(totals, runs)
+    // the fold accumulator types come off the AGGREGATED schema (sum of
+    // int is BIGINT, sum of decimal(p,s) is decimal(p+10,s), …)
+    val specs =
+      Seq(FoldSpec("sum", "BIGINT", zeroInit = true)) ++
+      (if (needDense)
+        Seq(FoldSpec("sum", "BIGINT", zeroInit = true)) else Nil) ++
+      rangeAggs.zipWithIndex.map { case (ra, j) =>
+        val ddl = totals.schema(s"__t${aggBase + j}").dataType.sql
+        ra.op match {
+          case "count" => FoldSpec("sum", "BIGINT", zeroInit = true)
+          case "sum"   => FoldSpec("sum", ddl, zeroInit = false)
+          case op      => FoldSpec(op, ddl, zeroInit = false)
+        }
+      }
+    val offs = foldOffsets(totals, specs)
     val wbase = Window.partitionBy(col("__pid")).orderBy(sort: _*)
+    // SQL's default running frame: peers (equal full sort keys) included
+    val wrange =
+      wbase.rangeBetween(Window.unboundedPreceding, Window.currentRow)
     var out = withB.join(broadcast(offs), Seq("__pid"))
     rowNumOut.foreach { o => out = out.withColumn(o,
       col("__o0") + row_number().over(wbase).cast("long")) }
@@ -319,8 +389,25 @@ object ParallelRank {
     denseOut.foreach { o => out = out.withColumn(o,
       col("__o1") + dense_rank().over(wbase).cast("long")) }
     totalOut.foreach { o => out = out.withColumn(o, col("__g0")) }
-    val helpers = Seq("__pid", "__o0", "__g0") ++
-      (if (needDense) Seq("__o1", "__g1") else Nil)
+    rangeAggs.zipWithIndex.foreach { case (ra, j) =>
+      val i = aggBase + j
+      val o = col(s"__o$i")
+      val dt = totals.schema(s"__t$i").dataType
+      val c = ra.op match {
+        case "count" => o + count(ra.value).over(wrange)
+        case "sum" =>
+          // SQL SUM is NULL over an all-NULL frame, else skips NULLs
+          val p = sum(ra.value).over(wrange)
+          val zero = lit(0).cast(dt)
+          when(o.isNull && p.isNull, lit(null).cast(dt))
+            .otherwise(coalesce(o, zero) + coalesce(p, zero)).cast(dt)
+        case "min" => least(o, min(ra.value).over(wrange))
+        case "max" => greatest(o, max(ra.value).over(wrange))
+      }
+      out = out.withColumn(ra.out, c)
+    }
+    val helpers = Seq("__pid") ++
+      specs.indices.flatMap(i => Seq(s"__o$i", s"__g$i"))
     out.drop(helpers: _*)
   }
 

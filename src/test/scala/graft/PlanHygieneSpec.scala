@@ -106,7 +106,10 @@ class PlanHygieneSpec extends SparkSpec {
     // map-side-combined offsets scan beside the full-row pass — the
     // deliberate price of a cache-free recompute-safe plan (the offsets
     // scans read ONE column each; see ParallelRank.rankFamily scaladoc)
-    "q_sql_global_rank" -> 3)
+    "q_sql_global_rank" -> 3,
+    // same shape: running aggregates over one order + cume_dist over
+    // another = two rewritten windows, each with its narrow offsets scan
+    "q_sql_running" -> 3)
 
   // Queries allowed to keep a GLOBAL (unpartitioned) window, with the
   // bounded-domain reason pinned. Empty today: every global rank /

@@ -151,6 +151,88 @@ class GlobalWindowRuleSpec extends SparkSpec {
     assert(topk.agg(max("rn")).collect().head.getInt(0) == 10)
   }
 
+  test("running sum/min/max/count + cume_dist: rewritten, identical, ties included") {
+    GlobalWindowRule.enableAuto(spark)
+    import spark.implicits._
+    // heavy ties in v (7 keys over 300 rows) + NULL values in the summed
+    // column, incl. an ALL-NULL leading tie group (SQL sum must stay NULL
+    // until the first non-null value enters the frame)
+    val df = frame().withColumn("x",
+      when(col("v") === 0L, lit(null).cast("long"))
+        .otherwise(col("id") % 13))
+    val w = Window.orderBy(col("v")) // default frame: RANGE UNBOUNDED..CURRENT
+    def q(d: DataFrame): DataFrame = d
+      .withColumn("rs", sum(col("x")).over(w))
+      .withColumn("rmin", min(col("x")).over(w))
+      .withColumn("rmax", max(col("x")).over(w))
+      .withColumn("rc", count(col("x")).over(w))
+      .withColumn("cd", cume_dist().over(w))
+    val got = q(df)
+    assertNoGlobalWindow(got)
+    // default RANGE frame includes peers → every output is tie-constant
+    def snap(d: DataFrame) = d.collect().map(r => r.getLong(0) ->
+      (Option(r.get(3)), Option(r.get(4)), Option(r.get(5)),
+        r.getLong(6), r.getDouble(7))).toMap
+    val want = withRuleDisabled(snap(q(df)))
+    assert(snap(got) == want)
+    assert(got.schema("rs").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+
+  test("decimal running sum stays decimal and exact") {
+    GlobalWindowRule.enableAuto(spark)
+    import spark.implicits._
+    // decimal + decimal stays decimal (a double literal would silently
+    // promote the column to DOUBLE and the rule would refuse the sum)
+    val df = frame().withColumn("d",
+      (col("id") % 97).cast("decimal(18,2)") +
+        lit("0.25").cast("decimal(18,2)"))
+    val w = Window.orderBy(col("v"), col("id")) // total order
+    def q(d: DataFrame): DataFrame =
+      d.withColumn("rs", sum(col("d")).over(w))
+    val got = q(df)
+    assertNoGlobalWindow(got)
+    val wantSchema = withRuleDisabled(q(df).schema("rs").dataType)
+    assert(got.schema("rs").dataType == wantSchema) // decimal(28,4)-ish
+    val want = withRuleDisabled {
+      q(df).collect().map(r => r.getLong(0) -> r.getDecimal(3)).toMap
+    }
+    assert(got.collect().map(r => r.getLong(0) -> r.getDecimal(3)).toMap
+      == want)
+  }
+
+  test("fp sums, ROWS frames, and fp means are NOT rewritten") {
+    GlobalWindowRule.enableAuto(spark)
+    val df = frame().withColumn("f", col("id").cast("double") * 0.1)
+    val w = Window.orderBy(col("v"), col("id"))
+    // double sum: reassociation would change rounding → leave naive
+    val fp = df.withColumn("rs", sum(col("f")).over(w))
+    assert(fp.queryExecution.optimizedPlan.toString.contains("Window"))
+    // explicit ROWS frame: tie-order-dependent either way → leave naive
+    val rows = df.withColumn("rs", sum(col("id")).over(
+      w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(rows.queryExecution.optimizedPlan.toString.contains("Window"))
+    // avg accumulates a double sum internally even for integral inputs
+    val mean = df.withColumn("m", avg(col("id")).over(w))
+    assert(mean.queryExecution.optimizedPlan.toString.contains("Window"))
+  }
+
+  test("a node MIXING ranks and running aggregates rewrites as one") {
+    GlobalWindowRule.enableAuto(spark)
+    val df = frame()
+    val w = Window.orderBy(col("v"))
+    def q(d: DataFrame): DataFrame = d
+      .withColumn("rk", rank().over(w))
+      .withColumn("rs", sum(col("id")).over(w))
+      .withColumn("cd", cume_dist().over(w))
+    val got = q(df)
+    assertNoGlobalWindow(got)
+    def snap(d: DataFrame) = d.collect().map(r => r.getLong(0) ->
+      (r.getInt(2), r.getLong(3), r.getDouble(4))).toMap
+    val want = withRuleDisabled(snap(q(df)))
+    assert(snap(got) == want)
+  }
+
   test("unsupported window functions leave the node untouched") {
     GlobalWindowRule.enableAuto(spark)
     val df = frame()
