@@ -42,8 +42,11 @@ import org.apache.spark.sql.types.IntegerType
   *     above (`rn <= k`): Spark's own InferWindowGroupLimit plans those
   *     as parallel partial limits with a bounded k·parts-row final — a
   *     better plan than a full range shuffle of every row;
-  *   - nodes mixing unsupported functions (lag/lead/aggregate windows):
-  *     a partial rewrite of one Window node would double the pass.
+  *   - nodes mixing unsupported functions (lag/lead, fp sums, avg,
+  *     explicit ROWS frames): a partial rewrite of one Window node
+  *     would double the pass. lag/lead stay naive on principle — they
+  *     are intra-tie-order-dependent, so a rewrite would silently
+  *     change which arbitrary answer the user sees.
   *
   *   - nodes over a NONDETERMINISTIC child subtree: the stateless
   *     rewrite recomputes the child once per consuming pass (offsets,

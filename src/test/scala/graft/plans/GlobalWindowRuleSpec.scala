@@ -252,6 +252,28 @@ class GlobalWindowRuleSpec extends SparkSpec {
     assert(gotMap == want)
   }
 
+  test("EXPRESSION and STRING sort keys rewrite correctly") {
+    GlobalWindowRule.enableAuto(spark)
+    import spark.implicits._
+    // string key with ties + an arithmetic expression key: the cutpoint
+    // sample and the bucket tree must evaluate the expression, not a
+    // column reference
+    val df = (0 until 200).map { i =>
+      (i.toLong, s"s${i % 9}", (i * 37 % 11).toLong)
+    }.toDF("id", "s", "a").repartition(4)
+    val w = Window.orderBy(col("s")) // string, 9 tie groups
+    val we = Window.orderBy((col("a") * 2 + col("id") % 7).asc, col("id"))
+    def q(d: DataFrame): DataFrame = d
+      .withColumn("rk", rank().over(w))
+      .withColumn("rn", row_number().over(we))
+    val got = q(df)
+    assertNoGlobalWindow(got)
+    def snap(d: DataFrame) = d.collect()
+      .map(r => r.getLong(0) -> (r.getInt(3), r.getInt(4))).toMap
+    val want = withRuleDisabled(snap(q(df)))
+    assert(snap(got) == want)
+  }
+
   test("partitioned windows are never touched") {
     GlobalWindowRule.enableAuto(spark)
     val df = frame()
