@@ -274,6 +274,28 @@ class GlobalWindowRuleSpec extends SparkSpec {
     assert(snap(got) == want)
   }
 
+  test("stateless claim: independently recomputed subtrees agree (self-join)") {
+    GlobalWindowRule.enableAuto(spark)
+    val df = frame()
+    val w = Window.orderBy(col("v"), col("id"))
+    val ranked = df
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rs", sum(col("id")).over(w))
+    // a self-join forces TWO independent recomputes of the rewritten
+    // subtree (no persist anywhere) — identical cutpoint literals must
+    // make both sides produce identical ranks for every id
+    val l = ranked.select(col("id"), col("rn").as("rn_l"),
+      col("rs").as("rs_l"))
+    val r = ranked.select(col("id"), col("rn").as("rn_r"),
+      col("rs").as("rs_r"))
+    val joined = l.join(r, "id")
+    assertNoGlobalWindow(joined)
+    val rows = joined.collect()
+    assert(rows.length == 300)
+    assert(rows.forall(x => x.getInt(1) == x.getInt(3) &&
+      x.getLong(2) == x.getLong(4)))
+  }
+
   test("partitioned windows are never touched") {
     GlobalWindowRule.enableAuto(spark)
     val df = frame()
