@@ -506,20 +506,44 @@ object Dedup {
       chunkTokens: Int = 10, minDocs: Int = 3): DataFrame = {
     // persist: the chunk stream feeds the hash-frequency pass AND the
     // reassembly — unpersisted, tokenize+chunk would run twice
-    val ch = persistTracked(TextAnalysis.withTokens(docs, textCol)
+    val ch = persistTracked(chunkSegments(docs, idCol, textCol, chunkTokens))
+    val boilerHashes = ch
+      .select(col(idCol), GraftFunctions.polyHash(col("chunk")).as("h"))
+      .groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select(col("h"))
+    exciseByHashes(ch, idCol, boilerHashes)
+  }
+
+  /** The (id, pos, chunk) token-segment frame shared by
+    * [[boilerplateExcise]] and the streaming
+    * [[graft.streaming.BoilerplateGate]]: documents tokenized and cut
+    * into fixed `chunkTokens`-token segments with their 0-based
+    * positions. Zero-token documents yield no rows (and so no output
+    * row downstream). */
+  def chunkSegments(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int): DataFrame =
+    TextAnalysis.withTokens(docs, textCol)
       .filter(size(col("toks")) >= 1)
       .select(col(idCol), posexplode(expr(
         s"transform(sequence(0, CAST(ceil(size(toks) / $chunkTokens.0D) " +
           s"AS INT) - 1, 1), i -> array_join(slice(toks, " +
           s"i * $chunkTokens + 1, $chunkTokens), ' '))"))
-        .as(Seq("pos", "chunk"))))
+        .as(Seq("pos", "chunk")))
+
+  /** Excise every segment of `ch` whose polyHash is in `boilerHashes`
+    * (one column `h`) and reassemble documents from the survivors.
+    * Returns (id, clean_text, n_kept, n_boiler) — a fully-excised doc
+    * survives with empty clean_text. The caller decides what counts as
+    * boilerplate; [[boilerplateExcise]] uses corpus doc-frequency, the
+    * streaming gate uses cumulative frequency state. */
+  def exciseByHashes(ch: DataFrame, idCol: String,
+      boilerHashes: DataFrame): DataFrame = {
     val hashed = ch.select(col(idCol), col("pos"),
       GraftFunctions.polyHash(col("chunk")).as("h"))
-    val boilerHashes = hashed.groupBy(col("h"))
-      .agg(countDistinct(col(idCol)).as("ndocs"))
-      .filter(col("ndocs") >= minDocs)
-      .select(col("h"))
-    val boilerPos = hashed.join(boilerHashes, Seq("h"), "left_semi")
+    val boilerPos = hashed
+      .join(boilerHashes.select(col("h")), Seq("h"), "left_semi")
       .select(col(idCol).as("__bid"), col("pos").as("__bpos"),
         lit(true).as("__boiler"))
     ch.join(boilerPos,
