@@ -2430,6 +2430,21 @@ object SparkEntry {
           |FROM orders_gwr""".stripMargin)
     }),
 
+    // ----- CONTENT-DEFINED chunk dedup: segment boundaries placed by a
+    // rolling hash (divisible-by-8 rule over 3-token windows), so an
+    // inserted token re-chunks only the segment it touches — the
+    // insertion-robust alternative to fixed 10-token chunking. Output:
+    // every CDC segment shared by >= 2 distinct docs -----
+    "q_cdc_segments" -> ((s, dir) =>
+      Dedup.cdcSegments(t(s, dir, "documents"), "doc_id", "text")
+        .select(GraftFunctions.polyHash(col("seg_text")).as("seg_hash"),
+          col("doc_id"), col("seg_tokens"))
+        .groupBy(col("seg_hash"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"),
+          min(col("seg_tokens")).as("seg_tokens"))
+        .filter(col("n_docs") >= 2)),
+
     // ----- GLOBAL running aggregates + cume_dist through PLAIN SQL: the
     // GlobalWindowRule rewrite extends past ranks — sum/count/max with
     // the SQL default RANGE frame and cume_dist replan as the two-phase
@@ -5877,6 +5892,35 @@ object SparkEntry {
           |    AS BIGINT) AS nt,
           |  percent_rank() OVER (ORDER BY o_orderpriority) AS pr
           |FROM orders""".stripMargin,
+      "q_cdc_segments" ->
+        s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
+           tok AS (SELECT doc_id, toks, unnest(range(0, len(toks))) AS pos
+                 FROM tk WHERE len(toks) >= 1),
+           tw AS (SELECT doc_id, pos, toks[pos + 1] AS tok,
+                  array_to_string(toks[greatest(pos + 2 - 3, 1):(pos + 1)], ' ')
+                    AS wtext
+                FROM tok),
+           bf AS (SELECT doc_id, pos, tok,
+                  CASE WHEN ${duckStrHash("wtext")} % 8 = 0
+                    THEN 1 ELSE 0 END AS b
+                FROM tw),
+           sg AS (SELECT doc_id, pos, tok,
+                  SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - b
+                    AS seg
+                FROM bf),
+           st AS (SELECT doc_id, seg,
+                  string_agg(tok, ' ' ORDER BY pos) AS seg_text,
+                  COUNT(*) AS seg_tokens
+                FROM sg GROUP BY doc_id, seg),
+           hs AS (SELECT doc_id, ${duckStrHash("seg_text")} AS seg_hash,
+                  seg_tokens FROM st)
+           SELECT seg_hash,
+                  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                  CAST(COUNT(*) AS BIGINT) AS n_occ,
+                  CAST(MIN(seg_tokens) AS BIGINT) AS seg_tokens
+           FROM hs GROUP BY seg_hash
+           HAVING COUNT(DISTINCT doc_id) >= 2""",
       "q_sql_running" ->
         """SELECT o_orderkey,
           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))

@@ -516,6 +516,50 @@ object Dedup {
     exciseByHashes(ch, idCol, boilerHashes)
   }
 
+  /** CONTENT-DEFINED segmentation (the CDC chunking used by dedup
+    * storage systems and insertion-robust text dedup): a token position
+    * is a segment BOUNDARY when the rolling hash of the last `window`
+    * tokens is divisible by `modulus` (expected segment length ≈
+    * `modulus` tokens). Because boundaries depend only on LOCAL content,
+    * inserting or deleting a token re-chunks ONLY the segment it touches
+    * — every other segment re-aligns bit-identically, which is exactly
+    * what fixed-width chunking ([[chunkSegments]]) cannot do: one
+    * leading inserted token shifts every downstream fixed chunk.
+    *
+    * Returns (id, seg, seg_text, start_pos, seg_tokens) — `seg` is the
+    * 0-based segment ordinal within the doc. The boundary token CLOSES
+    * its segment. Zero-token docs yield no rows.
+    *
+    * Scale: one scan; the only shuffles are the doc-partitioned window
+    * (never unpartitioned) and the per-(doc, seg) reassembly — both
+    * keyed finer than or equal to doc id, so skew is bounded by the
+    * largest single document. */
+  def cdcSegments(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 3, modulus: Int = 8): DataFrame = {
+    val tok = graft.operators.TextAnalysis.withTokens(docs, textCol)
+      .filter(size(col("toks")) >= 1)
+      .select(col(idCol), col("toks"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+    // rolling window text: tokens [pos-window+1 .. pos], clipped at the
+    // doc start (1-based slice start pos+2-window, length min(window,
+    // pos+1))
+    val winText = expr(
+      s"array_join(slice(toks, greatest(pos + 2 - $window, 1), " +
+        s"least($window, pos + 1)), ' ')")
+    val b = (pmod(GraftFunctions.polyHash(winText),
+      lit(modulus.toLong)) === 0).cast("int")
+    val wdoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tok.withColumn("__b", b)
+      .withColumn("seg", sum(col("__b")).over(wdoc) - col("__b"))
+      .groupBy(col(idCol), col("seg"))
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(" +
+          "struct(pos, tok))), s -> s.tok), ' ')").as("seg_text"),
+        min(col("pos")).as("start_pos"),
+        count(lit(1)).as("seg_tokens"))
+  }
+
   /** The (id, pos, chunk) token-segment frame shared by
     * [[boilerplateExcise]] and the streaming
     * [[graft.streaming.BoilerplateGate]]: documents tokenized and cut

@@ -113,6 +113,35 @@ class OperatorSpec extends SparkSpec {
     assert(sd(1L) == s"$banner $pair $u")
   }
 
+  test("CDC segments realign after an insertion; fixed chunks do not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // doc 2 = doc 1 with ONE token prepended: content-defined boundaries
+    // depend only on local windows, so every segment beyond the first
+    // must re-align; fixed 10-token chunking shifts every chunk by one
+    val bodyToks = (1 to 60).map(i => s"w$i")
+    val docs = Seq(
+      (1L, bodyToks.mkString(" ")),
+      (2L, ("INS" +: bodyToks).mkString(" "))).toDF("doc_id", "text")
+    def segTexts(df: org.apache.spark.sql.DataFrame): Map[Long, Set[String]] =
+      df.collect().map(r => (r.getLong(0), r.getString(2)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val cdc = segTexts(Dedup.cdcSegments(docs, "doc_id", "text")
+      .select(col("doc_id"), col("seg"), col("seg_text")))
+    val sharedCdc = cdc(1L).intersect(cdc(2L))
+    assert(sharedCdc.nonEmpty, s"no realigned CDC segment: $cdc")
+    // the same corpus through FIXED chunking shares nothing
+    val fixed = segTexts(Dedup.chunkSegments(docs, "doc_id", "text", 10)
+      .select(col("doc_id"), col("pos"), col("chunk")))
+    assert(fixed(1L).intersect(fixed(2L)).isEmpty)
+    // segments reassemble to the full token stream, in order
+    val rebuilt = Dedup.cdcSegments(docs, "doc_id", "text")
+      .orderBy(col("doc_id"), col("seg"))
+      .collect().filter(_.getLong(0) == 1L).map(_.getString(2))
+      .mkString(" ")
+    assert(rebuilt == bodyToks.mkString(" ").toLowerCase)
+  }
+
   test("char-ngram minhash pairs no-whitespace near-dups the word path cannot see") {
     import spark.implicits._
     // CJK-style fixture: no spaces anywhere. 1 and 2 differ by one char;
