@@ -2465,6 +2465,23 @@ object SparkEntry {
           |FROM orders_gwr2""".stripMargin)
     }),
 
+    // ----- "share of total" through PLAIN SQL `OVER ()`: the third
+    // single-partition window shape users write. GlobalWindowRule plans
+    // it as a 1-row scalar aggregation broadcast-crossed back — the
+    // optimized plan contains NO Window operator at all -----
+    "q_sql_share" -> ((s, dir) => {
+      graft.plans.GlobalWindowRule.enableAuto(s)
+      t(s, dir, "orders").createOrReplaceTempView("orders_gwr3")
+      s.sql(
+        """SELECT o_orderkey,
+          |  CAST(o_totalprice AS DOUBLE) /
+          |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER ()
+          |      AS DOUBLE) AS price_share,
+          |  count(*) OVER () AS n_total,
+          |  max(o_totalprice) OVER () AS max_price
+          |FROM orders_gwr3""".stripMargin)
+    }),
+
     // ----- near-dup clusters: bounded min-label propagation over the
     // LSH candidate pairs (rows-only check: iterative, not one SQL) -----
     "q_dedup_clusters" -> ((s, dir) => {
@@ -5929,6 +5946,14 @@ object SparkEntry {
           |  max(o_totalprice)
           |    OVER (ORDER BY o_orderdate, o_orderkey) AS run_max,
           |  cume_dist() OVER (ORDER BY o_orderpriority) AS cd
+          |FROM orders""".stripMargin,
+      "q_sql_share" ->
+        """SELECT o_orderkey,
+          |  CAST(o_totalprice AS DOUBLE) /
+          |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER ()
+          |      AS DOUBLE) AS price_share,
+          |  count(*) OVER () AS n_total,
+          |  max(o_totalprice) OVER () AS max_price
           |FROM orders""".stripMargin,
       "q_dedup_minhash_lsh" ->
         s"""$minhashCtes

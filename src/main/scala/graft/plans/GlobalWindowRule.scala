@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.{GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -163,6 +163,28 @@ object GlobalWindowRule extends Rule[LogicalPlan] {
     s.toSet
   }
 
+  /** Whole-frame aggregate over the entire (unpartitioned) input —
+    * `sum(x) OVER ()` and friends, the "share of total" shape. The
+    * resolved frame for a no-ORDER-BY window is UNBOUNDED
+    * PRECEDING..UNBOUNDED FOLLOWING, so every row sees the grand
+    * total; the rewrite is a 1-row scalar aggregation broadcast-cross-
+    * joined back — no window operator at all. Same exactness policy as
+    * the running aggregates (no fp sums). */
+  private def classifyWhole(ne: NamedExpression): Option[(Expression, String)] =
+    ne match {
+      case Alias(WindowExpression(
+          AggregateExpression(af, Complete, false, None, _),
+          WindowSpecDefinition(Nil, Nil, SpecifiedWindowFrame(_,
+            UnboundedPreceding, UnboundedFollowing))), _) => af match {
+        case Sum(v, _) if exactSum(v.dataType) => Some((v, "sum"))
+        case Min(v) => Some((v, "min"))
+        case Max(v) => Some((v, "max"))
+        case Count(Seq(v)) => Some((v, "count"))
+        case _ => None
+      }
+      case _ => None
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val skip = limitFiltered(plan)
     // top-down: outer windows of a stack rewrite first, so each
@@ -177,6 +199,13 @@ object GlobalWindowRule extends Rule[LogicalPlan] {
             !child.output.exists(_.name.startsWith("__gw_")) &&
             child.find(p => p.expressions.exists(!_.deterministic)).isEmpty =>
         rewrite(w)
+      case w @ Window(wexprs, Seq(), Seq(), child, _)
+          if wexprs.nonEmpty &&
+            wexprs.forall(_.deterministic) &&
+            wexprs.forall(e => classifyWhole(e).isDefined) &&
+            !child.output.exists(_.name.startsWith("__gw_")) &&
+            child.find(p => p.expressions.exists(!_.deterministic)).isEmpty =>
+        rewriteScalar(w)
     }
   }
 
@@ -282,11 +311,49 @@ object GlobalWindowRule extends Rule[LogicalPlan] {
       out = out.withColumn(name, c)
       (a, name)
     }
-    // the spliced subtree re-enters the optimizer AFTER the early
-    // pre-optimization phases already ran, so apply their load-bearing
-    // steps ourselves: fold the fresh broadcast() ResolvedHint into the
-    // Join node, and replace RuntimeReplaceable expressions
-    // (array_append in the prefix fold) with their executable forms
+    splice(w, out, outNames)
+  }
+
+  /** `agg OVER ()` → one scalar aggregation row, broadcast-cross-joined
+    * back onto the input: every row sees the grand total, nothing ever
+    * moves to a single partition, and for an EMPTY input the cross join
+    * yields no rows — exactly the naive window's output. */
+  private def rewriteScalar(w: Window): LogicalPlan = {
+    val spark = SparkSession.active
+    val df = GraftSqlBridge.ofRows(spark, w.child)
+    val fns: Seq[(Alias, (Expression, String))] =
+      w.windowExpressions.map { ne =>
+        ne.asInstanceOf[Alias] -> classifyWhole(ne).get
+      }
+    val aggCols = fns.zipWithIndex.map { case ((_, (v, op)), i) =>
+      val c = GraftSqlBridge.column(v)
+      (op match {
+        case "sum"   => sum(c)
+        case "min"   => min(c)
+        case "max"   => max(c)
+        case "count" => count(c)
+      }).as(s"__gw_sc_$i")
+    }
+    val scalar = df.agg(aggCols.head, aggCols.tail: _*)
+    var out = df.crossJoin(
+      org.apache.spark.sql.functions.broadcast(scalar))
+    val outNames = fns.zipWithIndex.map { case ((a, _), i) =>
+      val name = s"__gw_out_$i"
+      out = out.withColumn(name, col(s"__gw_sc_$i").cast(a.child.dataType))
+      (a, name)
+    }
+    splice(w, out, outNames)
+  }
+
+  /** Re-enter the optimizer cleanly: the spliced subtree arrives AFTER
+    * the early pre-optimization phases already ran, so apply their
+    * load-bearing steps ourselves — fold the fresh broadcast()
+    * ResolvedHint into the Join node and replace RuntimeReplaceable
+    * expressions (array_append in the prefix fold) with their
+    * executable forms — then re-attach the original output ExprIds with
+    * a final Project so parent operators resolve unchanged. */
+  private def splice(w: Window, out: DataFrame,
+      outNames: Seq[(Alias, String)]): LogicalPlan = {
     val analyzed = org.apache.spark.sql.catalyst.optimizer
       .ReplaceExpressions(org.apache.spark.sql.catalyst.optimizer
         .EliminateResolvedHint(out.queryExecution.analyzed))

@@ -68,6 +68,7 @@ class PlanHygieneSpec extends SparkSpec {
     "q_mix_plan",       // 1-row weight-sum scalar crossed into the shares
     "q_mix_waterfill",  // per-round 1-row redistribution scalars crossed
     "q_neyman_sample",  // 1-row weight-sum + leftover scalars crossed
+    "q_sql_share",      // GlobalWindowRule's agg-OVER-() rewrite: 1-row scalar crossed
     "q_dsir_weights",   // 1-row corpus-totals scalar in dsirModel
     "q_dq_checks",      // three 1-row constraint aggregates crossed + stacked
     // reference theta-join surface (J2/J3): inequality-only predicates

@@ -274,6 +274,42 @@ class GlobalWindowRuleSpec extends SparkSpec {
     assert(snap(got) == want)
   }
 
+  test("agg OVER (): share-of-total rewrites to a broadcast scalar, no window") {
+    GlobalWindowRule.enableAuto(spark)
+    import spark.implicits._
+    val df = frame().withColumn("x",
+      when(col("v") === 3L, lit(null).cast("long")).otherwise(col("id")))
+    val w = Window.partitionBy() // empty partition, empty order
+    def q(d: DataFrame): DataFrame = d
+      .withColumn("share",
+        col("id").cast("double") / sum(col("x")).over(w).cast("double"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("mn", min(col("x")).over(w))
+      .withColumn("mx", max(col("x")).over(w))
+    val got = q(df)
+    assertNoGlobalWindow(got)
+    // the rewrite must not even contain a Window operator
+    assert(!got.queryExecution.optimizedPlan.toString.contains("Window"))
+    def snap(d: DataFrame) = d.collect().map(r => r.getLong(0) ->
+      (r.getDouble(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val want = withRuleDisabled(snap(q(df)))
+    assert(snap(got) == want)
+    // SQL spelling too
+    df.createOrReplaceTempView("gw_sc")
+    val sql = spark.sql(
+      "SELECT id, id / sum(x) OVER () AS sh FROM gw_sc")
+    assertNoGlobalWindow(sql)
+    val wantSql = withRuleDisabled {
+      spark.sql("SELECT id, id / sum(x) OVER () AS sh FROM gw_sc")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    assert(sql.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      == wantSql)
+    // empty input: naive window yields no rows; so must the rewrite
+    val empty = frame(0).withColumn("x", col("id"))
+    assert(q(empty).count() == 0)
+  }
+
   test("stateless claim: independently recomputed subtrees agree (self-join)") {
     GlobalWindowRule.enableAuto(spark)
     val df = frame()
