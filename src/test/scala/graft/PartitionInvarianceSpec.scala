@@ -24,7 +24,13 @@ class PartitionInvarianceSpec extends SparkSpec {
     // the round-5 two-phase global ranks: the rank must not depend on
     // where the sampled range boundaries land or how many shuffle
     // partitions feed them
-    "q_ntile", "q_rfm", "q_pareto", "q_ingest_clusters")
+    "q_ntile", "q_rfm", "q_pareto", "q_ingest_clusters",
+    // the transparent window rewrite: bucket COUNT follows
+    // shuffle.partitions (5 vs 32 → different cutpoint sets), yet every
+    // rank/running-aggregate VALUE must be bit-identical; plus the new
+    // chunking/excision operators (pure hash arithmetic)
+    "q_sql_global_rank", "q_sql_running", "q_sql_share",
+    "q_cdc_segments", "q_boilerplate")
 
   private def canon(name: String, parts: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
