@@ -30,6 +30,28 @@ object SparkEntry {
   /** Order-insensitive exact sum of a double column, returned as double. */
   private def dsum(c: Column): Column = sum(dec(c)).cast("double")
 
+  /** Orders clustered one file per order-year into a VersionedTable
+    * with manifest zone-map stats (q_skip_stats / q_skip_read's shared
+    * build). The year list is a bounded-domain collect — ≤10 values,
+    * the same driver-side contract as a k-means codebook — and the
+    * rebuild is deterministic: an OVERWRITE first commit resets the
+    * latest version's content regardless of prior runs. */
+  private def buildSkipTable(s: SparkSession, dir: String,
+      tag: String): String = {
+    val path = s"/tmp/graft_skip_${tag}_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val orders = t(s, dir, "orders")
+    val years = orders.selectExpr("year(o_orderdate) AS y").distinct()
+      .orderBy("y").collect().map(_.getInt(0)).toSeq
+    years.zipWithIndex.foreach { case (y, i) =>
+      graft.sources.VersionedTable.commit(
+        orders.filter(expr(s"year(o_orderdate) = $y")).repartition(1),
+        path, if (i == 0) "overwrite" else "append",
+        statCols = Seq("o_orderdate", "o_totalprice"))
+    }
+    path
+  }
+
   /** q_blocklist_scan's phrase list — shared by query and oracle. Includes
     * a self-overlapping pattern and a suffix-contained pair on purpose. */
   private val blocklistPats = Seq("a", "a a", "scan", "slow scan",
@@ -3792,6 +3814,48 @@ object SparkEntry {
         .select(col("file_name"), col("row_group_id"), col("n_rows"),
           col("n_chunks"), col("compressed_bytes"),
           col("uncompressed_bytes"))),
+
+    // ----- MANIFEST ZONE MAPS (VersionedTable data skipping): orders
+    // committed one immutable file per order-year with per-file
+    // min/max/null stats recorded as manifest `# stat` lines; this
+    // readout is the STORED metadata itself (zero data I/O after the
+    // build) plus each file's prunability under a one-year reference
+    // predicate. The oracle recomputes the same numbers from the raw
+    // table grouped by year — the stats a 100 TB reader would trust
+    // for file skipping must agree exactly with the data they
+    // describe -----
+    "q_skip_stats" -> ((s, dir) => {
+      val path = buildSkipTable(s, dir, "stats")
+      graft.sources.VersionedTable.fileStatsDf(s, path)
+        .filter(col("col") === "o_orderdate")
+        .select(col("n_rows"),
+          expr("CAST(min_v AS BIGINT)").as("min_us"),
+          expr("CAST(max_v AS BIGINT)").as("max_us"))
+        .withColumn("may_96",
+          col("min_us") < expr("unix_micros(timestamp'1997-01-01 00:00:00')") &&
+            col("max_us") >= expr("unix_micros(timestamp'1996-01-01 00:00:00')"))
+    }),
+    // ----- DATA-SKIPPING READ: the same per-year clustered table
+    // served through VersionedTable.readWhere — the manifest stats
+    // prune six of the seven files BEFORE the scan is planned
+    // (VersionedTableSkipSpec pins the file counts), and the exact
+    // filter still applies, so the result is identical to a full scan
+    // by construction. The oracle is the predicate over the raw table:
+    // hash-equality here proves pruning never changed semantics, while
+    // at 100 TB it changes the denominator — O(matching files) read
+    // instead of O(table) -----
+    "q_skip_read" -> ((s, dir) => {
+      val path = buildSkipTable(s, dir, "read")
+      val pred = expr(
+        "o_orderdate >= timestamp'1996-01-01 00:00:00' AND " +
+          "o_orderdate < timestamp'1997-01-01 00:00:00' AND " +
+          "o_totalprice > 150000.0D")
+      graft.sources.VersionedTable.readWhere(s, path, pred)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(o_totalprice AS DECIMAL(18,2))"))
+            .cast("double").as("total"))
+    }),
 
     // ----- l-diversity audit, the k-anonymity complement: a quasi-
     // identifier group is re-identifiable even at k>=10 members if a
@@ -8652,6 +8716,24 @@ object SparkEntry {
                     total_compressed_size, total_uncompressed_size
              FROM parquet_metadata('/root/testdata/sf0.01/orders.parquet'))
            GROUP BY file_name, row_group_id, row_group_num_rows""",
+      "q_skip_stats" ->
+        // the stored per-file zone maps vs the data they describe: one
+        // file per order-year, so DuckDB recomputes per-year bounds
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  epoch_us(MIN(o_orderdate)) AS min_us,
+                  epoch_us(MAX(o_orderdate)) AS max_us,
+                  (epoch_us(MIN(o_orderdate)) < epoch_us(TIMESTAMP '1997-01-01')
+                   AND epoch_us(MAX(o_orderdate)) >= epoch_us(TIMESTAMP '1996-01-01')) AS may_96
+           FROM orders GROUP BY year(o_orderdate)""",
+      "q_skip_read" ->
+        // the pruned read must equal the raw-table predicate exactly
+        """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1997-01-01'
+             AND o_totalprice > 150000.0e0
+           GROUP BY o_orderpriority""",
       "q_l_diversity" ->
         """SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
                   COUNT(DISTINCT CAST(floor(c_acctbal / 4000.0) AS BIGINT)) AS l_distinct,

@@ -115,10 +115,12 @@ object VersionedTable {
 
   private def publish(spark: SparkSession, path: String, v: Int,
       rows: Long, files: Seq[String],
-      batchTag: Option[Long] = None): Unit = {
+      batchTag: Option[Long] = None,
+      statLines: Seq[String] = Seq.empty): Unit = {
     val f = fs(spark, path)
     val body = rows.toString + "\n" +
       batchTag.map(b => s"# batch=$b\n").getOrElse("") +
+      statLines.map(_ + "\n").mkString +
       files.mkString("\n") + "\n"
     val tmp = new Path(manifestDir(path),
       s".tmp-${java.util.UUID.randomUUID.toString.take(8)}")
@@ -134,12 +136,26 @@ object VersionedTable {
   /** Commit `df` as the next version. mode "overwrite": the new version
     * is exactly `df`. mode "append": the new version is the latest
     * committed version's files PLUS `df`'s — previous data is NOT
-    * rewritten. Returns the committed version number. */
-  def commit(df: DataFrame, path: String, mode: String = "overwrite"): Int =
-    commitImpl(df, path, mode, None)
+    * rewritten. Returns the committed version number.
+    *
+    * `statCols`: columns to record per-file min/max/null-count for in
+    * the manifest (the zone-map/data-skipping metadata of the open
+    * lakehouse formats). Stats ride as `# stat` comment lines, so
+    * readers that predate them — and [[readManifest]] itself — skip
+    * them for free; an APPEND re-lists the base version's stat lines
+    * verbatim (stats describe immutable files, so they never go
+    * stale). Collection is ONE column-pruned pass over the increment
+    * (never the table), grouped by `_metadata.file_path`; parquet
+    * footers could supply the same numbers from O(files) metadata
+    * reads, but footer binary stats are truncation-lossy for strings —
+    * the exact pass keeps [[readWhere]]'s pruning provably
+    * conservative. */
+  def commit(df: DataFrame, path: String, mode: String = "overwrite",
+      statCols: Seq[String] = Seq.empty): Int =
+    commitImpl(df, path, mode, None, statCols)
 
   private def commitImpl(df: DataFrame, path: String, mode: String,
-      batchTag: Option[Long]): Int = {
+      batchTag: Option[Long], statCols: Seq[String] = Seq.empty): Int = {
     require(mode == "overwrite" || mode == "append", s"bad mode $mode")
     val spark = df.sparkSession
     val f = fs(spark, path)
@@ -157,16 +173,20 @@ object VersionedTable {
     val newRows =
       if (newFiles.isEmpty) 0L // a fully-empty increment is a valid commit
       else spark.read.parquet(newFiles.map(r => s"$path/$r"): _*).count()
+    val newStats =
+      if (statCols.isEmpty || newFiles.isEmpty) Seq.empty[String]
+      else collectStats(spark, path, newFiles, df.schema, statCols)
     val v = claimNext(spark, path)
-    val (baseRows, baseFiles) = {
+    val (baseRows, baseFiles, baseStats) = {
       if (mode == "append") awaitPredecessors(spark, path, v)
       val committed = versions(spark, path).filter(_ < v)
-      if (mode == "append" && committed.nonEmpty)
-        readManifest(spark, path, committed.max)
-      else (0L, Seq.empty[String])
+      if (mode == "append" && committed.nonEmpty) {
+        val (r, fl) = readManifest(spark, path, committed.max)
+        (r, fl, statLinesOf(spark, path, committed.max))
+      } else (0L, Seq.empty[String], Seq.empty[String])
     }
     publish(spark, path, v, baseRows + newRows, baseFiles ++ newFiles,
-      batchTag)
+      batchTag, baseStats ++ newStats)
     v
   }
 
@@ -219,16 +239,19 @@ object VersionedTable {
     * the data landed but the marker did not. One writing stream per
     * table: ids are compared globally, not per query. */
   def streamingCommit(batch: DataFrame, batchId: Long, path: String,
-      mode: String = "append"): Option[Int] =
+      mode: String = "append",
+      statCols: Seq[String] = Seq.empty): Option[Int] =
     if (committedBatches(batch.sparkSession, path).contains(batchId)) None
-    else Some(commitImpl(batch, path, mode, Some(batchId)))
+    else Some(commitImpl(batch, path, mode, Some(batchId), statCols))
 
   /** `ds.writeStream.foreachBatch(VersionedTable.sink(path))` — every
     * micro-batch becomes one APPEND version with exactly-once manifest
     * semantics (see [[streamingCommit]]). */
-  def sink(path: String, mode: String = "append")
+  def sink(path: String, mode: String = "append",
+      statCols: Seq[String] = Seq.empty)
       : (DataFrame, Long) => Unit =
-    (batch, batchId) => { streamingCommit(batch, batchId, path, mode); () }
+    (batch, batchId) =>
+      { streamingCommit(batch, batchId, path, mode, statCols); () }
 
   /** Read a version (default: latest committed). Time travel = pass the
     * version a past run recorded. The read plans over EXACTLY the
@@ -262,11 +285,12 @@ object VersionedTable {
     * retention lapses the old dirs surface via [[orphanDataDirs]].
     * Size `nFiles` from the manifest row count and the row-group audit
     * (`q_parquet_meta`) — target 128-256 MB per file at rest. */
-  def compact(spark: SparkSession, path: String, nFiles: Int): Int = {
+  def compact(spark: SparkSession, path: String, nFiles: Int,
+      statCols: Seq[String] = Seq.empty): Int = {
     require(nFiles > 0, s"nFiles must be positive, got $nFiles")
     val latest = versions(spark, path).last
     val v = commit(read(spark, path, Some(latest)).repartition(nFiles),
-      path, mode = "overwrite")
+      path, mode = "overwrite", statCols = statCols)
     v
   }
 
@@ -276,11 +300,13 @@ object VersionedTable {
 
   /** Roll back by committing a NEW version whose manifest re-lists
     * `toVersion`'s files — history stays intact (an audit can still
-    * read the bad versions), data files are untouched. */
+    * read the bad versions), data files are untouched. Stat lines ride
+    * along: they describe the immutable files, not the version. */
   def rollback(spark: SparkSession, path: String, toVersion: Int): Int = {
     val (rows, files) = readManifest(spark, path, toVersion)
     val v = claimNext(spark, path)
-    publish(spark, path, v, rows, files)
+    publish(spark, path, v, rows, files,
+      statLines = statLinesOf(spark, path, toVersion))
     v
   }
 
@@ -380,6 +406,280 @@ object VersionedTable {
     val v = claimNext(spark, path)
     publish(spark, path, v, keepRows + newRows, keep ++ newFiles)
     v
+  }
+
+  // ------------------------------------------------------------------
+  // Per-file column stats (manifest zone maps) + data-skipping reads
+  // ------------------------------------------------------------------
+
+  /** One stat-column's per-file summary. `kind` pins the comparison
+    * semantics: "i" integral, "dt" date (epoch days), "ts" timestamp
+    * (epoch micros), "d" double, "s" string. min/max are canonical
+    * strings in that kind's decoded space; None = the file is all-null
+    * for the column (a comparison predicate can never match there). */
+  case class ColStat(kind: String, min: Option[String],
+      max: Option[String], nulls: Long)
+
+  /** Per-file stats block: row count + per-column [[ColStat]]. */
+  case class FileStat(file: String, rows: Long, cols: Map[String, ColStat])
+
+  private val statTag = "# stat\t"
+
+  // stat VALUES are URL-encoded (tab/newline-proof) and prefixed "v";
+  // a bare "-" is the all-null marker — unambiguous because encoded
+  // values always start with "v"
+  private def encVal(v: Any): String =
+    if (v == null) "-"
+    else "v" + java.net.URLEncoder.encode(v.toString, "UTF-8")
+
+  private def decVal(s: String): Option[String] =
+    if (s == "-") None
+    else Some(java.net.URLDecoder.decode(s.substring(1), "UTF-8"))
+
+  /** Ordering-preserving projection of a stat column to its canonical
+    * comparable space, plus the kind tag. Unsupported types are
+    * rejected at commit time — silently stat-less columns would make
+    * [[readWhere]] quietly never prune them. */
+  private def statProjection(schema: org.apache.spark.sql.types.StructType,
+      c: String): (org.apache.spark.sql.Column, String) = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
+    schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        (col(c).cast("long"), "i")
+      case DateType =>
+        (expr(s"datediff(`$c`, date'1970-01-01')").cast("long"), "dt")
+      case TimestampType | TimestampNTZType =>
+        (expr(s"unix_micros(cast(`$c` as timestamp))"), "ts")
+      case FloatType | DoubleType => (col(c).cast("double"), "d")
+      case StringType => (col(c), "s")
+      case other => throw new IllegalArgumentException(
+        s"statCols: unsupported type $other for column $c")
+    }
+  }
+
+  /** ONE grouped pass over the just-written increment: per file, row
+    * count + min/max/null-count of each stat column in its canonical
+    * space. The scan is pruned to `_metadata.file_path` + the stat
+    * columns; result size is O(files × statCols) — driver-safe by the
+    * same argument as the manifest itself. */
+  private def collectStats(spark: SparkSession, path: String,
+      relFiles: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      statCols: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    val projs = statCols.map(c => statProjection(schema, c))
+    val src = spark.read.parquet(relFiles.map(r => s"$path/$r"): _*)
+    val sel = col("_metadata.file_path").as("__f") +:
+      projs.zipWithIndex.map { case ((p, _), i) => p.as(s"__v$i") }
+    val aggs = count(lit(1)).as("__n") +:
+      statCols.indices.flatMap(i => Seq(
+        min(col(s"__v$i")).as(s"__mn$i"),
+        max(col(s"__v$i")).as(s"__mx$i"),
+        sum(when(col(s"__v$i").isNull, 1L).otherwise(0L)).as(s"__nl$i")))
+    val rows = src.select(sel: _*).groupBy(col("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    rows.toSeq.flatMap { r =>
+      val abs = r.getString(0)
+      val rel = abs.substring(abs.lastIndexOf("/data/") + 1)
+      val n = r.getLong(1)
+      statCols.zipWithIndex.map { case (c, i) =>
+        statTag + Seq(rel, n.toString, c, projs(i)._2,
+          encVal(r.get(2 + 3 * i)), encVal(r.get(3 + 3 * i)),
+          r.getLong(4 + 3 * i).toString).mkString("\t")
+      }
+    }.sorted
+  }
+
+  private def statLinesOf(spark: SparkSession, path: String,
+      v: Int): Seq[String] =
+    manifestLines(spark, path, v).filter(_.startsWith(statTag))
+
+  /** Per-file stats of a version (default latest), parsed from the
+    * manifest — ZERO data I/O, the zone-map read path. Files committed
+    * without `statCols` are simply absent. */
+  def fileStats(spark: SparkSession, path: String,
+      version: Option[Int] = None): Seq[FileStat] = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val v = version.getOrElse(vs.last)
+    val (_, files) = readManifest(spark, path, v)
+    val inVersion = files.toSet
+    statLinesOf(spark, path, v)
+      .map(_.stripPrefix(statTag).split("\t", -1))
+      .collect { case Array(rel, n, c, kind, mn, mx, nl)
+        if inVersion(rel) =>
+        (rel, n.toLong, c, ColStat(kind, decVal(mn), decVal(mx), nl.toLong))
+      }
+      .groupBy(t => (t._1, t._2))
+      .toSeq.sortBy(_._1._1)
+      .map { case ((rel, n), ts) =>
+        FileStat(rel, n, ts.map(t => t._3 -> t._4).toMap) }
+  }
+
+  /** [[fileStats]] as a DataFrame: one row per (file, column) with the
+    * canonical-space min/max strings — the audit/readout surface. */
+  def fileStatsDf(spark: SparkSession, path: String,
+      version: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    fileStats(spark, path, version).flatMap { fsRow =>
+      fsRow.cols.toSeq.sortBy(_._1).map { case (c, st) =>
+        (fsRow.file, fsRow.rows, c, st.kind, st.min.orNull,
+          st.max.orNull, st.nulls) }
+    }.toDF("file", "n_rows", "col", "kind", "min_v", "max_v", "n_nulls")
+  }
+
+  // ---- conservative may-match evaluation of a predicate over stats ----
+
+  private def cmpCanon(kind: String, a: String, b: String): Int =
+    kind match {
+      case "i" | "dt" | "ts" => java.lang.Long.compare(a.toLong, b.toLong)
+      case "d" => java.lang.Double.compare(a.toDouble, b.toDouble)
+      case _ => a.compareTo(b)
+    }
+
+  /** A literal rendered into `kind`'s canonical space — None when the
+    * literal's type does not align with the column's semantics (a
+    * date-days bound must never be compared against micros), which
+    * disables pruning for that conjunct rather than risking a wrong
+    * skip. */
+  private def litCanon(kind: String,
+      l: org.apache.spark.sql.catalyst.expressions.Literal)
+      : Option[String] = {
+    import org.apache.spark.sql.types._
+    if (l.value == null) None
+    else (kind, l.dataType) match {
+      case ("i", ByteType | ShortType | IntegerType | LongType) =>
+        Some(l.value.toString)
+      case ("d", ByteType | ShortType | IntegerType | LongType) =>
+        Some(l.value.toString)
+      case ("d", DoubleType) => Some(l.value.toString)
+      case ("d", FloatType) =>
+        Some(l.value.asInstanceOf[Float].toDouble.toString)
+      case ("dt", DateType) => Some(l.value.toString) // internal = days
+      case ("ts", TimestampType | TimestampNTZType) =>
+        Some(l.value.toString) // internal = micros
+      case ("s", StringType) => Some(l.value.toString)
+      case _ => None
+    }
+  }
+
+  /** TRUE unless the stats PROVE no row of the file can satisfy `e` —
+    * the standard may-contain contract: And/Or recurse, comparison
+    * conjuncts consult [[ColStat]] bounds, everything else (Not,
+    * functions, casts, stat-less columns, misaligned literal types)
+    * conservatively keeps the file. A wrong TRUE costs a scan; a wrong
+    * FALSE would corrupt results — hence every default is TRUE. */
+  private def mayMatch(fst: FileStat,
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def nameOf(x: Expression): Option[String] = x match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    // col op lit, already oriented so `op` reads "column op literal"
+    def bound(cn: String, l: Literal, op: String): Boolean =
+      fst.cols.get(cn) match {
+        case None => true // stat-less column: cannot prune
+        case Some(cs) => litCanon(cs.kind, l) match {
+          case None => true // misaligned literal: cannot prune
+          case Some(v) => (cs.min, cs.max) match {
+            case (Some(mn), Some(mx)) =>
+              val cMin = cmpCanon(cs.kind, mn, v)
+              val cMax = cmpCanon(cs.kind, mx, v)
+              op match {
+                case "=" => cMin <= 0 && cMax >= 0
+                case "<" => cMin < 0   // some value below v exists
+                case "<=" => cMin <= 0
+                case ">" => cMax > 0   // some value above v exists
+                case ">=" => cMax >= 0
+                case _ => true
+              }
+            case _ => false // all-null file: comparisons never match
+          }
+        }
+      }
+    def flip(op: String): String = op match {
+      case "<" => ">"
+      case "<=" => ">="
+      case ">" => "<"
+      case ">=" => "<="
+      case o => o
+    }
+    def cmp(a: Expression, b: Expression, op: String): Boolean =
+      (nameOf(a), b, nameOf(b), a) match {
+        case (Some(cn), l: Literal, _, _) => bound(cn, l, op)
+        case (_, _, Some(cn), l: Literal) => bound(cn, l, flip(op))
+        case _ => true
+      }
+    e match {
+      case And(l, r) => mayMatch(fst, l) && mayMatch(fst, r)
+      case Or(l, r) => mayMatch(fst, l) || mayMatch(fst, r)
+      case EqualTo(a, b) => cmp(a, b, "=")
+      case EqualNullSafe(a, b) => (a, b) match {
+        case (x, l: Literal) if l.value == null && nameOf(x).isDefined =>
+          fst.cols.get(nameOf(x).get).forall(_.nulls > 0)
+        case _ => cmp(a, b, "=")
+      }
+      case LessThan(a, b) => cmp(a, b, "<")
+      case LessThanOrEqual(a, b) => cmp(a, b, "<=")
+      case GreaterThan(a, b) => cmp(a, b, ">")
+      case GreaterThanOrEqual(a, b) => cmp(a, b, ">=")
+      case In(a, vs) if nameOf(a).isDefined &&
+          vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists(v => cmp(a, v, "="))
+      case IsNull(a) => nameOf(a) match {
+        case Some(cn) => fst.cols.get(cn).forall(_.nulls > 0)
+        case None => true
+      }
+      case IsNotNull(a) => nameOf(a) match {
+        case Some(cn) =>
+          fst.cols.get(cn).forall(cs => fst.rows - cs.nulls > 0)
+        case None => true
+      }
+      case _ => true
+    }
+  }
+
+  /** (kept, skipped) relative file lists for `predicate` against a
+    * version's manifest stats — the planning half of [[readWhere]],
+    * exposed for audits ("how much would this predicate skip?") and
+    * specs. Files without stats are always kept. */
+  def pruneFiles(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column,
+      version: Option[Int] = None): (Seq[String], Seq[String]) = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val v = version.getOrElse(vs.last)
+    val (_, files) = readManifest(spark, path, v)
+    val stats = fileStats(spark, path, Some(v))
+      .map(s => s.file -> s).toMap
+    val (keep, skip) = files.partition(f =>
+      stats.get(f).forall(mayMatch(_,
+      org.apache.spark.sql.GraftSqlBridge.parsedExpression(predicate))))
+    (keep, skip)
+  }
+
+  /** Data-skipping read: plan over ONLY the files whose manifest stats
+    * may satisfy `predicate`, then apply the predicate exactly — the
+    * lakehouse zone-map scan. Pruning is metadata-only (no data I/O
+    * before the surviving scan) and provably conservative
+    * ([[mayMatch]]'s contract), so the result is identical to
+    * `read(...).filter(predicate)` by construction; what changes at
+    * 100 TB is the denominator — a clustered table turns a narrow
+    * predicate into an O(matching-files) scan instead of O(table). */
+  def readWhere(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column,
+      version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val (keep, _) = pruneFiles(spark, path, predicate, version)
+    if (keep.isEmpty)
+      // schema-correct empty relation; the optimizer folds it to zero I/O
+      read(spark, path, version).filter(lit(false))
+    else spark.read.parquet(keep.map(r => s"$path/$r"): _*)
+      .filter(predicate)
   }
 
   /** Data directories referenced by NO version in `keepVersions`

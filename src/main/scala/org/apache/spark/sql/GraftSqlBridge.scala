@@ -13,6 +13,40 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Like [[expression]], but with every lazily-wrapped column node
+    * (e.g. the SqlExpression that `functions.expr(...)` defers parsing
+    * of) EXPANDED into its real catalyst tree via Spark's own
+    * ColumnNode converter, and operator-named UnresolvedFunctions (the
+    * shape programmatic `col("x") > lit(5)` converts to pre-analysis)
+    * folded into their catalyst comparison/logical nodes — the form a
+    * structural walk (pattern matching on And/comparison/Literal) can
+    * actually see. Purely an unresolved-tree rewrite: nothing is
+    * analyzed or bound. */
+  def parsedExpression(c: Column): Expression = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    import org.apache.spark.sql.catalyst.expressions._
+    classic.GraftClassicBridge.expand(expression(c)).transformUp {
+      case uf: UnresolvedFunction if uf.nameParts.length == 1 &&
+          !uf.isDistinct && uf.filter.isEmpty =>
+        (uf.nameParts.head.toLowerCase(java.util.Locale.ROOT),
+          uf.arguments) match {
+          case (">", Seq(a, b)) => GreaterThan(a, b)
+          case ("<", Seq(a, b)) => LessThan(a, b)
+          case (">=", Seq(a, b)) => GreaterThanOrEqual(a, b)
+          case ("<=", Seq(a, b)) => LessThanOrEqual(a, b)
+          case ("=" | "==", Seq(a, b)) => EqualTo(a, b)
+          case ("<=>", Seq(a, b)) => EqualNullSafe(a, b)
+          case ("and", Seq(a, b)) => And(a, b)
+          case ("or", Seq(a, b)) => Or(a, b)
+          case ("!" | "not", Seq(a)) => Not(a)
+          case ("isnull", Seq(a)) => IsNull(a)
+          case ("isnotnull", Seq(a)) => IsNotNull(a)
+          case ("in", a +: rest) => In(a, rest)
+          case _ => uf
+        }
+    }
+  }
+
   /** Wrap an analyzed logical plan back into a DataFrame (Spark 4 hides
     * `Dataset.ofRows` behind `private[sql]`). Needed to hand custom
     * logical operators (e.g. graft.plans.TopKPerGroup) to the planner. */

@@ -41,6 +41,36 @@ class VersionedStreamSinkSpec extends SparkSpec {
     assert(VersionedTable.read(spark, path).count() == 4)
   }
 
+  test("sink with statCols: every micro-batch's files land with zone maps") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-vss").toString + "/t"
+    val mem = MemoryStream[VtRow]
+    val q = mem.toDS().toDF().writeStream
+      .foreachBatch(VersionedTable.sink(path, statCols = Seq("id")))
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(VtRow(10, "a"), VtRow(20, "b"))
+      q.processAllAvailable()
+      mem.addData(VtRow(30, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val stats = VersionedTable.fileStats(spark, path)
+    assert(stats.nonEmpty && stats.forall(_.cols.contains("id")))
+    val bounds = stats.flatMap(s =>
+      s.cols("id").min.map(_.toLong).toSeq ++
+        s.cols("id").max.map(_.toLong).toSeq)
+    assert(bounds.min == 10L && bounds.max == 30L)
+    // and a pruning read over the streamed table works end to end
+    import org.apache.spark.sql.functions.{col, lit}
+    val (keep, skip) =
+      VersionedTable.pruneFiles(spark, path, col("id") >= lit(30L))
+    assert(skip.nonEmpty, "the first batch's files must be skippable")
+    assert(VersionedTable.readWhere(spark, path, col("id") >= lit(30L))
+      .count() == 1)
+  }
+
   test("stream-static enrichment against a PINNED snapshot ignores later commits") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -1,0 +1,166 @@
+package graft.sources
+
+import graft.athenaeum.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Manifest-level column stats + data-skipping reads: stats are exact,
+  * pruning is conservative (readWhere ≡ read().filter for every
+  * predicate shape, including the ones the evaluator cannot use), and
+  * the metadata survives append/rollback like the files it describes. */
+class VersionedTableSkipSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def freshPath() = java.nio.file.Files
+    .createTempDirectory("graft-vts").toString + "/t"
+
+  /** Orders committed one file per order-year, stats on date + price +
+    * priority — the clustered-table shape data skipping exists for. */
+  private def buildByYear(path: String): Unit = {
+    val orders = Tables(spark, dir, "orders")
+    val years = orders.selectExpr("year(o_orderdate) AS y").distinct()
+      .orderBy("y").collect().map(_.getInt(0)).toSeq
+    years.zipWithIndex.foreach { case (y, i) =>
+      VersionedTable.commit(
+        orders.filter(expr(s"year(o_orderdate) = $y")).repartition(1),
+        path, if (i == 0) "overwrite" else "append",
+        statCols = Seq("o_orderdate", "o_totalprice", "o_orderpriority"))
+    }
+  }
+
+  private def assertSameResult(path: String,
+      pred: org.apache.spark.sql.Column): Unit = {
+    val full = VersionedTable.read(spark, path).filter(pred)
+    val pruned = VersionedTable.readWhere(spark, path, pred)
+    assert(pruned.count() == full.count())
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty,
+      s"readWhere diverged for $pred")
+  }
+
+  test("stats are exact per file and zero-data-I/O to read back") {
+    val path = freshPath()
+    buildByYear(path)
+    val stats = VersionedTable.fileStats(spark, path)
+    val orders = Tables(spark, dir, "orders")
+    val perYear = orders
+      .groupBy(expr("year(o_orderdate)").as("y"))
+      .agg(count(lit(1)).as("n"),
+        min(expr("unix_micros(cast(o_orderdate as timestamp))")).as("mn"),
+        max(expr("unix_micros(cast(o_orderdate as timestamp))")).as("mx"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(stats.size == perYear.size, "one stats block per year file")
+    val got = stats.map { fsRow =>
+      val d = fsRow.cols("o_orderdate")
+      assert(d.kind == "ts" && d.nulls == 0)
+      (fsRow.rows, d.min.get.toLong, d.max.get.toLong)
+    }.toSet
+    assert(got == perYear)
+    // string stats carry the priority domain bounds
+    assert(stats.forall { fsRow =>
+      val p = fsRow.cols("o_orderpriority")
+      p.kind == "s" && p.min.nonEmpty && p.max.nonEmpty
+    })
+  }
+
+  test("readWhere equals read().filter across predicate shapes") {
+    val path = freshPath()
+    buildByYear(path)
+    Seq(
+      expr("o_orderdate >= timestamp'1996-01-01 00:00:00' AND " +
+        "o_orderdate < timestamp'1997-01-01 00:00:00'"),
+      expr("o_totalprice > 300000.0"),
+      expr("o_orderpriority = '1-URGENT'"),
+      expr("o_orderpriority IN ('1-URGENT', '2-HIGH')"),
+      expr("o_orderdate < timestamp'1996-01-01 00:00:00' OR " +
+        "o_totalprice > 400000.0"),
+      // evaluator can't use these — must fall back to keep-everything
+      expr("NOT (o_orderdate >= timestamp'1996-01-01 00:00:00')"),
+      expr("year(o_orderdate) = 1996"),
+      expr("o_orderkey % 7 = 0"),
+      expr("o_orderdate IS NOT NULL"),
+      expr("o_orderdate IS NULL")
+    ).foreach(assertSameResult(path, _))
+  }
+
+  test("a clustered one-year predicate actually skips the other files") {
+    val path = freshPath()
+    buildByYear(path)
+    val pred = expr("o_orderdate >= timestamp'1996-01-01 00:00:00' AND " +
+      "o_orderdate < timestamp'1997-01-01 00:00:00'")
+    val (keep, skip) = VersionedTable.pruneFiles(spark, path, pred)
+    assert(keep.size == 1, s"expected exactly the 1996 file, got $keep")
+    assert(skip.nonEmpty && skip.size == dataFileCount(path) - 1)
+    // an out-of-domain predicate prunes everything, and the read is a
+    // schema-correct empty relation
+    val none = expr("o_orderdate < timestamp'1970-01-02 00:00:00'")
+    val (k2, s2) = VersionedTable.pruneFiles(spark, path, none)
+    assert(k2.isEmpty && s2.size == dataFileCount(path))
+    val empty = VersionedTable.readWhere(spark, path, none)
+    assert(empty.count() == 0 &&
+      empty.columns.contains("o_orderpriority"))
+  }
+
+  test("files committed without stats are always kept (conservative)") {
+    val path = freshPath()
+    val orders = Tables(spark, dir, "orders")
+    VersionedTable.commit(
+      orders.filter(expr("year(o_orderdate) = 1996")).repartition(1),
+      path, "overwrite", statCols = Seq("o_orderdate"))
+    // stat-less append: a reader predating stats, or a lazy writer
+    VersionedTable.commit(
+      orders.filter(expr("year(o_orderdate) = 1997")).repartition(1),
+      path, "append")
+    val pred = expr("o_orderdate < timestamp'1995-01-01 00:00:00'")
+    val (keep, skip) = VersionedTable.pruneFiles(spark, path, pred)
+    assert(skip.size == 1, "the stats-backed 1996 file is provably empty")
+    assert(keep.size == 1, "the stat-less 1997 file must survive")
+    assertSameResult(path, pred)
+  }
+
+  test("all-null files prune for comparisons but serve IS NULL") {
+    val path = freshPath()
+    import spark.implicits._
+    val withNulls = (1L to 50L).map(i =>
+      (i, if (i <= 25) None else Some(i * 10))).toDF("id", "v")
+    VersionedTable.commit(
+      withNulls.filter(col("v").isNull).repartition(1), path,
+      "overwrite", statCols = Seq("v"))
+    VersionedTable.commit(
+      withNulls.filter(col("v").isNotNull).repartition(1), path,
+      "append", statCols = Seq("v"))
+    val (k1, s1) = VersionedTable.pruneFiles(spark, path, col("v") > 100L)
+    assert(k1.size == 1 && s1.size == 1, "all-null file pruned for >")
+    val (k2, _) = VersionedTable.pruneFiles(spark, path, col("v").isNull)
+    assert(k2.size == 1 && k2 != k1, "IS NULL keeps only the null file")
+    assertSameResult(path, col("v") > 100L)
+    assertSameResult(path, col("v").isNull)
+  }
+
+  test("misaligned literal types disable pruning instead of risking it") {
+    val path = freshPath()
+    buildByYear(path)
+    // a string literal against the timestamp column: no stat use
+    val pred = col("o_orderdate") > lit("1996-01-01")
+    val (keep, skip) = VersionedTable.pruneFiles(spark, path, pred)
+    assert(skip.isEmpty && keep.size == dataFileCount(path))
+  }
+
+  test("stats survive append carry and rollback") {
+    val path = freshPath()
+    buildByYear(path)
+    val before = VersionedTable.fileStats(spark, path)
+    val vs = VersionedTable.versions(spark, path)
+    // rollback to the first version: only that file's stats remain
+    val rb = VersionedTable.rollback(spark, path, vs.head)
+    val atRb = VersionedTable.fileStats(spark, path, Some(rb))
+    assert(atRb.size == 1 &&
+      before.map(_.file).contains(atRb.head.file))
+    // and the full-history stats are still intact at the old version
+    assert(VersionedTable.fileStats(spark, path,
+      Some(vs.last)).size == before.size)
+  }
+
+  private def dataFileCount(path: String): Int =
+    VersionedTable.fileStats(spark, path).size
+}
