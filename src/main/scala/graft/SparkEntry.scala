@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
-import graft.operators.{Bloom, Dedup, Events, Graph, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Bloom, Dedup, Events, Graph, Sampling, Similarity, Spatial, TextAnalysis}
 import graft.functions.{GraftFunctions, XFormulas}
 
 /** Driver contract — one `queries` entry per operator from SURVEY.md §2
@@ -3855,6 +3855,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(expr("CAST(o_totalprice AS DECIMAL(18,2))"))
             .cast("double").as("total"))
+    }),
+
+    // ----- SPATIAL RADIUS SELF-JOIN via grid bucketing: deterministic
+    // planar coordinates derived from customer keys, all pairs within
+    // r=25 on a 1000x1000 plane. The naive plan is O(n^2); the grid
+    // plan is ONE equi-shuffle on the cell key with a constant 3x3
+    // probe fan-out, then an exact integer-squared-distance verify on
+    // candidates only (Spatial.radiusJoin's scaladoc carries the
+    // 100 TB argument). The oracle IS the naive all-pairs filter —
+    // hash-equality proves the neighborhood join misses nothing -----
+    "q_spatial_join" -> ((s, dir) => {
+      val pts = t(s, dir, "customer").selectExpr(
+        "c_custkey AS id",
+        "(c_custkey * 37) % 1000 AS x",
+        "(c_custkey * 91) % 1000 AS y")
+      Spatial.radiusJoin(pts, "id", "x", "y", radius = 25L, cell = 50L)
+    }),
+    // ----- SPATIAL DENSITY / hotspot audit: points per grid cell and
+    // the k-or-more flag — both a standalone spatial aggregation and
+    // the skew auditor behind q_spatial_join's cell-size choice -----
+    "q_spatial_density" -> ((s, dir) => {
+      val pts = t(s, dir, "customer").selectExpr(
+        "(c_custkey * 37) % 1000 AS x",
+        "(c_custkey * 91) % 1000 AS y")
+      Spatial.density(pts, "x", "y", cell = 50L, hotspotAt = 8L)
     }),
 
     // ----- l-diversity audit, the k-anonymity complement: a quasi-
@@ -8734,6 +8759,23 @@ object SparkEntry {
              AND o_orderdate < TIMESTAMP '1997-01-01'
              AND o_totalprice > 150000.0e0
            GROUP BY o_orderpriority""",
+      "q_spatial_join" ->
+        // the naive quadratic truth the grid join must reproduce
+        """WITH p AS (SELECT c_custkey AS id, (c_custkey * 37) % 1000 AS x,
+                             (c_custkey * 91) % 1000 AS y FROM customer)
+           SELECT a.id AS id_a, b.id AS id_b,
+                  CAST((a.x - b.x) * (a.x - b.x)
+                     + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+           FROM p a JOIN p b ON a.id < b.id
+           WHERE (a.x - b.x) * (a.x - b.x)
+               + (a.y - b.y) * (a.y - b.y) <= 625""",
+      "q_spatial_density" ->
+        """WITH p AS (SELECT (c_custkey * 37) % 1000 AS x,
+                             (c_custkey * 91) % 1000 AS y FROM customer)
+           SELECT x // 50 AS cx, y // 50 AS cy,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  COUNT(*) >= 8 AS hotspot
+           FROM p GROUP BY x // 50, y // 50""",
       "q_l_diversity" ->
         """SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
                   COUNT(DISTINCT CAST(floor(c_acctbal / 4000.0) AS BIGINT)) AS l_distinct,
