@@ -3881,6 +3881,32 @@ object SparkEntry {
         "(c_custkey * 91) % 1000 AS y")
       Spatial.density(pts, "x", "y", cell = 50L, hotspotAt = 8L)
     }),
+    // ----- SPATIAL kNN JOIN, radius-bounded: k nearest neighbors per
+    // point among those within r. The radius bound is the exactness
+    // contract — it confines candidates to the 3x3 grid neighborhood
+    // (unbounded kNN has no exhaustive fixed neighborhood); the rank
+    // window is PARTITIONED by point id, never global -----
+    "q_spatial_knn" -> ((s, dir) => {
+      val pts = t(s, dir, "customer").selectExpr(
+        "c_custkey AS id",
+        "(c_custkey * 37) % 1000 AS x",
+        "(c_custkey * 91) % 1000 AS y")
+      Spatial.knnWithin(pts, "id", "x", "y", radius = 25L, cell = 50L,
+        k = 3)
+    }),
+    // ----- DBSCAN, made deterministic: clusters = connected components
+    // of the core-point eps-graph (true CC via star contraction — the
+    // oracle's recursive reachability closure is round-count-free, so
+    // only a TRUE CC matches it), borders attach to the MIN neighboring
+    // core cluster, noise gets -1. The eps-graph is the grid radius
+    // join — at no stage does anything all-pairs run -----
+    "q_spatial_dbscan" -> ((s, dir) => {
+      val pts = t(s, dir, "customer").selectExpr(
+        "c_custkey AS id",
+        "(c_custkey * 37) % 1000 AS x",
+        "(c_custkey * 91) % 1000 AS y")
+      Spatial.dbscan(pts, "id", "x", "y", eps = 30L, minPts = 5L)
+    }),
 
     // ----- l-diversity audit, the k-anonymity complement: a quasi-
     // identifier group is re-identifiable even at k>=10 members if a
@@ -8776,6 +8802,56 @@ object SparkEntry {
                   CAST(COUNT(*) AS BIGINT) AS n,
                   COUNT(*) >= 8 AS hotspot
            FROM p GROUP BY x // 50, y // 50""",
+      "q_spatial_knn" ->
+        // naive truth: all neighbors within r, rank per point, keep k
+        """WITH p AS (SELECT c_custkey AS id, (c_custkey * 37) % 1000 AS x,
+                             (c_custkey * 91) % 1000 AS y FROM customer),
+           nb AS (SELECT a.id AS id, b.id AS nbr,
+                         CAST((a.x - b.x) * (a.x - b.x)
+                            + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+                  FROM p a JOIN p b ON a.id <> b.id
+                  WHERE (a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y) <= 625)
+           SELECT id, nbr, dist2, knn_rank FROM (
+             SELECT id, nbr, dist2,
+                    CAST(row_number() OVER (PARTITION BY id
+                      ORDER BY dist2, nbr) AS BIGINT) AS knn_rank
+             FROM nb) WHERE knn_rank <= 3""",
+      "q_spatial_dbscan" ->
+        // naive truth: quadratic eps-graph, recursive reachability
+        // closure over core-core edges (MIN reachable core = cluster),
+        // min-label border attachment, -1 noise
+        """WITH RECURSIVE p AS (SELECT c_custkey AS id,
+                    (c_custkey * 37) % 1000 AS x,
+                    (c_custkey * 91) % 1000 AS y FROM customer),
+           nb AS (SELECT a.id AS id, b.id AS nbr FROM p a JOIN p b
+                  ON a.id <> b.id
+                  WHERE (a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y) <= 900),
+           core AS (SELECT id FROM (
+                      SELECT p.id, COALESCE(c.n, 0) + 1 AS n FROM p
+                      LEFT JOIN (SELECT id, COUNT(*) AS n FROM nb
+                                 GROUP BY id) c USING (id))
+                    WHERE n >= 5),
+           ce AS (SELECT n.id AS src, n.nbr AS dst FROM nb n
+                  JOIN core a ON n.id = a.id JOIN core b ON n.nbr = b.id),
+           reach AS (SELECT id, id AS r FROM core
+                     UNION
+                     SELECT e.src AS id, reach.r FROM ce e
+                     JOIN reach ON e.dst = reach.id),
+           lab AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+           brd AS (SELECT n.id, MIN(l.cluster) AS cluster FROM nb n
+                   JOIN lab l ON n.nbr = l.id
+                   WHERE n.id NOT IN (SELECT id FROM core)
+                   GROUP BY n.id)
+           SELECT id, 'core' AS role, CAST(cluster AS BIGINT) AS cluster
+           FROM lab
+           UNION ALL
+           SELECT id, 'border', CAST(cluster AS BIGINT) FROM brd
+           UNION ALL
+           SELECT p.id, 'noise', CAST(-1 AS BIGINT) FROM p
+           WHERE p.id NOT IN (SELECT id FROM lab)
+             AND p.id NOT IN (SELECT id FROM brd)""",
       "q_l_diversity" ->
         """SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
                   COUNT(DISTINCT CAST(floor(c_acctbal / 4000.0) AS BIGINT)) AS l_distinct,

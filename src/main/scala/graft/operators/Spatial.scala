@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Spatial operators over planar (x, y) point sets — radius
@@ -30,16 +31,24 @@ object Spatial {
 
   /** All unordered pairs (id_a < id_b) within `radius`, by squared
     * Euclidean distance on integer-valued coordinates. Returns
-    * (id_a, id_b, dist2: BIGINT). Requires radius ≤ cell — the 3×3
-    * neighborhood is only exhaustive when a pair cannot span two whole
-    * cells; callers with a larger radius raise `cell` (bigger cells =
-    * fewer, fatter buckets), never the fan-out. */
+    * (id_a, id_b, dist2: BIGINT). A pair within r spans at most
+    * ⌈r/cell⌉ whole cells per axis, so the (2R+1)² neighborhood with
+    * R = ⌈radius/cell⌉ is exhaustive for ANY radius/cell combination —
+    * radius ≤ cell gives the classic 3×3, smaller cells trade a wider
+    * (still constant) probe fan-out for thinner buckets. */
   def radiusJoin(points: DataFrame, idCol: String, xCol: String,
-      yCol: String, radius: Long, cell: Long): DataFrame = {
+      yCol: String, radius: Long, cell: Long): DataFrame =
+    candidatePairs(points, idCol, xCol, yCol, radius, cell)
+      .select(col("id_a"), col("id_b"), col("dist2"))
+
+  /** [[radiusJoin]] with coordinates kept on both sides — internal
+    * feed for [[dbscan]], which re-derives grid cells from them. */
+  private def candidatePairs(points: DataFrame, idCol: String,
+      xCol: String, yCol: String, radius: Long, cell: Long): DataFrame = {
     require(cell > 0, s"cell must be positive, got $cell")
-    require(radius <= cell,
-      s"radius $radius exceeds cell $cell: a pair could span " +
-        "non-adjacent cells and the 3x3 neighborhood would miss it")
+    require(radius >= 0, s"radius must be non-negative, got $radius")
+    val ring = ((radius + cell - 1) / cell).max(1L)
+    val offs = (-ring to ring).map(o => s"${o}L").mkString(", ")
     val pts = points.select(
       col(idCol).cast("long").as("pid"),
       col(xCol).cast("long").as("px"),
@@ -48,16 +57,15 @@ object Spatial {
       col("py").as("by"),
       expr(s"floor(px / ${cell}L)").as("cx"),
       expr(s"floor(py / ${cell}L)").as("cy"))
-    // probe side: each point visits its 9-cell neighborhood; the
+    // probe side: each point visits its (2R+1)^2-cell neighborhood; the
     // exploded frame carries only (id, x, y, cell) — constant width
     val probe = pts
       .select(col("pid").as("id_a"), col("px").as("ax"),
         col("py").as("ay"),
         expr(s"floor(px / ${cell}L)").as("cx0"),
         expr(s"floor(py / ${cell}L)").as("cy0"))
-      .withColumn("off", explode(expr(
-        "array(-1L, 0L, 1L)")))
-      .withColumn("off2", explode(expr("array(-1L, 0L, 1L)")))
+      .withColumn("off", explode(expr(s"array($offs)")))
+      .withColumn("off2", explode(expr(s"array($offs)")))
       .select(col("id_a"), col("ax"), col("ay"),
         (col("cx0") + col("off")).as("cx"),
         (col("cy0") + col("off2")).as("cy"))
@@ -67,7 +75,117 @@ object Spatial {
         (col("ax") - col("bx")) * (col("ax") - col("bx")) +
           (col("ay") - col("by")) * (col("ay") - col("by")))
       .filter(col("dist2") <= lit(radius * radius))
-      .select(col("id_a"), col("id_b"), col("dist2"))
+      .select(col("id_a"), col("ax"), col("ay"),
+        col("id_b"), col("bx"), col("by"), col("dist2"))
+  }
+
+  /** Up to `k` nearest neighbors per point among those within `radius`
+    * (ties broken by neighbor id). Returns (id, nbr, dist2, knn_rank).
+    *
+    * The radius bound is what makes a grid kNN EXACT: an unbounded kNN
+    * can have its k-th neighbor arbitrarily far away, so no fixed cell
+    * neighborhood is exhaustive — bounding the search to r ≤ cell makes
+    * the 3×3 candidate set provably complete, and the rank window runs
+    * PARTITIONED BY point id (thousands of concurrent tiny sorts, never
+    * a global one). The classic index-accelerated kNN-join shape. */
+  def knnWithin(points: DataFrame, idCol: String, xCol: String,
+      yCol: String, radius: Long, cell: Long, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val pairs = radiusJoin(points, idCol, xCol, yCol, radius, cell)
+    val sym = pairs.select(explode(array(
+        struct(col("id_a").as("id"), col("id_b").as("nbr"), col("dist2")),
+        struct(col("id_b").as("id"), col("id_a").as("nbr"), col("dist2"))))
+        .as("e"))
+      .select(col("e.id").as("id"), col("e.nbr").as("nbr"), col("e.dist2"))
+    sym.withColumn("knn_rank", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("dist2"), col("nbr")))
+        .cast("long"))
+      .filter(col("knn_rank") <= k)
+  }
+
+  /** Deterministic DBSCAN over integer-valued planar points: clusters
+    * are connected components of the core-point eps-graph, border
+    * points attach to the MINIMUM neighboring core cluster (classic
+    * DBSCAN leaves border assignment scan-order-dependent; taking the
+    * min makes the output a pure function of the input, so it can be
+    * hash-checked against an oracle). Returns (id, role, cluster) with
+    * role ∈ {core, border, noise}; cluster is the component's minimum
+    * core id, -1 for noise.
+    *
+    * Scale shape — exact GRID DBSCAN (Gunawan's construction): the
+    * grid uses g = ⌊eps/√2⌋ so a cell's diagonal is ≤ eps and every
+    * cell is a CLIQUE of the eps-graph. Connectivity then reduces to
+    * the CELL graph — cores in one cell are connected for free, and one
+    * witnessing core pair connects two cells' cliques wholesale — so
+    * [[Dedup.clustersStar]] runs on distinct touching cell pairs
+    * (|cells| ≪ |points|, each with ≤ ~21 neighbors) instead of the
+    * per-point eps-graph, whose edge count grows with the SQUARE of
+    * point density. The dense candidate-pair stream is never
+    * materialized: neighbor counts, cell edges, and border labels are
+    * three streaming aggregations over the (recomputed) grid join, so
+    * peak memory tracks points + cells, not pairs. A point with no
+    * neighbor inside eps never leaves its scan partition. */
+  def dbscan(points: DataFrame, idCol: String, xCol: String,
+      yCol: String, eps: Long, minPts: Long): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    require(eps >= 1, s"eps must be positive, got $eps")
+    // largest g with 2g^2 <= eps^2: intra-cell pairs are within eps
+    val g = math.max(1L, math.floor(eps / math.sqrt(2.0)).toLong)
+    val pts = Dedup.persistTracked(points.select(
+      col(idCol).cast("long").as("id"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y")))
+    // recomputed per consumer — three cheap streaming passes beat one
+    // materialized pair frame that is quadratic in local density
+    def pairs = candidatePairs(pts, "id", "x", "y", eps, g)
+    def sym = pairs.select(explode(array(
+        struct(col("id_a").as("id"), col("id_b").as("nbr")),
+        struct(col("id_b").as("id"), col("id_a").as("nbr")))).as("e"))
+      .select(col("e.id").as("id"), col("e.nbr").as("nbr"))
+    // |N_eps(p)| counts the point itself, the textbook convention
+    val core = sym.groupBy(col("id")).agg((count(lit(1)) + 1L).as("n"))
+      .filter(col("n") >= minPts).select(col("id"))
+      .transform(Dedup.persistTracked)
+    // packed cell key (coordinates are bounded well below 2^30 cells)
+    def cellKey(x: Column, y: Column): Column =
+      (floor(x / g) + (1L << 30)) * (1L << 31) + (floor(y / g) + (1L << 30))
+    val coreCells = pts
+      .join(core, Seq("id"), "leftsemi")
+      .select(col("id"), cellKey(col("x"), col("y")).as("cell"))
+      .transform(Dedup.persistTracked)
+    // cell graph: one witnessing core-core pair connects two cells;
+    // distinct-aggregate BEFORE anything is stored
+    val corePairs = pairs
+      .join(core.select(col("id").as("id_a")), Seq("id_a"), "leftsemi")
+      .join(core.select(col("id").as("id_b")), Seq("id_b"), "leftsemi")
+    val cellEdges = corePairs
+      .select(cellKey(col("ax"), col("ay")).as("ca"),
+        cellKey(col("bx"), col("by")).as("cb"))
+      .filter(col("ca") =!= col("cb")).distinct()
+    val cellComp = Dedup.clustersStar(cellEdges, "ca", "cb")
+      .select(col("ca").as("cell"), col("cluster").as("comp"))
+    // component label = MIN core id in the component; cells with no
+    // inter-cell edge form their own component
+    val labeled = coreCells.join(cellComp, Seq("cell"), "left")
+      .select(col("id"), coalesce(col("comp"), col("cell")).as("comp"))
+    val compMin = labeled.groupBy(col("comp"))
+      .agg(min(col("id")).as("cluster"))
+    val coreLabels = labeled.join(compMin, Seq("comp"))
+      .select(col("id"), col("cluster"))
+      .transform(Dedup.persistTracked)
+    val borders = sym
+      .join(core, Seq("id"), "leftanti") // only non-core probe points
+      .join(coreLabels.select(col("id").as("nbr"), col("cluster")),
+        Seq("nbr"))
+      .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+    val out = coreLabels.select(col("id"), lit("core").as("role"),
+        col("cluster"))
+      .unionAll(borders.select(col("id"), lit("border").as("role"),
+        col("cluster")))
+    val noise = pts.select(col("id"))
+      .join(out.select(col("id")), Seq("id"), "leftanti")
+      .select(col("id"), lit("noise").as("role"),
+        lit(-1L).as("cluster"))
+    out.unionAll(noise)
   }
 
   /** Per-cell point density with a hotspot flag — the skew auditor for

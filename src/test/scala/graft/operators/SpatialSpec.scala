@@ -28,7 +28,10 @@ class SpatialSpec extends SparkSpec {
     // together and DUPLICATE or MISS cross-origin pairs
     val pts = (1L to 400L).map(i =>
       (i, (i * 37 % 211) - 105, (i * 91 % 223) - 111))
-    for ((r, cell) <- Seq((10L, 10L), (10L, 25L), (25L, 40L), (1L, 50L)))
+    // cases straddle both regimes: radius below the cell size (3x3
+    // neighborhood) and radius ABOVE it (wider (2R+1)^2 ring)
+    for ((r, cell) <- Seq((10L, 10L), (10L, 25L), (25L, 40L), (1L, 50L),
+      (60L, 25L), (37L, 10L)))
       assert(run(pts, r, cell) == brute(pts, r),
         s"divergence at radius=$r cell=$cell")
   }
@@ -47,15 +50,76 @@ class SpatialSpec extends SparkSpec {
     assert(rows.length == got.size, "a pair was emitted more than once")
   }
 
-  test("guards: radius must not exceed cell; cell must be positive") {
+  test("guards: cell must be positive, radius non-negative") {
     import spark.implicits._
     val df = Seq((1L, 0L, 0L)).toDF("id", "x", "y")
     intercept[IllegalArgumentException](
-      Spatial.radiusJoin(df, "id", "x", "y", 51L, 50L))
-    intercept[IllegalArgumentException](
       Spatial.radiusJoin(df, "id", "x", "y", 1L, 0L))
     intercept[IllegalArgumentException](
+      Spatial.radiusJoin(df, "id", "x", "y", -1L, 50L))
+    intercept[IllegalArgumentException](
       Spatial.density(df, "x", "y", 0L, 1L))
+  }
+
+  test("knnWithin equals rank-over-brute-force, capped at k") {
+    import spark.implicits._
+    val pts = (1L to 300L).map(i =>
+      (i, (i * 37 % 211) - 105, (i * 91 % 223) - 111))
+    val brute = (for {
+      (ia, xa, ya) <- pts; (ib, xb, yb) <- pts if ia != ib
+      d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+      if d2 <= 20L * 20L
+    } yield (ia, ib, d2))
+      .groupBy(_._1).toSeq.flatMap { case (_, nbrs) =>
+        nbrs.sortBy(t => (t._3, t._2)).take(3)
+          .zipWithIndex.map { case ((a, b, d), i) => (a, b, d, i + 1L) }
+      }.toSet
+    val got = Spatial.knnWithin(pts.toDF("id", "x", "y"),
+        "id", "x", "y", 20L, 25L, 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == brute)
+  }
+
+  test("dbscan equals a local reference implementation") {
+    import spark.implicits._
+    val pts = (1L to 300L).map(i =>
+      (i, (i * 37 % 211) - 105, (i * 91 % 223) - 111))
+    val (eps, minPts) = (15L, 4)
+    // local reference: eps-graph, cores, union-find over core edges,
+    // min-label borders, -1 noise
+    val nbrs = pts.map { case (i, xi, yi) =>
+      i -> pts.filter { case (j, xj, yj) =>
+        j != i &&
+          (xi - xj) * (xi - xj) + (yi - yj) * (yi - yj) <= eps * eps
+      }.map(_._1).toSet
+    }.toMap
+    val core = pts.map(_._1).filter(i => nbrs(i).size + 1 >= minPts).toSet
+    val parent = scala.collection.mutable.Map(core.map(i => i -> i).toSeq: _*)
+    def find(i: Long): Long =
+      if (parent(i) == i) i else { val r = find(parent(i)); parent(i) = r; r }
+    for (i <- core; j <- nbrs(i) if core(j)) {
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    val label = core.map(i => i -> find(i)).toMap
+    val expect = pts.map(_._1).map { i =>
+      if (core(i)) (i, "core", label(i))
+      else {
+        val cn = nbrs(i).filter(core)
+        if (cn.nonEmpty) (i, "border", cn.map(label).min)
+        else (i, "noise", -1L)
+      }
+    }.toSet
+    val got = Spatial.dbscan(pts.toDF("id", "x", "y"),
+        "id", "x", "y", eps, minPts.toLong)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expect)
+    // sanity: this parameterization exercises all three roles
+    assert(expect.exists(_._2 == "core") && expect.exists(_._2 == "border")
+      && expect.exists(_._2 == "noise"))
   }
 
   test("density counts per cell with floor semantics across the origin") {
