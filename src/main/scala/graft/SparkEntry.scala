@@ -1019,6 +1019,30 @@ object SparkEntry {
         .orderBy(col("df").desc, col("word"))
         .limit(50)),
 
+    // ----- PHRASE SEARCH over a STORED positional index: postings are
+    // built once (word-range-partitioned + sorted, so parquet row-group
+    // stats make a term lookup a data-skipping read), then the phrase
+    // is n-1 equi-joins on (doc, anchor-relative position) — cost
+    // follows the rarest term's postings, never the corpus -----
+    "q_phrase_search" -> ((s, dir) => {
+      val path = "/tmp/graft_pos_index_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      TextAnalysis.positionalIndex(t(s, dir, "documents"), "doc_id", "text")
+        .repartitionByRange(4, col("word"))
+        .sortWithinPartitions(col("word"))
+        .write.mode("overwrite").parquet(path)
+      TextAnalysis.phraseQuery(s.read.parquet(path), "doc_id",
+        Seq("slow", "hash", "batch"))
+    }),
+    // ----- the same phrase WITHOUT an index: one narrow HOF corpus
+    // pass testing every |phrase|-token window, zero shuffles before
+    // the aggregate — the right plan for an ad-hoc phrase (building
+    // postings first would cost this same pass). Same oracle: the two
+    // plans must agree to the hash -----
+    "q_phrase_scan" -> ((s, dir) =>
+      TextAnalysis.phraseScan(t(s, dir, "documents"), "doc_id", "text",
+        Seq("slow", "hash", "batch"))),
+
     // ----- TF-IDF-style ranking, log-free so the doubles are exact:
     // score = tf * n_docs / df (rational idf — same ordering intent,
     // bit-identical across engines; log() is only 1-ulp-accurate and
@@ -3229,6 +3253,17 @@ object SparkEntry {
         .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
       Graph.pagerank(edges, "doc_a", "doc_b")
         .withColumnRenamed("id", "doc_id")
+    }),
+    // ----- LINK PREDICTION on the candidate graph: common-neighbor
+    // count + resource-allocation score (fixed-point 1e9 div deg, exact
+    // BIGINT sums — order-independent like q_pagerank's arithmetic) for
+    // the top not-yet-linked pairs. Wedges enumerate through their
+    // CENTER with a hub cap, so one viral node cannot go quadratic -----
+    "q_link_predict" -> ((s, dir) => {
+      val cand = Dedup.minhashCandidates(
+        t(s, dir, "documents"), "doc_id", "text").select("doc_a", "doc_b")
+      Graph.linkPredict(cand, "doc_a", "doc_b",
+        maxHubDegree = 1000L, topK = 20)
     }),
 
     // ----- multi-source BFS over the same near-dup candidate graph:
@@ -5760,6 +5795,20 @@ object SparkEntry {
          sigs AS (SELECT doc_id, ${duckMinhash("hs", 12)} AS mh FROM hs),
          buckets AS (SELECT doc_id, mh, band, ${duckBandBucket("mh", "band", 3)} AS bucket
                      FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bands)"""
+    // the naive positional phrase truth shared by the stored-index and
+    // HOF-scan plans ('slow hash batch', 1-based positions)
+    val phraseOracle =
+      s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
+         w AS (SELECT doc_id, unnest(toks) AS word,
+                      generate_subscripts(toks, 1) AS pos FROM tk),
+         a AS (SELECT doc_id, pos AS p FROM w WHERE word = 'slow'),
+         b AS (SELECT doc_id, pos - 1 AS p FROM w WHERE word = 'hash'),
+         c AS (SELECT doc_id, pos - 2 AS p FROM w WHERE word = 'batch'),
+         m AS (SELECT doc_id, p FROM a
+               JOIN b USING (doc_id, p) JOIN c USING (doc_id, p))
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+                CAST(MIN(p) AS BIGINT) AS first_pos
+         FROM m GROUP BY doc_id"""
     // unrolled Lloyd k-means rounds (the label-propagation trick),
     // shared by the learned-IVF and SemDeDup oracles: assignN = nearest
     // centroid by squared-L2 with ties to the lowest cell; centroid
@@ -6614,6 +6663,9 @@ object SparkEntry {
            SELECT word, COUNT(DISTINCT doc_id) AS df,
                   array_to_string(list_sort(list_distinct(list(doc_id)))[1:10], ',') AS postings10
            FROM w GROUP BY word ORDER BY df DESC, word LIMIT 50""",
+      "q_phrase_search" -> phraseOracle,
+      // the index-join plan and the HOF scan must agree to the hash
+      "q_phrase_scan" -> phraseOracle,
       "q_tfidf_like" ->
         s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
            w AS (SELECT doc_id, unnest(toks) AS word FROM tk),
@@ -8475,6 +8527,30 @@ object SparkEntry {
                   CAST(rank_fx AS DOUBLE) / 1000000000000.0 AS pagerank
            FROM r3"""
       },
+      // wedge enumeration through the center, fixed-point RA weights
+      // (1e9 // deg — exact integer division both sides), hub cap 1000,
+      // existing edges anti-joined away, total-order top-20 cut
+      "q_link_predict" ->
+        s"""$minhashCtes,
+           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM buckets a JOIN buckets b
+                      ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.doc_id < b.doc_id),
+           sym AS (SELECT doc_a AS u, doc_b AS v FROM cand
+                   UNION SELECT doc_b, doc_a FROM cand),
+           deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+           adj AS (SELECT s.u AS z, s.v AS n, 1000000000 // d.deg AS wz
+                   FROM sym s JOIN deg d ON s.u = d.u
+                   WHERE d.deg <= 1000),
+           w AS (SELECT l.n AS a, r.n AS b, l.wz FROM adj l
+                 JOIN adj r ON l.z = r.z AND l.n < r.n),
+           sc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS common,
+                         CAST(SUM(wz) AS BIGINT) AS ra_score_fx
+                  FROM w GROUP BY a, b)
+           SELECT a AS doc_a, b AS doc_b, common, ra_score_fx
+           FROM sc WHERE NOT EXISTS (SELECT 1 FROM sym
+                                     WHERE sym.u = sc.a AND sym.v = sc.b)
+           ORDER BY ra_score_fx DESC, a, b LIMIT 20""",
       "q_graph_bfs" -> {
         // 4 unrolled BFS rounds; expanding only the previous round's
         // frontier (hop = i-1) mirrors Graph.bfsHops exactly, and the

@@ -506,4 +506,74 @@ object TextAnalysis {
         col(idCol))
       .select(col(idCol), col("cum_tokens"), col("cum_types"))
   }
+
+  /** Positional postings — (id, word, pos), pos 1-based — the index
+    * side of phrase retrieval. One tokenize+posexplode pass; written
+    * sorted by word so parquet row-group min/max stats turn a term
+    * lookup into a data-skipping read (the same zone-map mechanics as
+    * `VersionedTable.readWhere`, here for free from the format). */
+  def positionalIndex(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    withTokens(df, textCol)
+      .select(col(idCol), posexplode(col("toks")).as(Seq("p0", "word")))
+      .select(col(idCol), col("word"), (col("p0") + 1L).as("pos"))
+
+  /** Exact phrase match over a positional index: per document, the
+    * number of occurrences of `phrase` as CONSECUTIVE tokens and the
+    * first match position. Returns (id, n_hits, first_pos).
+    *
+    * The scale shape is the classic positional-index phrase plan: each
+    * term's postings are filtered FIRST (an `In` predicate that reaches
+    * the index scan — on a stored, word-sorted index that is a
+    * row-group skip, not a corpus pass), then n-1 equi-joins on
+    * (id, anchor-relative position) stitch the terms. Cost follows the
+    * RAREST term's postings, never the corpus: every join is
+    * candidate × term-frequency sized. */
+  def phraseQuery(index: DataFrame, idCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one word")
+    // one pushdown-friendly In filter, then per-term slices of it
+    val slim = index.filter(col("word").isin(phrase: _*))
+      .select(col(idCol), col("word"), col("pos"))
+    val anchor = slim.filter(col("word") === phrase.head)
+      .select(col(idCol), col("pos").as("p"))
+    val stitched = phrase.zipWithIndex.tail.foldLeft(anchor) {
+      case (acc, (w, i)) =>
+        acc.join(
+          slim.filter(col("word") === w)
+            .select(col(idCol), (col("pos") - i.toLong).as("p")),
+          Seq(idCol, "p"))
+    }
+    stitched.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"), min(col("p")).as("first_pos"))
+  }
+
+  /** Phrase match WITHOUT an index: a pure higher-order-function scan —
+    * per row, test every window of |phrase| consecutive tokens. One
+    * narrow corpus pass, zero shuffles before the final aggregate; the
+    * right plan when the phrase is ad-hoc and no postings table exists
+    * (building one would itself cost the same corpus pass this spends).
+    * Same output contract as [[phraseQuery]]. */
+  def phraseScan(df: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one word")
+    val n = phrase.size
+    val arr = phrase.map(w =>
+      w.replace("\\", "\\\\").replace("'", "\\'"))
+      .map(w => s"'$w'").mkString("array(", ", ", ")")
+    withTokens(df, textCol)
+      .withColumn("hits", expr(
+        // sequence(1, 0) DESCENDS in Spark — the CASE guards docs
+        // shorter than the phrase from producing phantom windows
+        s"""CASE WHEN size(toks) >= $n THEN
+              filter(
+                sequence(1, size(toks) - ${n - 1}),
+                s -> forall(sequence(1, $n),
+                            j -> toks[s + j - 2] = $arr[j - 1]))
+            ELSE array() END"""))
+      .filter(size(col("hits")) > 0)
+      .select(col(idCol),
+        size(col("hits")).cast("long").as("n_hits"),
+        element_at(col("hits"), 1).cast("long").as("first_pos"))
+  }
 }

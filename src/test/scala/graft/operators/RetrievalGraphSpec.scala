@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.athenaeum.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Phrase retrieval (stored-index join plan vs HOF scan plan vs a local
+  * reference) and link prediction (differential vs a brute-force wedge
+  * count, hub cap, not-yet-linked filter). */
+class RetrievalGraphSpec extends SparkSpec {
+
+  private val docs = Seq(
+    (1L, "a a a b"),          // overlapping "a a" hits at 1 and 2
+    (2L, "a b a b a"),        // alternating; "a b" at 1 and 3
+    (3L, "b"),                // shorter than any 2-word phrase
+    (4L, "x y z a b"),        // match at the very end
+    (5L, ""),                 // empty text
+    (6L, "A   B"))            // case-fold + multi-space tokenizer path
+
+  private def localPhrase(phrase: Seq[String])
+      : Map[Long, (Long, Long)] =
+    docs.flatMap { case (id, text) =>
+      val toks = text.toLowerCase.split(" +").filter(_.nonEmpty).toSeq
+      val hits = (1 to toks.size - phrase.size + 1)
+        .filter(s => phrase.indices.forall(j => toks(s + j - 1) == phrase(j)))
+      if (hits.isEmpty) None
+      else Some(id -> ((hits.size.toLong, hits.min.toLong)))
+    }.toMap
+
+  private def asMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("phraseScan and phraseQuery agree with a local reference") {
+    import spark.implicits._
+    val df = docs.toDF("doc_id", "text")
+    for (phrase <- Seq(Seq("a", "a"), Seq("a", "b"), Seq("a", "b", "a"),
+      Seq("b"), Seq("z", "a", "b"), Seq("missing", "phrase"))) {
+      val expect = localPhrase(phrase)
+      val scan = asMap(TextAnalysis.phraseScan(df, "doc_id", "text", phrase))
+      val idx = asMap(TextAnalysis.phraseQuery(
+        TextAnalysis.positionalIndex(df, "doc_id", "text"),
+        "doc_id", phrase))
+      assert(scan == expect, s"phraseScan diverged on $phrase")
+      assert(idx == expect, s"phraseQuery diverged on $phrase")
+    }
+  }
+
+  test("positionalIndex positions are 1-based in token order") {
+    import spark.implicits._
+    val idx = TextAnalysis.positionalIndex(
+        Seq((7L, "x  y x")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(idx == Set(("x", 1L), ("y", 2L), ("x", 3L)))
+  }
+
+  test("linkPredict equals brute-force wedge evidence on a known graph") {
+    import spark.implicits._
+    // path 1-2-3-4 plus hub 9 linked to 1,2,3: predicts (1,3) via 2 and
+    // 9, (2,4) via 3, (1,2)... already linked pairs must NOT appear
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (9L, 1L), (9L, 2L), (9L, 3L))
+    val sym = (edges ++ edges.map(e => (e._2, e._1))).toSet
+    val deg = sym.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val wedgePairs = (for {
+      (z, a) <- sym; (z2, b) <- sym if z2 == z && a < b
+    } yield (a, b, z)).toSeq
+    val expect = wedgePairs.groupBy(p => (p._1, p._2))
+      .filterNot { case (k, _) => sym.contains(k) }
+      .map { case ((a, b), ws) =>
+        (a, b, ws.size.toLong, ws.map(w => 1000000000L / deg(w._3)).sum)
+      }.toSet
+    val got = Graph.linkPredict(edges.toDF("s", "d"), "s", "d",
+        maxHubDegree = 1000L, topK = 100)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expect)
+    assert(!got.exists(p => sym.contains((p._1, p._2))),
+      "an already-linked pair leaked into the predictions")
+  }
+
+  test("hub cap removes high-degree wedge centers, keeps them as endpoints") {
+    import spark.implicits._
+    // star: hub 9 connects 1..5; every (i, j) wedge goes THROUGH 9 only
+    val edges = (1L to 5L).map(i => (9L, i))
+    val capped = Graph.linkPredict(edges.toDF("s", "d"), "s", "d",
+      maxHubDegree = 4L, topK = 100)
+    assert(capped.count() == 0, "wedges through the capped hub survived")
+    val uncapped = Graph.linkPredict(edges.toDF("s", "d"), "s", "d",
+      maxHubDegree = 5L, topK = 100)
+    // C(5,2) = 10 non-adjacent pairs, each with exactly one wedge via 9
+    assert(uncapped.count() == 10)
+    assert(uncapped.select(min(col("ra_score_fx"))).head().getLong(0) ==
+      1000000000L / 5L)
+  }
+}
