@@ -350,6 +350,13 @@ object SparkEntry {
     "q_dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.2)),
+    // ----- edit-distance verify on LSH-blocked candidates: the
+    // character-level "same doc, small patch" contract token-set
+    // similarity cannot express; Spark's THRESHOLDED levenshtein runs
+    // the banded O(k*n) DP, not the O(n^2) matrix -----
+    "q_dedup_edit" -> ((s, dir) =>
+      Dedup.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
+        maxDist = 20)),
     // ingest-path dedup: candidates between an incoming batch (top
     // fifth of doc ids) and the existing corpus — cost proportional to
     // the INCREMENT, never re-pairing the corpus with itself
@@ -810,6 +817,13 @@ object SparkEntry {
       Events.slidingHourly(t(s, dir, "events"))),
     "q_events_session" -> ((s, dir) =>
       Events.sessionize(t(s, dir, "events"))),
+    // ----- CUSUM changepoint per event type over daily counts: the
+    // cumulative deviation from the key mean in EXACT scaled BIGINTs
+    // (dev_fx = D*cum - idx*total — no float mean), |dev| peak = the
+    // most likely changepoint. Windows run per key over KEY x DAY rows,
+    // never over raw events and never globally -----
+    "q_cusum" -> ((s, dir) =>
+      Events.cusumDaily(t(s, dir, "events"), "event_type")),
 
     // ----- set operations -----
     "q_union_all" -> ((s, dir) =>
@@ -6192,6 +6206,21 @@ object SparkEntry {
                   CAST(len(list_filter(list_transform(range(1, 13), i -> a.mh[i] = b.mh[i]), v -> v)) AS DOUBLE) / 12 AS est_jaccard
            FROM capped a JOIN capped b
              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""",
+      // DuckDB's levenshtein is the same classic character-level DP as
+      // Spark's (ASCII corpus — no code-unit ambiguity); candidates are
+      // the shared LSH blocking
+      "q_dedup_edit" ->
+        s"""$minhashCtes,
+           cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM buckets a JOIN buckets b
+                       ON a.band = b.band AND a.bucket = b.bucket
+                      AND a.doc_id < b.doc_id)
+           SELECT c.doc_a, c.doc_b,
+                  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+           FROM cands c
+           JOIN documents da ON da.doc_id = c.doc_a
+           JOIN documents db ON db.doc_id = c.doc_b
+           WHERE levenshtein(da.text, db.text) <= 20""",
       "q_dedup_jaccard" ->
         s"""$minhashCtes,
            cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -6502,6 +6531,27 @@ object SparkEntry {
                   COUNT(*) AS n_events,
                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
            FROM events GROUP BY 1, 2""",
+      // CUSUM in scaled BIGINTs: dev_fx = D*cum - idx*total ==
+      // D * sum_{i<=idx}(n_i - total/D), no float mean anywhere
+      "q_cusum" ->
+        """WITH d AS (SELECT event_type,
+                    epoch_us(ts) // 86400000000 AS day,
+                    CAST(COUNT(*) AS BIGINT) AS n
+             FROM events GROUP BY 1, 2),
+           w AS (SELECT event_type, day, n,
+                    COUNT(*) OVER (PARTITION BY event_type) AS dd,
+                    SUM(n) OVER (PARTITION BY event_type) AS total,
+                    SUM(n) OVER (PARTITION BY event_type
+                                 ORDER BY day) AS cum,
+                    ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY day) AS idx
+                 FROM d)
+           SELECT event_type, day, n,
+                  CAST(dd * cum - idx * total AS BIGINT) AS dev_fx,
+                  abs(dd * cum - idx * total) =
+                    MAX(abs(dd * cum - idx * total))
+                      OVER (PARTITION BY event_type) AS is_peak
+           FROM w""",
       "q_events_sliding" ->
         """SELECT ((epoch_us(ts) // 1800000000) - k) * 1800 AS wstart_s,
                   event_type, COUNT(*) AS n_events

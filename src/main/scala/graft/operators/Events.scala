@@ -65,4 +65,37 @@ object Events {
       .select(col("user_id"), col("session_start_us"), col("session_end_us"),
         col("n_events"), col("total_value"))
   }
+
+  /** Offline CUSUM changepoint readout per key over daily event counts:
+    * dev_fx(d) = D·Σ_{i≤d}(n_i) − idx(d)·Σ(n_i), the cumulative
+    * deviation from the key's mean SCALED BY its day count D — so the
+    * classic CUSUM statistic Σ(n_i − μ) stays in exact BIGINT
+    * arithmetic instead of a float μ (order-independent, engine-exact —
+    * the same fixed-point discipline as the PageRank/RA scores). The
+    * most likely changepoint is the |dev| peak (`is_peak`; ties flag
+    * every argmax, keeping the output a pure function of the data).
+    *
+    * Scale shape: one aggregation to daily grain — the windows then run
+    * over KEY×DAY rows (thousands per key), not events, partitioned by
+    * key; nothing global, nothing proportional to raw event volume. */
+  def cusumDaily(events: DataFrame, keyCol: String): DataFrame = {
+    val microsPerDay = 86400000000L
+    val byKey = Window.partitionBy(keyCol)
+    val ordered = Window.partitionBy(keyCol).orderBy("day")
+    events
+      .withColumn("day", expr(s"(ts div 1000) div $microsPerDay"))
+      .groupBy(col(keyCol), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dd", count(lit(1)).over(byKey))
+      .withColumn("total", sum(col("n")).over(byKey))
+      .withColumn("cum", sum(col("n")).over(
+        ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("idx", row_number().over(ordered).cast("long"))
+      .withColumn("dev_fx",
+        col("dd") * col("cum") - col("idx") * col("total"))
+      .withColumn("is_peak",
+        abs(col("dev_fx")) === max(abs(col("dev_fx"))).over(byKey))
+      .select(col(keyCol), col("day"), col("n"), col("dev_fx"),
+        col("is_peak"))
+  }
 }

@@ -532,9 +532,13 @@ object TextAnalysis {
   def phraseQuery(index: DataFrame, idCol: String,
       phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one word")
-    // one pushdown-friendly In filter, then per-term slices of it
-    val slim = index.filter(col("word").isin(phrase: _*))
-      .select(col(idCol), col("word"), col("pos"))
+    // ONE pushdown In scan over the union of the terms' postings,
+    // persisted so the per-term slices below are in-memory cuts of it
+    // rather than n separate index scans (the multi-scan guard's
+    // point: the scan count must not grow with phrase length)
+    val slim = Dedup.persistTracked(
+      index.filter(col("word").isin(phrase: _*))
+        .select(col(idCol), col("word"), col("pos")))
     val anchor = slim.filter(col("word") === phrase.head)
       .select(col(idCol), col("pos").as("p"))
     val stitched = phrase.zipWithIndex.tail.foldLeft(anchor) {
