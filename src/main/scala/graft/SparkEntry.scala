@@ -3930,6 +3930,22 @@ object SparkEntry {
         "(c_custkey * 91) % 1000 AS y")
       Spatial.density(pts, "x", "y", cell = 50L, hotspotAt = 8L)
     }),
+    // ----- BIPARTITE radius join (points-to-facilities): customers
+    // within r of a supplier — same one-shuffle grid mechanics, no
+    // self-join ordering -----
+    "q_spatial_near" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").selectExpr(
+        "c_custkey AS cid",
+        "(c_custkey * 37) % 1000 AS x",
+        "(c_custkey * 91) % 1000 AS y")
+      val supp = t(s, dir, "supplier").selectExpr(
+        "s_suppkey AS sid",
+        "(s_suppkey * 53) % 1000 AS x",
+        "(s_suppkey * 17) % 1000 AS y")
+      Spatial.radiusJoinWith(cust, "cid", "x", "y",
+          supp, "sid", "x", "y", radius = 25L, cell = 50L)
+        .withColumnRenamed("id_l", "cid").withColumnRenamed("id_r", "sid")
+    }),
     // ----- SPATIAL kNN JOIN, radius-bounded: k nearest neighbors per
     // point among those within r. The radius bound is the exactness
     // contract — it confines candidates to the 3x3 grid neighborhood
@@ -8928,6 +8944,16 @@ object SparkEntry {
                   CAST(COUNT(*) AS BIGINT) AS n,
                   COUNT(*) >= 8 AS hotspot
            FROM p GROUP BY x // 50, y // 50""",
+      "q_spatial_near" ->
+        """WITH c AS (SELECT c_custkey AS cid, (c_custkey * 37) % 1000 AS x,
+                             (c_custkey * 91) % 1000 AS y FROM customer),
+           s AS (SELECT s_suppkey AS sid, (s_suppkey * 53) % 1000 AS x,
+                        (s_suppkey * 17) % 1000 AS y FROM supplier)
+           SELECT c.cid, s.sid,
+                  CAST((c.x - s.x) * (c.x - s.x)
+                     + (c.y - s.y) * (c.y - s.y) AS BIGINT) AS dist2
+           FROM c JOIN s ON (c.x - s.x) * (c.x - s.x)
+                          + (c.y - s.y) * (c.y - s.y) <= 625""",
       "q_spatial_knn" ->
         // naive truth: all neighbors within r, rank per point, keep k
         """WITH p AS (SELECT c_custkey AS id, (c_custkey * 37) % 1000 AS x,

@@ -41,6 +41,42 @@ object Spatial {
     candidatePairs(points, idCol, xCol, yCol, radius, cell)
       .select(col("id_a"), col("id_b"), col("dist2"))
 
+  /** BIPARTITE radius join: all (left, right) pairs within `radius` —
+    * points-to-facilities, events-to-sensors. Same grid mechanics as
+    * [[radiusJoin]] (the left side probes the (2R+1)² neighborhood of
+    * the right side's cells; one equi-shuffle, exact integer verify),
+    * without the self-join's id ordering. Returns
+    * (id_l, id_r, dist2: BIGINT). */
+  def radiusJoinWith(left: DataFrame, leftId: String,
+      leftX: String, leftY: String,
+      right: DataFrame, rightId: String,
+      rightX: String, rightY: String,
+      radius: Long, cell: Long): DataFrame = {
+    require(cell > 0, s"cell must be positive, got $cell")
+    require(radius >= 0, s"radius must be non-negative, got $radius")
+    val ring = ((radius + cell - 1) / cell).max(1L)
+    val offs = (-ring to ring).map(o => s"${o}L").mkString(", ")
+    val build = right.select(col(rightId).cast("long").as("id_r"),
+      col(rightX).cast("long").as("bx"),
+      col(rightY).cast("long").as("by"))
+      .withColumn("cx", expr(s"floor(bx / ${cell}L)"))
+      .withColumn("cy", expr(s"floor(by / ${cell}L)"))
+    val probe = left.select(col(leftId).cast("long").as("id_l"),
+      col(leftX).cast("long").as("ax"),
+      col(leftY).cast("long").as("ay"))
+      .withColumn("off", explode(expr(s"array($offs)")))
+      .withColumn("off2", explode(expr(s"array($offs)")))
+      .select(col("id_l"), col("ax"), col("ay"),
+        (expr(s"floor(ax / ${cell}L)") + col("off")).as("cx"),
+        (expr(s"floor(ay / ${cell}L)") + col("off2")).as("cy"))
+    probe.join(build, Seq("cx", "cy"))
+      .withColumn("dist2",
+        (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by")))
+      .filter(col("dist2") <= lit(radius * radius))
+      .select(col("id_l"), col("id_r"), col("dist2"))
+  }
+
   /** [[radiusJoin]] with coordinates kept on both sides — internal
     * feed for [[dbscan]], which re-derives grid cells from them. */
   private def candidatePairs(points: DataFrame, idCol: String,

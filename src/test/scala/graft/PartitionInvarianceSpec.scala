@@ -33,7 +33,15 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_cdc_segments", "q_boilerplate",
     // manifest zone maps: the per-year clustered build runs under both
     // settings — stored stats and the pruned read must not notice
-    "q_skip_stats", "q_skip_read")
+    "q_skip_stats", "q_skip_read",
+    // session-2 operators: grid DBSCAN (CC labels + min-label borders;
+    // at sf0.001 the lattice is all-noise but every point still
+    // labels), exact scaled-BIGINT CUSUM, thresholded-levenshtein
+    // verify after the explicit pair rebalance (q_link_predict,
+    // q_phrase_*, and the pair-emitting spatial joins are EMPTY at
+    // sf0.001 — the spec requires rows; their determinism is pinned by
+    // total-order cuts and the sf0.01 oracle instead)
+    "q_spatial_dbscan", "q_cusum", "q_dedup_edit")
 
   private def canon(name: String, parts: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)

@@ -61,6 +61,26 @@ class SpatialSpec extends SparkSpec {
       Spatial.density(df, "x", "y", 0L, 1L))
   }
 
+  test("radiusJoinWith (bipartite) equals the naive cross filter") {
+    import spark.implicits._
+    val l = (1L to 200L).map(i => (i, (i * 37 % 211) - 105, (i * 91 % 223) - 111))
+    val r = (1L to 60L).map(i => (i, (i * 53 % 199) - 99, (i * 17 % 191) - 95))
+    for ((rad, cell) <- Seq((15L, 20L), (40L, 20L))) {
+      val brute = (for {
+        (il, xl, yl) <- l; (ir, xr, yr) <- r
+        d2 = (xl - xr) * (xl - xr) + (yl - yr) * (yl - yr)
+        if d2 <= rad * rad
+      } yield (il, ir, d2)).toSet
+      val rows = Spatial.radiusJoinWith(
+          l.toDF("id", "x", "y"), "id", "x", "y",
+          r.toDF("id", "x", "y"), "id", "x", "y", rad, cell)
+        .collect()
+      val got = rows.map(t => (t.getLong(0), t.getLong(1), t.getLong(2)))
+      assert(got.toSet == brute, s"divergence at radius=$rad cell=$cell")
+      assert(rows.length == brute.size, "a pair was emitted more than once")
+    }
+  }
+
   test("knnWithin equals rank-over-brute-force, capped at k") {
     import spark.implicits._
     val pts = (1L to 300L).map(i =>
