@@ -78,14 +78,26 @@ object Events {
     * Scale shape: one aggregation to daily grain — the windows then run
     * over KEY×DAY rows (thousands per key), not events, partitioned by
     * key; nothing global, nothing proportional to raw event volume. */
-  def cusumDaily(events: DataFrame, keyCol: String): DataFrame = {
+  def cusumDaily(events: DataFrame, keyCol: String): DataFrame =
+    cusumFromDaily(dailyCounts(events, keyCol), keyCol)
+
+  /** (key, day, n) daily grain — the state a streaming maintainer
+    * accumulates incrementally (counts merge by addition). */
+  def dailyCounts(events: DataFrame, keyCol: String): DataFrame = {
     val microsPerDay = 86400000000L
-    val byKey = Window.partitionBy(keyCol)
-    val ordered = Window.partitionBy(keyCol).orderBy("day")
     events
       .withColumn("day", expr(s"(ts div 1000) div $microsPerDay"))
       .groupBy(col(keyCol), col("day"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** The CUSUM readout from daily-grain counts — shared verbatim by
+    * the batch operator and `streaming/ChangepointGate`, so streamed
+    * state provably yields the batch answer. */
+  def cusumFromDaily(daily: DataFrame, keyCol: String): DataFrame = {
+    val byKey = Window.partitionBy(keyCol)
+    val ordered = Window.partitionBy(keyCol).orderBy("day")
+    daily
       .withColumn("dd", count(lit(1)).over(byKey))
       .withColumn("total", sum(col("n")).over(byKey))
       .withColumn("cum", sum(col("n")).over(

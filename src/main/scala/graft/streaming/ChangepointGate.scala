@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Events
+import graft.sources.VersionedTable
+
+/** Streaming CUSUM changepoint monitoring: each micro-batch's events
+  * fold into a per-(key, day) COUNT state table, and the committed
+  * output is the CUSUM readout over everything streamed so far — the
+  * live "where did this series shift" view, recomputed from daily
+  * grain (tiny: keys × days), never from raw events.
+  *
+  * The readout IS `Events.cusumFromDaily`, the same transition the
+  * batch operator uses — so every committed output version provably
+  * equals `Events.cusumDaily` over the stream's prefix
+  * (`ChangepointGateSpec` asserts it batch by batch).
+  *
+  * State is a [[VersionedTable]], not executor memory: it scales with
+  * keys × days, survives restarts, and merges by ADDITION (daily
+  * counts are a CRDT-style sum), so the per-batch merge is one
+  * aggregation over state + increment.
+  *
+  * Exactly-once: the output commit is the batch's completion marker.
+  * The state merge commits FIRST; a crash between the two commits
+  * replays the batch, detects the already-merged state by its batch
+  * tag, reuses it verbatim (re-merging would double-count), and
+  * re-derives the identical readout from it. */
+object ChangepointGate {
+
+  /** `events.writeStream.foreachBatch(ChangepointGate.sink(...))`;
+    * events need `ts` (epoch-nanos long) and `keyCol`. */
+  def sink(statePath: String, outPath: String, keyCol: String)
+      : (DataFrame, Long) => Unit = (batch, batchId) => {
+    val spark = batch.sparkSession
+    if (!VersionedTable.committedBatches(spark, outPath)
+        .contains(batchId)) {
+      import spark.implicits._
+      val alreadyMerged =
+        VersionedTable.committedBatches(spark, statePath).contains(batchId)
+      if (!alreadyMerged) {
+        val inc = Events.dailyCounts(batch, keyCol)
+        val base =
+          if (VersionedTable.versions(spark, statePath).nonEmpty)
+            VersionedTable.read(spark, statePath)
+          else Seq.empty[(String, Long, Long)].toDF(keyCol, "day", "n")
+        val merged = base.select(col(keyCol), col("day"), col("n"))
+          .unionByName(inc)
+          .groupBy(col(keyCol), col("day")).agg(sum(col("n")).as("n"))
+        VersionedTable.streamingCommit(merged, batchId, statePath,
+          "overwrite")
+      }
+      // read the COMMITTED state back so replay and first run derive
+      // the readout from identical bytes
+      val out = Events.cusumFromDaily(
+        VersionedTable.read(spark, statePath), keyCol)
+      VersionedTable.streamingCommit(out, batchId, outPath, "overwrite")
+    }
+  }
+}
