@@ -698,4 +698,37 @@ object VersionedTable {
       .filterNot(referenced.contains)
       .map(d => s"data/$d")
   }
+
+  /** Retention enforcement — EXPIRE old versions, then VACUUM the data
+    * directories nothing retained references. Keeps the newest
+    * `keepLast` versions: older manifests are deleted (their version
+    * NUMBERS stay burned — numbers are never reused, so history stays
+    * monotone), then every `data/c-*` directory outside the retained
+    * versions' closure is removed — this is where deleteWhere/compact/
+    * rollback physically forget: a file is destroyed exactly when the
+    * LAST manifest naming it expires. Returns
+    * (expired versions, deleted data dirs).
+    *
+    * Ordering is crash-safe in the destructive direction: manifests
+    * are deleted BEFORE the data dirs they exclusively reference, so
+    * an interrupted vacuum leaves orphan data (re-vacuumable, invisible
+    * to readers) rather than a manifest naming destroyed files. Time
+    * travel is only supported within the retention window afterwards —
+    * the same contract as the open lakehouse formats' expire-snapshots.
+    * Concurrent safety: retention must exceed the longest reader/
+    * committer window, the standard operational rule — a reader pinned
+    * to an expired version loses its files, exactly as in those
+    * formats. */
+  def expireAndVacuum(spark: SparkSession, path: String,
+      keepLast: Int): (Seq[Int], Seq[String]) = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val f = fs(spark, path)
+    val vs = versions(spark, path)
+    val expired = vs.dropRight(keepLast)
+    expired.foreach(v => f.delete(manifestPath(path, v), false))
+    val kept = versions(spark, path)
+    val orphans = orphanDataDirs(spark, path, kept)
+    orphans.foreach(d => f.delete(new Path(path, d), true))
+    (expired, orphans)
+  }
 }

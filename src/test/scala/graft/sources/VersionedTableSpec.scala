@@ -196,6 +196,41 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, path, Some(v4)).count() == n - nDel)
   }
 
+  test("expireAndVacuum keeps the retention window and destroys exactly the rest") {
+    val path = freshPath()
+    val cust = Tables(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey")
+    val v1 = VersionedTable.commit(
+      cust.filter(col("c_custkey") <= 50), path)
+    VersionedTable.commit(
+      cust.filter(col("c_custkey") > 50), path, mode = "append")
+    VersionedTable.deleteWhere(spark, path, col("c_custkey") <= 5)
+    val v4 = VersionedTable.compact(spark, path, 2)
+    val expectRows = VersionedTable.read(spark, path, Some(v4))
+      .collect().map(_.toString).sorted.toSeq
+    val dirsBefore = VersionedTable.orphanDataDirs(spark, path, Seq(v4))
+    assert(dirsBefore.nonEmpty, "pre-vacuum, old dirs must be orphans of the kept set")
+
+    val (expired, deleted) = VersionedTable.expireAndVacuum(spark, path, 1)
+    assert(expired == Seq(v1, v1 + 1, v1 + 2))
+    assert(deleted.toSet == dirsBefore.toSet)
+    // retained version intact, bit-for-bit
+    assert(VersionedTable.versions(spark, path) == Seq(v4))
+    assert(VersionedTable.read(spark, path).collect()
+      .map(_.toString).sorted.toSeq == expectRows)
+    // expired versions are truly unreachable AND their bytes are gone
+    intercept[IllegalArgumentException](
+      VersionedTable.read(spark, path, Some(v1)))
+    deleted.foreach(d => assert(!new java.io.File(s"$path/$d").exists(),
+      s"vacuumed dir $d still on disk"))
+    // idempotent: a second pass with a wide window is a no-op
+    assert(VersionedTable.expireAndVacuum(spark, path, 5) ==
+      ((Seq.empty[Int], Seq.empty[String])))
+    // version numbers stay burned: the next commit continues the chain
+    val v5 = VersionedTable.commit(cust.limit(1), path, mode = "append")
+    assert(v5 == v4 + 1)
+  }
+
   test("diff between versions classifies insert/delete/update/unchanged") {
     val path = freshPath()
     val nat = Tables(spark, dir, "nation")
