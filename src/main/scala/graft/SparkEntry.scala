@@ -3268,6 +3268,22 @@ object SparkEntry {
       Graph.pagerank(edges, "doc_a", "doc_b")
         .withColumnRenamed("id", "doc_id")
     }),
+    // ----- PERSONALIZED PageRank: teleport mass returns to a SEED set
+    // (doc_id % 50 == 0), so rank = proximity to the seeds — the
+    // random-walk-with-restart primitive; same exact fixed-point BIGINT
+    // arithmetic as q_pagerank, seeds ride as a broadcast flag -----
+    "q_pagerank_seed" -> ((s, dir) => {
+      val cand = Dedup.minhashCandidates(
+        t(s, dir, "documents"), "doc_id", "text").select("doc_a", "doc_b")
+      val edges = cand.select(explode(array(
+        struct(col("doc_a").as("doc_a"), col("doc_b").as("doc_b")),
+        struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("e"))
+        .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
+      val seeds = t(s, dir, "documents")
+        .filter(col("doc_id") % 50 === 0).select(col("doc_id"))
+      Graph.personalizedPagerank(edges, "doc_a", "doc_b", seeds, "doc_id")
+        .withColumnRenamed("id", "doc_id")
+    }),
     // ----- LINK PREDICTION on the candidate graph: common-neighbor
     // count + resource-allocation score (fixed-point 1e9 div deg, exact
     // BIGINT sums — order-independent like q_pagerank's arithmetic) for
@@ -8592,6 +8608,39 @@ object SparkEntry {
            SELECT id AS doc_id, rank_fx,
                   CAST(rank_fx AS DOUBLE) / 1000000000000.0 AS pagerank
            FROM r3"""
+      },
+      "q_pagerank_seed" -> {
+        // 3 unrolled fixed-point rounds with SEED-restricted teleport —
+        // bit-identical to Graph.personalizedPagerank
+        val rounds = (1 to 3).map { i =>
+          s"""p$i AS (SELECT n.id, n.is_seed,
+                (n.is_seed * 15 * 1000000000000) // (100 * (SELECT n_seeds FROM ns)) +
+                (85 * coalesce(m.s, 0)) // 100 AS rank_fx
+              FROM p${i - 1} n LEFT JOIN (
+                SELECT e.dst, CAST(SUM(r.rank_fx // d.outdeg) AS BIGINT) AS s
+                FROM edges e JOIN deg d ON e.src = d.src
+                JOIN p${i - 1} r ON e.src = r.id GROUP BY e.dst) m
+              ON n.id = m.dst)"""
+        }.mkString(",\n")
+        s"""$minhashCtes,
+           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM buckets a JOIN buckets b
+                      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+           edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                     UNION ALL SELECT doc_b AS src, doc_a AS dst FROM cand),
+           deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+           nodes AS (SELECT DISTINCT src AS id FROM edges),
+           seeds AS (SELECT doc_id AS id FROM documents WHERE doc_id % 50 = 0),
+           ns AS (SELECT COUNT(*) AS n_seeds FROM seeds),
+           p0 AS (SELECT n.id,
+                    CASE WHEN s.id IS NOT NULL THEN 1 ELSE 0 END AS is_seed,
+                    (CASE WHEN s.id IS NOT NULL THEN 1 ELSE 0 END
+                      * 1000000000000) // (SELECT n_seeds FROM ns) AS rank_fx
+                  FROM nodes n LEFT JOIN seeds s ON n.id = s.id),
+           $rounds
+           SELECT id AS doc_id, rank_fx,
+                  CAST(rank_fx AS DOUBLE) / 1000000000000.0 AS ppr
+           FROM p3"""
       },
       // wedge enumeration through the center, fixed-point RA weights
       // (1e9 // deg — exact integer division both sides), hub cap 1000,

@@ -61,6 +61,53 @@ object Graph {
       (col("rank_fx").cast("double") / lit(scale.toDouble)).as("pagerank"))
   }
 
+  /** PERSONALIZED PageRank: the teleport mass returns to the SEED set
+    * instead of spreading uniformly — rank becomes proximity to the
+    * seeds (the similar-items / trust-propagation primitive; this is
+    * the random-walk-with-restart the recommendation literature builds
+    * on). Same fixed-point discipline as [[pagerank]]: BIGINT ranks
+    * scaled by `scale`, integer division everywhere, exact
+    * order-independent sums — deterministic on a cluster and
+    * hash-matchable against an unrolled oracle. Seeds ride as a
+    * broadcast membership flag; each round is the one edge-shuffle
+    * contribution join.
+    *
+    *   rank'(v) = [v∈S]·(15·scale) div (100·|S|)
+    *            + (85·Σ_{u→v} rank(u) div outdeg(u)) div 100
+    */
+  def personalizedPagerank(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, seedCol: String,
+      rounds: Int = 3, scale: Long = 1000000000000L): DataFrame = {
+    val e = Dedup.persistTracked(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    val deg = Dedup.persistTracked(
+      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
+    val s = seeds.select(col(seedCol).as("id")).distinct()
+      .transform(Dedup.persistTracked)
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+    val nSeeds = s.agg(count(lit(1)).as("n_seeds"))
+    var ranks = nodes
+      .join(broadcast(s.withColumn("is_seed", lit(1L))), Seq("id"), "left")
+      .crossJoin(broadcast(nSeeds))
+      .selectExpr("id", "coalesce(is_seed, 0L) AS is_seed", "n_seeds",
+        s"(coalesce(is_seed, 0L) * ${scale}L) div n_seeds AS rank_fx")
+      .transform(Dedup.checkpointTracked)
+    for (_ <- 1 to rounds) {
+      val contrib = e.join(deg, "src")
+        .join(ranks.select(col("id").as("src"), col("rank_fx")), "src")
+        .select(col("dst"), expr("rank_fx div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = ranks.join(contrib, ranks("id") === contrib("dst"), "left")
+        .select(ranks("id"), ranks("is_seed"), ranks("n_seeds"),
+          expr(s"(is_seed * 15 * ${scale}L) div (100 * n_seeds) + " +
+            "(85 * coalesce(s, 0L)) div 100").as("rank_fx"))
+        .transform(Dedup.checkpointTracked)
+    }
+    ranks.select(col("id"), col("rank_fx"),
+      (col("rank_fx").cast("double") / lit(scale.toDouble)).as("ppr"))
+  }
+
   /** Multi-source BFS hop distance, bounded to `maxHops` rounds.
     *
     * Classic frontier expansion: round r joins ONLY the nodes first

@@ -79,6 +79,35 @@ class RetrievalGraphSpec extends SparkSpec {
       "an already-linked pair leaked into the predictions")
   }
 
+  test("personalizedPagerank equals a local integer fixed-point reference") {
+    import spark.implicits._
+    // path graph 1-2-3-4-5 plus a branch 3-6, seeded at {1}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 6L))
+    val sym = edges ++ edges.map(e => (e._2, e._1))
+    val nodes = sym.map(_._1).distinct.sorted
+    val deg = sym.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val scale = 1000000000000L
+    val seeds = Set(1L)
+    var rank = nodes.map(n =>
+      n -> (if (seeds(n)) scale / seeds.size else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val in = sym.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => rank(u) / deg(u) }.sum }
+      rank = nodes.map(n => n ->
+        ((if (seeds(n)) 1L else 0L) * 15L * scale / (100L * seeds.size) +
+          85L * in.getOrElse(n, 0L) / 100L)).toMap
+    }
+    val got = Graph.personalizedPagerank(
+        sym.toDF("s", "d"), "s", "d", Seq(1L).toDF("id"), "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == rank)
+    // proximity semantics: mass reaches only what 3 rounds can touch —
+    // the far end of the path (distance 4) holds exactly zero, near
+    // nodes hold real mass, and the seed keeps its teleport share
+    assert(got(2L) > 0L && got(1L) > 0L && got(5L) == 0L)
+    assert(got(2L) > got(4L))
+  }
+
   test("hub cap removes high-degree wedge centers, keeps them as endpoints") {
     import spark.implicits._
     // star: hub 9 connects 1..5; every (i, j) wedge goes THROUGH 9 only
