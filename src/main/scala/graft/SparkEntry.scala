@@ -1048,6 +1048,38 @@ object SparkEntry {
       TextAnalysis.phraseQuery(s.read.parquet(path), "doc_id",
         Seq("slow", "hash", "batch"))
     }),
+    // ----- VERSIONED phrase index with snapshot-isolated serving: the
+    // base corpus's postings commit as a VersionedTable; a query serves
+    // from a PINNED version while the increment's postings land as the
+    // next APPEND — the in-flight query's result set cannot change
+    // under it (same pin-isolation contract as q_ingest_dedup3, here
+    // for the retrieval index). base scope = pinned read AFTER the
+    // append landed; a leaked pin would surface increment docs there
+    // and hash-mismatch the oracle -----
+    "q_phrase_index_ingest" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val docs = t(s, dir, "documents")
+      val path = "/tmp/graft_phrase_vtab_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val phrase = Seq("slow", "hash", "batch")
+      val vBase = VersionedTable.commit(
+        TextAnalysis.positionalIndex(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text"),
+        path, "overwrite")
+      val pinned = VersionedTable.read(s, path, Some(vBase))
+      val vFull = VersionedTable.commit(
+        TextAnalysis.positionalIndex(
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text"),
+        path, "append")
+      TextAnalysis.phraseQuery(pinned, "doc_id", phrase)
+        .withColumn("scope", lit("base"))
+        .unionByName(
+          TextAnalysis.phraseQuery(
+            VersionedTable.read(s, path, Some(vFull)), "doc_id", phrase)
+            .withColumn("scope", lit("full")))
+        .select(col("scope"), col("doc_id"), col("n_hits"),
+          col("first_pos"))
+    }),
     // ----- the same phrase WITHOUT an index: one narrow HOF corpus
     // pass testing every |phrase|-token window, zero shuffles before
     // the aggregate — the right plan for an ad-hoc phrase (building
@@ -6748,6 +6780,25 @@ object SparkEntry {
       "q_phrase_search" -> phraseOracle,
       // the index-join plan and the HOF scan must agree to the hash
       "q_phrase_scan" -> phraseOracle,
+      // phrase matching is per-document, so the pinned base scope must
+      // equal the full truth RESTRICTED to base docs — any increment
+      // doc in 'base' is a pin leak
+      "q_phrase_index_ingest" ->
+        s"""WITH tk AS (SELECT doc_id, ${XFormulas.duckTokens("text")} AS toks FROM documents),
+           w AS (SELECT doc_id, unnest(toks) AS word,
+                        generate_subscripts(toks, 1) AS pos FROM tk),
+           a AS (SELECT doc_id, pos AS p FROM w WHERE word = 'slow'),
+           b AS (SELECT doc_id, pos - 1 AS p FROM w WHERE word = 'hash'),
+           c AS (SELECT doc_id, pos - 2 AS p FROM w WHERE word = 'batch'),
+           m AS (SELECT doc_id, p FROM a
+                 JOIN b USING (doc_id, p) JOIN c USING (doc_id, p)),
+           hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+                           CAST(MIN(p) AS BIGINT) AS first_pos
+                    FROM m GROUP BY doc_id)
+           SELECT 'base' AS scope, doc_id, n_hits, first_pos FROM hits
+           WHERE doc_id % 10 <> 0
+           UNION ALL
+           SELECT 'full', doc_id, n_hits, first_pos FROM hits""",
       "q_tfidf_like" ->
         s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
            w AS (SELECT doc_id, unnest(toks) AS word FROM tk),
