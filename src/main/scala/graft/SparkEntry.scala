@@ -1023,6 +1023,25 @@ object SparkEntry {
           expr("CAST(size(collect_set(o_custkey)) AS BIGINT)").as("n_cust"))),
 
     // ----- inverted index: term -> deterministic posting list -----
+    // ----- ZIPF rank-octave diagnostic: vocabulary ranked by frequency
+    // (ParallelRank — no global window), bucketed by floor(log2(rank))
+    // via bin-string length (integer-exact in BOTH engines; log2() is
+    // float and not portable). Zipfian text ⇒ roughly constant total
+    // frequency per octave — the corpus-health readout before trusting
+    // frequency-based filters -----
+    "q_zipf" -> ((s, dir) => {
+      val freq = TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+        .select(explode(col("toks")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      graft.plans.ParallelRank.rowNumber(freq, "rank", 32,
+          col("freq").desc, col("word").asc)
+        .withColumn("octave", (length(expr("bin(rank)")) - 1).cast("long"))
+        .groupBy(col("octave"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("freq")).as("total_freq"),
+          max(col("freq")).as("max_freq"),
+          min(col("freq")).as("min_freq"))
+    }),
     "q_inverted_index" -> ((s, dir) =>
       TextAnalysis.withTokens(t(s, dir, "documents"), "text")
         .select(col("doc_id"), explode(col("toks")).as("word"))
@@ -6777,6 +6796,18 @@ object SparkEntry {
            SELECT word, COUNT(DISTINCT doc_id) AS df,
                   array_to_string(list_sort(list_distinct(list(doc_id)))[1:10], ',') AS postings10
            FROM w GROUP BY word ORDER BY df DESC, word LIMIT 50""",
+      "q_zipf" ->
+        s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
+           w AS (SELECT unnest(toks) AS word FROM tk),
+           f AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM w
+                 GROUP BY word),
+           r AS (SELECT freq, CAST(row_number() OVER (
+                   ORDER BY freq DESC, word) AS BIGINT) AS rank FROM f)
+           SELECT CAST(length(bin(rank)) - 1 AS BIGINT) AS octave,
+                  CAST(COUNT(*) AS BIGINT) AS n_words,
+                  CAST(SUM(freq) AS BIGINT) AS total_freq,
+                  MAX(freq) AS max_freq, MIN(freq) AS min_freq
+           FROM r GROUP BY 1""",
       "q_phrase_search" -> phraseOracle,
       // the index-join plan and the HOF scan must agree to the hash
       "q_phrase_scan" -> phraseOracle,
