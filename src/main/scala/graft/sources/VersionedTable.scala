@@ -699,15 +699,74 @@ object VersionedTable {
       .map(d => s"data/$d")
   }
 
+  // ------------------------------------------------------------------
+  // Tags: durable names for versions (release pins)
+  // ------------------------------------------------------------------
+
+  private def tagPath(path: String, name: String) = {
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"tag name must match [A-Za-z0-9._-]+, got '$name'")
+    new Path(manifestDir(path), s"tag-$name.txt")
+  }
+
+  /** Pin a NAME to a committed version — "the corpus release run X
+    * trained on". Tagged versions survive [[expireAndVacuum]] no matter
+    * how old, so a release stays reproducible for exactly as long as
+    * its tag exists; deleting the tag re-subjects the version to
+    * retention. Tags are immutable unless `retag = true` (a moved
+    * release pin should be loud, not a default). */
+  def tag(spark: SparkSession, path: String, name: String,
+      version: Int, retag: Boolean = false): Unit = {
+    val vs = versions(spark, path)
+    require(vs.contains(version), s"version $version not in $vs")
+    val f = fs(spark, path)
+    val p = tagPath(path, name)
+    require(retag || !f.exists(p),
+      s"tag '$name' exists (points at version ${tags(spark, path)(name)});" +
+        " pass retag = true to move it")
+    val tmp = new Path(manifestDir(path),
+      s".tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    val out = f.create(tmp, true)
+    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+    f.delete(p, false)
+    if (!f.rename(tmp, p))
+      throw new java.io.IOException(s"tag publish failed for '$name'")
+  }
+
+  /** All tags → version. */
+  def tags(spark: SparkSession, path: String): Map[String, Int] = {
+    val f = fs(spark, path)
+    val dir = manifestDir(path)
+    if (!f.exists(dir)) return Map.empty
+    f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("tag-") && n.endsWith(".txt") =>
+        val in = f.open(new Path(dir, n))
+        val v = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim.toInt finally in.close()
+        n.stripPrefix("tag-").stripSuffix(".txt") -> v
+      }.toMap
+  }
+
+  /** Delete a tag (the version becomes expirable again). */
+  def untag(spark: SparkSession, path: String, name: String): Unit =
+    fs(spark, path).delete(tagPath(path, name), false)
+
+  /** Read the version a tag names. */
+  def readTag(spark: SparkSession, path: String, name: String): DataFrame = {
+    val t = tags(spark, path)
+    require(t.contains(name), s"no tag '$name' at $path (have ${t.keys})")
+    read(spark, path, Some(t(name)))
+  }
+
   /** Retention enforcement — EXPIRE old versions, then VACUUM the data
     * directories nothing retained references. Keeps the newest
-    * `keepLast` versions: older manifests are deleted (their version
-    * NUMBERS stay burned — numbers are never reused, so history stays
-    * monotone), then every `data/c-*` directory outside the retained
-    * versions' closure is removed — this is where deleteWhere/compact/
-    * rollback physically forget: a file is destroyed exactly when the
-    * LAST manifest naming it expires. Returns
-    * (expired versions, deleted data dirs).
+    * `keepLast` versions PLUS every tagged version: older manifests are
+    * deleted (their version NUMBERS stay burned — numbers are never
+    * reused, so history stays monotone), then every `data/c-*`
+    * directory outside the retained versions' closure is removed —
+    * this is where deleteWhere/compact/rollback physically forget: a
+    * file is destroyed exactly when the LAST manifest naming it
+    * expires. Returns (expired versions, deleted data dirs).
     *
     * Ordering is crash-safe in the destructive direction: manifests
     * are deleted BEFORE the data dirs they exclusively reference, so
@@ -724,7 +783,8 @@ object VersionedTable {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val f = fs(spark, path)
     val vs = versions(spark, path)
-    val expired = vs.dropRight(keepLast)
+    val pinned = tags(spark, path).values.toSet
+    val expired = vs.dropRight(keepLast).filterNot(pinned.contains)
     expired.foreach(v => f.delete(manifestPath(path, v), false))
     val kept = versions(spark, path)
     val orphans = orphanDataDirs(spark, path, kept)

@@ -231,6 +231,40 @@ class VersionedTableSpec extends SparkSpec {
     assert(v5 == v4 + 1)
   }
 
+  test("tags pin versions through retention; untag re-subjects them") {
+    val path = freshPath()
+    val cust = Tables(spark, dir, "customer").select("c_custkey", "c_name")
+    val v1 = VersionedTable.commit(cust.filter(col("c_custkey") <= 10), path)
+    val v2 = VersionedTable.commit(cust.filter(col("c_custkey") > 10), path)
+    val v3 = VersionedTable.commit(cust.limit(3), path)
+    VersionedTable.tag(spark, path, "release-1.0", v1)
+    // immutable unless retag is explicit
+    intercept[IllegalArgumentException](
+      VersionedTable.tag(spark, path, "release-1.0", v2))
+    VersionedTable.tag(spark, path, "release-1.0", v1, retag = true)
+    intercept[IllegalArgumentException](
+      VersionedTable.tag(spark, path, "bad name!", v1))
+    intercept[IllegalArgumentException](
+      VersionedTable.tag(spark, path, "ghost", 999))
+    assert(VersionedTable.tags(spark, path) == Map("release-1.0" -> v1))
+    val pinnedRows = VersionedTable.readTag(spark, path, "release-1.0")
+      .collect().map(_.toString).sorted.toSeq
+
+    // retention keeps the tagged v1 even though only v3 is in-window
+    val (expired, _) = VersionedTable.expireAndVacuum(spark, path, 1)
+    assert(expired == Seq(v2), "the tagged version must survive expiry")
+    assert(VersionedTable.versions(spark, path) == Seq(v1, v3))
+    assert(VersionedTable.readTag(spark, path, "release-1.0").collect()
+      .map(_.toString).sorted.toSeq == pinnedRows)
+
+    // untag → the old release becomes expirable again
+    VersionedTable.untag(spark, path, "release-1.0")
+    val (expired2, deleted2) = VersionedTable.expireAndVacuum(spark, path, 1)
+    assert(expired2 == Seq(v1))
+    assert(deleted2.nonEmpty, "v1's exclusive data dir must be vacuumed")
+    assert(VersionedTable.versions(spark, path) == Seq(v3))
+  }
+
   test("diff between versions classifies insert/delete/update/unchanged") {
     val path = freshPath()
     val nat = Tables(spark, dir, "nation")
