@@ -5743,6 +5743,26 @@ object SparkEntry {
         .join(h.select(col("doc_id").as("doc_b"), col("ahash")), Seq("ahash"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"), col("ahash"))
+    }),
+
+    // ----- perceptual-hash NEAR-dup at Hamming <= 3 via the pigeonhole
+    // blocks (exact recall — the generic hammingPairsExact primitive on
+    // the 12-bit aHash, 4 disjoint 3-bit blocks); the oracle is the
+    // naive all-pairs Hamming truth, so hash-equality PROVES the block
+    // join misses nothing. q_media_phash's exact-hash grouping is the
+    // cheap stage; this catches one-bit-off re-encodes -----
+    "q_media_hamming" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = t(s, dir, "documents")
+        .selectExpr("doc_id",
+          "encode(concat('P6', chr(10), '4 3', chr(10), '255', chr(10), " +
+            "rpad(text, 36, 'x')), 'UTF-8') AS bytes")
+        .as[(Long, Array[Byte])]
+      val h = Dedup.persistTracked(
+        graft.operators.Multimodal.ppmAHash(payloads)
+          .select(col("id").as("doc_id"), col("ahash")).toDF())
+      Dedup.hammingPairsExact(h, "doc_id", "ahash",
+        bits = 12, maxHamming = 3)
     })
   )
 
@@ -10207,7 +10227,26 @@ object SparkEntry {
                  AS BIGINT) AS ahash
                  FROM g)
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ahash
-           FROM h a JOIN h b ON a.ahash = b.ahash AND a.doc_id < b.doc_id"""
+           FROM h a JOIN h b ON a.ahash = b.ahash AND a.doc_id < b.doc_id""",
+      // naive all-pairs Hamming truth — proves the pigeonhole block
+      // join's exact recall
+      "q_media_hamming" ->
+        """WITH img AS (SELECT doc_id, rpad(text, 36, 'x') AS body FROM documents),
+           g AS (SELECT doc_id, list_transform(range(0, 12), k ->
+                   (ord(substr(body, CAST(3*k+1 AS INT), 1)) +
+                    ord(substr(body, CAST(3*k+2 AS INT), 1)) +
+                    ord(substr(body, CAST(3*k+3 AS INT), 1))) // 3) AS gray
+                 FROM img),
+           h AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 12), k ->
+                   CASE WHEN gray[CAST(k+1 AS INT)] > list_sum(gray) // 12
+                        THEN (1::BIGINT << CAST(11-k AS INT)) ELSE 0::BIGINT END))
+                 AS BIGINT) AS ahash
+                 FROM g)
+           SELECT doc_a, doc_b, hamming FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+             FROM h a JOIN h b ON a.doc_id < b.doc_id)
+           WHERE hamming <= 3"""
     )
   }
 }

@@ -447,6 +447,42 @@ object Dedup {
       .distinct()
   }
 
+  /** The pigeonhole Hamming join of [[simhashPairsExact]], generalized
+    * to ANY fixed-width signature column: split `bits` into
+    * `maxHamming + 1` disjoint blocks — a pair within `maxHamming`
+    * differing bits cannot touch every block, so it agrees EXACTLY on
+    * at least one and the equi join on (block, value) has EXACT
+    * recall. The reusable primitive behind simhash text dedup and
+    * perceptual-hash image dedup alike: index each signature
+    * blocks×, join on the compound key, verify `bit_count(xor)` on
+    * candidates, one row per pair. Returns (doc_a, doc_b, hamming). */
+  def hammingPairsExact(sigs: DataFrame, idCol: String, sigCol: String,
+      bits: Int, maxHamming: Int): DataFrame = {
+    val blocks = maxHamming + 1
+    require(bits >= blocks && bits % blocks == 0,
+      s"bits=$bits must be a positive multiple of maxHamming+1=$blocks " +
+        "so the signature splits into equal disjoint blocks")
+    require(bits <= 63, s"bits=$bits must fit a positive long")
+    val bb = bits / blocks
+    val mask = (1L << bb) - 1
+    val s = persistTracked(sigs.select(col(idCol),
+      col(sigCol).cast("long").as("__sig")))
+    val idx = s
+      .withColumn("b", explode(expr(s"sequence(0, ${blocks - 1})")))
+      .withColumn("key",
+        expr(s"shiftright(__sig, $bb * b) & ${mask}L"))
+    val a = idx.select(col(idCol).as("doc_a"), col("__sig").as("sg_a"),
+      col("b"), col("key"))
+    val bside = idx.select(col(idCol).as("doc_b"), col("__sig").as("sg_b"),
+      col("b"), col("key"))
+    a.join(bside, Seq("b", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(sg_a ^ sg_b) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** SEGMENT-level dedup with corpus REASSEMBLY (the CCNet/C4 content
     * cleaner, applied to fixed token windows): split every document
     * into consecutive `chunkTokens`-token segments, keep only each

@@ -41,6 +41,34 @@ class ChangepointEditSpec extends SparkSpec {
     assert(got.forall(_ == ((0L, true))))
   }
 
+  test("hammingPairsExact equals all-pairs truth for any block geometry") {
+    import spark.implicits._
+    // deterministic pseudo-random 16-bit signatures with planted
+    // near-duplicates (one- and three-bit flips of earlier rows)
+    val base = (1L to 120L).map(i => (i, (i * 2654435761L >>> 13) & 0xFFFFL))
+    val planted = Seq(
+      (201L, base(10)._2 ^ 1L),           // hamming 1 of id 11
+      (202L, base(20)._2 ^ 0x8004L),      // hamming 2 of id 21
+      (203L, base(30)._2 ^ 0x4210L))      // hamming 3 of id 31
+    val sigs = base ++ planted
+    for (maxH <- Seq(1, 3)) {
+      val brute = (for {
+        (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+        h = java.lang.Long.bitCount(sa ^ sb)
+        if h <= maxH
+      } yield (ia, ib, h.toLong)).toSet
+      val got = Dedup.hammingPairsExact(sigs.toDF("id", "sig"),
+          "id", "sig", bits = 16, maxHamming = maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got == brute, s"divergence at maxHamming=$maxH")
+      assert(got.exists(_._1 == (if (maxH >= 1) 11L else -1L)) || maxH < 1)
+    }
+    // geometry guard: bits must split into maxHamming+1 equal blocks
+    intercept[IllegalArgumentException](
+      Dedup.hammingPairsExact(sigs.toDF("id", "sig"), "id", "sig", 16, 2))
+  }
+
   private def lev(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
       if (i == 0) j else if (j == 0) i else 0)
