@@ -4013,6 +4013,22 @@ object SparkEntry {
           supp, "sid", "x", "y", radius = 25L, cell = 50L)
         .withColumnRenamed("id_l", "cid").withColumnRenamed("id_r", "sid")
     }),
+    // ----- NEAREST FACILITY: each customer's single nearest supplier
+    // within r (rank window per customer, ties by supplier id) -----
+    "q_spatial_nearest" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").selectExpr(
+        "c_custkey AS cid",
+        "(c_custkey * 37) % 1000 AS x",
+        "(c_custkey * 91) % 1000 AS y")
+      val supp = t(s, dir, "supplier").selectExpr(
+        "s_suppkey AS sid",
+        "(s_suppkey * 53) % 1000 AS x",
+        "(s_suppkey * 17) % 1000 AS y")
+      Spatial.nearestWithin(cust, "cid", "x", "y",
+          supp, "sid", "x", "y", radius = 50L, cell = 50L, k = 1)
+        .select(col("id_l").as("cid"), col("id_r").as("sid"),
+          col("dist2"))
+    }),
     // ----- SPATIAL kNN JOIN, radius-bounded: k nearest neighbors per
     // point among those within r. The radius bound is the exactness
     // contract — it confines candidates to the 3x3 grid neighborhood
@@ -9105,6 +9121,20 @@ object SparkEntry {
                      + (c.y - s.y) * (c.y - s.y) AS BIGINT) AS dist2
            FROM c JOIN s ON (c.x - s.x) * (c.x - s.x)
                           + (c.y - s.y) * (c.y - s.y) <= 625""",
+      "q_spatial_nearest" ->
+        """WITH c AS (SELECT c_custkey AS cid, (c_custkey * 37) % 1000 AS x,
+                             (c_custkey * 91) % 1000 AS y FROM customer),
+           s AS (SELECT s_suppkey AS sid, (s_suppkey * 53) % 1000 AS x,
+                        (s_suppkey * 17) % 1000 AS y FROM supplier),
+           nb AS (SELECT c.cid, s.sid,
+                         CAST((c.x - s.x) * (c.x - s.x)
+                            + (c.y - s.y) * (c.y - s.y) AS BIGINT) AS dist2
+                  FROM c JOIN s ON (c.x - s.x) * (c.x - s.x)
+                                 + (c.y - s.y) * (c.y - s.y) <= 2500)
+           SELECT cid, sid, dist2 FROM (
+             SELECT cid, sid, dist2, row_number() OVER (
+               PARTITION BY cid ORDER BY dist2, sid) AS rk FROM nb)
+           WHERE rk = 1""",
       "q_spatial_knn" ->
         // naive truth: all neighbors within r, rank per point, keep k
         """WITH p AS (SELECT c_custkey AS id, (c_custkey * 37) % 1000 AS x,

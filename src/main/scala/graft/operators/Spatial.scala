@@ -77,6 +77,26 @@ object Spatial {
       .select(col("id_l"), col("id_r"), col("dist2"))
   }
 
+  /** Up to `k` nearest RIGHT points per LEFT point among those within
+    * `radius` — "nearest facility" (ties by right id). Returns
+    * (id_l, id_r, dist2, knn_rank). Same exactness contract as
+    * [[knnWithin]]: the radius bound makes the grid candidate set
+    * provably complete, and the rank window partitions by the left id,
+    * never globally. */
+  def nearestWithin(left: DataFrame, leftId: String,
+      leftX: String, leftY: String,
+      right: DataFrame, rightId: String,
+      rightX: String, rightY: String,
+      radius: Long, cell: Long, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    radiusJoinWith(left, leftId, leftX, leftY,
+        right, rightId, rightX, rightY, radius, cell)
+      .withColumn("knn_rank", row_number().over(
+        Window.partitionBy(col("id_l"))
+          .orderBy(col("dist2"), col("id_r"))).cast("long"))
+      .filter(col("knn_rank") <= k)
+  }
+
   /** [[radiusJoin]] with coordinates kept on both sides — internal
     * feed for [[dbscan]], which re-derives grid cells from them. */
   private def candidatePairs(points: DataFrame, idCol: String,

@@ -81,6 +81,28 @@ class SpatialSpec extends SparkSpec {
     }
   }
 
+  test("nearestWithin returns the bipartite argmin within the radius") {
+    import spark.implicits._
+    val l = (1L to 150L).map(i => (i, (i * 37 % 211) - 105, (i * 91 % 223) - 111))
+    val r = (1L to 40L).map(i => (i, (i * 53 % 199) - 99, (i * 17 % 191) - 95))
+    val rad = 30L
+    val brute = (for {
+      (il, xl, yl) <- l
+      cands = r.map { case (ir, xr, yr) =>
+        (ir, (xl - xr) * (xl - xr) + (yl - yr) * (yl - yr)) }
+        .filter(_._2 <= rad * rad)
+      if cands.nonEmpty
+      (ir, d2) = cands.minBy(t => (t._2, t._1))
+    } yield (il, ir, d2, 1L)).toSet
+    val got = Spatial.nearestWithin(
+        l.toDF("id", "x", "y"), "id", "x", "y",
+        r.toDF("id", "x", "y"), "id", "x", "y", rad, 25L, 1)
+      .collect()
+      .map(t => (t.getLong(0), t.getLong(1), t.getLong(2), t.getLong(3)))
+      .toSet
+    assert(got == brute)
+  }
+
   test("knnWithin equals rank-over-brute-force, capped at k") {
     import spark.implicits._
     val pts = (1L to 300L).map(i =>
