@@ -5761,12 +5761,15 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), col("ahash"))
     }),
 
-    // ----- perceptual-hash NEAR-dup at Hamming <= 3 via the pigeonhole
+    // ----- perceptual-hash NEAR-dup at Hamming <= 1 via the pigeonhole
     // blocks (exact recall — the generic hammingPairsExact primitive on
-    // the 12-bit aHash, 4 disjoint 3-bit blocks); the oracle is the
+    // the 12-bit aHash, 2 disjoint 6-bit blocks); the oracle is the
     // naive all-pairs Hamming truth, so hash-equality PROVES the block
     // join misses nothing. q_media_phash's exact-hash grouping is the
-    // cheap stage; this catches one-bit-off re-encodes -----
+    // cheap stage; this catches one-bit-off re-encodes. Hamming <= 1 is
+    // the semantically meaningful cut for a 12-bit hash — at <= 3 a
+    // random pair matches 7% of the time and the join is output-bound
+    // noise, not dedup -----
     "q_media_hamming" -> ((s, dir) => {
       import s.implicits._
       val payloads = t(s, dir, "documents")
@@ -5778,7 +5781,7 @@ object SparkEntry {
         graft.operators.Multimodal.ppmAHash(payloads)
           .select(col("id").as("doc_id"), col("ahash")).toDF())
       Dedup.hammingPairsExact(h, "doc_id", "ahash",
-        bits = 12, maxHamming = 3)
+        bits = 12, maxHamming = 1)
     })
   )
 
@@ -10276,7 +10279,7 @@ object SparkEntry {
              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                     CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
              FROM h a JOIN h b ON a.doc_id < b.doc_id)
-           WHERE hamming <= 3"""
+           WHERE hamming <= 1"""
     )
   }
 }
