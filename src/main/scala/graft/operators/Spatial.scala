@@ -180,7 +180,9 @@ object Spatial {
     * materialized: neighbor counts, cell edges, and border labels are
     * three streaming aggregations over the (recomputed) grid join, so
     * peak memory tracks points + cells, not pairs. A point with no
-    * neighbor inside eps never leaves its scan partition. */
+    * neighbor inside eps costs one id-only join row — and at
+    * minPts = 1 it is a CORE singleton, not noise (|N| counts the
+    * point itself). */
   def dbscan(points: DataFrame, idCol: String, xCol: String,
       yCol: String, eps: Long, minPts: Long): DataFrame = {
     require(minPts >= 1, s"minPts must be >= 1, got $minPts")
@@ -197,9 +199,16 @@ object Spatial {
         struct(col("id_a").as("id"), col("id_b").as("nbr")),
         struct(col("id_b").as("id"), col("id_a").as("nbr")))).as("e"))
       .select(col("e.id").as("id"), col("e.nbr").as("nbr"))
-    // |N_eps(p)| counts the point itself, the textbook convention
-    val core = sym.groupBy(col("id")).agg((count(lit(1)) + 1L).as("n"))
-      .filter(col("n") >= minPts).select(col("id"))
+    // |N_eps(p)| counts the point itself, the textbook convention.
+    // LEFT join from pts, not an aggregate of sym alone: a point with
+    // NO neighbor never appears in the pair stream, yet at minPts = 1
+    // it is still a core singleton — the aggregate-only form silently
+    // labeled it noise (caught by SpatialPropertySpec's random sweep).
+    val core = pts.select(col("id"))
+      .join(sym.groupBy(col("id")).agg(count(lit(1)).as("nn")),
+        Seq("id"), "left")
+      .filter(coalesce(col("nn"), lit(0L)) + 1L >= minPts)
+      .select(col("id"))
       .transform(Dedup.persistTracked)
     // packed cell key (coordinates are bounded well below 2^30 cells)
     def cellKey(x: Column, y: Column): Column =
