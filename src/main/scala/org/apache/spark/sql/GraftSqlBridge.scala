@@ -13,6 +13,13 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Drain the listener bus so a test reading job metrics through a
+    * `SparkListener` sees every event of the jobs it just ran
+    * (`listenerBus` is `private[spark]` — same surfacing technique as
+    * the expression bridge above). */
+  def flushListeners(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+
   /** Like [[expression]], but with every lazily-wrapped column node
     * (e.g. the SqlExpression that `functions.expr(...)` defers parsing
     * of) EXPANDED into its real catalyst tree via Spark's own

@@ -181,6 +181,36 @@ class ShuffleBudgetSpec extends SparkSpec {
     }
   }
 
+  test("grid DBSCAN: total job shuffle stays below the eps-graph it never materializes") {
+    // shuffleProfile can't see exchanges inside persisted subtrees, so
+    // this claim measures ALL jobs via a listener: run a dense cloud
+    // whose eps-graph is ~37x the point count and assert the whole
+    // dbscan run shuffles less than that pair frame's raw bytes —
+    // executable proof that the pair stream is aggregated, never moved
+    import spark.implicits._
+    val pts = Dedup.persistTracked(spark.range(1L, 2001L).selectExpr(
+      "id", "(id * 37) % 200 AS x", "(id * 91) % 200 AS y").toDF())
+    val pairBytes = 24L * Spatial.radiusJoin(
+      pts, "id", "x", "y", 30L, 30L).count() // (id,id,dist2) raw longs
+    assert(pairBytes > 1000L * 1000L,
+      s"fixture not dense enough to be probative: $pairBytes")
+    val acc = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          acc.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Spatial.dbscan(pts, "id", "x", "y", eps = 30L, minPts = 5L).collect()
+      org.apache.spark.sql.GraftSqlBridge.flushListeners(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(acc.get() > 0, "listener saw no shuffle at all")
+    assert(acc.get() < pairBytes / 2,
+      s"dbscan shuffled ${acc.get()} bytes vs a $pairBytes-byte eps-graph")
+  }
+
   test("MaxSim: exchanges carry (doc, qtok, int) grid rows, never vectors") {
     withoutAqe {
       val emb = Tables(spark, dir, "embeddings")
