@@ -526,9 +526,12 @@ object TextAnalysis {
     * term's postings are filtered FIRST (an `In` predicate that reaches
     * the index scan — on a stored, word-sorted index that is a
     * row-group skip, not a corpus pass), then n-1 equi-joins on
-    * (id, anchor-relative position) stitch the terms. Cost follows the
-    * RAREST term's postings, never the corpus: every join is
-    * candidate × term-frequency sized. */
+    * (id, phrase-start position) stitch the terms. Cost follows the
+    * RAREST term's postings: the stitch is ANCHORED on the term with
+    * the smallest postings count (one cheap count over the persisted
+    * slim frame), so every intermediate join is bounded by the rarest
+    * term's frequency — a stopword-leading phrase no longer pays a
+    * stopword-frequency-sized first join. */
   def phraseQuery(index: DataFrame, idCol: String,
       phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one word")
@@ -539,9 +542,21 @@ object TextAnalysis {
     val slim = Dedup.persistTracked(
       index.filter(col("word").isin(phrase: _*))
         .select(col(idCol), col("word"), col("pos")))
-    val anchor = slim.filter(col("word") === phrase.head)
-      .select(col(idCol), col("pos").as("p"))
-    val stitched = phrase.zipWithIndex.tail.foldLeft(anchor) {
+    // |phrase|-row aggregate over the in-memory slim frame; a term with
+    // zero postings counts 0 and wins the anchor — the stitch is then
+    // provably empty after zero join work
+    val freq = slim.groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val anchorIdx = phrase.indices
+      .minBy(i => (freq.getOrElse(phrase(i), 0L), i))
+    // p = phrase-start position, so every term at phrase offset i joins
+    // on (id, pos - i) regardless of which term anchors
+    val anchor = slim.filter(col("word") === phrase(anchorIdx))
+      .select(col(idCol), (col("pos") - anchorIdx.toLong).as("p"))
+    val rest = phrase.zipWithIndex
+      .filter(_._2 != anchorIdx)
+      .sortBy { case (w, i) => (freq.getOrElse(w, 0L), i) }
+    val stitched = rest.foldLeft(anchor) {
       case (acc, (w, i)) =>
         acc.join(
           slim.filter(col("word") === w)

@@ -152,10 +152,27 @@ object VersionedTable {
     * conservative. */
   def commit(df: DataFrame, path: String, mode: String = "overwrite",
       statCols: Seq[String] = Seq.empty): Int =
-    commitImpl(df, path, mode, None, statCols)
+    commitImpl(df, path, mode, None, statCols).get
 
+  /** Release an UNPUBLISHED claim (the optimistic-conflict path). The
+    * number may be re-claimed by a later committer — that is fine: only
+    * published numbers are part of history. */
+  private def releaseClaim(spark: SparkSession, path: String,
+      v: Int): Unit =
+    fs(spark, path).delete(lockPath(path, v), false)
+
+  /** `expectedBase`: read-validate-publish for derived commits (compact,
+    * deleteWhere) whose DATA was computed FROM a base version — if any
+    * other commit landed between the base read and this claim, the
+    * derived data is stale and publishing it would silently drop the
+    * interleaved commit's rows (the classic lost update; lakehouse
+    * formats surface this as a write conflict). On mismatch the claim is
+    * released, the just-written data dir deleted, and None returned so
+    * the caller rebuilds against the newer base. Plain appends don't
+    * need it: they re-list whatever base is latest AT CLAIM TIME. */
   private def commitImpl(df: DataFrame, path: String, mode: String,
-      batchTag: Option[Long], statCols: Seq[String] = Seq.empty): Int = {
+      batchTag: Option[Long], statCols: Seq[String] = Seq.empty,
+      expectedBase: Option[Int] = None): Option[Int] = {
     require(mode == "overwrite" || mode == "append", s"bad mode $mode")
     val spark = df.sparkSession
     val f = fs(spark, path)
@@ -177,17 +194,22 @@ object VersionedTable {
       if (statCols.isEmpty || newFiles.isEmpty) Seq.empty[String]
       else collectStats(spark, path, newFiles, df.schema, statCols)
     val v = claimNext(spark, path)
-    val (baseRows, baseFiles, baseStats) = {
-      if (mode == "append") awaitPredecessors(spark, path, v)
-      val committed = versions(spark, path).filter(_ < v)
+    if (mode == "append" || expectedBase.isDefined)
+      awaitPredecessors(spark, path, v)
+    val committed = versions(spark, path).filter(_ < v)
+    if (expectedBase.exists(b => committed.lastOption.getOrElse(0) != b)) {
+      releaseClaim(spark, path, v)
+      f.delete(dataDir, true)
+      return None
+    }
+    val (baseRows, baseFiles, baseStats) =
       if (mode == "append" && committed.nonEmpty) {
         val (r, fl) = readManifest(spark, path, committed.max)
         (r, fl, statLinesOf(spark, path, committed.max))
       } else (0L, Seq.empty[String], Seq.empty[String])
-    }
     publish(spark, path, v, baseRows + newRows, baseFiles ++ newFiles,
       batchTag, baseStats ++ newStats)
-    v
+    Some(v)
   }
 
   /** Append must base on its TRUE predecessor chain: a racing writer
@@ -231,6 +253,15 @@ object VersionedTable {
         .find(_.startsWith("# batch="))
         .map(_.stripPrefix("# batch=").toLong)).toSet
 
+  /** The version a given streaming batch id committed as (None if the
+    * batch never landed) — the replay-pinning primitive: a crash-replay
+    * that needs "the table as it stood BEFORE this batch" reads the
+    * version preceding this one. */
+  def versionOfBatch(spark: SparkSession, path: String,
+      batchId: Long): Option[Int] =
+    versions(spark, path).find(v =>
+      manifestLines(spark, path, v).contains(s"# batch=$batchId"))
+
   /** Idempotent streaming commit: structured streaming's foreachBatch
     * re-delivers the last epoch after a recovery, so a batch id that
     * already appears in a committed manifest is skipped (returns None).
@@ -242,7 +273,7 @@ object VersionedTable {
       mode: String = "append",
       statCols: Seq[String] = Seq.empty): Option[Int] =
     if (committedBatches(batch.sparkSession, path).contains(batchId)) None
-    else Some(commitImpl(batch, path, mode, Some(batchId), statCols))
+    else commitImpl(batch, path, mode, Some(batchId), statCols)
 
   /** `ds.writeStream.foreachBatch(VersionedTable.sink(path))` — every
     * micro-batch becomes one APPEND version with exactly-once manifest
@@ -288,10 +319,18 @@ object VersionedTable {
   def compact(spark: SparkSession, path: String, nFiles: Int,
       statCols: Seq[String] = Seq.empty): Int = {
     require(nFiles > 0, s"nFiles must be positive, got $nFiles")
-    val latest = versions(spark, path).last
-    val v = commit(read(spark, path, Some(latest)).repartition(nFiles),
-      path, mode = "overwrite", statCols = statCols)
-    v
+    // optimistic loop: the compacted data derives from `latest`, so the
+    // publish must verify nothing committed in between (else the
+    // interleaved commit's rows would vanish from the table head) —
+    // on conflict, rebuild from the new latest and retry
+    var out = Option.empty[Int]
+    while (out.isEmpty) {
+      val latest = versions(spark, path).last
+      out = commitImpl(read(spark, path, Some(latest)).repartition(nFiles),
+        path, mode = "overwrite", batchTag = None, statCols = statCols,
+        expectedBase = Some(latest))
+    }
+    out.get
   }
 
   /** Exact row count of a version from its manifest — zero data I/O. */
@@ -365,47 +404,79 @@ object VersionedTable {
   def deleteWhere(spark: SparkSession, path: String,
       predicate: org.apache.spark.sql.Column): Int = {
     import org.apache.spark.sql.functions.col
-    val latest = versions(spark, path).last
-    val (_, files) = readManifest(spark, path, latest)
-    val abs = files.map(r => s"$path/$r")
-    // relative manifest path of each absolute scan path, by suffix
-    def rel(filePath: String): String = {
-      val i = filePath.lastIndexOf("/data/")
-      filePath.substring(i + 1)
-    }
-    val hitFiles = spark.read.parquet(abs: _*)
-      .filter(predicate)
-      .select(col("_metadata.file_path").as("f"))
-      .distinct().collect().map(r => rel(r.getString(0))).toSet
-    val keep = files.filterNot(hitFiles.contains)
-    val keepRows =
-      if (keep.isEmpty) 0L
-      else spark.read.parquet(keep.map(r => s"$path/$r"): _*).count()
-    val nonce = java.util.UUID.randomUUID.toString.take(8)
-    val dataDir = new Path(path, s"data/c-$nonce")
-    val (newFiles, newRows) =
-      if (hitFiles.isEmpty) (Seq.empty[String], 0L)
-      else {
-        // survivors = rows where the predicate is NOT TRUE (false OR
-        // null) — SQL DELETE semantics; plain !pred would also drop
-        // null-evaluating rows, which the hit-file scan (pred = TRUE)
-        // never selected — the two passes must agree on row fate
-        val survivors = spark.read
-          .parquet(hitFiles.toSeq.sorted.map(r => s"$path/$r"): _*)
-          .filter(!org.apache.spark.sql.functions
-            .coalesce(predicate, org.apache.spark.sql.functions.lit(false)))
-        survivors.write.parquet(dataDir.toString)
-        val f = fs(spark, path)
-        val names = f.listStatus(dataDir).toSeq.map(_.getPath.getName)
-          .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
-          .sorted.map(n => s"data/c-$nonce/$n")
-        val rows = if (names.isEmpty) 0L
-          else spark.read.parquet(names.map(r => s"$path/$r"): _*).count()
-        (names, rows)
+    val f = fs(spark, path)
+    // optimistic loop (same contract as [[compact]]): keep/rewrite sets
+    // derive from the base version read below, so the publish must
+    // verify the base is STILL the latest committed version at claim
+    // time — a concurrent append landing in between would otherwise be
+    // silently absent from the new table head (lost update)
+    var out = Option.empty[Int]
+    while (out.isEmpty) {
+      val latest = versions(spark, path).last
+      val (_, files) = readManifest(spark, path, latest)
+      val abs = files.map(r => s"$path/$r")
+      // relative manifest path of each absolute scan path, by suffix
+      def rel(filePath: String): String = {
+        val i = filePath.lastIndexOf("/data/")
+        filePath.substring(i + 1)
       }
-    val v = claimNext(spark, path)
-    publish(spark, path, v, keepRows + newRows, keep ++ newFiles)
-    v
+      val src = spark.read.parquet(abs: _*)
+      val hitFiles = src
+        .filter(predicate)
+        .select(col("_metadata.file_path").as("f"))
+        .distinct().collect().map(r => rel(r.getString(0))).toSet
+      val keep = files.filterNot(hitFiles.contains)
+      val keepRows =
+        if (keep.isEmpty) 0L
+        else spark.read.parquet(keep.map(r => s"$path/$r"): _*).count()
+      val nonce = java.util.UUID.randomUUID.toString.take(8)
+      val dataDir = new Path(path, s"data/c-$nonce")
+      val (newFiles, newRows) =
+        if (hitFiles.isEmpty) (Seq.empty[String], 0L)
+        else {
+          // survivors = rows where the predicate is NOT TRUE (false OR
+          // null) — SQL DELETE semantics; plain !pred would also drop
+          // null-evaluating rows, which the hit-file scan (pred = TRUE)
+          // never selected — the two passes must agree on row fate
+          val survivors = spark.read
+            .parquet(hitFiles.toSeq.sorted.map(r => s"$path/$r"): _*)
+            .filter(!org.apache.spark.sql.functions
+              .coalesce(predicate, org.apache.spark.sql.functions.lit(false)))
+          survivors.write.parquet(dataDir.toString)
+          val names = f.listStatus(dataDir).toSeq.map(_.getPath.getName)
+            .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+            .sorted.map(n => s"data/c-$nonce/$n")
+          val rows = if (names.isEmpty) 0L
+            else spark.read.parquet(names.map(r => s"$path/$r"): _*).count()
+          (names, rows)
+        }
+      // zone-map stats survive the delete: untouched files carry their
+      // base stat lines verbatim (stats describe immutable files), and
+      // the rewritten files get fresh stats over the SAME columns the
+      // base recorded — a targeted delete must not silently strip the
+      // whole table's data-skipping metadata
+      val keepSet = keep.toSet
+      val baseStats = statLinesOf(spark, path, latest)
+      val keptStats = baseStats.filter(l =>
+        keepSet.contains(l.stripPrefix(statTag).split("\t", -1)(0)))
+      val baseStatCols = baseStats
+        .map(_.stripPrefix(statTag).split("\t", -1)(2)).distinct
+        .filter(src.schema.fieldNames.contains)
+      val newStats =
+        if (newFiles.isEmpty || baseStatCols.isEmpty) Seq.empty[String]
+        else collectStats(spark, path, newFiles, src.schema, baseStatCols)
+      val v = claimNext(spark, path)
+      awaitPredecessors(spark, path, v)
+      if (versions(spark, path).filter(_ < v).max == latest) {
+        publish(spark, path, v, keepRows + newRows, keep ++ newFiles,
+          statLines = keptStats ++ newStats)
+        out = Some(v)
+      } else {
+        releaseClaim(spark, path, v)
+        if (newFiles.nonEmpty) f.delete(dataDir, true)
+      }
+    }
+    out.get
   }
 
   // ------------------------------------------------------------------
@@ -774,20 +845,36 @@ object VersionedTable {
     * to readers) rather than a manifest naming destroyed files. Time
     * travel is only supported within the retention window afterwards —
     * the same contract as the open lakehouse formats' expire-snapshots.
-    * Concurrent safety: retention must exceed the longest reader/
-    * committer window, the standard operational rule — a reader pinned
-    * to an expired version loses its files, exactly as in those
-    * formats. */
+    * Concurrent safety: retention must exceed the longest READER
+    * window (a reader pinned to an expired version loses its files,
+    * exactly as in those formats), and `minAgeMs` must exceed the
+    * longest COMMITTER window: a commit writes its data directory
+    * BEFORE claiming a version number, so for the duration of the data
+    * write the directory is unreferenced and indistinguishable from a
+    * crashed writer's orphan — the age threshold is what keeps a
+    * concurrent vacuum from destroying it mid-write (no keepLast value
+    * can: an as-yet-unreferenced directory belongs to no version). A
+    * directory is vacuumed only when everything under it is older than
+    * `minAgeMs`; younger orphans are skipped this pass and collected by
+    * the next one. Pass 0 only where no commit can be in flight (e.g.
+    * single-writer test fixtures). */
   def expireAndVacuum(spark: SparkSession, path: String,
-      keepLast: Int): (Seq[Int], Seq[String]) = {
+      keepLast: Int, minAgeMs: Long = 3600000L): (Seq[Int], Seq[String]) = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    require(minAgeMs >= 0, s"minAgeMs must be >= 0, got $minAgeMs")
     val f = fs(spark, path)
     val vs = versions(spark, path)
     val pinned = tags(spark, path).values.toSet
     val expired = vs.dropRight(keepLast).filterNot(pinned.contains)
     expired.foreach(v => f.delete(manifestPath(path, v), false))
     val kept = versions(spark, path)
-    val orphans = orphanDataDirs(spark, path, kept)
+    val cutoff = System.currentTimeMillis - minAgeMs
+    val orphans = orphanDataDirs(spark, path, kept).filter { d =>
+      val p = new Path(path, d)
+      val newest = (f.getFileStatus(p).getModificationTime +:
+        f.listStatus(p).toSeq.map(_.getModificationTime)).max
+      newest <= cutoff
+    }
     orphans.foreach(d => f.delete(new Path(path, d), true))
     (expired, orphans)
   }

@@ -28,11 +28,16 @@ import graft.sources.VersionedTable
   *  - labels landed, signatures did not: the replay re-commits only the
   *    signatures; the committed labels were computed from the batch's
   *    own in-memory signatures, so they are already correct;
-  *  - signatures landed, labels did not: the replay recomputes labels
-  *    with the batch's signatures ALSO present in the stored index; the
-  *    extra cross pairs this produces are self-pairs (dropped by the CC
-  *    — u = v edges are filtered) and duplicates of the intra pairs
-  *    (idempotent for connectivity), so the label result is unchanged.
+  *  - signatures landed, labels did not: the replay PINS the
+  *    cross-candidate join to the signature version PRECEDING the
+  *    batch's own append ([[VersionedTable.versionOfBatch]]), so it
+  *    joins exactly the index the no-crash run would have — without the
+  *    pin, the batch's own replayed signatures would also sit in the
+  *    index, and under a finite `maxBucket` those extra rows can push a
+  *    (band, bucket) over the cap and DROP genuine increment-vs-base
+  *    pairs (self-pairs and duplicate intra pairs are harmless for
+  *    connectivity, but cap-induced drops are not), diverging the
+  *    replayed labels from the no-crash result.
   *
   * State size at 100 TB: signatures are k longs per doc (the index a
   * batch joins is bucket-keyed and increment-sized per
@@ -53,13 +58,22 @@ object ClusterMaintainer {
         Dedup.minhashSignatures(batch, idCol, textCol))
       val intra = Dedup.candidatesFromSignatures(sigsNew, idCol)
         .select(col("doc_a"), col("doc_b"))
-      val haveSigs = VersionedTable.versions(spark, sigPath).nonEmpty
-      val cross =
-        if (haveSigs)
+      // cross-join base: latest on the fresh path; on a replay whose
+      // signature append already landed, the version BEFORE that append
+      // (see the scaladoc's cap-interaction argument)
+      val sigVersions = VersionedTable.versions(spark, sigPath)
+      val crossBase: Option[Int] =
+        VersionedTable.versionOfBatch(spark, sigPath, batchId) match {
+          case Some(own) => sigVersions.filter(_ < own).lastOption
+          case None => sigVersions.lastOption
+        }
+      val cross = crossBase match {
+        case Some(v) =>
           Dedup.crossCandidatesFromSignatures(sigsNew,
-            VersionedTable.read(spark, sigPath), idCol,
+            VersionedTable.read(spark, sigPath, Some(v)), idCol,
             maxBucket = maxBucket)
-        else Seq.empty[(Long, Long)].toDF("new_id", "base_id")
+        case None => Seq.empty[(Long, Long)].toDF("new_id", "base_id")
+      }
       val haveLabels = VersionedTable.versions(spark, labelsPath).nonEmpty
       val baseLabels =
         if (haveLabels) VersionedTable.read(spark, labelsPath)

@@ -146,6 +146,40 @@ class VersionedTableSkipSpec extends SparkSpec {
     assert(skip.isEmpty && keep.size == dataFileCount(path))
   }
 
+  test("deleteWhere carries kept files' stats forward and re-stats the rewrites") {
+    val path = freshPath()
+    buildByYear(path)
+    val filesBefore = VersionedTable.fileStats(spark, path).map(_.file).toSet
+    // delete a slice confined to one year-file: that file is rewritten,
+    // every other file must keep its zone-map line verbatim
+    val v = VersionedTable.deleteWhere(spark, path,
+      expr("o_orderdate >= timestamp'1996-01-01 00:00:00' AND " +
+        "o_orderdate < timestamp'1996-07-01 00:00:00'"))
+    val after = VersionedTable.fileStats(spark, path, Some(v))
+    assert(after.size == filesBefore.size,
+      s"every file of v$v must still carry stats (got ${after.size} of ${filesBefore.size})")
+    val rewritten = after.filterNot(s => filesBefore.contains(s.file))
+    assert(rewritten.size == 1, "exactly the 1996 file is rewritten")
+    // the rewritten file's fresh stats cover the same columns and
+    // reflect the post-delete domain (min moved past the deleted range)
+    val d = rewritten.head.cols("o_orderdate")
+    assert(d.kind == "ts" &&
+      d.min.get.toLong >=
+        java.time.Instant.parse("1996-07-01T00:00:00Z").toEpochMilli * 1000L -
+          86400000000L, // tz slack: local-session timestamps
+      s"rewritten min ${d.min} must sit at/after the deleted range")
+    assert(rewritten.head.cols.keySet ==
+      Set("o_orderdate", "o_totalprice", "o_orderpriority"))
+    // and pruning still works from the post-delete version: a 1997
+    // predicate keeps one file, so the delete did NOT strip skipping
+    val pred = expr("o_orderdate >= timestamp'1997-01-01 00:00:00' AND " +
+      "o_orderdate < timestamp'1998-01-01 00:00:00'")
+    val (keep, skip) = VersionedTable.pruneFiles(spark, path, pred, Some(v))
+    assert(keep.size == 1 && skip.size == after.size - 1,
+      s"post-delete pruning regressed: keep=$keep")
+    assertSameResult(path, pred)
+  }
+
   test("stats survive append carry and rollback") {
     val path = freshPath()
     buildByYear(path)

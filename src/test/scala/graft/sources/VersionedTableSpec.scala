@@ -211,7 +211,9 @@ class VersionedTableSpec extends SparkSpec {
     val dirsBefore = VersionedTable.orphanDataDirs(spark, path, Seq(v4))
     assert(dirsBefore.nonEmpty, "pre-vacuum, old dirs must be orphans of the kept set")
 
-    val (expired, deleted) = VersionedTable.expireAndVacuum(spark, path, 1)
+    // single-writer fixture: no commit can be in flight, so minAge 0
+    val (expired, deleted) =
+      VersionedTable.expireAndVacuum(spark, path, 1, minAgeMs = 0L)
     assert(expired == Seq(v1, v1 + 1, v1 + 2))
     assert(deleted.toSet == dirsBefore.toSet)
     // retained version intact, bit-for-bit
@@ -224,11 +226,32 @@ class VersionedTableSpec extends SparkSpec {
     deleted.foreach(d => assert(!new java.io.File(s"$path/$d").exists(),
       s"vacuumed dir $d still on disk"))
     // idempotent: a second pass with a wide window is a no-op
-    assert(VersionedTable.expireAndVacuum(spark, path, 5) ==
+    assert(VersionedTable.expireAndVacuum(spark, path, 5, minAgeMs = 0L) ==
       ((Seq.empty[Int], Seq.empty[String])))
     // version numbers stay burned: the next commit continues the chain
     val v5 = VersionedTable.commit(cust.limit(1), path, mode = "append")
     assert(v5 == v4 + 1)
+  }
+
+  test("vacuum age guard: young orphan dirs survive until minAge lapses") {
+    val path = freshPath()
+    val nat = Tables(spark, dir, "nation")
+    VersionedTable.commit(nat, path)
+    VersionedTable.commit(nat.limit(3), path) // overwrite: v1's dir orphaned
+    // the orphan dir was written seconds ago — it is indistinguishable
+    // from an IN-FLIGHT commit's pre-claim data dir, so a vacuum with a
+    // realistic minAge must leave it alone (expiry still proceeds:
+    // manifests are not the hazard, unreferenced data dirs are)
+    val (expired, deleted) = VersionedTable.expireAndVacuum(spark, path, 1)
+    assert(expired == Seq(1) && deleted.isEmpty,
+      s"young dir must not be vacuumed: deleted=$deleted")
+    assert(VersionedTable.orphanDataDirs(spark, path,
+      VersionedTable.versions(spark, path)).nonEmpty)
+    // once older than the threshold it is collected by the next pass
+    val (e2, d2) = VersionedTable.expireAndVacuum(spark, path, 1,
+      minAgeMs = 0L)
+    assert(e2.isEmpty && d2.size == 1)
+    d2.foreach(d => assert(!new java.io.File(s"$path/$d").exists()))
   }
 
   test("tags pin versions through retention; untag re-subjects them") {
@@ -251,7 +274,8 @@ class VersionedTableSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
 
     // retention keeps the tagged v1 even though only v3 is in-window
-    val (expired, _) = VersionedTable.expireAndVacuum(spark, path, 1)
+    val (expired, _) =
+      VersionedTable.expireAndVacuum(spark, path, 1, minAgeMs = 0L)
     assert(expired == Seq(v2), "the tagged version must survive expiry")
     assert(VersionedTable.versions(spark, path) == Seq(v1, v3))
     assert(VersionedTable.readTag(spark, path, "release-1.0").collect()
@@ -259,7 +283,8 @@ class VersionedTableSpec extends SparkSpec {
 
     // untag → the old release becomes expirable again
     VersionedTable.untag(spark, path, "release-1.0")
-    val (expired2, deleted2) = VersionedTable.expireAndVacuum(spark, path, 1)
+    val (expired2, deleted2) =
+      VersionedTable.expireAndVacuum(spark, path, 1, minAgeMs = 0L)
     assert(expired2 == Seq(v1))
     assert(deleted2.nonEmpty, "v1's exclusive data dir must be vacuumed")
     assert(VersionedTable.versions(spark, path) == Seq(v3))

@@ -102,4 +102,31 @@ class ClusterMaintainerSpec extends SparkSpec {
     assert(got == want, s"got=$got want=$want")
     assert(before.keySet.subsetOf(got.keySet))
   }
+
+  test("replay under a finite maxBucket pins the pre-batch signature snapshot (cap interaction)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cm3").toString
+    val labelsPath = s"$dir/labels"
+    val sigPath = s"$dir/sigs"
+    // IDENTICAL texts: every doc lands in the same (band, bucket) in
+    // every band. Base = 3 docs, batch = 2 more; cap = 4 sits BETWEEN
+    // the pre-batch bucket size (3, under the cap) and the
+    // replay-inflated size (5, over it) — an unpinned replay would see
+    // its own signatures in the stored index, push every bucket over
+    // the cap, drop ALL genuine cross pairs, and leave the batch split
+    // off as its own cluster
+    val sink = ClusterMaintainer.sink(labelsPath, sigPath, "doc_id",
+      "text", maxBucket = 4)
+    sink(Seq(CmDoc(1, t1), CmDoc(2, t1), CmDoc(3, t1)).toDF(), 0L)
+    val batch1 = Seq(CmDoc(10, t1), CmDoc(11, t1)).toDF()
+    // crash window: batch 1's signatures land, its labels do not
+    VersionedTable.streamingCommit(
+      Dedup.minhashSignatures(batch1, "doc_id", "text"), 1L, sigPath,
+      "append")
+    sink(batch1, 1L)
+    val got = labelMap(VersionedTable.read(spark, labelsPath))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L),
+      s"replayed labels diverged from the no-crash clustering: $got")
+  }
 }
