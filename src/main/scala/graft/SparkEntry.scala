@@ -357,6 +357,18 @@ object SparkEntry {
     "q_dedup_edit" -> ((s, dir) =>
       Dedup.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
         maxDist = 20)),
+    // ----- EXACT substring dedup: the exact-match pass after MinHash
+    // in production train-data dedup — every maximal verbatim-shared
+    // span of >= 30 chars, via fingerprinted 30-gram anchors + diagonal
+    // run grouping (never suffix construction, never all-pairs) -----
+    "q_substr_dup" -> ((s, dir) =>
+      Dedup.duplicatedSubstrings(t(s, dir, "documents"), "doc_id",
+        "text", minLen = 30)),
+    // the cleanup twin: keep the lowest-id copy, cut the repeats out of
+    // the higher-id doc (merged spans, one per-doc fold)
+    "q_substr_excise" -> ((s, dir) =>
+      Dedup.exciseDuplicatedSubstrings(t(s, dir, "documents"), "doc_id",
+        "text", minLen = 30)),
     // ingest-path dedup: candidates between an incoming batch (top
     // fifth of doc ids) and the existing corpus — cost proportional to
     // the INCREMENT, never re-pairing the corpus with itself
@@ -5931,6 +5943,28 @@ object SparkEntry {
          sigs AS (SELECT doc_id, ${duckMinhash("hs", 12)} AS mh FROM hs),
          buckets AS (SELECT doc_id, mh, band, ${duckBandBucket("mh", "band", 3)} AS bucket
                      FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bands)"""
+    // naive-scan exact-substring truth: ALL 30-grams of every doc,
+    // matched by content, grouped into maximal diagonal runs — the
+    // brute formulation of Dedup.duplicatedSubstrings' reduction
+    val substrCtes =
+      s"""WITH g AS (
+           SELECT doc_id, pos, substr(text, CAST(pos AS INT), 30) AS gram
+           FROM (SELECT doc_id, text,
+                 unnest(generate_series(1, length(text) - 29)) AS pos
+                 FROM documents)),
+         m AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.pos AS pa, b.pos AS pb
+           FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+         r AS (
+           SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+                  pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                          ORDER BY pa) AS isl
+           FROM m),
+         runs AS (
+           SELECT doc_a, doc_b, MIN(pa) AS start_a, MIN(pb) AS start_b,
+                  CAST(COUNT(*) + 29 AS BIGINT) AS len
+           FROM r GROUP BY doc_a, doc_b, diag, isl)"""
     // the naive positional phrase truth shared by the stored-index and
     // HOF-scan plans ('slow hash batch', 1-based positions)
     val phraseOracle =
@@ -6328,6 +6362,42 @@ object SparkEntry {
                   CAST(len(list_filter(list_transform(range(1, 13), i -> a.mh[i] = b.mh[i]), v -> v)) AS DOUBLE) / 12 AS est_jaccard
            FROM capped a JOIN capped b
              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""",
+      "q_substr_dup" ->
+        s"""$substrCtes
+           SELECT doc_a, doc_b, start_a, start_b, len FROM runs""",
+      // excise: merge the higher-id docs' spans (running-max islands),
+      // then stitch the kept gaps back together with string_agg —
+      // including the fully-excised docs (clean_text = '')
+      "q_substr_excise" ->
+        s"""$substrCtes,
+           sp AS (SELECT DISTINCT doc_b AS doc_id, start_b AS s,
+                         start_b + len AS e FROM runs),
+           o AS (
+             SELECT doc_id, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+                 ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) THEN 1 ELSE 0 END AS ng
+             FROM sp),
+           grp AS (SELECT doc_id, s, e,
+                          SUM(ng) OVER (PARTITION BY doc_id ORDER BY s, e) AS gid
+                   FROM o),
+           mg AS (SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+                  FROM grp GROUP BY doc_id, gid),
+           seg AS (
+             SELECT doc_id,
+                    COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s),
+                             1) AS ks,
+                    s AS ke
+             FROM mg
+             UNION ALL
+             SELECT mg.doc_id, MAX(mg.e) AS ks, MAX(length(d.text)) + 1 AS ke
+             FROM mg JOIN documents d USING (doc_id) GROUP BY mg.doc_id)
+           SELECT seg.doc_id, CAST(length(d.text) AS BIGINT) AS orig_len,
+                  CAST(string_agg(substr(d.text, CAST(ks AS INT),
+                    CAST(ke - ks AS INT)), '' ORDER BY ks) AS VARCHAR)
+                    AS clean_text
+           FROM seg JOIN documents d USING (doc_id)
+           GROUP BY seg.doc_id, d.text""",
       // DuckDB's levenshtein is the same classic character-level DP as
       // Spark's (ASCII corpus — no code-unit ambiguity); candidates are
       // the shared LSH blocking

@@ -1114,4 +1114,120 @@ object Dedup {
       .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("edit_dist"))
   }
+
+  /** EXACT duplicated-substring detection — the exact-match pass that
+    * follows MinHash in production train-data dedup: every MAXIMAL
+    * substring of length >= `minLen` shared verbatim by two documents,
+    * as (doc_a, doc_b, start_a, start_b, len) with doc_a < doc_b and
+    * 1-based starts.
+    *
+    * Reduction: a shared substring of length >= L exists iff a shared
+    * L-gram exists, and the maximal match at a (pair, diagonal) is
+    * exactly a RUN of consecutive matching L-gram positions (len =
+    * run + L - 1) — so the operator is anchor-on-fingerprinted-k-grams
+    * + diagonal run-length grouping, never suffix construction.
+    *
+    * Scale shape: the corpus-sized path carries (id, pos, xxhash64)
+    * triples — 24 bytes per character position, NOT the L-byte gram
+    * (an L× text amplification this plan exists to avoid). One
+    * groupBy(h) prunes the non-duplicated majority before the
+    * self-join; the hash join's false positives are removed by an
+    * exact substring-equality RESIDUAL against the match-sized pair
+    * frame (two slim text joins), so hash width never affects the
+    * answer. The runs window partitions by (pair, diagonal) — data-
+    * sized, never global. Honest quadratic: like every exact pair
+    * emitter, output (and the self-join) is quadratic in the copies of
+    * a VIRAL substring — that is the answer's own size, not plan
+    * waste; cap upstream (e.g. boilerplate strip) if the corpus needs
+    * it. */
+  def duplicatedSubstrings(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val txt = persistTracked(
+      docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t")))
+    // all L-gram fingerprints with 1-based positions; the CASE guards
+    // short docs (sequence(1, 0) DESCENDS in Spark)
+    val grams = txt.select(col("id"),
+      explode(expr(
+        s"""CASE WHEN length(t) >= $minLen THEN
+              transform(sequence(1, length(t) - ${minLen - 1}),
+                i -> struct(CAST(i AS BIGINT) AS pos,
+                            xxhash64(substring(t, i, $minLen)) AS h))
+            ELSE array() END""")).as("g"))
+      .select(col("id"), col("g.pos").as("pos"), col("g.h").as("h"))
+    // the non-duplicated majority never reaches the self-join: ONE
+    // h-partitioned window count filters in place (no second shuffle,
+    // no dup-hash join), and because the persisted frame ends h-hash-
+    // partitioned, the self-join below reuses that partitioning
+    // exchange-free
+    val gd = persistTracked(grams
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("__n") > 1).drop("__n"))
+    val matches = gd
+      .select(col("h"), col("id").as("doc_a"), col("pos").as("pa"))
+      .join(gd.select(col("h"), col("id").as("doc_b"),
+        col("pos").as("pb")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      // exact residual: re-read the two grams and demand equality, so
+      // a 64-bit collision can never fabricate a match
+      .join(txt.select(col("id").as("doc_a"), col("t").as("__ta")),
+        Seq("doc_a"))
+      .join(txt.select(col("id").as("doc_b"), col("t").as("__tb")),
+        Seq("doc_b"))
+      .filter(expr(s"substring(__ta, CAST(pa AS INT), $minLen) = " +
+        s"substring(__tb, CAST(pb AS INT), $minLen)"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
+    // diagonal gaps-and-islands: consecutive (pa, pb) steps share
+    // pa - row_number within a (pair, diagonal) partition
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    matches.withColumn("diag", col("pa") - col("pb"))
+      .withColumn("isl", col("pa") - row_number().over(w).cast("long"))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("isl"))
+      .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
+        (count(lit(1)) + (minLen - 1).toLong).as("len"))
+      .select(col("doc_a"), col("doc_b"), col("start_a"),
+        col("start_b"), col("len"))
+  }
+
+  /** Corpus EXCISE over [[duplicatedSubstrings]]: keep the FIRST copy
+    * (lowest doc id) of every duplicated span and cut the repeat out of
+    * the higher-id document — the Lee-et-al-style exact-substring
+    * cleanup pass. Returns only the AFFECTED documents as
+    * (idCol, orig_len, clean_text); overlapping spans are merged before
+    * slicing, so excised regions are counted once.
+    *
+    * The merge-and-slice is ONE per-document fold over the doc's own
+    * sorted span list (collect_list is span-count bounded, not
+    * corpus-bounded): the fold keeps a cursor at the next un-excised
+    * character, appends the kept gap before each span, and advances
+    * the cursor to max(cursor, span end) — overlap merging falls out of
+    * the max. No global anything: spans shuffle once on doc id. */
+  def exciseDuplicatedSubstrings(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int): DataFrame = {
+    val runs = duplicatedSubstrings(docs, idCol, textCol, minLen)
+    val spans = runs
+      .select(col("doc_b").as("__xid"), col("start_b").as("s"),
+        (col("start_b") + col("len")).as("e"))
+      .distinct()
+      .groupBy(col("__xid"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("sp"))
+    docs.select(col(idCol).cast("long").as("__xid"),
+        col(textCol).as("__xt"))
+      .join(spans, Seq("__xid"))
+      .select(col("__xid").as(idCol),
+        length(col("__xt")).cast("long").as("orig_len"),
+        expr("""aggregate(sp,
+            struct(CAST(1 AS BIGINT) AS cur, '' AS acc),
+            (st, x) -> struct(
+              greatest(st.cur, x.e) AS cur,
+              CASE WHEN x.s > st.cur
+                THEN concat(st.acc, substring(__xt, CAST(st.cur AS INT),
+                  CAST(x.s - st.cur AS INT)))
+                ELSE st.acc END AS acc),
+            st -> concat(st.acc,
+              substring(__xt, CAST(st.cur AS INT), 2147483647)))""")
+          .as("clean_text"))
+  }
 }

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.athenaeum.SparkSpec
+
+/** Exact duplicated-substring detection: fixed-seed anatomy cases for
+  * the known edge classes (overlapping maximal runs, multi-diagonal
+  * repeats, short docs, full-doc twins, merged excise spans) plus a
+  * randomized differential against a character-level brute force.
+  * Tiny alphabet → dense accidental repeats, the adversarial regime
+  * for diagonal run grouping. */
+class SubstringDedupSpec extends SparkSpec {
+
+  private def check(prop: Prop, n: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** Brute force: every (pair, pa, pb) whose L-grams match, extended
+    * maximally along the diagonal — run starts are positions whose
+    * predecessor pair does not match. */
+  private def bruteRuns(docs: Seq[(Long, String)], minLen: Int)
+      : Set[(Long, Long, Long, Long, Long)] = {
+    def grams(t: String) =
+      (1 to t.length - minLen + 1).map(i => i -> t.substring(i - 1, i - 1 + minLen))
+    (for {
+      (ida, ta) <- docs; (idb, tb) <- docs if ida < idb
+      (pa, ga) <- grams(ta); (pb, gb) <- grams(tb) if ga == gb
+      // run start: the predecessor gram pair must NOT match — given the
+      // current grams match, that reduces to the preceding characters
+      if pa == 1 || pb == 1 || ta(pa - 2) != tb(pb - 2)
+    } yield {
+      // char-wise maximal extension along the diagonal (equivalent to
+      // consecutive-gram runs: overlapping grams share all but one char)
+      var len = minLen
+      while (pa - 1 + len < ta.length && pb - 1 + len < tb.length &&
+        ta(pa - 1 + len) == tb(pb - 1 + len)) len += 1
+      (ida, idb, pa.toLong, pb.toLong, len.toLong)
+    }).toSet
+  }
+
+  /** Brute excise: cut every higher-id span (merged) out of its doc. */
+  private def bruteExcise(docs: Seq[(Long, String)], minLen: Int)
+      : Map[Long, (Long, String)] = {
+    val spans = bruteRuns(docs, minLen).toSeq
+      .map { case (_, db, _, sb, len) => db -> ((sb, sb + len)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    val text = docs.toMap
+    spans.map { case (id, sp) =>
+      val t = text(id)
+      var cur = 1L
+      val acc = new StringBuilder
+      sp.foreach { case (s, e) =>
+        if (s > cur) acc.append(t.substring(cur.toInt - 1, s.toInt - 1))
+        cur = math.max(cur, e)
+      }
+      if (cur <= t.length) acc.append(t.substring(cur.toInt - 1))
+      id -> ((t.length.toLong, acc.toString))
+    }
+  }
+
+  private def runsOf(df: org.apache.spark.sql.DataFrame)
+      : Set[(Long, Long, Long, Long, Long)] = {
+    val out = df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    Dedup.releaseAll(spark)
+    out
+  }
+
+  test("anatomy: twins, shifted repeat, multi-diagonal, sub-threshold, short docs") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "xxxxABCDEFGHyyyy",      // shares ABCDEFGH with 2 (len 8)
+      2L -> "zzABCDEFGHqqqqqq",
+      3L -> "ppppppppppppp",          // 13 identical chars vs 4
+      4L -> "ppppppppppppp",
+      5L -> "ab",                     // shorter than minLen: no grams
+      6L -> "ABCDEF"                  // sub-threshold overlap with 1/2 at L=8
+    )
+    val got = runsOf(Dedup.duplicatedSubstrings(
+      docs.toDF("doc_id", "text"), "doc_id", "text", minLen = 8))
+    // twins: one maximal run, full length; p-runs: every diagonal of
+    // the 13-char identical pair yields ONE maximal run per diagonal
+    assert(got.contains((1L, 2L, 5L, 3L, 8L)))
+    assert(got.contains((3L, 4L, 1L, 1L, 13L)))
+    // all (3,4) runs are diagonal-maximal: 13-char p-block at offsets
+    // -5..5 → 11 diagonals, run length 13 - |d|
+    val p34 = got.filter(r => r._1 == 3L && r._2 == 4L)
+    assert(p34.size == 11 && p34.forall { case (_, _, sa, sb, len) =>
+      len == 13L - math.abs(sa - sb) && len >= 8L })
+    assert(!got.exists(r => r._1 == 6L || r._2 == 6L || r._1 == 5L || r._2 == 5L))
+  }
+
+  test("excise: keeps the lowest-id copy, merges overlapping spans, empties full dups") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "HEADER-ONE-xxxxxxxx-HEADER-TWO",
+      // 2 shares both headers, overlapping through the middle of its text
+      2L -> "HEADER-ONE-HEADER-TWO-tail",
+      3L -> "HEADER-ONE-xxxxxxxx-HEADER-TWO" // full twin of 1: fully excised
+    )
+    val got = Dedup.exciseDuplicatedSubstrings(
+      docs.toDF("doc_id", "text"), "doc_id", "text", minLen = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    Dedup.releaseAll(spark)
+    val want = bruteExcise(docs, 8)
+    assert(got == want, s"got=$got want=$want")
+    assert(got(3L)._2 == "", "a full twin must excise to empty")
+    assert(!got.contains(1L), "the lowest-id copy is never touched")
+  }
+
+  // dense-repeat generator: tiny alphabet + occasionally planted shared
+  // blocks so runs cross doc boundaries at many diagonals
+  private val genDocs: Gen[Seq[(Long, String)]] = for {
+    n <- Gen.choose(2, 6)
+    block <- Gen.listOfN(12, Gen.oneOf('a', 'b')).map(_.mkString)
+    docs <- Gen.listOfN(n, for {
+      m <- Gen.choose(0, 24)
+      cs <- Gen.listOfN(m, Gen.oneOf('a', 'b', 'c'))
+      plant <- Gen.oneOf(true, false)
+      at <- Gen.choose(0, m)
+    } yield {
+      val base = cs.mkString
+      if (plant) base.substring(0, at) + block + base.substring(at) else base
+    })
+  } yield docs.zipWithIndex.map { case (t, i) => (i + 1L, t) }
+
+  test("random corpora: pairs and excise equal the brute force") {
+    import spark.implicits._
+    val gen = for {
+      docs <- genDocs
+      l <- Gen.choose(4, 7)
+    } yield (docs, l)
+    check(Prop.forAllNoShrink(gen) { case (docs, l) =>
+      val df = docs.toDF("doc_id", "text")
+      val gotRuns = runsOf(
+        Dedup.duplicatedSubstrings(df, "doc_id", "text", l))
+      val wantRuns = bruteRuns(docs, l)
+      val gotEx = Dedup.exciseDuplicatedSubstrings(df, "doc_id", "text", l)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+        .toMap
+      Dedup.releaseAll(spark)
+      val wantEx = bruteExcise(docs, l)
+      val ok = gotRuns == wantRuns && gotEx == wantEx
+      if (!ok) println(s"FAIL l=$l docs=$docs\n runs got=$gotRuns want=$wantRuns\n ex got=$gotEx want=$wantEx")
+      ok
+    }, 25)
+  }
+}
