@@ -822,6 +822,48 @@ object SparkEntry {
         emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
     }),
 
+    // ----- VERSIONED IVF-PQ index: the vector index as a VersionedTable
+    // with the same pin-isolation contract as q_ingest_dedup3 — the one
+    // index most likely to be SERVED while re-ingesting. v_base commits
+    // the cell-clustered encoding (repartitioned by cell + manifest zone
+    // maps on the cell column, so a cell-targeted read prunes to
+    // O(probed cells) files) and the PQ codebook as its own 1-row
+    // versioned table; query batch 1 serves from the pinned snapshots;
+    // then an APPEND lands DECOYS — the queries' own encodings under
+    // huge ids, ADC ~ 0, guaranteed rank-1 if visible — and query batch
+    // 2 STILL serves from the pin. A leaked pin would surface the
+    // decoys and hash-mismatch by construction. Result-identical to
+    // q_ann_ivfpq (shares its oracle); the coarse centroids ride the
+    // driver here exactly as in q_ann_ivfpq_stored — a production
+    // release lands them beside the codebook row and tags the pair. -----
+    "q_ann_ivfpq_versioned" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val emb = t(s, dir, "embeddings")
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = "/tmp/graft_ivfpq_vtab_" + suffix
+      val cbPath = "/tmp/graft_ivfpq_vtab_cb_" + suffix
+      val (cent, cb, enc) = Similarity.buildIvfPqIndex(
+        emb, "vec_id", "embedding")
+      val encC = Dedup.persistTracked(enc)
+      val vBase = VersionedTable.commit(
+        encC.repartition(col("cell")), path, "overwrite",
+        statCols = Seq("cell"))
+      val vCb = VersionedTable.commit(cb, cbPath, "overwrite")
+      val pinnedIdx = VersionedTable.read(s, path, Some(vBase))
+      val pinnedCb = VersionedTable.read(s, cbPath, Some(vCb))
+      val r1 = Similarity.ivfPqStoredTopK(pinnedIdx, pinnedCb, cent,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+      // vN+1 lands while the pin is open
+      VersionedTable.commit(
+        encC.filter(col("cid") < 10)
+          .withColumn("cid", col("cid") + 1000000L),
+        path, "append", statCols = Seq("cell"))
+      val r2 = Similarity.ivfPqStoredTopK(pinnedIdx, pinnedCb, cent,
+        emb.filter(col("vec_id") >= 5 && col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+      r1.union(r2)
+    }),
+
     // ----- event-time windows (batch; streaming twins in graft.streaming)
     "q_events_tumbling" -> ((s, dir) =>
       Events.tumblingHourly(t(s, dir, "events"))),
@@ -6697,6 +6739,9 @@ object SparkEntry {
       // the stored index round-trips (cell, codes) + the codebook row
       // through parquet; results are identical by construction
       "q_ann_ivfpq_stored" -> ivfpqOracleTop5,
+      // the versioned two-step serve is result-identical by the pin
+      // contract: decoys land in vN+1, both batches read vN
+      "q_ann_ivfpq_versioned" -> ivfpqOracleTop5,
       "q_ann_ivfpq_refined" -> ivfpqRefinedOracle,
       "q_ann_recall_report" ->
         s"""$ivfpqOracle,
