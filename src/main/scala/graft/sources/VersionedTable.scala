@@ -150,9 +150,18 @@ object VersionedTable {
     * reads, but footer binary stats are truncation-lossy for strings —
     * the exact pass keeps [[readWhere]]'s pruning provably
     * conservative. */
+  /** `bloomCols`: columns to record a per-file BLOOM FILTER for in the
+    * manifest (bloomM bits, bloomK hashes each) — the point-predicate
+    * complement to `statCols` zone maps: equality/IN lookups on keys
+    * that interleave across files (where min/max spans everything)
+    * prune through the blooms instead. Conservative by construction:
+    * a bloom has no false negatives, absent blooms keep the file. */
   def commit(df: DataFrame, path: String, mode: String = "overwrite",
-      statCols: Seq[String] = Seq.empty): Int =
-    commitImpl(df, path, mode, None, statCols).get
+      statCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty,
+      bloomM: Int = 1 << 14, bloomK: Int = 5): Int =
+    commitImpl(df, path, mode, None, statCols,
+      bloomCols = bloomCols, bloomM = bloomM, bloomK = bloomK).get
 
   /** Release an UNPUBLISHED claim (the optimistic-conflict path). The
     * number may be re-claimed by a later committer — that is fine: only
@@ -172,7 +181,9 @@ object VersionedTable {
     * need it: they re-list whatever base is latest AT CLAIM TIME. */
   private def commitImpl(df: DataFrame, path: String, mode: String,
       batchTag: Option[Long], statCols: Seq[String] = Seq.empty,
-      expectedBase: Option[Int] = None): Option[Int] = {
+      expectedBase: Option[Int] = None,
+      bloomCols: Seq[String] = Seq.empty,
+      bloomM: Int = 1 << 14, bloomK: Int = 5): Option[Int] = {
     require(mode == "overwrite" || mode == "append", s"bad mode $mode")
     val spark = df.sparkSession
     val f = fs(spark, path)
@@ -191,8 +202,11 @@ object VersionedTable {
       if (newFiles.isEmpty) 0L // a fully-empty increment is a valid commit
       else spark.read.parquet(newFiles.map(r => s"$path/$r"): _*).count()
     val newStats =
-      if (statCols.isEmpty || newFiles.isEmpty) Seq.empty[String]
-      else collectStats(spark, path, newFiles, df.schema, statCols)
+      (if (statCols.isEmpty || newFiles.isEmpty) Seq.empty[String]
+       else collectStats(spark, path, newFiles, df.schema, statCols)) ++
+      (if (bloomCols.isEmpty || newFiles.isEmpty) Seq.empty[String]
+       else collectBlooms(spark, path, newFiles, df.schema, bloomCols,
+         bloomM, bloomK))
     val v = claimNext(spark, path)
     if (mode == "append" || expectedBase.isDefined)
       awaitPredecessors(spark, path, v)
@@ -205,7 +219,7 @@ object VersionedTable {
     val (baseRows, baseFiles, baseStats) =
       if (mode == "append" && committed.nonEmpty) {
         val (r, fl) = readManifest(spark, path, committed.max)
-        (r, fl, statLinesOf(spark, path, committed.max))
+        (r, fl, metaLinesOf(spark, path, committed.max))
       } else (0L, Seq.empty[String], Seq.empty[String])
     publish(spark, path, v, baseRows + newRows, baseFiles ++ newFiles,
       batchTag, baseStats ++ newStats)
@@ -317,7 +331,9 @@ object VersionedTable {
     * Size `nFiles` from the manifest row count and the row-group audit
     * (`q_parquet_meta`) — target 128-256 MB per file at rest. */
   def compact(spark: SparkSession, path: String, nFiles: Int,
-      statCols: Seq[String] = Seq.empty): Int = {
+      statCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty,
+      bloomM: Int = 1 << 14, bloomK: Int = 5): Int = {
     require(nFiles > 0, s"nFiles must be positive, got $nFiles")
     // optimistic loop: the compacted data derives from `latest`, so the
     // publish must verify nothing committed in between (else the
@@ -328,7 +344,8 @@ object VersionedTable {
       val latest = versions(spark, path).last
       out = commitImpl(read(spark, path, Some(latest)).repartition(nFiles),
         path, mode = "overwrite", batchTag = None, statCols = statCols,
-        expectedBase = Some(latest))
+        expectedBase = Some(latest), bloomCols = bloomCols,
+        bloomM = bloomM, bloomK = bloomK)
     }
     out.get
   }
@@ -345,7 +362,7 @@ object VersionedTable {
     val (rows, files) = readManifest(spark, path, toVersion)
     val v = claimNext(spark, path)
     publish(spark, path, v, rows, files,
-      statLines = statLinesOf(spark, path, toVersion))
+      statLines = metaLinesOf(spark, path, toVersion))
     v
   }
 
@@ -450,21 +467,35 @@ object VersionedTable {
             else spark.read.parquet(names.map(r => s"$path/$r"): _*).count()
           (names, rows)
         }
-      // zone-map stats survive the delete: untouched files carry their
-      // base stat lines verbatim (stats describe immutable files), and
-      // the rewritten files get fresh stats over the SAME columns the
-      // base recorded — a targeted delete must not silently strip the
-      // whole table's data-skipping metadata
+      // zone maps AND blooms survive the delete: untouched files carry
+      // their base metadata lines verbatim (they describe immutable
+      // files), and the rewritten files get fresh stats/blooms over the
+      // SAME columns and sizing the base recorded — a targeted delete
+      // must not silently strip the table's data-skipping metadata
       val keepSet = keep.toSet
       val baseStats = statLinesOf(spark, path, latest)
-      val keptStats = baseStats.filter(l =>
-        keepSet.contains(l.stripPrefix(statTag).split("\t", -1)(0)))
+      val baseBlooms = metaLinesOf(spark, path, latest)
+        .filter(_.startsWith(bloomTag))
+      val keptStats = (baseStats ++ baseBlooms).filter { l =>
+        val rel = l.stripPrefix(statTag).stripPrefix(bloomTag)
+          .split("\t", -1)(0)
+        keepSet.contains(rel)
+      }
       val baseStatCols = baseStats
         .map(_.stripPrefix(statTag).split("\t", -1)(2)).distinct
         .filter(src.schema.fieldNames.contains)
+      val baseBloomCfg = baseBlooms
+        .map(_.stripPrefix(bloomTag).split("\t", -1))
+        .collect { case Array(_, c, _, m, k, _)
+          if src.schema.fieldNames.contains(c) => (c, m.toInt, k.toInt) }
+        .distinct
       val newStats =
-        if (newFiles.isEmpty || baseStatCols.isEmpty) Seq.empty[String]
-        else collectStats(spark, path, newFiles, src.schema, baseStatCols)
+        (if (newFiles.isEmpty || baseStatCols.isEmpty) Seq.empty[String]
+         else collectStats(spark, path, newFiles, src.schema,
+           baseStatCols)) ++
+        (if (newFiles.isEmpty) Seq.empty[String]
+         else baseBloomCfg.flatMap { case (c, m, k) =>
+           collectBlooms(spark, path, newFiles, src.schema, Seq(c), m, k) })
       val v = claimNext(spark, path)
       awaitPredecessors(spark, path, v)
       if (versions(spark, path).filter(_ < v).max == latest) {
@@ -566,6 +597,114 @@ object VersionedTable {
       v: Int): Seq[String] =
     manifestLines(spark, path, v).filter(_.startsWith(statTag))
 
+  // ------------------------------------------------------------------
+  // Per-file Bloom filters (point-predicate skipping)
+  // ------------------------------------------------------------------
+
+  private val bloomTag = "# bloom\t"
+
+  /** Stat + bloom lines together — the full per-file metadata a derived
+    * commit (append/rollback/delete) carries forward for files it
+    * re-lists verbatim. */
+  private def metaLinesOf(spark: SparkSession, path: String,
+      v: Int): Seq[String] =
+    manifestLines(spark, path, v)
+      .filter(l => l.startsWith(statTag) || l.startsWith(bloomTag))
+
+  /** One column's per-file Bloom filter. `kind` pins the key
+    * canonicalization ("i" integral via pmod(value, P); "s" string via
+    * pmod(xxhash64(value), P)); mask is m bits in m/64 longs. */
+  case class BloomStat(kind: String, m: Int, k: Int, mask: Array[Long]) {
+    def mightContain(key: Long): Boolean = {
+      val h1 = key * 2654435761L % graft.functions.XFormulas.P
+      val h2 = (key * 40503L + 7919L) % graft.functions.XFormulas.P + 1L
+      var i = 0L
+      while (i < k) {
+        val p = (h1 + i * h2) % m
+        if ((mask((p >> 6).toInt) & (1L << (p & 63))) == 0L) return false
+        i += 1
+      }
+      true
+    }
+  }
+
+  /** Bloom key canonicalization for a column: the SQL expression whose
+    * value feeds [[graft.operators.Bloom.positionsSql]], plus the kind
+    * tag. NULL keys contribute no bits (nullness is the zone maps'
+    * job); unsupported types are rejected at commit time for the same
+    * reason as [[statProjection]]. */
+  private def bloomKey(schema: org.apache.spark.sql.types.StructType,
+      c: String): (String, String) = {
+    import org.apache.spark.sql.types._
+    val P = graft.functions.XFormulas.P
+    schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        (s"pmod(CAST(`$c` AS BIGINT), $P)", "i")
+      case StringType => (s"pmod(xxhash64(`$c`), $P)", "s")
+      case other => throw new IllegalArgumentException(
+        s"bloomCols: unsupported type $other for column $c")
+    }
+  }
+
+  /** Per-file Bloom masks in ONE distributed pass: key positions →
+    * (file, word, bit) → bit_or aggregation — the collect is bounded by
+    * files × m/64 longs (metadata-sized, like the manifest), never by
+    * row or key count. At very large file counts the bloom lines move
+    * to a sidecar metadata file (the puffin-style pattern); the
+    * mechanism below is unchanged. */
+  private def collectBlooms(spark: SparkSession, path: String,
+      relFiles: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      bloomCols: Seq[String], m: Int, k: Int): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    require(m % 64 == 0 && m > 0,
+      s"bloomM must be a positive multiple of 64, got $m")
+    val src = spark.read.parquet(relFiles.map(r => s"$path/$r"): _*)
+    bloomCols.flatMap { c =>
+      val (keyExpr, kind) = bloomKey(schema, c)
+      val words = src
+        .filter(col(c).isNotNull)
+        .select(col("_metadata.file_path").as("__f"),
+          explode(expr(
+            graft.operators.Bloom.positionsSql(keyExpr, m, k))).as("p"))
+        .groupBy(col("__f"), expr("CAST(p DIV 64 AS INT)").as("w"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(p % 64 AS INT)))").as("bits"))
+        .collect()
+      words.toSeq.groupBy(r => r.getString(0)).toSeq.map {
+        case (abs, rows) =>
+          val rel = abs.substring(abs.lastIndexOf("/data/") + 1)
+          val mask = new Array[Long](m / 64)
+          rows.foreach(r => mask(r.getInt(1)) |= r.getLong(2))
+          bloomTag + Seq(rel, c, kind, m.toString, k.toString,
+            mask.map(java.lang.Long.toHexString).mkString(","))
+            .mkString("\t")
+      }
+    }.sorted
+  }
+
+  /** Per-file Bloom filters of a version (default latest), parsed from
+    * the manifest — zero data I/O. file → column → [[BloomStat]]. */
+  def fileBlooms(spark: SparkSession, path: String,
+      version: Option[Int] = None)
+      : Map[String, Map[String, BloomStat]] = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val v = version.getOrElse(vs.last)
+    val (_, files) = readManifest(spark, path, v)
+    val inVersion = files.toSet
+    manifestLines(spark, path, v)
+      .filter(_.startsWith(bloomTag))
+      .map(_.stripPrefix(bloomTag).split("\t", -1))
+      .collect { case Array(rel, c, kind, m, k, hex) if inVersion(rel) =>
+        (rel, c, BloomStat(kind, m.toInt, k.toInt,
+          hex.split(",", -1).map(java.lang.Long.parseUnsignedLong(_, 16))))
+      }
+      .groupBy(_._1)
+      .map { case (rel, ts) =>
+        rel -> ts.map(t => t._2 -> t._3).toMap }
+  }
+
   /** Per-file stats of a version (default latest), parsed from the
     * manifest — ZERO data I/O, the zone-map read path. Files committed
     * without `statCols` are simply absent. */
@@ -635,13 +774,40 @@ object VersionedTable {
     }
   }
 
+  /** A literal canonicalized into a bloom's key space — must reproduce
+    * [[bloomKey]]'s Spark-side expression exactly (pmod into [0, P);
+    * strings through the SAME XxHash64 Catalyst expression the commit
+    * pass ran). None when the literal's type does not align with the
+    * bloom's kind — pruning disabled for that conjunct. */
+  private def bloomLitKey(kind: String,
+      l: org.apache.spark.sql.catalyst.expressions.Literal)
+      : Option[Long] = {
+    import org.apache.spark.sql.types._
+    val P = graft.functions.XFormulas.P
+    if (l.value == null) None
+    else (kind, l.dataType) match {
+      case ("i", ByteType | ShortType | IntegerType | LongType) =>
+        val v = l.value.toString.toLong
+        Some(((v % P) + P) % P)
+      case ("s", StringType) =>
+        // seed 42 = the xxhash64 SQL function's default, which the
+        // commit-side bloomKey expression uses
+        val h = org.apache.spark.sql.catalyst.expressions
+          .XxHash64(Seq(l), 42L).eval(null).asInstanceOf[Long]
+        Some(((h % P) + P) % P)
+      case _ => None
+    }
+  }
+
   /** TRUE unless the stats PROVE no row of the file can satisfy `e` —
     * the standard may-contain contract: And/Or recurse, comparison
-    * conjuncts consult [[ColStat]] bounds, everything else (Not,
-    * functions, casts, stat-less columns, misaligned literal types)
-    * conservatively keeps the file. A wrong TRUE costs a scan; a wrong
-    * FALSE would corrupt results — hence every default is TRUE. */
-  private def mayMatch(fst: FileStat,
+    * conjuncts consult [[ColStat]] bounds, equality/IN conjuncts
+    * additionally consult the per-file [[BloomStat]] (no false
+    * negatives, so a bloom miss is a proof of absence), everything else
+    * (Not, functions, casts, stat-less columns, misaligned literal
+    * types) conservatively keeps the file. A wrong TRUE costs a scan; a
+    * wrong FALSE would corrupt results — hence every default is TRUE. */
+  private def mayMatch(fst: FileStat, blooms: Map[String, BloomStat],
       e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
@@ -650,6 +816,14 @@ object VersionedTable {
       case a: AttributeReference => Some(a.name)
       case _ => None
     }
+    def bloomMay(cn: String, l: Literal): Boolean =
+      blooms.get(cn) match {
+        case None => true // bloom-less column: cannot prune
+        case Some(bs) => bloomLitKey(bs.kind, l) match {
+          case None => true // misaligned literal: cannot prune
+          case Some(key) => bs.mightContain(key)
+        }
+      }
     // col op lit, already oriented so `op` reads "column op literal"
     def bound(cn: String, l: Literal, op: String): Boolean =
       fst.cols.get(cn) match {
@@ -681,13 +855,17 @@ object VersionedTable {
     }
     def cmp(a: Expression, b: Expression, op: String): Boolean =
       (nameOf(a), b, nameOf(b), a) match {
-        case (Some(cn), l: Literal, _, _) => bound(cn, l, op)
-        case (_, _, Some(cn), l: Literal) => bound(cn, l, flip(op))
+        case (Some(cn), l: Literal, _, _) =>
+          bound(cn, l, op) && (op != "=" || bloomMay(cn, l))
+        case (_, _, Some(cn), l: Literal) =>
+          bound(cn, l, flip(op)) && (flip(op) != "=" || bloomMay(cn, l))
         case _ => true
       }
     e match {
-      case And(l, r) => mayMatch(fst, l) && mayMatch(fst, r)
-      case Or(l, r) => mayMatch(fst, l) || mayMatch(fst, r)
+      case And(l, r) =>
+        mayMatch(fst, blooms, l) && mayMatch(fst, blooms, r)
+      case Or(l, r) =>
+        mayMatch(fst, blooms, l) || mayMatch(fst, blooms, r)
       case EqualTo(a, b) => cmp(a, b, "=")
       case EqualNullSafe(a, b) => (a, b) match {
         case (x, l: Literal) if l.value == null && nameOf(x).isDefined =>
@@ -727,9 +905,15 @@ object VersionedTable {
     val (_, files) = readManifest(spark, path, v)
     val stats = fileStats(spark, path, Some(v))
       .map(s => s.file -> s).toMap
-    val (keep, skip) = files.partition(f =>
-      stats.get(f).forall(mayMatch(_,
-      org.apache.spark.sql.GraftSqlBridge.parsedExpression(predicate))))
+    val blooms = fileBlooms(spark, path, Some(v))
+    val parsed =
+      org.apache.spark.sql.GraftSqlBridge.parsedExpression(predicate)
+    val (keep, skip) = files.partition { f =>
+      // a file with blooms but no zone maps (or vice versa) still
+      // prunes through whichever metadata it has
+      val fst = stats.getOrElse(f, FileStat(f, 0L, Map.empty))
+      mayMatch(fst, blooms.getOrElse(f, Map.empty), parsed)
+    }
     (keep, skip)
   }
 

@@ -180,6 +180,115 @@ class VersionedTableSkipSpec extends SparkSpec {
     assertSameResult(path, pred)
   }
 
+  test("manifest blooms prune point lookups that zone maps cannot") {
+    val path = freshPath()
+    val orders = Tables(spark, dir, "orders")
+    val years = orders.selectExpr("year(o_orderdate) AS y").distinct()
+      .orderBy("y").collect().map(_.getInt(0)).toSeq
+    years.zipWithIndex.foreach { case (y, i) =>
+      VersionedTable.commit(
+        orders.filter(expr(s"year(o_orderdate) = $y")).repartition(1),
+        path, if (i == 0) "overwrite" else "append",
+        statCols = Seq("o_orderdate"), bloomCols = Seq("o_orderkey"))
+    }
+    val nFiles = dataFileCount(path)
+    // order keys interleave across year files: min/max zone maps span
+    // the whole key domain and prune nothing — only the blooms can
+    val pred = col("o_orderkey").isin(3L, 777L, 1337L)
+    val (keep, skip) = VersionedTable.pruneFiles(spark, path, pred)
+    assert(skip.nonEmpty,
+      s"blooms must prune some of the $nFiles year files for a 3-key IN")
+    assert(keep.size < nFiles)
+    assertSameResult(path, pred)
+    // single-key equality: at most the (few) bloom-false-positive files
+    val (k1, s1) = VersionedTable.pruneFiles(spark, path,
+      col("o_orderkey") === 777L)
+    assert(s1.size >= nFiles - 2, s"one key should keep ~1 file, kept $k1")
+    assertSameResult(path, col("o_orderkey") === 777L)
+    // an absent key prunes everywhere it has no false positive, and the
+    // read is still exactly the (empty) predicate result
+    assertSameResult(path, col("o_orderkey") === -42L)
+    // non-equality predicates never consult blooms (no wrong skips)
+    assertSameResult(path, col("o_orderkey") > 14000L)
+  }
+
+  test("string-kind blooms prune equality through xxhash64 canonicalization") {
+    val path = freshPath()
+    val cust = Tables(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey")
+    // 4 files split by key range: names are unique per row, so a name
+    // lookup is present in exactly one file
+    (0 until 4).foreach { i =>
+      VersionedTable.commit(
+        cust.filter(col("c_custkey") % 4 === i).repartition(1),
+        path, if (i == 0) "overwrite" else "append",
+        bloomCols = Seq("c_name"))
+    }
+    val name = cust.filter(col("c_custkey") === 7)
+      .select("c_name").collect().head.getString(0)
+    val (keep, skip) = VersionedTable.pruneFiles(spark, path,
+      col("c_name") === name)
+    assert(keep.size <= 2 && skip.size >= 2,
+      s"a unique name must prune most files, kept $keep")
+    assertSameResult(path, col("c_name") === name)
+  }
+
+  test("blooms are conservative: absent on a file, misaligned literals, bloom-less versions") {
+    val path = freshPath()
+    val cust = Tables(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey")
+    // v1 with blooms, v2 appended WITHOUT — the bloom-less file must
+    // always be kept for equality predicates
+    VersionedTable.commit(
+      cust.filter(col("c_custkey") <= 50).repartition(1), path,
+      "overwrite", bloomCols = Seq("c_custkey"))
+    VersionedTable.commit(
+      cust.filter(col("c_custkey") > 50).repartition(1), path, "append")
+    val (keep, skip) = VersionedTable.pruneFiles(spark, path,
+      col("c_custkey") === 999999L)
+    assert(skip.size == 1, "the bloomed file proves absence")
+    assert(keep.size == 1, "the bloom-less file must survive")
+    assertSameResult(path, col("c_custkey") === 999999L)
+    // misaligned literal type (string vs integral bloom): no pruning
+    val (k2, s2) = VersionedTable.pruneFiles(spark, path,
+      col("c_custkey") === lit("7"))
+    assert(s2.isEmpty && k2.size == 2)
+  }
+
+  test("blooms ride append carry, deleteWhere, and rollback like zone maps") {
+    val path = freshPath()
+    val cust = Tables(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey")
+    VersionedTable.commit(
+      cust.filter(col("c_custkey") <= 75).repartitionByRange(3,
+        col("c_custkey")), path, "overwrite",
+      bloomCols = Seq("c_custkey"))
+    VersionedTable.commit(
+      cust.filter(col("c_custkey") > 75).repartition(1), path, "append",
+      bloomCols = Seq("c_custkey"))
+    val allBloomed = VersionedTable.fileBlooms(spark, path)
+    assert(allBloomed.size == dataFilesOf(path),
+      "append must carry the base files' bloom lines forward")
+    // targeted delete: untouched files keep their blooms verbatim, the
+    // rewritten file gets a fresh one with the same sizing
+    val vDel = VersionedTable.deleteWhere(spark, path,
+      col("c_custkey") === 7L)
+    val after = VersionedTable.fileBlooms(spark, path, Some(vDel))
+    assert(after.size == dataFilesOf(path, Some(vDel)),
+      "every post-delete file must still carry a bloom")
+    assert(after.values.forall(m => m.contains("c_custkey") &&
+      m("c_custkey").m == allBloomed.values.head("c_custkey").m))
+    val (keep, _) = VersionedTable.pruneFiles(spark, path,
+      col("c_custkey") === 7L, Some(vDel))
+    assertSameResult(path, col("c_custkey") === 100L)
+    // rollback re-lists the pre-delete metadata wholesale
+    val vRb = VersionedTable.rollback(spark, path, vDel - 1)
+    assert(VersionedTable.fileBlooms(spark, path, Some(vRb)).nonEmpty)
+  }
+
+  private def dataFilesOf(path: String, v: Option[Int] = None): Int =
+    VersionedTable.read(spark, path, v).inputFiles.length
+
   test("stats survive append carry and rollback") {
     val path = freshPath()
     buildByYear(path)
