@@ -4071,6 +4071,28 @@ object SparkEntry {
         "(c_custkey * 91) % 1000 AS y")
       Spatial.radiusJoin(pts, "id", "x", "y", radius = 25L, cell = 50L)
     }),
+    // ----- STREAMING SPATIAL GATE, driven as two micro-batches: the
+    // even-key points arrive first (intra-batch pairs only), the odd
+    // keys second (their pairs split across intra and cross-vs-stored
+    // candidates; SpatialGate pins the pre-batch state snapshot on
+    // replay). The cumulative pair table must equal the ONE-SHOT batch
+    // radius join over all points — the same naive-quadratic oracle as
+    // q_spatial_join; SpatialGateSpec asserts the prefix property per
+    // batch and the exactly-once replays -----
+    "q_spatial_gate" -> ((s, dir) => {
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val statePath = "/tmp/graft_sgate_state_" + suffix
+      val outPath = "/tmp/graft_sgate_out_" + suffix
+      val pts = t(s, dir, "customer").selectExpr(
+        "c_custkey AS id",
+        "(c_custkey * 37) % 1000 AS x",
+        "(c_custkey * 91) % 1000 AS y")
+      val snk = graft.streaming.SpatialGate.sink(statePath, outPath,
+        "id", "x", "y", radius = 25L, cell = 25L)
+      snk(pts.filter(col("id") % 2 === 0), 0L)
+      snk(pts.filter(col("id") % 2 =!= 0), 1L)
+      graft.sources.VersionedTable.read(s, outPath)
+    }),
     // ----- SPATIAL DENSITY / hotspot audit: points per grid cell and
     // the k-or-more flag — both a standalone spatial aggregation and
     // the skew auditor behind q_spatial_join's cell-size choice -----
@@ -6014,6 +6036,17 @@ object SparkEntry {
          sigs AS (SELECT doc_id, ${duckMinhash("hs", 12)} AS mh FROM hs),
          buckets AS (SELECT doc_id, mh, band, ${duckBandBucket("mh", "band", 3)} AS bucket
                      FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bands)"""
+    // the all-pairs planar radius truth (the q_spatial_join oracle; the
+    // streaming gate's cumulative pair table must reproduce it too)
+    val spatialPairsTruth =
+      """WITH p AS (SELECT c_custkey AS id, (c_custkey * 37) % 1000 AS x,
+                           (c_custkey * 91) % 1000 AS y FROM customer)
+         SELECT a.id AS id_a, b.id AS id_b,
+                CAST((a.x - b.x) * (a.x - b.x)
+                   + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+         FROM p a JOIN p b ON a.id < b.id
+         WHERE (a.x - b.x) * (a.x - b.x)
+             + (a.y - b.y) * (a.y - b.y) <= 625"""
     // naive-scan exact-substring truth: ALL 30-grams of every doc,
     // matched by content, grouped into maximal diagonal runs — the
     // brute formulation of Dedup.duplicatedSubstrings' reduction
@@ -9245,16 +9278,10 @@ object SparkEntry {
         // the bloom-pruned point lookup must equal the raw IN predicate
         """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
            FROM orders WHERE o_orderkey IN (3, 777, 1337)""",
-      "q_spatial_join" ->
-        // the naive quadratic truth the grid join must reproduce
-        """WITH p AS (SELECT c_custkey AS id, (c_custkey * 37) % 1000 AS x,
-                             (c_custkey * 91) % 1000 AS y FROM customer)
-           SELECT a.id AS id_a, b.id AS id_b,
-                  CAST((a.x - b.x) * (a.x - b.x)
-                     + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
-           FROM p a JOIN p b ON a.id < b.id
-           WHERE (a.x - b.x) * (a.x - b.x)
-               + (a.y - b.y) * (a.y - b.y) <= 625""",
+      // the naive quadratic truth the grid join must reproduce — shared
+      // by the batch operator and the streaming gate's cumulative table
+      "q_spatial_join" -> spatialPairsTruth,
+      "q_spatial_gate" -> spatialPairsTruth,
       "q_spatial_density" ->
         """WITH p AS (SELECT (c_custkey * 37) % 1000 AS x,
                              (c_custkey * 91) % 1000 AS y FROM customer)

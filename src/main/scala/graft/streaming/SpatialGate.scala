@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Spatial
+import graft.sources.VersionedTable
+
+/** Streaming spatial proximity gate — the streaming twin of
+  * [[Spatial.radiusJoin]]: every arriving point is checked for
+  * neighbors within `radius` among everything seen so far (prior
+  * batches AND the same batch), and the discovered pairs APPEND to a
+  * persistent output table whose cumulative content provably equals
+  * the one-shot batch radius join over the stream's prefix
+  * (`SpatialGateSpec` asserts it batch by batch).
+  *
+  * Per batch: candidates = increment × stored-points (bipartite grid
+  * join, [[Spatial.radiusJoinWith]] — the SAME cell expressions and
+  * exact integer verify as the batch operator) ∪ increment × increment
+  * ([[Spatial.radiusJoin]]). Pairs are canonicalized id_a < id_b, and
+  * the two candidate sets are disjoint by construction (cross pairs
+  * one side in the increment and one strictly before it), so the
+  * appended union is exactly the prefix join's increment:
+  * pairs(prefix ∪ inc) = pairs(prefix) ∪ (inc × prefix) ∪ (inc × inc).
+  *
+  * State = the point set as a [[VersionedTable]] (id, x, y), keyed by
+  * grid cell at JOIN time, not in storage — cells are derived integer
+  * arithmetic, so storing them would only freeze the cell size. At
+  * 100 TB the state append is increment-sized and the cross join is
+  * one equi-shuffle on cell keys with the (2R+1)² constant fan-out on
+  * the increment side only — the stored side never re-shuffles its
+  * history beyond the join's own exchange.
+  *
+  * Exactly-once: both commits are idempotent per batch id. The state
+  * (points) commits FIRST; a replay whose point append already landed
+  * PINS the cross join to the state version preceding its own append
+  * ([[VersionedTable.versionOfBatch]], the [[ClusterMaintainer]]
+  * discipline) — joining the latest version instead would pair the
+  * increment against its own replayed points and double-report the
+  * intra-batch pairs as cross pairs. */
+object SpatialGate {
+
+  /** `points.writeStream.foreachBatch(SpatialGate.sink(...))`; points
+    * need integer-valued `idCol`, `xCol`, `yCol`. */
+  def sink(statePath: String, outPath: String, idCol: String,
+      xCol: String, yCol: String, radius: Long, cell: Long)
+      : (DataFrame, Long) => Unit = (batch, batchId) => {
+    val spark = batch.sparkSession
+    if (!VersionedTable.committedBatches(spark, outPath)
+        .contains(batchId)) {
+      val inc = batch.select(col(idCol).cast("long").as("id"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      // cross-join base: latest on the fresh path; on a replay whose
+      // point append already landed, the version BEFORE that append
+      val stateVs = VersionedTable.versions(spark, statePath)
+      val baseV: Option[Int] =
+        VersionedTable.versionOfBatch(spark, statePath, batchId) match {
+          case Some(own) => stateVs.filter(_ < own).lastOption
+          case None => stateVs.lastOption
+        }
+      val cross = baseV match {
+        case Some(v) =>
+          Spatial.radiusJoinWith(inc, "id", "x", "y",
+              VersionedTable.read(spark, statePath, Some(v)),
+              "id", "x", "y", radius, cell)
+            .select(least(col("id_l"), col("id_r")).as("id_a"),
+              greatest(col("id_l"), col("id_r")).as("id_b"),
+              col("dist2"))
+        case None =>
+          import spark.implicits._
+          Seq.empty[(Long, Long, Long)].toDF("id_a", "id_b", "dist2")
+      }
+      val intra = Spatial.radiusJoin(inc, "id", "x", "y", radius, cell)
+      VersionedTable.streamingCommit(inc, batchId, statePath, "append")
+      VersionedTable.streamingCommit(cross.unionByName(intra), batchId,
+        outPath, "append")
+    }
+  }
+}
