@@ -9239,9 +9239,11 @@ object SparkEntry {
                   COUNT(*) < 10 AS at_risk
            FROM customer GROUP BY c_nationkey, c_mktsegment""",
       "q_parquet_meta" ->
-        // t2 correctness always runs at sf0.01 (TESTDATA.md), so the
-        // metadata function takes that literal path; the Spark side
-        // reads whatever dir it is handed
+        // SCALE-PORTABLE: __SF_DIR__ is substituted with the sweep's
+        // actual data directory when Verify dumps oracle_sql.json, so
+        // both engines always read the SAME footers at any scale factor
+        // (parquet_metadata needs a raw path; the table views cannot
+        // carry one)
         """SELECT file_name, row_group_id, row_group_num_rows AS n_rows,
                   COUNT(*) AS n_chunks,
                   CAST(SUM(total_compressed_size) AS BIGINT) AS compressed_bytes,
@@ -9250,11 +9252,11 @@ object SparkEntry {
              SELECT 'lineitem.parquet' AS file_name, row_group_id,
                     row_group_num_rows, total_compressed_size,
                     total_uncompressed_size
-             FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
+             FROM parquet_metadata('__SF_DIR__/lineitem.parquet')
              UNION ALL
              SELECT 'orders.parquet', row_group_id, row_group_num_rows,
                     total_compressed_size, total_uncompressed_size
-             FROM parquet_metadata('/root/testdata/sf0.01/orders.parquet'))
+             FROM parquet_metadata('__SF_DIR__/orders.parquet'))
            GROUP BY file_name, row_group_id, row_group_num_rows""",
       "q_skip_stats" ->
         // the stored per-file zone maps vs the data they describe: one

@@ -38,8 +38,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // __SF_DIR__ resolves to the sweep's actual data directory at dump
+    // time, so oracles that need a RAW PATH (parquet_metadata's footer
+    // reads) stay scale-portable — the dumped SQL is always runnable
+    // against the same tables this dump was produced from.
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("__SF_DIR__", sfDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
