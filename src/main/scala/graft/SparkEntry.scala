@@ -1134,6 +1134,23 @@ object SparkEntry {
       TextAnalysis.phraseQuery(s.read.parquet(path), "doc_id",
         Seq("slow", "hash", "batch"))
     }),
+    // ----- PROXIMITY-SCORED RETRIEVAL over the same stored positional
+    // index: AND of three terms, BM25-weighted (the q_bm25 rational
+    // form, fixed fold order) times a min-span proximity bonus —
+    // documents where the terms cluster tightly outrank diffuse
+    // mentions. Min-span is the relational doc-at-a-time window
+    // (anchors x next-occurrence-per-term, postings-sized); the global
+    // top-15 rides ParallelRank, never a global window -----
+    "q_proximity_rank" -> ((s, dir) => {
+      val path = "/tmp/graft_prox_index_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      TextAnalysis.positionalIndex(t(s, dir, "documents"), "doc_id", "text")
+        .repartitionByRange(4, col("word"))
+        .sortWithinPartitions(col("word"))
+        .write.mode("overwrite").parquet(path)
+      TextAnalysis.proximityRank(s.read.parquet(path), "doc_id",
+        Seq("join", "hash", "scan"), k = 15)
+    }),
     // ----- VERSIONED phrase index with snapshot-isolated serving: the
     // base corpus's postings commit as a VersionedTable; a query serves
     // from a PINNED version while the increment's postings land as the
@@ -9548,6 +9565,53 @@ object SparkEntry {
                           ORDER BY score DESC, doc_id) AS rn
                  FROM scored)
            WHERE rn <= 5""",
+      // AND retrieval + min-span proximity: the naive truth recomputes
+      // postings from the raw text; the bm25 term weights and the
+      // final product reuse q_bm25's expression TEXT verbatim (same
+      // IEEE tree; tf/dfq wrapped BIGINT — DuckDB SUM(int) is HUGEINT)
+      "q_proximity_rank" ->
+        s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
+           dls AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
+           corpus AS (SELECT COUNT(*) AS nd,
+                             CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dls),
+           w AS (SELECT doc_id, unnest(toks) AS word,
+                        CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos
+                 FROM tk),
+           p AS (SELECT doc_id, word, pos FROM w
+                 WHERE word IN ('join', 'hash', 'scan')),
+           tf AS (SELECT * FROM (
+                    SELECT doc_id,
+                      CAST(SUM(CASE WHEN word = 'join' THEN 1 ELSE 0 END) AS BIGINT) AS tf_0,
+                      CAST(SUM(CASE WHEN word = 'hash' THEN 1 ELSE 0 END) AS BIGINT) AS tf_1,
+                      CAST(SUM(CASE WHEN word = 'scan' THEN 1 ELSE 0 END) AS BIGINT) AS tf_2
+                    FROM p GROUP BY doc_id)
+                  WHERE tf_0 > 0 AND tf_1 > 0 AND tf_2 > 0),
+           dfreq AS (SELECT
+                      CAST(SUM(CASE WHEN word = 'join' THEN 1 ELSE 0 END) AS BIGINT) AS dfq_0,
+                      CAST(SUM(CASE WHEN word = 'hash' THEN 1 ELSE 0 END) AS BIGINT) AS dfq_1,
+                      CAST(SUM(CASE WHEN word = 'scan' THEN 1 ELSE 0 END) AS BIGINT) AS dfq_2
+                     FROM (SELECT DISTINCT word, doc_id FROM p)),
+           nxt AS (SELECT a.doc_id, a.pos AS apos, b.word,
+                          MIN(b.pos) AS npos
+                   FROM p a JOIN p b
+                     ON a.doc_id = b.doc_id AND b.pos >= a.pos
+                   GROUP BY a.doc_id, a.pos, b.word),
+           spans AS (SELECT doc_id, MIN(mx - apos + 1) AS span FROM (
+                       SELECT doc_id, apos, COUNT(*) AS nw,
+                              MAX(npos) AS mx
+                       FROM nxt GROUP BY doc_id, apos)
+                     WHERE nw = 3 GROUP BY doc_id),
+           scored AS (SELECT t.doc_id, s.span,
+                  (((tf_0 * 2.2e0) / (tf_0 + 1.2e0 * (0.25e0 + (0.75e0 * dl) / (CAST(sum_dl AS DOUBLE) / nd)))) * ((nd - dfq_0 + 0.5e0) / (dfq_0 + 0.5e0)) + ((tf_1 * 2.2e0) / (tf_1 + 1.2e0 * (0.25e0 + (0.75e0 * dl) / (CAST(sum_dl AS DOUBLE) / nd)))) * ((nd - dfq_1 + 0.5e0) / (dfq_1 + 0.5e0)) + ((tf_2 * 2.2e0) / (tf_2 + 1.2e0 * (0.25e0 + (0.75e0 * dl) / (CAST(sum_dl AS DOUBLE) / nd)))) * ((nd - dfq_2 + 0.5e0) / (dfq_2 + 0.5e0))) * (1e0 + 1e0 / (1e0 + CAST(s.span - 3 AS DOUBLE))) AS score
+                FROM tf t JOIN spans s ON t.doc_id = s.doc_id
+                JOIN dls d ON d.doc_id = t.doc_id
+                CROSS JOIN corpus CROSS JOIN dfreq)
+           SELECT doc_id, span, score, rnk FROM (
+             SELECT doc_id, span, score,
+                    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                      AS BIGINT) AS rnk
+             FROM scored)
+           WHERE rnk <= 15""",
       "q_hybrid_rrf" ->
         s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
            dt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,

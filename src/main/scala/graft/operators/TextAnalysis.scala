@@ -567,6 +567,84 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_hits"), min(col("p")).as("first_pos"))
   }
 
+  /** PROXIMITY-SCORED multi-term retrieval over a positional index:
+    * documents containing ALL `terms` (AND semantics), scored by the
+    * SUM of per-term BM25 weights (the q_bm25 rational form — log-idf
+    * replaced by the odds ratio, e0 literals, fixed fold order so both
+    * engines build the identical IEEE expression tree) times a MIN-SPAN
+    * proximity bonus: 1 + 1/(1 + span - |terms|), where span is the
+    * smallest token window containing every term at least once.
+    * Returns the top-`k` as (id, span, score, rnk).
+    *
+    * Min-span is the classic doc-at-a-time sliding window, expressed
+    * relationally so the oracle can replicate it exactly: the optimal
+    * window starts at some term occurrence, so for every anchor
+    * position take each term's NEXT occurrence at/after it (a
+    * postings-vs-postings join bounded by per-doc term frequency,
+    * never doc length) and minimize max(next) − anchor + 1 over
+    * anchors that see all terms.
+    *
+    * Scale shape: the term postings arrive from ONE pushdown In scan
+    * of the stored word-sorted index (a row-group skip, not a corpus
+    * pass) and are persisted — tf, document frequency, and the span
+    * join are in-memory cuts of that slim frame. Corpus length stats
+    * are one column-pruned aggregate of the index. The global ranking
+    * rides plans.ParallelRank — never an unpartitioned window. */
+  def proximityRank(index: DataFrame, idCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      s"terms must be non-empty and distinct, got $terms")
+    require(k > 0, s"k must be positive, got $k")
+    val n = terms.size
+    // corpus stats from the index itself: dl = tokens per doc
+    val dls = Dedup.persistTracked(
+      index.groupBy(col(idCol)).agg(count(lit(1)).as("dl")))
+    val corpus = dls.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sum_dl"))
+    val p = Dedup.persistTracked(
+      index.filter(col("word").isin(terms: _*))
+        .select(col(idCol), col("word"), col("pos")))
+    // per-doc tf pivoted to fixed columns (terms are a fixed list, so
+    // the float fold below can sum them in one deterministic order)
+    val tfAggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("word") === t, 1L).otherwise(0L)).as(s"tf_$i") }
+    val tf = p.groupBy(col(idCol)).agg(tfAggs.head, tfAggs.tail: _*)
+      .filter(terms.indices.map(i => col(s"tf_$i") > 0L).reduce(_ && _))
+    // per-term document frequency as a 1-row broadcast
+    val dfAggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("word") === t, 1L).otherwise(0L)).as(s"dfq_$i") }
+    val dfreq = p.select(col("word"), col(idCol)).distinct()
+      .agg(dfAggs.head, dfAggs.tail: _*)
+    // min-span: anchors × next-occurrence-per-term, all integer
+    val nxt = p.select(col(idCol), col("pos").as("apos"))
+      .join(p.select(col(idCol), col("word"), col("pos").as("bpos")),
+        Seq(idCol))
+      .filter(col("bpos") >= col("apos"))
+      .groupBy(col(idCol), col("apos"), col("word"))
+      .agg(min(col("bpos")).as("npos"))
+    val spans = nxt.groupBy(col(idCol), col("apos"))
+      .agg(count(lit(1)).as("nw"), max(col("npos")).as("mx"))
+      .filter(col("nw") === n.toLong)
+      .groupBy(col(idCol))
+      .agg(min(col("mx") - col("apos") + 1L).as("span"))
+    val bm25 = terms.indices.map(i =>
+      s"((tf_$i * 2.2e0) / (tf_$i + 1.2e0 * (0.25e0 + (0.75e0 * dl) / " +
+        s"(CAST(sum_dl AS DOUBLE) / nd)))) * " +
+        s"((nd - dfq_$i + 0.5e0) / (dfq_$i + 0.5e0))")
+      .mkString("(", " + ", ")")
+    val scored = tf
+      .join(spans, Seq(idCol))
+      .join(dls, Seq(idCol))
+      .crossJoin(broadcast(corpus))
+      .crossJoin(broadcast(dfreq))
+      .withColumn("score", expr(
+        s"$bm25 * (1e0 + 1e0 / (1e0 + CAST(span - $n AS DOUBLE)))"))
+      .select(col(idCol), col("span"), col("score"))
+    graft.plans.ParallelRank.rowNumber(scored, "rnk", 32,
+        col("score").desc, col(idCol).asc)
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("span"), col("score"), col("rnk"))
+  }
+
   /** Phrase match WITHOUT an index: a pure higher-order-function scan —
     * per row, test every window of |phrase| consecutive tokens. One
     * narrow corpus pass, zero shuffles before the final aggregate; the

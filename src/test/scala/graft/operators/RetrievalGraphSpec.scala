@@ -53,6 +53,42 @@ class RetrievalGraphSpec extends SparkSpec {
     assert(idx == Set(("x", 1L), ("y", 2L), ("x", 3L)))
   }
 
+  test("proximityRank: AND semantics, min-span equals a local sliding window, tight beats diffuse") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "p q r x x x x x x x x x x"),   // tight: span 3
+      (2L, "p x x x x q x x x x x x r"),   // diffuse: span 13
+      (3L, "q p x r p x q"),                // best window inside: p..r = 3? q p r? positions q1 p2 r4 -> 4; p2 r4 q7 no; local ref decides
+      (4L, "p q x x x x x x x x x x x"),   // missing r: excluded by AND
+      (5L, "r q p"))                        // reversed order: span 3
+    val terms = Seq("p", "q", "r")
+    def localSpan(text: String): Option[Long] = {
+      val toks = text.split(" +").filter(_.nonEmpty).toSeq
+      val wins = for {
+        i <- toks.indices; j <- i until toks.size
+        w = toks.slice(i, j + 1)
+        if terms.forall(w.contains)
+      } yield (j - i + 1).toLong
+      wins.minOption
+    }
+    val got = TextAnalysis.proximityRank(
+        TextAnalysis.positionalIndex(corpus.toDF("doc_id", "text"),
+          "doc_id", "text"), "doc_id", terms, k = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3))))
+      .toMap
+    Dedup.releaseAll(spark)
+    val expectSpans = corpus.flatMap { case (id, t) =>
+      localSpan(t).map(id -> _) }.toMap
+    assert(got.keySet == expectSpans.keySet,
+      s"AND semantics: got ${got.keySet}, want ${expectSpans.keySet}")
+    got.foreach { case (id, (span, _)) =>
+      assert(span == expectSpans(id),
+        s"doc $id span $span != local ${expectSpans(id)}") }
+    // equal tf/dl across 1 and 2 -> the proximity bonus alone decides
+    assert(got(1L)._2 < got(2L)._2,
+      "the tight doc must outrank the diffuse one")
+  }
+
   test("linkPredict equals brute-force wedge evidence on a known graph") {
     import spark.implicits._
     // path 1-2-3-4 plus hub 9 linked to 1,2,3: predicts (1,3) via 2 and
