@@ -382,6 +382,25 @@ object SparkEntry {
     "q_substr_excise" -> ((s, dir) =>
       Dedup.exciseDuplicatedSubstrings(t(s, dir, "documents"), "doc_id",
         "text", minLen = 30)),
+    // ----- bipartite exact-substring DECONTAMINATION: maximal verbatim
+    // spans shared between the train slice and the benchmark slice —
+    // the exact-match complement to the n-gram q_contam_* family -----
+    "q_substr_contam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.duplicatedSubstringsWith(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        minLen = 30)
+    }),
+    // and the excise: cut every benchmark-shared span out of the TRAIN
+    // text (affected train docs only)
+    "q_substr_decon" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.exciseContaminated(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        minLen = 30)
+    }),
     // ingest-path dedup: candidates between an incoming batch (top
     // fifth of doc ids) and the existing corpus — cost proportional to
     // the INCREMENT, never re-pairing the corpus with itself
@@ -6086,6 +6105,28 @@ object SparkEntry {
            SELECT doc_a, doc_b, MIN(pa) AS start_a, MIN(pb) AS start_b,
                   CAST(COUNT(*) + 29 AS BIGINT) AS len
            FROM r GROUP BY doc_a, doc_b, diag, isl)"""
+    // bipartite twin (train slice x benchmark slice, no id ordering)
+    val substrContamCtes =
+      s"""WITH g AS (
+           SELECT doc_id, pos, substr(text, CAST(pos AS INT), 30) AS gram
+           FROM (SELECT doc_id, text,
+                 unnest(generate_series(1, length(text) - 29)) AS pos
+                 FROM documents)),
+         m AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.pos AS pa, b.pos AS pb
+           FROM (SELECT * FROM g WHERE doc_id % 10 <> 0) a
+           JOIN (SELECT * FROM g WHERE doc_id % 10 = 0) b
+             ON a.gram = b.gram),
+         r AS (
+           SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+                  pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                          ORDER BY pa) AS isl
+           FROM m),
+         runs AS (
+           SELECT doc_a, doc_b, MIN(pa) AS start_a, MIN(pb) AS start_b,
+                  CAST(COUNT(*) + 29 AS BIGINT) AS len
+           FROM r GROUP BY doc_a, doc_b, diag, isl)"""
     // the naive positional phrase truth shared by the stored-index and
     // HOF-scan plans ('slow hash batch', 1-based positions)
     val phraseOracle =
@@ -6486,6 +6527,41 @@ object SparkEntry {
       "q_substr_dup" ->
         s"""$substrCtes
            SELECT doc_a, doc_b, start_a, start_b, len FROM runs""",
+      // bipartite: train grams x benchmark grams, same islands grouping
+      "q_substr_contam" ->
+        s"""$substrContamCtes
+           SELECT doc_a, doc_b, start_a, start_b, len FROM runs""",
+      // decontamination excise: spans land on the TRAIN (doc_a) side
+      "q_substr_decon" ->
+        s"""$substrContamCtes,
+           sp AS (SELECT DISTINCT doc_a AS doc_id, start_a AS s,
+                         start_a + len AS e FROM runs),
+           o AS (
+             SELECT doc_id, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+                 ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) THEN 1 ELSE 0 END AS ng
+             FROM sp),
+           grp AS (SELECT doc_id, s, e,
+                          SUM(ng) OVER (PARTITION BY doc_id ORDER BY s, e) AS gid
+                   FROM o),
+           mg AS (SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+                  FROM grp GROUP BY doc_id, gid),
+           seg AS (
+             SELECT doc_id,
+                    COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s),
+                             1) AS ks,
+                    s AS ke
+             FROM mg
+             UNION ALL
+             SELECT mg.doc_id, MAX(mg.e) AS ks, MAX(length(d.text)) + 1 AS ke
+             FROM mg JOIN documents d USING (doc_id) GROUP BY mg.doc_id)
+           SELECT seg.doc_id, CAST(length(d.text) AS BIGINT) AS orig_len,
+                  CAST(string_agg(substr(d.text, CAST(ks AS INT),
+                    CAST(ke - ks AS INT)), '' ORDER BY ks) AS VARCHAR)
+                    AS clean_text
+           FROM seg JOIN documents d USING (doc_id)
+           GROUP BY seg.doc_id, d.text""",
       // excise: merge the higher-id docs' spans (running-max islands),
       // then stitch the kept gaps back together with string_agg —
       // including the fully-excised docs (clean_text = '')

@@ -1140,14 +1140,12 @@ object Dedup {
     * a VIRAL substring — that is the answer's own size, not plan
     * waste; cap upstream (e.g. boilerplate strip) if the corpus needs
     * it. */
-  def duplicatedSubstrings(docs: DataFrame, idCol: String,
-      textCol: String, minLen: Int): DataFrame = {
-    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
-    val txt = persistTracked(
-      docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t")))
-    // all L-gram fingerprints with 1-based positions; the CASE guards
-    // short docs (sequence(1, 0) DESCENDS in Spark)
-    val grams = txt.select(col("id"),
+  /** All L-gram fingerprints of a (id, t) frame with 1-based positions;
+    * the CASE guards short docs (sequence(1, 0) DESCENDS in Spark).
+    * The corpus-sized path ships 24-byte (id, pos, hash) triples, never
+    * the L× gram-string amplification. */
+  private def gramFrame(txt: DataFrame, minLen: Int): DataFrame =
+    txt.select(col("id"),
       explode(expr(
         s"""CASE WHEN length(t) >= $minLen THEN
               transform(sequence(1, length(t) - ${minLen - 1}),
@@ -1155,31 +1153,12 @@ object Dedup {
                             xxhash64(substring(t, i, $minLen)) AS h))
             ELSE array() END""")).as("g"))
       .select(col("id"), col("g.pos").as("pos"), col("g.h").as("h"))
-    // the non-duplicated majority never reaches the self-join: ONE
-    // h-partitioned window count filters in place (no second shuffle,
-    // no dup-hash join), and because the persisted frame ends h-hash-
-    // partitioned, the self-join below reuses that partitioning
-    // exchange-free
-    val gd = persistTracked(grams
-      .withColumn("__n",
-        count(lit(1)).over(Window.partitionBy(col("h"))))
-      .filter(col("__n") > 1).drop("__n"))
-    val matches = gd
-      .select(col("h"), col("id").as("doc_a"), col("pos").as("pa"))
-      .join(gd.select(col("h"), col("id").as("doc_b"),
-        col("pos").as("pb")), Seq("h"))
-      .filter(col("doc_a") < col("doc_b"))
-      // exact residual: re-read the two grams and demand equality, so
-      // a 64-bit collision can never fabricate a match
-      .join(txt.select(col("id").as("doc_a"), col("t").as("__ta")),
-        Seq("doc_a"))
-      .join(txt.select(col("id").as("doc_b"), col("t").as("__tb")),
-        Seq("doc_b"))
-      .filter(expr(s"substring(__ta, CAST(pa AS INT), $minLen) = " +
-        s"substring(__tb, CAST(pb AS INT), $minLen)"))
-      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
-    // diagonal gaps-and-islands: consecutive (pa, pb) steps share
-    // pa - row_number within a (pair, diagonal) partition
+
+  /** Diagonal gaps-and-islands over verified (doc_a, doc_b, pa, pb)
+    * gram matches: consecutive (pa, pb) steps share pa - row_number
+    * within a (pair, diagonal) partition — each island is one MAXIMAL
+    * shared substring of length run + minLen - 1. */
+  private def maximalRuns(matches: DataFrame, minLen: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
       .orderBy(col("pa"))
     matches.withColumn("diag", col("pa") - col("pb"))
@@ -1189,6 +1168,92 @@ object Dedup {
         (count(lit(1)) + (minLen - 1).toLong).as("len"))
       .select(col("doc_a"), col("doc_b"), col("start_a"),
         col("start_b"), col("len"))
+  }
+
+  /** Exact substring-equality residual on hash-matched positions: a
+    * 64-bit collision can never fabricate a match. Match-sized joins
+    * against the slim text frames. */
+  private def verifyGramMatches(matches: DataFrame, txtA: DataFrame,
+      txtB: DataFrame, minLen: Int): DataFrame =
+    matches
+      .join(txtA.select(col("id").as("doc_a"), col("t").as("__ta")),
+        Seq("doc_a"))
+      .join(txtB.select(col("id").as("doc_b"), col("t").as("__tb")),
+        Seq("doc_b"))
+      .filter(expr(s"substring(__ta, CAST(pa AS INT), $minLen) = " +
+        s"substring(__tb, CAST(pb AS INT), $minLen)"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
+
+  def duplicatedSubstrings(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val txt = persistTracked(
+      docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t")))
+    // the non-duplicated majority never reaches the self-join: ONE
+    // h-partitioned window count filters in place (no second shuffle,
+    // no dup-hash join), and because the persisted frame ends h-hash-
+    // partitioned, the self-join below reuses that partitioning
+    // exchange-free
+    val gd = persistTracked(gramFrame(txt, minLen)
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("__n") > 1).drop("__n"))
+    val matches = verifyGramMatches(
+      gd.select(col("h"), col("id").as("doc_a"), col("pos").as("pa"))
+        .join(gd.select(col("h"), col("id").as("doc_b"),
+          col("pos").as("pb")), Seq("h"))
+        .filter(col("doc_a") < col("doc_b")),
+      txt, txt, minLen)
+    maximalRuns(matches, minLen)
+  }
+
+  /** BIPARTITE exact substring overlap — the cross-corpus twin of
+    * [[duplicatedSubstrings]] and the exact-match DECONTAMINATION pass:
+    * every maximal substring of length >= `minLen` shared verbatim by a
+    * LEFT document and a RIGHT document (train × benchmark), as
+    * (doc_a, doc_b, start_a, start_b, len) with doc_a from the left.
+    * Same anchor-hash / residual-verify / diagonal-runs machinery; the
+    * hash join is left-grams × right-grams directly (the two sides are
+    * the duplicate filter for each other — a gram unique to one side
+    * produces nothing). Ids may collide across sides: the pair key is
+    * positional (left id, right id), never an identity test. */
+  def duplicatedSubstringsWith(left: DataFrame, leftId: String,
+      leftText: String, right: DataFrame, rightId: String,
+      rightText: String, minLen: Int): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val txtL = persistTracked(left.select(
+      col(leftId).cast("long").as("id"), col(leftText).as("t")))
+    val txtR = persistTracked(right.select(
+      col(rightId).cast("long").as("id"), col(rightText).as("t")))
+    val matches = verifyGramMatches(
+      gramFrame(txtL, minLen)
+        .select(col("h"), col("id").as("doc_a"), col("pos").as("pa"))
+        .join(gramFrame(txtR, minLen)
+          .select(col("h"), col("id").as("doc_b"), col("pos").as("pb")),
+          Seq("h")),
+      txtL, txtR, minLen)
+    maximalRuns(matches, minLen)
+  }
+
+  /** Exact-substring DECONTAMINATION: cut every span a left (train)
+    * document shares verbatim (>= minLen chars) with any right
+    * (benchmark) document out of the TRAIN text — the
+    * [[exciseDuplicatedSubstrings]] merge-and-slice fold applied to the
+    * left side of [[duplicatedSubstringsWith]]. Returns the affected
+    * train documents as (leftId, orig_len, clean_text). */
+  def exciseContaminated(left: DataFrame, leftId: String,
+      leftText: String, right: DataFrame, rightId: String,
+      rightText: String, minLen: Int): DataFrame = {
+    val runs = duplicatedSubstringsWith(left, leftId, leftText,
+      right, rightId, rightText, minLen)
+    val spans = runs
+      .select(col("doc_a").as("__xid"), col("start_a").as("s"),
+        (col("start_a") + col("len")).as("e"))
+      .distinct()
+      .groupBy(col("__xid"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("sp"))
+    sliceOutSpans(left.select(col(leftId).cast("long").as("__xid"),
+      col(leftText).as("__xt")), spans, leftId)
   }
 
   /** Corpus EXCISE over [[duplicatedSubstrings]]: keep the FIRST copy
@@ -1213,9 +1278,18 @@ object Dedup {
       .distinct()
       .groupBy(col("__xid"))
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("sp"))
-    docs.select(col(idCol).cast("long").as("__xid"),
-        col(textCol).as("__xt"))
-      .join(spans, Seq("__xid"))
+    sliceOutSpans(docs.select(col(idCol).cast("long").as("__xid"),
+      col(textCol).as("__xt")), spans, idCol)
+  }
+
+  /** The merge-and-slice fold shared by the excise operators: per doc,
+    * one pass over its sorted span list with a cursor at the next
+    * un-excised character — the kept gap before each span is appended,
+    * the cursor advances to max(cursor, span end), so overlap merging
+    * falls out of the max. */
+  private def sliceOutSpans(txt: DataFrame, spans: DataFrame,
+      idCol: String): DataFrame =
+    txt.join(spans, Seq("__xid"))
       .select(col("__xid").as(idCol),
         length(col("__xt")).cast("long").as("orig_len"),
         expr("""aggregate(sp,
@@ -1229,5 +1303,4 @@ object Dedup {
             st -> concat(st.acc,
               substring(__xt, CAST(st.cur AS INT), 2147483647)))""")
           .as("clean_text"))
-  }
 }

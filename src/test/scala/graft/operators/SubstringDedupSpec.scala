@@ -61,6 +61,25 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  /** Bipartite brute force: same extension logic across two sides,
+    * no id ordering (ids may even collide across sides). */
+  private def bruteRunsWith(ls: Seq[(Long, String)],
+      rs: Seq[(Long, String)], minLen: Int)
+      : Set[(Long, Long, Long, Long, Long)] = {
+    def grams(t: String) =
+      (1 to t.length - minLen + 1).map(i => i -> t.substring(i - 1, i - 1 + minLen))
+    (for {
+      (ida, ta) <- ls; (idb, tb) <- rs
+      (pa, ga) <- grams(ta); (pb, gb) <- grams(tb) if ga == gb
+      if pa == 1 || pb == 1 || ta(pa - 2) != tb(pb - 2)
+    } yield {
+      var len = minLen
+      while (pa - 1 + len < ta.length && pb - 1 + len < tb.length &&
+        ta(pa - 1 + len) == tb(pb - 1 + len)) len += 1
+      (ida, idb, pa.toLong, pb.toLong, len.toLong)
+    }).toSet
+  }
+
   private def runsOf(df: org.apache.spark.sql.DataFrame)
       : Set[(Long, Long, Long, Long, Long)] = {
     val out = df.collect().map(r => (r.getLong(0), r.getLong(1),
@@ -147,5 +166,45 @@ class SubstringDedupSpec extends SparkSpec {
       if (!ok) println(s"FAIL l=$l docs=$docs\n runs got=$gotRuns want=$wantRuns\n ex got=$gotEx want=$wantEx")
       ok
     }, 25)
+  }
+
+  test("random corpora: bipartite contamination pairs and train excise equal the brute force") {
+    import spark.implicits._
+    val gen = for {
+      docs <- genDocs
+      l <- Gen.choose(4, 7)
+    } yield (docs, l)
+    check(Prop.forAllNoShrink(gen) { case (docs, l) =>
+      val (train, bench) = docs.partition(_._1 % 2 == 1)
+      val dfT = train.toDF("doc_id", "text")
+      val dfB = bench.toDF("doc_id", "text")
+      val gotRuns = runsOf(Dedup.duplicatedSubstringsWith(
+        dfT, "doc_id", "text", dfB, "doc_id", "text", l))
+      val wantRuns = bruteRunsWith(train, bench, l)
+      val gotEx = Dedup.exciseContaminated(
+          dfT, "doc_id", "text", dfB, "doc_id", "text", l)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+        .toMap
+      Dedup.releaseAll(spark)
+      // local reference: merge+slice of the doc_a-side spans
+      val spans = wantRuns.toSeq
+        .map { case (da, _, sa, _, len) => da -> ((sa, sa + len)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+      val text = train.toMap
+      val wantEx = spans.map { case (id, sp) =>
+        val tx = text(id)
+        var cur = 1L
+        val acc = new StringBuilder
+        sp.foreach { case (s, e) =>
+          if (s > cur) acc.append(tx.substring(cur.toInt - 1, s.toInt - 1))
+          cur = math.max(cur, e)
+        }
+        if (cur <= tx.length) acc.append(tx.substring(cur.toInt - 1))
+        id -> ((tx.length.toLong, acc.toString))
+      }
+      val ok = gotRuns == wantRuns && gotEx == wantEx
+      if (!ok) println(s"FAIL l=$l docs=$docs\n runs got=$gotRuns want=$wantRuns\n ex got=$gotEx want=$wantEx")
+      ok
+    }, 20)
   }
 }
