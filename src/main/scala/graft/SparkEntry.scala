@@ -382,6 +382,23 @@ object SparkEntry {
     "q_substr_excise" -> ((s, dir) =>
       Dedup.exciseDuplicatedSubstrings(t(s, dir, "documents"), "doc_id",
         "text", minLen = 30)),
+    // ----- STREAMING exact-substring gate, driven as two micro-batches
+    // (even doc ids arrive first, odd second): the cumulative run table
+    // must equal the one-shot batch operator over all documents — the
+    // same naive oracle as q_substr_dup; SubstrGateSpec asserts the
+    // prefix property per batch and the exactly-once replays -----
+    "q_substr_gate" -> ((s, dir) => {
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = t(s, dir, "documents")
+      val snk = graft.streaming.SubstrGate.sink(
+        "/tmp/graft_subg_docs_" + suffix,
+        "/tmp/graft_subg_grams_" + suffix,
+        "/tmp/graft_subg_out_" + suffix, "doc_id", "text", minLen = 30)
+      snk(docs.filter(col("doc_id") % 2 === 0), 0L)
+      snk(docs.filter(col("doc_id") % 2 =!= 0), 1L)
+      graft.sources.VersionedTable.read(s,
+        "/tmp/graft_subg_out_" + suffix)
+    }),
     // ----- bipartite exact-substring DECONTAMINATION: maximal verbatim
     // spans shared between the train slice and the benchmark slice —
     // the exact-match complement to the n-gram q_contam_* family -----
@@ -6525,6 +6542,10 @@ object SparkEntry {
            FROM capped a JOIN capped b
              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""",
       "q_substr_dup" ->
+        s"""$substrCtes
+           SELECT doc_a, doc_b, start_a, start_b, len FROM runs""",
+      // the streaming gate's cumulative table vs the one-shot truth
+      "q_substr_gate" ->
         s"""$substrCtes
            SELECT doc_a, doc_b, start_a, start_b, len FROM runs""",
       // bipartite: train grams x benchmark grams, same islands grouping

@@ -1144,7 +1144,7 @@ object Dedup {
     * the CASE guards short docs (sequence(1, 0) DESCENDS in Spark).
     * The corpus-sized path ships 24-byte (id, pos, hash) triples, never
     * the L× gram-string amplification. */
-  private def gramFrame(txt: DataFrame, minLen: Int): DataFrame =
+  private[graft] def gramFrame(txt: DataFrame, minLen: Int): DataFrame =
     txt.select(col("id"),
       explode(expr(
         s"""CASE WHEN length(t) >= $minLen THEN
@@ -1158,7 +1158,7 @@ object Dedup {
     * gram matches: consecutive (pa, pb) steps share pa - row_number
     * within a (pair, diagonal) partition — each island is one MAXIMAL
     * shared substring of length run + minLen - 1. */
-  private def maximalRuns(matches: DataFrame, minLen: Int): DataFrame = {
+  private[graft] def maximalRuns(matches: DataFrame, minLen: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
       .orderBy(col("pa"))
     matches.withColumn("diag", col("pa") - col("pb"))
@@ -1173,7 +1173,7 @@ object Dedup {
   /** Exact substring-equality residual on hash-matched positions: a
     * 64-bit collision can never fabricate a match. Match-sized joins
     * against the slim text frames. */
-  private def verifyGramMatches(matches: DataFrame, txtA: DataFrame,
+  private[graft] def verifyGramMatches(matches: DataFrame, txtA: DataFrame,
       txtB: DataFrame, minLen: Int): DataFrame =
     matches
       .join(txtA.select(col("id").as("doc_a"), col("t").as("__ta")),

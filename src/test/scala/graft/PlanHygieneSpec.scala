@@ -26,7 +26,9 @@ class PlanHygieneSpec extends SparkSpec {
     "q_ann_pq2",        // same ADC shape with the trained codebook
     "q_ann_ivfpq",      // 1-row trained residual codebook crossed into encode
     "q_ann_ivfpq_stored", // same shape served from the stored layout
+    "q_ann_ivfpq_versioned", // same serve shape, pinned VersionedTable reads
     "q_ann_ivfpq_refined", // same shape + broadcast rerank join
+    "q_proximity_rank", // 1-row corpus-stats + per-term df scalars crossed in
     "q_ann_recall_report", // brute-force truth x IVF-PQ + 1-row count crosses
     "q_label_probe",    // 1-row per-label centroid pack crossed into classify
     "q_bpe_merges",     // 1-row top-pair scalar crossed into each rewrite
