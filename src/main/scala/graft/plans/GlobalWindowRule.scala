@@ -185,6 +185,18 @@ object GlobalWindowRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** TRUE when an output name is one of this rule's / [[ParallelRank]]'s
+    * own helper columns. A window whose child exposes these is part of
+    * an ALREADY-SPLICED rewrite (e.g. an internal pid-partitioned window
+    * whose foldable partition column a degenerate input let the
+    * optimizer erase) — re-rewriting it would join a second offsets
+    * frame onto a child that already carries __o0 and die on an
+    * ambiguous reference. */
+  private def helperName(n: String): Boolean =
+    n.startsWith("__gw") || n == "__pid" || n == "__mono" ||
+      n.matches("__o\\d+") || n.matches("__g\\d+") ||
+      n.matches("__t\\d+") || n.matches("__p\\d+")
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val skip = limitFiltered(plan)
     // top-down: outer windows of a stack rewrite first, so each
@@ -196,14 +208,14 @@ object GlobalWindowRule extends Rule[LogicalPlan] {
             wexprs.forall(_.deterministic) &&
             wexprs.forall(e => classify(e).isDefined) &&
             !wexprs.exists(e => skip.contains(e.exprId.id)) &&
-            !child.output.exists(_.name.startsWith("__gw_")) &&
+            !child.output.exists(a => helperName(a.name)) &&
             child.find(p => p.expressions.exists(!_.deterministic)).isEmpty =>
         rewrite(w)
       case w @ Window(wexprs, Seq(), Seq(), child, _)
           if wexprs.nonEmpty &&
             wexprs.forall(_.deterministic) &&
             wexprs.forall(e => classifyWhole(e).isDefined) &&
-            !child.output.exists(_.name.startsWith("__gw_")) &&
+            !child.output.exists(a => helperName(a.name)) &&
             child.find(p => p.expressions.exists(!_.deterministic)).isEmpty =>
         rewriteScalar(w)
     }

@@ -308,12 +308,30 @@ object ParallelRank {
     // limit() is a top-k safety cap for the driver; it binds only when
     // the binomial sample lands >4× its mean (practically never), and a
     // mildly biased cutpoint set only costs balance, not correctness
-    val sampled = src.select(keyCol.as("__gwk"))
+    val sampled0 = src.select(keyCol.as("__gwk"))
       .filter(col("__gwk").isNotNull &&
         pmod(xxhash64(col("__gwk")), lit(m)) === lit(0L))
       .orderBy(dirKey)
       .limit((target * 4).toInt)
       .collect().map(_.get(0))
+    // LOW-CARDINALITY fallback: with few distinct keys (an ORDER BY on a
+    // 5-value priority column), every distinct value can dodge the 1/m
+    // hash and leave the sample EMPTY — which would collapse every row
+    // into bucket 1: a single-partition pass, and (because lit(1) is
+    // foldable) a plan whose __pid partition the optimizer erases,
+    // resurrecting the unpartitioned window this whole path exists to
+    // kill (caught at sf0.1 by q_sql_global_rank — sf0.01's m = 1 never
+    // exposed it). The fallback samples DISTINCT keys instead: it only
+    // triggers when the distinct count is ≲ m (else some key passes the
+    // hash), so the distinct aggregate is map-side-combined tiny at any
+    // corpus size. Duplicate cutpoints from a short list just leave
+    // empty buckets — correctness never depended on balance.
+    val sampled =
+      if (sampled0.nonEmpty || m == 1L) sampled0
+      else src.select(keyCol.as("__gwk")).filter(col("__gwk").isNotNull)
+        .distinct().orderBy(dirKey)
+        .limit((target * 4).toInt)
+        .collect().map(_.get(0))
     val dt = src.select(keyCol.as("__gwk")).schema.head.dataType
     val cuts: IndexedSeq[Column] =
       if (sampled.isEmpty) IndexedSeq.empty

@@ -137,6 +137,51 @@ class GlobalWindowRuleSpec extends SparkSpec {
     assert(got.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap == want)
   }
 
+  test("low-cardinality sort key at a sample rate every key dodges: still parallel, still exact") {
+    import spark.implicits._
+    // regression for the sf0.1 q_sql_global_rank failure: with n large
+    // enough that the cutpoint sample rate m > 1, a sort key with FEWER
+    // distinct values than m can have every value dodge the
+    // pmod(xxhash64(k), m) = 0 filter — the empty sample collapsed all
+    // rows into bucket lit(1), the optimizer folded the __pid partition
+    // away, the internal window went single-partition, and the rule
+    // re-matched it into an ambiguous __o0. Keys are picked
+    // ADVERSARIALLY at test time (hash % m != 0 for this n's m), so the
+    // empty-sample path triggers deterministically.
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val target = math.max(parts, 1) * 4 * 64L
+    val n = (target * 2).toInt // m = 2
+    val m = math.max(1L, n / target)
+    assert(m >= 2, s"test needs a sample rate > 1, got m=$m")
+    val candidates = (1 to 200).map(i => s"prio_$i")
+    val hashes = candidates.toDF("k")
+      .select(col("k"), pmod(xxhash64(col("k")), lit(m)).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keys = candidates.filter(k => hashes(k) != 0L).take(5)
+    assert(keys.size == 5, "need 5 dodging keys")
+    val df = (0 until n).map(i => (i.toLong, keys(i % 5)))
+      .toDF("id", "k").repartition(7)
+    df.createOrReplaceTempView("gwr_lowcard")
+    val q = spark.sql(
+      """SELECT id, CAST(rank() OVER (ORDER BY k) AS BIGINT) AS rk,
+        |  CAST(dense_rank() OVER (ORDER BY k) AS BIGINT) AS dr
+        |FROM gwr_lowcard""".stripMargin)
+    assertNoGlobalWindow(q)
+    // exact semantics vs a local reference over the 5-key domain
+    val sorted = keys.sorted
+    val perKey = (0 until n).groupBy(i => keys(i % 5)).view.mapValues(_.size)
+    val rkOf = sorted.zipWithIndex.map { case (k, i) =>
+      k -> (1L + sorted.take(i).map(perKey(_).toLong).sum) }.toMap
+    val drOf = sorted.zipWithIndex.map { case (k, i) => k -> (i + 1L) }.toMap
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == n)
+    got.foreach { case (id, rk, dr) =>
+      val k = keys((id % 5).toInt)
+      assert(rk == rkOf(k) && dr == drOf(k),
+        s"id=$id k=$k got ($rk, $dr) want (${rkOf(k)}, ${drOf(k)})")
+    }
+  }
+
   test("top-k filter directly above the rank is LEFT to WindowGroupLimit") {
     GlobalWindowRule.enableAuto(spark)
     val df = frame()
