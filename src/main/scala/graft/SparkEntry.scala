@@ -382,6 +382,25 @@ object SparkEntry {
     "q_substr_excise" -> ((s, dir) =>
       Dedup.exciseDuplicatedSubstrings(t(s, dir, "documents"), "doc_id",
         "text", minLen = 30)),
+    // ----- SEQUENCE PACKING: assign documents to fixed-capacity
+    // training context windows (deterministic partition-local next-fit
+    // in doc-id order; Packing.nextFit's scaladoc carries the 100 TB
+    // splits-sizing argument). The oracle replays the same fold as a
+    // recursive CTE -----
+    "q_pack_nextfit" -> ((s, dir) => {
+      val toks = TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      graft.operators.Packing.nextFit(toks, "doc_id", "n_tokens",
+        capacity = 512L, splits = 8)
+    }),
+    // the go/no-go readout for a capacity choice: bins, fill, and the
+    // padding the packing leaves per split
+    "q_pack_stats" -> ((s, dir) => {
+      val toks = TextAnalysis.withTokens(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      graft.operators.Packing.packStats(toks, "doc_id", "n_tokens",
+        capacity = 512L, splits = 8)
+    }),
     // ----- STREAMING exact-substring gate, driven as two micro-batches
     // (even doc ids arrive first, odd second): the cumulative run table
     // must equal the one-shot batch operator over all documents — the
@@ -6122,6 +6141,30 @@ object SparkEntry {
            SELECT doc_a, doc_b, MIN(pa) AS start_a, MIN(pb) AS start_b,
                   CAST(COUNT(*) + 29 AS BIGINT) AS len
            FROM r GROUP BY doc_a, doc_b, diag, isl)"""
+    // deterministic partition-local next-fit packing, stepped by a
+    // recursive CTE (one item per split per iteration, breadth-first
+    // across splits) — the exact relational replay of Packing.nextFit
+    val packCtes =
+      s"""WITH RECURSIVE tk AS (
+           SELECT doc_id, CAST(len(${duckTokens("text")}) AS BIGINT)
+                    AS n_tokens
+           FROM documents),
+         it AS (SELECT doc_id, n_tokens, doc_id % 8 AS split,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id % 8
+                                          ORDER BY doc_id) AS rn
+                FROM tk),
+         pack AS (
+           SELECT split, rn, doc_id, n_tokens,
+                  CAST(0 AS BIGINT) AS bin, n_tokens AS used
+           FROM it WHERE rn = 1
+           UNION ALL
+           SELECT i.split, i.rn, i.doc_id, i.n_tokens,
+                  CASE WHEN p.used > 0 AND p.used + i.n_tokens > 512
+                       THEN p.bin + 1 ELSE p.bin END,
+                  CASE WHEN p.used > 0 AND p.used + i.n_tokens > 512
+                       THEN i.n_tokens ELSE p.used + i.n_tokens END
+           FROM pack p JOIN it i
+             ON i.split = p.split AND i.rn = p.rn + 1)"""
     // bipartite twin (train slice x benchmark slice, no id ordering)
     val substrContamCtes =
       s"""WITH g AS (
@@ -6544,6 +6587,24 @@ object SparkEntry {
       "q_substr_dup" ->
         s"""$substrCtes
            SELECT doc_a, doc_b, start_a, start_b, len FROM runs""",
+      // partition-local next-fit replayed as a recursive CTE stepping
+      // one item per split per iteration — the same fold, relationally
+      "q_pack_nextfit" ->
+        s"""$packCtes
+           SELECT doc_id, n_tokens, split AS pack_split,
+                  CAST(split * 1000000 + bin AS BIGINT) AS pack_bin
+           FROM pack""",
+      "q_pack_stats" ->
+        s"""$packCtes,
+           bins AS (SELECT split, bin, COUNT(*) AS n_items,
+                           CAST(SUM(n_tokens) AS BIGINT) AS fill
+                    FROM pack GROUP BY split, bin)
+           SELECT split AS pack_split, CAST(COUNT(*) AS BIGINT) AS n_bins,
+                  CAST(SUM(n_items) AS BIGINT) AS n_items,
+                  CAST(SUM(fill) AS BIGINT) AS total_weight,
+                  CAST(SUM(GREATEST(0, 512 - fill)) AS BIGINT)
+                    AS padding_waste
+           FROM bins GROUP BY split""",
       // the streaming gate's cumulative table vs the one-shot truth
       "q_substr_gate" ->
         s"""$substrCtes
