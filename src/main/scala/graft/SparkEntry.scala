@@ -65,6 +65,19 @@ object SparkEntry {
       path
     })
 
+  /** Recursively delete a /tmp fixture directory so batch-id-keyed
+    * exactly-once state from a PRIOR harness run cannot short-circuit a
+    * gate query into returning stale bytes (fixtures only — never point
+    * this at data). */
+  private def freshFixtureDir(path: String): Unit = {
+    require(path.startsWith("/tmp/graft_"), s"not a fixture dir: $path")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+
   /** q_blocklist_scan's phrase list — shared by query and oracle. Includes
     * a self-overlapping pattern and a suffix-contained pair on purpose. */
   private val blocklistPats = Seq("a", "a a", "scan", "slow scan",
@@ -409,14 +422,18 @@ object SparkEntry {
     "q_substr_gate" -> ((s, dir) => {
       val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
       val docs = t(s, dir, "documents")
+      // RESET the exactly-once state: batch ids 0/1 from a prior
+      // harness run would otherwise short-circuit the sink forever and
+      // this query would keep returning the FIRST run's bytes — the
+      // correctness gate must exercise the current code every sweep
+      val paths = Seq("docs", "grams", "out")
+        .map(p => s"/tmp/graft_subg_${p}_$suffix")
+      paths.foreach(p => freshFixtureDir(p))
       val snk = graft.streaming.SubstrGate.sink(
-        "/tmp/graft_subg_docs_" + suffix,
-        "/tmp/graft_subg_grams_" + suffix,
-        "/tmp/graft_subg_out_" + suffix, "doc_id", "text", minLen = 30)
+        paths(0), paths(1), paths(2), "doc_id", "text", minLen = 30)
       snk(docs.filter(col("doc_id") % 2 === 0), 0L)
       snk(docs.filter(col("doc_id") % 2 =!= 0), 1L)
-      graft.sources.VersionedTable.read(s,
-        "/tmp/graft_subg_out_" + suffix)
+      graft.sources.VersionedTable.read(s, paths(2))
     }),
     // ----- bipartite exact-substring DECONTAMINATION: maximal verbatim
     // spans shared between the train slice and the benchmark slice —
@@ -4155,6 +4172,9 @@ object SparkEntry {
       val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
       val statePath = "/tmp/graft_sgate_state_" + suffix
       val outPath = "/tmp/graft_sgate_out_" + suffix
+      // reset the exactly-once state — see q_substr_gate's note
+      freshFixtureDir(statePath)
+      freshFixtureDir(outPath)
       val pts = t(s, dir, "customer").selectExpr(
         "c_custkey AS id",
         "(c_custkey * 37) % 1000 AS x",

@@ -75,24 +75,30 @@ object VersionedTable {
     text.split("\n").toSeq.filter(_.nonEmpty)
   }
 
+  private def deadPath(path: String, v: Int) =
+    new Path(manifestDir(path), f"v$v%05d.dead")
+
   /** Atomically claim the next free version number (lock files count as
-    * claims, so a crashed writer's number is skipped, never reused). */
+    * claims, so a crashed writer's number is skipped, never reused;
+    * `.dead` tombstones from abandoned claims likewise). */
   private def claimNext(spark: SparkSession, path: String): Int = {
     val f = fs(spark, path)
     var v = -1
     while (v < 0) {
       val taken = (listNumbered(spark, path, "txt") ++
-        listNumbered(spark, path, "lock"))
+        listNumbered(spark, path, "lock") ++
+        listNumbered(spark, path, "dead"))
       val next = if (taken.isEmpty) 1 else taken.max + 1
       if (atomicClaim(f, lockPath(path, next))) {
-        // TOCTOU guard: a committer that already PUBLISHED `next` deletes
-        // its lock after the manifest rename, so if our directory listing
-        // predated its manifest we can win the RE-CREATED lock and
-        // double-assign the number (the publish rename would then fail).
-        // Publish strictly precedes lock deletion, so at this point the
-        // manifest existing is a deterministic stale-number signal:
-        // release and rescan.
-        if (f.exists(manifestPath(path, next)))
+        // TOCTOU guard: a committer that already PUBLISHED `next` (or
+        // ABANDONED it — releaseClaim's tombstone) removes its lock, so
+        // a listing that predates the manifest/tombstone can win the
+        // RE-CREATED lock and double-assign the number. Publish (and
+        // tombstone-create) strictly precede lock deletion, so at this
+        // point either marker existing is a deterministic stale-number
+        // signal: release and rescan.
+        if (f.exists(manifestPath(path, next)) ||
+            f.exists(deadPath(path, next)))
           f.delete(lockPath(path, next), false)
         else v = next
       }
@@ -163,12 +169,22 @@ object VersionedTable {
     commitImpl(df, path, mode, None, statCols,
       bloomCols = bloomCols, bloomM = bloomM, bloomK = bloomK).get
 
-  /** Release an UNPUBLISHED claim (the optimistic-conflict path). The
-    * number may be re-claimed by a later committer — that is fine: only
-    * published numbers are part of history. */
+  /** Abandon an UNPUBLISHED claim (the optimistic-conflict path). The
+    * number is BURNED, not freed: a `.dead` tombstone lands BEFORE the
+    * lock is removed, so the number can never be re-claimed by a
+    * straggler whose directory listing predated this claim — re-opening
+    * it would let that straggler publish UNDER a higher claimant that
+    * already finished awaiting its predecessors, silently dropping the
+    * straggler's rows from the head (exactly the lost update the
+    * optimistic machinery exists to prevent). Tombstones are ignored by
+    * [[awaitPredecessors]] (nothing will ever publish there), counted
+    * by [[claimNext]], and cost one empty file each. */
   private def releaseClaim(spark: SparkSession, path: String,
-      v: Int): Unit =
-    fs(spark, path).delete(lockPath(path, v), false)
+      v: Int): Unit = {
+    val f = fs(spark, path)
+    atomicClaim(f, deadPath(path, v))
+    f.delete(lockPath(path, v), false)
+  }
 
   /** `expectedBase`: read-validate-publish for derived commits (compact,
     * deleteWhere) whose DATA was computed FROM a base version — if any
@@ -342,10 +358,32 @@ object VersionedTable {
     var out = Option.empty[Int]
     while (out.isEmpty) {
       val latest = versions(spark, path).last
-      out = commitImpl(read(spark, path, Some(latest)).repartition(nFiles),
-        path, mode = "overwrite", batchTag = None, statCols = statCols,
-        expectedBase = Some(latest), bloomCols = bloomCols,
-        bloomM = bloomM, bloomK = bloomK)
+      val df = read(spark, path, Some(latest)).repartition(nFiles)
+      // a maintenance compact must not silently strip the table's
+      // data-skipping metadata (the deleteWhere invariant): with no
+      // explicit columns, re-stat / re-bloom whatever the base manifest
+      // recorded, with the base's own bloom sizing
+      val fields = df.schema.fieldNames.toSet
+      val sCols =
+        if (statCols.nonEmpty) statCols
+        else statLinesOf(spark, path, latest)
+          .map(_.stripPrefix(statTag).split("\t", -1)(2)).distinct
+          .filter(fields.contains)
+      val baseBloomCfg = metaLinesOf(spark, path, latest)
+        .filter(_.startsWith(bloomTag))
+        .map(_.stripPrefix(bloomTag).split("\t", -1))
+        .collect { case Array(_, c, _, m, k, _) if fields.contains(c) =>
+          (c, m.toInt, k.toInt) }
+        .distinct
+      val (bCols, bM, bK) =
+        if (bloomCols.nonEmpty || baseBloomCfg.isEmpty)
+          (bloomCols, bloomM, bloomK)
+        else (baseBloomCfg.map(_._1),
+          baseBloomCfg.head._2, baseBloomCfg.head._3)
+      out = commitImpl(df,
+        path, mode = "overwrite", batchTag = None, statCols = sCols,
+        expectedBase = Some(latest), bloomCols = bCols,
+        bloomM = bM, bloomK = bK)
     }
     out.get
   }

@@ -48,8 +48,12 @@ object SpatialGate {
     val spark = batch.sparkSession
     if (!VersionedTable.committedBatches(spark, outPath)
         .contains(batchId)) {
-      val inc = batch.select(col(idCol).cast("long").as("id"),
-        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      // persist: the projection feeds the cross probe, both sides of
+      // the intra self-join, and the state commit — without the pin the
+      // source micro-batch re-evaluates per consumer
+      val inc = graft.operators.Dedup.persistTracked(
+        batch.select(col(idCol).cast("long").as("id"),
+          col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y")))
       // cross-join base: latest on the fresh path; on a replay whose
       // point append already landed, the version BEFORE that append
       val stateVs = VersionedTable.versions(spark, statePath)
@@ -74,6 +78,7 @@ object SpatialGate {
       VersionedTable.streamingCommit(inc, batchId, statePath, "append")
       VersionedTable.streamingCommit(cross.unionByName(intra), batchId,
         outPath, "append")
+      graft.operators.Dedup.releaseCaches()
     }
   }
 }

@@ -151,6 +151,46 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("an abandoned claim's tombstone burns the number for stragglers") {
+    val path = freshPath()
+    val nat = Tables(spark, dir, "nation")
+    VersionedTable.commit(nat.limit(2), path)
+    // simulate an optimistic-conflict abandonment of v2: the tombstone
+    // exists, the lock does not — a straggler whose listing predated
+    // the claim must NOT be able to publish as v2
+    val dead = new java.io.File(path, "_manifests/v00002.dead")
+    dead.getParentFile.mkdirs()
+    assert(dead.createNewFile())
+    val v = VersionedTable.commit(nat.limit(5), path)
+    assert(v == 3, s"burned number must be skipped, got v$v")
+    assert(VersionedTable.versions(spark, path) == Seq(1, 3))
+    // and a racing straggler that re-creates the LOCK for the dead
+    // number is caught by the post-claim guard on its next commit
+    assert(VersionedTable.read(spark, path).count() == 5)
+  }
+
+  test("compact without explicit columns carries the base's stats and blooms") {
+    val path = freshPath()
+    val cust = Tables(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey")
+    VersionedTable.commit(cust.repartition(3), path, "overwrite",
+      statCols = Seq("c_custkey"), bloomCols = Seq("c_name"))
+    val v = VersionedTable.compact(spark, path, nFiles = 1)
+    val stats = VersionedTable.fileStats(spark, path, Some(v))
+    assert(stats.size == 1 && stats.head.cols.contains("c_custkey"),
+      "compact must re-stat the base's stat columns")
+    val blooms = VersionedTable.fileBlooms(spark, path, Some(v))
+    assert(blooms.size == 1 &&
+      blooms.values.head.contains("c_name"),
+      "compact must re-bloom the base's bloom columns")
+    // pruning still works from the compacted head
+    val name = cust.filter(col("c_custkey") === 7)
+      .select("c_name").collect().head.getString(0)
+    val (k, _) = VersionedTable.pruneFiles(spark, path,
+      col("c_name") === name, Some(v))
+    assert(k.size == 1)
+  }
+
   test("compact racing appends: the table head never loses an increment (lost-update guard)") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
