@@ -26,14 +26,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object ParquetMeta {
 
   /** One row per (file, row group): rows, column-chunk count, compressed
-    * and uncompressed byte totals. */
+    * and uncompressed byte totals. The SESSION's Hadoop configuration
+    * ships to the tasks (a blank executor-side Configuration would miss
+    * object-store credentials/endpoints and custom filesystem schemes);
+    * an empty path list returns an empty frame instead of tripping
+    * repartition(0). */
   def rowGroups(spark: SparkSession, paths: Seq[String]): DataFrame = {
     import spark.implicits._
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val bconf = spark.sparkContext.broadcast(hconf)
     spark.createDataset(paths)
-      .repartition(math.min(paths.size, 32))
+      .repartition(math.max(1, math.min(paths.size, 32)))
       .mapPartitions { it =>
         it.flatMap { p =>
-          val in = HadoopInputFile.fromPath(new Path(p), new Configuration())
+          val in = HadoopInputFile.fromPath(new Path(p), bconf.value.value)
           val reader = ParquetFileReader.open(in)
           try {
             val fileName = new Path(p).getName

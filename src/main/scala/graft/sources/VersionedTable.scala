@@ -119,6 +119,9 @@ object VersionedTable {
       try { f.create(p, false).close(); true }
       catch { case _: java.io.IOException => false }
 
+  private def batchMarkerPath(path: String, batchId: Long, v: Int) =
+    new Path(manifestDir(path), f"bt-$batchId%d-v$v%05d.txt")
+
   private def publish(spark: SparkSession, path: String, v: Int,
       rows: Long, files: Seq[String],
       batchTag: Option[Long] = None,
@@ -128,6 +131,19 @@ object VersionedTable {
       batchTag.map(b => s"# batch=$b\n").getOrElse("") +
       statLines.map(_ + "\n").mkString +
       files.mkString("\n") + "\n"
+    // batch MARKER before the manifest rename: the (batch, version)
+    // pair rides in the FILE NAME, so committedBatches/versionOfBatch
+    // are pure directory listings instead of one manifest read per
+    // version (a long-lived stream's per-batch overhead would otherwise
+    // grow linearly — O(versions²) cumulative metadata I/O). A crash
+    // between marker and rename leaves a marker whose version is never
+    // committed: harmless, because readers intersect markers with the
+    // COMMITTED version set. The `# batch=` manifest line stays for the
+    // audit path (history()).
+    batchTag.foreach { b =>
+      val out = f.create(batchMarkerPath(path, b, v), true)
+      out.close()
+    }
     val tmp = new Path(manifestDir(path),
       s".tmp-${java.util.UUID.randomUUID.toString.take(8)}")
     val out = f.create(tmp, true)
@@ -277,11 +293,26 @@ object VersionedTable {
     }.toDF("version", "n_rows", "n_files", "batch_id")
   }
 
+  /** (batchId, version) pairs from the batch marker files, restricted
+    * to COMMITTED versions — two directory listings, zero manifest
+    * reads, however many versions the table has accumulated. */
+  private def batchMarkers(spark: SparkSession,
+      path: String): Seq[(Long, Int)] = {
+    val f = fs(spark, path)
+    val dir = manifestDir(path)
+    if (!f.exists(dir)) return Seq.empty
+    val committed = versions(spark, path).toSet
+    f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("bt-") && n.endsWith(".txt") =>
+        val core = n.stripPrefix("bt-").stripSuffix(".txt")
+        val i = core.lastIndexOf("-v")
+        (core.substring(0, i).toLong, core.substring(i + 2).toInt)
+      }
+      .filter(m => committed.contains(m._2))
+  }
+
   def committedBatches(spark: SparkSession, path: String): Set[Long] =
-    versions(spark, path).flatMap(v =>
-      manifestLines(spark, path, v)
-        .find(_.startsWith("# batch="))
-        .map(_.stripPrefix("# batch=").toLong)).toSet
+    batchMarkers(spark, path).map(_._1).toSet
 
   /** The version a given streaming batch id committed as (None if the
     * batch never landed) — the replay-pinning primitive: a crash-replay
@@ -289,8 +320,8 @@ object VersionedTable {
     * version preceding this one. */
   def versionOfBatch(spark: SparkSession, path: String,
       batchId: Long): Option[Int] =
-    versions(spark, path).find(v =>
-      manifestLines(spark, path, v).contains(s"# batch=$batchId"))
+    batchMarkers(spark, path).collect {
+      case (b, v) if b == batchId => v }.minOption
 
   /** Idempotent streaming commit: structured streaming's foreachBatch
     * re-delivers the last epoch after a recovery, so a batch id that
@@ -1089,6 +1120,21 @@ object VersionedTable {
     val pinned = tags(spark, path).values.toSet
     val expired = vs.dropRight(keepLast).filterNot(pinned.contains)
     expired.foreach(v => f.delete(manifestPath(path, v), false))
+    // sweep the expired versions' batch markers (they index manifests
+    // that no longer exist; an expired batch was already forgotten
+    // under the manifest-line scheme too)
+    if (expired.nonEmpty) {
+      val gone = expired.toSet
+      f.listStatus(manifestDir(path)).toSeq.map(_.getPath.getName)
+        .foreach { n =>
+          if (n.startsWith("bt-") && n.endsWith(".txt")) {
+            val i = n.lastIndexOf("-v")
+            val v = n.substring(i + 2).stripSuffix(".txt").toInt
+            if (gone.contains(v))
+              f.delete(new Path(manifestDir(path), n), false)
+          }
+        }
+    }
     val kept = versions(spark, path)
     val cutoff = System.currentTimeMillis - minAgeMs
     val orphans = orphanDataDirs(spark, path, kept).filter { d =>

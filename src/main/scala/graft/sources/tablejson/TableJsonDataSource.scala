@@ -238,9 +238,16 @@ private[tablejson] class TableJsonScan(path: String, full: StructType,
     val slices =
       if (small) 1 else math.max(1, math.min(maxSlices, nRows / 1000))
     val step = math.max(1, (nRows + slices - 1) / slices)
-    (1 to nRows by step).map(start =>
+    val parts = (1 to nRows by step).map(start =>
       TableJsonPartition(path, start, math.min(start + step, nRows + 1))
         .asInstanceOf[InputPartition]).toArray
+    // a COMPLETE pushed aggregation over a ZERO-ROW file must still run
+    // one reader: Spark does not re-aggregate after a complete pushdown,
+    // so with no partitions `count(*)` would return no rows instead of
+    // one row containing 0 — the reader synthesizes the empty-input row
+    if (parts.isEmpty && agg.isDefined)
+      Array(TableJsonPartition(path, 1, 1))
+    else parts
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

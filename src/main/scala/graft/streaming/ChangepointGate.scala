@@ -36,15 +36,18 @@ object ChangepointGate {
     val spark = batch.sparkSession
     if (!VersionedTable.committedBatches(spark, outPath)
         .contains(batchId)) {
-      import spark.implicits._
       val alreadyMerged =
         VersionedTable.committedBatches(spark, statePath).contains(batchId)
       if (!alreadyMerged) {
         val inc = Events.dailyCounts(batch, keyCol)
+        // empty seed FROM THE INCREMENT'S OWN SCHEMA: a hardcoded
+        // string-typed seed would make Union widen a non-string key to
+        // string in the committed state forever, diverging from the
+        // batch operator's key type
         val base =
           if (VersionedTable.versions(spark, statePath).nonEmpty)
             VersionedTable.read(spark, statePath)
-          else Seq.empty[(String, Long, Long)].toDF(keyCol, "day", "n")
+          else inc.limit(0)
         val merged = base.select(col(keyCol), col("day"), col("n"))
           .unionByName(inc)
           .groupBy(col(keyCol), col("day")).agg(sum(col("n")).as("n"))

@@ -56,7 +56,11 @@ object ClusterMaintainer {
       import spark.implicits._
       val sigsNew = Dedup.persistTracked(
         Dedup.minhashSignatures(batch, idCol, textCol))
-      val intra = Dedup.candidatesFromSignatures(sigsNew, idCol)
+      // the cap applies WITHIN the batch too: a viral (band, bucket) in
+      // one micro-batch would otherwise materialize the full quadratic
+      // pair set the cap exists to prevent
+      val intra = Dedup.candidatesFromSignatures(sigsNew, idCol,
+          maxBucket = maxBucket)
         .select(col("doc_a"), col("doc_b"))
       // cross-join base: latest on the fresh path; on a replay whose
       // signature append already landed, the version BEFORE that append

@@ -41,10 +41,13 @@ object EventStreams {
         col("event_type"), col("n_events"))
 
   /** Stream-stream inner join within a time bound: pairs events from two
-    * streams for the same user at most `boundSeconds` apart. Both sides
-    * carry watermarks, and the time-bound condition lets Spark evict
-    * buffered rows once the other side's watermark passes — without the
-    * bound (or the watermarks) state grows forever. */
+    * streams for the same user at most `boundSeconds` apart — in EITHER
+    * direction (the one-sided BETWEEN silently dropped pairs where the
+    * right event preceded the left; a symmetric bound needs the
+    * two-sided range, and the watermark eviction widens accordingly).
+    * Both sides carry watermarks, and the time-bound condition lets
+    * Spark evict buffered rows once the other side's watermark passes —
+    * without the bound (or the watermarks) state grows forever. */
   def correlate(left: DataFrame, right: DataFrame,
       boundSeconds: Long = 1800, watermark: String = "1 hour"): DataFrame = {
     import org.apache.spark.sql.functions.expr
@@ -56,17 +59,20 @@ object EventStreams {
         col("event_type").as("r_type"))
     l.join(r, expr(
       s"""l_user = r_user AND
-          r_ets BETWEEN l_ets AND l_ets + INTERVAL $boundSeconds SECONDS"""))
+          r_ets BETWEEN l_ets - INTERVAL $boundSeconds SECONDS
+                    AND l_ets + INTERVAL $boundSeconds SECONDS"""))
   }
 
   /** Stream-static enrichment: join the stream against a batch dimension
     * table. The static side is broadcast per micro-batch (no state, no
     * watermark needed on it) — the standard pattern for attaching slowly-
-    * changing reference data to an event stream at scale. */
+    * changing reference data to an event stream at scale. Join columns
+    * are DATAFRAME-QUALIFIED so a dimension key sharing the stream
+    * column's name (the usual case) does not hit AMBIGUOUS_REFERENCE. */
   def enrich(stream: DataFrame, dim: DataFrame, streamKey: String,
       dimKey: String): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim),
-      col(streamKey) === col(dimKey), "left")
+      stream(streamKey) === dim(dimKey), "left")
 
   /** Session windows per user with a gap timeout — the streaming
     * equivalent of the batch gaps-and-islands in Events.sessionize. */

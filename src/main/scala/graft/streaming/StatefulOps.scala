@@ -37,7 +37,13 @@ object StatefulOps {
 
   /** Streaming exact dedup: emit only the FIRST record seen per key.
     * The batch twin is Dedup.exact (groupBy + min); here the state store
-    * remembers seen keys, evicted an hour past the watermark. */
+    * remembers seen keys, evicted an hour past the LATEST of the key's
+    * event time and the watermark — refreshed on EVERY arrival, so an
+    * actively-hot key is never evicted mid-stream and re-emitted as a
+    * spurious "first" (the arm-once form evicted hot keys after one
+    * horizon, and batch-1 keys at epoch+horizon while the watermark was
+    * still 0). Keys silent past the horizon may re-emit — the same
+    * watermark-scoped contract as dropDuplicatesWithinWatermark. */
   def firstSeen(ds: Dataset[Keyed],
       watermark: String = "1 hour"): Dataset[Keyed] = {
     val spark = ds.sparkSession
@@ -48,13 +54,24 @@ object StatefulOps {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_: String, rows: Iterator[KeyedE], state: GroupState[Boolean]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else if (state.exists) Iterator.empty // key already emitted
           else {
-            state.update(true)
+            // one pass: earliest record (deterministic by ts, then id —
+            // the batch twin's min) and the latest event time for the arm
+            var first: KeyedE = null
+            var lastUs = 0L
+            rows.foreach { r =>
+              if (first == null || r.ts_us < first.ts_us ||
+                (r.ts_us == first.ts_us && r.id < first.id)) first = r
+              lastUs = math.max(lastUs, r.ts_us)
+            }
             state.setTimeoutTimestamp(
-              state.getCurrentWatermarkMs() + EvictAfterMs)
-            val first = rows.next()
-            Iterator.single(Keyed(first.key, first.id, first.ts_us))
+              math.max(lastUs / 1000, state.getCurrentWatermarkMs()) +
+                EvictAfterMs)
+            if (state.exists) Iterator.empty // already emitted
+            else {
+              state.update(true)
+              Iterator.single(Keyed(first.key, first.id, first.ts_us))
+            }
           }
       }
   }
@@ -79,8 +96,11 @@ object StatefulOps {
               if (prev.firstId >= 0) prev.firstId
               else batch.map(_.id).min)
             state.update(next)
+            // anchor on event time too: a batch-1 watermark of 0 would
+            // otherwise evict every early key at epoch + horizon
             state.setTimeoutTimestamp(
-              state.getCurrentWatermarkMs() + EvictAfterMs)
+              math.max(batch.map(_.ts_us).max / 1000,
+                state.getCurrentWatermarkMs()) + EvictAfterMs)
             next
           }
       }
@@ -95,18 +115,24 @@ object StatefulOps {
       .dropDuplicatesWithinWatermark(keyCol)
 
   case class KeyStats(key: String, n: Long, minId: Long, maxId: Long)
-  case class SessState(startUs: Long, endUs: Long, n: Long, timerMs: Long)
+  case class SessIv(startUs: Long, endUs: Long, n: Long)
+  case class SessState(iv: Seq[SessIv], timerMs: Long)
   case class SessionOut(key: String, start_us: Long, end_us: Long, n: Long)
 
   /** Session windows on the Spark 4 arbitrary-state API with EVENT-TIME
-    * TIMERS: events accumulate into per-key session state; each batch
-    * (re)arms a timer at session-end + gap; when the WATERMARK passes the
-    * timer the session is emitted and the state cleared. This is the
-    * full transformWithState surface — typed state, registerTimer /
+    * TIMERS: events merge into per-key session INTERVALS (two events
+    * farther than `gap` apart open separate intervals — folding
+    * everything into one span would glue bursts that arrive in the same
+    * micro-batch, or whose timer has not fired yet, into one bogus
+    * session); a session emits only when the WATERMARK passes its
+    * end + gap — never eagerly on a data-witnessed gap, because a
+    * still-admissible late event could yet bridge two intervals. One
+    * timer per key at the earliest open interval's close point. This is
+    * the full transformWithState surface — typed state, registerTimer /
     * deleteTimer, handleExpiredTimer — versus the built-in
-    * `session_window` aggregation (EventStreams.sessions): use this shape
-    * when the per-session output needs custom logic the built-in agg
-    * can't express. */
+    * `session_window` aggregation (EventStreams.sessions): use this
+    * shape when the per-session output needs custom logic the built-in
+    * agg can't express. */
   private class SessionProcessor(gapUs: Long)
       extends StatefulProcessor[String, KeyedE, SessionOut] {
     @transient private var state: ValueState[SessState] = _
@@ -115,15 +141,23 @@ object StatefulOps {
         Encoders.product[SessState], TTLConfig.NONE)
     override def handleInputRows(key: String, rows: Iterator[KeyedE],
         timers: TimerValues): Iterator[SessionOut] = {
-      var s = Option(state.get()).getOrElse(SessState(Long.MaxValue, 0L, 0L, -1L))
-      rows.foreach { r =>
-        s = SessState(math.min(s.startUs, r.ts_us), math.max(s.endUs, r.ts_us),
-          s.n + 1, s.timerMs)
+      val prev = Option(state.get())
+      val atoms = (prev.map(_.iv).getOrElse(Seq.empty) ++
+        rows.map(r => SessIv(r.ts_us, r.ts_us, 1L)))
+        .sortBy(a => (a.startUs, a.endUs))
+      if (atoms.isEmpty) return Iterator.empty
+      val merged = scala.collection.mutable.ArrayBuffer(atoms.head)
+      atoms.tail.foreach { a =>
+        val last = merged.last
+        if (a.startUs <= last.endUs + gapUs)
+          merged(merged.size - 1) = SessIv(last.startUs,
+            math.max(last.endUs, a.endUs), last.n + a.n)
+        else merged += a
       }
-      if (s.timerMs >= 0) getHandle.deleteTimer(s.timerMs)
-      val timerMs = s.endUs / 1000 + gapUs / 1000
+      prev.map(_.timerMs).filter(_ >= 0).foreach(getHandle.deleteTimer)
+      val timerMs = merged.map(iv => iv.endUs / 1000 + gapUs / 1000).min
       getHandle.registerTimer(timerMs)
-      state.update(s.copy(timerMs = timerMs))
+      state.update(SessState(merged.toSeq, timerMs))
       Iterator.empty
     }
     override def handleExpiredTimer(key: String, timers: TimerValues,
@@ -132,8 +166,17 @@ object StatefulOps {
       val s = state.get()
       if (s == null) Iterator.empty
       else {
-        state.clear()
-        Iterator.single(SessionOut(key, s.startUs, s.endUs, s.n))
+        val wm = timers.getCurrentWatermarkInMs()
+        val (done, open) = s.iv.partition(iv =>
+          iv.endUs / 1000 + gapUs / 1000 <= wm)
+        if (open.isEmpty) state.clear()
+        else {
+          val timerMs = open.map(iv => iv.endUs / 1000 + gapUs / 1000).min
+          getHandle.registerTimer(timerMs)
+          state.update(SessState(open, timerMs))
+        }
+        done.sortBy(_.startUs).iterator
+          .map(iv => SessionOut(key, iv.startUs, iv.endUs, iv.n))
       }
     }
   }
@@ -768,9 +811,18 @@ object StatefulOps {
             }
             if (st.stage > 0) {
               state.update(st)
-              // silent-user eviction: deadline past the watermark
+              // silent-user eviction, anchored on EVENT time: the timer
+              // must not fire while an on-time next-stage event is still
+              // admissible, so it sits at last-advance + deadline — once
+              // the watermark passes that, any qualifying event would be
+              // late-dropped anyway. (Arming at watermark + deadline
+              // failed funnels early whenever other keys' traffic pushed
+              // the watermark, and turned every batch-1 funnel into an
+              // epoch+deadline timeout.) The max() keeps the timestamp
+              // ahead of the watermark, which the API requires.
               state.setTimeoutTimestamp(
-                state.getCurrentWatermarkMs() + deadlineUs / 1000 + 1)
+                math.max(st.lastUs / 1000 + deadlineUs / 1000,
+                  state.getCurrentWatermarkMs()) + 1)
             } else state.remove()
             out.iterator
           }

@@ -705,4 +705,99 @@ class StatefulOpsSpec extends SparkSpec {
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("sessions split on gap WITHIN one micro-batch (no timer between bursts)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Keyed]
+      val gapUs = 1800L * 1000000 // 30 min
+      val h = 3600L * 1000000
+      val q = StatefulOps.sessionsTws(mem.toDS(), gapUs).writeStream
+        .format("memory").queryName("tws_sessions_split")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // two bursts SIX HOURS apart arrive in the SAME batch: folding
+        // them into one span (the pre-fix behavior) would emit a single
+        // 7-hour "session" spanning a 6-hour silence
+        mem.addData(Keyed("a", 1, h), Keyed("a", 2, h + 600L * 1000000),
+          Keyed("a", 3, 7 * h), Keyed("a", 4, 7 * h + 60L * 1000000))
+        q.processAllAvailable()
+        // advance the watermark past both sessions' close points
+        mem.addData(Keyed("b", 5, 20 * h))
+        q.processAllAvailable()
+        mem.addData(Keyed("b", 6, 20 * h + 1))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("tws_sessions_split")
+        .as[StatefulOps.SessionOut].collect()
+        .filter(_.key == "a")
+        .map(s => (s.start_us, s.end_us, s.n)).toSet
+      assert(got == Set((h, h + 600L * 1000000, 2L),
+        (7 * h, 7 * h + 60L * 1000000, 2L)),
+        s"one-batch bursts must split into two sessions: $got")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("firstSeen keeps a recently-active key (event-anchored, refreshed eviction)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Keyed]
+    val q = StatefulOps.firstSeen(mem.toDS()).writeStream
+      .format("memory").queryName("first_seen_hot")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // MODERN timestamps: the pre-fix arm point was
+      // watermark-at-first-sight + 1h, which in batch 1 is EPOCH + 1h —
+      // the key was evicted on the first real watermark advance and its
+      // next arrival re-emitted as a duplicate "first"
+      val T = 1000L * 3600L * 1000000 // 1000 hours, in micros
+      val m = 60L * 1000000
+      mem.addData(Keyed("a", 1, T))
+      q.processAllAvailable()
+      mem.addData(Keyed("f", 2, T + 30 * m)) // watermark -> T - 30 min
+      q.processAllAvailable()
+      mem.addData(Keyed("a", 3, T + 31 * m)) // 31 min later: within horizon
+      q.processAllAvailable()
+    } finally q.stop()
+    val aRows = spark.table("first_seen_hot").as[Keyed].collect()
+      .filter(_.key == "a").map(_.id).toSeq
+    assert(aRows == Seq(1L),
+      s"recently-active key re-emitted as a duplicate first: $aRows")
+  }
+
+  test("funnel timer is event-anchored: an on-time next stage still completes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StatefulOps.{TypedEv, FunnelOut}
+    val mem = MemoryStream[TypedEv]
+    val m = 60L * 1000000
+    val T = 1000L * 3600L * 1000000
+    // deadline 5 min, watermark 10 min
+    val q = StatefulOps.streamingFunnel(mem.toDS(), Seq("s1", "s2"),
+        deadlineUs = 5 * m, watermark = "10 minutes").writeStream
+      .format("memory").queryName("funnel_anchor")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(TypedEv("x", "s1", T))
+      q.processAllAvailable()
+      // other-key traffic pushes the watermark to T + 2 min — BELOW
+      // x's deadline (T + 5 min): the pre-fix watermark-anchored timer
+      // fired here and committed a spurious failure
+      mem.addData(TypedEv("y", "s1", T + 12 * m))
+      q.processAllAvailable()
+      // x's on-time stage-2 event (T + 4 min, above the watermark)
+      mem.addData(TypedEv("x", "s2", T + 4 * m))
+      q.processAllAvailable()
+      mem.addData(TypedEv("y", "s2", T + 13 * m))
+      q.processAllAvailable()
+    } finally q.stop()
+    val xRows = spark.table("funnel_anchor").as[FunnelOut].collect()
+      .filter(_.key == "x").map(r => (r.stage_reached, r.completed)).toSet
+    assert(xRows == Set((2L, true)),
+      s"expected only x's completion, got $xRows")
+  }
 }
