@@ -23,13 +23,13 @@ import graft.sources.VersionedTable
   * documents are not rewritten (standard ingest-time behavior; run the
   * batch operator for a retroactive pass).
   *
-  * Exactly-once: the output commit is the batch's completion marker —
-  * the sink is a no-op for an output-committed batch id. The frequency
-  * merge commits FIRST; on a crash between the two commits, the replay
-  * detects the already-merged state and reuses it verbatim instead of
-  * re-merging (which would double-count the batch), then re-derives
-  * the identical excision from it. Assumes each doc id arrives once
-  * (re-delivery of a whole batch is handled by the batch-id guard).
+  * Exactly-once rides [[GateKit]]: the output commit is the batch's
+  * completion marker ([[GateKit.runOnce]]), the frequency merge is
+  * merge-once ([[GateKit.mergeState]]) — a replay reuses the committed
+  * merge verbatim instead of double-counting — and the excision is
+  * derived from the COMMITTED state bytes, so first run and replay
+  * excise identically. Assumes each doc id arrives once (re-delivery
+  * of a whole batch is handled by the batch-id guard).
   *
   * Scale: the frequency pass ships 64-bit hashes only; the overwrite
   * rewrite of the state table is O(distinct segments) per batch — the
@@ -43,40 +43,26 @@ object BoilerplateGate {
       textCol: String, chunkTokens: Int = 10, minDocs: Int = 3)
       : (DataFrame, Long) => Unit = (batch, batchId) => {
     val spark = batch.sparkSession
-    if (!VersionedTable.committedBatches(spark, outPath)
-        .contains(batchId)) {
+    GateKit.runOnce(spark, outPath, batchId) {
       import spark.implicits._
       // persist: chunks feed the frequency merge AND the reassembly
       val ch = Dedup.persistTracked(
         Dedup.chunkSegments(batch, idCol, textCol, chunkTokens))
-      val alreadyMerged =
-        VersionedTable.committedBatches(spark, freqPath).contains(batchId)
-      val merged =
-        if (alreadyMerged) VersionedTable.read(spark, freqPath)
-        else {
-          val counts = ch
-            .select(col(idCol), GraftFunctions.polyHash(col("chunk")).as("h"))
-            .groupBy(col("h"))
-            .agg(countDistinct(col(idCol)).as("ndocs"))
-          val base =
-            if (VersionedTable.versions(spark, freqPath).nonEmpty)
-              VersionedTable.read(spark, freqPath)
-            else Seq.empty[(Long, Long)].toDF("h", "ndocs")
-          base.select(col("h"), col("ndocs")).unionByName(counts)
-            .groupBy(col("h")).agg(sum(col("ndocs")).as("ndocs"))
-        }
-      if (!alreadyMerged)
-        VersionedTable.streamingCommit(merged, batchId, freqPath,
-          "overwrite")
       // judge against post-merge state: the batch's own docs count
       // toward the threshold, matching the batch operator's rule on the
-      // prefix corpus. Reading the state back keeps the excision branch
-      // consistent with what was COMMITTED, replay or not.
-      val boiler = VersionedTable.read(spark, freqPath)
-        .filter(col("ndocs") >= minDocs).select(col("h"))
+      // prefix corpus
+      val state = GateKit.mergeState(spark, freqPath, batchId) { base =>
+        val counts = ch
+          .select(col(idCol), GraftFunctions.polyHash(col("chunk")).as("h"))
+          .groupBy(col("h"))
+          .agg(countDistinct(col(idCol)).as("ndocs"))
+        base.getOrElse(Seq.empty[(Long, Long)].toDF("h", "ndocs"))
+          .select(col("h"), col("ndocs")).unionByName(counts)
+          .groupBy(col("h")).agg(sum(col("ndocs")).as("ndocs"))
+      }
+      val boiler = state.filter(col("ndocs") >= minDocs).select(col("h"))
       val out = Dedup.exciseByHashes(ch, idCol, boiler)
       VersionedTable.streamingCommit(out, batchId, outPath, "append")
-      Dedup.releaseCaches()
     }
   }
 }

@@ -22,11 +22,12 @@ import graft.sources.VersionedTable
   * counts are a CRDT-style sum), so the per-batch merge is one
   * aggregation over state + increment.
   *
-  * Exactly-once: the output commit is the batch's completion marker.
-  * The state merge commits FIRST; a crash between the two commits
-  * replays the batch, detects the already-merged state by its batch
-  * tag, reuses it verbatim (re-merging would double-count), and
-  * re-derives the identical readout from it. */
+  * Exactly-once rides [[GateKit]]: the output commit is the batch's
+  * completion marker ([[GateKit.runOnce]]), and the state merge is
+  * merge-once ([[GateKit.mergeState]]) — a crash between the two
+  * commits replays the batch, detects the already-merged state by its
+  * batch tag, reuses the committed bytes verbatim (re-merging would
+  * double-count), and re-derives the identical readout from them. */
 object ChangepointGate {
 
   /** `events.writeStream.foreachBatch(ChangepointGate.sink(...))`;
@@ -34,31 +35,21 @@ object ChangepointGate {
   def sink(statePath: String, outPath: String, keyCol: String)
       : (DataFrame, Long) => Unit = (batch, batchId) => {
     val spark = batch.sparkSession
-    if (!VersionedTable.committedBatches(spark, outPath)
-        .contains(batchId)) {
-      val alreadyMerged =
-        VersionedTable.committedBatches(spark, statePath).contains(batchId)
-      if (!alreadyMerged) {
+    GateKit.runOnce(spark, outPath, batchId) {
+      val state = GateKit.mergeState(spark, statePath, batchId) { base =>
         val inc = Events.dailyCounts(batch, keyCol)
         // empty seed FROM THE INCREMENT'S OWN SCHEMA: a hardcoded
         // string-typed seed would make Union widen a non-string key to
         // string in the committed state forever, diverging from the
         // batch operator's key type
-        val base =
-          if (VersionedTable.versions(spark, statePath).nonEmpty)
-            VersionedTable.read(spark, statePath)
-          else inc.limit(0)
-        val merged = base.select(col(keyCol), col("day"), col("n"))
+        base.getOrElse(inc.limit(0))
+          .select(col(keyCol), col("day"), col("n"))
           .unionByName(inc)
           .groupBy(col(keyCol), col("day")).agg(sum(col("n")).as("n"))
-        VersionedTable.streamingCommit(merged, batchId, statePath,
-          "overwrite")
       }
-      // read the COMMITTED state back so replay and first run derive
-      // the readout from identical bytes
-      val out = Events.cusumFromDaily(
-        VersionedTable.read(spark, statePath), keyCol)
-      VersionedTable.streamingCommit(out, batchId, outPath, "overwrite")
+      VersionedTable.streamingCommit(
+        Events.cusumFromDaily(state, keyCol), batchId, outPath,
+        "overwrite")
     }
   }
 }

@@ -21,17 +21,17 @@ import graft.sources.VersionedTable
   * batch-equivalence argument, applied inductively per batch), so a
   * reader at any version sees a consistent, recompute-equal clustering.
   *
-  * Exactly-once and crash windows: both commits are idempotent per
-  * batch id ([[VersionedTable.streamingCommit]] skips tagged replays).
-  * Signatures commit FIRST; the orders of a replayed partial failure
-  * both converge —
+  * Exactly-once and crash windows ride [[GateKit]]: both commits are
+  * idempotent per batch id, the label commit is the completion marker
+  * ([[GateKit.runOnce]]), signatures commit FIRST, and the orders of a
+  * replayed partial failure both converge —
   *  - labels landed, signatures did not: the replay re-commits only the
   *    signatures; the committed labels were computed from the batch's
   *    own in-memory signatures, so they are already correct;
   *  - signatures landed, labels did not: the replay PINS the
   *    cross-candidate join to the signature version PRECEDING the
-  *    batch's own append ([[VersionedTable.versionOfBatch]]), so it
-  *    joins exactly the index the no-crash run would have — without the
+  *    batch's own append ([[GateKit.pinnedBefore]]), so it joins
+  *    exactly the index the no-crash run would have — without the
   *    pin, the batch's own replayed signatures would also sit in the
   *    index, and under a finite `maxBucket` those extra rows can push a
   *    (band, bucket) over the cap and DROP genuine increment-vs-base
@@ -51,8 +51,7 @@ object ClusterMaintainer {
       textCol: String, maxBucket: Int = Int.MaxValue)
       : (DataFrame, Long) => Unit = (batch, batchId) => {
     val spark = batch.sparkSession
-    if (!VersionedTable.committedBatches(spark, labelsPath)
-        .contains(batchId)) {
+    GateKit.runOnce(spark, labelsPath, batchId) {
       import spark.implicits._
       val sigsNew = Dedup.persistTracked(
         Dedup.minhashSignatures(batch, idCol, textCol))
@@ -62,19 +61,9 @@ object ClusterMaintainer {
       val intra = Dedup.candidatesFromSignatures(sigsNew, idCol,
           maxBucket = maxBucket)
         .select(col("doc_a"), col("doc_b"))
-      // cross-join base: latest on the fresh path; on a replay whose
-      // signature append already landed, the version BEFORE that append
-      // (see the scaladoc's cap-interaction argument)
-      val sigVersions = VersionedTable.versions(spark, sigPath)
-      val crossBase: Option[Int] =
-        VersionedTable.versionOfBatch(spark, sigPath, batchId) match {
-          case Some(own) => sigVersions.filter(_ < own).lastOption
-          case None => sigVersions.lastOption
-        }
-      val cross = crossBase match {
-        case Some(v) =>
-          Dedup.crossCandidatesFromSignatures(sigsNew,
-            VersionedTable.read(spark, sigPath, Some(v)), idCol,
+      val cross = GateKit.readPinnedBefore(spark, sigPath, batchId) match {
+        case Some(base) =>
+          Dedup.crossCandidatesFromSignatures(sigsNew, base, idCol,
             maxBucket = maxBucket)
         case None => Seq.empty[(Long, Long)].toDF("new_id", "base_id")
       }
@@ -87,7 +76,6 @@ object ClusterMaintainer {
       VersionedTable.streamingCommit(sigsNew, batchId, sigPath, "append")
       VersionedTable.streamingCommit(labels, batchId, labelsPath,
         "overwrite")
-      Dedup.releaseCaches()
     }
   }
 }

@@ -23,6 +23,11 @@ import graft.sources.VersionedTable
   * appended union is exactly the prefix join's increment:
   * pairs(prefix ∪ inc) = pairs(prefix) ∪ (inc × prefix) ∪ (inc × inc).
   *
+  * Point ids are expected unique across the stream; if an id already
+  * in the stored state is re-delivered anyway, the id_l =!= id_r guard
+  * keeps it from pairing with its own stored copy — the batch operator
+  * (id_a < id_b) never emits self-pairs, so the gate must not either.
+  *
   * State = the point set as a [[VersionedTable]] (id, x, y), keyed by
   * grid cell at JOIN time, not in storage — cells are derived integer
   * arithmetic, so storing them would only freeze the cell size. At
@@ -31,13 +36,13 @@ import graft.sources.VersionedTable
   * the increment side only — the stored side never re-shuffles its
   * history beyond the join's own exchange.
   *
-  * Exactly-once: both commits are idempotent per batch id. The state
-  * (points) commits FIRST; a replay whose point append already landed
-  * PINS the cross join to the state version preceding its own append
-  * ([[VersionedTable.versionOfBatch]], the [[ClusterMaintainer]]
-  * discipline) — joining the latest version instead would pair the
-  * increment against its own replayed points and double-report the
-  * intra-batch pairs as cross pairs. */
+  * Exactly-once rides [[GateKit]]: the output commit is the completion
+  * marker ([[GateKit.runOnce]]); the state (points) commits FIRST; and
+  * a replay whose point append already landed PINS the cross join to
+  * the pre-append state version ([[GateKit.pinnedBefore]]) — joining
+  * the latest version instead would pair the increment against its own
+  * replayed points and double-report the intra-batch pairs as cross
+  * pairs. */
 object SpatialGate {
 
   /** `points.writeStream.foreachBatch(SpatialGate.sink(...))`; points
@@ -46,27 +51,19 @@ object SpatialGate {
       xCol: String, yCol: String, radius: Long, cell: Long)
       : (DataFrame, Long) => Unit = (batch, batchId) => {
     val spark = batch.sparkSession
-    if (!VersionedTable.committedBatches(spark, outPath)
-        .contains(batchId)) {
+    GateKit.runOnce(spark, outPath, batchId) {
       // persist: the projection feeds the cross probe, both sides of
       // the intra self-join, and the state commit — without the pin the
       // source micro-batch re-evaluates per consumer
       val inc = graft.operators.Dedup.persistTracked(
         batch.select(col(idCol).cast("long").as("id"),
           col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y")))
-      // cross-join base: latest on the fresh path; on a replay whose
-      // point append already landed, the version BEFORE that append
-      val stateVs = VersionedTable.versions(spark, statePath)
-      val baseV: Option[Int] =
-        VersionedTable.versionOfBatch(spark, statePath, batchId) match {
-          case Some(own) => stateVs.filter(_ < own).lastOption
-          case None => stateVs.lastOption
-        }
-      val cross = baseV match {
-        case Some(v) =>
+      val cross = GateKit.readPinnedBefore(spark, statePath, batchId) match {
+        case Some(base) =>
           Spatial.radiusJoinWith(inc, "id", "x", "y",
-              VersionedTable.read(spark, statePath, Some(v)),
-              "id", "x", "y", radius, cell)
+              base, "id", "x", "y", radius, cell)
+            // a re-delivered id must not pair with its stored copy
+            .filter(col("id_l") =!= col("id_r"))
             .select(least(col("id_l"), col("id_r")).as("id_a"),
               greatest(col("id_l"), col("id_r")).as("id_b"),
               col("dist2"))
@@ -78,7 +75,6 @@ object SpatialGate {
       VersionedTable.streamingCommit(inc, batchId, statePath, "append")
       VersionedTable.streamingCommit(cross.unionByName(intra), batchId,
         outPath, "append")
-      graft.operators.Dedup.releaseCaches()
     }
   }
 }

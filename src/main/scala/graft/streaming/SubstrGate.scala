@@ -27,6 +27,12 @@ import graft.sources.VersionedTable
   * pair's gram matches all live on one side of that split, so the
   * appended union is exactly the prefix operator's increment.
   *
+  * Doc ids are expected unique across the stream; if an id already in
+  * the stored state is re-delivered in a later batch anyway, the
+  * doc_a =!= doc_b guard below keeps it from pairing with its own
+  * stored copy — the batch operator (doc_a < doc_b) never emits
+  * self-pairs, so the gate must not either.
+  *
   * State size honesty: the gram index is ~24 bytes per character
   * position — the same order as the suffix structures exact
   * substring dedup needs in any architecture; at 100 TB it shards by
@@ -34,11 +40,11 @@ import graft.sources.VersionedTable
   * increment-grams-vs-index hash join, never a corpus re-scan of
   * text.
   *
-  * Exactly-once: all three commits are idempotent per batch id, in
-  * order grams → docs → runs (the output commit is the completion
-  * marker). A replay whose gram/doc appends already landed PINS the
-  * pre-batch versions ([[VersionedTable.versionOfBatch]], the
-  * [[ClusterMaintainer]] discipline) — reading latest would pair the
+  * Exactly-once rides [[GateKit]]: the output commit is the completion
+  * marker ([[GateKit.runOnce]]); commits land in order grams → docs →
+  * runs, each idempotent per batch id; and a replay whose gram/doc
+  * appends already landed PINS the pre-batch versions
+  * ([[GateKit.pinnedBefore]]) — reading latest would pair the
   * increment against its own replayed grams and double-report intra
   * runs as cross runs. */
 object SubstrGate {
@@ -48,30 +54,21 @@ object SubstrGate {
       idCol: String, textCol: String, minLen: Int)
       : (DataFrame, Long) => Unit = (batch, batchId) => {
     val spark = batch.sparkSession
-    if (!VersionedTable.committedBatches(spark, outPath)
-        .contains(batchId)) {
+    GateKit.runOnce(spark, outPath, batchId) {
       val inc = Dedup.persistTracked(batch.select(
         col(idCol).cast("long").as("id"), col(textCol).as("t")))
-      def pinnedBefore(path: String): Option[Int] = {
-        val vs = VersionedTable.versions(spark, path)
-        VersionedTable.versionOfBatch(spark, path, batchId) match {
-          case Some(own) => vs.filter(_ < own).lastOption
-          case None => vs.lastOption
-        }
-      }
-      val gramsV = pinnedBefore(gramsPath)
-      val docsV = pinnedBefore(docsPath)
-      val cross = (gramsV, docsV) match {
-        case (Some(gv), Some(dv)) =>
+      val cross = (GateKit.readPinnedBefore(spark, gramsPath, batchId),
+          GateKit.readPinnedBefore(spark, docsPath, batchId)) match {
+        case (Some(baseG), Some(baseT)) =>
           val incG = Dedup.gramFrame(inc, minLen)
-          val baseG = VersionedTable.read(spark, gramsPath, Some(gv))
-          val baseT = VersionedTable.read(spark, docsPath, Some(dv))
           // orient BEFORE the runs grouping: doc_a = min id carries pa
           val matches = Dedup.verifyGramMatches(
             baseG.select(col("h"), col("id").as("doc_a"),
                 col("pos").as("pa"))
               .join(incG.select(col("h"), col("id").as("doc_b"),
-                col("pos").as("pb")), Seq("h")),
+                col("pos").as("pb")), Seq("h"))
+              // a re-delivered id must not pair with its stored copy
+              .filter(col("doc_a") =!= col("doc_b")),
             baseT, inc, minLen)
           val oriented = matches.select(
             least(col("doc_a"), col("doc_b")).as("doc_a2"),
@@ -94,7 +91,6 @@ object SubstrGate {
       VersionedTable.streamingCommit(inc, batchId, docsPath, "append")
       VersionedTable.streamingCommit(cross.unionByName(intra), batchId,
         outPath, "append")
-      Dedup.releaseCaches()
     }
   }
 }

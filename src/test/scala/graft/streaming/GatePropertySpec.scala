@@ -3,16 +3,18 @@ package graft.streaming
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 import graft.athenaeum.SparkSpec
-import graft.operators.{Dedup, Spatial}
+import graft.operators.{Dedup, Events, Spatial}
 import graft.sources.VersionedTable
 
-/** Randomized stream-split differentials for the streaming gates: a
-  * random point/document set split into a RANDOM sequence of batches
-  * must leave the cumulative output table equal to the one-shot batch
-  * operator over everything — whatever the split boundaries, id
-  * orderings across batches, or per-batch sizes (including empty
-  * batches). The fixed-seed gate specs pin the known edge classes;
-  * these sweeps hunt the unknown ones. */
+/** Randomized stream-split differentials for ALL five streaming gates
+  * (every [[GateKit]] client): a random point/document/event set split
+  * into a RANDOM sequence of batches must leave the cumulative output
+  * table equal to the one-shot batch operator over everything (or, for
+  * the order-dependent boilerplate gate, equal to an independently
+  * folded prefix truth) — whatever the split boundaries, id orderings
+  * across batches, or per-batch sizes (including empty batches). The
+  * fixed-seed gate specs pin the known edge classes; these sweeps hunt
+  * the unknown ones. */
 class GatePropertySpec extends SparkSpec {
 
   private def check(prop: Prop, n: Int): Unit = {
@@ -109,5 +111,151 @@ class GatePropertySpec extends SparkSpec {
       if (!ok) println(s"FAIL l=$l batches=$batches\n got=$got\n want=$want")
       ok
     }, 10)
+  }
+
+  test("ChangepointGate: random event streams under random batch splits equal the batch CUSUM") {
+    import spark.implicits._
+    def nanos(day: Long, j: Long) =
+      day * 86400000000000L + j * 1000000000L
+    val genCase = for {
+      n <- Gen.choose(1, 30)
+      evs <- Gen.listOfN(n, for {
+        key <- Gen.oneOf("A", "B")
+        day <- Gen.choose(0L, 4L)
+        j <- Gen.choose(0L, 9L)
+      } yield (nanos(day, j), key))
+      split <- genSplit(evs)
+    } yield split
+    check(Prop.forAllNoShrink(genCase) { batches =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-cgp").toString
+      val snk = ChangepointGate.sink(s"$dir/state", s"$dir/out",
+        "event_type")
+      batches.zipWithIndex.foreach { case (b, i) =>
+        snk(b.toDF("ts", "event_type"), i.toLong) }
+      val all = batches.flatten
+      val want =
+        if (all.isEmpty) Set.empty[String]
+        else canon(Events.cusumDaily(all.toDF("ts", "event_type"),
+          "event_type"))
+      val got = {
+        val vs = VersionedTable.versions(spark, s"$dir/out")
+        if (vs.isEmpty ||
+            VersionedTable.rowCount(spark, s"$dir/out", vs.last) == 0L)
+          Set.empty[String]
+        else canon(VersionedTable.read(spark, s"$dir/out"))
+      }
+      val ok = got == want
+      if (!ok) println(s"FAIL batches=$batches\n got=$got\n want=$want")
+      ok
+    }, 8)
+  }
+
+  test("ClusterMaintainer: random near-dup corpora under random batch splits equal the one-shot clustering") {
+    import spark.implicits._
+    // three vocabulary-disjoint families plus a bridge over two of them:
+    // random members produce candidate graphs whose connectivity the
+    // streamed fold must reproduce exactly (unbounded maxBucket)
+    val fam = Vector(
+      "alpha beta gamma delta epsilon zeta eta theta iota",
+      "one two three four five six seven eight nine",
+      "red orange yellow green blue indigo violet umber ochre")
+    val bridge = "gamma delta epsilon zeta three four five six"
+    val genCase = for {
+      n <- Gen.choose(1, 8)
+      docs <- Gen.listOfN(n, for {
+        f <- Gen.choose(0, 3)
+        tail <- Gen.oneOf("kappa", "lambda")
+      } yield if (f == 3) bridge else s"${fam(f)} $tail")
+      split <- genSplit(docs.zipWithIndex.map { case (t, i) =>
+        (i.toLong + 1L, t) })
+    } yield split
+    check(Prop.forAllNoShrink(genCase) { batches =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-cmp").toString
+      val snk = ClusterMaintainer.sink(s"$dir/labels", s"$dir/sigs",
+        "doc_id", "text")
+      batches.zipWithIndex.foreach { case (b, i) =>
+        snk(b.toDF("doc_id", "text"), i.toLong) }
+      val all = batches.flatten
+      val want =
+        if (all.isEmpty) Set.empty[String]
+        else {
+          val sigs = Dedup.persistTracked(
+            Dedup.minhashSignatures(all.toDF("doc_id", "text"),
+              "doc_id", "text"))
+          canon(Dedup.clustersStar(
+            Dedup.candidatesFromSignatures(sigs, "doc_id")
+              .select("doc_a", "doc_b"), "doc_a", "doc_b"))
+        }
+      val got = {
+        val vs = VersionedTable.versions(spark, s"$dir/labels")
+        if (vs.isEmpty ||
+            VersionedTable.rowCount(spark, s"$dir/labels", vs.last) == 0L)
+          Set.empty[String]
+        else canon(VersionedTable.read(spark, s"$dir/labels"))
+      }
+      val ok = got == want
+      if (!ok) println(s"FAIL batches=$batches\n got=$got\n want=$want")
+      ok
+    }, 6)
+  }
+
+  test("BoilerplateGate: random corpora under random batch splits equal the independently folded prefix truth") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.GraftFunctions
+    val banner = (1 to 10).map(i => s"b$i").mkString(" ")
+    val genCase = for {
+      n <- Gen.choose(1, 8)
+      docs <- Gen.listOfN(n, for {
+        plant <- Gen.oneOf(true, false)
+        tag <- Gen.oneOf("p", "q", "r")
+      } yield if (plant) banner
+              else (1 to 10).map(i => s"$tag$i").mkString(" "))
+      split <- genSplit(docs.zipWithIndex.map { case (t, i) =>
+        (i.toLong + 1L, t) })
+    } yield split
+    check(Prop.forAllNoShrink(genCase) { batches =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-bgp").toString
+      val snk = BoilerplateGate.sink(s"$dir/freq", s"$dir/out",
+        "doc_id", "text", chunkTokens = 10, minDocs = 3)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        snk(b.toDF("doc_id", "text"), i.toLong) }
+      // independent prefix fold: cumulative per-hash distinct-doc counts
+      // maintained in plain Scala, excision replayed per batch with the
+      // batch operator's own pieces
+      var freq = Map.empty[Long, Long]
+      val want = batches.flatMap { b =>
+        if (b.isEmpty) Seq.empty[String]
+        else {
+          val ch = Dedup.chunkSegments(b.toDF("doc_id", "text"),
+            "doc_id", "text", 10)
+          val inc = ch
+            .select(col("doc_id"),
+              GraftFunctions.polyHash(col("chunk")).as("h"))
+            .distinct().collect()
+            .groupBy(_.getLong(1)).view.mapValues(_.length.toLong).toMap
+          freq = (freq.keySet ++ inc.keySet).map(h =>
+            h -> (freq.getOrElse(h, 0L) + inc.getOrElse(h, 0L))).toMap
+          val boiler = freq.filter(_._2 >= 3L).keys.toSeq.toDF("h")
+          val s = Dedup.exciseByHashes(ch, "doc_id", boiler)
+            .collect().map(_.toString).toSeq
+          Dedup.releaseAll(spark)
+          s
+        }
+      }.toSet
+      val got = {
+        val vs = VersionedTable.versions(spark, s"$dir/out")
+        if (vs.isEmpty ||
+            VersionedTable.rowCount(spark, s"$dir/out", vs.last) == 0L)
+          Set.empty[String]
+        else canon(VersionedTable.read(spark, s"$dir/out"))
+      }
+      val ok = got == want
+      if (!ok) println(s"FAIL batches=$batches\n got=$got\n want=$want")
+      ok
+    }, 6)
   }
 }

@@ -78,5 +78,16 @@ class SpatialGateSpec extends SparkSpec {
     assert(canon(VersionedTable.read(spark, outPath)) ==
       batchTruth(seen ++ b3),
       "partial-failure replay diverged from the batch prefix truth")
+
+    // re-delivered id in a NEW batch (not a replay): point 1's stored
+    // copy sits at distance 0 from its re-arrival — the id_l =!= id_r
+    // guard must keep it from pairing with itself (the batch operator's
+    // id_a < id_b never emits self-pairs)
+    snk(Seq(SgPoint(1, 10, 10)).toDF(), 9L)
+    val self = VersionedTable.read(spark, outPath)
+      .filter(org.apache.spark.sql.functions.col("id_a") ===
+        org.apache.spark.sql.functions.col("id_b")).count()
+    Dedup.releaseAll(spark)
+    assert(self == 0L, s"re-delivered id produced $self self-pairs")
   }
 }

@@ -84,5 +84,15 @@ class SubstrGateSpec extends SparkSpec {
     assert(canon(VersionedTable.read(spark, outPath)) ==
       batchTruth(seen ++ b3),
       "partial-failure replay diverged from the batch prefix truth")
+
+    // re-delivered id in a NEW batch (not a replay): the stored copy of
+    // doc 1 must not pair with its own re-arrival — the batch operator
+    // (doc_a < doc_b) never emits self-pairs, so the gate must not
+    snk(Seq(SubDoc(1, "xxABCDEFGHxx")).toDF(), 9L)
+    val self = VersionedTable.read(spark, outPath)
+      .filter(org.apache.spark.sql.functions.col("doc_a") ===
+        org.apache.spark.sql.functions.col("doc_b")).count()
+    Dedup.releaseAll(spark)
+    assert(self == 0L, s"re-delivered id produced $self self-pairs")
   }
 }
