@@ -9749,7 +9749,8 @@ object SparkEntry {
       // IEEE tree; tf/dfq wrapped BIGINT — DuckDB SUM(int) is HUGEINT)
       "q_proximity_rank" ->
         s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
-           dls AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
+           dls AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl
+                   FROM tk WHERE len(toks) >= 1),
            corpus AS (SELECT COUNT(*) AS nd,
                              CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dls),
            w AS (SELECT doc_id, unnest(toks) AS word,

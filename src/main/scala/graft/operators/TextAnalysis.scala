@@ -589,7 +589,14 @@ object TextAnalysis {
     * pass) and are persisted — tf, document frequency, and the span
     * join are in-memory cuts of that slim frame. Corpus length stats
     * are one column-pruned aggregate of the index. The global ranking
-    * rides plans.ParallelRank — never an unpartitioned window. */
+    * rides plans.ParallelRank — never an unpartitioned window.
+    *
+    * Corpus-denominator contract: nd and sum_dl count documents WITH
+    * AT LEAST ONE TOKEN — the documents a positional index can see.
+    * A zero-token document contributes no postings, so an index-only
+    * operator cannot (and deliberately does not) count it; a reference
+    * computing BM25 stats from the raw corpus must apply the same
+    * >= 1-token filter or every score diverges. */
   def proximityRank(index: DataFrame, idCol: String,
       terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty && terms.distinct == terms,

@@ -183,7 +183,7 @@ object VersionedTable {
       bloomCols: Seq[String] = Seq.empty,
       bloomM: Int = 1 << 14, bloomK: Int = 5): Int =
     commitImpl(df, path, mode, None, statCols,
-      bloomCols = bloomCols, bloomM = bloomM, bloomK = bloomK).get
+      bloomCfg = bloomCols.map((_, bloomM, bloomK))).get
 
   /** Abandon an UNPUBLISHED claim (the optimistic-conflict path). The
     * number is BURNED, not freed: a `.dead` tombstone lands BEFORE the
@@ -214,8 +214,7 @@ object VersionedTable {
   private def commitImpl(df: DataFrame, path: String, mode: String,
       batchTag: Option[Long], statCols: Seq[String] = Seq.empty,
       expectedBase: Option[Int] = None,
-      bloomCols: Seq[String] = Seq.empty,
-      bloomM: Int = 1 << 14, bloomK: Int = 5): Option[Int] = {
+      bloomCfg: Seq[(String, Int, Int)] = Seq.empty): Option[Int] = {
     require(mode == "overwrite" || mode == "append", s"bad mode $mode")
     val spark = df.sparkSession
     val f = fs(spark, path)
@@ -233,12 +232,17 @@ object VersionedTable {
     val newRows =
       if (newFiles.isEmpty) 0L // a fully-empty increment is a valid commit
       else spark.read.parquet(newFiles.map(r => s"$path/$r"): _*).count()
+    // blooms are collected per (m, k) SIZING GROUP so a table whose
+    // columns carry different recorded configurations keeps each one —
+    // a single-sizing pass would silently resize them all to one config
     val newStats =
       (if (statCols.isEmpty || newFiles.isEmpty) Seq.empty[String]
        else collectStats(spark, path, newFiles, df.schema, statCols)) ++
-      (if (bloomCols.isEmpty || newFiles.isEmpty) Seq.empty[String]
-       else collectBlooms(spark, path, newFiles, df.schema, bloomCols,
-         bloomM, bloomK))
+      (if (bloomCfg.isEmpty || newFiles.isEmpty) Seq.empty[String]
+       else bloomCfg.groupBy { case (_, m, k) => (m, k) }.toSeq
+         .sortBy(_._1).flatMap { case ((m, k), cols) =>
+           collectBlooms(spark, path, newFiles, df.schema,
+             cols.map(_._1), m, k) })
     val v = claimNext(spark, path)
     if (mode == "append" || expectedBase.isDefined)
       awaitPredecessors(spark, path, v)
@@ -380,20 +384,31 @@ object VersionedTable {
   def compact(spark: SparkSession, path: String, nFiles: Int,
       statCols: Seq[String] = Seq.empty,
       bloomCols: Seq[String] = Seq.empty,
-      bloomM: Int = 1 << 14, bloomK: Int = 5): Int = {
+      bloomM: Int = 1 << 14, bloomK: Int = 5,
+      maxRetries: Int = 10): Int = {
     require(nFiles > 0, s"nFiles must be positive, got $nFiles")
     // optimistic loop: the compacted data derives from `latest`, so the
     // publish must verify nothing committed in between (else the
     // interleaved commit's rows would vanish from the table head) —
-    // on conflict, rebuild from the new latest and retry
+    // on conflict, rebuild from the new latest and retry. BOUNDED: each
+    // retry pays a full data rewrite, so under a sustained append
+    // stream an uncapped loop would livelock rewriting forever — a hot
+    // table should fail loudly and let the caller reschedule.
     var out = Option.empty[Int]
+    var attempts = 0
     while (out.isEmpty) {
+      if (attempts > maxRetries) throw new IllegalStateException(
+        s"compact($path) lost the optimistic publish race $attempts " +
+          "times (concurrent commits kept landing); raise maxRetries " +
+          "or run maintenance in a quieter window")
+      attempts += 1
       val latest = versions(spark, path).last
       val df = read(spark, path, Some(latest)).repartition(nFiles)
       // a maintenance compact must not silently strip the table's
       // data-skipping metadata (the deleteWhere invariant): with no
       // explicit columns, re-stat / re-bloom whatever the base manifest
-      // recorded, with the base's own bloom sizing
+      // recorded — each bloom column with ITS OWN recorded (m, k)
+      // sizing, preserved per group by commitImpl
       val fields = df.schema.fieldNames.toSet
       val sCols =
         if (statCols.nonEmpty) statCols
@@ -406,15 +421,13 @@ object VersionedTable {
         .collect { case Array(_, c, _, m, k, _) if fields.contains(c) =>
           (c, m.toInt, k.toInt) }
         .distinct
-      val (bCols, bM, bK) =
+      val bCfg =
         if (bloomCols.nonEmpty || baseBloomCfg.isEmpty)
-          (bloomCols, bloomM, bloomK)
-        else (baseBloomCfg.map(_._1),
-          baseBloomCfg.head._2, baseBloomCfg.head._3)
+          bloomCols.map((_, bloomM, bloomK))
+        else baseBloomCfg
       out = commitImpl(df,
         path, mode = "overwrite", batchTag = None, statCols = sCols,
-        expectedBase = Some(latest), bloomCols = bCols,
-        bloomM = bM, bloomK = bK)
+        expectedBase = Some(latest), bloomCfg = bCfg)
     }
     out.get
   }
@@ -488,16 +501,25 @@ object VersionedTable {
     * old dirs) + retention lapse + vacuum; the spec pins that
     * composition. Returns the new version number. */
   def deleteWhere(spark: SparkSession, path: String,
-      predicate: org.apache.spark.sql.Column): Int = {
+      predicate: org.apache.spark.sql.Column,
+      maxRetries: Int = 10): Int = {
     import org.apache.spark.sql.functions.col
     val f = fs(spark, path)
     // optimistic loop (same contract as [[compact]]): keep/rewrite sets
     // derive from the base version read below, so the publish must
     // verify the base is STILL the latest committed version at claim
     // time — a concurrent append landing in between would otherwise be
-    // silently absent from the new table head (lost update)
+    // silently absent from the new table head (lost update). BOUNDED
+    // like compact's: fail loudly instead of rewriting forever under a
+    // sustained concurrent-append stream.
     var out = Option.empty[Int]
+    var attempts = 0
     while (out.isEmpty) {
+      if (attempts > maxRetries) throw new IllegalStateException(
+        s"deleteWhere($path) lost the optimistic publish race " +
+          s"$attempts times (concurrent commits kept landing); raise " +
+          "maxRetries or run maintenance in a quieter window")
+      attempts += 1
       val latest = versions(spark, path).last
       val (_, files) = readManifest(spark, path, latest)
       val abs = files.map(r => s"$path/$r")

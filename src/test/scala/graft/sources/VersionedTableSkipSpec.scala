@@ -306,4 +306,33 @@ class VersionedTableSkipSpec extends SparkSpec {
 
   private def dataFileCount(path: String): Int =
     VersionedTable.fileStats(spark, path).size
+
+  test("compact preserves each bloom column's own recorded (m, k) sizing") {
+    val path = freshPath()
+    val orders = Tables(spark, dir, "orders").repartition(1)
+    // two commits with DIFFERENT per-column sizings: custkey @ (2^10, 3)
+    // on the base file, orderkey @ (2^14, 5) on the appended file
+    VersionedTable.commit(orders, path, "overwrite",
+      bloomCols = Seq("o_custkey"), bloomM = 1 << 10, bloomK = 3)
+    VersionedTable.commit(orders.limit(50), path, "append",
+      bloomCols = Seq("o_orderkey"), bloomM = 1 << 14, bloomK = 5)
+    // default-config compact must re-bloom BOTH columns, each with its
+    // own recorded sizing — not resize everything to the first config
+    val vc = VersionedTable.compact(spark, path, nFiles = 2)
+    val blooms = VersionedTable.fileBlooms(spark, path, Some(vc))
+    assert(blooms.nonEmpty)
+    blooms.values.foreach { byCol =>
+      assert(byCol("o_custkey").m == (1 << 10) &&
+        byCol("o_custkey").k == 3,
+        s"o_custkey sizing not preserved: ${byCol("o_custkey")}")
+      assert(byCol("o_orderkey").m == (1 << 14) &&
+        byCol("o_orderkey").k == 5,
+        s"o_orderkey sizing not preserved: ${byCol("o_orderkey")}")
+    }
+    // and the compacted blooms still prune correctly
+    val probe = col("o_custkey") === 7L
+    assert(VersionedTable.readWhere(spark, path, probe, Some(vc))
+      .count() ==
+      VersionedTable.read(spark, path, Some(vc)).filter(probe).count())
+  }
 }
