@@ -28,4 +28,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 355 oracle queries x whole-stage codegen is exactly the profile
+  // that silently fills the default (240m) JIT code cache: once full,
+  // late queries run compile-starved (interpreted / re-deoptimized)
+  // and their "cold" slots record 10-30x plan cost. Headroom + LRU
+  // flushing keeps the bench's late-query timings honest; Bench logs
+  // the end-of-run occupancy so a regression here is visible.
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:+UseCodeCacheFlushing",
 )

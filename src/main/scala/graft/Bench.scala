@@ -35,12 +35,34 @@ import scala.collection.mutable.LinkedHashMap
   * GC time (delta of the JVM collector beans around each query) is emitted
   * alongside the timings: an entry whose wall clock spikes while its gc slot
   * spikes too is late-JVM heap pressure, not a plan regression.
+  *
+  * SELF-ADJUDICATION: a query whose recorded cold exceeds 10× its warm
+  * (and 1 s absolute) is re-measured ONCE after both passes and the
+  * re-measure lands in a separate `cold_retry` map — if the original
+  * cold was one-off JVM noise (code-cache pressure, a scheduler stall),
+  * the retry exposes it in the record itself instead of needing an
+  * offline fresh-JVM adjudication. `adj_total` is the cold total with
+  * retries substituted; `value` stays the RAW cold total. The run also
+  * logs end-of-run JIT code-cache occupancy to stderr (the round-6
+  * outliers' suspected cause; the build reserves 512m + flushing).
   */
 object Bench {
   private def gcMillis(): Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(_.getCollectionTime).sum
+  }
+
+  private def logCodeCache(): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.startsWith("CodeHeap") ||
+        p.getName.contains("Code Cache"))
+      .foreach { p =>
+        val u = p.getUsage
+        System.err.println(s"[bench] code cache '${p.getName}': " +
+          s"used ${u.getUsed >> 20}m / max ${u.getMax >> 20}m")
+      }
   }
 
   private def runPass(
@@ -119,8 +141,24 @@ object Bench {
     val warmOrder = new scala.util.Random(42).shuffle(names)
     val (cold, coldGc) = runPass(spark, sfDir, names, errors)
     val (warm, warmGc) = runPass(spark, sfDir, warmOrder, errors)
+    // self-adjudication: one re-measure for each cold outlier (>10x its
+    // warm and >1s), in declaration order — a one-off JIT/scheduler
+    // stall shows up as retry << cold inside the record itself
+    val outliers = names.filter { n =>
+      val c = cold.getOrElse(n, -1.0); val w = warm.getOrElse(n, -1.0)
+      c > 1.0 && w >= 0 && c > 10.0 * w
+    }
+    val (retry, _) =
+      if (outliers.isEmpty)
+        (LinkedHashMap.empty[String, Double], LinkedHashMap.empty[String, Double])
+      else runPass(spark, sfDir, outliers, errors)
     val total = cold.values.filter(_ >= 0).sum
+    val adjTotal = names.map { n =>
+      val c = cold.getOrElse(n, -1.0)
+      math.max(0.0, retry.get(n).map(r => math.min(c, r)).getOrElse(c))
+    }.sum
     val warmTotal = warm.values.filter(_ >= 0).sum
+    logCodeCache()
     val errJson = errors
       .map { case (k, v) => "\"" + k + "\":\"" + jescape(v) + "\"" }
       .mkString("{", ",", "}")
@@ -128,8 +166,8 @@ object Bench {
     // stays under the consumer's ~2 KB tail-capture window
     val full =
       s"""{"metric":"total","value":${math.rint(total * 100) / 100},"unit":"sec","n_queries":${names.size},"warm_total":${math
-          .rint(warmTotal * 100) / 100},"queries":${jmap(cold)},"warm":${jmap(
-          warm)},"gc":${jmap(coldGc)},"warm_gc":${jmap(warmGc)},"errors":$errJson,"sf":"$sfDir"}"""
+          .rint(warmTotal * 100) / 100},"adj_total":${math.rint(adjTotal * 100) / 100},"queries":${jmap(cold)},"warm":${jmap(
+          warm)},"cold_retry":${jmap(retry)},"gc":${jmap(coldGc)},"warm_gc":${jmap(warmGc)},"errors":$errJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
     catch { case e: Throwable =>
@@ -138,7 +176,8 @@ object Bench {
       headline.flatMap(n => cold.get(n).map(n -> _)))
     println(
       s"""{"metric":"total","value":${math.rint(total * 100) / 100},"unit":"sec","n_queries":${names.size},"warm_total":${math
-          .rint(warmTotal * 100) / 100},"queries":${jmap(head)},"errors":$errJson,"detail":"BENCH_FULL.json","sf":"$sfDir"}""")
+          .rint(warmTotal * 100) / 100},"adj_total":${math.rint(adjTotal * 100) / 100},"n_retried":${retry.size},"queries":${jmap(
+          head)},"errors":$errJson,"detail":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

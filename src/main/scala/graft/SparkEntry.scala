@@ -415,13 +415,18 @@ object SparkEntry {
         capacity = 512L, splits = 8)
     }),
     // ----- STREAMING exact-substring gate, driven as two micro-batches
-    // (even doc ids arrive first, odd second): the cumulative run table
-    // must equal the one-shot batch operator over all documents — the
-    // same naive oracle as q_substr_dup; SubstrGateSpec asserts the
-    // prefix property per batch and the exactly-once replays -----
+    // (even doc ids arrive first, odd second) over a DETERMINISTIC
+    // THIRD of the corpus (doc_id % 3 = 0 — the oracle filters the same
+    // slice): identical streaming semantics and exactly-once discipline
+    // at a fraction of the quadratic substring truth, which at full
+    // corpus made this the bench's heaviest query. Full-corpus parity
+    // stays where it belongs: SubstrGateSpec per-batch prefixes +
+    // GatePropertySpec random splits + the 30x ScaleSmoke row. The
+    // cumulative run table must equal the one-shot batch operator over
+    // the slice -----
     "q_substr_gate" -> ((s, dir) => {
       val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val docs = t(s, dir, "documents")
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
       // RESET the exactly-once state: batch ids 0/1 from a prior
       // harness run would otherwise short-circuit the sink forever and
       // this query would keep returning the FIRST run's bytes — the
@@ -435,6 +440,15 @@ object SparkEntry {
       snk(docs.filter(col("doc_id") % 2 =!= 0), 1L)
       graft.sources.VersionedTable.read(s, paths(2))
     }),
+    // ----- sampled-anchor exact substring dedup: the ~w x cheaper
+    // corpus exchange (winnowed anchors -> verified pairs -> pair-
+    // restricted dense recompute), reporting every span >= 30+8-1 = 37
+    // with exact boundaries — the oracle is the dense truth filtered to
+    // the documented bound, so a missed anchor or a wrong boundary
+    // hash-mismatches -----
+    "q_substr_dup_sampled" -> ((s, dir) =>
+      Dedup.duplicatedSubstringsSampled(t(s, dir, "documents"),
+        "doc_id", "text", minLen = 30, w = 8)),
     // ----- bipartite exact-substring DECONTAMINATION: maximal verbatim
     // spans shared between the train slice and the benchmark slice —
     // the exact-match complement to the n-gram q_contam_* family -----
@@ -6141,13 +6155,14 @@ object SparkEntry {
              + (a.y - b.y) * (a.y - b.y) <= 625"""
     // naive-scan exact-substring truth: ALL 30-grams of every doc,
     // matched by content, grouped into maximal diagonal runs — the
-    // brute formulation of Dedup.duplicatedSubstrings' reduction
-    val substrCtes =
+    // brute formulation of Dedup.duplicatedSubstrings' reduction.
+    // `where` restricts the corpus (the streaming gate's slice).
+    def substrRunCtes(where: String) =
       s"""WITH g AS (
            SELECT doc_id, pos, substr(text, CAST(pos AS INT), 30) AS gram
            FROM (SELECT doc_id, text,
                  unnest(generate_series(1, length(text) - 29)) AS pos
-                 FROM documents)),
+                 FROM documents$where)),
          m AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                   a.pos AS pa, b.pos AS pb
@@ -6161,6 +6176,7 @@ object SparkEntry {
            SELECT doc_a, doc_b, MIN(pa) AS start_a, MIN(pb) AS start_b,
                   CAST(COUNT(*) + 29 AS BIGINT) AS len
            FROM r GROUP BY doc_a, doc_b, diag, isl)"""
+    val substrCtes = substrRunCtes("")
     // deterministic partition-local next-fit packing, stepped by a
     // recursive CTE (one item per split per iteration, breadth-first
     // across splits) — the exact relational replay of Packing.nextFit
@@ -6626,9 +6642,16 @@ object SparkEntry {
                     AS padding_waste
            FROM bins GROUP BY split""",
       // the streaming gate's cumulative table vs the one-shot truth
+      // over the SAME deterministic slice the gate streams
       "q_substr_gate" ->
-        s"""$substrCtes
+        s"""${substrRunCtes(" WHERE doc_id % 3 = 0")}
            SELECT doc_a, doc_b, start_a, start_b, len FROM runs""",
+      // sampled-anchor mode: the dense truth filtered to the documented
+      // reporting bound (len >= minLen + w - 1 = 37)
+      "q_substr_dup_sampled" ->
+        s"""$substrCtes
+           SELECT doc_a, doc_b, start_a, start_b, len FROM runs
+           WHERE len >= 37""",
       // bipartite: train grams x benchmark grams, same islands grouping
       "q_substr_contam" ->
         s"""$substrContamCtes

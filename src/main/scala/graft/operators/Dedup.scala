@@ -1207,6 +1207,91 @@ object Dedup {
     maximalRuns(matches, minLen)
   }
 
+  /** SAMPLED-ANCHOR exact substring dedup — [[duplicatedSubstrings]]
+    * with the corpus-sized gram exchange cut ~w×, for corpora where
+    * even 24 bytes/char of anchor traffic is the bottleneck (100 TB of
+    * text is a ~2.4 PB dense-anchor shuffle; winnowed anchors ship
+    * ~2/(w+1) of the positions). Returns every maximal verbatim-shared
+    * span of length >= `minLen + w - 1` — the documented reporting
+    * bound — with EXACT boundaries, as (doc_a, doc_b, start_a,
+    * start_b, len), doc_a < doc_b, 1-based starts.
+    *
+    * Plan: (1) winnow the L-gram hash stream per document (MOSS-style:
+    * each window of `w` consecutive gram positions selects its minimal
+    * hash, rightmost on ties — a pure function of the window's
+    * CONTENT, so two documents sharing a span select the same relative
+    * offsets); (2) join anchors on the 64-bit hash and verify the
+    * exact substring residual — candidate PAIRS, never positions-×-
+    * positions; (3) re-gram ONLY the documents of surviving pairs and
+    * run the dense pair-restricted match + diagonal-runs grouping of
+    * the exact operator, recovering every span boundary exactly;
+    * (4) keep spans >= minLen + w - 1.
+    *
+    * Completeness argument: a maximal shared span of length
+    * >= minLen + w - 1 contains >= w consecutive matching L-gram
+    * positions; those form one COMPLETE winnowing window lying inside
+    * the span on both documents, and window-min selection depends only
+    * on the window's w gram hashes (ties broken by relative position),
+    * so both documents select the same aligned gram — an anchor match
+    * with equal hash that survives the residual (the texts really
+    * share those L chars). The pair therefore reaches the dense step,
+    * which computes ALL its maximal runs exactly; the final length
+    * filter then makes the output EXACTLY "the dense operator's output
+    * filtered to len >= minLen + w - 1" — deterministic, engine-
+    * independent, and oracle-checkable without replaying the winnowing
+    * (spans in [minLen, minLen + w - 1) are deliberately below the
+    * reporting bound; run the dense operator when they matter).
+    *
+    * Scale shape: the corpus-sized exchange carries winnowed anchors
+    * only (~2/(w+1) density); the dense fallback re-grams just the
+    * documents that PROVABLY share >= minLen verbatim chars — the
+    * duplicated minority the answer is about, bounded by the same
+    * honest-quadratic argument as the dense operator. A document with
+    * fewer than w grams contributes no anchors and cannot contain a
+    * span >= minLen + w - 1 (such a span needs w gram positions). */
+  def duplicatedSubstringsSampled(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int, w: Int = 8): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    require(w >= 1, s"w must be >= 1, got $w")
+    val txt = persistTracked(
+      docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t")))
+    // winnowing: per doc, each complete w-window over the gram stream
+    // selects min (h, -pos) — minimal hash, rightmost position on ties;
+    // one doc-partitioned exchange feeds both window functions
+    val byDoc = Window.partitionBy(col("id"))
+    val win = byDoc.orderBy(col("pos")).rowsBetween(0, w - 1)
+    val anchors = gramFrame(txt, minLen)
+      .withColumn("__n", count(lit(1)).over(byDoc))
+      .withColumn("__sel",
+        min(struct(col("h"), (-col("pos")).as("np"))).over(win))
+      .filter(col("pos") <= col("__n") - (w - 1))
+      .select(col("id"), (-col("__sel.np")).as("pos"),
+        col("__sel.h").as("h"))
+      .distinct()
+    // anchor join + exact residual -> candidate pairs (pair-distinct)
+    val pairs = persistTracked(verifyGramMatches(
+      anchors.select(col("h"), col("id").as("doc_a"), col("pos").as("pa"))
+        .join(anchors.select(col("h"), col("id").as("doc_b"),
+          col("pos").as("pb")), Seq("h"))
+        .filter(col("doc_a") < col("doc_b")),
+      txt, txt, minLen)
+      .select(col("doc_a"), col("doc_b")).distinct())
+    // dense recompute restricted to the matched pairs' documents
+    val ids = pairs.select(col("doc_a").as("id"))
+      .unionByName(pairs.select(col("doc_b").as("id"))).distinct()
+    val dtxt = persistTracked(txt.join(ids, Seq("id"), "left_semi"))
+    val dg = persistTracked(gramFrame(dtxt, minLen))
+    val matches = verifyGramMatches(
+      dg.select(col("h"), col("id").as("doc_a"), col("pos").as("pa"))
+        .join(dg.select(col("h"), col("id").as("doc_b"),
+          col("pos").as("pb")), Seq("h"))
+        .filter(col("doc_a") < col("doc_b"))
+        .join(pairs, Seq("doc_a", "doc_b"), "left_semi"),
+      dtxt, dtxt, minLen)
+    maximalRuns(matches, minLen)
+      .filter(col("len") >= (minLen + w - 1).toLong)
+  }
+
   /** BIPARTITE exact substring overlap — the cross-corpus twin of
     * [[duplicatedSubstrings]] and the exact-match DECONTAMINATION pass:
     * every maximal substring of length >= `minLen` shared verbatim by a

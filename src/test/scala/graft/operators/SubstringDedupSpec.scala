@@ -168,6 +168,39 @@ class SubstringDedupSpec extends SparkSpec {
     }, 25)
   }
 
+  test("sampled anchors: the reporting bound is exact at both edges") {
+    import spark.implicits._
+    // L=6, w=3 -> bound 8: an 8-char shared block must be reported with
+    // exact boundaries; a 7-char one must not (below the bound)
+    val docs = Seq(
+      1L -> "xxABCDEFGHxx",   // 8-char block with 2: at the bound
+      2L -> "qqqABCDEFGHq",
+      3L -> "zzSTUVWXYzzz",   // 7-char block with 4: below the bound
+      4L -> "ppSTUVWXYppp")
+    val got = runsOf(Dedup.duplicatedSubstringsSampled(
+      docs.toDF("doc_id", "text"), "doc_id", "text", minLen = 6, w = 3))
+    assert(got == Set((1L, 2L, 3L, 4L, 8L)), s"got=$got")
+  }
+
+  test("random corpora: sampled anchors equal the brute force above the reporting bound") {
+    import spark.implicits._
+    val gen = for {
+      docs <- genDocs
+      l <- Gen.choose(4, 6)
+      w <- Gen.choose(2, 5)
+    } yield (docs, l, w)
+    check(Prop.forAllNoShrink(gen) { case (docs, l, w) =>
+      val df = docs.toDF("doc_id", "text")
+      val got = runsOf(Dedup.duplicatedSubstringsSampled(
+        df, "doc_id", "text", l, w))
+      val want = bruteRuns(docs, l)
+        .filter(_._5 >= l + w - 1L)
+      val ok = got == want
+      if (!ok) println(s"FAIL l=$l w=$w docs=$docs\n got=$got\n want=$want")
+      ok
+    }, 25)
+  }
+
   test("random corpora: bipartite contamination pairs and train excise equal the brute force") {
     import spark.implicits._
     val gen = for {
