@@ -449,6 +449,34 @@ object SparkEntry {
     "q_substr_dup_sampled" -> ((s, dir) =>
       Dedup.duplicatedSubstringsSampled(t(s, dir, "documents"),
         "doc_id", "text", minLen = 30, w = 8)),
+    // ----- cross-snapshot corpus diff: per-source docs added / removed
+    // / changed + token drift between two VersionedTable versions — the
+    // release-notes readout before switching snapshots. Manifest diff +
+    // changed-file reads only (VersionedTableSpec pins that untouched
+    // files are never scanned); fixture = base minus the tail, then
+    // append the tail (adds), delete ids < 30 (removes), and rewrite
+    // ids 60-70 with ' v2' texts (changes) -----
+    "q_corpus_diff" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/tmp/graft_cdiff_$suffix"
+      freshFixtureDir(path)
+      val docs = t(s, dir, "documents")
+      val v1 = VersionedTable.commit(
+        docs.filter(col("doc_id") < 450)
+          .repartitionByRange(4, col("doc_id")),
+        path, "overwrite", statCols = Seq("doc_id"))
+      VersionedTable.commit(docs.filter(col("doc_id") >= 450), path,
+        "append")
+      VersionedTable.deleteWhere(s, path, col("doc_id") < 30)
+      VersionedTable.deleteWhere(s, path, col("doc_id").between(60, 70))
+      val vN = VersionedTable.commit(
+        docs.filter(col("doc_id").between(60, 70))
+          .withColumn("text", concat(col("text"), lit(" v2"))),
+        path, "append")
+      graft.operators.CorpusPipeline.corpusDiff(s, path, v1, vN,
+        "doc_id", "source", "text")
+    }),
     // ----- bipartite exact-substring DECONTAMINATION: maximal verbatim
     // spans shared between the train slice and the benchmark slice —
     // the exact-match complement to the n-gram q_contam_* family -----
@@ -6652,6 +6680,38 @@ object SparkEntry {
         s"""$substrCtes
            SELECT doc_a, doc_b, start_a, start_b, len FROM runs
            WHERE len >= 37""",
+      // cross-snapshot diff: replay the fixture's two logical snapshots
+      // (old = ids < 450; new = ids >= 30 with 60-70 edited) and
+      // classify per doc, counting token drift over the diff sets only
+      "q_corpus_diff" ->
+        s"""WITH o0 AS (SELECT doc_id, source, text FROM documents
+                        WHERE doc_id < 450),
+           n0 AS (SELECT doc_id, source,
+                         CASE WHEN doc_id BETWEEN 60 AND 70
+                              THEN text || ' v2' ELSE text END AS text
+                  FROM documents WHERE doc_id >= 30),
+           j AS (SELECT COALESCE(n.source, o.source) AS source,
+                        CASE WHEN o.doc_id IS NULL THEN 'added'
+                             WHEN n.doc_id IS NULL THEN 'removed'
+                             WHEN o.text <> n.text THEN 'changed'
+                             ELSE 'unchanged' END AS k,
+                        CASE WHEN o.doc_id IS NULL THEN 0
+                             ELSE len(${duckTokens("o.text")}) END AS ot,
+                        CASE WHEN n.doc_id IS NULL THEN 0
+                             ELSE len(${duckTokens("n.text")}) END AS nt
+                 FROM o0 o FULL OUTER JOIN n0 n ON o.doc_id = n.doc_id)
+           SELECT source,
+                  CAST(SUM(CASE WHEN k = 'added' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_added,
+                  CAST(SUM(CASE WHEN k = 'removed' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_removed,
+                  CAST(SUM(CASE WHEN k = 'changed' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_changed,
+                  CAST(SUM(CASE WHEN k = 'added' THEN nt
+                                WHEN k = 'removed' THEN -ot
+                                ELSE nt - ot END) AS BIGINT)
+                    AS token_delta
+           FROM j WHERE k <> 'unchanged' GROUP BY source""",
       // bipartite: train grams x benchmark grams, same islands grouping
       "q_substr_contam" ->
         s"""$substrContamCtes

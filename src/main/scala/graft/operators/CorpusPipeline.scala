@@ -189,4 +189,65 @@ object CorpusPipeline {
       .filter(col("cluster").isNull || col("cluster") === col(idCol))
       .select(col(idCol), col("fp"), col("quality"))
   }
+
+  /** CROSS-SNAPSHOT corpus diff readout — the release notes a training
+    * team reads before switching snapshots: given two committed
+    * versions of a [[graft.sources.VersionedTable]] corpus, the
+    * per-source count of documents added / removed / changed and the
+    * token-count drift those documents carry
+    * (token_delta = tokens(added) − tokens(removed) + tokens(changed
+    * new) − tokens(changed old); because unchanged documents cancel,
+    * this also equals the source's total snapshot-to-snapshot token
+    * delta). Sources with no differing documents produce no row.
+    *
+    * Cost shape: METADATA + CHANGED-FILE READS ONLY. The two manifests
+    * are diffed at file granularity (a version's read plans over
+    * exactly its manifest's files), and only the symmetric difference
+    * is scanned — a document in a file both versions list is
+    * byte-identical on both sides and can never be added / removed /
+    * changed, so untouched files are provably irrelevant
+    * (`VersionedTableSpec` pins that they are not read). Each side's
+    * scan is column-pruned to (id, source, text); token counts reduce
+    * at scan time, and texts ship through the one id-keyed join only
+    * for the exact equality test — changed-file bytes, the thing being
+    * diffed. Classification is exact text comparison, never a
+    * fingerprint (a 64-bit collision must not misread an edit as
+    * unchanged). */
+  def corpusDiff(spark: org.apache.spark.sql.SparkSession, path: String,
+      vOld: Int, vNew: Int, idCol: String, sourceCol: String,
+      textCol: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val oldAll = VersionedTable.read(spark, path, Some(vOld))
+    val newAll = VersionedTable.read(spark, path, Some(vNew))
+    val oldFiles = oldAll.inputFiles.toSet
+    val newFiles = newAll.inputFiles.toSet
+    def side(files: Seq[String], proto: DataFrame, tag: String) = {
+      val raw =
+        if (files.isEmpty) proto.limit(0)
+        else spark.read.parquet(files.sorted: _*)
+      raw.select(col(idCol).cast("long").as("__id"),
+        col(sourceCol).as(s"${tag}_src"), col(textCol).as(s"${tag}_t"),
+        size(GraftFunctions.tokens(col(textCol))).cast("long")
+          .as(s"${tag}_tok"))
+    }
+    val o = side((oldFiles -- newFiles).toSeq, oldAll, "o")
+    val n = side((newFiles -- oldFiles).toSeq, newAll, "n")
+    o.join(n, Seq("__id"), "full_outer")
+      .withColumn("__k",
+        when(col("o_src").isNull, "added")
+          .when(col("n_src").isNull, "removed")
+          .when(col("o_t") =!= col("n_t"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("__k") =!= "unchanged")
+      .groupBy(coalesce(col("n_src"), col("o_src")).as("source"))
+      .agg(
+        sum(when(col("__k") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("__k") === "removed", 1L).otherwise(0L))
+          .as("n_removed"),
+        sum(when(col("__k") === "changed", 1L).otherwise(0L))
+          .as("n_changed"),
+        sum(when(col("__k") === "added", col("n_tok"))
+          .when(col("__k") === "removed", -col("o_tok"))
+          .otherwise(col("n_tok") - col("o_tok"))).as("token_delta"))
+  }
 }

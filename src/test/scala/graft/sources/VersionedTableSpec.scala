@@ -395,4 +395,51 @@ class VersionedTableSpec extends SparkSpec {
       d.listFiles().filter(_.getName.endsWith(".parquet"))
         .map(f => d.getName + "/" + f.getName)).toSet
   }
+
+  test("corpusDiff reads ONLY the changed files and classifies per source") {
+    val path = freshPath()
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    // base = 3 id-range files; the low range will absorb every change
+    val v1 = VersionedTable.commit(
+      docs.filter(col("doc_id") < 45).repartitionByRange(3, col("doc_id")),
+      path, "overwrite")
+    VersionedTable.commit(docs.filter(col("doc_id") >= 45), path, "append")
+    VersionedTable.deleteWhere(spark, path, col("doc_id") < 3)
+    VersionedTable.deleteWhere(spark, path, col("doc_id") === 5)
+    val vN = VersionedTable.commit(
+      docs.filter(col("doc_id") === 5)
+        .withColumn("text", concat(col("text"), lit(" v2"))),
+      path, "append")
+    val oldFiles = VersionedTable.read(spark, path, Some(v1))
+      .inputFiles.toSet
+    val newFiles = VersionedTable.read(spark, path, Some(vN))
+      .inputFiles.toSet
+    val untouched = oldFiles.intersect(newFiles)
+    assert(untouched.nonEmpty, "fixture must leave untouched files")
+    val d = graft.operators.CorpusPipeline.corpusDiff(spark, path,
+      v1, vN, "doc_id", "source", "text")
+    // the LshIndexSpec no-re-scan discipline: the diff plan's input
+    // files are exactly manifest metadata + the symmetric difference —
+    // a file listed by BOTH versions is never opened
+    val scanned = d.inputFiles.toSet
+    assert(scanned.intersect(untouched).isEmpty,
+      s"corpusDiff scanned untouched files: ${scanned.intersect(untouched)}")
+    // and the readout is the per-source truth of the three edits
+    val rows = d.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3)))
+    graft.operators.Dedup.releaseAll(spark)
+    val want = docs
+      .withColumn("k",
+        when(col("doc_id") >= 45, "added")
+          .when(col("doc_id") < 3, "removed")
+          .when(col("doc_id") === 5, "changed"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("source"))
+      .agg(sum(when(col("k") === "added", 1L).otherwise(0L)).as("a"),
+        sum(when(col("k") === "removed", 1L).otherwise(0L)).as("r"),
+        sum(when(col("k") === "changed", 1L).otherwise(0L)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.toSet == want.toSet, s"got=${rows.toSet} want=${want.toSet}")
+  }
 }
