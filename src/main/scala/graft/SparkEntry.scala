@@ -3144,6 +3144,15 @@ object SparkEntry {
             .orderBy(col("ord"), col("doc_id"))).cast("long"))
         .select(col("doc_id"), col("shard"), col("pos"))
     }),
+    // ----- DETERMINISTIC GLOBAL TRAINING ORDER: hash-striped within
+    // source, mixture-weighted stride scheduling across sources (any
+    // prefix holds each source ~ w/sum(w)), global position via
+    // ParallelRank (one range exchange, never a global window), shard =
+    // round-robin stripe of the order — the reproducible data-loader
+    // order file that pairs with q_train_shard / q_mix_plan -----
+    "q_train_order" -> ((s, dir) =>
+      Sampling.trainOrder(t(s, dir, "documents"), "doc_id", "source",
+        mixtureWeights, nShards = 8)),
 
     // ----- TEMPERATURE source mixing (alpha = 0.5): per-source sampling
     // weight proportional to sqrt(token mass), reported relative to the
@@ -8667,6 +8676,29 @@ object SparkEntry {
            SELECT doc_id, shard,
                   CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos
            FROM h""",
+      "q_train_order" -> {
+        val wCase = mixtureWeights.toSeq.sortBy(_._1)
+          .foldRight("CAST(0 AS BIGINT)") { case ((s, w), els) =>
+            s"CASE WHEN source = '$s' THEN CAST($w AS BIGINT) ELSE $els END"
+          }
+        s"""WITH h AS (SELECT doc_id, source,
+                  ${duckStrHash("('t:' || CAST(doc_id AS VARCHAR))")} AS hh,
+                  $wCase AS w
+                FROM documents),
+           k AS (SELECT doc_id, source, w,
+                        ROW_NUMBER() OVER (PARTITION BY source
+                                           ORDER BY hh, doc_id) AS k
+                 FROM h WHERE w > 0),
+           v AS (SELECT doc_id, source,
+                        ((k - 1) * 100000000) // w AS vt
+                 FROM k),
+           r AS (SELECT doc_id,
+                        CAST(ROW_NUMBER() OVER (ORDER BY vt, source,
+                          doc_id) AS BIGINT) AS "position"
+                 FROM v)
+           SELECT doc_id, ("position" - 1) % 8 AS shard, "position"
+           FROM r"""
+      },
       "q_source_mix" ->
         s"""WITH per AS (SELECT source, COUNT(*) AS n_docs,
                   CAST(SUM(len(${duckTokens("text")})) AS BIGINT) AS n_tokens

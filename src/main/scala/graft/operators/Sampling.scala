@@ -105,6 +105,52 @@ object Sampling {
       .agg(sum(col("kept")).as("kept"), count(lit(1)).as("total"))
   }
 
+  /** DETERMINISTIC GLOBAL TRAINING ORDER — the data-loader order file
+    * that makes a run reproducible: every document gets a global
+    * `position` (1-based) and a round-robin `shard`, such that
+    *  - within a source, documents are consumed in HASH-STRIPED order
+    *    (by the portable polynomial hash of the id — no accidental
+    *    correlation with ingest order, crawl date, or id locality);
+    *  - across sources, the order is MIXTURE-WEIGHTED stride
+    *    scheduling: the k-th document of source s is consumed at
+    *    virtual time (k−1)·S/w_s, so any prefix of the global order
+    *    holds each source in ≈ w_s / Σw proportion — the data loader
+    *    sees the mixture from step one, not source-by-source blocks;
+    *  - `shard` = (position−1) mod nShards, so striping the order file
+    *    across nShards loader workers preserves the interleave within
+    *    each worker's subsequence.
+    *
+    * Pure integer arithmetic on a unique-key total order
+    * (vt, source, id) — a pure function of (doc set, weights), bit-
+    * identical at any physical partitioning (PartitionInvarianceSpec).
+    * Documents of sources absent from `weights` (weight 0) are
+    * EXCLUDED, matching the mixture semantics.
+    *
+    * Scale shape: one source-partitioned window for the within-source
+    * rank (each source shards across tasks only as far as its own
+    * rows), then ONE range exchange for the global position via
+    * [[graft.plans.ParallelRank]] — never an unpartitioned window. */
+  def trainOrder(docs: DataFrame, idCol: String, srcCol: String,
+      weights: Map[String, Long], nShards: Int,
+      parts: Int = 32): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(weights.nonEmpty && weights.values.forall(_ >= 0),
+      "trainOrder: weights must be non-empty and non-negative")
+    val h = sparkStrHash(s"concat('t:', cast($idCol AS string))")
+    val bySrc = Window.partitionBy(col(srcCol))
+      .orderBy(col("__h"), col(idCol))
+    val keyed = docs
+      .select(col(idCol), col(srcCol), expr(h).as("__h"))
+      .withColumn("__w", expr(weightExpr(srcCol, weights)))
+      .filter(col("__w") > 0L)
+      .withColumn("__k", row_number().over(bySrc).cast("long"))
+      .withColumn("__vt", expr("((__k - 1) * 100000000) div __w"))
+    graft.plans.ParallelRank.rowNumber(keyed, "position", parts,
+        col("__vt").asc, col(srcCol).asc, col(idCol).asc)
+      .withColumn("shard", pmod(col("position") - 1L, lit(nShards.toLong)))
+      .select(col(idCol), col("shard"), col("position"))
+  }
+
   /** DuckDB oracle for [[mixtureCounts]] over the `documents` table. */
   def mixtureCountsOracle(weights: Map[String, Long]): String = {
     val maxW = weights.values.max

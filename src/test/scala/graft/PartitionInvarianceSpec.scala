@@ -41,7 +41,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     // q_phrase_*, and the pair-emitting spatial joins are EMPTY at
     // sf0.001 — the spec requires rows; their determinism is pinned by
     // total-order cuts and the sf0.01 oracle instead)
-    "q_spatial_dbscan", "q_cusum", "q_dedup_edit", "q_zipf")
+    "q_spatial_dbscan", "q_cusum", "q_dedup_edit", "q_zipf",
+    // the training-order file: a ParallelRank total order whose
+    // positions must not depend on range-boundary sampling or shuffle
+    // partition count
+    "q_train_order")
 
   private def canon(name: String, parts: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
