@@ -130,6 +130,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.quietCheckpointNoise()
     // untimed JVM/catalog init so it doesn't land on the first cold query
     try SparkEntry.queries.get("q_scan_project")
       .foreach(_(spark, sfDir).count())

@@ -14,6 +14,18 @@ object GraftSession {
   /** @param cores parallelism for local mode; on a cluster pass 0 and set
     *              master/resources externally (spark-submit) — the SQL
     *              knobs still apply. */
+  /** Dedup.releaseAll unpersists localCheckpoint blocks ON PURPOSE (the
+    * caches are dead between queries); Spark's "RDD was locally
+    * checkpointed, its lineage has been truncated" WARN is the expected
+    * consequence, and at 355+ queries it buries real signals in the
+    * harness tail — silence that one logger, nothing broader. Call
+    * AFTER `setLogLevel` (which re-applies the logging configuration
+    * and would wipe an earlier per-logger override). */
+  def quietCheckpointNoise(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+
   def builder(appName: String = "graft", cores: Int = 0)
       : SparkSession.Builder = {
     val b = SparkSession.builder()

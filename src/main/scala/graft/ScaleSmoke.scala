@@ -56,21 +56,32 @@ object ScaleSmoke {
       amped.write.mode("overwrite").parquet(s"$out/$tbl.parquet")
     }
 
-  def main(args: Array[String]): Unit = {
-    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val out = if (args.length > 1) args(1) else "/tmp/graft_scale10x"
-    val k = if (args.length > 2) args(2).toInt else 10
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.builder("graft-scale-smoke", cpus.toInt)
+  /** Cumulative shuffle-WRITE bytes across completed stages — the
+    * exchange-volume readout next to wall time (a plan can look fast at
+    * K× while quietly shipping K² bytes; this column catches it). */
+  private[graft] class ShuffleAcc
+      extends org.apache.spark.scheduler.SparkListener {
+    @volatile var bytes = 0L
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+        : Unit =
+      bytes += sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+  }
+
+  private[graft] def session(cpus: Int): SparkSession =
+    GraftSession.builder("graft-scale-smoke", cpus)
       .config("spark.ui.enabled", "false")
       // the nanos-typed events.parquet variant (see Tables.apply) would
       // otherwise fail schema resolution on the raw read in amplify
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    // the marker encodes src AND K: a re-run against a different source
-    // or factor must re-amplify, and stale markers from other configs
-    // are swept so they can never validate the wrong corpus
+
+  /** Amplify once per (src, K): the marker encodes both, so a re-run
+    * against a different source or factor re-amplifies, and stale
+    * markers from other configs are swept so they can never validate
+    * the wrong corpus. */
+  private[graft] def ensureAmplified(spark: SparkSession, src: String,
+      out: String, k: Int): Unit = {
     val cfg = s"${src.replaceAll("[^A-Za-z0-9]", "_")}_x$k"
     val marker = new java.io.File(s"$out/_AMPLIFIED_OK_$cfg")
     if (!marker.exists()) {
@@ -79,16 +90,32 @@ object ScaleSmoke {
         .filter(_.getName.startsWith("_AMPLIFIED_OK_"))
         .foreach(_.delete())
       marker.createNewFile()
+      ()
     }
-    def run(name: String, dir: String): (Long, Double) = {
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "/tmp/graft_scale10x"
+    val k = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = session(cpus.toInt)
+    spark.sparkContext.setLogLevel("ERROR")
+    ensureAmplified(spark, src, out, k)
+    val acc = new ShuffleAcc
+    spark.sparkContext.addSparkListener(acc)
+    def run(name: String, dir: String): (Long, Double, Long) = {
+      val b0 = { Thread.sleep(300); acc.bytes } // listener flush
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(name)(spark, dir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       graft.operators.Dedup.releaseAll(spark)
-      (rows, dt)
+      Thread.sleep(300) // let trailing stage events land
+      (rows, dt, acc.bytes - b0)
     }
     println(f"[scale] ${"query"}%-24s ${"rows1x"}%10s ${"rowsKx"}%12s " +
-      f"${"t1x_s"}%8s ${"tKx_s"}%8s ${"ratio"}%7s")
+      f"${"t1x_s"}%8s ${"tKx_s"}%8s ${"ratio"}%7s " +
+      f"${"shuf1x_mb"}%10s ${"shufKx_mb"}%10s")
     val names = args.drop(3) match {
       case more if more.nonEmpty => more.toSeq
       case _ => Bench.headline
@@ -96,11 +123,76 @@ object ScaleSmoke {
     names.foreach { name =>
       // 1× first: warms codegen for the plan shape, so the K× run is
       // measured JIT-warm and the ratio reflects data volume only
-      val (r1, t1) = run(name, src)
-      val (rk, tk) = run(name, out)
+      val (r1, t1, s1) = run(name, src)
+      val (rk, tk, sk) = run(name, out)
       println(f"[scale] $name%-24s $r1%10d $rk%12d $t1%8.2f $tk%8.2f " +
-        f"${tk / t1}%7.1f")
+        f"${tk / t1}%7.1f ${s1 / 1048576.0}%10.1f ${sk / 1048576.0}%10.1f")
     }
+    spark.stop()
+  }
+}
+
+/** 3-batch streaming substring-gate scale probe at K×: streams the
+  * amplified corpus through [[graft.streaming.SubstrGate]] in three
+  * `doc_id % 3` increments against FRESH state, reporting per-batch
+  * wall, increment rows, cumulative output rows, and shuffle-write
+  * bytes. The claim under test: per-batch cost tracks the INCREMENT
+  * (one increment-grams × pinned-index hash join + increment-sized
+  * commits), not the accumulated state — batch 3's wall should sit
+  * near batch 2's, not near a full corpus recompute. The final
+  * cumulative table is count-checked against the one-shot batch
+  * operator over everything (the SubstrGateSpec parity, here at K×). */
+object SubstrGateScale {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "/tmp/graft_scale30x"
+    val k = if (args.length > 2) args(2).toInt else 30
+    val minLen = 30
+    val spark = ScaleSmoke.session(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    spark.sparkContext.setLogLevel("ERROR")
+    ScaleSmoke.ensureAmplified(spark, src, out, k)
+    val acc = new ScaleSmoke.ShuffleAcc
+    spark.sparkContext.addSparkListener(acc)
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+    val base = s"/tmp/graft_sgate_scale_x$k"
+    Seq("docs", "grams", "out").foreach { p =>
+      val d = new java.io.File(s"${base}_$p")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(d)
+    }
+    val snk = graft.streaming.SubstrGate.sink(s"${base}_docs",
+      s"${base}_grams", s"${base}_out", "doc_id", "text", minLen)
+    println(f"[gate] ${"batch"}%5s ${"inc_rows"}%10s ${"cum_out"}%12s " +
+      f"${"wall_s"}%8s ${"shuf_mb"}%9s")
+    (0 until 3).foreach { i =>
+      val inc = docs.filter(pmod(col("doc_id"), lit(3L)) === i.toLong)
+      val incRows = inc.count()
+      val b0 = { Thread.sleep(300); acc.bytes }
+      val t0 = System.nanoTime()
+      snk(inc, i.toLong)
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      val cum = graft.sources.VersionedTable.rowCount(spark,
+        s"${base}_out",
+        graft.sources.VersionedTable.versions(spark, s"${base}_out").last)
+      println(f"[gate] $i%5d $incRows%10d $cum%12d $dt%8.2f " +
+        f"${(acc.bytes - b0) / 1048576.0}%9.1f")
+    }
+    // K× parity: cumulative streamed runs == the one-shot operator
+    val t0 = System.nanoTime()
+    val oneShot = graft.operators.Dedup.duplicatedSubstrings(
+      docs, "doc_id", "text", minLen).count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    graft.operators.Dedup.releaseAll(spark)
+    val streamed = graft.sources.VersionedTable
+      .read(spark, s"${base}_out").count()
+    println(f"[gate] one-shot $oneShot%d rows in $dt%.2f s; " +
+      f"streamed cumulative $streamed%d; match=${oneShot == streamed}")
     spark.stop()
   }
 }

@@ -1221,11 +1221,11 @@ object Dedup {
     * hash, rightmost on ties — a pure function of the window's
     * CONTENT, so two documents sharing a span select the same relative
     * offsets); (2) join anchors on the 64-bit hash and verify the
-    * exact substring residual — candidate PAIRS, never positions-×-
-    * positions; (3) re-gram ONLY the documents of surviving pairs and
-    * run the dense pair-restricted match + diagonal-runs grouping of
-    * the exact operator, recovering every span boundary exactly;
-    * (4) keep spans >= minLen + w - 1.
+    * exact substring residual — anchor matches, never dense
+    * positions-×-positions; (3) re-gram ONLY the documents with a
+    * verified anchor match and run the dense match + diagonal-runs
+    * grouping of the exact operator over them, recovering every span
+    * boundary exactly; (4) keep spans >= minLen + w - 1.
     *
     * Completeness argument: a maximal shared span of length
     * >= minLen + w - 1 contains >= w consecutive matching L-gram
@@ -1242,51 +1242,93 @@ object Dedup {
     * (spans in [minLen, minLen + w - 1) are deliberately below the
     * reporting bound; run the dense operator when they matter).
     *
-    * Scale shape: the corpus-sized exchange carries winnowed anchors
-    * only (~2/(w+1) density); the dense fallback re-grams just the
-    * documents that PROVABLY share >= minLen verbatim chars — the
-    * duplicated minority the answer is about, bounded by the same
-    * honest-quadratic argument as the dense operator. A document with
-    * fewer than w grams contributes no anchors and cannot contain a
-    * span >= minLen + w - 1 (such a span needs w gram positions). */
+    * Scale shape: anchor SELECTION never shuffles — a document's grams
+    * are co-located in its own input row, so the winnowing fold runs
+    * as one higher-order expression over the per-doc hash array (the
+    * window-function formulation would first shuffle the full 24 B/char
+    * gram frame by doc id, re-creating the exchange this operator
+    * exists to avoid). The first corpus-sized exchange is therefore the
+    * anchor hash join itself, carrying ~2/(w+1) of the positions; the
+    * dense fallback re-grams just the documents that PROVABLY share
+    * >= minLen verbatim chars — the duplicated minority the answer is
+    * about, bounded by the same honest-quadratic argument as the dense
+    * operator. A document with fewer than w grams contributes no
+    * anchors and cannot contain a span >= minLen + w - 1 (such a span
+    * needs w gram positions). */
+  /** Winnowed anchor positions of a (id, t) frame: per document, each
+    * complete `w`-window over the L-gram hash stream selects its
+    * minimal hash (RIGHTMOST position on ties — both choices are pure
+    * functions of the window's content, so two documents sharing the
+    * window's grams select the same relative offset). Runs entirely
+    * inside one projection: the per-doc hash array is built once, the
+    * window fold is an aggregate HOF over it, and only the selected
+    * (id, pos, h) anchors are exploded — ZERO shuffle before the
+    * anchor join. O(n·w) comparisons per doc, the price of staying
+    * expression-local. */
+  private[graft] def winnowedAnchorFrame(txt: DataFrame, minLen: Int,
+      w: Int): DataFrame =
+    // w = 1: every position is its own window — dense anchors
+    // (sequence(s+1, s) would DESCEND inside the fold below)
+    if (w == 1) gramFrame(txt, minLen)
+    else txt.select(col("id"), expr(
+      s"""CASE WHEN length(t) >= ${minLen + w - 1} THEN
+            transform(sequence(1, length(t) - ${minLen - 1}),
+              i -> xxhash64(substring(t, i, $minLen)))
+          ELSE CAST(array() AS ARRAY<BIGINT>) END""").as("hs"))
+      .select(col("id"), explode(expr(
+        // sequence(1, 0) DESCENDS in Spark — the size guard keeps short
+        // docs (empty hs) from fabricating a phantom window
+        s"""CASE WHEN size(hs) >= $w THEN
+              transform(
+                array_distinct(
+                  transform(sequence(1, size(hs) - ${w - 1}),
+                    s -> aggregate(sequence(s + 1, s + ${w - 1}),
+                           struct(element_at(hs, s) AS mh,
+                                  CAST(s AS BIGINT) AS mp),
+                           (st, i) -> CASE
+                             WHEN element_at(hs, i) <= st.mh
+                             THEN struct(element_at(hs, i) AS mh,
+                                         CAST(i AS BIGINT) AS mp)
+                             ELSE st END).mp)),
+                p -> struct(p AS pos,
+                            element_at(hs, CAST(p AS INT)) AS h))
+            ELSE CAST(array()
+              AS ARRAY<STRUCT<pos: BIGINT, h: BIGINT>>) END""")).as("g"))
+      .select(col("id"), col("g.pos").as("pos"), col("g.h").as("h"))
+
   def duplicatedSubstringsSampled(docs: DataFrame, idCol: String,
       textCol: String, minLen: Int, w: Int = 8): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     require(w >= 1, s"w must be >= 1, got $w")
     val txt = persistTracked(
       docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t")))
-    // winnowing: per doc, each complete w-window over the gram stream
-    // selects min (h, -pos) — minimal hash, rightmost position on ties;
-    // one doc-partitioned exchange feeds both window functions
-    val byDoc = Window.partitionBy(col("id"))
-    val win = byDoc.orderBy(col("pos")).rowsBetween(0, w - 1)
-    val anchors = gramFrame(txt, minLen)
-      .withColumn("__n", count(lit(1)).over(byDoc))
-      .withColumn("__sel",
-        min(struct(col("h"), (-col("pos")).as("np"))).over(win))
-      .filter(col("pos") <= col("__n") - (w - 1))
-      .select(col("id"), (-col("__sel.np")).as("pos"),
-        col("__sel.h").as("h"))
-      .distinct()
-    // anchor join + exact residual -> candidate pairs (pair-distinct)
-    val pairs = persistTracked(verifyGramMatches(
+    val anchors = winnowedAnchorFrame(txt, minLen, w)
+    // anchor join + exact residual -> matched DOCUMENT set. Note the
+    // dense step below is restricted to matched DOCS, not matched
+    // PAIRS: restricting to pairs would re-shuffle the dense gram-match
+    // frame a second time on the pair key, and the restriction is
+    // redundant anyway — if two matched docs share a span >= the
+    // reporting bound WITH EACH OTHER, that span contains a complete
+    // shared winnowing window, so the two docs anchor-match each other
+    // directly; the final length filter therefore already confines the
+    // output to anchored pairs (sub-bound cross-pairs do extra dense
+    // work but can never surface).
+    val cand = verifyGramMatches(
       anchors.select(col("h"), col("id").as("doc_a"), col("pos").as("pa"))
         .join(anchors.select(col("h"), col("id").as("doc_b"),
           col("pos").as("pb")), Seq("h"))
         .filter(col("doc_a") < col("doc_b")),
       txt, txt, minLen)
-      .select(col("doc_a"), col("doc_b")).distinct())
-    // dense recompute restricted to the matched pairs' documents
-    val ids = pairs.select(col("doc_a").as("id"))
-      .unionByName(pairs.select(col("doc_b").as("id"))).distinct()
+    val ids = cand.select(col("doc_a").as("id"))
+      .unionByName(cand.select(col("doc_b").as("id"))).distinct()
+    // dense recompute over the matched documents only
     val dtxt = persistTracked(txt.join(ids, Seq("id"), "left_semi"))
     val dg = persistTracked(gramFrame(dtxt, minLen))
     val matches = verifyGramMatches(
       dg.select(col("h"), col("id").as("doc_a"), col("pos").as("pa"))
         .join(dg.select(col("h"), col("id").as("doc_b"),
           col("pos").as("pb")), Seq("h"))
-        .filter(col("doc_a") < col("doc_b"))
-        .join(pairs, Seq("doc_a", "doc_b"), "left_semi"),
+        .filter(col("doc_a") < col("doc_b")),
       dtxt, dtxt, minLen)
     maximalRuns(matches, minLen)
       .filter(col("len") >= (minLen + w - 1).toLong)
