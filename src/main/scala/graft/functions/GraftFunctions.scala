@@ -47,6 +47,10 @@ object GraftFunctions {
     c(MinHashLongs(e(hashes), k))
   def ivfCell(vec: Column, nc: Int): Column = c(IvfCell(e(vec), nc))
   def shingleRows(text: Column, n: Int): Column = c(ShingleRows(e(text), n))
+
+  /** Winnowed L-gram anchors as (pos, h) rows; see [[WinnowedAnchorRows]]. */
+  def winnowedAnchorRows(text: Column, minLen: Int, w: Int): Column =
+    c(WinnowedAnchorRows(e(text), minLen, w))
   def bloomContains(key: Column, mask: Array[Long], k: Int): Column =
     c(BloomMightContain(e(key), mask, k))
   def matVec(vec: Column, mat: Array[Double], k: Int, d: Int): Column =

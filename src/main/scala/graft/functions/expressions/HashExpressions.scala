@@ -195,6 +195,64 @@ object HashImpl {
     new GenericArrayData(out)
   }
 
+  /** Winnowed anchors behind [[WinnowedAnchorRows]]: XXH64 each
+    * L-codepoint gram's UTF-8 bytes (seed 42, Spark's own hasher), then
+    * an O(n) monotonic-deque pass selects each complete w-window's
+    * minimal hash (rightmost on ties: the deque pops `>=` tails, so
+    * among equals the newest survives). Selected positions are
+    * non-decreasing as the window slides, so de-dup is one last-emitted
+    * check. Returns (1-based codepoint pos, hash) rows; a doc with
+    * fewer than L + w - 1 codepoints has no complete window and yields
+    * nothing (it cannot contain a span at the reporting bound). */
+  def winnowedAnchorRows(text: UTF8String, minLen: Int,
+      w: Int): Array[InternalRow] = {
+    val bytes = text.getBytes
+    val nChars = text.numChars()
+    if (nChars < minLen + w - 1) return Array.empty
+    // byte offset of each codepoint (UTF-8 lead byte dispatch)
+    val offs = new Array[Int](nChars + 1)
+    var b = 0; var c = 0
+    while (b < bytes.length) {
+      offs(c) = b
+      val lead = bytes(b) & 0xff
+      b += (if (lead < 0x80) 1 else if (lead < 0xe0) 2
+            else if (lead < 0xf0) 3 else 4)
+      c += 1
+    }
+    offs(nChars) = bytes.length
+    val m = nChars - minLen + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      hs(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + offs(i),
+          offs(i + minLen) - offs(i), 42L)
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[InternalRow](
+      2 * m / (w + 1) + 1)
+    val deque = new Array[Int](m)
+    var head = 0; var tail = 0 // [head, tail) holds candidate indices
+    var last = -1
+    i = 0
+    while (i < m) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      val ws = i - w + 1 // window [ws, i]
+      if (ws >= 0) {
+        while (deque(head) < ws) head += 1
+        val sel = deque(head)
+        if (sel != last) {
+          out += InternalRow((sel + 1).toLong, hs(sel))
+          last = sel
+        }
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
   /** LSH band-bucket hash: fold (acc*31 + x) % P over signature entries
     * [band*r, band*r + r); same fold as XFormulas.sparkBandBucket /
     * duckBandBucket (1-indexed slice there, 0-indexed here). */
@@ -655,6 +713,40 @@ case class CharShingleHashes(child: Expression, n: Int)
       c => s"graft.functions.expressions.HashImpl.charShingleHashes($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): CharShingleHashes =
     copy(child = newChild)
+}
+
+/** Winnowed L-gram anchor rows — the MOSS selection as ONE native
+  * generator: per document, hash every L-codepoint window (XXH64 over
+  * the gram's UTF-8 bytes, 64-bit — a ~2^30 poly hash would saturate at
+  * corpus-scale anchor joins), then each complete w-window of the hash
+  * stream selects its minimum (RIGHTMOST position on ties — content-
+  * local, so two docs sharing the window's grams select the same
+  * relative offset) via an O(n) monotonic deque, emitting the distinct
+  * selected (pos, h) pairs. Positions are 1-based CODEPOINTS, aligned
+  * with SQL `substring` so the exact-residual verify downstream slices
+  * the same characters. Replaces a per-window aggregate-HOF fold whose
+  * interpreted per-element struct allocation dominated the sampled
+  * substring operator's wall (measured ~10 s warm at sf0.1 for the HOF
+  * vs the hash pass itself being sub-second). Runs in GenerateExec like
+  * explode — generators are not whole-stage-codegen'd; the win is the
+  * native loop. */
+case class WinnowedAnchorRows(child: Expression, minLen: Int, w: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def elementSchema: StructType =
+    StructType(StructField("pos", LongType, nullable = false) ::
+      StructField("h", LongType, nullable = false) :: Nil)
+  override def prettyName: String = "graft_winnowed_anchor_rows"
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val t = child.eval(input)
+    if (t == null) Nil
+    else HashImpl.winnowedAnchorRows(t.asInstanceOf[UTF8String], minLen, w)
+  }
+  override protected def withNewChildInternal(newChild: Expression)
+      : WinnowedAnchorRows = copy(child = newChild)
 }
 
 /** Table-generating (UDTF-shaped) variant of [[Shingles]]: one output ROW

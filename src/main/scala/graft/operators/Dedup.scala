@@ -1259,42 +1259,20 @@ object Dedup {
     * complete `w`-window over the L-gram hash stream selects its
     * minimal hash (RIGHTMOST position on ties — both choices are pure
     * functions of the window's content, so two documents sharing the
-    * window's grams select the same relative offset). Runs entirely
-    * inside one projection: the per-doc hash array is built once, the
-    * window fold is an aggregate HOF over it, and only the selected
-    * (id, pos, h) anchors are exploded — ZERO shuffle before the
-    * anchor join. O(n·w) comparisons per doc, the price of staying
-    * expression-local. */
+    * window's grams select the same relative offset). One NATIVE
+    * generator row-per-anchor ([[GraftFunctions.winnowedAnchorRows]]:
+    * XXH64 gram pass + O(n) monotonic-deque selection) — ZERO shuffle
+    * before the anchor join, and none of the per-window struct
+    * allocation that made the aggregate-HOF formulation of the same
+    * selection the suite's heaviest query (~10 s warm at sf0.1; the
+    * native loop is ~6x cheaper). */
   private[graft] def winnowedAnchorFrame(txt: DataFrame, minLen: Int,
       w: Int): DataFrame =
     // w = 1: every position is its own window — dense anchors
-    // (sequence(s+1, s) would DESCEND inside the fold below)
     if (w == 1) gramFrame(txt, minLen)
-    else txt.select(col("id"), expr(
-      s"""CASE WHEN length(t) >= ${minLen + w - 1} THEN
-            transform(sequence(1, length(t) - ${minLen - 1}),
-              i -> xxhash64(substring(t, i, $minLen)))
-          ELSE CAST(array() AS ARRAY<BIGINT>) END""").as("hs"))
-      .select(col("id"), explode(expr(
-        // sequence(1, 0) DESCENDS in Spark — the size guard keeps short
-        // docs (empty hs) from fabricating a phantom window
-        s"""CASE WHEN size(hs) >= $w THEN
-              transform(
-                array_distinct(
-                  transform(sequence(1, size(hs) - ${w - 1}),
-                    s -> aggregate(sequence(s + 1, s + ${w - 1}),
-                           struct(element_at(hs, s) AS mh,
-                                  CAST(s AS BIGINT) AS mp),
-                           (st, i) -> CASE
-                             WHEN element_at(hs, i) <= st.mh
-                             THEN struct(element_at(hs, i) AS mh,
-                                         CAST(i AS BIGINT) AS mp)
-                             ELSE st END).mp)),
-                p -> struct(p AS pos,
-                            element_at(hs, CAST(p AS INT)) AS h))
-            ELSE CAST(array()
-              AS ARRAY<STRUCT<pos: BIGINT, h: BIGINT>>) END""")).as("g"))
-      .select(col("id"), col("g.pos").as("pos"), col("g.h").as("h"))
+    else txt.select(col("id"),
+      graft.functions.GraftFunctions
+        .winnowedAnchorRows(col("t"), minLen, w).as(Seq("pos", "h")))
 
   def duplicatedSubstringsSampled(docs: DataFrame, idCol: String,
       textCol: String, minLen: Int, w: Int = 8): DataFrame = {

@@ -182,6 +182,51 @@ class SubstringDedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 3L, 4L, 8L)), s"got=$got")
   }
 
+  test("native winnowing generator equals the SQL HOF formulation of the same selection") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode, expr}
+    val gen = for {
+      docs <- genDocs
+      l <- Gen.choose(3, 6)
+      w <- Gen.choose(2, 5)
+    } yield (docs, l, w)
+    check(Prop.forAllNoShrink(gen) { case (docs, l, w) =>
+      val txt = docs.toDF("id", "t")
+      val got = Dedup.winnowedAnchorFrame(txt, l, w)
+        .collect().map(_.toString).toSet
+      // reference: the aggregate-HOF window-min fold (identical hash —
+      // SQL xxhash64 over the codepoint substring — and identical
+      // rightmost tie-break via the <= replacement)
+      val want = txt.select(col("id"), expr(
+        s"""CASE WHEN length(t) >= ${l + w - 1} THEN
+              transform(sequence(1, length(t) - ${l - 1}),
+                i -> xxhash64(substring(t, i, $l)))
+            ELSE CAST(array() AS ARRAY<BIGINT>) END""").as("hs"))
+        .select(col("id"), explode(expr(
+          s"""CASE WHEN size(hs) >= $w THEN
+                transform(
+                  array_distinct(
+                    transform(sequence(1, size(hs) - ${w - 1}),
+                      s -> aggregate(sequence(s + 1, s + ${w - 1}),
+                             struct(element_at(hs, s) AS mh,
+                                    CAST(s AS BIGINT) AS mp),
+                             (st, i) -> CASE
+                               WHEN element_at(hs, i) <= st.mh
+                               THEN struct(element_at(hs, i) AS mh,
+                                           CAST(i AS BIGINT) AS mp)
+                               ELSE st END).mp)),
+                  p -> struct(p AS pos,
+                              element_at(hs, CAST(p AS INT)) AS h))
+              ELSE CAST(array()
+                AS ARRAY<STRUCT<pos: BIGINT, h: BIGINT>>) END""")).as("g"))
+        .select(col("id"), col("g.pos").as("pos"), col("g.h").as("h"))
+        .collect().map(_.toString).toSet
+      val ok = got == want
+      if (!ok) println(s"FAIL l=$l w=$w docs=$docs\n got=$got\n want=$want")
+      ok
+    }, 20)
+  }
+
   test("random corpora: sampled anchors equal the brute force above the reporting bound") {
     import spark.implicits._
     val gen = for {
