@@ -211,6 +211,41 @@ class ShuffleBudgetSpec extends SparkSpec {
       s"dbscan shuffled ${acc.get()} bytes vs a $pairBytes-byte eps-graph")
   }
 
+  test("sampled-anchor substring dedup shuffles a fraction of the dense operator") {
+    // the SCALE.md headline as an executable claim: winnowing runs
+    // inside a projection (zero exchange), so the sampled plan's total
+    // job shuffle — anchors + match-sized residual + the dense re-gram
+    // of the duplicated minority — must sit well under the dense
+    // operator's corpus-sized gram exchange. Listener-measured (both
+    // operators persist subtrees shuffleProfile cannot see into).
+    val docs = Tables(spark, dir, "documents")
+    def jobShuffle(body: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            acc.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        org.apache.spark.sql.GraftSqlBridge.flushListeners(spark.sparkContext)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      Dedup.releaseAll(spark)
+      acc.get()
+    }
+    val dense = jobShuffle(
+      Dedup.duplicatedSubstrings(docs, "doc_id", "text", 30).collect())
+    val sampled = jobShuffle(
+      Dedup.duplicatedSubstringsSampled(docs, "doc_id", "text", 30, 8)
+        .collect())
+    assert(dense > 0 && sampled > 0, s"dense=$dense sampled=$sampled")
+    assert(sampled * 3 < dense,
+      s"sampled mode shuffled $sampled bytes vs dense $dense — " +
+        "the anchor exchange should be a small fraction")
+  }
+
   test("MaxSim: exchanges carry (doc, qtok, int) grid rows, never vectors") {
     withoutAqe {
       val emb = Tables(spark, dir, "embeddings")
