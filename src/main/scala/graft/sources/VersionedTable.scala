@@ -229,9 +229,8 @@ object VersionedTable {
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
       .sorted
       .map(n => s"data/c-$nonce/$n")
-    val newRows =
-      if (newFiles.isEmpty) 0L // a fully-empty increment is a valid commit
-      else spark.read.parquet(newFiles.map(r => s"$path/$r"): _*).count()
+    // a fully-empty increment is a valid commit
+    val newRows = countRows(spark, path, newFiles)
     // blooms are collected per (m, k) SIZING GROUP so a table whose
     // columns carry different recorded configurations keeps each one —
     // a single-sizing pass would silently resize them all to one config
@@ -261,6 +260,25 @@ object VersionedTable {
       batchTag, baseStats ++ newStats)
     Some(v)
   }
+
+  /** Exact row count of manifest-relative files from parquet FOOTER
+    * metadata — zero Spark jobs for commit-sized lists (a tiny
+    * streaming append was otherwise paying a full count job just to
+    * record its manifest row total). Falls back to one distributed
+    * count for large lists, where a serial driver-side loop over
+    * thousands of footers would be slower than the job it avoids. */
+  private def countRows(spark: SparkSession, path: String,
+      relFiles: Seq[String]): Long =
+    if (relFiles.isEmpty) 0L
+    else if (relFiles.size <= 256) {
+      val conf = spark.sessionState.newHadoopConf()
+      relFiles.map { r =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(s"$path/$r"), conf)
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try rd.getRecordCount finally rd.close()
+      }.sum
+    } else spark.read.parquet(relFiles.map(r => s"$path/$r"): _*).count()
 
   /** Append must base on its TRUE predecessor chain: a racing writer
     * that claimed a smaller number but has not yet published would
@@ -534,9 +552,7 @@ object VersionedTable {
         .select(col("_metadata.file_path").as("f"))
         .distinct().collect().map(r => rel(r.getString(0))).toSet
       val keep = files.filterNot(hitFiles.contains)
-      val keepRows =
-        if (keep.isEmpty) 0L
-        else spark.read.parquet(keep.map(r => s"$path/$r"): _*).count()
+      val keepRows = countRows(spark, path, keep)
       val nonce = java.util.UUID.randomUUID.toString.take(8)
       val dataDir = new Path(path, s"data/c-$nonce")
       val (newFiles, newRows) =
@@ -554,9 +570,7 @@ object VersionedTable {
           val names = f.listStatus(dataDir).toSeq.map(_.getPath.getName)
             .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
             .sorted.map(n => s"data/c-$nonce/$n")
-          val rows = if (names.isEmpty) 0L
-            else spark.read.parquet(names.map(r => s"$path/$r"): _*).count()
-          (names, rows)
+          (names, countRows(spark, path, names))
         }
       // zone maps AND blooms survive the delete: untouched files carry
       // their base metadata lines verbatim (they describe immutable
