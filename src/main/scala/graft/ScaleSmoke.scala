@@ -132,6 +132,56 @@ object ScaleSmoke {
   }
 }
 
+/** MOSTLY-CLEAN 30× substring probe — the sampled-anchor mode's actual
+  * regime. [[ScaleSmoke]]'s amplified corpus replicates text VERBATIM
+  * (every doc gains K−1 twins), which is the sampled mode's worst
+  * case: the matched-doc set becomes the whole corpus and the dense
+  * fallback degenerates to the dense operator. Real corpora are mostly
+  * clean. This probe builds K salted copies — a copy-specific digit
+  * spliced every 16 chars, so NO 30-gram survives across copies while
+  * each copy keeps the original corpus's own twins — and measures
+  * dense vs sampled wall + total job shuffle. Expected shape: output
+  * grows ~K× (per-copy twins only), the dense operator's exchange
+  * grows ~K× (it always ships the full gram frame), and the sampled
+  * mode's exchange grows only with anchors + the duplicated MINORITY. */
+object SubstrCleanScale {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = if (args.length > 1) args(1).toInt else 30
+    val spark = ScaleSmoke.session(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = spark.read.parquet(s"$src/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val docs = (0 until k).map { i =>
+      base.select(
+        (col("doc_id") + lit(i * 100000000000L)).as("doc_id"),
+        regexp_replace(col("text"), "(.{16})",
+          "$1" + ('a' + i % 26).toChar + ('a' + i / 26).toChar)
+          .as("text"))
+    }.reduce(_.unionAll(_)).persist()
+    println(s"[clean] corpus: ${docs.count()} docs (K=$k salted copies)")
+    val acc = new ScaleSmoke.ShuffleAcc
+    spark.sparkContext.addSparkListener(acc)
+    def run(tag: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      val b0 = { Thread.sleep(300); acc.bytes }
+      val t0 = System.nanoTime()
+      val rows = df.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.operators.Dedup.releaseAll(spark)
+      Thread.sleep(300)
+      println(f"[clean] $tag%-10s rows=$rows%10d wall=$dt%8.2f s " +
+        f"shuffle=${(acc.bytes - b0) / 1048576.0}%10.1f MB")
+    }
+    run("dense")(graft.operators.Dedup.duplicatedSubstrings(
+      docs, "doc_id", "text", 30))
+    run("sampled")(graft.operators.Dedup.duplicatedSubstringsSampled(
+      docs, "doc_id", "text", 30, 8))
+    docs.unpersist()
+    spark.stop()
+  }
+}
+
 /** 3-batch streaming substring-gate scale probe at K×: streams the
   * amplified corpus through [[graft.streaming.SubstrGate]] in three
   * `doc_id % 3` increments against FRESH state, reporting per-batch

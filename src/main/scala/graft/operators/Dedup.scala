@@ -1247,8 +1247,11 @@ object Dedup {
     * as one higher-order expression over the per-doc hash array (the
     * window-function formulation would first shuffle the full 24 B/char
     * gram frame by doc id, re-creating the exchange this operator
-    * exists to avoid). The first corpus-sized exchange is therefore the
-    * anchor hash join itself, carrying ~2/(w+1) of the positions; the
+    * exists to avoid). The ONLY corpus-sized exchange is therefore one
+    * h-partition of the anchor stream — ~2/(w+1) of the positions,
+    * paid once: the duplicate-count prefilter window forces it and the
+    * self-join reuses the persisted partitioning exchange-free (the
+    * dense operator's own discipline, one frame lighter); the
     * dense fallback re-grams just the documents that PROVABLY share
     * >= minLen verbatim chars — the duplicated minority the answer is
     * about, bounded by the same honest-quadratic argument as the dense
@@ -1280,7 +1283,18 @@ object Dedup {
     require(w >= 1, s"w must be >= 1, got $w")
     val txt = persistTracked(
       docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t")))
-    val anchors = winnowedAnchorFrame(txt, minLen, w)
+    // the dense operator's own exchange discipline, applied to the
+    // anchor stream: ONE h-partitioned window count drops anchors whose
+    // hash appears once (the clean majority — they can match nothing),
+    // and because the persisted frame ends h-hash-partitioned, the
+    // self-join below reuses that single exchange. Without this the
+    // join would exchange the full anchor frame TWICE (once per side) —
+    // measured MORE total shuffle than the dense operator on a
+    // mostly-clean 30x corpus, the regime this mode exists for.
+    val anchors = persistTracked(winnowedAnchorFrame(txt, minLen, w)
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("__n") > 1).drop("__n"))
     // anchor join + exact residual -> matched DOCUMENT set. Note the
     // dense step below is restricted to matched DOCS, not matched
     // PAIRS: restricting to pairs would re-shuffle the dense gram-match
