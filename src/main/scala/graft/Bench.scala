@@ -156,7 +156,10 @@ object Bench {
     val total = cold.values.filter(_ >= 0).sum
     val adjTotal = names.map { n =>
       val c = cold.getOrElse(n, -1.0)
-      math.max(0.0, retry.get(n).map(r => math.min(c, r)).getOrElse(c))
+      // an ERRORED retry (-1) must not zero the slot — substitute only
+      // a real re-measure, else keep the original cold
+      math.max(0.0,
+        retry.get(n).filter(_ >= 0).map(r => math.min(c, r)).getOrElse(c))
     }.sum
     val warmTotal = warm.values.filter(_ >= 0).sum
     logCodeCache()

@@ -68,6 +68,9 @@ object ScaleSmoke {
       bytes += sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
   }
 
+  private[graft] def flush(spark: SparkSession): Unit =
+    org.apache.spark.sql.GraftSqlBridge.flushListeners(spark.sparkContext)
+
   private[graft] def session(cpus: Int): SparkSession =
     GraftSession.builder("graft-scale-smoke", cpus)
       .config("spark.ui.enabled", "false")
@@ -105,12 +108,15 @@ object ScaleSmoke {
     val acc = new ShuffleAcc
     spark.sparkContext.addSparkListener(acc)
     def run(name: String, dir: String): (Long, Double, Long) = {
-      val b0 = { Thread.sleep(300); acc.bytes } // listener flush
+      // deterministic listener flush (waitUntilEmpty) — a sleep can lose
+      // trailing stage events to the next row on a loaded machine
+      flush(spark)
+      val b0 = acc.bytes
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(name)(spark, dir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       graft.operators.Dedup.releaseAll(spark)
-      Thread.sleep(300) // let trailing stage events land
+      flush(spark)
       (rows, dt, acc.bytes - b0)
     }
     println(f"[scale] ${"query"}%-24s ${"rows1x"}%10s ${"rowsKx"}%12s " +
@@ -137,8 +143,9 @@ object ScaleSmoke {
   * (every doc gains K−1 twins), which is the sampled mode's worst
   * case: the matched-doc set becomes the whole corpus and the dense
   * fallback degenerates to the dense operator. Real corpora are mostly
-  * clean. This probe builds K salted copies — a copy-specific digit
-  * spliced every 16 chars, so NO 30-gram survives across copies while
+  * clean. This probe builds K salted copies — two copy-specific letters
+  * spliced every 16 chars (DOTALL, so newline-spanning runs are salted
+  * too), so NO 30-gram survives across copies while
   * each copy keeps the original corpus's own twins — and measures
   * dense vs sampled wall + total job shuffle. Expected shape: output
   * grows ~K× (per-copy twins only), the dense operator's exchange
@@ -156,7 +163,7 @@ object SubstrCleanScale {
     val docs = (0 until k).map { i =>
       base.select(
         (col("doc_id") + lit(i * 100000000000L)).as("doc_id"),
-        regexp_replace(col("text"), "(.{16})",
+        regexp_replace(col("text"), "(?s)(.{16})",
           "$1" + ('a' + i % 26).toChar + ('a' + i / 26).toChar)
           .as("text"))
     }.reduce(_.unionAll(_)).persist()
@@ -164,12 +171,13 @@ object SubstrCleanScale {
     val acc = new ScaleSmoke.ShuffleAcc
     spark.sparkContext.addSparkListener(acc)
     def run(tag: String)(df: org.apache.spark.sql.DataFrame): Unit = {
-      val b0 = { Thread.sleep(300); acc.bytes }
+      ScaleSmoke.flush(spark)
+      val b0 = acc.bytes
       val t0 = System.nanoTime()
       val rows = df.count()
       val dt = (System.nanoTime() - t0) / 1e9
       graft.operators.Dedup.releaseAll(spark)
-      Thread.sleep(300)
+      ScaleSmoke.flush(spark)
       println(f"[clean] $tag%-10s rows=$rows%10d wall=$dt%8.2f s " +
         f"shuffle=${(acc.bytes - b0) / 1048576.0}%10.1f MB")
     }
@@ -222,11 +230,12 @@ object SubstrGateScale {
     (0 until 3).foreach { i =>
       val inc = docs.filter(pmod(col("doc_id"), lit(3L)) === i.toLong)
       val incRows = inc.count()
-      val b0 = { Thread.sleep(300); acc.bytes }
+      ScaleSmoke.flush(spark)
+      val b0 = acc.bytes
       val t0 = System.nanoTime()
       snk(inc, i.toLong)
       val dt = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300)
+      ScaleSmoke.flush(spark)
       val cum = graft.sources.VersionedTable.rowCount(spark,
         s"${base}_out",
         graft.sources.VersionedTable.versions(spark, s"${base}_out").last)

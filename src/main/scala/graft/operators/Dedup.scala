@@ -1189,6 +1189,13 @@ object Dedup {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     val txt = persistTracked(
       docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t")))
+    denseRunsOf(txt, minLen)
+  }
+
+  /** The dense anchor/residual/runs core over a prepared (id, t) frame
+    * — shared by [[duplicatedSubstrings]] and the sampled mode's
+    * regime-guard fallback (which already holds the persisted txt). */
+  private def denseRunsOf(txt: DataFrame, minLen: Int): DataFrame = {
     // the non-duplicated majority never reaches the self-join: ONE
     // h-partitioned window count filters in place (no second shuffle,
     // no dup-hash join), and because the persisted frame ends h-hash-
@@ -1278,7 +1285,26 @@ object Dedup {
         .winnowedAnchorRows(col("t"), minLen, w).as(Seq("pos", "h")))
 
   def duplicatedSubstringsSampled(docs: DataFrame, idCol: String,
-      textCol: String, minLen: Int, w: Int = 8): DataFrame = {
+      textCol: String, minLen: Int, w: Int = 8): DataFrame =
+    duplicatedSubstringsSampledImpl(docs, idCol, textCol, minLen, w)._1
+
+  /** [[duplicatedSubstringsSampled]] plus the REGIME-GUARD verdict
+    * (true = fell back to dense), exposed for specs. The guard: the
+    * persisted anchor prefilter already carries each surviving
+    * anchor's duplicate count `__n`, so `sum(__n - 1)` is EXACTLY the
+    * anchor self-join's pre-residual ordered-pair count — one cheap
+    * aggregate on the cached frame, before any join work. When that
+    * pair count exceeds the corpus's character count (≈ the dense
+    * operator's own gram-frame row count), the anchor join alone
+    * would ship more rows than the dense plan's whole exchange — the
+    * verbatim-twin regime where round 7 measured sampled at 3.7× the
+    * dense wall — so the operator falls back to [[denseRunsOf]] over
+    * the already-persisted txt, filtered to the same reporting bound.
+    * Both paths emit "the dense truth filtered to len ≥ minLen+w−1",
+    * so the fallback is invisible to callers and oracles. */
+  private[graft] def duplicatedSubstringsSampledImpl(docs: DataFrame,
+      idCol: String, textCol: String, minLen: Int, w: Int)
+      : (DataFrame, Boolean) = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     require(w >= 1, s"w must be >= 1, got $w")
     val txt = persistTracked(
@@ -1291,10 +1317,19 @@ object Dedup {
     // join would exchange the full anchor frame TWICE (once per side) —
     // measured MORE total shuffle than the dense operator on a
     // mostly-clean 30x corpus, the regime this mode exists for.
-    val anchors = persistTracked(winnowedAnchorFrame(txt, minLen, w)
+    val anchorsN = persistTracked(winnowedAnchorFrame(txt, minLen, w)
       .withColumn("__n",
         count(lit(1)).over(Window.partitionBy(col("h"))))
-      .filter(col("__n") > 1).drop("__n"))
+      .filter(col("__n") > 1))
+    val guard = anchorsN
+      .agg(sum(col("__n") - lit(1L)).as("p2")).head
+    val anchorPairs = if (guard.isNullAt(0)) 0L else guard.getLong(0)
+    val charsRow = txt.agg(sum(length(col("t")).cast("long"))).head
+    val chars = if (charsRow.isNullAt(0)) 0L else charsRow.getLong(0)
+    if (anchorPairs > chars)
+      return (denseRunsOf(txt, minLen)
+        .filter(col("len") >= (minLen + w - 1).toLong), true)
+    val anchors = anchorsN.drop("__n")
     // anchor join + exact residual -> matched DOCUMENT set. Note the
     // dense step below is restricted to matched DOCS, not matched
     // PAIRS: restricting to pairs would re-shuffle the dense gram-match
@@ -1322,8 +1357,8 @@ object Dedup {
           col("pos").as("pb")), Seq("h"))
         .filter(col("doc_a") < col("doc_b")),
       dtxt, dtxt, minLen)
-    maximalRuns(matches, minLen)
-      .filter(col("len") >= (minLen + w - 1).toLong)
+    (maximalRuns(matches, minLen)
+      .filter(col("len") >= (minLen + w - 1).toLong), false)
   }
 
   /** BIPARTITE exact substring overlap — the cross-corpus twin of

@@ -34,13 +34,19 @@ object Linkage {
     *    pairs carry the exact distance, so results are unchanged. */
   def linkWithin(df: DataFrame, idCol: String, nameCol: String,
       blockCols: Seq[String], maxEdit: Int): DataFrame = {
+    // every column is renamed PER SIDE before the condition is built:
+    // a(c) === b(c) over two projections of the same frame resolves to
+    // one attribute id and Spark logs "trivially true equals predicate"
+    // (it then disambiguates correctly, but the warning is noise the
+    // bench tail must stay clean of)
     def side(tag: String) = df.select(
       (col(idCol).as(s"id_$tag") +: col(nameCol).as(s"name_$tag") +:
-        blockCols.map(col)): _*)
+        blockCols.map(c => col(c).as(s"__bk_${c}_$tag"))): _*)
     val a = side("a")
     val b = side("b").hint("shuffle_hash")
-    val cond = blockCols.map(c => a(c) === b(c)).reduce(_ && _) &&
-      (a("id_a") < b("id_b"))
+    val cond = blockCols.map(c =>
+      col(s"__bk_${c}_a") === col(s"__bk_${c}_b")).reduce(_ && _) &&
+      (col("id_a") < col("id_b"))
     a.join(b, cond)
       .select(col("id_a"), col("id_b"),
         levenshtein(col("name_a"), col("name_b"), maxEdit).cast("long")
@@ -86,17 +92,23 @@ object Linkage {
       // blocked brute form)
       .withColumn("kh", graft.functions.GraftFunctions.polyHash(col("k")))
       .drop("k")
+    // per-side renames for the same reason as linkWithin: a self-join
+    // condition built from one frame's attribute ids logs trivially-
+    // true-predicate warnings before Spark disambiguates it
     def side(tag: String) = keyed.select(
       (col("id").as(s"id_$tag") +: col("name").as(s"name_$tag") +:
-        col("kh") +: blockCols.map(col)): _*)
+        col("kh").as(s"kh_$tag") +:
+        blockCols.map(c => col(c).as(s"__bk_${c}_$tag"))): _*)
     val a = side("a")
     // SHUFFLE_HASH: without the hint the ~MB-sized build side gets
     // broadcast and the whole join + verify runs at the PROBE side's
     // scan parallelism — one parquet split at small SFs, one task (same
     // trap as linkWithin; the exchange on kh is what fans the work out)
     val b = side("b").hint("shuffle_hash")
-    val cond = (blockCols.map(c => a(c) === b(c)) :+
-      (a("kh") === b("kh")) :+ (a("id_a") < b("id_b"))).reduce(_ && _)
+    val cond = (blockCols.map(c =>
+      col(s"__bk_${c}_a") === col(s"__bk_${c}_b")) :+
+      (col("kh_a") === col("kh_b")) :+
+      (col("id_a") < col("id_b"))).reduce(_ && _)
     a.join(b, cond)
       .select("id_a", "id_b", "name_a", "name_b").distinct()
       .select(col("id_a"), col("id_b"),
@@ -132,12 +144,16 @@ object Linkage {
           s"concat(array(name_$tag), transform(sequence(1, length(name_$tag)), " +
           s"i -> concat(substring(name_$tag, 1, cast(i - 1 AS INT)), " +
           s"substring(name_$tag, cast(i + 1 AS INT), length(name_$tag))))))")))
-      .withColumn("kh", graft.functions.GraftFunctions.polyHash(col("k")))
+      .withColumn(s"kh_$tag",
+        graft.functions.GraftFunctions.polyHash(col("k")))
       .drop("k")
     val a = keyed(left, "l")
     val b = keyed(right, "r").hint("shuffle_hash")
+    // the sides are distinct tables, so only the shared-name block and
+    // key columns need side-tagged references; kh is renamed per side
+    // at construction (the caller may pass the SAME frame twice)
     val cond = (blockCols.map(c => a(c) === b(c)) :+
-      (a("kh") === b("kh"))).reduce(_ && _)
+      (col("kh_l") === col("kh_r"))).reduce(_ && _)
     a.join(b, cond)
       .select("id_l", "id_r", "name_l", "name_r").distinct()
       .select(col("id_l"), col("id_r"),

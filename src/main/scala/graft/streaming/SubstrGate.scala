@@ -14,18 +14,26 @@ import graft.sources.VersionedTable
   * provably equals the one-shot batch operator over the stream's
   * prefix (`SubstrGateSpec` asserts it batch by batch).
   *
-  * State is TWO [[VersionedTable]]s: the document texts (id, t) — the
-  * residual-verify and excise substrate — and the positional gram
-  * index (id, pos, h), appended increment-sized per batch so the
-  * corpus is never re-grammed. Per batch: increment grams join the
-  * PINNED stored index on the 64-bit anchor hash, survivors pass the
-  * exact substring-equality residual against the pinned stored texts
-  * plus the batch's own, pairs orient to (min id, max id), and the
-  * diagonal-runs grouping emits maximal spans; intra-batch runs come
-  * from the batch operator itself. Cross and intra pair sets are
-  * disjoint (one side strictly earlier vs both in the batch), and a
-  * pair's gram matches all live on one side of that split, so the
-  * appended union is exactly the prefix operator's increment.
+  * State is TWO [[BucketedState]] tables, each bucketed by its join
+  * key AT REST: the positional gram index (id, pos, h) bucketed by
+  * `h`, and the document texts (id, t) — the residual-verify
+  * substrate — bucketed by `id`. Per batch the increment grams join
+  * the PINNED stored index on the 64-bit anchor hash as a
+  * shuffled-hash join whose BUILD side is the increment: the stored
+  * index streams out of its own bucket files with NO exchange and NO
+  * sort, so the batch's shuffle bill is increment-sized however much
+  * state has accumulated (the round-7 layout re-shuffled the entire
+  * index every batch — 13.7 GB by batch 2 on the 30× probe; the
+  * bucketed layout holds per-batch exchange flat, `SubstrGateScale`
+  * measures it). Survivors pass the exact substring-equality residual
+  * against the pinned stored texts (bucketed by id — same
+  * increment-only exchange shape) plus the batch's own, pairs orient
+  * to (min id, max id), and the diagonal-runs grouping emits maximal
+  * spans; intra-batch runs come from the batch operator itself. Cross
+  * and intra pair sets are disjoint (one side strictly earlier vs
+  * both in the batch), and a pair's gram matches all live on one side
+  * of that split, so the appended union is exactly the prefix
+  * operator's increment.
   *
   * Doc ids are expected unique across the stream; if an id already in
   * the stored state is re-delivered in a later batch anyway, the
@@ -36,39 +44,45 @@ import graft.sources.VersionedTable
   * State size honesty: the gram index is ~24 bytes per character
   * position — the same order as the suffix structures exact
   * substring dedup needs in any architecture; at 100 TB it shards by
-  * hash like any index table, and the per-batch cost is one
-  * increment-grams-vs-index hash join, never a corpus re-scan of
-  * text.
+  * hash like any index table (`nBuckets` is that shard count — size
+  * it for the cluster, not the increment), and the per-batch cost is
+  * one increment-grams-vs-index hash join, never a corpus re-scan.
   *
   * Exactly-once rides [[GateKit]]: the output commit is the completion
-  * marker ([[GateKit.runOnce]]); commits land in order grams → docs →
-  * runs, each idempotent per batch id; and a replay whose gram/doc
-  * appends already landed PINS the pre-batch versions
-  * ([[GateKit.pinnedBefore]]) — reading latest would pair the
-  * increment against its own replayed grams and double-report intra
-  * runs as cross runs. */
+  * marker ([[GateKit.runOnce]]); state appends land before it, each
+  * idempotent per batch id ([[BucketedState.appendOnce]]); and a
+  * replay reads the state as it stood BEFORE the batch by partition
+  * pruning (`__bt < batchId` — [[BucketedState.readBefore]]), whether
+  * or not the batch's own appends landed — reading latest would pair
+  * the increment against its own replayed grams and double-report
+  * intra runs as cross runs. */
 object SubstrGate {
 
   /** `docs.writeStream.foreachBatch(SubstrGate.sink(...))`. */
   def sink(docsPath: String, gramsPath: String, outPath: String,
-      idCol: String, textCol: String, minLen: Int)
+      idCol: String, textCol: String, minLen: Int, nBuckets: Int = 32)
       : (DataFrame, Long) => Unit = (batch, batchId) => {
     val spark = batch.sparkSession
     GateKit.runOnce(spark, outPath, batchId) {
       val inc = Dedup.persistTracked(batch.select(
         col(idCol).cast("long").as("id"), col(textCol).as("t")))
-      val cross = (GateKit.readPinnedBefore(spark, gramsPath, batchId),
-          GateKit.readPinnedBefore(spark, docsPath, batchId)) match {
+      val cross = (BucketedState.readBefore(spark, gramsPath, batchId),
+          BucketedState.readBefore(spark, docsPath, batchId)) match {
         case (Some(baseG), Some(baseT)) =>
           val incG = Dedup.gramFrame(inc, minLen)
-          // orient BEFORE the runs grouping: doc_a = min id carries pa
+          // orient BEFORE the runs grouping: doc_a = min id carries pa.
+          // The increment side carries the shuffle_hash hint: it is the
+          // BUILD side, the bucketed index STREAMS exchange-free.
           val matches = Dedup.verifyGramMatches(
             baseG.select(col("h"), col("id").as("doc_a"),
                 col("pos").as("pa"))
               .join(incG.select(col("h"), col("id").as("doc_b"),
-                col("pos").as("pb")), Seq("h"))
+                col("pos").as("pb")).hint("shuffle_hash"), Seq("h"))
               // a re-delivered id must not pair with its stored copy
-              .filter(col("doc_a") =!= col("doc_b")),
+              .filter(col("doc_a") =!= col("doc_b"))
+              // match-sized from here on: the pinned-text join must
+              // not inherit the index's bucket count as its plan shape
+              .hint("shuffle_hash"),
             baseT, inc, minLen)
           val oriented = matches.select(
             least(col("doc_a"), col("doc_b")).as("doc_a2"),
@@ -86,9 +100,9 @@ object SubstrGate {
             .toDF("doc_a", "doc_b", "start_a", "start_b", "len")
       }
       val intra = Dedup.duplicatedSubstrings(inc, "id", "t", minLen)
-      VersionedTable.streamingCommit(Dedup.gramFrame(inc, minLen),
-        batchId, gramsPath, "append")
-      VersionedTable.streamingCommit(inc, batchId, docsPath, "append")
+      BucketedState.appendOnce(Dedup.gramFrame(inc, minLen), gramsPath,
+        batchId, "h", nBuckets)
+      BucketedState.appendOnce(inc, docsPath, batchId, "id", nBuckets)
       VersionedTable.streamingCommit(cross.unionByName(intra), batchId,
         outPath, "append")
     }

@@ -246,6 +246,52 @@ class ShuffleBudgetSpec extends SparkSpec {
         "the anchor exchange should be a small fraction")
   }
 
+  test("substring gate: per-batch shuffle tracks the INCREMENT, not accumulated state") {
+    // round 7's one scale-killer, closed and pinned: the gram/doc state
+    // tables are bucketed by their join keys at rest (BucketedState), so
+    // batch N's state join exchanges only the increment — on a corpus
+    // with NO cross-batch duplicates (unique hex text) the per-batch
+    // shuffle must stay FLAT while state doubles and triples. The old
+    // VersionedTable layout re-shuffled all accumulated state: batch 3
+    // paid ~3x batch 2's join exchange and this assertion fails on it.
+    import spark.implicits._
+    def jobShuffle(body: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            acc.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        org.apache.spark.sql.GraftSqlBridge.flushListeners(spark.sparkContext)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      acc.get()
+    }
+    def mix(x: Long): Long = {
+      var z = x * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def batchDf(b: Int) = (0 until 300).map { i =>
+      val id = b * 1000L + i
+      (id, (0 until 15).map(k => f"${mix(id * 31L + k)}%016x").mkString)
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sbudget").toString
+    val snk = graft.streaming.SubstrGate.sink(s"$dir/docs",
+      s"$dir/grams", s"$dir/out", "doc_id", "text", minLen = 30)
+    val walls = (0 until 3).map(b => jobShuffle(snk(batchDf(b), b.toLong)))
+    assert(walls.forall(_ > 0), s"per-batch shuffle: $walls")
+    // batch 1 joins 1 increment of state, batch 2 joins 2: a layout
+    // that re-shuffles state pays ~+1 increment of exchange at batch 2
+    assert(walls(2) < walls(1) * 1.35,
+      s"per-batch shuffle grew with accumulated state: $walls")
+  }
+
   test("MaxSim: exchanges carry (doc, qtok, int) grid rows, never vectors") {
     withoutAqe {
       val emb = Tables(spark, dir, "embeddings")

@@ -182,9 +182,43 @@ class SubstringDedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 3L, 4L, 8L)), s"got=$got")
   }
 
+  /** Reference winnowing: the aggregate-HOF window-min fold (identical
+    * hash — SQL xxhash64 over the CODEPOINT substring — and identical
+    * rightmost tie-break via the <= replacement). Pure Spark SQL, so
+    * it is also the arbiter of codepoint semantics for non-ASCII docs:
+    * the native generator's hand-rolled UTF-8 offset table must land
+    * on the same substrings Spark's substring() selects. */
+  private def hofAnchors(txt: org.apache.spark.sql.DataFrame,
+      l: Int, w: Int): Set[String] = {
+    import org.apache.spark.sql.functions.{col, explode, expr}
+    txt.select(col("id"), expr(
+      s"""CASE WHEN length(t) >= ${l + w - 1} THEN
+            transform(sequence(1, length(t) - ${l - 1}),
+              i -> xxhash64(substring(t, i, $l)))
+          ELSE CAST(array() AS ARRAY<BIGINT>) END""").as("hs"))
+      .select(col("id"), explode(expr(
+        s"""CASE WHEN size(hs) >= $w THEN
+              transform(
+                array_distinct(
+                  transform(sequence(1, size(hs) - ${w - 1}),
+                    s -> aggregate(sequence(s + 1, s + ${w - 1}),
+                           struct(element_at(hs, s) AS mh,
+                                  CAST(s AS BIGINT) AS mp),
+                           (st, i) -> CASE
+                             WHEN element_at(hs, i) <= st.mh
+                             THEN struct(element_at(hs, i) AS mh,
+                                         CAST(i AS BIGINT) AS mp)
+                             ELSE st END).mp)),
+                p -> struct(p AS pos,
+                            element_at(hs, CAST(p AS INT)) AS h))
+            ELSE CAST(array()
+              AS ARRAY<STRUCT<pos: BIGINT, h: BIGINT>>) END""")).as("g"))
+      .select(col("id"), col("g.pos").as("pos"), col("g.h").as("h"))
+      .collect().map(_.toString).toSet
+  }
+
   test("native winnowing generator equals the SQL HOF formulation of the same selection") {
     import spark.implicits._
-    import org.apache.spark.sql.functions.{col, explode, expr}
     val gen = for {
       docs <- genDocs
       l <- Gen.choose(3, 6)
@@ -194,37 +228,72 @@ class SubstringDedupSpec extends SparkSpec {
       val txt = docs.toDF("id", "t")
       val got = Dedup.winnowedAnchorFrame(txt, l, w)
         .collect().map(_.toString).toSet
-      // reference: the aggregate-HOF window-min fold (identical hash —
-      // SQL xxhash64 over the codepoint substring — and identical
-      // rightmost tie-break via the <= replacement)
-      val want = txt.select(col("id"), expr(
-        s"""CASE WHEN length(t) >= ${l + w - 1} THEN
-              transform(sequence(1, length(t) - ${l - 1}),
-                i -> xxhash64(substring(t, i, $l)))
-            ELSE CAST(array() AS ARRAY<BIGINT>) END""").as("hs"))
-        .select(col("id"), explode(expr(
-          s"""CASE WHEN size(hs) >= $w THEN
-                transform(
-                  array_distinct(
-                    transform(sequence(1, size(hs) - ${w - 1}),
-                      s -> aggregate(sequence(s + 1, s + ${w - 1}),
-                             struct(element_at(hs, s) AS mh,
-                                    CAST(s AS BIGINT) AS mp),
-                             (st, i) -> CASE
-                               WHEN element_at(hs, i) <= st.mh
-                               THEN struct(element_at(hs, i) AS mh,
-                                           CAST(i AS BIGINT) AS mp)
-                               ELSE st END).mp)),
-                  p -> struct(p AS pos,
-                              element_at(hs, CAST(p AS INT)) AS h))
-              ELSE CAST(array()
-                AS ARRAY<STRUCT<pos: BIGINT, h: BIGINT>>) END""")).as("g"))
-        .select(col("id"), col("g.pos").as("pos"), col("g.h").as("h"))
-        .collect().map(_.toString).toSet
+      val want = hofAnchors(txt, l, w)
       val ok = got == want
       if (!ok) println(s"FAIL l=$l w=$w docs=$docs\n got=$got\n want=$want")
       ok
     }, 20)
+  }
+
+  test("native winnowing generator matches Spark codepoint semantics on multibyte text") {
+    import spark.implicits._
+    // 1/2/3/4-byte codepoints, including a SUPPLEMENTARY one (𝕏 — two
+    // Java chars, one codepoint): the generator's hand-rolled UTF-8
+    // codepoint-offset table must select the same substrings and
+    // positions as Spark's own substring()/xxhash64 (the HOF arbiter).
+    // A mismatch silently drops anchors — the exact-residual filter
+    // would hide it as false-negative spans, so this is the one place
+    // the byte table is tested directly.
+    val cps = Seq("a", "b", "é", "ß", "ह", "世", "𝕏", "🜁")
+    val gen = for {
+      n <- Gen.choose(1, 5)
+      block <- Gen.listOfN(6, Gen.oneOf(cps)).map(_.mkString)
+      docs <- Gen.listOfN(n, for {
+        m <- Gen.choose(0, 18)
+        segs <- Gen.listOfN(m, Gen.oneOf(cps))
+        plant <- Gen.oneOf(true, false)
+      } yield if (plant) segs.mkString + block else segs.mkString)
+      l <- Gen.choose(3, 6)
+      w <- Gen.choose(2, 5)
+    } yield (docs.zipWithIndex.map { case (t, i) => (i + 1L, t) }, l, w)
+    check(Prop.forAllNoShrink(gen) { case (docs, l, w) =>
+      val txt = docs.toDF("id", "t")
+      val got = Dedup.winnowedAnchorFrame(txt, l, w)
+        .collect().map(_.toString).toSet
+      val want = hofAnchors(txt, l, w)
+      val ok = got == want
+      if (!ok) println(s"FAIL l=$l w=$w docs=$docs\n got=$got\n want=$want")
+      ok
+    }, 20)
+  }
+
+  test("regime guard: twin-heavy corpora fall back to dense; planted-block corpora stay sampled") {
+    import spark.implicits._
+    // six verbatim twins: every anchor survives with __n = 6, so the
+    // ordered-pair count (sum of __n - 1) is ~5x the anchor count and
+    // clears the corpus character count — the guard must choose dense
+    val twins = (1L to 6L)
+      .map(i => (i, "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmn"))
+    val (d1, fell1) = Dedup.duplicatedSubstringsSampledImpl(
+      twins.toDF("doc_id", "text"), "doc_id", "text", 6, 3)
+    val got1 = runsOf(d1)
+    assert(fell1, "verbatim twins must trip the dense fallback")
+    assert(got1 == bruteRuns(twins, 6).filter(_._5 >= 8L),
+      "fallback output must be the dense truth at the reporting bound")
+    // mostly-clean: distinct pseudo-random docs, one planted shared
+    // block between two of them — surviving anchors are block-only,
+    // far below the character count: the sampled path must be kept
+    val clean = (1L to 8L).map { i =>
+      val base = (0 until 60)
+        .map(j => ('a' + ((i * 7 + j * 13 + j * j * i) % 26)).toChar)
+        .mkString
+      (i, if (i <= 2) base + "SHAREDBLOCK123" else base)
+    }
+    val (d2, fell2) = Dedup.duplicatedSubstringsSampledImpl(
+      clean.toDF("doc_id", "text"), "doc_id", "text", 6, 3)
+    val got2 = runsOf(d2)
+    assert(!fell2, "a mostly-clean corpus must stay on the sampled path")
+    assert(got2 == bruteRuns(clean, 6).filter(_._5 >= 8L))
   }
 
   test("random corpora: sampled anchors equal the brute force above the reporting bound") {

@@ -77,9 +77,9 @@ class SubstrGateSpec extends SparkSpec {
     val b3 = Seq(SubDoc(8, "ABCDEFGH1234"), SubDoc(9, "ABCDEFGH1234"))
     val incB3 = b3.toDF().selectExpr("CAST(doc_id AS BIGINT) AS id",
       "text AS t")
-    VersionedTable.streamingCommit(
-      Dedup.gramFrame(incB3, L), 7L, gramsPath, "append")
-    VersionedTable.streamingCommit(incB3, 7L, docsPath, "append")
+    BucketedState.appendOnce(
+      Dedup.gramFrame(incB3, L), gramsPath, 7L, "h", 32)
+    BucketedState.appendOnce(incB3, docsPath, 7L, "id", 32)
     snk(b3.toDF(), 7L)
     assert(canon(VersionedTable.read(spark, outPath)) ==
       batchTruth(seen ++ b3),
