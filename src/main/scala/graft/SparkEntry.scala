@@ -440,6 +440,26 @@ object SparkEntry {
       snk(docs.filter(col("doc_id") % 2 =!= 0), 1L)
       graft.sources.VersionedTable.read(s, paths(2))
     }),
+    // ----- STREAMING semantic-dedup gate (the sixth gate): embeddings
+    // arrive in two micro-batches (even vec_ids train the frozen
+    // quantizer, odd arrive second); every arrival is checked against
+    // the pinned bucketed state through the PQ-ADC screen + exact-
+    // cosine refine, and the cumulative pair table must equal the
+    // frozen-quantizer batch operator (cellPairsFrozen) over the whole
+    // corpus — the oracle replays the unit-normalized k-means on the
+    // even half and the within-cell pair truth in SQL. Same state
+    // reset discipline as q_substr_gate -----
+    "q_sem_gate" -> ((s, dir) => {
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val emb = t(s, dir, "embeddings")
+      val paths = Seq("state", "out").map(p => s"/tmp/graft_semg_${p}_$suffix")
+      paths.foreach(p => freshFixtureDir(p))
+      val snk = graft.streaming.SemGate.sink(paths(0), paths(1),
+        "vec_id", "embedding", threshold = 0.3)
+      snk(emb.filter(col("vec_id") % 2 === 0), 0L)
+      snk(emb.filter(col("vec_id") % 2 =!= 0), 1L)
+      graft.sources.VersionedTable.read(s, paths(1))
+    }),
     // ----- sampled-anchor exact substring dedup: the ~w x cheaper
     // corpus exchange (winnowed anchors -> verified pairs -> pair-
     // restricted dense recompute), reporting every span >= 30+8-1 = 37
@@ -7004,6 +7024,29 @@ object SparkEntry {
                      GROUP BY b.vec_id)
            SELECT c.vec_id, c.cell, p.dup_of, p.dup_of IS NULL AS keep
            FROM cc c LEFT JOIN pairs p ON c.vec_id = p.id_b""",
+      // the streaming semantic gate's truth: the SAME unrolled Lloyd
+      // chain, but over UNIT vectors and trained on the EVEN half (the
+      // stream's first batch — the frozen quantizer), assignment over
+      // everyone, then ALL within-cell pairs above the cosine
+      // threshold (raw-vector cosine). The gate's PQ-ADC screen is
+      // provably conservative + exact-refined, so the oracle never
+      // replays the PQ.
+      "q_sem_gate" ->
+        s"""WITH dv AS (SELECT vec_id, ${duckUnitVec("embedding")} AS v,
+                               embedding FROM embeddings),
+           init AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, v AS c
+                    FROM dv WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 8),
+           ${kmAssign("init", "a1", " AND vec_id % 2 = 0")},
+           ${kmUpdate("a1", "init", "c1")},
+           ${kmAssign("c1", "a2", " AND vec_id % 2 = 0")},
+           ${kmUpdate("a2", "c1", "c2")},
+           ${kmAssign("c2", "cc", "")}
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  ${duckCosine("ae.embedding", "be.embedding")} AS cosine
+           FROM cc a JOIN cc b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           JOIN dv ae ON ae.vec_id = a.vec_id
+           JOIN dv be ON be.vec_id = b.vec_id
+           WHERE ${duckCosine("ae.embedding", "be.embedding")} >= 0.3""",
       "q_dedup_agreement" ->
         s"""WITH $kmeansChain,
            epairs AS (SELECT b.vec_id AS id_b

@@ -104,6 +104,17 @@ object XFormulas {
   def duckCosine(a: String, b: String): String =
     s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
 
+  // ---- unit-normalized DOUBLE list of a float-vector expression ----
+  // The cosine geometry the semantic-dedup index lives in (cos(a,b) =
+  // 1 - |â-b̂|²/2, so a cosine threshold is an L2 radius on unit
+  // vectors). Norm = the same left-fold dot as sparkDot/duckDot —
+  // bit-identical across engines; sqrt and division are IEEE
+  // correctly-rounded on both.
+  def sparkUnitVec(v: String): String =
+    s"transform($v, x -> CAST(x AS DOUBLE) / sqrt(${sparkDot(v, v)}))"
+  def duckUnitVec(v: String): String =
+    s"list_transform($v, x -> x::DOUBLE / sqrt(${duckDot(v, v)}))"
+
   // ---- squared L2 distance between two DOUBLE-vector expressions ----
   // Same fold-order contract as sparkDot/duckDot: element-wise squared
   // diffs in index order, left fold — bit-identical across engines.

@@ -762,6 +762,75 @@ object Similarity {
     df.withColumn(outCol, GraftFunctions.matVec(col(vecCol), mat, k, d))
   }
 
+  // ------------------------------------------------------------------
+  // Frozen-quantizer semantic dedup (the streaming SemGate's contract)
+  // ------------------------------------------------------------------
+
+  /** Unit-normalized DOUBLE vector of a float-vector column — the
+    * cosine geometry the semantic-dedup index lives in: on unit
+    * vectors, cos(a,b) ≥ t ⟺ ‖â−b̂‖² ≤ 2−2t, so a cosine threshold
+    * becomes an L2 radius the PQ screen can bound. Fold order matches
+    * [[graft.functions.XFormulas.duckUnitVec]] bit-for-bit. */
+  def unitVec(vecCol: String): Column =
+    expr(graft.functions.XFormulas.sparkUnitVec(vecCol))
+
+  /** Centroids as a persistable (cell, c) frame (the gate commits this
+    * as its frozen coarse quantizer) and back. The collect is
+    * ncells-bounded — codebook-sized, never corpus-sized. */
+  def centToFrame(spark: org.apache.spark.sql.SparkSession,
+      cent: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    cent.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+      .toDF("cell", "c")
+  }
+
+  def centFromFrame(df: DataFrame): Array[Array[Double]] =
+    df.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+
+  /** Each vector with its FROZEN cell: (vid, vv original floats, nv
+    * unit doubles, cell by nearest frozen centroid over nv). */
+  private[graft] def assignFrozenCells(vectors: DataFrame, idCol: String,
+      vecCol: String, cent: Array[Array[Double]]): DataFrame =
+    vectors.select(col(idCol).cast("long").as("vid"),
+        col(vecCol).as("vv"), unitVec(vecCol).as("nv"))
+      .withColumn("cell", nearestCell(col("nv"), cent))
+
+  /** Residual of a unit vector wrt its frozen cell centroid — what the
+    * gate PQ-encodes (the IVF-PQ residual discipline, here over the
+    * normalized space). */
+  private[graft] def frozenResidual(nv: Column, cellCol: Column,
+      cent: Array[Array[Double]]): Column =
+    zip_with(nv, element_at(typedLit(cent.map(_.toSeq).toSeq),
+      cellCol.cast("int") + 1), (x, c) => x - c)
+
+  /** BATCH TRUTH of the streaming semantic-dedup gate: SemDeDup with a
+    * FROZEN quantizer — every within-cell pair (id_a < id_b, cells by
+    * nearest frozen centroid over the UNIT vectors) whose exact cosine
+    * over the ORIGINAL vectors clears the threshold, as (id_a, id_b,
+    * cosine). Unlike [[semDedup]] (which re-clusters per run), the
+    * frozen quantizer makes the pair set PREFIX-MONOTONE: a vector's
+    * cell never changes, so streaming a corpus through the gate in any
+    * batch split accumulates exactly this operator's output — the
+    * contract `SemGateSpec`/`GatePropertySpec` pin and the q_sem_gate
+    * oracle replays. Production SemDeDup runs exactly this regime
+    * between re-clusterings; a re-cluster opens a new gate epoch. */
+  def cellPairsFrozen(vectors: DataFrame, idCol: String, vecCol: String,
+      cent: Array[Array[Double]], threshold: Double): DataFrame = {
+    val a = Dedup.persistTracked(
+      assignFrozenCells(vectors, idCol, vecCol, cent)
+        .select(col("vid"), col("vv"), col("cell")))
+    a.select(col("vid").as("id_a"), col("vv").as("v_a"), col("cell"))
+      .join(a.select(col("vid").as("id_b"), col("vv").as("v_b"),
+        col("cell")), "cell")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        GraftFunctions.cosineSim(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Approximate top-k: only candidates whose LSH signature matches the
     * query's. Recall < 1; candidate work divided by ~2^nbits. */
   def lshTopK(candidates: DataFrame, queries: DataFrame, idCol: String,

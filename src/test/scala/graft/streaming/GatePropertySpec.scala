@@ -113,6 +113,56 @@ class GatePropertySpec extends SparkSpec {
     }, 10)
   }
 
+  test("SemGate: random vector sets under random batch splits equal the frozen-quantizer operator") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    // vectors from a few directions plus jitter: near-dups inside a
+    // direction, cells data-dependent; splits where the first non-empty
+    // batch is tiny exercise the no-PQ (unscreened) path
+    val genCase = for {
+      n <- Gen.choose(0, 16)
+      vecs <- Gen.listOfN(n, for {
+        d <- Gen.choose(0, 2)
+        j <- Gen.choose(0, 4)
+      } yield Array.tabulate(8)(i =>
+        (if (i == d) 10f else 0f) + 0.1f * ((i * 7 + j * 13 + d) % 5)))
+      split <- genSplit(vecs.zipWithIndex.map { case (v, i) =>
+        (i.toLong + 1L, v) })
+    } yield split
+    check(Prop.forAllNoShrink(genCase) { batches =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-smp").toString
+      val snk = SemGate.sink(s"$dir/state", s"$dir/out",
+        "vec_id", "embedding", 0.9, ncells = 2, kmIters = 2,
+        m = 2, ks = 4, sd = 4, pqIters = 1, nBuckets = 8)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        snk(b.toDF("vec_id", "embedding"), i.toLong) }
+      val all = batches.flatten
+      val want = batches.find(_.nonEmpty) match {
+        case None => Set.empty[String]
+        case Some(first) =>
+          val cent = Similarity.kmeansCodebook(
+            first.toDF("vec_id", "embedding").select(col("vec_id"),
+              Similarity.unitVec("embedding").as("nv")),
+            "vec_id", "nv", ncells = 2, iters = 2)
+          canon(Similarity.cellPairsFrozen(
+            all.toDF("vec_id", "embedding"), "vec_id", "embedding",
+            cent, 0.9))
+      }
+      val got = {
+        val vs = VersionedTable.versions(spark, s"$dir/out")
+        if (vs.isEmpty ||
+            VersionedTable.rowCount(spark, s"$dir/out", vs.last) == 0L)
+          Set.empty[String]
+        else canon(VersionedTable.read(spark, s"$dir/out"))
+      }
+      val ok = got == want
+      if (!ok) println(s"FAIL batches=${batches.map(_.map(_._1))}\n got=$got\n want=$want")
+      ok
+    }, 10)
+  }
+
   test("ChangepointGate: random event streams under random batch splits equal the batch CUSUM") {
     import spark.implicits._
     def nanos(day: Long, j: Long) =
