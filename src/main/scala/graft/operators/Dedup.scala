@@ -1195,13 +1195,23 @@ object Dedup {
   /** The dense anchor/residual/runs core over a prepared (id, t) frame
     * — shared by [[duplicatedSubstrings]] and the sampled mode's
     * regime-guard fallback (which already holds the persisted txt). */
-  private def denseRunsOf(txt: DataFrame, minLen: Int): DataFrame = {
+  private def denseRunsOf(txt: DataFrame, minLen: Int): DataFrame =
+    denseRunsFromGrams(txt, gramFrame(txt, minLen), minLen)
+
+  /** [[denseRunsOf]] over a CALLER-SUPPLIED gram frame — the streaming
+    * gate grams its increment once (persisted h-partitioned) and feeds
+    * the same frame to this intra pass, the cross join, and the state
+    * append, so the increment is grammed and exchanged once per batch
+    * instead of three times. */
+  private[graft] def denseRunsFromGrams(txt: DataFrame, grams: DataFrame,
+      minLen: Int): DataFrame = {
     // the non-duplicated majority never reaches the self-join: ONE
     // h-partitioned window count filters in place (no second shuffle,
-    // no dup-hash join), and because the persisted frame ends h-hash-
-    // partitioned, the self-join below reuses that partitioning
+    // no dup-hash join; a pre-h-partitioned gram frame makes it
+    // exchange-free outright), and because the persisted frame ends
+    // h-hash-partitioned, the self-join below reuses that partitioning
     // exchange-free
-    val gd = persistTracked(gramFrame(txt, minLen)
+    val gd = persistTracked(grams
       .withColumn("__n",
         count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("__n") > 1).drop("__n"))

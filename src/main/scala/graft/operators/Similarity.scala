@@ -581,6 +581,31 @@ object Similarity {
     val shortlist = ivfPqTopK(candidates, qp, idCol, vecCol,
       rerank, ncells, kmIters, nprobe, m, ks, sd, seedFilter)
       .select(col("qid"), col("cid"))
+    rerankExact(shortlist, candidates, qp, idCol, vecCol, k)
+  }
+
+  /** [[ivfPqRefineTopK]] served from a PREBUILT (cid, cell, codes)
+    * index + codebook row + coarse centroids — the build-once /
+    * serve-many form of the refine funnel. Results are identical by
+    * construction: same probe rule, same ADC shortlist, same exact
+    * rerank and tie-break — only where the index bytes come from
+    * changes. */
+  def ivfPqRefineStoredTopK(index: DataFrame, cbRow: DataFrame,
+      cent: Array[Array[Double]], candidates: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      rerank: Int, nprobe: Int = 2, m: Int = 8, sd: Int = 8): DataFrame = {
+    val qp = Dedup.persistTracked(
+      queries.select(col(idCol), col(vecCol)))
+    val shortlist = ivfPqStoredTopK(index, cbRow, cent, qp, idCol,
+      vecCol, rerank, nprobe, m, sd).select(col("qid"), col("cid"))
+    rerankExact(shortlist, candidates, qp, idCol, vecCol, k)
+  }
+
+  /** The exact-cosine rerank stage shared by the refine funnels: fetch
+    * ONLY the shortlisted candidates' true vectors, score exactly,
+    * rank within the shortlist (ties by cid). */
+  private def rerankExact(shortlist: DataFrame, candidates: DataFrame,
+      qp: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val cv = candidates.select(col(idCol).as("cid"), col(vecCol).as("cv"))
     val qv = broadcast(
       qp.select(col(idCol).as("qid"), col(vecCol).as("qv")))

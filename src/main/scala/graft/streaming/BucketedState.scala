@@ -120,8 +120,11 @@ object BucketedState {
     // logically empty even if a crashed first append left debris
     if (!f.exists(markersRoot(path)) || !f.exists(schemaPath(path))) {
       // fresh state: a same-path table from a deleted fixture would
-      // otherwise read stale catalog partitions over missing files
-      spark.sql(s"DROP TABLE IF EXISTS $name")
+      // otherwise read stale catalog partitions over missing files.
+      // tableExists first — a catalog lookup — so the common fresh case
+      // pays no DDL round-trip at all
+      if (spark.catalog.tableExists(name))
+        spark.sql(s"DROP TABLE $name")
       false
     } else {
       if (!spark.catalog.tableExists(name)) reRegister(spark, path)
@@ -138,29 +141,42 @@ object BucketedState {
     * the batch adds ONE file per non-empty bucket; this increment-
     * sized exchange plus the join's increment-side exchange is the
     * batch's whole shuffle bill, state never moves. */
+  /** `prePartitioned = true`: the caller already holds `df` exchanged
+    * as `repartition(nBuckets, bucketCol)` (e.g. a persisted increment
+    * whose partitioning the batch's join also reuses) — skip the
+    * writer-side exchange instead of paying it twice. */
   def appendOnce(df: DataFrame, path: String, batchId: Long,
-      bucketCol: String, nBuckets: Int): Unit = {
+      bucketCol: String, nBuckets: Int,
+      prePartitioned: Boolean = false): Unit = {
     val spark = df.sparkSession
     val f = fs(spark, path)
     if (committedBatches(spark, path).contains(batchId)) return
     val live = ensureRegistered(spark, path)
     val name = tableName(path)
     // crashed attempt: its files are unregistered (invisible) but a
-    // re-append into the same directory would double them
+    // re-append into the same directory would double them. The catalog
+    // partition can only exist if the directory did (a committed
+    // append), so the DDL round-trip is gated on the same check
     val partDir = new Path(dataDir(path), s"__bt=$batchId")
-    if (f.exists(partDir)) f.delete(partDir, true)
-    if (live) spark.sql(
-      s"ALTER TABLE $name DROP IF EXISTS PARTITION (__bt=$batchId)")
+    if (f.exists(partDir)) {
+      f.delete(partDir, true)
+      if (live) spark.sql(
+        s"ALTER TABLE $name DROP IF EXISTS PARTITION (__bt=$batchId)")
+    }
     f.mkdirs(markersRoot(path))
     writeSchemaSidecar(spark, path, df.schema.toDDL, bucketCol, nBuckets)
-    df.withColumn("__bt", lit(batchId))
-      .repartition(nBuckets, col(bucketCol))
+    val aligned =
+      if (prePartitioned) df
+      else df.repartition(nBuckets, col(bucketCol))
+    aligned.withColumn("__bt", lit(batchId))
       .write.mode("append").format("parquet")
       .partitionBy("__bt")
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .option("path", dataDir(path).toString)
       .saveAsTable(name)
-    spark.catalog.refreshTable(name)
+    // (no refreshTable: the insert path invalidates the cached relation
+    // itself; SubstrGateSpec/SemGateSpec read-after-append would catch
+    // a stale listing)
     // marker LAST: the append is the work, the marker is the commit
     f.create(markerPath(path, batchId), true).close()
   }

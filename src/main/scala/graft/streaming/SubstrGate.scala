@@ -66,10 +66,17 @@ object SubstrGate {
     GateKit.runOnce(spark, outPath, batchId) {
       val inc = Dedup.persistTracked(batch.select(
         col(idCol).cast("long").as("id"), col(textCol).as("t")))
+      // gram + bucket-align the increment ONCE: the persisted
+      // HashPartitioning(h, nBuckets) is exactly the stored index's
+      // bucket function, so the cross join is CO-PARTITIONED (zero
+      // exchange on either side), the intra pass's prefilter window
+      // runs exchange-free, and the state append skips the writer-side
+      // exchange — one gram pass + one exchange per batch, total.
+      val incG = Dedup.persistTracked(Dedup.gramFrame(inc, minLen)
+        .repartition(nBuckets, col("h")))
       val cross = (BucketedState.readBefore(spark, gramsPath, batchId),
           BucketedState.readBefore(spark, docsPath, batchId)) match {
         case (Some(baseG), Some(baseT)) =>
-          val incG = Dedup.gramFrame(inc, minLen)
           // orient BEFORE the runs grouping: doc_a = min id carries pa.
           // The increment side carries the shuffle_hash hint: it is the
           // BUILD side, the bucketed index STREAMS exchange-free.
@@ -99,9 +106,9 @@ object SubstrGate {
           Seq.empty[(Long, Long, Long, Long, Long)]
             .toDF("doc_a", "doc_b", "start_a", "start_b", "len")
       }
-      val intra = Dedup.duplicatedSubstrings(inc, "id", "t", minLen)
-      BucketedState.appendOnce(Dedup.gramFrame(inc, minLen), gramsPath,
-        batchId, "h", nBuckets)
+      val intra = Dedup.denseRunsFromGrams(inc, incG, minLen)
+      BucketedState.appendOnce(incG, gramsPath, batchId, "h", nBuckets,
+        prePartitioned = true)
       BucketedState.appendOnce(inc, docsPath, batchId, "id", nBuckets)
       VersionedTable.streamingCommit(cross.unionByName(intra), batchId,
         outPath, "append")
