@@ -152,21 +152,32 @@ object ScaleSmoke {
   * grows ~K× (it always ships the full gram frame), and the sampled
   * mode's exchange grows only with anchors + the duplicated MINORITY. */
 object SubstrCleanScale {
+
+  /** K salted copies of the documents table: copy-specific letters
+    * spliced every 16 chars (DOTALL) kill every cross-copy 30-gram
+    * while each copy keeps the source corpus's own twins — the
+    * mostly-clean regime shared by this probe and
+    * [[SubstrGateCleanScale]]. */
+  private[graft] def saltedDocs(spark: SparkSession, src: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val base = spark.read.parquet(s"$src/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    (0 until k).map { i =>
+      base.select(
+        (col("doc_id") + lit(i * 100000000000L)).as("doc_id"),
+        regexp_replace(col("text"), "(?s)(.{16})",
+          "$1" + ('a' + i % 26).toChar + ('a' + i / 26).toChar)
+          .as("text"))
+    }.reduce(_.unionAll(_))
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val k = if (args.length > 1) args(1).toInt else 30
     val spark = ScaleSmoke.session(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     spark.sparkContext.setLogLevel("ERROR")
-    val base = spark.read.parquet(s"$src/documents.parquet")
-      .select(col("doc_id"), col("text"))
-    val docs = (0 until k).map { i =>
-      base.select(
-        (col("doc_id") + lit(i * 100000000000L)).as("doc_id"),
-        regexp_replace(col("text"), "(?s)(.{16})",
-          "$1" + ('a' + i % 26).toChar + ('a' + i / 26).toChar)
-          .as("text"))
-    }.reduce(_.unionAll(_)).persist()
+    val docs = saltedDocs(spark, src, k).persist()
     println(s"[clean] corpus: ${docs.count()} docs (K=$k salted copies)")
     val acc = new ScaleSmoke.ShuffleAcc
     spark.sparkContext.addSparkListener(acc)
@@ -223,8 +234,15 @@ object SubstrGateScale {
       }
       rm(d)
     }
+    // bucket count sized for the probe's mega-increments (the
+    // production sizing rule: a bucket's increment slice is the
+    // shuffled-hash BUILD side and must fit in task memory — 50k-doc
+    // batches at 30x need more buckets than the bench fixture's tiny
+    // slices; a real deployment picks thousands)
+    val nBuckets = if (args.length > 3) args(3).toInt else 64
     val snk = graft.streaming.SubstrGate.sink(s"${base}_docs",
-      s"${base}_grams", s"${base}_out", "doc_id", "text", minLen)
+      s"${base}_grams", s"${base}_out", "doc_id", "text", minLen,
+      nBuckets = nBuckets)
     println(f"[gate] ${"batch"}%5s ${"inc_rows"}%10s ${"cum_out"}%12s " +
       f"${"wall_s"}%8s ${"shuf_mb"}%9s")
     (0 until 3).foreach { i =>
@@ -252,6 +270,75 @@ object SubstrGateScale {
       .read(spark, s"${base}_out").count()
     println(f"[gate] one-shot $oneShot%d rows in $dt%.2f s; " +
       f"streamed cumulative $streamed%d; match=${oneShot == streamed}")
+    spark.stop()
+  }
+}
+
+/** MOSTLY-CLEAN 3-batch streaming gate probe — the measurable form of
+  * the bucketed-state claim. On the verbatim-twin amplified corpus the
+  * per-batch shuffle is dominated by the OUTPUT's own quadratic growth
+  * (every doc gains K−1 twins; cumulative runs grow ~quadratically),
+  * which buries the state term this probe exists to isolate. Here the
+  * stream is the SALTED K× corpus ([[SubstrCleanScale.saltedDocs]]):
+  * per-batch output is ~flat, accumulated state grows linearly, and
+  * the bucketed layout's claim — per-batch shuffle tracks the
+  * INCREMENT, not the state — shows up directly as a flat shuf_mb
+  * column (the round-7 layout re-shuffled the whole gram index every
+  * batch and grew here). `ShuffleBudgetSpec` pins the same claim
+  * executably at spec scale. */
+object SubstrGateCleanScale {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = if (args.length > 1) args(1).toInt else 30
+    val nBuckets = if (args.length > 2) args(2).toInt else 64
+    val minLen = 30
+    val spark = ScaleSmoke.session(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = SubstrCleanScale.saltedDocs(spark, src, k).persist()
+    println(s"[cgate] corpus: ${docs.count()} docs (K=$k salted copies)")
+    val acc = new ScaleSmoke.ShuffleAcc
+    spark.sparkContext.addSparkListener(acc)
+    val base = s"/tmp/graft_cgate_scale_x$k"
+    Seq("docs", "grams", "out").foreach { p =>
+      val d = new java.io.File(s"${base}_$p")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(d)
+    }
+    val snk = graft.streaming.SubstrGate.sink(s"${base}_docs",
+      s"${base}_grams", s"${base}_out", "doc_id", "text", minLen,
+      nBuckets = nBuckets)
+    println(f"[cgate] ${"batch"}%5s ${"inc_rows"}%10s ${"cum_out"}%12s " +
+      f"${"wall_s"}%8s ${"shuf_mb"}%9s")
+    (0 until 3).foreach { i =>
+      val inc = docs.filter(pmod(col("doc_id"), lit(3L)) === i.toLong)
+      val incRows = inc.count()
+      ScaleSmoke.flush(spark)
+      val b0 = acc.bytes
+      val t0 = System.nanoTime()
+      snk(inc, i.toLong)
+      val dt = (System.nanoTime() - t0) / 1e9
+      ScaleSmoke.flush(spark)
+      val cum = graft.sources.VersionedTable.rowCount(spark,
+        s"${base}_out",
+        graft.sources.VersionedTable.versions(spark, s"${base}_out").last)
+      println(f"[cgate] $i%5d $incRows%10d $cum%12d $dt%8.2f " +
+        f"${(acc.bytes - b0) / 1048576.0}%9.1f")
+    }
+    val streamed = graft.sources.VersionedTable
+      .read(spark, s"${base}_out").count()
+    val t0 = System.nanoTime()
+    val oneShot = graft.operators.Dedup.duplicatedSubstrings(
+      docs, "doc_id", "text", minLen).count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    graft.operators.Dedup.releaseAll(spark)
+    println(f"[cgate] one-shot $oneShot%d rows in $dt%.2f s; " +
+      f"streamed cumulative $streamed%d; match=${oneShot == streamed}")
+    docs.unpersist()
     spark.stop()
   }
 }

@@ -77,6 +77,57 @@ object Spatial {
       .select(col("id_l"), col("id_r"), col("dist2"))
   }
 
+  /** Grid-keyed state rows for the streaming spatial gate: each point
+    * with its grid cell under a FROZEN cell size (a layout constant of
+    * the state table, like any index's shard function) and the packed
+    * 64-bit cell key (`ck = xxhash64(cx, cy)`) the state is BUCKETED by
+    * at rest. Hash collisions on ck are harmless: the join keeps the
+    * exact (cx, cy) equality as a residual and the integer dist²
+    * verify is exact. */
+  def gridKeyed(df: DataFrame, idCol: String, xCol: String,
+      yCol: String, cell: Long): DataFrame = {
+    require(cell > 0, s"cell must be positive, got $cell")
+    df.select(col(idCol).cast("long").as("id"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .withColumn("cx", expr(s"floor(x / ${cell}L)"))
+      .withColumn("cy", expr(s"floor(y / ${cell}L)"))
+      .withColumn("ck", xxhash64(col("cx"), col("cy")))
+  }
+
+  /** [[radiusJoinWith]] against PRE-KEYED state ([[gridKeyed]] rows,
+    * typically a bucketed state table): the probe side explodes to its
+    * (2R/c+1)² neighbor cells and joins on (ck, cx, cy) — the state
+    * scan's at-rest HashPartitioning(ck) satisfies the join's
+    * clustering requirement, so the accumulated state never exchanges;
+    * only the increment does. The probe carries the shuffle_hash hint
+    * (build side), the state streams. Returns (id_l, id_r, dist2). */
+  def radiusJoinKeyed(left: DataFrame, leftId: String, leftX: String,
+      leftY: String, keyed: DataFrame, radius: Long,
+      cell: Long): DataFrame = {
+    require(cell > 0, s"cell must be positive, got $cell")
+    require(radius >= 0, s"radius must be non-negative, got $radius")
+    val ring = ((radius + cell - 1) / cell).max(1L)
+    val offs = (-ring to ring).map(o => s"${o}L").mkString(", ")
+    val probe = left.select(col(leftId).cast("long").as("id_l"),
+      col(leftX).cast("long").as("ax"),
+      col(leftY).cast("long").as("ay"))
+      .withColumn("off", explode(expr(s"array($offs)")))
+      .withColumn("off2", explode(expr(s"array($offs)")))
+      .select(col("id_l"), col("ax"), col("ay"),
+        (expr(s"floor(ax / ${cell}L)") + col("off")).as("cx"),
+        (expr(s"floor(ay / ${cell}L)") + col("off2")).as("cy"))
+      .withColumn("ck", xxhash64(col("cx"), col("cy")))
+    probe.hint("shuffle_hash")
+      .join(keyed.select(col("id").as("id_r"), col("x").as("bx"),
+        col("y").as("by"), col("cx"), col("cy"), col("ck")),
+        Seq("ck", "cx", "cy"))
+      .withColumn("dist2",
+        (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by")))
+      .filter(col("dist2") <= lit(radius * radius))
+      .select(col("id_l"), col("id_r"), col("dist2"))
+  }
+
   /** Up to `k` nearest RIGHT points per LEFT point among those within
     * `radius` — "nearest facility" (ties by right id). Returns
     * (id_l, id_r, dist2, knn_rank). Same exactness contract as

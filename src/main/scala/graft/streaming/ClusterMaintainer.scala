@@ -10,45 +10,54 @@ import graft.sources.VersionedTable
   * `q_ingest_clusters2` as a `foreachBatch` sink: every micro-batch of
   * documents folds into the persistent cluster-label table via
   * [[Dedup.incrementalClusters]], with BOTH pieces of state — the label
-  * table and the corpus's MinHash signature index — maintained as
-  * [[VersionedTable]]s rather than executor memory.
+  * table and the corpus's LSH BUCKET INDEX — maintained as durable
+  * tables rather than executor memory.
   *
   * Per batch: sign ONLY the batch's documents; candidate pairs =
-  * batch×stored-signatures (cross) ∪ batch×batch (intra); contract onto
+  * batch×stored-index (cross) ∪ batch×batch (intra); contract onto
   * the stored labels and commit the updated label SNAPSHOT plus the
-  * batch's signature APPEND. Every committed label version is the true
+  * batch's index APPEND. Every committed label version is the true
   * CC of all documents seen so far ([[Dedup.incrementalClusters]]'
   * batch-equivalence argument, applied inductively per batch), so a
   * reader at any version sees a consistent, recompute-equal clustering.
   *
+  * State layout at 100 TB: the index is stored ALREADY BANDED —
+  * (id, band, bucket) rows in a [[BucketedState]] table bucketed by
+  * `bucket` at rest — so the per-batch cross join streams the entire
+  * accumulated index with no exchange and no sort (HashPartitioning on
+  * `bucket` satisfies the (band, bucket) join's clustering; only the
+  * increment's banded rows shuffle). The round-7 layout stored raw
+  * signatures and re-banded + re-exchanged the WHOLE index every batch
+  * — band-amplified full-state shuffle, the pattern that cannot
+  * survive accumulated state. Under a finite `maxBucket` the over-cap
+  * bucket list is ONE exchange-free aggregation over the bucketed scan
+  * (partial/final agg both land on the at-rest partitioning) and an
+  * equally co-partitioned anti join — the cap costs a second state
+  * SCAN, never a state exchange. Labels are one (id, rep) row per
+  * PAIRED doc, committed as a snapshot; neither state lives on an
+  * executor heap, and recovery is "read the last committed versions".
+  *
   * Exactly-once and crash windows ride [[GateKit]]: both commits are
   * idempotent per batch id, the label commit is the completion marker
-  * ([[GateKit.runOnce]]), signatures commit FIRST, and the orders of a
+  * ([[GateKit.runOnce]]), the index appends FIRST, and the orders of a
   * replayed partial failure both converge —
-  *  - labels landed, signatures did not: the replay re-commits only the
-  *    signatures; the committed labels were computed from the batch's
-  *    own in-memory signatures, so they are already correct;
-  *  - signatures landed, labels did not: the replay PINS the
-  *    cross-candidate join to the signature version PRECEDING the
-  *    batch's own append ([[GateKit.pinnedBefore]]), so it joins
-  *    exactly the index the no-crash run would have — without the
-  *    pin, the batch's own replayed signatures would also sit in the
-  *    index, and under a finite `maxBucket` those extra rows can push a
-  *    (band, bucket) over the cap and DROP genuine increment-vs-base
-  *    pairs (self-pairs and duplicate intra pairs are harmless for
-  *    connectivity, but cap-induced drops are not), diverging the
-  *    replayed labels from the no-crash result.
-  *
-  * State size at 100 TB: signatures are k longs per doc (the index a
-  * batch joins is bucket-keyed and increment-sized per
-  * [[Dedup.crossCandidatesFromSignatures]]); labels are one (id, rep)
-  * row per PAIRED doc; neither lives on an executor heap, and recovery
-  * is "read the last committed versions" — no state-store rebuild. */
+  *  - labels landed, the index append did not: the replay re-commits
+  *    only the index; the committed labels were computed from the
+  *    batch's own in-memory candidates, so they are already correct;
+  *  - the index append landed, labels did not: the replay reads the
+  *    index as it stood BEFORE the batch ([[BucketedState.readBefore]]
+  *    partition pruning), so it joins exactly the index the no-crash
+  *    run would have — without the pin, the batch's own replayed rows
+  *    would also sit in the index, and under a finite `maxBucket`
+  *    those extra rows can push a (band, bucket) over the cap and DROP
+  *    genuine increment-vs-base pairs (self-pairs and duplicate intra
+  *    pairs are harmless for connectivity, but cap-induced drops are
+  *    not), diverging the replayed labels from the no-crash result. */
 object ClusterMaintainer {
 
   /** `ds.writeStream.foreachBatch(ClusterMaintainer.sink(...))`. */
-  def sink(labelsPath: String, sigPath: String, idCol: String,
-      textCol: String, maxBucket: Int = Int.MaxValue)
+  def sink(labelsPath: String, idxPath: String, idCol: String,
+      textCol: String, maxBucket: Int = Int.MaxValue, nBuckets: Int = 32)
       : (DataFrame, Long) => Unit = (batch, batchId) => {
     val spark = batch.sparkSession
     GateKit.runOnce(spark, labelsPath, batchId) {
@@ -61,10 +70,35 @@ object ClusterMaintainer {
       val intra = Dedup.candidatesFromSignatures(sigsNew, idCol,
           maxBucket = maxBucket)
         .select(col("doc_a"), col("doc_b"))
-      val cross = GateKit.readPinnedBefore(spark, sigPath, batchId) match {
-        case Some(base) =>
-          Dedup.crossCandidatesFromSignatures(sigsNew, base, idCol,
-            maxBucket = maxBucket)
+      // the increment's banded index rows, aligned onto the state's
+      // bucket function once: the cross join and the append reuse it
+      val incIdx = Dedup.persistTracked(
+        Dedup.lshIndex(sigsNew, idCol)
+          .select(col(idCol), col("band"), col("bucket"))
+          .repartition(nBuckets, col("bucket")))
+      val cross = BucketedState.readBefore(spark, idxPath, batchId) match {
+        case Some(base0) =>
+          val base =
+            if (maxBucket == Int.MaxValue) base0
+            else {
+              // over-cap buckets of the PINNED index: exchange-free
+              // aggregation on the at-rest partitioning, then an
+              // equally co-partitioned anti join (the over list is the
+              // build side; the index streams)
+              val over = base0
+                .groupBy(col("band"), col("bucket"))
+                .agg(count(lit(1)).as("__n"))
+                .filter(col("__n") > maxBucket)
+                .select(col("band"), col("bucket"))
+              base0.join(over.hint("shuffle_hash"),
+                Seq("band", "bucket"), "left_anti")
+            }
+          incIdx.select(col(idCol).as("new_id"), col("band"),
+              col("bucket")).hint("shuffle_hash")
+            .join(base.select(col(idCol).as("base_id"), col("band"),
+              col("bucket")), Seq("band", "bucket"))
+            .select(col("new_id"), col("base_id"))
+            .distinct()
         case None => Seq.empty[(Long, Long)].toDF("new_id", "base_id")
       }
       val haveLabels = VersionedTable.versions(spark, labelsPath).nonEmpty
@@ -73,7 +107,8 @@ object ClusterMaintainer {
         else Seq.empty[(Long, Long)].toDF(idCol, "cluster")
       val labels = Dedup.incrementalClusters(
         baseLabels.select(col(idCol), col("cluster")), idCol, cross, intra)
-      VersionedTable.streamingCommit(sigsNew, batchId, sigPath, "append")
+      BucketedState.appendOnce(incIdx, idxPath, batchId, "bucket",
+        nBuckets, prePartitioned = true)
       VersionedTable.streamingCommit(labels, batchId, labelsPath,
         "overwrite")
     }

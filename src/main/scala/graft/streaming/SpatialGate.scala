@@ -15,7 +15,7 @@ import graft.sources.VersionedTable
   * (`SpatialGateSpec` asserts it batch by batch).
   *
   * Per batch: candidates = increment × stored-points (bipartite grid
-  * join, [[Spatial.radiusJoinWith]] — the SAME cell expressions and
+  * join, [[Spatial.radiusJoinKeyed]] — the SAME cell expressions and
   * exact integer verify as the batch operator) ∪ increment × increment
   * ([[Spatial.radiusJoin]]). Pairs are canonicalized id_a < id_b, and
   * the two candidate sets are disjoint by construction (cross pairs
@@ -28,40 +28,42 @@ import graft.sources.VersionedTable
   * keeps it from pairing with its own stored copy — the batch operator
   * (id_a < id_b) never emits self-pairs, so the gate must not either.
   *
-  * State = the point set as a [[VersionedTable]] (id, x, y), keyed by
-  * grid cell at JOIN time, not in storage — cells are derived integer
-  * arithmetic, so storing them would only freeze the cell size. At
-  * 100 TB the state append is increment-sized and the cross join is
-  * one equi-shuffle on cell keys with the (2R+1)² constant fan-out on
-  * the increment side only — the stored side never re-shuffles its
-  * history beyond the join's own exchange.
+  * State = the point set as a [[BucketedState]] table carrying its
+  * grid cell and the packed cell key ([[Spatial.gridKeyed]]), BUCKETED
+  * BY that key at rest — the cell size is frozen into the state layout
+  * (a shard-function constant, like any index), and in exchange the
+  * per-batch cross join streams the ENTIRE accumulated point set with
+  * no exchange and no sort: only the increment (exploded to its
+  * neighbor cells) shuffles, however much history has accumulated.
+  * The round-7 layout re-shuffled the whole point set through every
+  * batch's cell join — the pattern that cannot survive 100 TB of
+  * accumulated state.
   *
   * Exactly-once rides [[GateKit]]: the output commit is the completion
-  * marker ([[GateKit.runOnce]]); the state (points) commits FIRST; and
-  * a replay whose point append already landed PINS the cross join to
-  * the pre-append state version ([[GateKit.pinnedBefore]]) — joining
-  * the latest version instead would pair the increment against its own
-  * replayed points and double-report the intra-batch pairs as cross
-  * pairs. */
+  * marker ([[GateKit.runOnce]]); the state (points) commits FIRST,
+  * idempotent per batch id ([[BucketedState.appendOnce]]); and a
+  * replay reads the state as it stood BEFORE the batch by partition
+  * pruning ([[BucketedState.readBefore]]) — joining the latest state
+  * instead would pair the increment against its own replayed points
+  * and double-report the intra-batch pairs as cross pairs. */
 object SpatialGate {
 
   /** `points.writeStream.foreachBatch(SpatialGate.sink(...))`; points
     * need integer-valued `idCol`, `xCol`, `yCol`. */
   def sink(statePath: String, outPath: String, idCol: String,
-      xCol: String, yCol: String, radius: Long, cell: Long)
+      xCol: String, yCol: String, radius: Long, cell: Long,
+      nBuckets: Int = 32)
       : (DataFrame, Long) => Unit = (batch, batchId) => {
     val spark = batch.sparkSession
     GateKit.runOnce(spark, outPath, batchId) {
-      // persist: the projection feeds the cross probe, both sides of
-      // the intra self-join, and the state commit — without the pin the
-      // source micro-batch re-evaluates per consumer
+      // persist: the keyed projection feeds the cross probe, both sides
+      // of the intra self-join, and the state commit — without the pin
+      // the source micro-batch re-evaluates per consumer
       val inc = graft.operators.Dedup.persistTracked(
-        batch.select(col(idCol).cast("long").as("id"),
-          col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y")))
-      val cross = GateKit.readPinnedBefore(spark, statePath, batchId) match {
+        Spatial.gridKeyed(batch, idCol, xCol, yCol, cell))
+      val cross = BucketedState.readBefore(spark, statePath, batchId) match {
         case Some(base) =>
-          Spatial.radiusJoinWith(inc, "id", "x", "y",
-              base, "id", "x", "y", radius, cell)
+          Spatial.radiusJoinKeyed(inc, "id", "x", "y", base, radius, cell)
             // a re-delivered id must not pair with its stored copy
             .filter(col("id_l") =!= col("id_r"))
             .select(least(col("id_l"), col("id_r")).as("id_a"),
@@ -72,7 +74,7 @@ object SpatialGate {
           Seq.empty[(Long, Long, Long)].toDF("id_a", "id_b", "dist2")
       }
       val intra = Spatial.radiusJoin(inc, "id", "x", "y", radius, cell)
-      VersionedTable.streamingCommit(inc, batchId, statePath, "append")
+      BucketedState.appendOnce(inc, statePath, batchId, "ck", nBuckets)
       VersionedTable.streamingCommit(cross.unionByName(intra), batchId,
         outPath, "append")
     }

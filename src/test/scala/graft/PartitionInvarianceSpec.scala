@@ -45,7 +45,13 @@ class PartitionInvarianceSpec extends SparkSpec {
     // the training-order file: a ParallelRank total order whose
     // positions must not depend on range-boundary sampling or shuffle
     // partition count
-    "q_train_order")
+    "q_train_order",
+    // round-8 additions: the manifest-diff readout (file-level
+    // symmetric difference + one id-keyed outer join) and the
+    // sampled-anchor substring dedup (winnowing + regime guard + dense
+    // recompute of the matched minority) — exact span boundaries and
+    // token-drift sums must not depend on partition count
+    "q_corpus_diff", "q_substr_dup_sampled")
 
   private def canon(name: String, parts: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)

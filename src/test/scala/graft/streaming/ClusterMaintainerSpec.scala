@@ -23,6 +23,7 @@ class ClusterMaintainerSpec extends SparkSpec {
   private val t2 = "one two three four five six seven eight nine ten"
   private val t2b = "one two three four five six seven eight nine eleven"
   // a bridge doc overlapping BOTH families (merges them when it arrives)
+  // (state below: sigPath holds the BANDED index as a BucketedState)
   private val bridge = "gamma delta epsilon zeta eta three four five six seven"
 
   private def labelMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
@@ -63,14 +64,17 @@ class ClusterMaintainerSpec extends SparkSpec {
     // the two committed label versions: v1 = batch-0 clustering, v2 =
     // after the bridge — and the signature index grew by append
     assert(VersionedTable.versions(spark, labelsPath).size == 2)
-    assert(VersionedTable.read(spark, sigPath).count() == 5)
+    // banded index state: 5 docs x 4 bands
+    assert(BucketedState.readBefore(spark, sigPath, Long.MaxValue)
+      .get.count() == 20)
 
     // foreachBatch replay of the last epoch must change nothing
     val replay = Seq(CmDoc(11, t2b), CmDoc(20, bridge)).toDF()
     ClusterMaintainer.sink(labelsPath, sigPath, "doc_id", "text")(replay, 1L)
     assert(VersionedTable.versions(spark, labelsPath).size == 2)
     assert(labelMap(VersionedTable.read(spark, labelsPath)) == got)
-    assert(VersionedTable.read(spark, sigPath).count() == 5)
+    assert(BucketedState.readBefore(spark, sigPath, Long.MaxValue)
+      .get.count() == 20)
   }
 
   test("partial-failure replay (signatures landed, labels did not) converges to the same labels") {
@@ -85,9 +89,10 @@ class ClusterMaintainerSpec extends SparkSpec {
     // simulate the crash window: batch 1's SIGNATURES commit but its
     // labels do not (sig-first ordering), then the whole batch replays
     val batch1 = Seq(CmDoc(10, t2), CmDoc(11, t2b)).toDF()
-    VersionedTable.streamingCommit(
-      Dedup.minhashSignatures(batch1, "doc_id", "text"), 1L, sigPath,
-      "append")
+    BucketedState.appendOnce(
+      Dedup.lshIndex(Dedup.minhashSignatures(batch1, "doc_id", "text"),
+        "doc_id").select("doc_id", "band", "bucket"),
+      sigPath, 1L, "bucket", 32)
     sink(batch1, 1L)
     val got = labelMap(VersionedTable.read(spark, labelsPath))
     // labels must equal the clean two-batch outcome despite the batch's
@@ -120,10 +125,11 @@ class ClusterMaintainerSpec extends SparkSpec {
       "text", maxBucket = 4)
     sink(Seq(CmDoc(1, t1), CmDoc(2, t1), CmDoc(3, t1)).toDF(), 0L)
     val batch1 = Seq(CmDoc(10, t1), CmDoc(11, t1)).toDF()
-    // crash window: batch 1's signatures land, its labels do not
-    VersionedTable.streamingCommit(
-      Dedup.minhashSignatures(batch1, "doc_id", "text"), 1L, sigPath,
-      "append")
+    // crash window: batch 1's index rows land, its labels do not
+    BucketedState.appendOnce(
+      Dedup.lshIndex(Dedup.minhashSignatures(batch1, "doc_id", "text"),
+        "doc_id").select("doc_id", "band", "bucket"),
+      sigPath, 1L, "bucket", 32)
     sink(batch1, 1L)
     val got = labelMap(VersionedTable.read(spark, labelsPath))
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L),

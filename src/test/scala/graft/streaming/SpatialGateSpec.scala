@@ -73,7 +73,9 @@ class SpatialGateSpec extends SparkSpec {
     // as cross pairs of themselves / 9 would pair against its own
     // replayed twin) and converge to the clean prefix truth
     val b3 = Seq(SgPoint(9, 12, 11), SgPoint(10, 14, 12))
-    VersionedTable.streamingCommit(b3.toDF(), 7L, statePath, "append")
+    BucketedState.appendOnce(
+      Spatial.gridKeyed(b3.toDF(), "id", "x", "y", R), statePath, 7L,
+      "ck", 32)
     snk(b3.toDF(), 7L)
     assert(canon(VersionedTable.read(spark, outPath)) ==
       batchTruth(seen ++ b3),
