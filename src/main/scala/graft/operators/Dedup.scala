@@ -1299,26 +1299,54 @@ object Dedup {
     duplicatedSubstringsSampledImpl(docs, idCol, textCol, minLen, w)._1
 
   /** [[duplicatedSubstringsSampled]] plus the REGIME-GUARD verdict
-    * (true = fell back to dense), exposed for specs. The guard: the
-    * persisted anchor prefilter already carries each surviving
-    * anchor's duplicate count `__n`, so `sum(__n - 1)` is EXACTLY the
-    * anchor self-join's pre-residual ordered-pair count — one cheap
-    * aggregate on the cached frame, before any join work. When that
-    * pair count exceeds the corpus's character count (≈ the dense
-    * operator's own gram-frame row count), the anchor join alone
-    * would ship more rows than the dense plan's whole exchange — the
-    * verbatim-twin regime where round 7 measured sampled at 3.7× the
-    * dense wall — so the operator falls back to [[denseRunsOf]] over
-    * the already-persisted txt, filtered to the same reporting bound.
-    * Both paths emit "the dense truth filtered to len ≥ minLen+w−1",
-    * so the fallback is invisible to callers and oracles. */
+    * (true = fell back to dense), exposed for specs and tuning. The
+    * guard estimates the anchor self-join's pre-residual ordered-pair
+    * count from a HASH-CLOSED SLICE of the anchor stream: duplicates
+    * share their 64-bit hash, so the `pmod(h, guardSlice) = 0` slice
+    * contains EVERY copy of its hashes — its `sum(__n − 1)` is the
+    * exact pair count of the slice, and × guardSlice extrapolates to
+    * the whole stream (exact in expectation, deterministic per
+    * corpus). The slice pays 1/guardSlice of the anchor window
+    * exchange, so the decision lands BEFORE the full anchor frame is
+    * ever exchanged — on a verbatim-twin corpus the guarded operator
+    * costs the dense operator plus one narrow winnowing pass, not the
+    * 3.7× round 7 measured. When the estimate exceeds the corpus's
+    * character count (≈ the dense gram-frame row count), the anchor
+    * join alone would ship more rows than the dense plan's whole
+    * exchange: fall back to [[denseRunsOf]] over the already-persisted
+    * txt, filtered to the same reporting bound. Both paths emit "the
+    * dense truth filtered to len ≥ minLen+w−1", so the choice is
+    * invisible to callers and oracles — a borderline corpus may flip
+    * paths across guardSlice values, never results. */
   private[graft] def duplicatedSubstringsSampledImpl(docs: DataFrame,
-      idCol: String, textCol: String, minLen: Int, w: Int)
-      : (DataFrame, Boolean) = {
+      idCol: String, textCol: String, minLen: Int, w: Int,
+      guardSlice: Int = 64): (DataFrame, Boolean) = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     require(w >= 1, s"w must be >= 1, got $w")
-    val txt = persistTracked(
-      docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t")))
+    require(guardSlice >= 1, s"guardSlice must be >= 1, got $guardSlice")
+    // the guard runs over UNPERSISTED projections on purpose: its two
+    // aggregations must not materialize the text cache before the
+    // chosen path plans — a pre-materialized cache changes the join
+    // stats the dense plan's residual-verify joins are costed with
+    // (measured at 30×: the same dense work re-planned from in-memory
+    // stats paid two extra match-sized exchanges, 17 GB vs 7 GB), and
+    // the fallback must cost what the plain dense operator costs
+    val raw = docs.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("t"))
+    val guard = winnowedAnchorFrame(raw, minLen, w)
+      .filter(pmod(col("h"), lit(guardSlice.toLong)) === 0L)
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("__n") > 1)
+      .agg(sum(col("__n") - lit(1L)).as("p2")).head
+    val anchorPairsEst =
+      (if (guard.isNullAt(0)) 0L else guard.getLong(0)) * guardSlice
+    val charsRow = raw.agg(sum(length(col("t")).cast("long"))).head
+    val chars = if (charsRow.isNullAt(0)) 0L else charsRow.getLong(0)
+    if (anchorPairsEst > chars)
+      return (duplicatedSubstrings(docs, idCol, textCol, minLen)
+        .filter(col("len") >= (minLen + w - 1).toLong), true)
+    val txt = persistTracked(raw)
     // the dense operator's own exchange discipline, applied to the
     // anchor stream: ONE h-partitioned window count drops anchors whose
     // hash appears once (the clean majority — they can match nothing),
@@ -1327,19 +1355,10 @@ object Dedup {
     // join would exchange the full anchor frame TWICE (once per side) —
     // measured MORE total shuffle than the dense operator on a
     // mostly-clean 30x corpus, the regime this mode exists for.
-    val anchorsN = persistTracked(winnowedAnchorFrame(txt, minLen, w)
+    val anchors = persistTracked(winnowedAnchorFrame(txt, minLen, w)
       .withColumn("__n",
         count(lit(1)).over(Window.partitionBy(col("h"))))
-      .filter(col("__n") > 1))
-    val guard = anchorsN
-      .agg(sum(col("__n") - lit(1L)).as("p2")).head
-    val anchorPairs = if (guard.isNullAt(0)) 0L else guard.getLong(0)
-    val charsRow = txt.agg(sum(length(col("t")).cast("long"))).head
-    val chars = if (charsRow.isNullAt(0)) 0L else charsRow.getLong(0)
-    if (anchorPairs > chars)
-      return (denseRunsOf(txt, minLen)
-        .filter(col("len") >= (minLen + w - 1).toLong), true)
-    val anchors = anchorsN.drop("__n")
+      .filter(col("__n") > 1).drop("__n"))
     // anchor join + exact residual -> matched DOCUMENT set. Note the
     // dense step below is restricted to matched DOCS, not matched
     // PAIRS: restricting to pairs would re-shuffle the dense gram-match

@@ -274,8 +274,11 @@ class SubstringDedupSpec extends SparkSpec {
     // clears the corpus character count — the guard must choose dense
     val twins = (1L to 6L)
       .map(i => (i, "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmn"))
+    // guardSlice = 1: the exact (unsliced) estimator — unit corpora are
+    // too small for the 1/64 production slice to be populated
     val (d1, fell1) = Dedup.duplicatedSubstringsSampledImpl(
-      twins.toDF("doc_id", "text"), "doc_id", "text", 6, 3)
+      twins.toDF("doc_id", "text"), "doc_id", "text", 6, 3,
+      guardSlice = 1)
     val got1 = runsOf(d1)
     assert(fell1, "verbatim twins must trip the dense fallback")
     assert(got1 == bruteRuns(twins, 6).filter(_._5 >= 8L),
@@ -290,7 +293,8 @@ class SubstringDedupSpec extends SparkSpec {
       (i, if (i <= 2) base + "SHAREDBLOCK123" else base)
     }
     val (d2, fell2) = Dedup.duplicatedSubstringsSampledImpl(
-      clean.toDF("doc_id", "text"), "doc_id", "text", 6, 3)
+      clean.toDF("doc_id", "text"), "doc_id", "text", 6, 3,
+      guardSlice = 1)
     val got2 = runsOf(d2)
     assert(!fell2, "a mostly-clean corpus must stay on the sampled path")
     assert(got2 == bruteRuns(clean, 6).filter(_._5 >= 8L))
