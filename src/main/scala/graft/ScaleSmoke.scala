@@ -342,3 +342,93 @@ object SubstrGateCleanScale {
     spark.stop()
   }
 }
+
+/** 3-batch streaming SEMANTIC-gate scale probe at K×: streams K copies
+  * of the embeddings table through [[graft.streaming.SemGate]] in
+  * three `vec_id % 3` increments against fresh state, reporting
+  * per-batch wall, shuffle, and cumulative output, then count-checks
+  * the cumulative pair table against the one-shot frozen-quantizer
+  * operator ([[graft.operators.Similarity.cellPairsFrozen]] with the
+  * gate's own committed centroids — the SemGateSpec parity at K×).
+  *
+  * Two regimes, like the substring probes: `twin` replicates vectors
+  * VERBATIM (every vector gains K−1 cosine-1 twins — the
+  * honest-quadratic row: output grows ~K², and so does the shuffle
+  * that carries it), `clean` cyclically SHIFTS each copy's dimensions
+  * by its copy index (random-ish vectors decorrelate across copies,
+  * so cross-copy cosines collapse while each copy keeps the source
+  * corpus's own near-dups — the regime where flat per-batch shuffle
+  * under growing state is measurable). */
+object SemGateScale {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = if (args.length > 1) args(1).toInt else 30
+    val mode = if (args.length > 2) args(2) else "clean"
+    val ncells = if (args.length > 3) args(3).toInt else 64
+    val spark = ScaleSmoke.session(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = spark.read.parquet(s"$src/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val dim = 64
+    val vecs = (0 until k).map { i =>
+      val shifted =
+        if (mode == "twin") col("embedding")
+        else {
+          val s = i % dim
+          expr(s"concat(slice(embedding, ${s + 1}, ${dim - s}), " +
+            s"slice(embedding, 1, $s))")
+        }
+      base.select((col("vec_id") + lit(i * 100000000000L)).as("vec_id"),
+        shifted.as("embedding"))
+    }.reduce(_.unionAll(_)).persist()
+    println(s"[sgate] corpus: ${vecs.count()} vectors (K=$k $mode)")
+    val acc = new ScaleSmoke.ShuffleAcc
+    spark.sparkContext.addSparkListener(acc)
+    val root = s"/tmp/graft_semg_scale_${mode}_x$k"
+    Seq("state", "out").foreach { p =>
+      val d = new java.io.File(s"${root}_$p")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(d)
+    }
+    val snk = graft.streaming.SemGate.sink(s"${root}_state",
+      s"${root}_out", "vec_id", "embedding", threshold = 0.35,
+      ncells = ncells, nBuckets = 64)
+    println(f"[sgate] ${"batch"}%5s ${"inc_rows"}%10s ${"cum_out"}%12s " +
+      f"${"wall_s"}%8s ${"shuf_mb"}%9s")
+    (0 until 3).foreach { i =>
+      val inc = vecs.filter(pmod(col("vec_id"), lit(3L)) === i.toLong)
+      val incRows = inc.count()
+      ScaleSmoke.flush(spark)
+      val b0 = acc.bytes
+      val t0 = System.nanoTime()
+      snk(inc, i.toLong)
+      val dt = (System.nanoTime() - t0) / 1e9
+      ScaleSmoke.flush(spark)
+      val cum = graft.sources.VersionedTable.rowCount(spark,
+        s"${root}_out",
+        graft.sources.VersionedTable.versions(spark, s"${root}_out").last)
+      println(f"[sgate] $i%5d $incRows%10d $cum%12d $dt%8.2f " +
+        f"${(acc.bytes - b0) / 1048576.0}%9.1f")
+    }
+    // K× parity: cumulative streamed pairs == the one-shot frozen-cell
+    // operator, with the centroids the GATE itself committed
+    val cent = graft.operators.Similarity.centFromFrame(
+      graft.sources.VersionedTable.read(spark, s"${root}_state/coarse"))
+    val t0 = System.nanoTime()
+    val oneShot = graft.operators.Similarity.cellPairsFrozen(
+      vecs, "vec_id", "embedding", cent, 0.35).count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    graft.operators.Dedup.releaseAll(spark)
+    val streamed = graft.sources.VersionedTable
+      .read(spark, s"${root}_out").count()
+    println(f"[sgate] one-shot $oneShot%d pairs in $dt%.2f s; " +
+      f"streamed cumulative $streamed%d; match=${oneShot == streamed}")
+    vecs.unpersist()
+    spark.stop()
+  }
+}

