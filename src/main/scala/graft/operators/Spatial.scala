@@ -96,11 +96,19 @@ object Spatial {
 
   /** [[radiusJoinWith]] against PRE-KEYED state ([[gridKeyed]] rows,
     * typically a bucketed state table): the probe side explodes to its
-    * (2R/c+1)² neighbor cells and joins on (ck, cx, cy) — the state
-    * scan's at-rest HashPartitioning(ck) satisfies the join's
-    * clustering requirement, so the accumulated state never exchanges;
-    * only the increment does. The probe carries the shuffle_hash hint
-    * (build side), the state streams. Returns (id_l, id_r, dist2). */
+    * (2R/c+1)² neighbor cells and equi-joins on `ck` ALONE — the state
+    * scan's at-rest HashPartitioning(ck) then matches the join's
+    * clustering keys EXACTLY, so the accumulated state never exchanges;
+    * only the increment does. The exact (cx, cy) cell equality (which
+    * de-dups xxhash64 collisions) rides as a NON-EQUI residual
+    * (`cx_l − cx_r = 0`): written as plain equalities it would be
+    * lifted into the join keys, and Spark's co-partition rule
+    * (`requireAllClusterKeysForCoPartition`, default true) requires
+    * the partitioning to cover ALL join keys — a (ck, cx, cy) key set
+    * re-exchanges the whole state through every batch, the exact
+    * failure ShuffleBudgetSpec's spatial pin measures. The probe
+    * carries the shuffle_hash hint (build side), the state streams.
+    * Returns (id_l, id_r, dist2). */
   def radiusJoinKeyed(left: DataFrame, leftId: String, leftX: String,
       leftY: String, keyed: DataFrame, radius: Long,
       cell: Long): DataFrame = {
@@ -114,13 +122,15 @@ object Spatial {
       .withColumn("off", explode(expr(s"array($offs)")))
       .withColumn("off2", explode(expr(s"array($offs)")))
       .select(col("id_l"), col("ax"), col("ay"),
-        (expr(s"floor(ax / ${cell}L)") + col("off")).as("cx"),
-        (expr(s"floor(ay / ${cell}L)") + col("off2")).as("cy"))
-      .withColumn("ck", xxhash64(col("cx"), col("cy")))
+        (expr(s"floor(ax / ${cell}L)") + col("off")).as("acx"),
+        (expr(s"floor(ay / ${cell}L)") + col("off2")).as("acy"))
+      .withColumn("ck", xxhash64(col("acx"), col("acy")))
     probe.hint("shuffle_hash")
       .join(keyed.select(col("id").as("id_r"), col("x").as("bx"),
         col("y").as("by"), col("cx"), col("cy"), col("ck")),
-        Seq("ck", "cx", "cy"))
+        Seq("ck"))
+      .filter((col("acx") - col("cx")) === 0L &&
+        (col("acy") - col("cy")) === 0L)
       .withColumn("dist2",
         (col("ax") - col("bx")) * (col("ax") - col("bx")) +
           (col("ay") - col("by")) * (col("ay") - col("by")))

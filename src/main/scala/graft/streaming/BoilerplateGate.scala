@@ -11,10 +11,10 @@ import graft.sources.VersionedTable
   * documents are stripped of every segment that is corpus boilerplate
   * *as of everything streamed so far* (cumulative doc-frequency >=
   * `minDocs`), then appended to the output table. The frequency state
-  * is itself a [[VersionedTable]] — (segment hash, ndocs) rows, merged
-  * and overwritten once per batch — so the state is a TABLE, not
-  * driver or executor memory: it scales with distinct segments, never
-  * with corpus bytes, and survives restarts with the stream.
+  * is a [[MergeState]] — (segment hash, ndocs) DELTA rows bucketed by
+  * the hash at rest — so the state is a TABLE, not driver or executor
+  * memory: it scales with distinct segments, never with corpus bytes,
+  * and survives restarts with the stream.
   *
   * Semantics are the prefix fold of [[Dedup.boilerplateExcise]]'s
   * frequency rule: a document is judged against the corpus UP TO AND
@@ -23,43 +23,48 @@ import graft.sources.VersionedTable
   * documents are not rewritten (standard ingest-time behavior; run the
   * batch operator for a retroactive pass).
   *
-  * Exactly-once rides [[GateKit]]: the output commit is the batch's
-  * completion marker ([[GateKit.runOnce]]), the frequency merge is
-  * merge-once ([[GateKit.mergeState]]) — a replay reuses the committed
-  * merge verbatim instead of double-counting — and the excision is
-  * derived from the COMMITTED state bytes, so first run and replay
-  * excise identically. Assumes each doc id arrives once (re-delivery
-  * of a whole batch is handled by the batch-id guard).
+  * Exactly-once: the output commit is the batch's completion marker
+  * ([[GateKit.runOnce]]); the batch's frequency DELTA appends before
+  * it, idempotent per batch id ([[MergeState.appendDelta]]) — a replay
+  * that finds the delta committed reuses it verbatim instead of
+  * double-counting — and the excision is derived from the committed
+  * state bytes ([[MergeState.readMerged]] at the batch's own id reads
+  * identically on first run and replay), so both excise identically.
+  * Assumes each doc id arrives once (re-delivery of a whole batch is
+  * handled by the batch-id guard).
   *
-  * Scale: the frequency pass ships 64-bit hashes only; the overwrite
-  * rewrite of the state table is O(distinct segments) per batch — the
-  * compaction-free tradeoff, acceptable while state fits a table scan
-  * (at larger scale, partition the state by hash range and rewrite
-  * only touched partitions). */
+  * Scale: the frequency pass ships 64-bit hashes only; the per-batch
+  * STATE WRITE is the increment's distinct segments — never the
+  * accumulated table (`ShuffleBudgetSpec` pins it executably; the old
+  * merge-and-overwrite layout rewrote O(corpus distinct segments) per
+  * batch and fails that assertion) — and the read-side merge is an
+  * exchange-free aggregation over the bucketed delta scan, compacted
+  * every `compactEvery` batches off the per-batch write path. */
 object BoilerplateGate {
 
   /** `docs.writeStream.foreachBatch(BoilerplateGate.sink(...))`. */
   def sink(freqPath: String, outPath: String, idCol: String,
-      textCol: String, chunkTokens: Int = 10, minDocs: Int = 3)
+      textCol: String, chunkTokens: Int = 10, minDocs: Int = 3,
+      nBuckets: Int = 32, compactEvery: Int = 8)
       : (DataFrame, Long) => Unit = (batch, batchId) => {
     val spark = batch.sparkSession
     GateKit.runOnce(spark, outPath, batchId) {
-      import spark.implicits._
-      // persist: chunks feed the frequency merge AND the reassembly
+      // fold old runs first — never the batch's own replayable delta
+      MergeState.compactIfDue(spark, freqPath, batchId,
+        Seq("h"), Seq("ndocs"), compactEvery)
+      // persist: chunks feed the frequency delta AND the reassembly
       val ch = Dedup.persistTracked(
         Dedup.chunkSegments(batch, idCol, textCol, chunkTokens))
-      // judge against post-merge state: the batch's own docs count
+      val counts = ch
+        .select(col(idCol), GraftFunctions.polyHash(col("chunk")).as("h"))
+        .groupBy(col("h"))
+        .agg(countDistinct(col(idCol)).as("ndocs"))
+      MergeState.appendDelta(counts, freqPath, batchId, "h", nBuckets)
+      // judge against the post-merge state: the batch's own docs count
       // toward the threshold, matching the batch operator's rule on the
       // prefix corpus
-      val state = GateKit.mergeState(spark, freqPath, batchId) { base =>
-        val counts = ch
-          .select(col(idCol), GraftFunctions.polyHash(col("chunk")).as("h"))
-          .groupBy(col("h"))
-          .agg(countDistinct(col(idCol)).as("ndocs"))
-        base.getOrElse(Seq.empty[(Long, Long)].toDF("h", "ndocs"))
-          .select(col("h"), col("ndocs")).unionByName(counts)
-          .groupBy(col("h")).agg(sum(col("ndocs")).as("ndocs"))
-      }
+      val state = MergeState.readMerged(spark, freqPath, batchId,
+        Seq("h"), Seq("ndocs")).get
       val boiler = state.filter(col("ndocs") >= minDocs).select(col("h"))
       val out = Dedup.exciseByHashes(ch, idCol, boiler)
       VersionedTable.streamingCommit(out, batchId, outPath, "append")

@@ -26,32 +26,59 @@ import org.apache.spark.sql.functions._
   *  - idempotence is a marker file per batch id, created only after
   *    the append commits; a crashed append leaves an UNREGISTERED
   *    partial partition directory that readers never list (catalog
-  *    partitions are the read index) and the replay deletes before
-  *    re-appending.
+  *    partitions are the read index) and the replay scrubs — partition
+  *    dir AND the commit protocol's staging dirs (`_temporary`,
+  *    `.spark-staging-*`): a crashed job's already-committed task
+  *    files under `_temporary/0` would otherwise be ADOPTED by the
+  *    replay's own commitJob (same app attempt id) and double the
+  *    batch's rows — before re-appending.
   *
   * Catalog loss (a new driver/JVM over existing state) is recovered
   * from a schema sidecar written on first append: re-register with
-  * `CREATE TABLE ... LOCATION` + `MSCK REPAIR TABLE`. The bucket
-  * count is a layout constant of the table (like any bucketed
-  * warehouse table): size it for the target cluster's join
-  * parallelism, not the increment. */
+  * `CREATE TABLE ... LOCATION` + `MSCK REPAIR TABLE`. All sidecar
+  * writes go through a temp-then-rename protocol (`_schema.txt.new`
+  * promoted only after a full write), so a truncated sidecar is
+  * impossible by construction: the main file is only ever created by
+  * renaming a fully-written temp, and the one window where the main
+  * file is missing while state exists (mid-swap during [[rebucket]])
+  * self-repairs by promoting the complete temp on the next read.
+  *
+  * The bucket count is a LAYOUT constant of the table (like any
+  * bucketed warehouse table): size it for the target cluster's join
+  * parallelism, not the increment. A gate that outgrows it does NOT
+  * need a new epoch: [[rebucket]] rewrites the state into a new
+  * bucket count exactly-once (generation directories + an atomic
+  * sidecar swap as the commit point), and every reader/writer resolves
+  * the live generation through the sidecar, so the gate's sinks adopt
+  * the migrated state transparently — appends whose `prePartitioned`
+  * alignment was built for the OLD count are detected by the layout
+  * mismatch and re-aligned. */
 object BucketedState {
 
-  /** Catalog name for the state table at `path` — content-addressed so
-    * concurrent gates at different paths never collide. */
+  /** Layout of a live state table, as recorded in the sidecar. */
+  private[streaming] case class Layout(
+      gen: Int, nBuckets: Int, bucketCol: String, ddl: String)
+
+  /** Catalog name for the state table at `path` (generation 0) —
+    * content-addressed so concurrent gates at different paths never
+    * collide. Rebucketed generations get a `_g<n>` suffix. */
   def tableName(path: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(path.getBytes("UTF-8"))
     "graft_state_" + md.map("%02x".format(_)).mkString.take(16)
   }
 
+  private def tableNameG(path: String, gen: Int): String =
+    if (gen == 0) tableName(path) else tableName(path) + s"_g$gen"
+
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  // the catalog table's LOCATION is path/data — saveAsTable's CREATE
-  // path truncates the location directory, so markers and the schema
-  // sidecar must live OUTSIDE it
-  private def dataDir(path: String) = new Path(path, "data")
+  // the catalog table's LOCATION is path/data (path/data-g<n> after a
+  // rebucket) — saveAsTable's CREATE path truncates the location
+  // directory, so markers and the schema sidecar must live OUTSIDE it
+  private def dataDir(path: String, gen: Int): Path =
+    new Path(path, if (gen == 0) "data" else s"data-g$gen")
 
   private def markersRoot(path: String) = new Path(path, "_markers")
 
@@ -60,6 +87,9 @@ object BucketedState {
 
   private def schemaPath(path: String) =
     new Path(markersRoot(path), "_schema.txt")
+
+  private def schemaTmpPath(path: String) =
+    new Path(markersRoot(path), "_schema.txt.new")
 
   /** Batch ids whose appends committed (marker files). */
   def committedBatches(spark: SparkSession, path: String): Set[Long] = {
@@ -72,107 +102,213 @@ object BucketedState {
       .toSet
   }
 
-  /** Sidecar: "nBuckets\tbucketCol\nschemaDDL" — what catalog recovery
-    * needs to re-register the table without reading any data. */
-  private def writeSchemaSidecar(spark: SparkSession, path: String,
-      ddl: String, bucketCol: String, nBuckets: Int): Unit = {
+  /** Compaction watermarks committed by [[MergeState]] (`cmp-<T>`
+    * markers live in the same root so they survive rebuckets). */
+  private[streaming] def compactedThrough(spark: SparkSession,
+      path: String): Long = {
     val f = fs(spark, path)
-    val p = schemaPath(path)
-    if (!f.exists(p)) {
-      val out = f.create(p, true)
-      try out.write(s"$nBuckets\t$bucketCol\n$ddl"
-        .getBytes("UTF-8")) finally out.close()
-    }
+    val dir = markersRoot(path)
+    if (!f.exists(dir)) -1L
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("cmp-") =>
+        n.stripPrefix("cmp-").toLong }
+      .foldLeft(-1L)(math.max)
   }
 
-  /** Re-register the external table from the sidecar after catalog
-    * loss: CREATE TABLE with the recorded schema/bucketing at the
-    * state location, then recover the partition index. */
-  private def reRegister(spark: SparkSession, path: String): Unit = {
+  private[streaming] def compactionMarker(spark: SparkSession,
+      path: String, through: Long): Unit = {
+    val f = fs(spark, path)
+    f.create(new Path(markersRoot(path), s"cmp-$through"), true).close()
+  }
+
+  /** Sidecar: "nBuckets\tbucketCol\tgen\nschemaDDL" — what catalog
+    * recovery and generation resolution need without reading any data.
+    * ATOMIC: written to `.new`, closed, then renamed into place; when
+    * `overwrite` (a rebucket swap) the stale main file is deleted
+    * between the full write and the rename, so a missing main file
+    * with live markers always has a COMPLETE `.new` to promote. */
+  private def writeSidecar(spark: SparkSession, path: String,
+      layout: Layout, overwrite: Boolean): Unit = {
     val f = fs(spark, path)
     val p = schemaPath(path)
-    require(f.exists(p), s"bucketed state at $path has no schema sidecar")
+    if (!overwrite && f.exists(p)) return
+    val tmp = schemaTmpPath(path)
+    val bytes =
+      (s"${layout.nBuckets}\t${layout.bucketCol}\t${layout.gen}\n" +
+        layout.ddl + "\n").getBytes("UTF-8")
+    val out = f.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    if (overwrite && f.exists(p)) f.delete(p, false)
+    require(f.rename(tmp, p), s"sidecar rename failed at $path")
+  }
+
+  /** Parse the sidecar, promoting a mid-swap `.new` (main missing,
+    * markers live ⇒ the temp is complete by protocol) first. Returns
+    * None when no readable sidecar exists. */
+  private def readSidecar(spark: SparkSession, path: String)
+      : Option[Layout] = {
+    val f = fs(spark, path)
+    val p = schemaPath(path)
+    val tmp = schemaTmpPath(path)
+    if (!f.exists(p) && f.exists(tmp) &&
+        committedBatches(spark, path).nonEmpty)
+      f.rename(tmp, p)
+    if (!f.exists(p)) return None
     val in = f.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    val Array(head, ddl) = text.split("\n", 2)
-    val Array(n, bucketCol) = head.split("\t", 2)
-    val name = tableName(path)
-    spark.sql(s"""CREATE TABLE $name ($ddl, __bt BIGINT)
+    text.split("\n", 2) match {
+      case Array(head, ddl) => head.split("\t") match {
+        case Array(n, c) if n.forall(_.isDigit) && n.nonEmpty =>
+          Some(Layout(0, n.toInt, c, ddl.stripLineEnd))
+        case Array(n, c, g)
+            if n.forall(_.isDigit) && g.forall(_.isDigit) &&
+              n.nonEmpty && g.nonEmpty =>
+          Some(Layout(g.toInt, n.toInt, c, ddl.stripLineEnd))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Re-register the external table from its layout after catalog
+    * loss: CREATE TABLE with the recorded schema/bucketing at the
+    * state location, then recover the partition index. */
+  private def reRegister(spark: SparkSession, path: String,
+      l: Layout): Unit = {
+    val name = tableNameG(path, l.gen)
+    spark.sql(s"""CREATE TABLE $name (${l.ddl}, __bt BIGINT)
       USING parquet
       PARTITIONED BY (__bt)
-      CLUSTERED BY (`$bucketCol`) SORTED BY (`$bucketCol`) INTO $n BUCKETS
-      LOCATION '${dataDir(path)}'""")
+      CLUSTERED BY (`${l.bucketCol}`) SORTED BY (`${l.bucketCol}`)
+        INTO ${l.nBuckets} BUCKETS
+      LOCATION '${dataDir(path, l.gen)}'""")
     spark.sql(s"MSCK REPAIR TABLE $name")
     ()
   }
 
-  /** True when the catalog table is live for this state (registering
-    * it from the sidecar if a previous session created the state). A
-    * FRESH state path (no markers yet) drops any stale registration
-    * left by an earlier fixture at the same path. */
-  private def ensureRegistered(spark: SparkSession, path: String)
-      : Boolean = {
-    val name = tableName(path)
+  /** The live layout when the state exists (registering its catalog
+    * table from the sidecar if a previous session created the state);
+    * None for a FRESH state path, dropping any stale registration left
+    * by an earlier fixture at the same path. A corrupt-but-present
+    * sidecar with live state self-repairs from the registered table's
+    * own catalog metadata (schema, bucket spec, location ⇒ gen). */
+  private[streaming] def liveLayout(spark: SparkSession, path: String)
+      : Option[Layout] = {
     val f = fs(spark, path)
-    // no sidecar ⇒ no marker can exist either (the sidecar lands
-    // before the first append, markers only after one) ⇒ the state is
-    // logically empty even if a crashed first append left debris
-    if (!f.exists(markersRoot(path)) || !f.exists(schemaPath(path))) {
+    // no committed batch ⇒ the state is logically empty even if a
+    // crashed first append left debris
+    if (committedBatches(spark, path).isEmpty) {
       // fresh state: a same-path table from a deleted fixture would
       // otherwise read stale catalog partitions over missing files.
       // tableExists first — a catalog lookup — so the common fresh case
       // pays no DDL round-trip at all
+      val name = tableName(path)
       if (spark.catalog.tableExists(name))
         spark.sql(s"DROP TABLE $name")
-      false
-    } else {
-      if (!spark.catalog.tableExists(name)) reRegister(spark, path)
-      true
+      None
+    } else readSidecar(spark, path) match {
+      case Some(l) =>
+        if (!spark.catalog.tableExists(tableNameG(path, l.gen)))
+          reRegister(spark, path, l)
+        Some(l)
+      case None =>
+        // unreachable under the atomic sidecar protocol; if a sidecar
+        // is destroyed out-of-band, rebuild it from the registered
+        // table's catalog metadata rather than wedging forever
+        val cat = spark.sessionState.catalog
+        val gens = (0 to 64).find { g =>
+          cat.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(
+            tableNameG(path, g)))
+        }
+        require(gens.nonEmpty,
+          s"bucketed state at $path has live markers but no readable " +
+            "sidecar and no registered table to rebuild it from")
+        val meta = cat.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(
+            tableNameG(path, gens.get)))
+        val spec = meta.bucketSpec.getOrElse(
+          sys.error(s"state table at $path lost its bucket spec"))
+        val ddl = org.apache.spark.sql.types.StructType(
+          meta.schema.filterNot(_.name == "__bt")).toDDL
+        val l = Layout(gens.get, spec.numBuckets,
+          spec.bucketColumnNames.head, ddl)
+        writeSidecar(spark, path, l, overwrite = true)
+        Some(l)
     }
+  }
+
+  /** Scrub commit-protocol staging debris under the live data dir: a
+    * crashed job's committed task files under `_temporary/<attempt>`
+    * would be adopted — silently merged into the partition — by the
+    * next job's commitJob at the same attempt id. Cheap (one or two
+    * existence probes) and run before every append. */
+  private def scrubStaging(spark: SparkSession, path: String,
+      gen: Int): Unit = {
+    val f = fs(spark, path)
+    val d = dataDir(path, gen)
+    val tmp = new Path(d, "_temporary")
+    if (f.exists(tmp)) f.delete(tmp, true)
+    if (f.exists(d))
+      f.listStatus(d).foreach { st =>
+        if (st.getPath.getName.startsWith(".spark-staging"))
+          f.delete(st.getPath, true)
+      }
   }
 
   /** Append `df` as batch `batchId`'s increment, exactly once: a
     * committed batch id (marker present) is a no-op; a crashed
-    * previous attempt's partial partition directory is deleted before
-    * the re-append. The increment is repartitioned onto the bucket
-    * function (murmur3 pmod — `repartition(n, col)` and the bucketed
-    * writer agree on it), so each task holds exactly one bucket and
-    * the batch adds ONE file per non-empty bucket; this increment-
-    * sized exchange plus the join's increment-side exchange is the
-    * batch's whole shuffle bill, state never moves. */
-  /** `prePartitioned = true`: the caller already holds `df` exchanged
+    * previous attempt's partial partition directory AND staging debris
+    * are deleted before the re-append. The increment is repartitioned
+    * onto the bucket function (murmur3 pmod — `repartition(n, col)`
+    * and the bucketed writer agree on it), so each task holds exactly
+    * one bucket and the batch adds ONE file per non-empty bucket; this
+    * increment-sized exchange plus the join's increment-side exchange
+    * is the batch's whole shuffle bill, state never moves.
+    *
+    * `prePartitioned = true`: the caller already holds `df` exchanged
     * as `repartition(nBuckets, bucketCol)` (e.g. a persisted increment
     * whose partitioning the batch's join also reuses) — skip the
-    * writer-side exchange instead of paying it twice. */
+    * writer-side exchange instead of paying it twice. Ignored when the
+    * live layout's bucket count differs from the caller's (a
+    * [[rebucket]] happened): the append re-aligns to the live count.
+    *
+    * When the state is live, the LAYOUT's bucket count wins over the
+    * caller's `nBuckets` — a rebucketed table keeps its new count even
+    * though the gate's sink still passes the original sizing param. */
   def appendOnce(df: DataFrame, path: String, batchId: Long,
       bucketCol: String, nBuckets: Int,
       prePartitioned: Boolean = false): Unit = {
     val spark = df.sparkSession
     val f = fs(spark, path)
     if (committedBatches(spark, path).contains(batchId)) return
-    val live = ensureRegistered(spark, path)
-    val name = tableName(path)
+    val live = liveLayout(spark, path)
+    val l = live.getOrElse(
+      Layout(0, nBuckets, bucketCol, df.schema.toDDL))
+    require(l.bucketCol == bucketCol,
+      s"state at $path is bucketed by ${l.bucketCol}, not $bucketCol")
+    val name = tableNameG(path, l.gen)
     // crashed attempt: its files are unregistered (invisible) but a
     // re-append into the same directory would double them. The catalog
     // partition can only exist if the directory did (a committed
     // append), so the DDL round-trip is gated on the same check
-    val partDir = new Path(dataDir(path), s"__bt=$batchId")
+    val partDir = new Path(dataDir(path, l.gen), s"__bt=$batchId")
     if (f.exists(partDir)) {
       f.delete(partDir, true)
-      if (live) spark.sql(
+      if (live.isDefined) spark.sql(
         s"ALTER TABLE $name DROP IF EXISTS PARTITION (__bt=$batchId)")
     }
+    scrubStaging(spark, path, l.gen)
     f.mkdirs(markersRoot(path))
-    writeSchemaSidecar(spark, path, df.schema.toDDL, bucketCol, nBuckets)
+    writeSidecar(spark, path, l, overwrite = false)
     val aligned =
-      if (prePartitioned) df
-      else df.repartition(nBuckets, col(bucketCol))
+      if (prePartitioned && l.nBuckets == nBuckets) df
+      else df.repartition(l.nBuckets, col(l.bucketCol))
     aligned.withColumn("__bt", lit(batchId))
       .write.mode("append").format("parquet")
       .partitionBy("__bt")
-      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
-      .option("path", dataDir(path).toString)
+      .bucketBy(l.nBuckets, l.bucketCol).sortBy(l.bucketCol)
+      .option("path", dataDir(path, l.gen).toString)
       .saveAsTable(name)
     // (no refreshTable: the insert path invalidates the cached relation
     // itself; SubstrGateSpec/SemGateSpec read-after-append would catch
@@ -181,13 +317,134 @@ object BucketedState {
     f.create(markerPath(path, batchId), true).close()
   }
 
+  /** Write `df` as the single partition `__bt = btValue` of the live
+    * state table — [[MergeState]]'s compaction writer (btValue < 0 for
+    * compacted base partitions; the normal append path owns the
+    * non-negative id space). The caller owns idempotence. */
+  private[streaming] def writeBt(df: DataFrame, path: String,
+      btValue: Long): Unit = {
+    val spark = df.sparkSession
+    val l = liveLayout(spark, path).getOrElse(
+      sys.error(s"writeBt on non-live state at $path"))
+    val f = fs(spark, path)
+    val partDir = new Path(dataDir(path, l.gen), s"__bt=$btValue")
+    if (f.exists(partDir)) {
+      f.delete(partDir, true)
+      spark.sql(s"ALTER TABLE ${tableNameG(path, l.gen)} " +
+        s"DROP IF EXISTS PARTITION (__bt=$btValue)")
+    }
+    scrubStaging(spark, path, l.gen)
+    df.repartition(l.nBuckets, col(l.bucketCol))
+      .withColumn("__bt", lit(btValue))
+      .write.mode("append").format("parquet")
+      .partitionBy("__bt")
+      .bucketBy(l.nBuckets, l.bucketCol).sortBy(l.bucketCol)
+      .option("path", dataDir(path, l.gen).toString)
+      .saveAsTable(tableNameG(path, l.gen))
+  }
+
+  /** Drop a committed partition (compaction cleanup): catalog entry
+    * and directory. Idempotent. */
+  private[streaming] def dropBt(spark: SparkSession, path: String,
+      btValue: Long): Unit = liveLayout(spark, path).foreach { l =>
+    spark.sql(s"ALTER TABLE ${tableNameG(path, l.gen)} " +
+      s"DROP IF EXISTS PARTITION (__bt=$btValue)")
+    val f = fs(spark, path)
+    val partDir = new Path(dataDir(path, l.gen), s"__bt=$btValue")
+    if (f.exists(partDir)) f.delete(partDir, true)
+  }
+
+  /** Registered `__bt` partition values of the live table (compaction
+    * bookkeeping — one catalog listing, no data touched). */
+  private[streaming] def btValues(spark: SparkSession, path: String)
+      : Seq[Long] = liveLayout(spark, path) match {
+    case None => Seq.empty
+    case Some(l) =>
+      spark.sql(s"SHOW PARTITIONS ${tableNameG(path, l.gen)}")
+        .collect().toSeq
+        .map(_.getString(0).stripPrefix("__bt=").toLong)
+  }
+
+  /** The full live state WITH its `__bt` column ([[MergeState]]'s
+    * substrate); None until a first batch has committed. */
+  private[streaming] def readRaw(spark: SparkSession, path: String)
+      : Option[DataFrame] =
+    liveLayout(spark, path).map(l => spark.table(tableNameG(path, l.gen)))
+
   /** The state as it stood BEFORE batch `batchId` — one partition-
     * pruned bucketed scan (`__bt < batchId`), correct on fresh runs
     * and crash-replays alike. None until a first batch has committed
     * (same contract as [[GateKit.readPinnedBefore]]). */
   def readBefore(spark: SparkSession, path: String,
       batchId: Long): Option[DataFrame] =
-    if (!ensureRegistered(spark, path)) None
-    else Some(spark.table(tableName(path))
-      .filter(col("__bt") < batchId).drop("__bt"))
+    readRaw(spark, path)
+      .map(_.filter(col("__bt") < batchId).drop("__bt"))
+
+  /** Re-shard the state into `newN` buckets, exactly once — the
+    * 100 TB story for a gate that outgrows its layout constant, so it
+    * never needs a new epoch. The rewrite lands in a fresh GENERATION
+    * directory (`data-g<gen+1>`) under a new catalog name; the COMMIT
+    * POINT is the atomic sidecar swap, after which every reader and
+    * writer resolves the new generation. Crash windows:
+    *
+    *  - before the swap: the old generation is untouched and live; the
+    *    half-written new directory is debris a retry deletes first;
+    *  - mid-swap (main sidecar deleted, rename pending): the next
+    *    sidecar read promotes the complete `.new` — the swap is
+    *    effectively atomic with self-repair;
+    *  - after the swap: the state is live at the new generation;
+    *    the old directory/table are stale debris that this method (on
+    *    a no-op retry) and the next rebucket sweep away.
+    *
+    * Batch markers and compaction watermarks live outside the data
+    * directories and carry over untouched, so exactly-once replay
+    * semantics are generation-independent. A no-op on fresh state
+    * (nothing accumulated to re-shard — size a fresh gate via its
+    * sink's `nBuckets` param instead). `onBeforeCommit` is a test seam
+    * for crash injection immediately before the commit point. */
+  def rebucket(spark: SparkSession, path: String, newN: Int,
+      onBeforeCommit: () => Unit = () => ()): Unit = {
+    val f = fs(spark, path)
+    val live = liveLayout(spark, path)
+    if (live.isEmpty) return
+    val l = live.get
+    // sweep stale generations (a crashed post-swap cleanup)
+    if (f.exists(new Path(path))) f.listStatus(new Path(path)).foreach {
+      st =>
+        val n = st.getPath.getName
+        val stale = (n == "data" && l.gen != 0) ||
+          (n.startsWith("data-g") &&
+            n.stripPrefix("data-g") != l.gen.toString)
+        if (stale) {
+          val g = if (n == "data") 0 else n.stripPrefix("data-g").toInt
+          if (spark.catalog.tableExists(tableNameG(path, g)))
+            spark.sql(s"DROP TABLE ${tableNameG(path, g)}")
+          f.delete(st.getPath, true)
+        }
+    }
+    if (l.nBuckets == newN) return
+    val newGen = l.gen + 1
+    val newName = tableNameG(path, newGen)
+    val newDir = dataDir(path, newGen)
+    // debris from a crashed prior attempt
+    if (spark.catalog.tableExists(newName))
+      spark.sql(s"DROP TABLE $newName")
+    if (f.exists(newDir)) f.delete(newDir, true)
+    // one bounded rewrite of the accumulated state, __bt partitioning
+    // (and with it replay pinning) preserved verbatim
+    spark.table(tableNameG(path, l.gen))
+      .repartition(newN, col(l.bucketCol))
+      .write.mode("append").format("parquet")
+      .partitionBy("__bt")
+      .bucketBy(newN, l.bucketCol).sortBy(l.bucketCol)
+      .option("path", newDir.toString)
+      .saveAsTable(newName)
+    onBeforeCommit()
+    writeSidecar(spark, path,
+      l.copy(gen = newGen, nBuckets = newN), overwrite = true)
+    // post-commit cleanup (a crash here leaks until the next rebucket)
+    spark.sql(s"DROP TABLE IF EXISTS ${tableNameG(path, l.gen)}")
+    f.delete(dataDir(path, l.gen), true)
+    ()
+  }
 }

@@ -24,9 +24,11 @@ import graft.sources.VersionedTable
   * State layout at 100 TB: the index is stored ALREADY BANDED —
   * (id, band, bucket) rows in a [[BucketedState]] table bucketed by
   * `bucket` at rest — so the per-batch cross join streams the entire
-  * accumulated index with no exchange and no sort (HashPartitioning on
-  * `bucket` satisfies the (band, bucket) join's clustering; only the
-  * increment's banded rows shuffle). The round-7 layout stored raw
+  * accumulated index with no exchange and no sort: it equi-joins on
+  * `bucket` ALONE (exactly the at-rest partitioning — Spark's
+  * co-partition rule demands the partitioning cover ALL join keys)
+  * with the band match as a non-equi residual, and only the
+  * increment's banded rows shuffle. The round-7 layout stored raw
   * signatures and re-banded + re-exchanged the WHOLE index every batch
   * — band-amplified full-state shuffle, the pattern that cannot
   * survive accumulated state. Under a finite `maxBucket` the over-cap
@@ -78,6 +80,14 @@ object ClusterMaintainer {
           .repartition(nBuckets, col("bucket")))
       val cross = BucketedState.readBefore(spark, idxPath, batchId) match {
         case Some(base0) =>
+          // all three joins below equi-join on `bucket` ALONE — the
+          // state's at-rest HashPartitioning(bucket) then covers the
+          // join keys EXACTLY (requireAllClusterKeysForCoPartition) and
+          // the index streams exchange-free; the band equality rides as
+          // a NON-EQUI residual (`band_l − band_r = 0`), which Catalyst
+          // cannot lift into the key set. Written as a (band, bucket)
+          // key pair, every batch re-exchanged the whole accumulated
+          // index — ShuffleBudgetSpec's cluster pin measures it.
           val base =
             if (maxBucket == Int.MaxValue) base0
             else {
@@ -89,14 +99,19 @@ object ClusterMaintainer {
                 .groupBy(col("band"), col("bucket"))
                 .agg(count(lit(1)).as("__n"))
                 .filter(col("__n") > maxBucket)
-                .select(col("band"), col("bucket"))
+                .select(col("band").as("_oband"),
+                  col("bucket").as("_obucket"))
               base0.join(over.hint("shuffle_hash"),
-                Seq("band", "bucket"), "left_anti")
+                col("bucket") === col("_obucket") &&
+                  (col("band") - col("_oband")) === 0,
+                "left_anti")
             }
-          incIdx.select(col(idCol).as("new_id"), col("band"),
-              col("bucket")).hint("shuffle_hash")
+          incIdx.select(col(idCol).as("new_id"),
+              col("band").as("_nband"), col("bucket"))
+            .hint("shuffle_hash")
             .join(base.select(col(idCol).as("base_id"), col("band"),
-              col("bucket")), Seq("band", "bucket"))
+              col("bucket")), Seq("bucket"))
+            .filter((col("_nband") - col("band")) === 0)
             .select(col("new_id"), col("base_id"))
             .distinct()
         case None => Seq.empty[(Long, Long)].toDF("new_id", "base_id")

@@ -255,41 +255,170 @@ class ShuffleBudgetSpec extends SparkSpec {
     // VersionedTable layout re-shuffled all accumulated state: batch 3
     // paid ~3x batch 2's join exchange and this assertion fails on it.
     import spark.implicits._
-    def jobShuffle(body: => Unit): Long = {
-      val acc = new java.util.concurrent.atomic.AtomicLong
-      val listener = new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          if (t.taskMetrics != null)
-            acc.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
-      }
-      spark.sparkContext.addSparkListener(listener)
-      try {
-        body
-        org.apache.spark.sql.GraftSqlBridge.flushListeners(spark.sparkContext)
-      } finally spark.sparkContext.removeSparkListener(listener)
-      acc.get()
-    }
-    def mix(x: Long): Long = {
-      var z = x * 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
     def batchDf(b: Int) = (0 until 300).map { i =>
       val id = b * 1000L + i
-      (id, (0 until 15).map(k => f"${mix(id * 31L + k)}%016x").mkString)
+      (id, (0 until 15).map(k => f"${mix64(id * 31L + k)}%016x").mkString)
     }.toDF("doc_id", "text")
     val dir = java.nio.file.Files
       .createTempDirectory("graft-sbudget").toString
     val snk = graft.streaming.SubstrGate.sink(s"$dir/docs",
       s"$dir/grams", s"$dir/out", "doc_id", "text", minLen = 30)
-    val walls = (0 until 3).map(b => jobShuffle(snk(batchDf(b), b.toLong)))
+    val walls = (0 until 3).map(b =>
+      gateMetrics(snk(batchDf(b), b.toLong))._1)
     assert(walls.forall(_ > 0), s"per-batch shuffle: $walls")
     // batch 1 joins 1 increment of state, batch 2 joins 2: a layout
     // that re-shuffles state pays ~+1 increment of exchange at batch 2
     assert(walls(2) < walls(1) * 1.35,
       s"per-batch shuffle grew with accumulated state: $walls")
+  }
+
+  /** Total task-level (shuffle bytes written, output bytes written)
+    * across ALL jobs run by `body` — gates write through persisted
+    * subtrees and table commits that plan-walking cannot see into.
+    * Confs are pinned (AQE off, shuffle partitions fixed) so coalescing
+    * or partition-default drift across environments cannot move the
+    * batch-to-batch ratios these assertions bound. */
+  private def gateMetrics(body: => Unit): (Long, Long) = {
+    val shuffle = new java.util.concurrent.atomic.AtomicLong
+    val output = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) {
+          shuffle.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          output.addAndGet(t.taskMetrics.outputMetrics.bytesWritten)
+        }
+    }
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    // accumulated state could never auto-broadcast at the scale these
+    // claims are about — without this, a test-sized state slips under
+    // the 10 MB threshold and a broken (bucketing-blind) layout would
+    // pass by broadcasting what production must stream
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      org.apache.spark.sql.GraftSqlBridge.flushListeners(spark.sparkContext)
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+    }
+    (shuffle.get(), output.get())
+  }
+
+  private def mix64(x: Long): Long = {
+    var z = x * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  test("boilerplate gate: per-batch WRITE volume tracks the increment's segments, not accumulated state") {
+    // round 8's one remaining full-state-rewrite gate, closed and
+    // pinned: the frequency state is MergeState DELTAS — each batch
+    // writes only its own (h, ndocs) rows. The probe is two streams
+    // receiving the IDENTICAL probe batch after differently-sized
+    // unique-segment histories (1x vs 10x): the probe batch's bytes
+    // written must be independent of how much state accumulated. The
+    // old merge-and-overwrite layout rewrote the whole table every
+    // batch — its 10x-history probe write is several times the 1x one
+    // and fails this bound.
+    import spark.implicits._
+    // chunk-dense docs (100 short words, 5-token chunks -> 20 state
+    // rows per doc) so the state-rewrite signal dominates the fixed
+    // output-table write in the old layout
+    def docs(tag: Int, n: Int) = (0 until n).map { i =>
+      val id = tag * 100000L + i
+      (id, (0 until 100).map(k => f"${mix64(id * 131L + k)}%08x"
+        .take(8)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val probe = docs(9, 300)
+    def probeCost(history: Int): Long = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-bgbudget").toString
+      val snk = graft.streaming.BoilerplateGate.sink(s"$dir/freq",
+        s"$dir/out", "doc_id", "text", chunkTokens = 5,
+        compactEvery = 100)
+      gateMetrics(snk(docs(1, history), 0L)) // history batch
+      val (sh, out) = gateMetrics(snk(probe, 1L))
+      assert(sh > 0 && out > 0, s"probe wrote nothing: $sh/$out")
+      out
+    }
+    val small = probeCost(300)
+    val big = probeCost(3000)
+    assert(big < small * 3 / 2,
+      s"probe-batch write volume grew with accumulated state: " +
+        s"$small (1x history) vs $big (10x history)")
+  }
+
+  /** Two-stream probe shared by the spatial/cluster pins: run the
+    * IDENTICAL probe batch after a 1x and a 10x state history and
+    * return both probe-batch shuffle totals — a layout that
+    * re-exchanges state per batch shuffles ~10x more on the second. */
+  private def twoStreamShuffle(history: Int,
+      run: (String, DataFrame, Long) => Unit,
+      mk: (Int, Int) => DataFrame): (Long, Long) = {
+    val probe = mk(9, history)
+    def probeCost(mult: Int): Long = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-budget2").toString
+      gateMetrics(run(dir, mk(1, history * mult), 0L))
+      val sh = gateMetrics(run(dir, probe, 1L))._1
+      assert(sh > 0, "probe batch shuffled nothing")
+      sh
+    }
+    (probeCost(1), probeCost(10))
+  }
+
+  test("spatial gate: per-batch shuffle tracks the INCREMENT, not the accumulated point set") {
+    // the point set rests bucketed by its packed cell key: the per-
+    // batch cross probe streams the WHOLE accumulated state exchange-
+    // free, so the identical pair-free probe batch (spacing >> radius)
+    // must shuffle the same against a 10x state as against a 1x state.
+    // The round-7 layout re-exchanged every stored point through each
+    // batch's cell join — ~10x the probe shuffle — and fails this.
+    import spark.implicits._
+    def mk(tag: Int, n: Int) = (0 until n).map { i =>
+      val id = tag * 1000000L + i
+      (id, math.floorMod(mix64(id), 100000L) * 1000L,
+        math.floorMod(mix64(id * 7L + 1), 100000L) * 1000L)
+    }.toDF("id", "x", "y")
+    val (small, big) = twoStreamShuffle(2000,
+      (dir, df, b) => graft.streaming.SpatialGate.sink(s"$dir/state",
+        s"$dir/out", "id", "x", "y", radius = 5L, cell = 5L)(df, b),
+      mk)
+    assert(big < small * 135 / 100,
+      s"probe-batch shuffle grew with accumulated state: " +
+        s"$small (1x) vs $big (10x)")
+  }
+
+  test("cluster maintainer: per-batch shuffle tracks the INCREMENT, not the accumulated LSH index") {
+    // the index rests ALREADY BANDED, bucketed by bucket hash: the
+    // per-batch candidate join streams all accumulated (id, band,
+    // bucket) rows exchange-free, so the identical unique-corpus probe
+    // batch must shuffle the same against a 10x index as against a 1x
+    // index. The round-7 layout stored raw signatures and re-banded +
+    // re-exchanged the whole index per batch (band-amplified, ~10x the
+    // probe shuffle here) and fails this bound.
+    import spark.implicits._
+    def mk(tag: Int, n: Int) = (0 until n).map { i =>
+      val id = tag * 1000000L + i
+      (id, (0 until 15).map(k => f"${mix64(id * 31L + k)}%016x")
+        .mkString)
+    }.toDF("doc_id", "text")
+    val (small, big) = twoStreamShuffle(300,
+      (dir, df, b) => graft.streaming.ClusterMaintainer.sink(
+        s"$dir/labels", s"$dir/idx", "doc_id", "text",
+        maxBucket = 16)(df, b),
+      mk)
+    assert(big < small * 135 / 100,
+      s"probe-batch shuffle grew with accumulated state: " +
+        s"$small (1x) vs $big (10x)")
   }
 
   test("MaxSim: exchanges carry (doc, qtok, int) grid rows, never vectors") {

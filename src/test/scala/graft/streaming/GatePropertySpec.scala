@@ -270,7 +270,8 @@ class GatePropertySpec extends SparkSpec {
       val dir = java.nio.file.Files
         .createTempDirectory("graft-bgp").toString
       val snk = BoilerplateGate.sink(s"$dir/freq", s"$dir/out",
-        "doc_id", "text", chunkTokens = 10, minDocs = 3)
+        "doc_id", "text", chunkTokens = 10, minDocs = 3,
+        compactEvery = 2)
       batches.zipWithIndex.foreach { case (b, i) =>
         snk(b.toDF("doc_id", "text"), i.toLong) }
       // independent prefix fold: cumulative per-hash distinct-doc counts
