@@ -365,6 +365,7 @@ object SemGateScale {
     val k = if (args.length > 1) args(1).toInt else 30
     val mode = if (args.length > 2) args(2) else "clean"
     val ncells = if (args.length > 3) args(3).toInt else 64
+    val roll = args.length > 4 && args(4) == "roll"
     val spark = ScaleSmoke.session(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     spark.sparkContext.setLogLevel("ERROR")
@@ -414,21 +415,201 @@ object SemGateScale {
         graft.sources.VersionedTable.versions(spark, s"${root}_out").last)
       println(f"[sgate] $i%5d $incRows%10d $cum%12d $dt%8.2f " +
         f"${(acc.bytes - b0) / 1048576.0}%9.1f")
+      if (roll && i == 1) {
+        // mid-stream EPOCH ROLL (production SemDeDup's periodic
+        // re-cluster): retrain on the accumulated state, re-encode,
+        // emit the catch-up delta, flip — one bounded job, measured
+        ScaleSmoke.flush(spark)
+        val r0 = acc.bytes
+        val rt0 = System.nanoTime()
+        val e = graft.streaming.SemGate.rollEpoch(spark,
+          s"${root}_state", s"${root}_out", threshold = 0.35,
+          fromEpoch = 0, ncells = ncells, nBuckets = 64)
+        val rdt = (System.nanoTime() - rt0) / 1e9
+        ScaleSmoke.flush(spark)
+        println(f"[sgate] roll -> epoch $e%d in $rdt%8.2f s, " +
+          f"${(acc.bytes - r0) / 1048576.0}%9.1f MB shuffled")
+      }
     }
-    // K× parity: cumulative streamed pairs == the one-shot frozen-cell
-    // operator, with the centroids the GATE itself committed
-    val cent = graft.operators.Similarity.centFromFrame(
-      graft.sources.VersionedTable.read(spark, s"${root}_state/coarse"))
+    // K× parity. Without a roll: cumulative streamed pairs == the
+    // one-shot frozen-cell operator under the gate's own committed
+    // centroids. With a roll after batch 1: distinct streamed pairs ==
+    // truth(old codebook, batches 0-1) ∪ truth(new codebook, all) —
+    // the cross-epoch contract SemGateSpec pins at spec scale.
+    val coarseVs = graft.sources.VersionedTable.versions(
+      spark, s"${root}_state/coarse")
     val t0 = System.nanoTime()
-    val oneShot = graft.operators.Similarity.cellPairsFrozen(
-      vecs, "vec_id", "embedding", cent, 0.35).count()
+    val (oneShot, streamed) =
+      if (!roll) {
+        val cent = graft.operators.Similarity.centFromFrame(
+          graft.sources.VersionedTable.read(spark, s"${root}_state/coarse"))
+        (graft.operators.Similarity.cellPairsFrozen(
+          vecs, "vec_id", "embedding", cent, 0.35).count(),
+          graft.sources.VersionedTable
+            .read(spark, s"${root}_out").count())
+      } else {
+        val centOld = graft.operators.Similarity.centFromFrame(
+          graft.sources.VersionedTable.read(spark, s"${root}_state/coarse",
+            Some(coarseVs.head)))
+        val centNew = graft.operators.Similarity.centFromFrame(
+          graft.sources.VersionedTable.read(spark, s"${root}_state/coarse"))
+        val prefix01 = vecs.filter(pmod(col("vec_id"), lit(3L)) < 2L)
+        val want = graft.operators.Similarity.cellPairsFrozen(
+            prefix01, "vec_id", "embedding", centOld, 0.35)
+          .select(col("id_a"), col("id_b"))
+          .unionByName(graft.operators.Similarity.cellPairsFrozen(
+              vecs, "vec_id", "embedding", centNew, 0.35)
+            .select(col("id_a"), col("id_b")))
+          .distinct().count()
+        (want, graft.sources.VersionedTable.read(spark, s"${root}_out")
+          .select(col("id_a"), col("id_b")).distinct().count())
+      }
     val dt = (System.nanoTime() - t0) / 1e9
     graft.operators.Dedup.releaseAll(spark)
-    val streamed = graft.sources.VersionedTable
-      .read(spark, s"${root}_out").count()
     println(f"[sgate] one-shot $oneShot%d pairs in $dt%.2f s; " +
       f"streamed cumulative $streamed%d; match=${oneShot == streamed}")
     vecs.unpersist()
+    spark.stop()
+  }
+}
+
+/** 3-batch streaming SPATIAL-gate scale probe: N synthetic points
+  * (deterministic hashed coordinates over a plane sized so genuine
+  * within-radius pairs exist but stay sparse) stream through
+  * [[graft.streaming.SpatialGate]] in three `id % 3` increments,
+  * reporting per-batch wall and shuffle, then count-check the
+  * cumulative pair table against the one-shot batch
+  * [[graft.operators.Spatial.radiusJoin]]. The claim under test is the
+  * SubstrGate discipline: the point set rests bucketed by its packed
+  * cell key, so per-batch shuffle tracks the increment while state
+  * doubles and triples (`ShuffleBudgetSpec`'s two-stream pin at spec
+  * scale; this is the measured K× row). */
+object SpatialGateScale {
+  def main(args: Array[String]): Unit = {
+    val k = if (args.length > 0) args(0).toInt else 30
+    val nBuckets = if (args.length > 1) args(1).toInt else 64
+    val n = k * 50000L
+    val spark = ScaleSmoke.session(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    spark.sparkContext.setLogLevel("ERROR")
+    // plane sized for ~n²·πr²/2M² expected pairs — sparse but nonzero
+    // (~4k pairs at K=30, ~17 at K=2)
+    val m = 3000000L
+    val pts = spark.range(n).select(col("id"),
+      pmod(xxhash64(col("id"), lit(1)), lit(m)).as("x"),
+      pmod(xxhash64(col("id"), lit(2)), lit(m)).as("y")).persist()
+    println(s"[pgate] corpus: ${pts.count()} points (K=$k)")
+    val acc = new ScaleSmoke.ShuffleAcc
+    spark.sparkContext.addSparkListener(acc)
+    val base = s"/tmp/graft_pgate_scale_x$k"
+    Seq("state", "out").foreach { p =>
+      val d = new java.io.File(s"${base}_$p")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(d)
+    }
+    val snk = graft.streaming.SpatialGate.sink(s"${base}_state",
+      s"${base}_out", "id", "x", "y", radius = 100L, cell = 100L,
+      nBuckets = nBuckets)
+    println(f"[pgate] ${"batch"}%5s ${"inc_rows"}%10s ${"cum_out"}%12s " +
+      f"${"wall_s"}%8s ${"shuf_mb"}%9s")
+    (0 until 3).foreach { i =>
+      val inc = pts.filter(pmod(col("id"), lit(3L)) === i.toLong)
+      val incRows = inc.count()
+      ScaleSmoke.flush(spark)
+      val b0 = acc.bytes
+      val t0 = System.nanoTime()
+      snk(inc, i.toLong)
+      val dt = (System.nanoTime() - t0) / 1e9
+      ScaleSmoke.flush(spark)
+      val cum = graft.sources.VersionedTable.rowCount(spark,
+        s"${base}_out",
+        graft.sources.VersionedTable.versions(spark, s"${base}_out").last)
+      println(f"[pgate] $i%5d $incRows%10d $cum%12d $dt%8.2f " +
+        f"${(acc.bytes - b0) / 1048576.0}%9.1f")
+    }
+    val streamed = graft.sources.VersionedTable
+      .read(spark, s"${base}_out").count()
+    val t0 = System.nanoTime()
+    val oneShot = graft.operators.Spatial.radiusJoin(
+      pts, "id", "x", "y", 100L, 100L).count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    graft.operators.Dedup.releaseAll(spark)
+    println(f"[pgate] one-shot $oneShot%d pairs in $dt%.2f s; " +
+      f"streamed cumulative $streamed%d; match=${oneShot == streamed}")
+    pts.unpersist()
+    spark.stop()
+  }
+}
+
+/** 3-batch streaming CLUSTER-MAINTAINER scale probe at K× over the
+  * salted documents corpus ([[SubstrCleanScale.saltedDocs]] — each
+  * copy keeps the source's own near-dup families, cross-copy shingles
+  * killed): per-batch wall + shuffle while the banded LSH index state
+  * grows, then label-set parity against the one-shot recompute
+  * ([[graft.operators.Dedup.clustersStar]] over the full corpus's
+  * candidates — the ClusterMaintainerSpec contract at K×). */
+object ClusterGateScale {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = if (args.length > 1) args(1).toInt else 30
+    val nBuckets = if (args.length > 2) args(2).toInt else 64
+    val spark = ScaleSmoke.session(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = SubstrCleanScale.saltedDocs(spark, src, k).persist()
+    println(s"[lgate] corpus: ${docs.count()} docs (K=$k salted copies)")
+    val acc = new ScaleSmoke.ShuffleAcc
+    spark.sparkContext.addSparkListener(acc)
+    val base = s"/tmp/graft_lgate_scale_x$k"
+    Seq("labels", "idx").foreach { p =>
+      val d = new java.io.File(s"${base}_$p")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(d)
+    }
+    val snk = graft.streaming.ClusterMaintainer.sink(s"${base}_labels",
+      s"${base}_idx", "doc_id", "text", nBuckets = nBuckets)
+    println(f"[lgate] ${"batch"}%5s ${"inc_rows"}%10s ${"cum_lbl"}%12s " +
+      f"${"wall_s"}%8s ${"shuf_mb"}%9s")
+    (0 until 3).foreach { i =>
+      val inc = docs.filter(pmod(col("doc_id"), lit(3L)) === i.toLong)
+      val incRows = inc.count()
+      ScaleSmoke.flush(spark)
+      val b0 = acc.bytes
+      val t0 = System.nanoTime()
+      snk(inc, i.toLong)
+      val dt = (System.nanoTime() - t0) / 1e9
+      ScaleSmoke.flush(spark)
+      val cum = graft.sources.VersionedTable.rowCount(spark,
+        s"${base}_labels",
+        graft.sources.VersionedTable.versions(spark,
+          s"${base}_labels").last)
+      println(f"[lgate] $i%5d $incRows%10d $cum%12d $dt%8.2f " +
+        f"${(acc.bytes - b0) / 1048576.0}%9.1f")
+    }
+    val got = graft.sources.VersionedTable.read(spark, s"${base}_labels")
+      .select(col("doc_id"), col("cluster"))
+    val sigs = graft.operators.Dedup.persistTracked(
+      graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text"))
+    val t0 = System.nanoTime()
+    val want = graft.operators.Dedup.clustersStar(
+      graft.operators.Dedup.candidatesFromSignatures(sigs, "doc_id")
+        .select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")
+      .select(col("doc_a").as("doc_id"), col("cluster"))
+    val diff = got.exceptAll(want).count() + want.exceptAll(got).count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    val wantN = want.count()
+    graft.operators.Dedup.releaseAll(spark)
+    println(f"[lgate] one-shot $wantN%d labels in $dt%.2f s; " +
+      f"label-set symmetric diff $diff%d; match=${diff == 0}")
+    docs.unpersist()
     spark.stop()
   }
 }

@@ -109,6 +109,18 @@ object SparkEntry {
       path
     })
 
+  /** Build every memoized per-dir fixture OUTSIDE any timed slot: the
+    * bench calls this before its cold pass (reporting the time as its
+    * own `fixture_sec` field) so the build cost stops landing on
+    * whichever consumer query happens to run first — per-query cold
+    * timings stay comparable run-to-run and round-to-round. */
+  def prewarmFixtures(s: SparkSession, dir: String): Unit = {
+    buildSkipTable(s, dir, "shared")
+    ivfPqFixture(s, dir)
+    proxIndexFixture(s, dir)
+    ()
+  }
+
   /** Recursively delete a /tmp fixture directory so batch-id-keyed
     * exactly-once state from a PRIOR harness run cannot short-circuit a
     * gate query into returning stale bytes (fixtures only — never point

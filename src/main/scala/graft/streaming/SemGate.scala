@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
@@ -16,17 +16,30 @@ import graft.sources.VersionedTable
   * provably equals [[Similarity.cellPairsFrozen]] over the stream's
   * prefix (`SemGateSpec` asserts it batch by batch).
   *
-  * CONTRACT — SemDeDup with a frozen quantizer. The coarse k-means
-  * codebook trains ONCE, on the first non-empty batch, over UNIT
-  * vectors (committed as a [[VersionedTable]] — the release-pinned
-  * quantizer), and every vector past and future keeps the cell that
-  * codebook assigns. Within-cell pairs with exact cosine ≥ threshold
-  * (over the ORIGINAL vectors) are the truth; a frozen quantizer is
-  * what makes that truth PREFIX-MONOTONE (pairs only accumulate), i.e.
-  * streamable with an append-only output — re-clustering per batch
-  * would re-assign cells and retro-invalidate earlier verdicts.
-  * Production SemDeDup runs exactly this regime between re-clusterings;
-  * a re-cluster opens a new gate epoch (new state paths).
+  * CONTRACT — SemDeDup with a frozen quantizer, between epoch rolls.
+  * The coarse k-means codebook trains ONCE per EPOCH — epoch 0 on the
+  * first non-empty batch, over UNIT vectors (committed as a
+  * [[VersionedTable]] — the release-pinned quantizer) — and every
+  * vector keeps the cell that epoch's codebook assigns. Within-cell
+  * pairs with exact cosine ≥ threshold (over the ORIGINAL vectors) are
+  * the truth; a frozen quantizer is what makes that truth
+  * PREFIX-MONOTONE (pairs only accumulate), i.e. streamable with an
+  * append-only output — re-clustering per batch would re-assign cells
+  * and retro-invalidate earlier verdicts. Production SemDeDup
+  * periodically re-clusters: [[rollEpoch]] is that operator — it
+  * retrains coarse + PQ on the ACCUMULATED vector state (one bounded
+  * job, the inherent re-cluster cost), re-encodes the encoding state
+  * into the new epoch's tables, emits the CATCH-UP pairs (within-cell
+  * under the new codebook over the full prefix, minus pairs already
+  * emitted), and only then commits the new codebook — the epoch flip
+  * is the commit point. After a roll the cumulative output equals
+  * `truth(old codebook, prefix-at-roll) ∪ truth(new codebook, prefix)`
+  * — recall is complete under the CURRENT codebook over the full
+  * prefix, and every emitted pair is a genuine exact-cosine pair
+  * regardless of which epoch found it (`SemGateSpec` pins both, with
+  * a crash injected at the flip). Epoch attribution of output pairs is
+  * a read-side view ([[pairsWithEpoch]]) derived from the commit
+  * history, so the committed output schema never changes.
   *
   * FUNNEL — ADC shortlist + exact-cosine refine, with a PROVABLE
   * screen. The stored state is the IVF-PQ encoding of each unit
@@ -44,7 +57,10 @@ import graft.sources.VersionedTable
   * oracle never needs to replay the PQ. A first batch too small to
   * seed `ks` codewords skips PQ training and the gate runs the same
   * joins unscreened (codes NULL) — output unchanged, by the same
-  * argument.
+  * argument. Each epoch's PQ codebook lives in that epoch's own table
+  * (`pq-e<n>`), so a crash between a roll's PQ and coarse commits can
+  * never pair a new PQ with an old coarse: the gate reads only the
+  * CURRENT epoch's PQ and falls back to unscreened if it is absent.
   *
   * SCALE shape: both state tables are [[BucketedState]] — encodings
   * (cid, cell, codes, err) bucketed by `cell`, float vectors (id, v)
@@ -55,7 +71,11 @@ import graft.sources.VersionedTable
   * only for candidates that might actually match; the corpus-sized
   * path carries byte codes. `ncells` should scale with the corpus
   * (√n cells keeps per-cell pair work flat — [[Similarity.semDedup]]'s
-  * own sizing rule) and sets the cell join's parallelism floor.
+  * own sizing rule) and sets the cell join's parallelism floor. The
+  * increment's own floats ride a broadcast into the refine only while
+  * the micro-batch is broadcast-sized (`maxBroadcastInc`); an
+  * oversized batch (backlog catch-up, initial load) falls back to a
+  * shuffled join on `qid` instead of failing the broadcast.
   *
   * Exactly-once rides [[GateKit]]: the output commit is the completion
   * marker; state appends land before it, idempotent per batch id
@@ -69,18 +89,58 @@ import graft.sources.VersionedTable
   * truth's id_a < id_b never emits self-pairs): the cid ≠ qid guard. */
 object SemGate {
 
+  /** Current epoch of the gate at `statePath`: one committed coarse
+    * codebook version per epoch; −1 before any training. */
+  def currentEpoch(spark: SparkSession, statePath: String): Int =
+    VersionedTable.versions(spark, s"$statePath/coarse").length - 1
+
+  /** Epoch-scoped state path (epoch 0 keeps the unsuffixed name). */
+  private def sub(statePath: String, name: String, epoch: Int): String =
+    if (epoch <= 0) s"$statePath/$name" else s"$statePath/$name-e$epoch"
+
+  /** The (cid, cell, codes, err) encoding of assigned+residualed rows
+    * under `pq` (NULL codes when no PQ is trained — unscreened). */
+  private def encode(asg: DataFrame, pq: Option[DataFrame], m: Int,
+      ks: Int, sd: Int): DataFrame = pq match {
+    case Some(cb) => asg.crossJoin(broadcast(cb))
+      .select(col("vid").as("cid"), col("cell"), col("resid"),
+        GraftFunctions.pqCodes(col("resid"), col("cb"), m, ks, sd)
+          .as("codes"), col("cb"))
+      .select(col("cid"), col("cell"), col("codes"),
+        sqrt(GraftFunctions.pqAdc(col("resid"), col("codes"),
+          col("cb"), m, sd)).as("err"))
+    case None => asg.select(col("vid").as("cid"), col("cell"),
+      lit(null).cast("array<bigint>").as("codes"),
+      lit(null).cast("double").as("err"))
+  }
+
+  /** Deterministic PQ training over residuals: seeds are the `ks`
+    * lowest ids, so a crash-replayed train writes identical bytes. */
+  private def trainPq(vecs: DataFrame, cent: Array[Array[Double]],
+      m: Int, ks: Int, sd: Int, pqIters: Int): DataFrame = {
+    val res = Dedup.persistTracked(
+      Similarity.assignFrozenCells(vecs, "id", "v", cent)
+        .withColumn("resid", Similarity.frozenResidual(
+          col("nv"), col("cell"), cent))
+        .select(col("vid"), col("resid")))
+    val seedIds = vecs.orderBy("id").limit(ks)
+      .collect().map(_.getLong(0))
+    Similarity.pqTrainCodebook(res, "vid", "resid",
+      s"vid IN (${seedIds.mkString(",")})", m, ks, sd, pqIters)
+  }
+
   /** `embeddings.writeStream.foreachBatch(SemGate.sink(...))`.
-    * State lives under `statePath`: vectors/ enc/ coarse/ pq/. */
+    * State lives under `statePath`: vectors/ enc/ coarse/ pq/ (enc and
+    * pq gain an `-e<epoch>` suffix after a [[rollEpoch]]). */
   def sink(statePath: String, outPath: String, idCol: String,
       vecCol: String, threshold: Double, ncells: Int = 8,
       kmIters: Int = 2, m: Int = 8, ks: Int = 16, sd: Int = 8,
-      pqIters: Int = 1, nBuckets: Int = 32)
+      pqIters: Int = 1, nBuckets: Int = 32,
+      maxBroadcastInc: Long = 500000L)
       : (DataFrame, Long) => Unit = (batch, batchId) => {
     val spark = batch.sparkSession
     val vecPath = s"$statePath/vectors"
-    val encPath = s"$statePath/enc"
     val coarsePath = s"$statePath/coarse"
-    val pqPath = s"$statePath/pq"
     GateKit.runOnce(spark, outPath, batchId) {
       import spark.implicits._
       val inc = Dedup.persistTracked(batch.select(
@@ -90,33 +150,28 @@ object SemGate {
       // PQ commits BEFORE coarse: the coarse table is the "trained"
       // flag, so a crash between the two retrains both on replay
       // (deterministic — identical bytes), never half-trains.
-      if (VersionedTable.versions(spark, coarsePath).isEmpty && n > 0) {
+      if (currentEpoch(spark, statePath) < 0 && n > 0) {
         val cent0 = Similarity.kmeansCodebook(
           inc.select(col("id"), Similarity.unitVec("v").as("nv")),
           "id", "nv", ncells, kmIters)
         if (n >= ks) {
-          val res = Dedup.persistTracked(
-            Similarity.assignFrozenCells(inc, "id", "v", cent0)
-              .withColumn("resid", Similarity.frozenResidual(
-                col("nv"), col("cell"), cent0))
-              .select(col("vid"), col("resid")))
-          // deterministic seed: the ks lowest ids of the training batch
-          val seedIds = inc.orderBy("id").limit(ks)
-            .collect().map(_.getLong(0))
-          val cb = Similarity.pqTrainCodebook(res, "vid", "resid",
-            s"vid IN (${seedIds.mkString(",")})", m, ks, sd, pqIters)
-          if (VersionedTable.versions(spark, pqPath).isEmpty)
-            VersionedTable.commit(cb, pqPath)
+          val cb = trainPq(inc, cent0, m, ks, sd, pqIters)
+          if (VersionedTable.versions(spark,
+              sub(statePath, "pq", 0)).isEmpty)
+            VersionedTable.commit(cb, sub(statePath, "pq", 0))
         }
         VersionedTable.commit(
           Similarity.centToFrame(spark, cent0), coarsePath)
       }
-      if (VersionedTable.versions(spark, coarsePath).isEmpty) {
+      val epoch = currentEpoch(spark, statePath)
+      if (epoch < 0) {
         // every batch so far was empty: nothing to state, empty commit
         VersionedTable.streamingCommit(
           Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "cosine"),
           batchId, outPath, "append")
       } else {
+        val encPath = sub(statePath, "enc", epoch)
+        val pqPath = sub(statePath, "pq", epoch)
         val cent = Similarity.centFromFrame(
           VersionedTable.read(spark, coarsePath))
         val pq =
@@ -128,18 +183,7 @@ object SemGate {
             .withColumn("resid", Similarity.frozenResidual(
               col("nv"), col("cell"), cent))
             .select(col("vid"), col("vv"), col("cell"), col("resid")))
-        val encInc = pq match {
-          case Some(cb) => asg.crossJoin(broadcast(cb))
-            .select(col("vid").as("cid"), col("cell"), col("resid"),
-              GraftFunctions.pqCodes(col("resid"), col("cb"), m, ks, sd)
-                .as("codes"), col("cb"))
-            .select(col("cid"), col("cell"), col("codes"),
-              sqrt(GraftFunctions.pqAdc(col("resid"), col("codes"),
-                col("cb"), m, sd)).as("err"))
-          case None => asg.select(col("vid").as("cid"), col("cell"),
-            lit(null).cast("array<bigint>").as("codes"),
-            lit(null).cast("double").as("err"))
-        }
+        val encInc = encode(asg, pq, m, ks, sd)
         val cross = (BucketedState.readBefore(spark, encPath, batchId),
             BucketedState.readBefore(spark, vecPath, batchId)) match {
           case (Some(baseE), Some(baseV)) =>
@@ -163,18 +207,22 @@ object SemGate {
             // the refine exchange carries BARE (qid, cid) pairs — 16
             // bytes per survivor, never a vector: the stored floats
             // stream out of the bucketed-by-id state, and the
-            // increment's floats ride a broadcast (a micro-batch's
-            // vectors are broadcast-sized by definition). Shipping qv
-            // through this exchange instead was measured at 30× as a
+            // increment's floats ride a broadcast while the micro-batch
+            // is broadcast-sized (else a shuffled join on qid — an
+            // oversized backlog batch must degrade, not fail). Shipping
+            // qv through this exchange instead was measured at 30× as a
             // ~16× larger per-batch shuffle that grew with state.
-            screened.select(col("qid"), col("cid"))
+            val fetched = screened.select(col("qid"), col("cid"))
               // survivors = build side; the bucketed vector state
               // STREAMS through the refine fetch
               .hint("shuffle_hash")
               .join(baseV.select(col("id").as("cid"), col("v").as("cv")),
                 Seq("cid"))
-              .join(broadcast(inc.select(col("id").as("qid"),
-                col("v").as("qv"))), Seq("qid"))
+            val qv = inc.select(col("id").as("qid"), col("v").as("qv"))
+            val joined =
+              if (n <= maxBroadcastInc) fetched.join(broadcast(qv), Seq("qid"))
+              else fetched.hint("shuffle_hash").join(qv, Seq("qid"))
+            joined
               .select(col("qid"), col("cid"),
                 GraftFunctions.cosineSim(col("qv"), col("cv"))
                   .as("cosine"))
@@ -200,5 +248,140 @@ object SemGate {
           outPath, "append")
       }
     }
+  }
+
+  /** RE-CLUSTER the gate — production SemDeDup's periodic epoch roll,
+    * run at a quiet stream boundary (no batch in flight). One bounded
+    * job over the accumulated vector state: retrain coarse (+PQ) with
+    * fresh parameters if desired, re-encode every stored vector into
+    * the NEW epoch's encoding table, emit the catch-up pairs (within-
+    * cell under the new codebook over the full prefix, minus pairs
+    * already emitted — committed under the reserved negative batch id
+    * −(epoch+1), disjoint from foreachBatch's id space), and COMMIT the
+    * new coarse codebook — the epoch flip, after which the sink serves
+    * the new epoch transparently. Every step is idempotent per target
+    * epoch, so a crashed roll is completed by re-invoking with the same
+    * `fromEpoch`; until the flip commits the gate keeps serving the old
+    * epoch correctly (output stays sound: the catch-up pairs a crashed
+    * roll may have landed are genuine exact-cosine pairs). `fromEpoch`
+    * guards retries: the roll is a no-op unless the gate is currently
+    * at that epoch. Returns the new epoch (or the current one if the
+    * roll did not apply). */
+  def rollEpoch(spark: SparkSession, statePath: String, outPath: String,
+      threshold: Double, fromEpoch: Int, ncells: Int = 8,
+      kmIters: Int = 2, m: Int = 8, ks: Int = 16, sd: Int = 8,
+      pqIters: Int = 1, nBuckets: Int = 32,
+      onBeforeCommit: () => Unit = () => ()): Int = {
+    val coarsePath = s"$statePath/coarse"
+    val vecPath = s"$statePath/vectors"
+    val cur = currentEpoch(spark, statePath)
+    if (cur != fromEpoch || cur < 0) return cur
+    val next = cur + 1
+    try {
+      val allVecs = BucketedState
+        .readBefore(spark, vecPath, Long.MaxValue) match {
+        case Some(v) => Dedup.persistTracked(v)
+        case None => return cur
+      }
+      val nAll = allVecs.count()
+      // retrain on the accumulated prefix (deterministic, so every
+      // retry re-derives identical bytes)
+      val cent1 = Similarity.kmeansCodebook(
+        allVecs.select(col("id"), Similarity.unitVec("v").as("nv")),
+        "id", "nv", ncells, kmIters)
+      val pq1 =
+        if (nAll >= ks) {
+          val cb = trainPq(allVecs, cent1, m, ks, sd, pqIters)
+          if (VersionedTable.versions(spark,
+              sub(statePath, "pq", next)).isEmpty)
+            VersionedTable.commit(cb, sub(statePath, "pq", next))
+          Some(VersionedTable.read(spark, sub(statePath, "pq", next)))
+        } else None
+      // re-encode the full vector state into the new epoch's table,
+      // tagged with the max committed batch id so readBefore pruning
+      // works unchanged (batches ≤ it are all committed — past replay)
+      val committed = VersionedTable.committedBatches(spark, outPath)
+        .filter(_ >= 0L)
+      if (committed.isEmpty) return cur // a batch is mid-flight: not a
+      // quiet boundary — the caller must drain the stream first
+      val lastBatch = committed.max
+      val asgAll = Dedup.persistTracked(
+        Similarity.assignFrozenCells(allVecs, "id", "v", cent1)
+          .withColumn("resid", Similarity.frozenResidual(
+            col("nv"), col("cell"), cent1))
+          .select(col("vid"), col("vv"), col("cell"), col("resid")))
+      BucketedState.appendOnce(encode(asgAll, pq1, m, ks, sd),
+        sub(statePath, "enc", next), lastBatch, "cell", nBuckets)
+      // catch-up: new-codebook pairs over the full prefix not yet
+      // emitted (pairs the OLD cells never co-located)
+      val emitted = VersionedTable.read(spark, outPath)
+        .select(col("id_a"), col("id_b"))
+      val catchup = Similarity
+        .cellPairsFrozen(allVecs, "id", "v", cent1, threshold)
+        .join(emitted, Seq("id_a", "id_b"), "left_anti")
+      // epoch boundary for read-side attribution: the last output
+      // version that belongs to the OLD epoch (deterministic on retry:
+      // derived from the catch-up commit's own version once it lands)
+      VersionedTable.streamingCommit(catchup, -next.toLong, outPath,
+        "append")
+      val vCatch = VersionedTable
+        .versionOfBatch(spark, outPath, -next.toLong).get
+      val boundary = VersionedTable.versions(spark, outPath)
+        .filter(_ < vCatch).lastOption.getOrElse(-1)
+      import spark.implicits._
+      VersionedTable.streamingCommit(
+        Seq((next.toLong, boundary)).toDF("epoch", "prev_boundary"),
+        -next.toLong, s"$statePath/epochs", "append")
+      onBeforeCommit()
+      // THE FLIP: one committed coarse version per epoch
+      if (VersionedTable.versions(spark, coarsePath).length == next)
+        VersionedTable.commit(
+          Similarity.centToFrame(spark, cent1), coarsePath)
+      next
+    } finally Dedup.releaseCaches()
+  }
+
+  /** Output pairs tagged with the epoch that emitted them — a read-
+    * side view over the commit history (the committed output schema
+    * never carries the tag): pairs at or below epoch e's recorded
+    * boundary version belong to an earlier epoch; rolls are rare, so
+    * the per-boundary snapshot reads stay few. Catch-up pairs carry
+    * the epoch that discovered them (the new one). */
+  def pairsWithEpoch(spark: SparkSession, statePath: String,
+      outPath: String): DataFrame = {
+    val epochsPath = s"$statePath/epochs"
+    val bounds =
+      if (VersionedTable.versions(spark, epochsPath).isEmpty) Seq.empty
+      else VersionedTable.read(spark, epochsPath).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    val all = VersionedTable.read(spark, outPath)
+    // walk epochs oldest-first: what a boundary snapshot contains and
+    // earlier epochs did not, that epoch emitted
+    var tagged = Seq.empty[DataFrame]
+    var prev: Option[DataFrame] = None
+    for ((epoch, boundary) <- bounds) {
+      val snap =
+        if (boundary < 0) None
+        else Some(VersionedTable.read(spark, outPath, Some(boundary)))
+      val own = (snap, prev) match {
+        case (Some(s), Some(p)) =>
+          s.join(p.select(col("id_a"), col("id_b")),
+            Seq("id_a", "id_b"), "left_anti")
+        case (Some(s), None) => s
+        case (None, _) => None.orNull
+      }
+      if (own != null)
+        tagged = tagged :+ own.withColumn("epoch", lit(epoch - 1))
+      prev = snap.orElse(prev)
+    }
+    val lastEpoch = bounds.lastOption.map(_._1)
+      .getOrElse(currentEpoch(spark, statePath).toLong.max(0L))
+    val rest = prev match {
+      case Some(p) => all.join(p.select(col("id_a"), col("id_b")),
+        Seq("id_a", "id_b"), "left_anti")
+      case None => all
+    }
+    (tagged :+ rest.withColumn("epoch", lit(lastEpoch)))
+      .reduce(_.unionByName(_))
   }
 }

@@ -51,7 +51,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     // sampled-anchor substring dedup (winnowing + regime guard + dense
     // recompute of the matched minority) — exact span boundaries and
     // token-drift sums must not depend on partition count
-    "q_corpus_diff", "q_substr_dup_sampled")
+    "q_corpus_diff", "q_substr_dup_sampled",
+    // round-9: the streaming semantic gate — frozen centroids + exact
+    // cosines make its pair set deterministic; the whole exactly-once
+    // fixture (training, bucketed appends, screened serve) re-runs
+    // under both partition counts and must emit bit-identical pairs
+    "q_sem_gate")
 
   private def canon(name: String, parts: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)

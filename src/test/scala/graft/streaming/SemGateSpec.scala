@@ -100,4 +100,93 @@ class SemGateSpec extends SparkSpec {
     Dedup.releaseAll(spark)
     assert(self == 0L, s"re-delivered id produced $self self-pairs")
   }
+
+  test("epoch roll mid-stream: retrain + re-encode + catch-up keep recall complete under the current codebook; a crash at the flip is retryable; read-side epoch tags are exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-semroll").toString
+    val (statePath, outPath) = (s"$dir/state", s"$dir/out")
+    val snk = SemGate.sink(statePath, outPath, "vec_id", "embedding", T,
+      ncells = 2, kmIters = 2, m = 2, ks = 4, sd = 4, pqIters = 1,
+      nBuckets = 8)
+    val b0 = Seq((1L, vec(0, 0)), (2L, vec(0, 1)), (3L, vec(1, 0)),
+      (4L, vec(1, 2)), (5L, vec(2, 0)), (6L, vec(5, 0)))
+    val b1 = Seq((10L, vec(0, 2)), (0L, vec(1, 1)), (11L, vec(2, 1)),
+      (12L, vec(2, 3)))
+    snk(b0.toDF("vec_id", "embedding"), 0L)
+    snk(b1.toDF("vec_id", "embedding"), 1L)
+    val atRoll = b0 ++ b1
+    val centOld = Similarity.kmeansCodebook(
+      b0.toDF("vec_id", "embedding")
+        .select(col("vec_id"), Similarity.unitVec("embedding").as("nv")),
+      "vec_id", "nv", ncells = 2, iters = 2)
+    def truth(rows: Seq[(Long, Array[Float])],
+        cent: Array[Array[Double]]): Set[String] =
+      canon(Similarity.cellPairsFrozen(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cent, T))
+    val truthOld = truth(atRoll, centOld)
+    assert(canon(VersionedTable.read(spark, outPath)) == truthOld)
+
+    // crash at the worst window: catch-up landed, the epoch flip did
+    // not — the gate must still be on epoch 0, output must already be
+    // exactly old-truth ∪ new-truth (the catch-up is sound), and a
+    // retry with the same fromEpoch completes the roll
+    def roll(onBefore: () => Unit = () => ()): Int =
+      SemGate.rollEpoch(spark, statePath, outPath, T, fromEpoch = 0,
+        ncells = 3, kmIters = 2, m = 2, ks = 4, sd = 4, pqIters = 1,
+        nBuckets = 8, onBeforeCommit = onBefore)
+    val boom = intercept[RuntimeException] {
+      roll(() => throw new RuntimeException("crash"))
+    }
+    assert(boom.getMessage == "crash")
+    assert(SemGate.currentEpoch(spark, statePath) == 0)
+    // the roll retrains on ALL accumulated vectors with the NEW ncells
+    val centNew = Similarity.kmeansCodebook(
+      atRoll.toDF("vec_id", "embedding")
+        .select(col("vec_id"), Similarity.unitVec("embedding").as("nv")),
+      "vec_id", "nv", ncells = 3, iters = 2)
+    val truthNewAtRoll = truth(atRoll, centNew)
+    assert(canon(VersionedTable.read(spark, outPath)) ==
+      (truthOld ++ truthNewAtRoll),
+      "crashed roll left output != oldTruth ∪ newTruth")
+    assert(roll() == 1, "retry did not complete the roll")
+    assert(SemGate.currentEpoch(spark, statePath) == 1)
+    assert(canon(VersionedTable.read(spark, outPath)) ==
+      (truthOld ++ truthNewAtRoll))
+
+    // the stream continues on the new epoch: recall complete under the
+    // NEW codebook over the FULL prefix, plus the old epoch's pairs
+    val b2 = Seq((20L, vec(0, 3)), (21L, vec(2, 2)))
+    snk(b2.toDF("vec_id", "embedding"), 2L)
+    val seen = atRoll ++ b2
+    assert(canon(VersionedTable.read(spark, outPath)) ==
+      (truthOld ++ truth(seen, centNew)),
+      "post-roll batch diverged from oldTruth ∪ newTruth(prefix)")
+    // replay on the new epoch: no new versions, identical bytes
+    val before = canon(VersionedTable.read(spark, outPath))
+    snk(b2.toDF("vec_id", "embedding"), 2L)
+    assert(canon(VersionedTable.read(spark, outPath)) == before)
+
+    // read-side epoch attribution: epoch 0 pairs are exactly the
+    // old-codebook truth at the roll; epoch 1 owns the rest
+    val tagged = SemGate.pairsWithEpoch(spark, statePath, outPath)
+    val e0 = canon(tagged.filter(col("epoch") === 0L)
+      .select(col("id_a"), col("id_b"), col("cosine")))
+    val e1 = canon(tagged.filter(col("epoch") === 1L)
+      .select(col("id_a"), col("id_b"), col("cosine")))
+    assert(e0 == truthOld, "epoch-0 tag != pairs emitted before the roll")
+    assert(e0 ++ e1 == before, "epoch tags do not partition the output")
+    assert((e1 & e0).isEmpty)
+
+    // a second roll (same params, fresh epoch) keeps the invariant
+    assert(SemGate.rollEpoch(spark, statePath, outPath, T,
+      fromEpoch = 1, ncells = 2, kmIters = 2, m = 2, ks = 4, sd = 4,
+      pqIters = 1, nBuckets = 8) == 2)
+    val centNew2 = Similarity.kmeansCodebook(
+      seen.toDF("vec_id", "embedding")
+        .select(col("vec_id"), Similarity.unitVec("embedding").as("nv")),
+      "vec_id", "nv", ncells = 2, iters = 2)
+    assert(canon(VersionedTable.read(spark, outPath)) ==
+      (truthOld ++ truth(seen, centNew) ++ truth(seen, centNew2)))
+  }
 }
