@@ -613,3 +613,85 @@ object ClusterGateScale {
     spark.stop()
   }
 }
+
+/** 3-batch streaming BOILERPLATE-gate scale probe at K× over the
+  * salted documents corpus: per-batch wall, shuffle, and bytes WRITTEN
+  * (the merge-state claim is about the write path — the old layout
+  * rewrote the whole accumulated frequency table every batch), with
+  * `compactEvery = 2` so the LSM compaction fires mid-probe. Parity:
+  * the final merged frequency state must equal the one-shot per-hash
+  * distinct-doc counts over the full corpus (order-independent, so it
+  * checks the delta + compaction arithmetic end to end), and every doc
+  * must appear in the output exactly once. */
+object BoilerplateGateScale {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = if (args.length > 1) args(1).toInt else 30
+    val nBuckets = if (args.length > 2) args(2).toInt else 64
+    val spark = ScaleSmoke.session(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = SubstrCleanScale.saltedDocs(spark, src, k).persist()
+    println(s"[bgate] corpus: ${docs.count()} docs (K=$k salted copies)")
+    val shuf = new ScaleSmoke.ShuffleAcc
+    val out = new java.util.concurrent.atomic.AtomicLong
+    val outAcc = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+          : Unit =
+        out.addAndGet(sc.stageInfo.taskMetrics.outputMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(shuf)
+    spark.sparkContext.addSparkListener(outAcc)
+    val base = s"/tmp/graft_bgate_scale_x$k"
+    Seq("freq", "out").foreach { p =>
+      val d = new java.io.File(s"${base}_$p")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(d)
+    }
+    val snk = graft.streaming.BoilerplateGate.sink(s"${base}_freq",
+      s"${base}_out", "doc_id", "text", nBuckets = nBuckets,
+      compactEvery = 2)
+    println(f"[bgate] ${"batch"}%5s ${"inc_rows"}%10s ${"wall_s"}%8s " +
+      f"${"shuf_mb"}%9s ${"write_mb"}%9s")
+    (0 until 3).foreach { i =>
+      val inc = docs.filter(pmod(col("doc_id"), lit(3L)) === i.toLong)
+      val incRows = inc.count()
+      ScaleSmoke.flush(spark)
+      val (b0, w0) = (shuf.bytes, out.get())
+      val t0 = System.nanoTime()
+      snk(inc, i.toLong)
+      val dt = (System.nanoTime() - t0) / 1e9
+      ScaleSmoke.flush(spark)
+      println(f"[bgate] $i%5d $incRows%10d $dt%8.2f " +
+        f"${(shuf.bytes - b0) / 1048576.0}%9.1f " +
+        f"${(out.get() - w0) / 1048576.0}%9.1f")
+    }
+    // parity 1: merged frequency state == one-shot per-hash counts
+    val got = graft.streaming.MergeState.readMerged(spark,
+      s"${base}_freq", 2L, Seq("h"), Seq("ndocs")).get
+    val ch = graft.operators.Dedup.chunkSegments(docs, "doc_id", "text", 10)
+    val want = ch.select(col("doc_id"),
+        graft.functions.GraftFunctions.polyHash(col("chunk")).as("h"))
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    val t0 = System.nanoTime()
+    val diff = got.exceptAll(want).count() + want.exceptAll(got).count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    // parity 2: one output row per doc
+    val outRows = graft.sources.VersionedTable
+      .read(spark, s"${base}_out").count()
+    val nDocs = docs.count()
+    graft.operators.Dedup.releaseAll(spark)
+    println(f"[bgate] state symmetric diff $diff%d (one-shot in $dt%.2f s); " +
+      f"out rows $outRows%d vs $nDocs%d docs; " +
+      f"match=${diff == 0 && outRows == nDocs}")
+    docs.unpersist()
+    spark.stop()
+  }
+}

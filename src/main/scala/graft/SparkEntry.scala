@@ -501,6 +501,28 @@ object SparkEntry {
       snk(docs.filter(col("doc_id") % 2 =!= 0), 1L)
       graft.sources.VersionedTable.read(s, paths(2))
     }),
+    // ----- the same gate with a BUCKET-COUNT MIGRATION mid-stream:
+    // batch 0 lands in a 4-bucket layout, BucketedState.rebucket
+    // re-shards both state tables to 8 exactly-once, batch 1 streams
+    // against the migrated state. The rebucket is result-invisible by
+    // contract, so the oracle is the one-shot dense truth over the
+    // slice — a migration that lost, doubled, or mis-bucketed a single
+    // state row hash-mismatches here every sweep -----
+    "q_substr_gate_rebucket" -> ((s, dir) => {
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 3 === 2)
+      val paths = Seq("docs", "grams", "out")
+        .map(p => s"/tmp/graft_subrb_${p}_$suffix")
+      paths.foreach(p => freshFixtureDir(p))
+      val snk = graft.streaming.SubstrGate.sink(
+        paths(0), paths(1), paths(2), "doc_id", "text", minLen = 30,
+        nBuckets = 4)
+      snk(docs.filter(col("doc_id") % 2 === 0), 0L)
+      graft.streaming.BucketedState.rebucket(s, paths(0), 8)
+      graft.streaming.BucketedState.rebucket(s, paths(1), 8)
+      snk(docs.filter(col("doc_id") % 2 =!= 0), 1L)
+      graft.sources.VersionedTable.read(s, paths(2))
+    }),
     // ----- STREAMING semantic-dedup gate (the sixth gate): embeddings
     // arrive in two micro-batches (even vec_ids train the frozen
     // quantizer, odd arrive second); every arrival is checked against
@@ -524,6 +546,31 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.3, nBuckets = 8)
       snk(emb.filter(col("vec_id") % 2 === 0), 0L)
       snk(emb.filter(col("vec_id") % 2 =!= 0), 1L)
+      graft.sources.VersionedTable.read(s, paths(1))
+    }),
+    // ----- the semantic gate with an EPOCH ROLL mid-stream (production
+    // SemDeDup's periodic re-cluster): two batches under the epoch-0
+    // quantizer (trained on batch 0), rollEpoch retrains on everything
+    // accumulated, re-encodes the state, emits the catch-up delta, and
+    // flips; a third batch then streams against the NEW epoch. The
+    // oracle replays BOTH unrolled Lloyd chains in SQL — old codebook
+    // over the pre-roll prefix, new codebook over the full corpus —
+    // and unions the two within-cell pair truths, which is exactly the
+    // gate's cross-epoch output contract (SemGateSpec proves it; this
+    // makes the DuckDB hash gate exercise the roll every sweep) -----
+    "q_sem_gate_roll" -> ((s, dir) => {
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 3 === 1)
+      val paths = Seq("state", "out")
+        .map(p => s"/tmp/graft_semroll_${p}_$suffix")
+      paths.foreach(p => freshFixtureDir(p))
+      val snk = graft.streaming.SemGate.sink(paths(0), paths(1),
+        "vec_id", "embedding", threshold = 0.3, nBuckets = 8)
+      snk(emb.filter(col("vec_id") % 2 === 0), 0L)
+      snk(emb.filter(col("vec_id") % 4 === 1), 1L)
+      graft.streaming.SemGate.rollEpoch(s, paths(0), paths(1),
+        threshold = 0.3, fromEpoch = 0, nBuckets = 8)
+      snk(emb.filter(col("vec_id") % 4 === 3), 2L)
       graft.sources.VersionedTable.read(s, paths(1))
     }),
     // ----- sampled-anchor exact substring dedup: the ~w x cheaper
@@ -6764,6 +6811,11 @@ object SparkEntry {
       "q_substr_gate" ->
         s"""${substrRunCtes(" WHERE doc_id % 3 = 0")}
            SELECT doc_a, doc_b, start_a, start_b, len FROM runs""",
+      // mid-stream bucket migration is result-invisible: same dense
+      // truth, different slice (the gate streams doc_id % 3 = 2)
+      "q_substr_gate_rebucket" ->
+        s"""${substrRunCtes(" WHERE doc_id % 3 = 2")}
+           SELECT doc_a, doc_b, start_a, start_b, len FROM runs""",
       // sampled-anchor mode: the dense truth filtered to the documented
       // reporting bound (len >= minLen + w - 1 = 37)
       "q_substr_dup_sampled" ->
@@ -7109,6 +7161,46 @@ object SparkEntry {
            JOIN dv ae ON ae.vec_id = a.vec_id
            JOIN dv be ON be.vec_id = b.vec_id
            WHERE ${duckCosine("ae.embedding", "be.embedding")} >= 0.3""",
+      // the epoch-roll gate's cross-epoch truth: chain OLD = quantizer
+      // trained on batch 0 (even ids), assigned over the PRE-ROLL
+      // prefix (% 4 <> 3); chain NEW = quantizer retrained at the roll
+      // on that prefix (init = its 8 lowest ids), assigned over
+      // EVERYONE; output = within-cell pairs of either chain, UNIONed
+      // (identical rows dedup — a pair both codebooks co-locate has one
+      // cosine). The gate streams vec_id % 3 = 1.
+      "q_sem_gate_roll" ->
+        s"""WITH dv AS (SELECT vec_id, ${duckUnitVec("embedding")} AS v,
+                               embedding FROM embeddings
+                        WHERE vec_id % 3 = 1),
+           init_o AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, v AS c
+                      FROM dv WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 8),
+           ${kmAssign("init_o", "a1o", " AND vec_id % 2 = 0")},
+           ${kmUpdate("a1o", "init_o", "c1o")},
+           ${kmAssign("c1o", "a2o", " AND vec_id % 2 = 0")},
+           ${kmUpdate("a2o", "c1o", "c2o")},
+           ${kmAssign("c2o", "cco", " AND vec_id % 4 <> 3")},
+           init_n AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, v AS c
+                      FROM dv WHERE vec_id % 4 <> 3 ORDER BY vec_id LIMIT 8),
+           ${kmAssign("init_n", "a1n", " AND vec_id % 4 <> 3")},
+           ${kmUpdate("a1n", "init_n", "c1n")},
+           ${kmAssign("c1n", "a2n", " AND vec_id % 4 <> 3")},
+           ${kmUpdate("a2n", "c1n", "c2n")},
+           ${kmAssign("c2n", "ccn", "")},
+           po AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                         ${duckCosine("ae.embedding", "be.embedding")} AS cosine
+                  FROM cco a JOIN cco b ON a.cell = b.cell AND a.vec_id < b.vec_id
+                  JOIN dv ae ON ae.vec_id = a.vec_id
+                  JOIN dv be ON be.vec_id = b.vec_id
+                  WHERE ${duckCosine("ae.embedding", "be.embedding")} >= 0.3),
+           pn AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                         ${duckCosine("ae.embedding", "be.embedding")} AS cosine
+                  FROM ccn a JOIN ccn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+                  JOIN dv ae ON ae.vec_id = a.vec_id
+                  JOIN dv be ON be.vec_id = b.vec_id
+                  WHERE ${duckCosine("ae.embedding", "be.embedding")} >= 0.3)
+           SELECT id_a, id_b, cosine FROM po
+           UNION
+           SELECT id_a, id_b, cosine FROM pn""",
       "q_dedup_agreement" ->
         s"""WITH $kmeansChain,
            epairs AS (SELECT b.vec_id AS id_b

@@ -163,6 +163,70 @@ class GatePropertySpec extends SparkSpec {
     }, 10)
   }
 
+  test("SemGate epoch roll at a random boundary: output equals oldTruth(prefix) ∪ newTruth(all)") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    // same vector family as the plain SemGate sweep, plus a roll after
+    // a RANDOM batch boundary with a DIFFERENT ncells — covering rolls
+    // over tiny prefixes (no PQ), rolls after empty batches (no-op
+    // because nothing trained), and post-roll batches including empties
+    val genCase = for {
+      n <- Gen.choose(0, 16)
+      vecs <- Gen.listOfN(n, for {
+        d <- Gen.choose(0, 2)
+        j <- Gen.choose(0, 4)
+      } yield Array.tabulate(8)(i =>
+        (if (i == d) 10f else 0f) + 0.1f * ((i * 7 + j * 13 + d) % 5)))
+      split <- genSplit(vecs.zipWithIndex.map { case (v, i) =>
+        (i.toLong + 1L, v) })
+      rollAfter <- Gen.choose(1, 4)
+    } yield (split, rollAfter)
+    check(Prop.forAllNoShrink(genCase) { case (batches, rollAfter) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-smr").toString
+      val snk = SemGate.sink(s"$dir/state", s"$dir/out",
+        "vec_id", "embedding", 0.9, ncells = 2, kmIters = 2,
+        m = 2, ks = 4, sd = 4, pqIters = 1, nBuckets = 8)
+      val (pre, post) = batches.zipWithIndex.splitAt(rollAfter)
+      pre.foreach { case (b, i) => snk(b.toDF("vec_id", "embedding"), i.toLong) }
+      val epoch = SemGate.rollEpoch(spark, s"$dir/state", s"$dir/out",
+        0.9, fromEpoch = 0, ncells = 3, kmIters = 2, m = 2, ks = 4,
+        sd = 4, pqIters = 1, nBuckets = 8)
+      post.foreach { case (b, i) => snk(b.toDF("vec_id", "embedding"), i.toLong) }
+      def km(rows: Seq[(Long, Array[Float])], k: Int) =
+        Similarity.kmeansCodebook(
+          rows.toDF("vec_id", "embedding").select(col("vec_id"),
+            Similarity.unitVec("embedding").as("nv")),
+          "vec_id", "nv", ncells = k, iters = 2)
+      def truth(rows: Seq[(Long, Array[Float])],
+          cent: Array[Array[Double]]): Set[String] =
+        canon(Similarity.cellPairsFrozen(
+          rows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          cent, 0.9))
+      val prefix = pre.map(_._1).flatten
+      val all = batches.flatten
+      val want = batches.find(_.nonEmpty) match {
+        case None => Set.empty[String]
+        case Some(first) =>
+          val cent0 = km(first, 2)
+          if (epoch == 1) truth(prefix, cent0) ++ truth(all, km(prefix, 3))
+          else truth(all, cent0) // roll no-op'd: nothing trained yet
+      }
+      val got = {
+        val vs = VersionedTable.versions(spark, s"$dir/out")
+        if (vs.isEmpty ||
+            VersionedTable.rowCount(spark, s"$dir/out", vs.last) == 0L)
+          Set.empty[String]
+        else canon(VersionedTable.read(spark, s"$dir/out"))
+      }
+      val ok = got == want
+      if (!ok) println(s"FAIL rollAfter=$rollAfter epoch=$epoch " +
+        s"batches=${batches.map(_.map(_._1))}\n got=$got\n want=$want")
+      ok
+    }, 8)
+  }
+
   test("ChangepointGate: random event streams under random batch splits equal the batch CUSUM") {
     import spark.implicits._
     def nanos(day: Long, j: Long) =
