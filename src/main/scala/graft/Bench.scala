@@ -138,14 +138,19 @@ object Bench {
     // memoized per-dir fixtures (stored indexes, zone-map table) build
     // HERE, outside any timed slot, and report as their own field —
     // otherwise whichever consumer query runs first silently absorbs
-    // the build and its cold time stops being comparable across rounds
+    // the build and its cold time stops being comparable across rounds.
+    // A prewarm FAILURE lands in the errors map (not just stderr): the
+    // memo would retry inside a consumer query's slot, and a record
+    // whose fixture_sec looks plausibly small must not hide that.
+    val errors = LinkedHashMap.empty[String, String]
     val f0 = System.nanoTime()
     try SparkEntry.prewarmFixtures(spark, sfDir)
     catch { case e: Throwable =>
-      System.err.println(s"[bench] fixture prewarm failed: $e") }
+      errors("__fixture_prewarm") = (e.getClass.getSimpleName + ": " +
+        Option(e.getMessage).getOrElse("").linesIterator.take(1)
+          .mkString).take(300) }
     val fixtureSec = (System.nanoTime() - f0) / 1e9
     graft.operators.Dedup.releaseAll(spark)
-    val errors = LinkedHashMap.empty[String, String]
     val names = SparkEntry.queries.keys.toSeq
     // cold pass keeps declaration order (comparable to earlier rounds);
     // warm pass uses a FIXED-seed shuffle — deterministic run-to-run

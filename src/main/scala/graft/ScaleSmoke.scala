@@ -71,6 +71,20 @@ object ScaleSmoke {
   private[graft] def flush(spark: SparkSession): Unit =
     org.apache.spark.sql.GraftSqlBridge.flushListeners(spark.sparkContext)
 
+  /** Recursively delete a /tmp probe-state dir (one copy of the
+    * recursive walk, with the same not-a-fixture-dir guard as
+    * SparkEntry.freshFixtureDir — probes must never point this at
+    * data). */
+  private[graft] def rmFixture(path: String): Unit = {
+    require(path.startsWith("/tmp/graft_"), s"not a fixture dir: $path")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+
   private[graft] def session(cpus: Int): SparkSession =
     GraftSession.builder("graft-scale-smoke", cpus)
       .config("spark.ui.enabled", "false")
@@ -225,15 +239,7 @@ object SubstrGateScale {
     spark.sparkContext.addSparkListener(acc)
     val docs = spark.read.parquet(s"$out/documents.parquet")
     val base = s"/tmp/graft_sgate_scale_x$k"
-    Seq("docs", "grams", "out").foreach { p =>
-      val d = new java.io.File(s"${base}_$p")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(d)
-    }
+    Seq("docs", "grams", "out").foreach(p => ScaleSmoke.rmFixture(s"${base}_$p"))
     // bucket count sized for the probe's mega-increments (the
     // production sizing rule: a bucket's increment slice is the
     // shuffled-hash BUILD side and must fit in task memory — 50k-doc
@@ -300,15 +306,7 @@ object SubstrGateCleanScale {
     val acc = new ScaleSmoke.ShuffleAcc
     spark.sparkContext.addSparkListener(acc)
     val base = s"/tmp/graft_cgate_scale_x$k"
-    Seq("docs", "grams", "out").foreach { p =>
-      val d = new java.io.File(s"${base}_$p")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(d)
-    }
+    Seq("docs", "grams", "out").foreach(p => ScaleSmoke.rmFixture(s"${base}_$p"))
     val snk = graft.streaming.SubstrGate.sink(s"${base}_docs",
       s"${base}_grams", s"${base}_out", "doc_id", "text", minLen,
       nBuckets = nBuckets)
@@ -387,15 +385,7 @@ object SemGateScale {
     val acc = new ScaleSmoke.ShuffleAcc
     spark.sparkContext.addSparkListener(acc)
     val root = s"/tmp/graft_semg_scale_${mode}_x$k"
-    Seq("state", "out").foreach { p =>
-      val d = new java.io.File(s"${root}_$p")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(d)
-    }
+    Seq("state", "out").foreach(p => ScaleSmoke.rmFixture(s"${root}_$p"))
     val snk = graft.streaming.SemGate.sink(s"${root}_state",
       s"${root}_out", "vec_id", "embedding", threshold = 0.35,
       ncells = ncells, nBuckets = 64)
@@ -502,15 +492,7 @@ object SpatialGateScale {
     val acc = new ScaleSmoke.ShuffleAcc
     spark.sparkContext.addSparkListener(acc)
     val base = s"/tmp/graft_pgate_scale_x$k"
-    Seq("state", "out").foreach { p =>
-      val d = new java.io.File(s"${base}_$p")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(d)
-    }
+    Seq("state", "out").foreach(p => ScaleSmoke.rmFixture(s"${base}_$p"))
     val snk = graft.streaming.SpatialGate.sink(s"${base}_state",
       s"${base}_out", "id", "x", "y", radius = 100L, cell = 100L,
       nBuckets = nBuckets)
@@ -565,15 +547,7 @@ object ClusterGateScale {
     val acc = new ScaleSmoke.ShuffleAcc
     spark.sparkContext.addSparkListener(acc)
     val base = s"/tmp/graft_lgate_scale_x$k"
-    Seq("labels", "idx").foreach { p =>
-      val d = new java.io.File(s"${base}_$p")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(d)
-    }
+    Seq("labels", "idx").foreach(p => ScaleSmoke.rmFixture(s"${base}_$p"))
     val snk = graft.streaming.ClusterMaintainer.sink(s"${base}_labels",
       s"${base}_idx", "doc_id", "text", nBuckets = nBuckets)
     println(f"[lgate] ${"batch"}%5s ${"inc_rows"}%10s ${"cum_lbl"}%12s " +
@@ -645,15 +619,7 @@ object BoilerplateGateScale {
     spark.sparkContext.addSparkListener(shuf)
     spark.sparkContext.addSparkListener(outAcc)
     val base = s"/tmp/graft_bgate_scale_x$k"
-    Seq("freq", "out").foreach { p =>
-      val d = new java.io.File(s"${base}_$p")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(d)
-    }
+    Seq("freq", "out").foreach(p => ScaleSmoke.rmFixture(s"${base}_$p"))
     val snk = graft.streaming.BoilerplateGate.sink(s"${base}_freq",
       s"${base}_out", "doc_id", "text", nBuckets = nBuckets,
       compactEvery = 2)

@@ -91,6 +91,26 @@ object BucketedState {
   private def schemaTmpPath(path: String) =
     new Path(markersRoot(path), "_schema.txt.new")
 
+  /** O(1) probe: has batch `batchId` committed? (one file-existence
+    * check — never a directory listing, whose cost grows with stream
+    * age at one marker file per batch). */
+  def isCommitted(spark: SparkSession, path: String,
+      batchId: Long): Boolean =
+    fs(spark, path).exists(markerPath(path, batchId))
+
+  /** O(1)-ish probe: has ANY batch committed? (iterator, first entry —
+    * not a full listing). */
+  private def anyCommitted(spark: SparkSession, path: String): Boolean = {
+    val f = fs(spark, path)
+    val dir = markersRoot(path)
+    if (!f.exists(dir)) return false
+    val it = f.listStatusIterator(dir)
+    while (it.hasNext) {
+      if (it.next().getPath.getName.startsWith("bt-")) return true
+    }
+    false
+  }
+
   /** Batch ids whose appends committed (marker files). */
   def committedBatches(spark: SparkSession, path: String): Set[Long] = {
     val f = fs(spark, path)
@@ -150,8 +170,7 @@ object BucketedState {
     val f = fs(spark, path)
     val p = schemaPath(path)
     val tmp = schemaTmpPath(path)
-    if (!f.exists(p) && f.exists(tmp) &&
-        committedBatches(spark, path).nonEmpty)
+    if (!f.exists(p) && f.exists(tmp) && anyCommitted(spark, path))
       f.rename(tmp, p)
     if (!f.exists(p)) return None
     val in = f.open(p)
@@ -198,7 +217,7 @@ object BucketedState {
     val f = fs(spark, path)
     // no committed batch ⇒ the state is logically empty even if a
     // crashed first append left debris
-    if (committedBatches(spark, path).isEmpty) {
+    if (!anyCommitted(spark, path)) {
       // fresh state: a same-path table from a deleted fixture would
       // otherwise read stale catalog partitions over missing files.
       // tableExists first — a catalog lookup — so the common fresh case
@@ -217,10 +236,14 @@ object BucketedState {
         // is destroyed out-of-band, rebuild it from the registered
         // table's catalog metadata rather than wedging forever
         val cat = spark.sessionState.catalog
-        val gens = (0 to 64).find { g =>
+        // HIGHEST registered generation: a crashed post-swap cleanup can
+        // leave the superseded generation registered too, and rebuilding
+        // from it would resurrect stale data while silently dropping
+        // every batch that landed after the swap
+        val gens = (0 to 64).filter { g =>
           cat.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(
             tableNameG(path, g)))
-        }
+        }.lastOption
         require(gens.nonEmpty,
           s"bucketed state at $path has live markers but no readable " +
             "sidecar and no registered table to rebuild it from")
@@ -281,7 +304,7 @@ object BucketedState {
       prePartitioned: Boolean = false): Unit = {
     val spark = df.sparkSession
     val f = fs(spark, path)
-    if (committedBatches(spark, path).contains(batchId)) return
+    if (isCommitted(spark, path, batchId)) return
     val live = liveLayout(spark, path)
     val l = live.getOrElse(
       Layout(0, nBuckets, bucketCol, df.schema.toDDL))
@@ -300,7 +323,11 @@ object BucketedState {
     }
     scrubStaging(spark, path, l.gen)
     f.mkdirs(markersRoot(path))
-    writeSidecar(spark, path, l, overwrite = false)
+    // fresh path OVERWRITES: a crashed first append may have left a
+    // sidecar recording a different layout than this (re-sized) first
+    // append actually writes — keeping it would register the wrong
+    // bucket modulus over these files after a catalog loss
+    writeSidecar(spark, path, l, overwrite = live.isEmpty)
     val aligned =
       if (prePartitioned && l.nBuckets == nBuckets) df
       else df.repartition(l.nBuckets, col(l.bucketCol))
@@ -344,9 +371,15 @@ object BucketedState {
   }
 
   /** Drop a committed partition (compaction cleanup): catalog entry
-    * and directory. Idempotent. */
+    * and directory. Idempotent. The Layout-threaded overload lets a
+    * compaction pass resolve the layout ONCE instead of re-reading the
+    * sidecar per dropped partition. */
   private[streaming] def dropBt(spark: SparkSession, path: String,
-      btValue: Long): Unit = liveLayout(spark, path).foreach { l =>
+      btValue: Long): Unit =
+    liveLayout(spark, path).foreach(dropBt(spark, path, btValue, _))
+
+  private[streaming] def dropBt(spark: SparkSession, path: String,
+      btValue: Long, l: Layout): Unit = {
     spark.sql(s"ALTER TABLE ${tableNameG(path, l.gen)} " +
       s"DROP IF EXISTS PARTITION (__bt=$btValue)")
     val f = fs(spark, path)
@@ -354,16 +387,33 @@ object BucketedState {
     if (f.exists(partDir)) f.delete(partDir, true)
   }
 
+  /** Drop superseded compaction watermarks (all but the latest) — one
+    * tiny file per compaction, swept so the markers dir only ever holds
+    * batch markers + ONE cmp marker. */
+  private[streaming] def sweepCompactionMarkers(spark: SparkSession,
+      path: String): Unit = {
+    val f = fs(spark, path)
+    val dir = markersRoot(path)
+    if (!f.exists(dir)) return
+    val cmps = f.listStatus(dir).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("cmp-"))
+      .sortBy(_.getName.stripPrefix("cmp-").toLong)
+    cmps.dropRight(1).foreach(f.delete(_, false))
+  }
+
   /** Registered `__bt` partition values of the live table (compaction
     * bookkeeping — one catalog listing, no data touched). */
   private[streaming] def btValues(spark: SparkSession, path: String)
       : Seq[Long] = liveLayout(spark, path) match {
     case None => Seq.empty
-    case Some(l) =>
-      spark.sql(s"SHOW PARTITIONS ${tableNameG(path, l.gen)}")
-        .collect().toSeq
-        .map(_.getString(0).stripPrefix("__bt=").toLong)
+    case Some(l) => btValues(spark, path, l)
   }
+
+  private[streaming] def btValues(spark: SparkSession, path: String,
+      l: Layout): Seq[Long] =
+    spark.sql(s"SHOW PARTITIONS ${tableNameG(path, l.gen)}")
+      .collect().toSeq
+      .map(_.getString(0).stripPrefix("__bt=").toLong)
 
   /** The full live state WITH its `__bt` column ([[MergeState]]'s
     * substrate); None until a first batch has committed. */

@@ -89,23 +89,30 @@ object MergeState {
   def compactIfDue(spark: SparkSession, path: String, batchId: Long,
       keyCols: Seq[String], sumCols: Seq[String],
       compactEvery: Int = 8): Unit = {
-    if (BucketedState.readRaw(spark, path).isEmpty) return
+    // resolve the layout ONCE for the whole pass: every partition drop
+    // below reuses it instead of re-reading sidecar + markers
+    val lay = BucketedState.liveLayout(spark, path) match {
+      case Some(l) => l
+      case None => return
+    }
     val t0 = BucketedState.compactedThrough(spark, path)
-    val parts = BucketedState.btValues(spark, path)
+    val parts = BucketedState.btValues(spark, path, lay)
     // finish a crashed cleanup: folded deltas (≤ watermark) and
     // superseded bases are unreadable already — drop them
     parts.filter(v => (v >= 0 && v <= t0) || (v < 0 && v != -(t0 + 1)))
-      .foreach(v => BucketedState.dropBt(spark, path, v))
+      .foreach(v => BucketedState.dropBt(spark, path, v, lay))
     val tNew = batchId - 1
     if (tNew <= t0) return
     val live = parts.count(v => (v > t0 && v <= tNew) || v == -(t0 + 1))
     if (live < compactEvery) return
     // debris from a crashed prior attempt at this watermark
-    BucketedState.dropBt(spark, path, -(tNew + 1))
+    BucketedState.dropBt(spark, path, -(tNew + 1), lay)
     val merged = readMerged(spark, path, tNew, keyCols, sumCols).get
     BucketedState.writeBt(merged, path, -(tNew + 1))
     BucketedState.compactionMarker(spark, path, tNew)
     parts.filter(v => (v >= 0 && v <= tNew) || v == -(t0 + 1))
-      .foreach(v => BucketedState.dropBt(spark, path, v))
+      .foreach(v => BucketedState.dropBt(spark, path, v, lay))
+    // keep the markers dir bounded: batch markers + ONE cmp watermark
+    BucketedState.sweepCompactionMarkers(spark, path)
   }
 }

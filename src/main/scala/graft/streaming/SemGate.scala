@@ -219,9 +219,13 @@ object SemGate {
               .join(baseV.select(col("id").as("cid"), col("v").as("cv")),
                 Seq("cid"))
             val qv = inc.select(col("id").as("qid"), col("v").as("qv"))
+            // fallback deliberately UNHINTED: both sides are unbounded
+            // there (survivors scale with inc × cell density, qv with
+            // the oversized batch), so a shuffled-HASH build on either
+            // could exceed task memory — sort-merge degrades instead
             val joined =
               if (n <= maxBroadcastInc) fetched.join(broadcast(qv), Seq("qid"))
-              else fetched.hint("shuffle_hash").join(qv, Seq("qid"))
+              else fetched.join(qv, Seq("qid"))
             joined
               .select(col("qid"), col("cid"),
                 GraftFunctions.cosineSim(col("qv"), col("cv"))
@@ -302,8 +306,16 @@ object SemGate {
       // works unchanged (batches ≤ it are all committed — past replay)
       val committed = VersionedTable.committedBatches(spark, outPath)
         .filter(_ >= 0L)
-      if (committed.isEmpty) return cur // a batch is mid-flight: not a
-      // quiet boundary — the caller must drain the stream first
+      // QUIET-BOUNDARY GUARD: every state append must belong to an
+      // OUTPUT-committed batch. A batch that crashed between its state
+      // appends and its output commit leaves vector-state markers ahead
+      // of the output markers; rolling over it would re-encode (and
+      // catch-up-pair) vectors the replay will process again —
+      // permanent duplicate state and output. Refuse; the caller must
+      // let the stream replay the batch first.
+      val vecCommitted = BucketedState.committedBatches(spark, vecPath)
+      if (committed.isEmpty ||
+          vecCommitted.exists(_ > committed.max)) return cur
       val lastBatch = committed.max
       val asgAll = Dedup.persistTracked(
         Similarity.assignFrozenCells(allVecs, "id", "v", cent1)
@@ -350,10 +362,16 @@ object SemGate {
   def pairsWithEpoch(spark: SparkSession, statePath: String,
       outPath: String): DataFrame = {
     val epochsPath = s"$statePath/epochs"
+    // only FLIPPED epochs attribute: a crashed roll has already logged
+    // its boundary but the gate still serves (and emits under) the old
+    // codebook until the retry, so pairs from the crash window must
+    // keep the old tag
+    val cur = currentEpoch(spark, statePath).toLong
     val bounds =
       if (VersionedTable.versions(spark, epochsPath).isEmpty) Seq.empty
       else VersionedTable.read(spark, epochsPath).collect()
         .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+        .filter(_._1 <= cur)
     val all = VersionedTable.read(spark, outPath)
     // walk epochs oldest-first: what a boundary snapshot contains and
     // earlier epochs did not, that epoch emitted

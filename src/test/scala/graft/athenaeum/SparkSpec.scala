@@ -16,6 +16,16 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   def goldenText(name: String): String =
     new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(goldenDir, name)), "UTF-8")
+
+  /** splitmix64 — the shared deterministic fixture hash (one copy: a
+    * typo'd constant in a per-spec clone would silently change that
+    * spec's corpus with no compile error). */
+  protected def mix64(x: Long): Long = {
+    var z = x * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
 }
 
 object SparkSpec {

@@ -311,13 +311,6 @@ class ShuffleBudgetSpec extends SparkSpec {
     (shuffle.get(), output.get())
   }
 
-  private def mix64(x: Long): Long = {
-    var z = x * 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-
   test("boilerplate gate: per-batch WRITE volume tracks the increment's segments, not accumulated state") {
     // round 8's one remaining full-state-rewrite gate, closed and
     // pinned: the frequency state is MergeState DELTAS — each batch

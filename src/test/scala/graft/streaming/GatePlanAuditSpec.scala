@@ -24,13 +24,6 @@ import graft.operators.{Dedup, Spatial}
   * no state to serve). */
 class GatePlanAuditSpec extends SparkSpec {
 
-  private def mix(x: Long): Long = {
-    var z = x * 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-
   /** Executed plans of every SQL execution `body` triggers (AQE off for
     * a stable, directly walkable plan tree). */
   private def audited(body: => Unit): Seq[SparkPlan] = {
@@ -104,7 +97,7 @@ class GatePlanAuditSpec extends SparkSpec {
       .createTempDirectory("graft-audit-sub").toString
     def batch(b: Int) = (0 until 60).map { i =>
       val id = b * 100L + i
-      (id, (0 until 6).map(k => f"${mix(id * 31L + k)}%016x").mkString)
+      (id, (0 until 6).map(k => f"${mix64(id * 31L + k)}%016x").mkString)
     }.toDF("doc_id", "text")
     val snk = SubstrGate.sink(s"$dir/docs", s"$dir/grams", s"$dir/out",
       "doc_id", "text", minLen = 30, nBuckets = 8)
@@ -120,7 +113,7 @@ class GatePlanAuditSpec extends SparkSpec {
       .createTempDirectory("graft-audit-sp").toString
     def batch(b: Int) = (0 until 200).map { i =>
       val id = b * 1000L + i
-      (id, math.floorMod(mix(id), 1000L), math.floorMod(mix(id * 7L), 1000L))
+      (id, math.floorMod(mix64(id), 1000L), math.floorMod(mix64(id * 7L), 1000L))
     }.toDF("id", "x", "y")
     val snk = SpatialGate.sink(s"$dir/state", s"$dir/out",
       "id", "x", "y", radius = 30L, cell = 30L, nBuckets = 8)
@@ -134,7 +127,7 @@ class GatePlanAuditSpec extends SparkSpec {
       .createTempDirectory("graft-audit-cm").toString
     def batch(b: Int) = (0 until 60).map { i =>
       val id = b * 100L + i
-      (id, (0 until 15).map(k => f"${mix(id * 31L + k)}%016x").mkString)
+      (id, (0 until 15).map(k => f"${mix64(id * 31L + k)}%016x").mkString)
     }.toDF("doc_id", "text")
     val snk = ClusterMaintainer.sink(s"$dir/labels", s"$dir/idx",
       "doc_id", "text", maxBucket = 16, nBuckets = 8)
@@ -147,7 +140,7 @@ class GatePlanAuditSpec extends SparkSpec {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-audit-sem").toString
     def vec(i: Long): Array[Float] =
-      Array.tabulate(8)(k => (math.floorMod(mix(i * 17 + k), 100L) / 100.0f))
+      Array.tabulate(8)(k => (math.floorMod(mix64(i * 17 + k), 100L) / 100.0f))
     def batch(b: Int) = (0 until 40).map { i =>
       val id = b * 100L + i
       (id, vec(id))

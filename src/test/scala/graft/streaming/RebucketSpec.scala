@@ -15,20 +15,13 @@ import graft.sources.VersionedTable
   * against the one-shot batch operator on every prefix. */
 class RebucketSpec extends SparkSpec {
 
-  private def mix(x: Long): Long = {
-    var z = x * 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-
   // half the docs share a planted 40-char span so cross-batch runs
   // exist; the rest is unique hex
   private val planted = "THE-COMMON-RUN-" + "x" * 25
   private def batch(b: Int) = (0 until 40).map { i =>
     val id = b * 100L + i
-    val uniq = (0 until 4).map(k => f"${mix(id * 31L + k)}%016x").mkString
-    (id, if (i % 2 == 0) uniq + planted else uniq + f"${mix(id)}%016x")
+    val uniq = (0 until 4).map(k => f"${mix64(id * 31L + k)}%016x").mkString
+    (id, if (i % 2 == 0) uniq + planted else uniq + f"${mix64(id)}%016x")
   }
 
   private def canon(df: org.apache.spark.sql.DataFrame): Set[String] = {
@@ -100,5 +93,38 @@ class RebucketSpec extends SparkSpec {
     // a same-count rebucket is a clean no-op
     BucketedState.rebucket(spark, gramsPath, 16)
     check("after no-op rebucket")
+  }
+
+  test("a crashed first append's stale sidecar cannot survive a re-sized retry") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-bsfresh").toString + "/state"
+    val rows = (0 until 20).map(i => (i.toLong, f"${mix64(i)}%016x"))
+      .toDF("id", "t")
+    // first append at 4 buckets CRASHES after the sidecar + data write
+    // but before the batch marker: delete marker + partition to
+    // simulate (the sidecar survives, recording nBuckets=4)
+    BucketedState.appendOnce(rows, path, 0L, "id", 4)
+    assert(new java.io.File(s"$path/_markers/bt-0").delete())
+    val dataDir = new java.io.File(s"$path/data/__bt=0")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(dataDir)
+    // the operator retries the gate RE-SIZED to 8 buckets: the fresh
+    // path must overwrite the stale 4-bucket sidecar, else a catalog
+    // re-register would declare the wrong modulus over 8-bucket files
+    BucketedState.appendOnce(rows, path, 0L, "id", 8)
+    spark.sql(s"DROP TABLE ${BucketedState.tableName(path)}")
+    // catalog loss: re-register from the sidecar, verify layout + data
+    val got = BucketedState.readBefore(spark, path, 1L).get
+    assert(got.count() == 20)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        BucketedState.tableName(path)))
+    assert(meta.bucketSpec.map(_.numBuckets).contains(8),
+      s"stale sidecar survived the re-sized retry: ${meta.bucketSpec}")
   }
 }

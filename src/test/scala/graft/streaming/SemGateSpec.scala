@@ -101,6 +101,52 @@ class SemGateSpec extends SparkSpec {
     assert(self == 0L, s"re-delivered id produced $self self-pairs")
   }
 
+  test("rollEpoch refuses a non-quiet boundary: a batch whose state landed but whose output did not must replay before any roll") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-semqb").toString
+    val (statePath, outPath) = (s"$dir/state", s"$dir/out")
+    val snk = SemGate.sink(statePath, outPath, "vec_id", "embedding", T,
+      ncells = 2, kmIters = 2, m = 2, ks = 4, sd = 4, pqIters = 1,
+      nBuckets = 8)
+    val b0 = Seq((1L, vec(0, 0)), (2L, vec(0, 1)), (3L, vec(1, 0)),
+      (4L, vec(1, 2)))
+    val b1 = Seq((10L, vec(0, 2)), (11L, vec(2, 1)))
+    snk(b0.toDF("vec_id", "embedding"), 0L)
+    // simulate batch 1 crashing AFTER its vector-state append, BEFORE
+    // its output commit: rolling here would re-encode (and catch-up-
+    // pair) vectors the replay will process again — the guard must
+    // refuse and leave the epoch unchanged
+    BucketedState.appendOnce(
+      b1.toDF("vec_id", "embedding").select(
+        col("vec_id").cast("long").as("id"), col("embedding").as("v")),
+      s"$statePath/vectors", 1L, "id", 8)
+    assert(SemGate.rollEpoch(spark, statePath, outPath, T,
+      fromEpoch = 0, ncells = 2, kmIters = 2, m = 2, ks = 4, sd = 4,
+      nBuckets = 8) == 0, "roll must refuse a mid-flight batch")
+    assert(SemGate.currentEpoch(spark, statePath) == 0)
+    // the replay completes the batch; the roll then applies cleanly and
+    // the cross-epoch invariant holds over the full prefix
+    snk(b1.toDF("vec_id", "embedding"), 1L)
+    assert(SemGate.rollEpoch(spark, statePath, outPath, T,
+      fromEpoch = 0, ncells = 2, kmIters = 2, m = 2, ks = 4, sd = 4,
+      nBuckets = 8) == 1)
+    val centOld = Similarity.kmeansCodebook(
+      b0.toDF("vec_id", "embedding")
+        .select(col("vec_id"), Similarity.unitVec("embedding").as("nv")),
+      "vec_id", "nv", ncells = 2, iters = 2)
+    val centNew = Similarity.kmeansCodebook(
+      (b0 ++ b1).toDF("vec_id", "embedding")
+        .select(col("vec_id"), Similarity.unitVec("embedding").as("nv")),
+      "vec_id", "nv", ncells = 2, iters = 2)
+    def truth(cent: Array[Array[Double]]): Set[String] =
+      canon(Similarity.cellPairsFrozen(
+        (b0 ++ b1).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cent, T))
+    assert(canon(VersionedTable.read(spark, outPath)) ==
+      (truth(centOld) ++ truth(centNew)))
+  }
+
   test("epoch roll mid-stream: retrain + re-encode + catch-up keep recall complete under the current codebook; a crash at the flip is retryable; read-side epoch tags are exact") {
     import spark.implicits._
     val dir = java.nio.file.Files
