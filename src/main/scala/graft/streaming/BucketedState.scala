@@ -91,6 +91,82 @@ object BucketedState {
   private def schemaTmpPath(path: String) =
     new Path(markersRoot(path), "_schema.txt.new")
 
+  // ---- single-writer lease -------------------------------------------
+  // The exactly-once protocol assumes ONE writer per state path
+  // (foreachBatch serializes a stream's own batches). Two sinks
+  // accidentally sharing a path — a copy-pasted fixture suffix — would
+  // interleave appends under two independent batch-id sequences and
+  // corrupt replay pinning SILENTLY (sink B's batch 0 no-ops on sink
+  // A's bt-0 marker and B's data is simply lost). The lease makes that
+  // a deterministic error: the first streaming append records the
+  // query's id in `_markers/_writer`; a DIFFERENT streaming query
+  // appending while the lease is fresh fails fast. The lease is
+  // heartbeat-refreshed and STALE-EXPIRING (`graft.state.writerLeaseMs`,
+  // default 10 min), so a dead query never wedges the path — and it is
+  // only enforced between real streaming queries (the id is the stream's
+  // checkpoint-stable queryId): maintenance calls, tests, and batch
+  // surgery carry no query id and neither take nor honor leases.
+
+  private def leasePath(path: String) =
+    new Path(markersRoot(path), "_writer")
+
+  /** The streaming query id of the caller, when running inside a
+    * streaming query's microbatch thread. */
+  private def writerId(spark: SparkSession): Option[String] =
+    Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+
+  private def leaseTtlMs(spark: SparkSession): Long =
+    spark.conf.getOption("graft.state.writerLeaseMs")
+      .map(_.toLong).getOrElse(600000L)
+
+  /** Enforce the single-writer lease at `path` for the current caller;
+    * no-op for non-streaming callers. Steady state for the holder is
+    * one tiny read per append (the heartbeat rewrites only after
+    * ttl/4). */
+  private def acquireLease(spark: SparkSession, path: String): Unit =
+    writerId(spark).foreach { self =>
+      val f = fs(spark, path)
+      val p = leasePath(path)
+      val now = System.currentTimeMillis()
+      val ttl = leaseTtlMs(spark)
+      val cur: Option[(String, Long)] =
+        if (!f.exists(p)) None
+        else {
+          val in = f.open(p)
+          val text = try scala.io.Source
+            .fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+          text.stripLineEnd.split("\t") match {
+            case Array(id, ms) if ms.nonEmpty && ms.forall(_.isDigit) =>
+              Some((id, ms.toLong))
+            case _ => None // torn/corrupt lease reads as absent (stale)
+          }
+        }
+      cur match {
+        case Some((id, ms)) if id != self && now - ms < ttl =>
+          throw new IllegalStateException(
+            s"bucketed state at $path is leased to streaming query " +
+              s"$id (${now - ms} ms ago); this query is $self. Two " +
+              "sinks are sharing one state path — give each its own. " +
+              "(A dead holder's lease expires after " +
+              s"graft.state.writerLeaseMs=$ttl ms.)")
+        case Some((id, ms)) if id == self && now - ms < ttl / 4 =>
+          () // fresh own lease: no write
+        case _ =>
+          // take over (stale or unreadable) or refresh own heartbeat —
+          // temp-then-rename so a concurrent reader never sees a torn
+          // file as a live foreign lease
+          f.mkdirs(markersRoot(path))
+          val tmp = new Path(markersRoot(path), s"_writer.new")
+          val out = f.create(tmp, true)
+          try out.write(s"$self\t$now\n".getBytes("UTF-8"))
+          finally out.close()
+          if (f.exists(p)) f.delete(p, false)
+          f.rename(tmp, p)
+          ()
+      }
+    }
+
   /** O(1) probe: has batch `batchId` committed? (one file-existence
     * check — never a directory listing, whose cost grows with stream
     * age at one marker file per batch). */
@@ -219,12 +295,16 @@ object BucketedState {
     // crashed first append left debris
     if (!anyCommitted(spark, path)) {
       // fresh state: a same-path table from a deleted fixture would
-      // otherwise read stale catalog partitions over missing files.
-      // tableExists first — a catalog lookup — so the common fresh case
-      // pays no DDL round-trip at all
-      val name = tableName(path)
-      if (spark.catalog.tableExists(name))
-        spark.sql(s"DROP TABLE $name")
+      // otherwise read stale catalog partitions over missing files —
+      // including REBUCKETED generations (`_g<n>` names), which the
+      // sidecar-loss rebuild below would otherwise resurrect as the
+      // layout. One pattern listing sweeps every generation's
+      // registration (the name is content-addressed to the path, so
+      // the prefix match can't catch another path's tables)
+      val cat = spark.sessionState.catalog
+      cat.listTables(cat.getCurrentDatabase, tableName(path) + "*")
+        .foreach(cat.dropTable(_, ignoreIfNotExists = true,
+          purge = false))
       None
     } else readSidecar(spark, path) match {
       case Some(l) =>
@@ -236,11 +316,15 @@ object BucketedState {
         // is destroyed out-of-band, rebuild it from the registered
         // table's catalog metadata rather than wedging forever
         val cat = spark.sessionState.catalog
-        // HIGHEST registered generation: a crashed post-swap cleanup can
-        // leave the superseded generation registered too, and rebuilding
-        // from it would resurrect stale data while silently dropping
-        // every batch that landed after the swap
-        val gens = (0 to 64).filter { g =>
+        // HIGHEST registered generation WITH a data directory: a
+        // crashed post-swap cleanup can leave the superseded generation
+        // registered too, and rebuilding from it would resurrect stale
+        // data while silently dropping every batch that landed after
+        // the swap; a registration whose directory is gone is a stale
+        // catalog entry, not a candidate. Candidates come from the data
+        // dirs themselves, so a state rebucketed any number of times
+        // stays recoverable.
+        val gens = dataDirGens(spark, path).filter { g =>
           cat.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(
             tableNameG(path, g)))
         }.lastOption
@@ -259,6 +343,22 @@ object BucketedState {
         writeSidecar(spark, path, l, overwrite = true)
         Some(l)
     }
+  }
+
+  /** Generations that have a data directory at `path` (`data` = 0,
+    * `data-g<n>` = n), ascending — the candidate set for sidecar-loss
+    * recovery and fresh-path registration sweeps. */
+  private def dataDirGens(spark: SparkSession, path: String): Seq[Int] = {
+    val f = fs(spark, path)
+    val root = new Path(path)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq.map(_.getPath.getName).collect {
+      case "data" => 0
+      case n if n.startsWith("data-g") &&
+          n.stripPrefix("data-g").nonEmpty &&
+          n.stripPrefix("data-g").forall(_.isDigit) =>
+        n.stripPrefix("data-g").toInt
+    }.sorted
   }
 
   /** Scrub commit-protocol staging debris under the live data dir: a
@@ -304,6 +404,11 @@ object BucketedState {
       prePartitioned: Boolean = false): Unit = {
     val spark = df.sparkSession
     val f = fs(spark, path)
+    // lease BEFORE the idempotence probe: two sinks sharing a path run
+    // independent batch-id sequences, so the second sink's batch 0
+    // would otherwise no-op on the first sink's bt-0 marker and lose
+    // its data silently
+    acquireLease(spark, path)
     if (isCommitted(spark, path, batchId)) return
     val live = liveLayout(spark, path)
     val l = live.getOrElse(
@@ -387,6 +492,24 @@ object BucketedState {
     if (f.exists(partDir)) f.delete(partDir, true)
   }
 
+  /** UNCOMMIT a committed batch append: drop its partition (data +
+    * catalog) and delete its marker, in that order — a crash between
+    * the two leaves a marker over a missing partition, and the next
+    * retract of the same id finishes idempotently (the marker is what
+    * keeps the id in [[committedBatches]] until the retract completes).
+    * For maintenance operators only (e.g. a crashed epoch roll's
+    * full-state snapshot pinned to a superseded prefix) — never for a
+    * batch the stream could still replay, whose re-append would then
+    * double its rows. */
+  private[streaming] def retract(spark: SparkSession, path: String,
+      batchId: Long): Unit = {
+    liveLayout(spark, path).foreach(dropBt(spark, path, batchId, _))
+    val f = fs(spark, path)
+    val m = markerPath(path, batchId)
+    if (f.exists(m)) f.delete(m, false)
+    ()
+  }
+
   /** Drop superseded compaction watermarks (all but the latest) — one
     * tiny file per compaction, swept so the markers dir only ever holds
     * batch markers + ONE cmp marker. */
@@ -455,6 +578,7 @@ object BucketedState {
   def rebucket(spark: SparkSession, path: String, newN: Int,
       onBeforeCommit: () => Unit = () => ()): Unit = {
     val f = fs(spark, path)
+    acquireLease(spark, path)
     val live = liveLayout(spark, path)
     if (live.isEmpty) return
     val l = live.get

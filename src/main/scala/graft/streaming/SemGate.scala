@@ -260,17 +260,23 @@ object SemGate {
     * fresh parameters if desired, re-encode every stored vector into
     * the NEW epoch's encoding table, emit the catch-up pairs (within-
     * cell under the new codebook over the full prefix, minus pairs
-    * already emitted — committed under the reserved negative batch id
-    * −(epoch+1), disjoint from foreachBatch's id space), and COMMIT the
-    * new coarse codebook — the epoch flip, after which the sink serves
-    * the new epoch transparently. Every step is idempotent per target
-    * epoch, so a crashed roll is completed by re-invoking with the same
-    * `fromEpoch`; until the flip commits the gate keeps serving the old
-    * epoch correctly (output stays sound: the catch-up pairs a crashed
-    * roll may have landed are genuine exact-cosine pairs). `fromEpoch`
-    * guards retries: the roll is a no-op unless the gate is currently
-    * at that epoch. Returns the new epoch (or the current one if the
-    * roll did not apply). */
+    * already emitted — committed under a reserved negative batch id
+    * derived from (target epoch, prefix), disjoint from foreachBatch's
+    * id space), and COMMIT the new coarse codebook — the epoch flip,
+    * after which the sink serves the new epoch transparently. Every
+    * step is idempotent per (target epoch, prefix), so a crashed roll
+    * is completed by re-invoking with the same `fromEpoch` — including
+    * after the STREAM HAS RESUMED over the crash (batches committed in
+    * between): the retry retracts the crashed attempt's re-encode
+    * snapshot (pinned to the superseded prefix — keeping it would leave
+    * every stored encoding duplicated) and recomputes the re-encode and
+    * catch-up under the advanced prefix's freshly retrained codebook;
+    * the crashed attempt's already-committed catch-up pairs stay (they
+    * are genuine exact-cosine pairs) and the recompute's anti-join
+    * skips them. Until the flip commits the gate keeps serving the old
+    * epoch correctly. `fromEpoch` guards retries: the roll is a no-op
+    * unless the gate is currently at that epoch. Returns the new epoch
+    * (or the current one if the roll did not apply). */
   def rollEpoch(spark: SparkSession, statePath: String, outPath: String,
       threshold: Double, fromEpoch: Int, ncells: Int = 8,
       kmIters: Int = 2, m: Int = 8, ks: Int = 16, sd: Int = 8,
@@ -317,6 +323,30 @@ object SemGate {
       if (committed.isEmpty ||
           vecCommitted.exists(_ > committed.max)) return cur
       val lastBatch = committed.max
+      // STALE-ATTEMPT GUARD: a roll that crashed before the flip and was
+      // retried only after the stream RESUMED (batches fully committed
+      // in between) left a full re-encode snapshot in the new epoch's
+      // enc table pinned to the OLD prefix's last batch id. appendOnce
+      // idempotence is per batch id, so re-encoding under the advanced
+      // prefix's id would leave BOTH snapshots live — every stored
+      // encoding duplicated, and (the sink emits pairs without a
+      // distinct) duplicate output rows on every subsequent batch.
+      // Nothing reads the unflipped epoch's enc table yet, so the stale
+      // snapshot is retractable: drop it and re-encode fresh. The
+      // catch-up/boundary commits are keyed by (epoch, lastBatch) below
+      // for the same reason — a retry over an advanced prefix must
+      // recompute the catch-up under the freshly retrained codebook,
+      // not no-op on the crashed attempt's (already-sound, but
+      // old-prefix) commit.
+      val encNextPath = sub(statePath, "enc", next)
+      BucketedState.committedBatches(spark, encNextPath)
+        .filter(_ != lastBatch)
+        .foreach(BucketedState.retract(spark, encNextPath, _))
+      // reserved id space for roll commits: disjoint from foreachBatch's
+      // non-negative ids AND unique per (target epoch, prefix), so a
+      // same-prefix retry stays idempotent while an advanced-prefix
+      // retry commits fresh
+      val rollId = -((next.toLong << 40) | (lastBatch + 1L))
       val asgAll = Dedup.persistTracked(
         Similarity.assignFrozenCells(allVecs, "id", "v", cent1)
           .withColumn("resid", Similarity.frozenResidual(
@@ -333,17 +363,19 @@ object SemGate {
         .join(emitted, Seq("id_a", "id_b"), "left_anti")
       // epoch boundary for read-side attribution: the last output
       // version that belongs to the OLD epoch (deterministic on retry:
-      // derived from the catch-up commit's own version once it lands)
-      VersionedTable.streamingCommit(catchup, -next.toLong, outPath,
-        "append")
+      // derived from the catch-up commit's own version once it lands).
+      // A crashed attempt over an earlier prefix may have logged its
+      // own (epoch, boundary) row too; pairsWithEpoch composes the
+      // duplicates — pairs between the two boundaries keep the old tag.
+      VersionedTable.streamingCommit(catchup, rollId, outPath, "append")
       val vCatch = VersionedTable
-        .versionOfBatch(spark, outPath, -next.toLong).get
+        .versionOfBatch(spark, outPath, rollId).get
       val boundary = VersionedTable.versions(spark, outPath)
         .filter(_ < vCatch).lastOption.getOrElse(-1)
       import spark.implicits._
       VersionedTable.streamingCommit(
         Seq((next.toLong, boundary)).toDF("epoch", "prev_boundary"),
-        -next.toLong, s"$statePath/epochs", "append")
+        rollId, s"$statePath/epochs", "append")
       onBeforeCommit()
       // THE FLIP: one committed coarse version per epoch
       if (VersionedTable.versions(spark, coarsePath).length == next)
@@ -369,8 +401,12 @@ object SemGate {
     val cur = currentEpoch(spark, statePath).toLong
     val bounds =
       if (VersionedTable.versions(spark, epochsPath).isEmpty) Seq.empty
+      // sort by (epoch, boundary): a crashed-then-retried roll logs TWO
+      // rows for one epoch, and walking the earlier boundary first is
+      // what keeps the crash window's pairs on the old epoch's tag
       else VersionedTable.read(spark, epochsPath).collect()
-        .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+        .map(r => (r.getLong(0), r.getInt(1)))
+        .sortBy(t => (t._1, t._2)).toSeq
         .filter(_._1 <= cur)
     val all = VersionedTable.read(spark, outPath)
     // walk epochs oldest-first: what a boundary snapshot contains and

@@ -16,8 +16,9 @@ class ShuffleBudgetSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   private def withoutAqe[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try body finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   /** Executes `df` and returns (exchange count, total shuffle bytes
@@ -291,6 +292,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     }
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     // accumulated state could never auto-broadcast at the scale these
@@ -304,7 +306,7 @@ class ShuffleBudgetSpec extends SparkSpec {
       org.apache.spark.sql.GraftSqlBridge.flushListeners(spark.sparkContext)
     } finally {
       spark.sparkContext.removeSparkListener(listener)
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
     }

@@ -37,6 +37,7 @@ class GatePlanAuditSpec extends SparkSpec {
           qe: org.apache.spark.sql.execution.QueryExecution,
           exception: Exception): Unit = ()
     }
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.listenerManager.register(l)
     try {
@@ -44,7 +45,7 @@ class GatePlanAuditSpec extends SparkSpec {
       org.apache.spark.sql.GraftSqlBridge.flushListeners(spark.sparkContext)
     } finally {
       spark.listenerManager.unregister(l)
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
     buf.synchronized { buf.toVector }
   }

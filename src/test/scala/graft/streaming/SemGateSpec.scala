@@ -235,4 +235,81 @@ class SemGateSpec extends SparkSpec {
     assert(canon(VersionedTable.read(spark, outPath)) ==
       (truthOld ++ truth(seen, centNew) ++ truth(seen, centNew2)))
   }
+
+  test("a roll that crashed pre-flip and is retried only AFTER the stream resumed retracts the stale re-encode snapshot — no duplicated encodings, no duplicated output, recall complete under the retry's codebook") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-semresume").toString
+    val (statePath, outPath) = (s"$dir/state", s"$dir/out")
+    val snk = SemGate.sink(statePath, outPath, "vec_id", "embedding", T,
+      ncells = 2, kmIters = 2, m = 2, ks = 4, sd = 4, pqIters = 1,
+      nBuckets = 8)
+    val b0 = Seq((1L, vec(0, 0)), (2L, vec(0, 1)), (3L, vec(1, 0)),
+      (4L, vec(1, 2)), (5L, vec(2, 0)), (6L, vec(5, 0)))
+    val b1 = Seq((10L, vec(0, 2)), (0L, vec(1, 1)))
+    snk(b0.toDF("vec_id", "embedding"), 0L)
+    snk(b1.toDF("vec_id", "embedding"), 1L)
+    def roll(onBefore: () => Unit = () => ()): Int =
+      SemGate.rollEpoch(spark, statePath, outPath, T, fromEpoch = 0,
+        ncells = 3, kmIters = 2, m = 2, ks = 4, sd = 4, pqIters = 1,
+        nBuckets = 8, onBeforeCommit = onBefore)
+    // crash at the flip: the re-encode snapshot (pinned to batch 1, the
+    // prefix's last id) and the catch-up both committed
+    intercept[RuntimeException] {
+      roll(() => throw new RuntimeException("crash"))
+    }
+    assert(SemGate.currentEpoch(spark, statePath) == 0)
+    assert(BucketedState.committedBatches(spark, s"$statePath/enc-e1")
+      == Set(1L))
+    // THE STREAM RESUMES over the crash: two more batches commit on the
+    // old epoch before anyone retries the roll
+    val b2 = Seq((20L, vec(0, 3)), (21L, vec(2, 2)))
+    val b3 = Seq((30L, vec(1, 3)))
+    snk(b2.toDF("vec_id", "embedding"), 2L)
+    snk(b3.toDF("vec_id", "embedding"), 3L)
+    // the retry must retract the stale batch-1 snapshot and re-encode
+    // the FULL prefix under batch 3's id — exactly one snapshot lives
+    assert(roll() == 1, "retry did not complete the roll")
+    assert(BucketedState.committedBatches(spark, s"$statePath/enc-e1")
+      == Set(3L),
+      "stale pre-resume re-encode snapshot survived the retry")
+    val all = b0 ++ b1 ++ b2 ++ b3
+    val encRows = spark
+      .table(BucketedState.tableName(s"$statePath/enc-e1")).count()
+    assert(encRows == all.size.toLong,
+      s"enc-e1 holds $encRows rows for ${all.size} vectors — duplicated encodings")
+    // recall: old-codebook truth over the full prefix, plus the crashed
+    // attempt's catch-up (new-params codebook over the prefix AT THE
+    // CRASH — sound pairs that stay), plus the retry's codebook over
+    // the full prefix
+    def km(rows: Seq[(Long, Array[Float])], k: Int) =
+      Similarity.kmeansCodebook(
+        rows.toDF("vec_id", "embedding")
+          .select(col("vec_id"), Similarity.unitVec("embedding").as("nv")),
+        "vec_id", "nv", ncells = k, iters = 2)
+    def truth(rows: Seq[(Long, Array[Float])],
+        cent: Array[Array[Double]]): Set[String] =
+      canon(Similarity.cellPairsFrozen(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cent, T))
+    val want = truth(all, km(b0, 2)) ++
+      truth(b0 ++ b1, km(b0 ++ b1, 3)) ++ truth(all, km(all, 3))
+    assert(canon(VersionedTable.read(spark, outPath)) == want,
+      "post-resume retry output != oldTruth ∪ crashTruth ∪ retryTruth")
+    // and the output has NO duplicate pairs — the round-9 layout kept
+    // both snapshots live and double-reported every stored encoding
+    val out = VersionedTable.read(spark, outPath)
+    assert(out.count() == out.distinct().count(),
+      "duplicate output rows after the resumed-retry roll")
+    // the stream continues on the new epoch without re-duplication
+    val b4 = Seq((40L, vec(0, 4)))
+    snk(b4.toDF("vec_id", "embedding"), 4L)
+    val out2 = VersionedTable.read(spark, outPath)
+    assert(out2.count() == out2.distinct().count(),
+      "duplicate output rows on the first post-retry batch")
+    // old-codebook truth stays frozen at the roll point; the new epoch
+    // owns everything after
+    assert(canon(out2) ==
+      (want ++ truth(all ++ b4, km(all, 3))))
+    Dedup.releaseAll(spark)
+  }
 }
