@@ -198,23 +198,53 @@ object BucketedState {
       .toSet
   }
 
-  /** Compaction watermarks committed by [[MergeState]] (`cmp-<T>`
-    * markers live in the same root so they survive rebuckets). */
-  private[streaming] def compactedThrough(spark: SparkSession,
-      path: String): Long = {
-    val f = fs(spark, path)
-    val dir = markersRoot(path)
-    if (!f.exists(dir)) -1L
-    else f.listStatus(dir).toSeq.map(_.getPath.getName)
-      .collect { case n if n.startsWith("cmp-") =>
-        n.stripPrefix("cmp-").toLong }
-      .foldLeft(-1L)(math.max)
+  /** A folded run committed by [[MergeState]]'s tiered compaction:
+    * level ≥ 1, covering the batch-id range [start, hi] (both
+    * inclusive). Level-0 runs are the raw per-batch deltas themselves
+    * (`id == start == hi == the batch id`); folded runs own the
+    * negative partition-id space, encoded uniquely per (level, hi).
+    * Markers (`cmp-<level>-<start>-<hi>`) live in the markers root so
+    * they survive rebuckets. */
+  private[streaming] case class Fold(level: Int, start: Long, hi: Long) {
+    def id: Long =
+      if (level == 0) start else -(((hi + 1L) << 6) | level.toLong)
   }
 
-  private[streaming] def compactionMarker(spark: SparkSession,
-      path: String, through: Long): Unit = {
+  /** All committed fold markers at `path` (unparseable names — e.g. a
+    * foreign file — are skipped, never a crash). */
+  private[streaming] def foldMarkers(spark: SparkSession,
+      path: String): Seq[Fold] = {
     val f = fs(spark, path)
-    f.create(new Path(markersRoot(path), s"cmp-$through"), true).close()
+    val dir = markersRoot(path)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("cmp-") =>
+        n.stripPrefix("cmp-").split("-") }
+      .collect {
+        case Array(l, s, h) if Seq(l, s, h).forall(x =>
+            x.nonEmpty && x.forall(_.isDigit)) =>
+          Fold(l.toInt, s.toLong, h.toLong)
+      }
+  }
+
+  /** Commit a folded run (the fold's write landed; readers may now
+    * prefer it over its inputs). */
+  private[streaming] def foldMarker(spark: SparkSession, path: String,
+      fold: Fold): Unit = {
+    val f = fs(spark, path)
+    f.create(new Path(markersRoot(path),
+      s"cmp-${fold.level}-${fold.start}-${fold.hi}"), true).close()
+  }
+
+  /** Retire a superseded fold's marker (its range is covered by a
+    * higher fold — cleanup after the covering fold committed). */
+  private[streaming] def dropFoldMarker(spark: SparkSession,
+      path: String, fold: Fold): Unit = {
+    val f = fs(spark, path)
+    val p = new Path(markersRoot(path),
+      s"cmp-${fold.level}-${fold.start}-${fold.hi}")
+    if (f.exists(p)) f.delete(p, false)
+    ()
   }
 
   /** Sidecar: "nBuckets\tbucketCol\tgen\nschemaDDL" — what catalog
@@ -508,20 +538,6 @@ object BucketedState {
     val m = markerPath(path, batchId)
     if (f.exists(m)) f.delete(m, false)
     ()
-  }
-
-  /** Drop superseded compaction watermarks (all but the latest) — one
-    * tiny file per compaction, swept so the markers dir only ever holds
-    * batch markers + ONE cmp marker. */
-  private[streaming] def sweepCompactionMarkers(spark: SparkSession,
-      path: String): Unit = {
-    val f = fs(spark, path)
-    val dir = markersRoot(path)
-    if (!f.exists(dir)) return
-    val cmps = f.listStatus(dir).toSeq.map(_.getPath)
-      .filter(_.getName.startsWith("cmp-"))
-      .sortBy(_.getName.stripPrefix("cmp-").toLong)
-    cmps.dropRight(1).foreach(f.delete(_, false))
   }
 
   /** Registered `__bt` partition values of the live table (compaction

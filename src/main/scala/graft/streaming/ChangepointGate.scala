@@ -17,36 +17,45 @@ import graft.sources.VersionedTable
   * equals `Events.cusumDaily` over the stream's prefix
   * (`ChangepointGateSpec` asserts it batch by batch).
   *
-  * State is a [[VersionedTable]], not executor memory: it scales with
-  * keys × days, survives restarts, and merges by ADDITION (daily
-  * counts are a CRDT-style sum), so the per-batch merge is one
-  * aggregation over state + increment.
+  * State is a [[MergeState]] — the same delta/bucketed layout as every
+  * other gate (this was the last merge-overwrite state path): each
+  * batch appends only its own (key, day, n) daily-count rows, bucketed
+  * by `keyCol` at rest, and the logical state is the exchange-free
+  * sum-merge on read (daily counts are a CRDT-style sum; the
+  * aggregation's (key, day) grouping lands on the at-rest
+  * HashPartitioning(key) — subset-key reuse holds for aggregations).
+  * Per-batch state WRITE is therefore increment-sized even though this
+  * gate's state is bounded by construction (keys × days, not corpus
+  * bytes); tiered compaction bounds the live run count over a
+  * months-long stream.
   *
   * Exactly-once rides [[GateKit]]: the output commit is the batch's
-  * completion marker ([[GateKit.runOnce]]), and the state merge is
-  * merge-once ([[GateKit.mergeState]]) — a crash between the two
-  * commits replays the batch, detects the already-merged state by its
-  * batch tag, reuses the committed bytes verbatim (re-merging would
-  * double-count), and re-derives the identical readout from them. */
+  * completion marker ([[GateKit.runOnce]]); the batch's daily-count
+  * DELTA appends before it, idempotent per batch id
+  * ([[MergeState.appendDelta]]) — a crash between the two replays the
+  * batch, finds the delta committed, reuses it verbatim instead of
+  * double-counting — and the readout derives from the committed state
+  * bytes ([[MergeState.readMerged]] at the batch's own id reads
+  * identically on first run and replay). */
 object ChangepointGate {
 
   /** `events.writeStream.foreachBatch(ChangepointGate.sink(...))`;
     * events need `ts` (epoch-nanos long) and `keyCol`. */
-  def sink(statePath: String, outPath: String, keyCol: String)
+  def sink(statePath: String, outPath: String, keyCol: String,
+      nBuckets: Int = 32, compactEvery: Int = 8)
       : (DataFrame, Long) => Unit = (batch, batchId) => {
     val spark = batch.sparkSession
     GateKit.runOnce(spark, outPath, batchId) {
-      val state = GateKit.mergeState(spark, statePath, batchId) { base =>
-        val inc = Events.dailyCounts(batch, keyCol)
-        // empty seed FROM THE INCREMENT'S OWN SCHEMA: a hardcoded
-        // string-typed seed would make Union widen a non-string key to
-        // string in the committed state forever, diverging from the
-        // batch operator's key type
-        base.getOrElse(inc.limit(0))
-          .select(col(keyCol), col("day"), col("n"))
-          .unionByName(inc)
-          .groupBy(col(keyCol), col("day")).agg(sum(col("n")).as("n"))
-      }
+      // fold old runs first — never the batch's own replayable delta
+      MergeState.compactIfDue(spark, statePath, batchId,
+        Seq(keyCol, "day"), Seq("n"), compactEvery)
+      val inc = Events.dailyCounts(batch, keyCol)
+        .select(col(keyCol), col("day"), col("n"))
+      MergeState.appendDelta(inc, statePath, batchId, keyCol, nBuckets)
+      // judge from the post-merge state (the batch's own counts
+      // included), identical on first run and replay
+      val state = MergeState.readMerged(spark, statePath, batchId,
+        Seq(keyCol, "day"), Seq("n")).get
       VersionedTable.streamingCommit(
         Events.cusumFromDaily(state, keyCol), batchId, outPath,
         "overwrite")

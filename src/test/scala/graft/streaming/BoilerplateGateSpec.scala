@@ -112,15 +112,16 @@ class BoilerplateGateSpec extends SparkSpec {
     assert(bannerCount(freqPath, 11L) == Seq(6L))
     assert(outMap(outPath)(6L) == ("", 0L, 1L))
 
-    // compaction crash window B: base written AND marker committed,
-    // the folded partitions' drops pending — readers must already see
-    // exactly the new base + newer deltas, and the next batch finishes
-    // the drops idempotently
+    // compaction crash window B: a fold written AND marked, the folded
+    // inputs' drops pending — readers must already prefer the covering
+    // fold over its inputs, and the next batch finishes the drops
+    // idempotently
     val partsB = BucketedState.btValues(spark, freqPath)
     val merged11 = MergeState.readMerged(spark, freqPath, 11L,
       Seq("h"), Seq("ndocs")).get.localCheckpoint()
-    BucketedState.writeBt(merged11, freqPath, -12L)
-    BucketedState.compactionMarker(spark, freqPath, 11L)
+    val fullFold = BucketedState.Fold(9, 0L, 11L)
+    BucketedState.writeBt(merged11, freqPath, fullFold.id)
+    BucketedState.foldMarker(spark, freqPath, fullFold)
     assert(bannerCount(freqPath, 11L) == Seq(6L),
       "pending drops changed the readable counts")
     snk(Seq(BgDoc(7, banner)).toDF(), 12L)

@@ -64,16 +64,15 @@ class ChangepointGateSpec extends SparkSpec {
     assert(VersionedTable.versions(spark, outPath).size == 2)
     assert(canon(VersionedTable.read(spark, outPath)) == got)
 
-    // partial failure: state merged+committed for batch 7, output commit
-    // never happened — replay must reuse the committed merge (NOT
-    // re-add the batch) and the readout must equal the full prefix
+    // partial failure: the batch's daily-count DELTA committed for
+    // batch 7, output commit never happened — replay must reuse the
+    // committed delta (NOT re-append it) and the readout must equal
+    // the full prefix
     val b2 = Seq(CgEvent(nanos(3, 1), "B"), CgEvent(nanos(3, 2), "B"))
-    val merged = VersionedTable.read(spark, statePath)
-      .select(col("event_type"), col("day"), col("n"))
-      .unionByName(Events.dailyCounts(b2.toDF("ts", "event_type"),
-        "event_type"))
-      .groupBy(col("event_type"), col("day")).agg(sum(col("n")).as("n"))
-    VersionedTable.streamingCommit(merged, 7L, statePath, "overwrite")
+    MergeState.appendDelta(
+      Events.dailyCounts(b2.toDF("ts", "event_type"), "event_type")
+        .select(col("event_type"), col("day"), col("n")),
+      statePath, 7L, "event_type", 32)
     snk(b2.toDF("ts", "event_type"), 7L)
     val expectAll = canon(Events.cusumDaily(
       (seen ++ b2).toDF("ts", "event_type"), "event_type"))

@@ -92,6 +92,73 @@ class GatePlanAuditSpec extends SparkSpec {
         offenders.map(_.nodeName).mkString(", "))
   }
 
+  /** True when `n`'s subtree reaches a state scan without crossing a
+    * FINAL aggregate or a join — the walker for merge-state reads,
+    * where the claim is scan → partial agg → final agg with no
+    * Exchange anywhere between the scan and the final aggregate (an
+    * Exchange above the PARTIAL agg is exactly the full-state shuffle
+    * the bucketed layout exists to prevent, so stopping at the partial
+    * would blind the pin). */
+  private def scanBelowNoFinalAgg(n: SparkPlan, mark: String): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Final}
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    n match {
+      case s: FileSourceScanExec => isStateScan(s, mark)
+      case a: HashAggregateExec
+          if a.aggregateExpressions.exists(e =>
+            e.mode == Final || e.mode == Complete) => false
+      case a: ObjectHashAggregateExec
+          if a.aggregateExpressions.exists(e =>
+            e.mode == Final || e.mode == Complete) => false
+      case a: SortAggregateExec
+          if a.aggregateExpressions.exists(e =>
+            e.mode == Final || e.mode == Complete) => false
+      case _: ShuffledHashJoinExec | _: SortMergeJoinExec |
+          _: BroadcastHashJoinExec | _: BroadcastNestedLoopJoinExec =>
+        false
+      case other => other.children.exists(scanBelowNoFinalAgg(_, mark))
+    }
+  }
+
+  test("boilerplate gate read path: delta-run scan bucketed, merge aggregation lands on the at-rest partitioning with no exchange before the final agg") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-audit-bg").toString
+    def batch(b: Int) = (0 until 40).map { i =>
+      val id = b * 100L + i
+      (id, (0 until 20).map(k => f"${mix64(id * 131L + k)}%08x".take(8))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val snk = BoilerplateGate.sink(s"$dir/freq", s"$dir/out",
+      "doc_id", "text", chunkTokens = 5, nBuckets = 8)
+    snk(batch(0), 0L)
+    val plans = audited(snk(batch(1), 1L))
+    val mark = s"$dir/freq"
+    val scans = plans.flatMap(_.collect {
+      case s: FileSourceScanExec if isStateScan(s, mark) => s
+    })
+    assert(scans.nonEmpty, "no frequency-state scan captured")
+    scans.foreach { s =>
+      s.outputPartitioning match {
+        case h: HashPartitioning =>
+          assert(h.numPartitions == 8,
+            s"state scan partitions ${h.numPartitions} != 8")
+        case other => fail(
+          s"state scan is not bucketed: $other — the delta runs are " +
+            "being read as plain parquet")
+      }
+    }
+    val offenders = plans.flatMap(_.collect {
+      case e: Exchange if scanBelowNoFinalAgg(e.child, mark) => e
+      case so: SortExec if scanBelowNoFinalAgg(so.child, mark) => so
+    })
+    assert(offenders.isEmpty,
+      "Exchange/Sort between the delta-run scan and the final merge " +
+        s"aggregate (state must merge in place): " +
+        offenders.map(_.nodeName).mkString(", "))
+    Dedup.releaseAll(spark)
+  }
+
   test("substring gate serve path: both state scans bucketed, no exchange/sort above state") {
     import spark.implicits._
     val dir = java.nio.file.Files
