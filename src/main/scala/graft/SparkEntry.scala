@@ -573,6 +573,31 @@ object SparkEntry {
       snk(emb.filter(col("vec_id") % 4 === 3), 2L)
       graft.sources.VersionedTable.read(s, paths(1))
     }),
+    // ----- read-side EPOCH ATTRIBUTION of the rolled gate's pairs
+    // (SemGate.pairsWithEpoch — a view over the commit history; the
+    // committed output schema never carries the tag): same stream as
+    // q_sem_gate_roll, output tagged by the epoch that emitted each
+    // pair. The oracle replays both Lloyd chains and tags engine-
+    // independently: a pair the OLD codebook co-locates over the
+    // pre-roll prefix was emitted before the roll (epoch 0); everything
+    // else the NEW codebook finds is the catch-up or post-roll stream
+    // (epoch 1) — so a wrong boundary version, a mis-walked commit
+    // snapshot, or a double-tagged pair hash-mismatches every sweep -----
+    "q_sem_gate_epochs" -> ((s, dir) => {
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 3 === 1)
+      val paths = Seq("state", "out")
+        .map(p => s"/tmp/graft_semep_${p}_$suffix")
+      paths.foreach(p => freshFixtureDir(p))
+      val snk = graft.streaming.SemGate.sink(paths(0), paths(1),
+        "vec_id", "embedding", threshold = 0.3, nBuckets = 8)
+      snk(emb.filter(col("vec_id") % 2 === 0), 0L)
+      snk(emb.filter(col("vec_id") % 4 === 1), 1L)
+      graft.streaming.SemGate.rollEpoch(s, paths(0), paths(1),
+        threshold = 0.3, fromEpoch = 0, nBuckets = 8)
+      snk(emb.filter(col("vec_id") % 4 === 3), 2L)
+      graft.streaming.SemGate.pairsWithEpoch(s, paths(0), paths(1))
+    }),
     // ----- sampled-anchor exact substring dedup: the ~w x cheaper
     // corpus exchange (winnowed anchors -> verified pairs -> pair-
     // restricted dense recompute), reporting every span >= 30+8-1 = 37
@@ -7201,6 +7226,45 @@ object SparkEntry {
            SELECT id_a, id_b, cosine FROM po
            UNION
            SELECT id_a, id_b, cosine FROM pn""",
+      // epoch attribution over the same two chains: a pair the OLD
+      // codebook co-locates over the pre-roll prefix was emitted
+      // before the roll -> epoch 0; the NEW codebook's remaining pairs
+      // (catch-up + post-roll stream) -> epoch 1. EXCEPT on the full
+      // row is sound: a pair both codebooks find has ONE cosine.
+      "q_sem_gate_epochs" ->
+        s"""WITH dv AS (SELECT vec_id, ${duckUnitVec("embedding")} AS v,
+                               embedding FROM embeddings
+                        WHERE vec_id % 3 = 1),
+           init_o AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, v AS c
+                      FROM dv WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 8),
+           ${kmAssign("init_o", "a1o", " AND vec_id % 2 = 0")},
+           ${kmUpdate("a1o", "init_o", "c1o")},
+           ${kmAssign("c1o", "a2o", " AND vec_id % 2 = 0")},
+           ${kmUpdate("a2o", "c1o", "c2o")},
+           ${kmAssign("c2o", "cco", " AND vec_id % 4 <> 3")},
+           init_n AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, v AS c
+                      FROM dv WHERE vec_id % 4 <> 3 ORDER BY vec_id LIMIT 8),
+           ${kmAssign("init_n", "a1n", " AND vec_id % 4 <> 3")},
+           ${kmUpdate("a1n", "init_n", "c1n")},
+           ${kmAssign("c1n", "a2n", " AND vec_id % 4 <> 3")},
+           ${kmUpdate("a2n", "c1n", "c2n")},
+           ${kmAssign("c2n", "ccn", "")},
+           po AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                         ${duckCosine("ae.embedding", "be.embedding")} AS cosine
+                  FROM cco a JOIN cco b ON a.cell = b.cell AND a.vec_id < b.vec_id
+                  JOIN dv ae ON ae.vec_id = a.vec_id
+                  JOIN dv be ON be.vec_id = b.vec_id
+                  WHERE ${duckCosine("ae.embedding", "be.embedding")} >= 0.3),
+           pn AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                         ${duckCosine("ae.embedding", "be.embedding")} AS cosine
+                  FROM ccn a JOIN ccn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+                  JOIN dv ae ON ae.vec_id = a.vec_id
+                  JOIN dv be ON be.vec_id = b.vec_id
+                  WHERE ${duckCosine("ae.embedding", "be.embedding")} >= 0.3)
+           SELECT id_a, id_b, cosine, CAST(0 AS BIGINT) AS epoch FROM po
+           UNION ALL
+           SELECT id_a, id_b, cosine, CAST(1 AS BIGINT) AS epoch
+           FROM (SELECT * FROM pn EXCEPT SELECT * FROM po)""",
       "q_dedup_agreement" ->
         s"""WITH $kmeansChain,
            epairs AS (SELECT b.vec_id AS id_b
