@@ -585,7 +585,7 @@ object BucketedState {
     *    the old directory/table are stale debris that this method (on
     *    a no-op retry) and the next rebucket sweep away.
     *
-    * Batch markers and compaction watermarks live outside the data
+    * Batch markers and compaction fold markers live outside the data
     * directories and carry over untouched, so exactly-once replay
     * semantics are generation-independent. A no-op on fresh state
     * (nothing accumulated to re-shard — size a fresh gate via its

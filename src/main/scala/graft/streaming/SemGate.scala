@@ -408,7 +408,13 @@ object SemGate {
         .map(r => (r.getLong(0), r.getInt(1)))
         .sortBy(t => (t._1, t._2)).toSeq
         .filter(_._1 <= cur)
-    val all = VersionedTable.read(spark, outPath)
+    // persist barriers: the full table and each boundary snapshot feed
+    // multiple consumers (the per-epoch anti-joins + the tail), and the
+    // snapshots' files are a subset of the table's — without the
+    // barriers every output file is scanned once per consumer
+    // (PlanHygieneSpec's multi-scan guard catches it). Caller releases
+    // via Dedup.releaseAll, the library-wide cache lifecycle.
+    val all = Dedup.persistTracked(VersionedTable.read(spark, outPath))
     // walk epochs oldest-first: what a boundary snapshot contains and
     // earlier epochs did not, that epoch emitted
     var tagged = Seq.empty[DataFrame]
@@ -416,7 +422,8 @@ object SemGate {
     for ((epoch, boundary) <- bounds) {
       val snap =
         if (boundary < 0) None
-        else Some(VersionedTable.read(spark, outPath, Some(boundary)))
+        else Some(Dedup.persistTracked(
+          VersionedTable.read(spark, outPath, Some(boundary))))
       val own = (snap, prev) match {
         case (Some(s), Some(p)) =>
           s.join(p.select(col("id_a"), col("id_b")),
