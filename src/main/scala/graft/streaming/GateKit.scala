@@ -17,11 +17,12 @@ import graft.sources.VersionedTable
   * would pair the increment against its own replayed rows,
   * double-reporting intra results as cross results or pushing capped
   * candidate buckets over their cap and DROPPING genuine pairs);
-  * (3) overwrite-mode state merges the increment exactly once and
-  * downstream always reads the COMMITTED bytes ([[mergeState]]);
-  * (4) state commits land before the output commit, each idempotent
-  * per batch id ([[VersionedTable.streamingCommit]]), so every crash
-  * window replays into the same final table. */
+  * (3) state commits land before the output commit, each idempotent
+  * per batch id ([[VersionedTable.streamingCommit]] for versioned
+  * state, [[MergeState.appendDelta]]/[[BucketedState.appendOnce]] for
+  * the delta layouts — since round 10 every gate's state is one of
+  * those two), so every crash window replays into the same final
+  * table. */
 object GateKit {
 
   /** Run `body` only if `batchId` has not yet committed to `outPath`
@@ -54,23 +55,4 @@ object GateKit {
     pinnedBefore(spark, path, batchId)
       .map(v => VersionedTable.read(spark, path, Some(v)))
 
-  /** Merge the increment into overwrite-mode state exactly once, then
-    * return the COMMITTED state. `merge` receives the current state
-    * (None when the table is empty) and produces the merged snapshot; a
-    * replay whose merge already landed skips straight to the read-back,
-    * so the batch can never double-count — and first run and replay
-    * derive downstream results from identical committed bytes. */
-  def mergeState(spark: SparkSession, statePath: String, batchId: Long)(
-      merge: Option[DataFrame] => DataFrame): DataFrame = {
-    if (!VersionedTable.committedBatches(spark, statePath)
-        .contains(batchId)) {
-      val base =
-        if (VersionedTable.versions(spark, statePath).nonEmpty)
-          Some(VersionedTable.read(spark, statePath))
-        else None
-      VersionedTable.streamingCommit(merge(base), batchId, statePath,
-        "overwrite")
-    }
-    VersionedTable.read(spark, statePath)
-  }
 }
