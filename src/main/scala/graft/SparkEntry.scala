@@ -1163,6 +1163,27 @@ object SparkEntry {
     // never over raw events and never globally -----
     "q_cusum" -> ((s, dir) =>
       Events.cusumDaily(t(s, dir, "events"), "event_type")),
+    // ----- the streaming CUSUM gate under the hash gate (the sixth
+    // and last gate to get an oracle query): three event micro-batches
+    // fold into the MergeState daily-count deltas — compactEvery=2, so
+    // the TIERED COMPACTION fold runs inside the fixture every sweep —
+    // and the final committed readout must equal the batch operator's
+    // CUSUM over the whole corpus (the same SQL truth as q_cusum): a
+    // lost delta, a double-counted replay, or a fold that changed any
+    // judged count hash-mismatches -----
+    "q_changepoint_gate" -> ((s, dir) => {
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val paths = Seq("state", "out")
+        .map(p => s"/tmp/graft_cpgate_${p}_$suffix")
+      paths.foreach(p => freshFixtureDir(p))
+      val ev = t(s, dir, "events")
+      val snk = graft.streaming.ChangepointGate.sink(paths(0), paths(1),
+        "event_type", compactEvery = 2)
+      snk(ev.filter(col("event_id") % 3 === 0), 0L)
+      snk(ev.filter(col("event_id") % 3 === 1), 1L)
+      snk(ev.filter(col("event_id") % 3 === 2), 2L)
+      graft.sources.VersionedTable.read(s, paths(1))
+    }),
 
     // ----- set operations -----
     "q_union_all" -> ((s, dir) =>
@@ -7381,6 +7402,25 @@ object SparkEntry {
       // CUSUM in scaled BIGINTs: dev_fx = D*cum - idx*total ==
       // D * sum_{i<=idx}(n_i - total/D), no float mean anywhere
       "q_cusum" ->
+        """WITH d AS (SELECT event_type,
+                    epoch_us(ts) // 86400000000 AS day,
+                    CAST(COUNT(*) AS BIGINT) AS n
+             FROM events GROUP BY 1, 2),
+           w AS (SELECT event_type, day, n,
+                    COUNT(*) OVER (PARTITION BY event_type) AS dd,
+                    SUM(n) OVER (PARTITION BY event_type) AS total,
+                    SUM(n) OVER (PARTITION BY event_type
+                                 ORDER BY day) AS cum,
+                    ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY day) AS idx
+                 FROM d)
+           SELECT event_type, day, n,
+                  CAST(dd * cum - idx * total AS BIGINT) AS dev_fx,
+                  abs(dd * cum - idx * total) =
+                    MAX(abs(dd * cum - idx * total))
+                      OVER (PARTITION BY event_type) AS is_peak
+           FROM w""",
+      "q_changepoint_gate" ->
         """WITH d AS (SELECT event_type,
                     epoch_us(ts) // 86400000000 AS day,
                     CAST(COUNT(*) AS BIGINT) AS n

@@ -351,6 +351,44 @@ class ShuffleBudgetSpec extends SparkSpec {
         s"$small (1x history) vs $big (10x history)")
   }
 
+  test("changepoint gate: per-batch STATE write volume tracks the increment's cells, not accumulated daily grain") {
+    // the last gate ported off merge-overwrite state (round 10): daily
+    // counts append as MergeState DELTAS, so the probe batch's state
+    // write must be independent of how many (key, day) cells
+    // accumulated. Measured as state-path bytes AT REST added by the
+    // probe batch — layout-agnostic, so the old VersionedTable
+    // overwrite gate (which rewrote every accumulated cell per batch)
+    // fails this bound directly. The OUTPUT readout is excluded: it is
+    // the full CUSUM view by contract and rewrites by design.
+    import spark.implicits._
+    def du(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).getOrElse(Array.empty).map(du).sum
+    def events(dayBase: Int, days: Int) =
+      (0 until days).flatMap { d =>
+        (0 until 40).map { k =>
+          ((dayBase + d) * 86400000000000L + k * 1000000000L, s"k$k")
+        }
+      }.toDF("ts", "event_type")
+    def probeCost(historyDays: Int): Long = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-cpbudget").toString
+      val snk = graft.streaming.ChangepointGate.sink(s"$dir/state",
+        s"$dir/out", "event_type", nBuckets = 8)
+      gateMetrics(snk(events(0, historyDays), 0L))
+      val before = du(new java.io.File(s"$dir/state"))
+      gateMetrics(snk(events(100000, 30), 1L)) // 30 fresh days, 40 keys
+      val added = du(new java.io.File(s"$dir/state")) - before
+      assert(added > 0, "probe batch added no state bytes")
+      added
+    }
+    val small = probeCost(30)
+    val big = probeCost(300)
+    assert(big < small * 3 / 2,
+      s"probe-batch state write grew with accumulated daily grain: " +
+        s"$small B (1x history) vs $big B (10x history)")
+  }
+
   /** Two-stream probe shared by the spatial/cluster pins: run the
     * IDENTICAL probe batch after a 1x and a 10x state history and
     * return both probe-batch shuffle totals — a layout that
