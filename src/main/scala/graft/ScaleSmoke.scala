@@ -588,21 +588,26 @@ object ClusterGateScale {
   }
 }
 
-/** 3-batch streaming BOILERPLATE-gate scale probe at K× over the
-  * salted documents corpus: per-batch wall, shuffle, and bytes WRITTEN
-  * (the merge-state claim is about the write path — the old layout
-  * rewrote the whole accumulated frequency table every batch), with
-  * `compactEvery = 2` so the LSM compaction fires mid-probe. Parity:
-  * the final merged frequency state must equal the one-shot per-hash
-  * distinct-doc counts over the full corpus (order-independent, so it
-  * checks the delta + compaction arithmetic end to end), and every doc
-  * must appear in the output exactly once. */
+/** Streaming BOILERPLATE-gate scale probe at K× over the salted
+  * documents corpus: per-batch wall, shuffle, bytes WRITTEN (the
+  * merge-state claim is about the write path — the old layout rewrote
+  * the whole accumulated frequency table every batch), and the TIERED
+  * FOLDS each batch's compaction performed (`compactEvery = 2`, so
+  * with enough batches the cascade reaches level 3+ mid-probe; a
+  * fold's write cost is visible as its batch's write_mb next to the
+  * fold's covered range). Parity: the final merged frequency state
+  * must equal the one-shot per-hash distinct-doc counts over the full
+  * corpus (order-independent, so it checks the delta + tiered-fold
+  * arithmetic end to end), and every doc must appear in the output
+  * exactly once. 4th arg = batch count (default 3; 12 shows the
+  * multi-level cascade). */
 object BoilerplateGateScale {
   def main(args: Array[String]): Unit = {
     import org.apache.spark.sql.functions._
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val k = if (args.length > 1) args(1).toInt else 30
     val nBuckets = if (args.length > 2) args(2).toInt else 64
+    val nBatches = if (args.length > 3) args(3).toInt else 3
     val spark = ScaleSmoke.session(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     spark.sparkContext.setLogLevel("ERROR")
@@ -624,9 +629,11 @@ object BoilerplateGateScale {
       s"${base}_out", "doc_id", "text", nBuckets = nBuckets,
       compactEvery = 2)
     println(f"[bgate] ${"batch"}%5s ${"inc_rows"}%10s ${"wall_s"}%8s " +
-      f"${"shuf_mb"}%9s ${"write_mb"}%9s")
-    (0 until 3).foreach { i =>
-      val inc = docs.filter(pmod(col("doc_id"), lit(3L)) === i.toLong)
+      f"${"shuf_mb"}%9s ${"write_mb"}%9s  folds")
+    var marks = Set.empty[graft.streaming.BucketedState.Fold]
+    (0 until nBatches).foreach { i =>
+      val inc = docs.filter(
+        pmod(col("doc_id"), lit(nBatches.toLong)) === i.toLong)
       val incRows = inc.count()
       ScaleSmoke.flush(spark)
       val (b0, w0) = (shuf.bytes, out.get())
@@ -634,13 +641,18 @@ object BoilerplateGateScale {
       snk(inc, i.toLong)
       val dt = (System.nanoTime() - t0) / 1e9
       ScaleSmoke.flush(spark)
+      val now = graft.streaming.BucketedState
+        .foldMarkers(spark, s"${base}_freq").toSet
+      val folds = (now -- marks).toSeq.sortBy(f => (f.level, f.start))
+        .map(f => s"L${f.level}[${f.start},${f.hi}]").mkString(" ")
+      marks = now
       println(f"[bgate] $i%5d $incRows%10d $dt%8.2f " +
         f"${(shuf.bytes - b0) / 1048576.0}%9.1f " +
-        f"${(out.get() - w0) / 1048576.0}%9.1f")
+        f"${(out.get() - w0) / 1048576.0}%9.1f  $folds")
     }
     // parity 1: merged frequency state == one-shot per-hash counts
     val got = graft.streaming.MergeState.readMerged(spark,
-      s"${base}_freq", 2L, Seq("h"), Seq("ndocs")).get
+      s"${base}_freq", nBatches.toLong - 1, Seq("h"), Seq("ndocs")).get
     val ch = graft.operators.Dedup.chunkSegments(docs, "doc_id", "text", 10)
     val want = ch.select(col("doc_id"),
         graft.functions.GraftFunctions.polyHash(col("chunk")).as("h"))

@@ -205,14 +205,15 @@ object BucketedState {
     * negative partition-id space, encoded uniquely per (level, hi).
     * Markers (`cmp-<level>-<start>-<hi>`) live in the markers root so
     * they survive rebuckets. */
-  private[streaming] case class Fold(level: Int, start: Long, hi: Long) {
+  private[graft] case class Fold(level: Int, start: Long, hi: Long) {
     def id: Long =
       if (level == 0) start else -(((hi + 1L) << 6) | level.toLong)
   }
 
   /** All committed fold markers at `path` (unparseable names — e.g. a
-    * foreign file — are skipped, never a crash). */
-  private[streaming] def foldMarkers(spark: SparkSession,
+    * foreign file — are skipped, never a crash). `private[graft]` so
+    * the scale probes can report fold events per batch. */
+  private[graft] def foldMarkers(spark: SparkSession,
       path: String): Seq[Fold] = {
     val f = fs(spark, path)
     val dir = markersRoot(path)
