@@ -116,8 +116,56 @@ object BucketedState {
     Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
 
   private def leaseTtlMs(spark: SparkSession): Long =
-    spark.conf.getOption("graft.state.writerLeaseMs")
-      .map(_.toLong).getOrElse(600000L)
+    spark.conf.getOption("graft.state.writerLeaseMs").map { v =>
+      try v.trim.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft.state.writerLeaseMs must be a millisecond count, got " +
+            s"'$v' — fix the conf value (default 600000)")
+      }
+    }.getOrElse(600000L)
+
+  /** Parse the lease file at `p`: (holder id, heartbeat millis). A
+    * torn/corrupt/missing lease reads as None (treated as stale). */
+  private def readLease(f: FileSystem, p: Path): Option[(String, Long)] =
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val text = try scala.io.Source
+        .fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      text.stripLineEnd.split("\t") match {
+        case Array(id, ms) if ms.nonEmpty && ms.forall(_.isDigit) =>
+          Some((id, ms.toLong))
+        case _ => None
+      }
+    }
+
+  /** Write a lease claiming `path` for `self`, then re-read to confirm
+    * ownership — two callers racing a stale/absent lease each write a
+    * PER-ATTEMPT temp and delete-then-rename, so the loser's rename can
+    * fail or be overwritten; only the caller the final re-read names
+    * actually holds the lease. Throws for the loser. */
+  private def claimLease(f: FileSystem, path: String, self: String,
+      now: Long): Unit = {
+    val p = leasePath(path)
+    f.mkdirs(markersRoot(path))
+    val tmp = new Path(markersRoot(path),
+      s"_writer.new-${java.util.UUID.randomUUID}")
+    val out = f.create(tmp, true)
+    try out.write(s"$self\t$now\n".getBytes("UTF-8"))
+    finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    if (!f.rename(tmp, p)) f.delete(tmp, false)
+    readLease(f, p) match {
+      case Some((id, _)) if id == self => ()
+      case Some((id, _)) => throw new IllegalStateException(
+        s"lost the lease race at $path to $id — another writer claimed " +
+          "the state concurrently; this attempt must not proceed")
+      case None => throw new IllegalStateException(
+        s"lease takeover at $path raced a concurrent delete — retry")
+    }
+  }
 
   /** Enforce the single-writer lease at `path` for the current caller;
     * no-op for non-streaming callers. Steady state for the holder is
@@ -129,43 +177,51 @@ object BucketedState {
       val p = leasePath(path)
       val now = System.currentTimeMillis()
       val ttl = leaseTtlMs(spark)
-      val cur: Option[(String, Long)] =
-        if (!f.exists(p)) None
-        else {
-          val in = f.open(p)
-          val text = try scala.io.Source
-            .fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-          text.stripLineEnd.split("\t") match {
-            case Array(id, ms) if ms.nonEmpty && ms.forall(_.isDigit) =>
-              Some((id, ms.toLong))
-            case _ => None // torn/corrupt lease reads as absent (stale)
-          }
-        }
-      cur match {
+      readLease(f, p) match {
         case Some((id, ms)) if id != self && now - ms < ttl =>
+          val who =
+            if (id.startsWith("maint-"))
+              s"under maintenance surgery ($id, started ${now - ms} ms " +
+                "ago) — the stream must not append mid-surgery; it will " +
+                "recover once the operation releases the lease"
+            else
+              s"leased to streaming query $id (${now - ms} ms ago); " +
+                s"this query is $self. Two sinks are sharing one state " +
+                "path — give each its own"
           throw new IllegalStateException(
-            s"bucketed state at $path is leased to streaming query " +
-              s"$id (${now - ms} ms ago); this query is $self. Two " +
-              "sinks are sharing one state path — give each its own. " +
-              "(A dead holder's lease expires after " +
-              s"graft.state.writerLeaseMs=$ttl ms.)")
+            s"bucketed state at $path is $who. (A dead holder's lease " +
+              s"expires after graft.state.writerLeaseMs=$ttl ms.)")
         case Some((id, ms)) if id == self && now - ms < ttl / 4 =>
           () // fresh own lease: no write
         case _ =>
-          // take over (stale or unreadable) or refresh own heartbeat —
-          // temp-then-rename so a concurrent reader never sees a torn
-          // file as a live foreign lease
-          f.mkdirs(markersRoot(path))
-          val tmp = new Path(markersRoot(path), s"_writer.new")
-          val out = f.create(tmp, true)
-          try out.write(s"$self\t$now\n".getBytes("UTF-8"))
-          finally out.close()
-          if (f.exists(p)) f.delete(p, false)
-          f.rename(tmp, p)
-          ()
+          // take over (stale or unreadable) or refresh own heartbeat;
+          // claimLease re-reads after the write, so a lost race throws
+          // instead of both writers proceeding
+          claimLease(f, path, self, now)
       }
     }
+
+  /** Run `body` holding an exclusive MAINTENANCE lease on `path`:
+    * streaming appends fail fast for the duration instead of racing
+    * the surgery (a rebucket, retraction, or epoch roll mutating state
+    * under a live stream's feet). Takes over any existing lease
+    * unconditionally — maintenance is run at a quiet stream boundary
+    * by contract, and the lease's job is to make a NON-quiet stream
+    * fail deterministically, not to arbitrate. Released on exit, so
+    * the stream's next append re-takes its own lease; a crashed
+    * maintenance run's lease expires after `graft.state.writerLeaseMs`
+    * like any other. NOT heartbeat-refreshed: an operation expected to
+    * run longer than the ttl should raise the conf for its duration. */
+  def withMaintenanceLease[A](spark: SparkSession, path: String)(
+      body: => A): A = {
+    val f = fs(spark, path)
+    val self = s"maint-${java.util.UUID.randomUUID}"
+    claimLease(f, path, self, System.currentTimeMillis())
+    try body
+    finally readLease(f, leasePath(path)).foreach { case (id, _) =>
+      if (id == self) { f.delete(leasePath(path), false); () }
+    }
+  }
 
   /** O(1) probe: has batch `batchId` committed? (one file-existence
     * check — never a directory listing, whose cost grows with stream
@@ -211,8 +267,14 @@ object BucketedState {
   }
 
   /** All committed fold markers at `path` (unparseable names — e.g. a
-    * foreign file — are skipped, never a crash). `private[graft]` so
-    * the scale probes can report fold events per batch. */
+    * foreign file — are skipped, never a crash — EXCEPT a legacy
+    * single-level `cmp-<T>` watermark, which fails fast: silently
+    * skipping it would exclude the compacted base partition from every
+    * read while its folded deltas are already deleted — silent loss of
+    * all pre-watermark state — and the next compaction pass would then
+    * delete the base as unmarked debris, making the loss permanent).
+    * `private[graft]` so the scale probes can report fold events per
+    * batch. */
   private[graft] def foldMarkers(spark: SparkSession,
       path: String): Seq[Fold] = {
     val f = fs(spark, path)
@@ -220,11 +282,19 @@ object BucketedState {
     if (!f.exists(dir)) Seq.empty
     else f.listStatus(dir).toSeq.map(_.getPath.getName)
       .collect { case n if n.startsWith("cmp-") =>
-        n.stripPrefix("cmp-").split("-") }
+        (n, n.stripPrefix("cmp-").split("-")) }
       .collect {
-        case Array(l, s, h) if Seq(l, s, h).forall(x =>
+        case (_, Array(l, s, h)) if Seq(l, s, h).forall(x =>
             x.nonEmpty && x.forall(_.isDigit)) =>
           Fold(l.toInt, s.toLong, h.toLong)
+        case (n, Array(t)) if t.nonEmpty && t.forall(_.isDigit) =>
+          throw new IllegalStateException(
+            s"state at $path carries a legacy single-level compaction " +
+              s"watermark '$n' (pre-tiered layout). Migrate before any " +
+              "read or compaction runs: rename the marker to " +
+              s"'cmp-1-0-$t' and the base partition directory " +
+              s"'__bt=-${t.toLong + 1}' to '__bt=${Fold(1, 0, t.toLong).id}' " +
+              "(then MSCK REPAIR the state table), or rebuild the state.")
       }
   }
 
@@ -235,6 +305,54 @@ object BucketedState {
     val f = fs(spark, path)
     f.create(new Path(markersRoot(path),
       s"cmp-${fold.level}-${fold.start}-${fold.hi}"), true).close()
+  }
+
+  /** A RETRACTION run committed by [[MergeState.retractDelta]]: negated
+    * delta rows that cancel previously-appended state additively (the
+    * CRDT forget). Retractions live in their own sequence space
+    * (`start`/`hi` are retraction sequence numbers, NOT batch ids) and
+    * their own fold lattice — level 0 is one retraction each, and
+    * [[MergeState.compactIfDue]] folds them among themselves by the
+    * same oldest-`fanout` rule, superseded by strict range containment
+    * exactly like [[Fold]]s. The id owns a distinct negative subspace
+    * (bit 58) so it can never collide with fold ids or batch ids. */
+  private[graft] case class Rt(level: Int, start: Long, hi: Long) {
+    def id: Long = -((1L << 58) | ((hi + 1L) << 6) | level.toLong)
+  }
+
+  /** All committed retraction markers at `path` (`rt-<level>-<lo>-<hi>`
+    * in the markers root — they survive rebuckets like fold markers). */
+  private[graft] def rtMarkers(spark: SparkSession,
+      path: String): Seq[Rt] = {
+    val f = fs(spark, path)
+    val dir = markersRoot(path)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("rt-") =>
+        n.stripPrefix("rt-").split("-") }
+      .collect {
+        case Array(l, s, h) if Seq(l, s, h).forall(x =>
+            x.nonEmpty && x.forall(_.isDigit)) =>
+          Rt(l.toInt, s.toLong, h.toLong)
+      }
+  }
+
+  /** Commit a retraction run (its write landed). */
+  private[streaming] def rtMarker(spark: SparkSession, path: String,
+      rt: Rt): Unit = {
+    val f = fs(spark, path)
+    f.create(new Path(markersRoot(path),
+      s"rt-${rt.level}-${rt.start}-${rt.hi}"), true).close()
+  }
+
+  /** Retire a superseded retraction run's marker. */
+  private[streaming] def dropRtMarker(spark: SparkSession,
+      path: String, rt: Rt): Unit = {
+    val f = fs(spark, path)
+    val p = new Path(markersRoot(path),
+      s"rt-${rt.level}-${rt.start}-${rt.hi}")
+    if (f.exists(p)) f.delete(p, false)
+    ()
   }
 
   /** Retire a superseded fold's marker (its range is covered by a
@@ -564,11 +682,22 @@ object BucketedState {
   /** The state as it stood BEFORE batch `batchId` — one partition-
     * pruned bucketed scan (`__bt < batchId`), correct on fresh runs
     * and crash-replays alike. None until a first batch has committed
-    * (same contract as [[GateKit.readPinnedBefore]]). */
+    * (same contract as [[GateKit.readPinnedBefore]]). REFUSES a path
+    * with tiered fold markers: `__bt < b` admits every negative fold
+    * partition, double-counting folds against superseded runs during
+    * crash windows — a folded ([[MergeState]]) path must be read
+    * through [[MergeState.readMerged]]. */
   def readBefore(spark: SparkSession, path: String,
-      batchId: Long): Option[DataFrame] =
+      batchId: Long): Option[DataFrame] = {
+    require(foldMarkers(spark, path).isEmpty &&
+        rtMarkers(spark, path).isEmpty,
+      s"state at $path has tiered compaction fold or retraction " +
+        "markers; readBefore's __bt pruning would double-count folds " +
+        "against the runs they supersede (and mis-time retractions) — " +
+        "read merge-state through MergeState.readMerged")
     readRaw(spark, path)
       .map(_.filter(col("__bt") < batchId).drop("__bt"))
+  }
 
   /** Re-shard the state into `newN` buckets, exactly once — the
     * 100 TB story for a gate that outgrows its layout constant, so it
@@ -593,9 +722,21 @@ object BucketedState {
     * sink's `nBuckets` param instead). `onBeforeCommit` is a test seam
     * for crash injection immediately before the commit point. */
   def rebucket(spark: SparkSession, path: String, newN: Int,
-      onBeforeCommit: () => Unit = () => ()): Unit = {
+      onBeforeCommit: () => Unit = () => ()): Unit = writerId(spark) match {
+    // a streaming caller must hold the path's own lease; a maintenance
+    // caller takes an exclusive lease so a live stream's appends fail
+    // fast during the surgery instead of racing it
+    case Some(_) =>
+      acquireLease(spark, path)
+      rebucketBody(spark, path, newN, onBeforeCommit)
+    case None => withMaintenanceLease(spark, path) {
+      rebucketBody(spark, path, newN, onBeforeCommit)
+    }
+  }
+
+  private def rebucketBody(spark: SparkSession, path: String, newN: Int,
+      onBeforeCommit: () => Unit): Unit = {
     val f = fs(spark, path)
-    acquireLease(spark, path)
     val live = liveLayout(spark, path)
     if (live.isEmpty) return
     val l = live.get

@@ -63,6 +63,61 @@ class WriterLeaseSpec extends SparkSpec {
     assert(BucketedState.readBefore(spark, dir, 99L).get.count() == 4L)
   }
 
+  test("maintenance surgery holds an exclusive lease: a live stream's appends fail fast for the duration and recover after release") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lease3").toString
+    asQuery("stream-X") {
+      BucketedState.appendOnce(df(0), dir, 0L, "k", 4)
+    }
+    // surgery in progress: the stream's next append must fail fast
+    // (deterministic error naming the maintenance holder), not race it
+    BucketedState.withMaintenanceLease(spark, dir) {
+      val boom = intercept[IllegalStateException] {
+        asQuery("stream-X") {
+          BucketedState.appendOnce(df(1), dir, 1L, "k", 4)
+        }
+      }
+      assert(boom.getMessage.contains("maint"),
+        s"error should name the maintenance holder: ${boom.getMessage}")
+      // non-streaming reads/surgery inside the lease still work
+      assert(BucketedState.readBefore(spark, dir, 99L).get.count() == 1L)
+    }
+    // released: the stream re-takes its own lease and continues
+    asQuery("stream-X") {
+      BucketedState.appendOnce(df(1), dir, 1L, "k", 4)
+    }
+    assert(BucketedState.committedBatches(spark, dir) == Set(0L, 1L))
+    // rebucket from a non-streaming caller takes the maintenance lease
+    // itself (observable: a streaming append injected at the commit
+    // point fails fast), and the stream recovers after
+    BucketedState.rebucket(spark, dir, 8, onBeforeCommit = () => {
+      intercept[IllegalStateException] {
+        asQuery("stream-X") {
+          BucketedState.appendOnce(df(2), dir, 2L, "k", 4)
+        }
+      }
+      ()
+    })
+    asQuery("stream-X") {
+      BucketedState.appendOnce(df(2), dir, 2L, "k", 4)
+    }
+    assert(BucketedState.readBefore(spark, dir, 99L).get.count() == 3L)
+  }
+
+  test("a malformed graft.state.writerLeaseMs fails with the conf key named, not a bare NumberFormatException") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lease4").toString
+    spark.conf.set("graft.state.writerLeaseMs", "ten minutes")
+    try {
+      val boom = intercept[IllegalArgumentException] {
+        asQuery("query-C") {
+          BucketedState.appendOnce(df(0), dir, 0L, "k", 4)
+        }
+      }
+      assert(boom.getMessage.contains("graft.state.writerLeaseMs"))
+    } finally spark.conf.unset("graft.state.writerLeaseMs")
+  }
+
   test("a dead holder's lease expires: a new query takes over after the ttl") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-lease2").toString
