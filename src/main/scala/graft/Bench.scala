@@ -117,13 +117,70 @@ object Bench {
     * probe's work constants change. */
   private[graft] val calibNominal = 2.0
 
+  /** Fixed-size I/O calibration probe — the CPU probe's blind spot
+    * (BENCH.md: two same-HEAD runs calibrated to 329 vs 281 s; the
+    * residual was I/O contention the CPU probe cannot see). Writes a
+    * deterministic 128 MB file under the JVM tmpdir, fsyncs it, reads
+    * it back sequentially (folded so the read cannot be elided), and
+    * deletes it — exercising the same write-flush + buffered-read path
+    * the bench's fixture writes and parquet scans ride. Timed at bench
+    * start and end, reported as `calib_io_sec:[start,end]` next to
+    * `calib_io_nominal`; relative timing is the signal (page-cache
+    * state is deliberately uncontrolled — so is the bench's). */
+  private[graft] def calibrateIo(): Double = {
+    import java.nio.file.StandardOpenOption._
+    val f = java.nio.file.Paths
+      .get(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+      .resolve(s"graft-bench-io-${ProcessHandle.current().pid()}.bin")
+    val mb = 128
+    val buf = new Array[Byte](1 << 20)
+    var seed = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < buf.length) {
+      seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17
+      buf(i) = seed.toByte; i += 1
+    }
+    val t0 = System.nanoTime()
+    val out = java.nio.channels.FileChannel.open(f, CREATE, WRITE,
+      TRUNCATE_EXISTING)
+    try {
+      var m = 0
+      while (m < mb) {
+        val bb = java.nio.ByteBuffer.wrap(buf)
+        while (bb.hasRemaining) out.write(bb)
+        m += 1
+      }
+      out.force(true)
+    } finally out.close()
+    var fold = 0L
+    val in = java.nio.channels.FileChannel.open(f, READ)
+    try {
+      val bb = java.nio.ByteBuffer.allocate(1 << 20)
+      var n = in.read(bb)
+      while (n > 0) {
+        if (bb.position() >= 8) fold ^= bb.getLong(0)
+        bb.clear()
+        n = in.read(bb)
+      }
+    } finally in.close()
+    java.nio.file.Files.deleteIfExists(f)
+    if (fold == 42L) System.err.println("[bench] io fold=42")
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Quiet-machine wall of [[calibrateIo]] — re-pin (BENCH.md) if the
+    * probe's size changes. */
+  private[graft] val calibIoNominal = 0.35
+
   /** Standalone calibration runner (adjudication aid): prints N probe
     * walls so a judge can measure the host's current slowdown factor
     * without running the bench. `runMain graft.CalibProbe [n]`. */
   private[graft] def calibMain(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(3)
     (0 until n).foreach { _ =>
-      println(f"[calib] ${calibrate()}%.3f s (nominal $calibNominal)")
+      println(f"[calib] cpu ${calibrate()}%.3f s (nominal " +
+        f"$calibNominal) | io ${calibrateIo()}%.3f s (nominal " +
+        f"$calibIoNominal)")
     }
   }
 
@@ -214,6 +271,7 @@ object Bench {
     val fixtureSec = (System.nanoTime() - f0) / 1e9
     graft.operators.Dedup.releaseAll(spark)
     val calib0 = calibrate()
+    val calibIo0 = calibrateIo()
     val names = SparkEntry.queries.keys.toSeq
     // cold pass keeps declaration order (comparable to earlier rounds);
     // warm pass uses a FIXED-seed shuffle — deterministic run-to-run
@@ -232,8 +290,11 @@ object Bench {
         (LinkedHashMap.empty[String, Double], LinkedHashMap.empty[String, Double])
       else runPass(spark, sfDir, outliers, errors)
     val calib1 = calibrate()
+    val calibIo1 = calibrateIo()
     val calibJson = "[" + (math.rint(calib0 * 100) / 100) + "," +
       (math.rint(calib1 * 100) / 100) + "]"
+    val calibIoJson = "[" + (math.rint(calibIo0 * 100) / 100) + "," +
+      (math.rint(calibIo1 * 100) / 100) + "]"
     val total = cold.values.filter(_ >= 0).sum
     val adjTotal = names.map { n =>
       val c = cold.getOrElse(n, -1.0)
@@ -250,7 +311,7 @@ object Bench {
     // full per-query detail → file (driver's cwd = repo root); stdout
     // stays under the consumer's ~2 KB tail-capture window
     val full =
-      s"""{"metric":"total","value":${math.rint(total * 100) / 100},"unit":"sec","n_queries":${names.size},"fixture_sec":${math.rint(fixtureSec * 100) / 100},"calib_sec":$calibJson,"calib_nominal":$calibNominal,"warm_total":${math
+      s"""{"metric":"total","value":${math.rint(total * 100) / 100},"unit":"sec","n_queries":${names.size},"fixture_sec":${math.rint(fixtureSec * 100) / 100},"calib_sec":$calibJson,"calib_nominal":$calibNominal,"calib_io_sec":$calibIoJson,"calib_io_nominal":$calibIoNominal,"warm_total":${math
           .rint(warmTotal * 100) / 100},"adj_total":${math.rint(adjTotal * 100) / 100},"queries":${jmap(cold)},"warm":${jmap(
           warm)},"cold_retry":${jmap(retry)},"gc":${jmap(coldGc)},"warm_gc":${jmap(warmGc)},"errors":$errJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
@@ -260,7 +321,7 @@ object Bench {
     val head = LinkedHashMap.from(
       headline.flatMap(n => cold.get(n).map(n -> _)))
     println(
-      s"""{"metric":"total","value":${math.rint(total * 100) / 100},"unit":"sec","n_queries":${names.size},"fixture_sec":${math.rint(fixtureSec * 100) / 100},"calib_sec":$calibJson,"calib_nominal":$calibNominal,"warm_total":${math
+      s"""{"metric":"total","value":${math.rint(total * 100) / 100},"unit":"sec","n_queries":${names.size},"fixture_sec":${math.rint(fixtureSec * 100) / 100},"calib_sec":$calibJson,"calib_nominal":$calibNominal,"calib_io_sec":$calibIoJson,"calib_io_nominal":$calibIoNominal,"warm_total":${math
           .rint(warmTotal * 100) / 100},"adj_total":${math.rint(adjTotal * 100) / 100},"n_retried":${retry.size},"queries":${jmap(
           head)},"errors":$errJson,"detail":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()

@@ -601,6 +601,84 @@ object ClusterGateScale {
   * arithmetic end to end), and every doc must appear in the output
   * exactly once. 4th arg = batch count (default 3; 12 shows the
   * multi-level cascade). */
+/** Decade ladder for the CUSUM changepoint gate's MergeState layout —
+  * the second MergeState gate (next to [[BoilerplateGateScale]]): K×
+  * salted events (the KEY is salted, so the state's keys × days grid
+  * grows with the corpus — the honest per-user-monitoring shape) over
+  * `nBatches` micro-batches with compactEvery=2, reporting per-batch
+  * wall / shuffle / write plus the fold events, then full parity
+  * against the one-shot `Events.cusumDaily` over the whole corpus.
+  * Run long enough (24 batches) to hit an L4 fold — the geometric
+  * signature at depth. Usage:
+  * `runMain graft.ChangepointGateScale [src] [K] [nBuckets] [nBatches]`. */
+object ChangepointGateScale {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = if (args.length > 1) args(1).toInt else 30
+    val nBuckets = if (args.length > 2) args(2).toInt else 32
+    val nBatches = if (args.length > 3) args(3).toInt else 24
+    val spark = ScaleSmoke.session(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    spark.sparkContext.setLogLevel("ERROR")
+    val ev = spark.read.parquet(s"$src/events.parquet")
+      .crossJoin(spark.range(k).select(col("id").as("cp")))
+      .select((col("event_id") * k + col("cp")).as("event_id"),
+        concat(col("event_type"), lit("#"), col("cp")).as("event_type"),
+        col("ts"))
+      .persist()
+    println(s"[cpgate] corpus: ${ev.count()} events (K=$k salted keys)")
+    val shuf = new ScaleSmoke.ShuffleAcc
+    val out = new java.util.concurrent.atomic.AtomicLong
+    val outAcc = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+          : Unit =
+        out.addAndGet(sc.stageInfo.taskMetrics.outputMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(shuf)
+    spark.sparkContext.addSparkListener(outAcc)
+    val base = s"/tmp/graft_cpgate_scale_x$k"
+    Seq("state", "out").foreach(p => ScaleSmoke.rmFixture(s"${base}_$p"))
+    val snk = graft.streaming.ChangepointGate.sink(s"${base}_state",
+      s"${base}_out", "event_type", nBuckets = nBuckets,
+      compactEvery = 2)
+    println(f"[cpgate] ${"batch"}%5s ${"inc_rows"}%10s ${"wall_s"}%8s " +
+      f"${"shuf_mb"}%9s ${"write_mb"}%9s  folds")
+    var marks = Set.empty[graft.streaming.BucketedState.Fold]
+    (0 until nBatches).foreach { i =>
+      val inc = ev.filter(
+        pmod(col("event_id"), lit(nBatches.toLong)) === i.toLong)
+      val incRows = inc.count()
+      ScaleSmoke.flush(spark)
+      val (b0, w0) = (shuf.bytes, out.get())
+      val t0 = System.nanoTime()
+      snk(inc, i.toLong)
+      val dt = (System.nanoTime() - t0) / 1e9
+      ScaleSmoke.flush(spark)
+      val now = graft.streaming.BucketedState
+        .foldMarkers(spark, s"${base}_state").toSet
+      val folds = (now -- marks).toSeq.sortBy(f => (f.level, f.start))
+        .map(f => s"L${f.level}[${f.start},${f.hi}]").mkString(" ")
+      marks = now
+      println(f"[cpgate] $i%5d $incRows%10d $dt%8.2f " +
+        f"${(shuf.bytes - b0) / 1048576.0}%9.1f " +
+        f"${(out.get() - w0) / 1048576.0}%9.1f  $folds")
+    }
+    // parity: committed readout == one-shot CUSUM over the full corpus
+    val got = graft.sources.VersionedTable.read(spark, s"${base}_out")
+    val want = graft.operators.Events.cusumDaily(ev, "event_type")
+    val t0 = System.nanoTime()
+    val diff = got.exceptAll(want).count() + want.exceptAll(got).count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    graft.operators.Dedup.releaseAll(spark)
+    println(f"[cpgate] readout symmetric diff $diff%d " +
+      f"(one-shot in $dt%.2f s); match=${diff == 0}")
+    ev.unpersist()
+    spark.stop()
+  }
+}
+
 object BoilerplateGateScale {
   def main(args: Array[String]): Unit = {
     import org.apache.spark.sql.functions._

@@ -523,6 +523,32 @@ object SparkEntry {
       snk(docs.filter(col("doc_id") % 2 =!= 0), 1L)
       graft.sources.VersionedTable.read(s, paths(2))
     }),
+    // ----- the same gate with a TAKEDOWN mid-stream: two batches
+    // ingest, SubstrGate.forget tombstones the doc_id % 5 = 0 subset
+    // (including ids that have not arrived yet — a prospective
+    // takedown), a third batch streams against the SERVED state, and
+    // the result is SubstrGate.served. The oracle is the dense truth
+    // over the slice MINUS the forgotten docs, so a forget that leaks
+    // one pair — from emitted history, a forgotten stored row pairing
+    // with a new arrival, or a forgotten NEW arrival pairing at all —
+    // hash-mismatches every sweep -----
+    "q_substr_forget" -> ((s, dir) => {
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 3 === 1)
+      val paths = Seq("docs", "grams", "out")
+        .map(p => s"/tmp/graft_subfg_${p}_$suffix")
+      paths.foreach(p => freshFixtureDir(p))
+      val snk = graft.streaming.SubstrGate.sink(
+        paths(0), paths(1), paths(2), "doc_id", "text", minLen = 30,
+        nBuckets = 8)
+      snk(docs.filter(col("doc_id") % 9 === 1), 0L)
+      snk(docs.filter(col("doc_id") % 9 === 4), 1L)
+      val fgt = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      graft.streaming.SubstrGate.forget(s, paths(0), paths(1), fgt, 0L)
+      snk(docs.filter(col("doc_id") % 9 === 7), 2L)
+      graft.streaming.SubstrGate.served(s, paths(0), paths(2))
+    }),
     // ----- STREAMING semantic-dedup gate (the sixth gate): embeddings
     // arrive in two micro-batches (even vec_ids train the frozen
     // quantizer, odd arrive second); every arrival is checked against
@@ -597,6 +623,30 @@ object SparkEntry {
         threshold = 0.3, fromEpoch = 0, nBuckets = 8)
       snk(emb.filter(col("vec_id") % 4 === 3), 2L)
       graft.streaming.SemGate.pairsWithEpoch(s, paths(0), paths(1))
+    }),
+    // ----- the semantic gate with a TAKEDOWN mid-stream: two batches
+    // under the epoch-0 quantizer, SemGate.forget tombstones the
+    // vec_id % 7 = 0 subset (prospectively — some of those ids arrive
+    // only in batch 2), a third batch streams against the SERVED
+    // state, and the result is SemGate.served. The oracle replays the
+    // same Lloyd chain (trained on batch 0 INCLUDING the soon-
+    // forgotten ids — a forget never retrains a frozen quantizer) and
+    // excludes the forgotten ids from the pair truth only -----
+    "q_sem_forget" -> ((s, dir) => {
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 3 === 2)
+      val paths = Seq("state", "out")
+        .map(p => s"/tmp/graft_semfg_${p}_$suffix")
+      paths.foreach(p => freshFixtureDir(p))
+      val snk = graft.streaming.SemGate.sink(paths(0), paths(1),
+        "vec_id", "embedding", threshold = 0.3, nBuckets = 8)
+      snk(emb.filter(col("vec_id") % 2 === 0), 0L)
+      snk(emb.filter(col("vec_id") % 4 === 1), 1L)
+      val fgt = emb.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      graft.streaming.SemGate.forget(s, paths(0), fgt, 0L)
+      snk(emb.filter(col("vec_id") % 4 === 3), 2L)
+      graft.streaming.SemGate.served(s, paths(0), paths(1))
     }),
     // ----- sampled-anchor exact substring dedup: the ~w x cheaper
     // corpus exchange (winnowed anchors -> verified pairs -> pair-
@@ -1181,6 +1231,30 @@ object SparkEntry {
         "event_type", compactEvery = 2)
       snk(ev.filter(col("event_id") % 3 === 0), 0L)
       snk(ev.filter(col("event_id") % 3 === 1), 1L)
+      snk(ev.filter(col("event_id") % 3 === 2), 2L)
+      graft.sources.VersionedTable.read(s, paths(1))
+    }),
+    // ----- the CUSUM gate with a TAKEDOWN mid-stream — the MergeState
+    // retraction (negative delta on the additive CRDT): two event
+    // batches ingest, ChangepointGate.forget negates the error/signup
+    // keys' entire merged history, a third batch streams (and those
+    // keys RE-ARRIVE in it — their counts restart from the retraction
+    // zero), and the committed readout is the CUSUM truth over all
+    // events minus the forgotten keys' pre-forget history. A leaked
+    // positive row, a double-applied negation, or a zero-row served as
+    // presence hash-mismatches every sweep -----
+    "q_changepoint_forget" -> ((s, dir) => {
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val paths = Seq("state", "out")
+        .map(p => s"/tmp/graft_cpfg_${p}_$suffix")
+      paths.foreach(p => freshFixtureDir(p))
+      val ev = t(s, dir, "events")
+      val snk = graft.streaming.ChangepointGate.sink(paths(0), paths(1),
+        "event_type", compactEvery = 2)
+      snk(ev.filter(col("event_id") % 3 === 0), 0L)
+      snk(ev.filter(col("event_id") % 3 === 1), 1L)
+      graft.streaming.ChangepointGate.forget(s, paths(0), "event_type",
+        Seq("error", "signup"), 0L)
       snk(ev.filter(col("event_id") % 3 === 2), 2L)
       graft.sources.VersionedTable.read(s, paths(1))
     }),
@@ -6862,6 +6936,13 @@ object SparkEntry {
       "q_substr_gate_rebucket" ->
         s"""${substrRunCtes(" WHERE doc_id % 3 = 2")}
            SELECT doc_a, doc_b, start_a, start_b, len FROM runs""",
+      // takedown mid-stream: the served output equals the dense truth
+      // over the slice MINUS the forgotten docs (doc_id % 5 = 0) —
+      // pairs from emitted history, forgotten-stored-vs-new-arrival,
+      // and forgotten-new-arrival are all excluded
+      "q_substr_forget" ->
+        s"""${substrRunCtes(" WHERE doc_id % 3 = 1 AND doc_id % 5 <> 0")}
+           SELECT doc_a, doc_b, start_a, start_b, len FROM runs""",
       // sampled-anchor mode: the dense truth filtered to the documented
       // reporting bound (len >= minLen + w - 1 = 37)
       "q_substr_dup_sampled" ->
@@ -7207,6 +7288,28 @@ object SparkEntry {
            JOIN dv ae ON ae.vec_id = a.vec_id
            JOIN dv be ON be.vec_id = b.vec_id
            WHERE ${duckCosine("ae.embedding", "be.embedding")} >= 0.3""",
+      // takedown mid-stream: the SAME Lloyd chain (the quantizer was
+      // trained on batch 0 including the soon-forgotten ids — a forget
+      // never retrains a frozen codebook), with the forgotten ids
+      // (vec_id % 7 = 0) excluded from the pair truth only
+      "q_sem_forget" ->
+        s"""WITH dv AS (SELECT vec_id, ${duckUnitVec("embedding")} AS v,
+                               embedding FROM embeddings
+                        WHERE vec_id % 3 = 2),
+           init AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, v AS c
+                    FROM dv WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 8),
+           ${kmAssign("init", "a1", " AND vec_id % 2 = 0")},
+           ${kmUpdate("a1", "init", "c1")},
+           ${kmAssign("c1", "a2", " AND vec_id % 2 = 0")},
+           ${kmUpdate("a2", "c1", "c2")},
+           ${kmAssign("c2", "cc", "")}
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  ${duckCosine("ae.embedding", "be.embedding")} AS cosine
+           FROM cc a JOIN cc b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           JOIN dv ae ON ae.vec_id = a.vec_id
+           JOIN dv be ON be.vec_id = b.vec_id
+           WHERE ${duckCosine("ae.embedding", "be.embedding")} >= 0.3
+             AND a.vec_id % 7 <> 0 AND b.vec_id % 7 <> 0""",
       // the epoch-roll gate's cross-epoch truth: chain OLD = quantizer
       // trained on batch 0 (even ids), assigned over the PRE-ROLL
       // prefix (% 4 <> 3); chain NEW = quantizer retrained at the roll
@@ -7406,6 +7509,32 @@ object SparkEntry {
                     epoch_us(ts) // 86400000000 AS day,
                     CAST(COUNT(*) AS BIGINT) AS n
              FROM events GROUP BY 1, 2),
+           w AS (SELECT event_type, day, n,
+                    COUNT(*) OVER (PARTITION BY event_type) AS dd,
+                    SUM(n) OVER (PARTITION BY event_type) AS total,
+                    SUM(n) OVER (PARTITION BY event_type
+                                 ORDER BY day) AS cum,
+                    ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY day) AS idx
+                 FROM d)
+           SELECT event_type, day, n,
+                  CAST(dd * cum - idx * total AS BIGINT) AS dev_fx,
+                  abs(dd * cum - idx * total) =
+                    MAX(abs(dd * cum - idx * total))
+                      OVER (PARTITION BY event_type) AS is_peak
+           FROM w""",
+      // takedown on the CUSUM gate's CRDT state: the negation wipes
+      // error/signup history from batches 0-1; batch 2's re-arrivals
+      // of those keys count fresh — so the truth is all events except
+      // the forgotten keys' pre-forget (batch 0/1) slice
+      "q_changepoint_forget" ->
+        """WITH d AS (SELECT event_type,
+                    epoch_us(ts) // 86400000000 AS day,
+                    CAST(COUNT(*) AS BIGINT) AS n
+             FROM events
+             WHERE event_type NOT IN ('error', 'signup')
+                OR event_id % 3 = 2
+             GROUP BY 1, 2),
            w AS (SELECT event_type, day, n,
                     COUNT(*) OVER (PARTITION BY event_type) AS dd,
                     SUM(n) OVER (PARTITION BY event_type) AS total,

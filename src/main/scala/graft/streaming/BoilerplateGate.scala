@@ -42,16 +42,22 @@ import graft.sources.VersionedTable
   * every `compactEvery` batches off the per-batch write path. */
 object BoilerplateGate {
 
-  /** `docs.writeStream.foreachBatch(BoilerplateGate.sink(...))`. */
+  /** `docs.writeStream.foreachBatch(BoilerplateGate.sink(...))`.
+    * `retainBatches`: optional retention horizon forwarded to
+    * [[MergeState.compactIfDue]] — frequency state then plateaus at
+    * O(horizon) on an unbounded stream (boilerplate becomes "frequent
+    * within the retained window", the usual drift-tolerant contract)
+    * instead of growing with every distinct segment ever seen. */
   def sink(freqPath: String, outPath: String, idCol: String,
       textCol: String, chunkTokens: Int = 10, minDocs: Int = 3,
-      nBuckets: Int = 32, compactEvery: Int = 8)
+      nBuckets: Int = 32, compactEvery: Int = 8,
+      retainBatches: Option[Long] = None)
       : (DataFrame, Long) => Unit = (batch, batchId) => {
     val spark = batch.sparkSession
     GateKit.runOnce(spark, outPath, batchId) {
       // fold old runs first — never the batch's own replayable delta
       MergeState.compactIfDue(spark, freqPath, batchId,
-        Seq("h"), Seq("ndocs"), compactEvery)
+        Seq("h"), Seq("ndocs"), compactEvery, retainBatches)
       // persist: chunks feed the frequency delta AND the reassembly
       val ch = Dedup.persistTracked(
         Dedup.chunkSegments(batch, idCol, textCol, chunkTokens))
@@ -69,5 +75,31 @@ object BoilerplateGate {
       val out = Dedup.exciseByHashes(ch, idCol, boiler)
       VersionedTable.streamingCommit(out, batchId, outPath, "append")
     }
+  }
+
+  /** FORGET documents from the frequency state — the DOC-LEVEL
+    * retraction (finer than a key tombstone: a forgotten doc
+    * DECREMENTS each of its segments' doc-frequency rather than
+    * killing the segment for everyone). `docs` must carry the
+    * forgotten documents' original id + text (the takedown caller has
+    * them by definition); their per-hash contributions — one per
+    * (doc, distinct chunk), exactly what the sink's deltas counted —
+    * are negated and appended as a retraction run, exactly once per
+    * `forgetId`. Segments whose whole support was forgotten drop to
+    * zero and serve as absence; partially-supported segments keep the
+    * remaining docs' counts, so a threshold crossing contributed only
+    * by retracted docs un-crosses for all FUTURE batches (already-
+    * emitted documents are not rewritten — same ingest-time contract
+    * as the sink itself; run the batch operator for a retroactive
+    * pass). */
+  def forget(spark: org.apache.spark.sql.SparkSession, freqPath: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 10, forgetId: Long): Unit = {
+    val ch = Dedup.chunkSegments(docs, idCol, textCol, chunkTokens)
+    val neg = ch
+      .select(col(idCol), GraftFunctions.polyHash(col("chunk")).as("h"))
+      .groupBy(col("h"))
+      .agg((-countDistinct(col(idCol))).as("ndocs"))
+    MergeState.retractDelta(neg, freqPath, forgetId)
   }
 }

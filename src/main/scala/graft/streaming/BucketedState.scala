@@ -699,6 +699,165 @@ object BucketedState {
       .map(_.filter(col("__bt") < batchId).drop("__bt"))
   }
 
+  // ---- tombstones: the join-state forget ------------------------------
+  // Takedown / right-to-be-forgotten for append-only join state. The
+  // committed history is never rewritten in place; forgotten keys live
+  // in a tiny DELETE-FILE sidecar (the Iceberg/Delta deletion-vector
+  // pattern): [[forget]] records them exactly-once, every serve path
+  // anti-joins them out ([[readBeforeServed]] — a broadcast of the
+  // takedown set, increment-free), and the bytes are physically purged
+  // by the next generation rewrite ([[purgeForgotten]], or any
+  // [[rebucket]] — both already rewrite the state, so the purge is
+  // free). The sidecar is itself a BucketedState table at
+  // `<path>/tomb`, so forget idempotence, crash-window invisibility,
+  // and catalog recovery are the same protocol as the state proper.
+
+  private def tombRoot(path: String): String = path + "/tomb"
+
+  /** Record `keys` as forgotten at `path`, exactly once per
+    * `forgetId` (a retried takedown that finds its marker is a no-op).
+    * `keys` must be a SINGLE-column frame whose column NAME is the
+    * state column it filters (e.g. `id` for a doc-text table, `cid`
+    * for an encoding table). Takes the exclusive maintenance lease:
+    * a live stream's appends fail fast for the duration, so the
+    * forget lands at a deterministic point in the batch order. */
+  def forget(spark: SparkSession, path: String, keys: DataFrame,
+      forgetId: Long): Unit = {
+    require(keys.columns.length == 1,
+      s"forget keys must be a single column, got ${keys.columns.toSeq}")
+    withMaintenanceLease(spark, path) {
+      appendOnce(keys, tombRoot(path), forgetId, keys.columns.head, 1)
+    }
+  }
+
+  /** The forgotten-key set at `path` — one column, named as the state
+    * column it filters. None when no forget has ever committed. */
+  def forgottenKeys(spark: SparkSession, path: String)
+      : Option[DataFrame] =
+    readBefore(spark, tombRoot(path), Long.MaxValue)
+
+  private[streaming] def antiTomb(df: DataFrame, tomb: DataFrame,
+      onCol: String): DataFrame =
+    df.join(broadcast(tomb.withColumnRenamed(tomb.columns.head,
+      "__graft_fk")), df(onCol) === col("__graft_fk"), "left_anti")
+
+  /** Anti-join `df` against `path`'s tombstones on `df(onCol)` —
+    * broadcast (takedown sets are small by nature), so serve-through
+    * adds no state-sized exchange anywhere. Identity when nothing was
+    * ever forgotten. */
+  def servedOn(spark: SparkSession, path: String, df: DataFrame,
+      onCol: String): DataFrame =
+    forgottenKeys(spark, path) match {
+      case Some(t) => antiTomb(df, t, onCol)
+      case None => df
+    }
+
+  /** [[readBefore]] SERVED THROUGH the tombstones: state rows whose
+    * key was forgotten are filtered out, so a forgotten document can
+    * never pair with a new arrival. Same contract as [[readBefore]]
+    * otherwise. */
+  def readBeforeServed(spark: SparkSession, path: String,
+      batchId: Long): Option[DataFrame] = {
+    val tomb = forgottenKeys(spark, path)
+    readBefore(spark, path, batchId).map { df =>
+      tomb match {
+        case Some(t) => antiTomb(df, t, t.columns.head)
+        case None => df
+      }
+    }
+  }
+
+  /** Physically remove the tombstoned keys' rows: one bounded
+    * generation rewrite at the current bucket count (exactly the
+    * [[rebucket]] machinery — `__bt` replay pinning preserved
+    * verbatim). The REGISTRY persists (takedowns are forever —
+    * downstream serve filters over append-only outputs keep using it);
+    * a purge watermark makes re-purging with no new takedowns a no-op.
+    * Exactly-once: the sidecar swap is the commit point; a crash
+    * before it leaves the old generation intact (retry); a crash after
+    * it but before the watermark leaves tombstones over already-purged
+    * rows — the serve-through anti-join of absent rows is a harmless
+    * no-op and the next purge re-runs. No-op when nothing new is
+    * tombstoned or the state is empty. */
+  def purgeForgotten(spark: SparkSession, path: String,
+      onBeforeCommit: () => Unit = () => ()): Unit = {
+    val maxForget = committedBatches(spark, tombRoot(path)).maxOption
+    if (maxForget.isEmpty ||
+      readPurgeWatermark(spark, path) == maxForget) return
+    purgeForgottenForce(spark, path, onBeforeCommit)
+  }
+
+  private def purgeForgottenForce(spark: SparkSession, path: String,
+      onBeforeCommit: () => Unit): Unit = writerId(spark) match {
+    case Some(_) =>
+      acquireLease(spark, path)
+      rebucketBody(spark, path, 0, onBeforeCommit, purge = true)
+    case None => withMaintenanceLease(spark, path) {
+      rebucketBody(spark, path, 0, onBeforeCommit, purge = true)
+    }
+  }
+
+  // ---- layout advisory: WHEN to rebucket ------------------------------
+
+  /** One listing's worth of layout health for a live state table.
+    * `skew` = max bucket bytes / mean bucket bytes (over all buckets,
+    * empty included — an empty bucket is skew, the hash isn't using
+    * it). `recommendedBuckets` = the power of two putting mean bucket
+    * volume at or under the target. `rebucketDue` when the mean bucket
+    * outgrew the target or skew exceeds 4× — the documented thresholds
+    * (a bucket is the join-parallelism unit AND the shuffled-hash
+    * build-side sizing unit, so an oversized or starved bucket is a
+    * straggler/OOM risk long before it is a capacity problem). */
+  case class StateAdvisory(nBuckets: Int, totalBytes: Long,
+      maxBucketBytes: Long, skew: Double, recommendedBuckets: Int,
+      rebucketDue: Boolean)
+
+  /** Compute the [[StateAdvisory]] for `path` from one recursive
+    * listing of the live generation's data directory (bucketed file
+    * names carry their bucket id — `..._<NNNNN>.c000...`), metadata
+    * only, no data read. None for fresh/empty state. */
+  def advisory(spark: SparkSession, path: String,
+      targetBytesPerBucket: Long = 256L << 20): Option[StateAdvisory] =
+    liveLayout(spark, path).map { l =>
+      val f = fs(spark, path)
+      val perBucket = new Array[Long](l.nBuckets)
+      val bucketRe = "_(\\d{5})\\.".r
+      val it = f.listFiles(dataDir(path, l.gen), true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile)
+          bucketRe.findFirstMatchIn(st.getPath.getName).foreach { m =>
+            val b = m.group(1).toInt
+            if (b < l.nBuckets) perBucket(b) += st.getLen
+          }
+      }
+      val total = perBucket.sum
+      val mean = total.toDouble / l.nBuckets
+      val max = perBucket.max
+      val skew = if (mean > 0) max / mean else 1.0
+      var rec = 1
+      while (rec < l.nBuckets ||
+          total.toDouble / rec > targetBytesPerBucket) rec *= 2
+      StateAdvisory(l.nBuckets, total, max, skew, rec,
+        rebucketDue = mean > targetBytesPerBucket || skew > 4.0)
+    }
+
+  /** [[advisory]] + act: rebucket to the recommended count when the
+    * advisory says the layout is due (exactly-once, under the
+    * maintenance lease like any [[rebucket]]). Returns the advisory it
+    * acted on. Call it from the same quiet boundary as any other
+    * maintenance — e.g. every N batches from the operator driving the
+    * stream. */
+  def maybeRebucket(spark: SparkSession, path: String,
+      targetBytesPerBucket: Long = 256L << 20): Option[StateAdvisory] = {
+    val adv = advisory(spark, path, targetBytesPerBucket)
+    adv.foreach { a =>
+      if (a.rebucketDue && a.recommendedBuckets != a.nBuckets)
+        rebucket(spark, path, a.recommendedBuckets)
+    }
+    adv
+  }
+
   /** Re-shard the state into `newN` buckets, exactly once — the
     * 100 TB story for a gate that outgrows its layout constant, so it
     * never needs a new epoch. The rewrite lands in a fresh GENERATION
@@ -735,11 +894,16 @@ object BucketedState {
   }
 
   private def rebucketBody(spark: SparkSession, path: String, newN: Int,
-      onBeforeCommit: () => Unit): Unit = {
+      onBeforeCommit: () => Unit, purge: Boolean = false): Unit = {
     val f = fs(spark, path)
     val live = liveLayout(spark, path)
     if (live.isEmpty) return
     val l = live.get
+    // any generation rewrite physically applies pending tombstones for
+    // free; a pure purge reuses the machinery at the current count
+    val n2 = if (purge) l.nBuckets else newN
+    val tomb = forgottenKeys(spark, path)
+    if (purge && tomb.isEmpty) return
     // sweep stale generations (a crashed post-swap cleanup)
     if (f.exists(new Path(path))) f.listStatus(new Path(path)).foreach {
       st =>
@@ -754,7 +918,7 @@ object BucketedState {
           f.delete(st.getPath, true)
         }
     }
-    if (l.nBuckets == newN) return
+    if (l.nBuckets == n2 && !purge) return
     val newGen = l.gen + 1
     val newName = tableNameG(path, newGen)
     val newDir = dataDir(path, newGen)
@@ -763,20 +927,62 @@ object BucketedState {
       spark.sql(s"DROP TABLE $newName")
     if (f.exists(newDir)) f.delete(newDir, true)
     // one bounded rewrite of the accumulated state, __bt partitioning
-    // (and with it replay pinning) preserved verbatim
-    spark.table(tableNameG(path, l.gen))
-      .repartition(newN, col(l.bucketCol))
+    // (and with it replay pinning) preserved verbatim; pending
+    // tombstones are physically dropped here (the serve-through filter
+    // made them invisible already — this reclaims the bytes)
+    val base = spark.table(tableNameG(path, l.gen))
+    val rewritten = tomb match {
+      case Some(t) => servedOn(spark, path, base, t.columns.head)
+      case None => base
+    }
+    rewritten
+      .repartition(n2, col(l.bucketCol))
       .write.mode("append").format("parquet")
       .partitionBy("__bt")
-      .bucketBy(newN, l.bucketCol).sortBy(l.bucketCol)
+      .bucketBy(n2, l.bucketCol).sortBy(l.bucketCol)
       .option("path", newDir.toString)
       .saveAsTable(newName)
     onBeforeCommit()
     writeSidecar(spark, path,
-      l.copy(gen = newGen, nBuckets = newN), overwrite = true)
+      l.copy(gen = newGen, nBuckets = n2), overwrite = true)
     // post-commit cleanup (a crash here leaks until the next rebucket)
     spark.sql(s"DROP TABLE IF EXISTS ${tableNameG(path, l.gen)}")
     f.delete(dataDir(path, l.gen), true)
+    // record how far the physical purge reached. The tombstone
+    // REGISTRY itself is permanent — a takedown is forever, and
+    // downstream serve filters (a gate's emitted-pair table is
+    // append-only and never rewritten) keep anti-joining it; the
+    // watermark only makes a re-purge with no new takedowns a no-op.
+    if (tomb.isDefined)
+      committedBatches(spark, tombRoot(path)).maxOption
+        .foreach(writePurgeWatermark(spark, path, _))
     ()
+  }
+
+  private def purgeWatermarkPath(path: String) =
+    new Path(markersRoot(path), "_purged")
+
+  /** Highest forget id whose keys a generation rewrite has physically
+    * purged (None = never purged). A torn read counts as absent — the
+    * worst case is one redundant rewrite. */
+  private def readPurgeWatermark(spark: SparkSession,
+      path: String): Option[Long] = {
+    val f = fs(spark, path)
+    val p = purgeWatermarkPath(path)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val t = text.trim
+      if (t.nonEmpty && t.forall(_.isDigit)) Some(t.toLong) else None
+    }
+  }
+
+  private def writePurgeWatermark(spark: SparkSession, path: String,
+      id: Long): Unit = {
+    val f = fs(spark, path)
+    val out = f.create(purgeWatermarkPath(path), true)
+    try out.write(s"$id\n".getBytes("UTF-8")) finally out.close()
   }
 }

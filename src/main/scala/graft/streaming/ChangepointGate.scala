@@ -40,15 +40,21 @@ import graft.sources.VersionedTable
 object ChangepointGate {
 
   /** `events.writeStream.foreachBatch(ChangepointGate.sink(...))`;
-    * events need `ts` (epoch-nanos long) and `keyCol`. */
+    * events need `ts` (epoch-nanos long) and `keyCol`.
+    * `retainBatches`: optional retention horizon forwarded to
+    * [[MergeState.compactIfDue]] — on an unbounded stream the daily
+    * counts then plateau at O(horizon) instead of growing with stream
+    * age (the CUSUM readout becomes "over the retained window", the
+    * usual monitoring contract). Default unbounded. */
   def sink(statePath: String, outPath: String, keyCol: String,
-      nBuckets: Int = 32, compactEvery: Int = 8)
+      nBuckets: Int = 32, compactEvery: Int = 8,
+      retainBatches: Option[Long] = None)
       : (DataFrame, Long) => Unit = (batch, batchId) => {
     val spark = batch.sparkSession
     GateKit.runOnce(spark, outPath, batchId) {
       // fold old runs first — never the batch's own replayable delta
       MergeState.compactIfDue(spark, statePath, batchId,
-        Seq(keyCol, "day"), Seq("n"), compactEvery)
+        Seq(keyCol, "day"), Seq("n"), compactEvery, retainBatches)
       val inc = Events.dailyCounts(batch, keyCol)
         .select(col(keyCol), col("day"), col("n"))
       MergeState.appendDelta(inc, statePath, batchId, keyCol, nBuckets)
@@ -61,4 +67,33 @@ object ChangepointGate {
         "overwrite")
     }
   }
+
+  /** FORGET keys — takedown / right-to-be-forgotten on the monitoring
+    * state: appends the NEGATION of the keys' entire merged daily-count
+    * history as a retraction delta ([[MergeState.retractDelta]] — the
+    * additive CRDT cancels exactly, and the all-zero filter then serves
+    * the keys as absence), exactly once per `forgetId`. Run at a quiet
+    * stream boundary (the maintenance lease fails a racing stream
+    * fast); the next batch's committed readout — and [[readout]]
+    * immediately — then equals the CUSUM over the stream minus the
+    * forgotten keys' events. */
+  def forget(spark: org.apache.spark.sql.SparkSession, statePath: String,
+      keyCol: String, keys: Seq[Any], forgetId: Long): Unit =
+    MergeState.readMerged(spark, statePath, Long.MaxValue,
+      Seq(keyCol, "day"), Seq("n")).foreach { merged =>
+      val neg = merged.filter(col(keyCol).isin(keys: _*))
+        .select(col(keyCol), col("day"), (-col("n")).as("n"))
+      MergeState.retractDelta(neg, statePath, forgetId)
+    }
+
+  /** The live CUSUM readout straight off the merged state — what the
+    * next batch would commit. Lets a consumer observe a forget (or any
+    * maintenance op) without waiting for the next event batch to
+    * overwrite the output table. */
+  def readout(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, keyCol: String): DataFrame =
+    Events.cusumFromDaily(
+      MergeState.readMerged(spark, statePath, Long.MaxValue,
+        Seq(keyCol, "day"), Seq("n")).getOrElse(
+        sys.error(s"no committed state at $statePath")), keyCol)
 }

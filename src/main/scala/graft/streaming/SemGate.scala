@@ -184,8 +184,10 @@ object SemGate {
               col("nv"), col("cell"), cent))
             .select(col("vid"), col("vv"), col("cell"), col("resid")))
         val encInc = encode(asg, pq, m, ks, sd)
-        val cross = (BucketedState.readBefore(spark, encPath, batchId),
-            BucketedState.readBefore(spark, vecPath, batchId)) match {
+        // SERVED state: forgotten vectors are tombstone-filtered out
+        // of both the cell join and the refine fetch
+        val cross = (BucketedState.readBeforeServed(spark, encPath, batchId),
+            BucketedState.readBeforeServed(spark, vecPath, batchId)) match {
           case (Some(baseE), Some(baseV)) =>
             val q = asg.select(col("vid").as("qid"), col("cell"),
               col("resid").as("qres"))
@@ -287,9 +289,15 @@ object SemGate {
     val cur = currentEpoch(spark, statePath)
     if (cur != fromEpoch || cur < 0) return cur
     val next = cur + 1
+    // exclusive maintenance leases on both live state tables: a stream
+    // appending mid-roll fails fast instead of racing the re-encode
+    BucketedState.withMaintenanceLease(spark, vecPath) {
+    BucketedState.withMaintenanceLease(spark, sub(statePath, "enc", cur)) {
     try {
+      // SERVED vectors: a roll re-encodes only the un-forgotten state,
+      // so the epoch flip doubles as the semantic gate's physical purge
       val allVecs = BucketedState
-        .readBefore(spark, vecPath, Long.MaxValue) match {
+        .readBeforeServed(spark, vecPath, Long.MaxValue) match {
         case Some(v) => Dedup.persistTracked(v)
         case None => return cur
       }
@@ -383,6 +391,42 @@ object SemGate {
           Similarity.centToFrame(spark, cent1), coarsePath)
       next
     } finally Dedup.releaseCaches()
+    } }
+  }
+
+  /** FORGET vectors — the semantic gate's takedown: tombstone the ids
+    * in the vector state and the CURRENT epoch's encoding state,
+    * exactly once per `forgetId`. After this, (a) the vectors never
+    * pair with any future arrival (the sink reads served state),
+    * (b) [[served]] excludes every already-emitted pair touching them,
+    * and (c) the next [[rollEpoch]] physically drops them (the
+    * re-encode reads served vectors — the roll IS the purge; or run
+    * [[BucketedState.purgeForgotten]] on both tables without waiting
+    * for a roll). Vector table FIRST: it is the exact-cosine refine
+    * substrate, so even the crash window between the two tombstones
+    * cannot emit a forgotten vector into a new pair. */
+  def forget(spark: SparkSession, statePath: String, ids: Seq[Long],
+      forgetId: Long): Unit = {
+    import spark.implicits._
+    BucketedState.forget(spark, s"$statePath/vectors",
+      ids.toDF("id"), forgetId)
+    val epoch = currentEpoch(spark, statePath)
+    if (epoch >= 0)
+      BucketedState.forget(spark, sub(statePath, "enc", epoch),
+        ids.toDF("cid"), forgetId)
+  }
+
+  /** The gate's cumulative pair output SERVED through the takedown
+    * tombstones (pairs touching a forgotten vector excluded — two
+    * broadcast anti-joins; the committed history stays for audit). */
+  def served(spark: SparkSession, statePath: String,
+      outPath: String): DataFrame = {
+    val out = VersionedTable.read(spark, outPath)
+    BucketedState.forgottenKeys(spark, s"$statePath/vectors") match {
+      case Some(t) => BucketedState.antiTomb(
+        BucketedState.antiTomb(out, t, "id_a"), t, "id_b")
+      case None => out
+    }
   }
 
   /** Output pairs tagged with the epoch that emitted them — a read-

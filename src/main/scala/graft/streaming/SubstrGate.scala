@@ -74,8 +74,11 @@ object SubstrGate {
       // exchange — one gram pass + one exchange per batch, total.
       val incG = Dedup.persistTracked(Dedup.gramFrame(inc, minLen)
         .repartition(nBuckets, col("h")))
-      val cross = (BucketedState.readBefore(spark, gramsPath, batchId),
-          BucketedState.readBefore(spark, docsPath, batchId)) match {
+      // SERVED state: rows of forgotten docs are tombstone-filtered
+      // (a broadcast anti-join of the takedown set), so a forgotten
+      // doc never pairs with a new arrival
+      val cross = (BucketedState.readBeforeServed(spark, gramsPath, batchId),
+          BucketedState.readBeforeServed(spark, docsPath, batchId)) match {
         case (Some(baseG), Some(baseT)) =>
           // orient BEFORE the runs grouping: doc_a = min id carries pa.
           // The increment side carries the shuffle_hash hint: it is the
@@ -112,6 +115,43 @@ object SubstrGate {
       BucketedState.appendOnce(inc, docsPath, batchId, "id", nBuckets)
       VersionedTable.streamingCommit(cross.unionByName(intra), batchId,
         outPath, "append")
+    }
+  }
+
+  /** FORGET documents — takedown / contamination discovered after
+    * ingest / right-to-be-forgotten: tombstone the ids in both state
+    * tables, exactly once per `forgetId` (a retried takedown is a
+    * no-op). After this, (a) the docs never pair with any future
+    * arrival (the sink reads state served through the tombstones) and
+    * (b) [[served]] excludes every already-emitted pair touching them.
+    * Run at a quiet stream boundary; the maintenance lease makes a
+    * non-quiet stream fail fast rather than race. The doc-text table
+    * tombstones FIRST: it is the residual-verify substrate, so even
+    * the crash window between the two appends (texts tombstoned,
+    * grams not) can no longer verify a forgotten doc into a new pair —
+    * the retry completes the gram tombstone. Physical reclaim of the
+    * bytes rides [[BucketedState.purgeForgotten]] (or any rebucket) on
+    * each state table. */
+  def forget(spark: org.apache.spark.sql.SparkSession, docsPath: String,
+      gramsPath: String, ids: Seq[Long], forgetId: Long): Unit = {
+    import spark.implicits._
+    BucketedState.forget(spark, docsPath, ids.toDF("id"), forgetId)
+    BucketedState.forget(spark, gramsPath, ids.toDF("id"), forgetId)
+  }
+
+  /** The gate's cumulative output SERVED through the takedown
+    * tombstones: pairs touching a forgotten doc are excluded (two
+    * broadcast anti-joins — the committed history is append-only and
+    * never rewritten). This is the read surface a downstream consumer
+    * uses; the raw [[VersionedTable.read]] keeps the full audit
+    * history. */
+  def served(spark: org.apache.spark.sql.SparkSession, docsPath: String,
+      outPath: String): org.apache.spark.sql.DataFrame = {
+    val out = VersionedTable.read(spark, outPath)
+    BucketedState.forgottenKeys(spark, docsPath) match {
+      case Some(t) => BucketedState.antiTomb(
+        BucketedState.antiTomb(out, t, "doc_a"), t, "doc_b")
+      case None => out
     }
   }
 }

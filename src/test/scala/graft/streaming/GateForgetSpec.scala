@@ -1,0 +1,206 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.athenaeum.SparkSpec
+import graft.operators.Dedup
+import graft.sources.VersionedTable
+
+/** Retraction on the JOIN-STATE gates — takedown / contamination
+  * discovered after ingest / right-to-be-forgotten: tombstone delete
+  * files beside the state ([[BucketedState.forget]]), serve-through
+  * anti-joins on every read path, physical purge via generation
+  * rewrite. Contract per gate: after `forget(ids)`, (a) the served
+  * output equals the batch operator over the stream prefix MINUS the
+  * forgotten docs, (b) a forgotten doc never pairs with any future
+  * arrival, (c) the crash window between the two state tombstones is
+  * already safe, and (d) purge reclaims the bytes without changing a
+  * single served row. */
+class GateForgetSpec extends SparkSpec {
+
+  private val L = 8
+
+  private def canon(df: DataFrame): Set[String] = {
+    val s = df.collect().map(_.toString).toSet
+    Dedup.releaseAll(spark)
+    s
+  }
+
+  private def subTruth(docs: Seq[(Long, String)]): Set[String] = {
+    import spark.implicits._
+    canon(Dedup.duplicatedSubstrings(
+      docs.toDF("doc_id", "text"), "doc_id", "text", L))
+  }
+
+  test("substring gate: forget excludes emitted pairs, blocks future pairs, survives the partial-tombstone crash window, and purge reclaims bytes served-invariant") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-subfgt").toString
+    val (docsPath, gramsPath, outPath) =
+      (s"$dir/docs", s"$dir/grams", s"$dir/out")
+    val snk = SubstrGate.sink(docsPath, gramsPath, outPath,
+      "doc_id", "text", L, nBuckets = 4)
+    val b0 = Seq(1L -> "xxABCDEFGHxx", 2L -> "ABCDEFGHqq",
+      3L -> "zzzzzzzzzzzz")
+    val b1 = Seq(4L -> "ppABCDEFGHpp", 5L -> "zzzzzzzzzz")
+    snk(b0.toDF("doc_id", "text"), 0L)
+    snk(b1.toDF("doc_id", "text"), 1L)
+    // pre-forget sanity: gate == batch operator on the full prefix
+    assert(canon(SubstrGate.served(spark, docsPath, outPath)) ==
+      subTruth(b0 ++ b1))
+    // ---- forget doc 2 (one side of emitted pairs with 1 and 4) ----
+    SubstrGate.forget(spark, docsPath, gramsPath, Seq(2L), forgetId = 0L)
+    val kept = (b0 ++ b1).filterNot(_._1 == 2L)
+    assert(canon(SubstrGate.served(spark, docsPath, outPath)) ==
+      subTruth(kept),
+      "served output after forget != batch truth minus the forgotten doc")
+    // retried takedown (same id): no-op, same answer
+    SubstrGate.forget(spark, docsPath, gramsPath, Seq(2L), forgetId = 0L)
+    assert(canon(SubstrGate.served(spark, docsPath, outPath)) ==
+      subTruth(kept))
+    // ---- future batch: a twin of the FORGOTTEN doc must pair with
+    // the live twins (1, 4) but never with 2 ----
+    val b2 = Seq(6L -> "ABCDEFGHnn")
+    snk(b2.toDF("doc_id", "text"), 2L)
+    val afterB2 = canon(SubstrGate.served(spark, docsPath, outPath))
+    assert(afterB2 == subTruth(kept ++ b2))
+    assert(!afterB2.exists(_.contains("[2,")),
+      s"a forgotten doc paired with a new arrival: $afterB2")
+    // ---- crash window: docs tombstoned, grams NOT (the forget's
+    // second append crashed). The doc-text table is the residual
+    // substrate, so the half-forgotten doc still cannot form pairs ----
+    BucketedState.forget(spark, docsPath, Seq(4L).toDF("id"), 1L)
+    val b3 = Seq(7L -> "ABCDEFGHvv")
+    snk(b3.toDF("doc_id", "text"), 3L)
+    val kept2 = kept.filterNot(_._1 == 4L)
+    val afterB3 = canon(SubstrGate.served(spark, docsPath, outPath))
+    assert(afterB3 == subTruth(kept2 ++ b2 ++ b3),
+      "the docs-tombstoned-grams-not crash window emitted a forgotten pair")
+    // the retry completes the gram tombstone idempotently
+    SubstrGate.forget(spark, docsPath, gramsPath, Seq(4L), forgetId = 1L)
+    assert(canon(SubstrGate.served(spark, docsPath, outPath)) ==
+      subTruth(kept2 ++ b2 ++ b3))
+    // ---- physical purge: bytes reclaimed, served rows invariant ----
+    val rawDocsBefore = BucketedState
+      .readBefore(spark, docsPath, Long.MaxValue).get.count()
+    val servedBefore = canon(SubstrGate.served(spark, docsPath, outPath))
+    BucketedState.purgeForgotten(spark, docsPath)
+    BucketedState.purgeForgotten(spark, gramsPath)
+    val rawDocsAfter = BucketedState
+      .readBefore(spark, docsPath, Long.MaxValue).get.count()
+    assert(rawDocsAfter == rawDocsBefore - 2,
+      s"purge did not drop the 2 forgotten docs: $rawDocsBefore -> $rawDocsAfter")
+    // the REGISTRY persists (takedowns are forever — the append-only
+    // output table still serves through it) and served rows are
+    // invariant across the purge
+    assert(BucketedState.forgottenKeys(spark, docsPath).get
+      .count() == 2L)
+    assert(canon(SubstrGate.served(spark, docsPath, outPath)) ==
+      servedBefore)
+    // a second purge with no new takedowns is a NO-OP (watermark):
+    // the generation must not advance; the stream continues over the
+    // purged generation
+    val genBefore = BucketedState.liveLayout(spark, docsPath).get.gen
+    BucketedState.purgeForgotten(spark, docsPath)
+    assert(BucketedState.liveLayout(spark, docsPath).get.gen == genBefore,
+      "re-purge with no new takedowns rewrote the state again")
+    val b4 = Seq(8L -> "ABCDEFGHkk")
+    snk(b4.toDF("doc_id", "text"), 4L)
+    assert(canon(SubstrGate.served(spark, docsPath, outPath)) ==
+      subTruth(kept2 ++ b2 ++ b3 ++ b4))
+  }
+
+  test("semantic gate: forget excludes emitted pairs, blocks future pairs, and the next epoch roll is the physical purge") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-semfgt").toString
+    val (statePath, outPath) = (s"$dir/state", s"$dir/out")
+    // three exact-duplicate families (cosine 1.0) + noise
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(8)(k =>
+        (math.floorMod(mix64(seed * 17 + k), 100L) + 1) / 100.0f)
+    val b0 = Seq((1L, vec(1)), (2L, vec(1)), (3L, vec(3)), (4L, vec(4)))
+    val b1 = Seq((5L, vec(1)), (6L, vec(3)))
+    val snk = SemGate.sink(statePath, outPath, "vec_id", "embedding",
+      threshold = 0.999, ncells = 2, kmIters = 1, m = 2, ks = 4,
+      sd = 4, nBuckets = 4)
+    snk(b0.toDF("vec_id", "embedding"), 0L)
+    snk(b1.toDF("vec_id", "embedding"), 1L)
+    def pairs(df: DataFrame): Set[(Long, Long)] = {
+      val s = df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      Dedup.releaseAll(spark); s
+    }
+    val before = pairs(SemGate.served(spark, statePath, outPath))
+    assert(before.contains((1L, 2L)) && before.contains((1L, 5L)) &&
+      before.contains((2L, 5L)) && before.contains((3L, 6L)), s"$before")
+    // ---- forget vec 2: its emitted pairs vanish from the serve ----
+    SemGate.forget(spark, statePath, Seq(2L), forgetId = 0L)
+    val after = pairs(SemGate.served(spark, statePath, outPath))
+    assert(after == before.filterNot(p => p._1 == 2L || p._2 == 2L),
+      s"$after")
+    // a future twin pairs with 1 and 5 but never with forgotten 2
+    snk(Seq((7L, vec(1))).toDF("vec_id", "embedding"), 2L)
+    val afterB2 = pairs(SemGate.served(spark, statePath, outPath))
+    assert(afterB2.contains((1L, 7L)) && afterB2.contains((5L, 7L)))
+    assert(!afterB2.exists(p => p._1 == 2L || p._2 == 2L),
+      s"forgotten vector paired with a new arrival: $afterB2")
+    // ---- the epoch roll re-encodes SERVED vectors: physical purge ----
+    val newEpoch = SemGate.rollEpoch(spark, statePath, outPath,
+      threshold = 0.999, fromEpoch = 0, ncells = 2, kmIters = 1,
+      m = 2, ks = 4, sd = 4, nBuckets = 4)
+    assert(newEpoch == 1)
+    val encNew = BucketedState
+      .readBefore(spark, s"$statePath/enc-e1", Long.MaxValue).get
+    assert(encNew.filter(col("cid") === 2L).isEmpty,
+      "epoch roll re-encoded a forgotten vector")
+    // catch-up did not resurrect the forgotten doc's pairs
+    val afterRoll = pairs(SemGate.served(spark, statePath, outPath))
+    assert(!afterRoll.exists(p => p._1 == 2L || p._2 == 2L))
+    // and the stream continues under the new epoch, still excluding it
+    snk(Seq((8L, vec(1))).toDF("vec_id", "embedding"), 3L)
+    val afterB3 = pairs(SemGate.served(spark, statePath, outPath))
+    assert(afterB3.contains((7L, 8L)) &&
+      !afterB3.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("boilerplate gate: doc-level forget decrements segment support — a threshold crossing contributed by retracted docs un-crosses for future batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bgfgt").toString
+    val (freqPath, outPath) = (s"$dir/freq", s"$dir/out")
+    val seg = "alpha beta gamma delta epsilon" // one 5-token chunk
+    def uniq(id: Long) = (0 until 5)
+      .map(k => f"u${id}x$k%02d").mkString(" ")
+    val snk = BoilerplateGate.sink(freqPath, outPath, "doc_id", "text",
+      chunkTokens = 5, minDocs = 3, nBuckets = 4)
+    // docs 1,2 carry the segment; support = 2 < 3 → kept
+    snk(Seq((1L, s"$seg ${uniq(1)}"), (2L, s"$seg ${uniq(2)}"))
+      .toDF("doc_id", "text"), 0L)
+    // doc 3 pushes support to 3 → excised from doc 3 onward
+    snk(Seq((3L, s"$seg ${uniq(3)}")).toDF("doc_id", "text"), 1L)
+    val out1 = VersionedTable.read(spark, outPath)
+      .filter(col("doc_id") === 3L).head
+    assert(out1.getAs[Long]("n_boiler") == 1L,
+      s"segment not excised at support 3: $out1")
+    // ---- forget docs 1 and 2: support drops to 1 ----
+    BoilerplateGate.forget(spark, freqPath,
+      Seq((1L, s"$seg ${uniq(1)}"), (2L, s"$seg ${uniq(2)}"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", chunkTokens = 5, forgetId = 0L)
+    // future doc with the segment: support 1 + 1 = 2 < 3 → KEPT
+    // (without the forget it would be 4 ≥ 3 → excised)
+    snk(Seq((4L, s"$seg ${uniq(4)}")).toDF("doc_id", "text"), 2L)
+    val out2 = VersionedTable.read(spark, outPath)
+      .filter(col("doc_id") === 4L).head
+    assert(out2.getAs[Long]("n_boiler") == 0L,
+      s"retracted support still excises: $out2")
+    assert(out2.getAs[String]("clean_text").contains("alpha"))
+    // partial support: doc 5 re-crosses with 3,4,5 → excised again
+    snk(Seq((5L, s"$seg ${uniq(5)}")).toDF("doc_id", "text"), 3L)
+    assert(VersionedTable.read(spark, outPath)
+      .filter(col("doc_id") === 5L).head.getAs[Long]("n_boiler") == 1L)
+    Dedup.releaseAll(spark)
+  }
+}
