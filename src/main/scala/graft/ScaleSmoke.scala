@@ -621,7 +621,7 @@ object ChangepointGateScale {
     val spark = ScaleSmoke.session(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     spark.sparkContext.setLogLevel("ERROR")
-    val ev = spark.read.parquet(s"$src/events.parquet")
+    val ev = graft.sources.Tables(spark, src, "events")
       .crossJoin(spark.range(k).select(col("id").as("cp")))
       .select((col("event_id") * k + col("cp")).as("event_id"),
         concat(col("event_type"), lit("#"), col("cp")).as("event_type"),

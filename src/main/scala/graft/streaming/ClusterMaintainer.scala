@@ -78,7 +78,9 @@ object ClusterMaintainer {
         Dedup.lshIndex(sigsNew, idCol)
           .select(col(idCol), col("band"), col("bucket"))
           .repartition(nBuckets, col("bucket")))
-      val cross = BucketedState.readBefore(spark, idxPath, batchId) match {
+      // SERVED index: a forgotten doc's banded rows are tombstone-
+      // filtered, so it can never connect future arrivals
+      val cross = BucketedState.readBeforeServed(spark, idxPath, batchId) match {
         case Some(base0) =>
           // all three joins below equi-join on `bucket` ALONE — the
           // state's at-rest HashPartitioning(bucket) then covers the
@@ -117,8 +119,11 @@ object ClusterMaintainer {
         case None => Seq.empty[(Long, Long)].toDF("new_id", "base_id")
       }
       val haveLabels = VersionedTable.versions(spark, labelsPath).nonEmpty
+      // forgotten docs' OWN label rows drop out of the fold (their
+      // transitive connectivity legacy stays — see [[forget]])
       val baseLabels =
-        if (haveLabels) VersionedTable.read(spark, labelsPath)
+        if (haveLabels) BucketedState.servedOn(spark, idxPath,
+          VersionedTable.read(spark, labelsPath), idCol)
         else Seq.empty[(Long, Long)].toDF(idCol, "cluster")
       val labels = Dedup.incrementalClusters(
         baseLabels.select(col(idCol), col("cluster")), idCol, cross, intra)
@@ -128,4 +133,27 @@ object ClusterMaintainer {
         "overwrite")
     }
   }
+
+  /** FORGET documents — the incremental-CC takedown, with the honest
+    * contract: the ids' banded index rows are tombstoned (they can
+    * never connect a future arrival) and their OWN label rows drop out
+    * of [[served]] and of every subsequent fold, exactly once per
+    * `forgetId`. What deliberately does NOT happen: clusters the doc
+    * transitively BRIDGED are not re-split — incremental CC cannot
+    * un-merge without a recompute, and staying merged is the
+    * conservative direction for dedup (never under-groups). A periodic
+    * batch rebuild (`Dedup.clusterDocs` over the served corpus) is the
+    * retroactive pass, same as for every ingest-time gate. */
+  def forget(spark: org.apache.spark.sql.SparkSession, idxPath: String,
+      idCol: String, ids: Seq[Long], forgetId: Long): Unit = {
+    import spark.implicits._
+    BucketedState.forget(spark, idxPath, ids.toDF(idCol), forgetId)
+  }
+
+  /** The latest label snapshot SERVED through the takedown tombstones
+    * (forgotten docs' own rows excluded). */
+  def served(spark: org.apache.spark.sql.SparkSession, idxPath: String,
+      labelsPath: String, idCol: String): DataFrame =
+    BucketedState.servedOn(spark, idxPath,
+      VersionedTable.read(spark, labelsPath), idCol)
 }

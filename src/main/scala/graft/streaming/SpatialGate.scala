@@ -61,7 +61,8 @@ object SpatialGate {
       // the source micro-batch re-evaluates per consumer
       val inc = graft.operators.Dedup.persistTracked(
         Spatial.gridKeyed(batch, idCol, xCol, yCol, cell))
-      val cross = BucketedState.readBefore(spark, statePath, batchId) match {
+      // SERVED state: forgotten points are tombstone-filtered
+      val cross = BucketedState.readBeforeServed(spark, statePath, batchId) match {
         case Some(base) =>
           Spatial.radiusJoinKeyed(inc, "id", "x", "y", base, radius, cell)
             // a re-delivered id must not pair with its stored copy
@@ -77,6 +78,29 @@ object SpatialGate {
       BucketedState.appendOnce(inc, statePath, batchId, "ck", nBuckets)
       VersionedTable.streamingCommit(cross.unionByName(intra), batchId,
         outPath, "append")
+    }
+  }
+
+  /** FORGET points — takedown on the proximity state: tombstone the
+    * ids exactly once per `forgetId`; the sink reads served state so a
+    * forgotten point never pairs with a future arrival, [[served]]
+    * excludes its already-emitted pairs, and the bytes reclaim via
+    * [[BucketedState.purgeForgotten]]/rebucket like any join state. */
+  def forget(spark: org.apache.spark.sql.SparkSession, statePath: String,
+      ids: Seq[Long], forgetId: Long): Unit = {
+    import spark.implicits._
+    BucketedState.forget(spark, statePath, ids.toDF("id"), forgetId)
+  }
+
+  /** The gate's cumulative pair output SERVED through the takedown
+    * tombstones. */
+  def served(spark: org.apache.spark.sql.SparkSession, statePath: String,
+      outPath: String): DataFrame = {
+    val out = VersionedTable.read(spark, outPath)
+    BucketedState.forgottenKeys(spark, statePath) match {
+      case Some(t) => BucketedState.antiTomb(
+        BucketedState.antiTomb(out, t, "id_a"), t, "id_b")
+      case None => out
     }
   }
 }

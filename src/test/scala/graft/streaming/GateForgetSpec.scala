@@ -165,6 +165,71 @@ class GateForgetSpec extends SparkSpec {
       !afterB3.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("spatial gate: forget excludes emitted pairs and blocks future proximity pairs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-spfgt").toString
+    val (statePath, outPath) = (s"$dir/state", s"$dir/out")
+    val snk = SpatialGate.sink(statePath, outPath, "id", "x", "y",
+      radius = 10L, cell = 10L, nBuckets = 4)
+    // 1,2 close; 3 close to both; 9 isolated
+    snk(Seq((1L, 0L, 0L), (2L, 5L, 0L), (9L, 500L, 500L))
+      .toDF("id", "x", "y"), 0L)
+    snk(Seq((3L, 0L, 5L)).toDF("id", "x", "y"), 1L)
+    def pairs(df: DataFrame): Set[(Long, Long)] = {
+      val s = df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      Dedup.releaseAll(spark); s
+    }
+    assert(pairs(SpatialGate.served(spark, statePath, outPath)) ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    SpatialGate.forget(spark, statePath, Seq(2L), forgetId = 0L)
+    assert(pairs(SpatialGate.served(spark, statePath, outPath)) ==
+      Set((1L, 3L)))
+    // a new point lands right on the forgotten one: pairs with 1 and 3,
+    // never with 2
+    snk(Seq((4L, 5L, 0L)).toDF("id", "x", "y"), 2L)
+    assert(pairs(SpatialGate.served(spark, statePath, outPath)) ==
+      Set((1L, 3L), (1L, 4L), (3L, 4L)))
+  }
+
+  test("cluster maintainer: forget drops the doc's label row and disconnects it from future arrivals (bridged clusters stay merged — documented)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cmfgt").toString
+    val (labelsPath, idxPath) = (s"$dir/labels", s"$dir/idx")
+    def txt(seed: Long) = (0 until 15)
+      .map(k => f"${mix64(seed * 31L + k)}%016x").mkString(" ")
+    val snk = ClusterMaintainer.sink(labelsPath, idxPath,
+      "doc_id", "text", nBuckets = 4)
+    // 1 and 2 are twins; 5 is a loner
+    snk(Seq((1L, txt(7)), (2L, txt(7)), (5L, txt(99)))
+      .toDF("doc_id", "text"), 0L)
+    def labels(): Map[Long, Long] = {
+      val m = ClusterMaintainer.served(spark, idxPath, labelsPath,
+        "doc_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Dedup.releaseAll(spark); m
+    }
+    assert(labels().keySet == Set(1L, 2L))
+    ClusterMaintainer.forget(spark, idxPath, "doc_id", Seq(2L),
+      forgetId = 0L)
+    assert(labels().keySet == Set(1L),
+      "forgotten doc's label row still served")
+    // a new twin of the FORGOTTEN doc pairs with live twin 1 (direct
+    // signature match) but the forgotten doc itself stays out
+    snk(Seq((3L, txt(7))).toDF("doc_id", "text"), 1L)
+    val l2 = labels()
+    assert(l2.contains(3L) && l2.contains(1L) && !l2.contains(2L))
+    assert(l2(3L) == l2(1L), "twins must share a cluster")
+    // a doc whose ONLY connection would be the forgotten one gets no
+    // cross pair: forget a loner-twin pair's stored side first
+    ClusterMaintainer.forget(spark, idxPath, "doc_id", Seq(5L),
+      forgetId = 1L)
+    snk(Seq((6L, txt(99))).toDF("doc_id", "text"), 2L)
+    assert(!labels().contains(6L),
+      "a forgotten doc still connected a future arrival")
+  }
+
   test("boilerplate gate: doc-level forget decrements segment support — a threshold crossing contributed by retracted docs un-crosses for future batches") {
     import spark.implicits._
     val dir = java.nio.file.Files
