@@ -203,6 +203,51 @@ class GatePlanAuditSpec extends SparkSpec {
     audit(audited(snk(batch(1), 1L)), s"$dir/idx", 8)
   }
 
+  test("substring gate serve path WITH live tombstones: state still streams exchange-free, the takedown filter is a broadcast anti-join") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-audit-fgt").toString
+    def batch(b: Int) = (0 until 60).map { i =>
+      val id = b * 100L + i
+      (id, (0 until 6).map(k => f"${mix64(id * 31L + k)}%016x").mkString)
+    }.toDF("doc_id", "text")
+    val snk = SubstrGate.sink(s"$dir/docs", s"$dir/grams", s"$dir/out",
+      "doc_id", "text", minLen = 30, nBuckets = 8)
+    snk(batch(0), 0L)
+    SubstrGate.forget(spark, s"$dir/docs", s"$dir/grams",
+      Seq(3L, 17L), forgetId = 0L)
+    val plans = audited {
+      snk(batch(1), 1L)
+      SubstrGate.served(spark, s"$dir/docs", s"$dir/out").count()
+      ()
+    }
+    // the tombstone filter must not change the state-side plan shape:
+    // scans still bucketed, nothing between scan and join. The marks
+    // name the state DATA dirs so the (1-bucket, broadcast-side) tomb
+    // sidecar scans under <path>/tomb/data are not audited as state
+    audit(plans, s"$dir/grams/data", 8)
+    audit(plans, s"$dir/docs/data", 8)
+    // and the takedown registry itself rides BROADCAST anti-joins —
+    // a takedown set that shuffled corpus-sized state would be the
+    // exact pattern the delete-file design exists to avoid
+    val antiJoins = plans.flatMap(_.collect {
+      case j: BroadcastHashJoinExec
+          if j.joinType.sql.contains("ANTI") => j
+      case j: ShuffledHashJoinExec
+          if j.joinType.sql.contains("ANTI") => j
+      case j: SortMergeJoinExec
+          if j.joinType.sql.contains("ANTI") => j
+      case j: BroadcastNestedLoopJoinExec
+          if j.joinType.sql.contains("ANTI") => j
+    })
+    assert(antiJoins.nonEmpty, "no tombstone anti-join captured")
+    val bad = antiJoins.filterNot(_.isInstanceOf[BroadcastHashJoinExec])
+    assert(bad.isEmpty,
+      "tombstone anti-join is not a broadcast: " +
+        bad.map(_.nodeName).mkString(", "))
+    Dedup.releaseAll(spark)
+  }
+
   test("semantic gate serve path: encoding and vector scans bucketed, no exchange/sort above state") {
     import spark.implicits._
     val dir = java.nio.file.Files
