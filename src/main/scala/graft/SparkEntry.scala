@@ -2955,6 +2955,57 @@ object SparkEntry {
     "q_boilerplate" -> ((s, dir) =>
       Dedup.boilerplateExcise(t(s, dir, "documents"), "doc_id", "text")),
 
+    // ----- the STREAMING boilerplate gate inside the hash gate: three
+    // micro-batches (doc_id % 3), each doc excised against the corpus
+    // UP TO AND INCLUDING its own batch — the prefix-fold semantics.
+    // The oracle replays the fold in SQL: per-(hash, batch) distinct-doc
+    // counts, summed cumulatively over batches, each doc judged at its
+    // own batch's cumulative support. A gate that judged against the
+    // full corpus (retroactive), or against only the prior prefix
+    // (exclusive), hash-mismatches every sweep. compactEvery=2 folds
+    // tiered runs inside the fixture -----
+    "q_boilerplate_gate" -> ((s, dir) => {
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = t(s, dir, "documents")
+      val paths = Seq("freq", "out").map(p => s"/tmp/graft_bpg_${p}_$suffix")
+      paths.foreach(p => freshFixtureDir(p))
+      val snk = graft.streaming.BoilerplateGate.sink(paths(0), paths(1),
+        "doc_id", "text", chunkTokens = 10, minDocs = 3, nBuckets = 8,
+        compactEvery = 2)
+      (0 until 3).foreach(b =>
+        snk(docs.filter(col("doc_id") % 3 === b), b.toLong))
+      graft.sources.VersionedTable.read(s, paths(1))
+    }),
+    // ----- the same gate with a TAKEDOWN mid-stream, composing BOTH
+    // forget mechanisms: BoilerplateGate.forget retracts the forgotten
+    // docs' segment support from the frequency CRDT (doc-level negative
+    // delta), and VersionedTable.deleteWhere physically removes their
+    // already-emitted rows from the output (the versioned targeted
+    // delete). Batch 2 is then judged against the decremented support.
+    // The oracle: all docs minus the forgotten (batch ≤ 1, doc_id % 5
+    // = 0) rows; batch-0/1 docs judged at the normal cumulative
+    // support (they were emitted pre-forget); batch-2 docs at the
+    // cumulative support MINUS the forgotten docs' contributions -----
+    "q_boilerplate_forget" -> ((s, dir) => {
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = t(s, dir, "documents")
+      val paths = Seq("freq", "out").map(p => s"/tmp/graft_bpf_${p}_$suffix")
+      paths.foreach(p => freshFixtureDir(p))
+      val snk = graft.streaming.BoilerplateGate.sink(paths(0), paths(1),
+        "doc_id", "text", chunkTokens = 10, minDocs = 3, nBuckets = 8,
+        compactEvery = 2)
+      snk(docs.filter(col("doc_id") % 3 === 0), 0L)
+      snk(docs.filter(col("doc_id") % 3 === 1), 1L)
+      val fgt = docs.filter(col("doc_id") % 5 === 0 &&
+        col("doc_id") % 3 < 2)
+      graft.streaming.BoilerplateGate.forget(s, paths(0), fgt,
+        "doc_id", "text", chunkTokens = 10, forgetId = 0L)
+      graft.sources.VersionedTable.deleteWhere(s, paths(1),
+        col("doc_id") % 5 === 0)
+      snk(docs.filter(col("doc_id") % 3 === 2), 2L)
+      graft.sources.VersionedTable.read(s, paths(1))
+    }),
+
     // ----- corpus-level boilerplate report off the same rule: how many
     // distinct segments are boilerplate, and what fraction of all
     // segment occurrences they absorb -----
@@ -6758,6 +6809,65 @@ object SparkEntry {
                   CAST(COUNT(*) FILTER (WHERE NOT boiler) AS BIGINT) AS n_kept,
                   CAST(COUNT(*) FILTER (WHERE boiler) AS BIGINT) AS n_boiler
            FROM fl GROUP BY doc_id""",
+      // streaming prefix fold: per-(hash, batch) distinct-doc counts
+      // summed cumulatively; each doc judged at ITS batch's support
+      "q_boilerplate_gate" ->
+        s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
+           ex AS (SELECT doc_id, toks,
+                  unnest(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS pos
+                FROM tk WHERE len(toks) >= 1),
+           ch AS (SELECT doc_id, pos,
+                  array_to_string(toks[(pos * 10 + 1):(pos * 10 + 10)], ' ') AS chunk
+                FROM ex),
+           hs AS (SELECT doc_id, pos, chunk, ${duckStrHash("chunk")} AS h,
+                  doc_id % 3 AS b FROM ch),
+           hb AS (SELECT h, b, COUNT(DISTINCT doc_id) AS c
+                  FROM hs GROUP BY 1, 2),
+           cum AS (SELECT h, b, SUM(c) OVER (PARTITION BY h ORDER BY b) AS sup
+                   FROM hb),
+           fl AS (SELECT hs.doc_id, hs.pos, hs.chunk,
+                  (cum.sup >= 3) AS boiler
+                FROM hs JOIN cum ON hs.h = cum.h AND hs.b = cum.b)
+           SELECT doc_id,
+                  COALESCE(array_to_string(
+                    list(chunk ORDER BY pos) FILTER (WHERE NOT boiler), ' '),
+                    '') AS clean_text,
+                  CAST(COUNT(*) FILTER (WHERE NOT boiler) AS BIGINT) AS n_kept,
+                  CAST(COUNT(*) FILTER (WHERE boiler) AS BIGINT) AS n_boiler
+           FROM fl GROUP BY doc_id""",
+      // takedown: forgotten rows (batch <= 1, doc_id % 5 = 0) deleted
+      // from the output; batch-2 docs judged at the cumulative support
+      // MINUS the forgotten docs' contributions (the CRDT negation)
+      "q_boilerplate_forget" ->
+        s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
+           ex AS (SELECT doc_id, toks,
+                  unnest(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS pos
+                FROM tk WHERE len(toks) >= 1),
+           ch AS (SELECT doc_id, pos,
+                  array_to_string(toks[(pos * 10 + 1):(pos * 10 + 10)], ' ') AS chunk
+                FROM ex),
+           hs AS (SELECT doc_id, pos, chunk, ${duckStrHash("chunk")} AS h,
+                  doc_id % 3 AS b FROM ch),
+           hb AS (SELECT h, b, COUNT(DISTINCT doc_id) AS c
+                  FROM hs GROUP BY 1, 2),
+           cum AS (SELECT h, b, SUM(c) OVER (PARTITION BY h ORDER BY b) AS sup
+                   FROM hb),
+           fb AS (SELECT h, COUNT(DISTINCT doc_id) AS fc FROM hs
+                  WHERE doc_id % 5 = 0 AND b < 2 GROUP BY h),
+           fl AS (SELECT hs.doc_id, hs.pos, hs.chunk,
+                  (cum.sup - CASE WHEN hs.b = 2 THEN COALESCE(fb.fc, 0)
+                             ELSE 0 END >= 3) AS boiler
+                FROM hs JOIN cum ON hs.h = cum.h AND hs.b = cum.b
+                LEFT JOIN fb ON hs.h = fb.h)
+           SELECT doc_id,
+                  COALESCE(array_to_string(
+                    list(chunk ORDER BY pos) FILTER (WHERE NOT boiler), ' '),
+                    '') AS clean_text,
+                  CAST(COUNT(*) FILTER (WHERE NOT boiler) AS BIGINT) AS n_kept,
+                  CAST(COUNT(*) FILTER (WHERE boiler) AS BIGINT) AS n_boiler
+           FROM fl
+           WHERE NOT (doc_id % 5 = 0 AND doc_id % 3 < 2)
+           GROUP BY doc_id""",
       "q_boilerplate_stats" ->
         s"""WITH tk AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
            ex AS (SELECT doc_id, toks,
