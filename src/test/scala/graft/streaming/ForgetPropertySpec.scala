@@ -75,6 +75,52 @@ class ForgetPropertySpec extends SparkSpec {
     }, 12)
   }
 
+  test("SubstrGate: random corpora + a random forget at a random boundary serve the batch operator minus the forgotten docs") {
+    import spark.implicits._
+    val word = Gen.oneOf('a', 'b', 'c')
+    val genCase = for {
+      n <- Gen.choose(0, 9)
+      block <- Gen.listOfN(6, Gen.oneOf('a', 'b')).map(_.mkString)
+      docs <- Gen.listOfN(n, for {
+        m <- Gen.choose(0, 10)
+        cs <- Gen.listOfN(m, word)
+        plant <- Gen.oneOf(true, false)
+      } yield if (plant) cs.mkString + block else cs.mkString)
+      split <- genSplit(docs.zipWithIndex.map { case (t, i) =>
+        (i.toLong + 1L, t) })
+      fgt <- Gen.someOf(1L to (n.toLong + 2L))
+      at <- Gen.choose(0, split.size)
+      l <- Gen.choose(4, 6)
+    } yield (split, fgt.toSeq.sorted, at, l)
+    check(Prop.forAllNoShrink(genCase) { case (batches, fgt, at, l) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-fgs").toString
+      val snk = SubstrGate.sink(s"$dir/docs", s"$dir/grams",
+        s"$dir/out", "doc_id", "text", l, nBuckets = 4)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        if (i == at && fgt.nonEmpty)
+          SubstrGate.forget(spark, s"$dir/docs", s"$dir/grams", fgt, 0L)
+        snk(b.toDF("doc_id", "text"), i.toLong)
+      }
+      if (at == batches.size && fgt.nonEmpty)
+        SubstrGate.forget(spark, s"$dir/docs", s"$dir/grams", fgt, 0L)
+      val kept = batches.flatten.filterNot(d => fgt.contains(d._1))
+      val want =
+        if (kept.isEmpty) Set.empty[String]
+        else canon(Dedup.duplicatedSubstrings(
+          kept.toDF("doc_id", "text"), "doc_id", "text", l))
+      val got = {
+        val vs = VersionedTable.versions(spark, s"$dir/out")
+        if (vs.isEmpty) Set.empty[String]
+        else canon(SubstrGate.served(spark, s"$dir/docs", s"$dir/out"))
+      }
+      val ok = got == want
+      if (!ok) println(
+        s"FAIL l=$l at=$at fgt=$fgt batches=$batches\n got=$got\n want=$want")
+      ok
+    }, 10)
+  }
+
   test("ChangepointGate: a random key forget at a random boundary serves the CUSUM over all events minus the keys' pre-forget slice") {
     import spark.implicits._
     val genCase = for {

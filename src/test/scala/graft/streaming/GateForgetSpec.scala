@@ -163,6 +163,30 @@ class GateForgetSpec extends SparkSpec {
     val afterB3 = pairs(SemGate.served(spark, statePath, outPath))
     assert(afterB3.contains((7L, 8L)) &&
       !afterB3.exists(p => p._1 == 2L || p._2 == 2L))
+    // ---- composition: a SECOND forget under epoch 1, then a second
+    // roll — the new epoch's enc table gets its own tombstones, the
+    // serve filter accumulates, and the next roll purges both ----
+    SemGate.forget(spark, statePath, Seq(3L), forgetId = 1L)
+    val afterF2 = pairs(SemGate.served(spark, statePath, outPath))
+    assert(!afterF2.exists(p =>
+      Set(2L, 3L).contains(p._1) || Set(2L, 3L).contains(p._2)),
+      s"second forget leaked: $afterF2")
+    assert(afterF2.contains((7L, 8L)))
+    val e2 = SemGate.rollEpoch(spark, statePath, outPath,
+      threshold = 0.999, fromEpoch = 1, ncells = 2, kmIters = 1,
+      m = 2, ks = 4, sd = 4, nBuckets = 4)
+    assert(e2 == 2)
+    val encE2 = BucketedState
+      .readBefore(spark, s"$statePath/enc-e2", Long.MaxValue).get
+    assert(encE2.filter(col("cid").isin(2L, 3L)).isEmpty,
+      "second roll re-encoded a forgotten vector")
+    snk(Seq((9L, vec(3))).toDF("vec_id", "embedding"), 4L)
+    val afterB4 = pairs(SemGate.served(spark, statePath, outPath))
+    // 9 is a twin of forgotten 3 and of live 6: pairs with 6 only
+    assert(afterB4.contains((6L, 9L)) &&
+      !afterB4.exists(p =>
+        Set(2L, 3L).contains(p._1) || Set(2L, 3L).contains(p._2)),
+      s"post-second-roll serve leaked: $afterB4")
   }
 
   test("spatial gate: forget excludes emitted pairs and blocks future proximity pairs") {
