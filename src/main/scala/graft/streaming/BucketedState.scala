@@ -528,6 +528,58 @@ object BucketedState {
       }
   }
 
+  /** ADDITIVE SCHEMA EVOLUTION: a delta whose schema is a strict
+    * SUPERSET of the state's evolves the state in place — new columns
+    * append to the DDL (sidecar first: it is the durable truth
+    * catalog-loss recovery reads; then the catalog registration is
+    * rebuilt at the widened schema — a crash between the two
+    * self-heals on the next widened append). Old partitions simply
+    * lack the new columns and read as NULL — the additive identity,
+    * so a [[MergeState]] sum over evolved columns is correct by
+    * construction (pre-evolution runs contribute nothing). Narrowing
+    * is refused: a delta missing state columns is a bug, not an
+    * evolution — write explicit nulls/zeros if a column emptied.
+    * The bucket column can never change (it is the layout). */
+  private def evolveIfWidened(spark: SparkSession, path: String,
+      l: Layout, df: DataFrame): Layout = {
+    import org.apache.spark.sql.types.StructType
+    val existing = StructType.fromDDL(l.ddl)
+    val missing = existing.fieldNames
+      .filterNot(df.schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"delta for state at $path is missing columns " +
+        s"${missing.toSeq} — narrowing a state schema is not " +
+        "supported (write explicit nulls/zeros instead)")
+    val added = df.schema.filterNot(f =>
+      existing.fieldNames.contains(f.name))
+    if (added.isEmpty) return l
+    val l2 = l.copy(ddl = StructType(existing ++ added).toDDL)
+    writeSidecar(spark, path, l2, overwrite = true)
+    // rebuild the registration at the widened schema (DROP leaves the
+    // external data untouched; MSCK recovers the partition index)
+    spark.sql(s"DROP TABLE IF EXISTS ${tableNameG(path, l.gen)}")
+    reRegister(spark, path, l2)
+    l2
+  }
+
+  /** Heal the evolve crash window: a sidecar widened ahead of a crash
+    * leaves the live registration at the old schema — re-register at
+    * the sidecar's DDL before any write resolves against it. One
+    * catalog metadata read per call. */
+  private def ensureRegistrationCurrent(spark: SparkSession,
+      path: String, l: Layout): Unit = {
+    val name = tableNameG(path, l.gen)
+    if (spark.catalog.tableExists(name)) {
+      val have = spark.table(name).schema.fieldNames.toSet
+      val want = org.apache.spark.sql.types.StructType
+        .fromDDL(l.ddl).fieldNames
+      if (!want.forall(have.contains)) {
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        reRegister(spark, path, l)
+      }
+    }
+  }
+
   /** Append `df` as batch `batchId`'s increment, exactly once: a
     * committed batch id (marker present) is a no-op; a crashed
     * previous attempt's partial partition directory AND staging debris
@@ -560,10 +612,15 @@ object BucketedState {
     acquireLease(spark, path)
     if (isCommitted(spark, path, batchId)) return
     val live = liveLayout(spark, path)
-    val l = live.getOrElse(
+    val l0 = live.getOrElse(
       Layout(0, nBuckets, bucketCol, df.schema.toDDL))
-    require(l.bucketCol == bucketCol,
-      s"state at $path is bucketed by ${l.bucketCol}, not $bucketCol")
+    require(l0.bucketCol == bucketCol,
+      s"state at $path is bucketed by ${l0.bucketCol}, not $bucketCol")
+    val l = if (live.isDefined) {
+      val l1 = evolveIfWidened(spark, path, l0, df)
+      ensureRegistrationCurrent(spark, path, l1)
+      l1
+    } else l0
     val name = tableNameG(path, l.gen)
     // crashed attempt: its files are unregistered (invisible) but a
     // re-append into the same directory would double them. The catalog
@@ -585,7 +642,13 @@ object BucketedState {
     val aligned =
       if (prePartitioned && l.nBuckets == nBuckets) df
       else df.repartition(l.nBuckets, col(l.bucketCol))
-    aligned.withColumn("__bt", lit(batchId))
+    // write in DDL column order (evolution can leave the caller's
+    // order differing from the table's; a narrow projection preserves
+    // the alignment partitioning)
+    val ordered = org.apache.spark.sql.types.StructType
+      .fromDDL(l.ddl).fieldNames.toSeq
+    aligned.select(ordered.map(col): _*)
+      .withColumn("__bt", lit(batchId))
       .write.mode("append").format("parquet")
       .partitionBy("__bt")
       .bucketBy(l.nBuckets, l.bucketCol).sortBy(l.bucketCol)
@@ -607,6 +670,7 @@ object BucketedState {
     val spark = df.sparkSession
     val l = liveLayout(spark, path).getOrElse(
       sys.error(s"writeBt on non-live state at $path"))
+    ensureRegistrationCurrent(spark, path, l)
     val f = fs(spark, path)
     val partDir = new Path(dataDir(path, l.gen), s"__bt=$btValue")
     if (f.exists(partDir)) {
@@ -615,7 +679,9 @@ object BucketedState {
         s"DROP IF EXISTS PARTITION (__bt=$btValue)")
     }
     scrubStaging(spark, path, l.gen)
-    df.repartition(l.nBuckets, col(l.bucketCol))
+    df.select(org.apache.spark.sql.types.StructType
+        .fromDDL(l.ddl).fieldNames.toSeq.map(col): _*)
+      .repartition(l.nBuckets, col(l.bucketCol))
       .withColumn("__bt", lit(btValue))
       .write.mode("append").format("parquet")
       .partitionBy("__bt")

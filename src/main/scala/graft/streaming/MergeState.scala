@@ -164,11 +164,14 @@ object MergeState {
       raw.filter(readablePred(folds, rts, batchId)).drop("__bt")
     }
 
+  // coalesce to 0: a column added by additive SCHEMA EVOLUTION reads
+  // NULL from pre-evolution runs; a group whose rows all predate the
+  // evolution must serve the additive identity, not NULL
   private def sumMerge(runs: DataFrame, keyCols: Seq[String],
       sumCols: Seq[String]): DataFrame =
     runs.groupBy(keyCols.map(col): _*)
-      .agg(sum(col(sumCols.head)).as(sumCols.head),
-        sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+      .agg(coalesce(sum(col(sumCols.head)), lit(0)).as(sumCols.head),
+        sumCols.tail.map(c => coalesce(sum(col(c)), lit(0)).as(c)): _*)
 
   /** Keep only rows with at least one non-zero sum column — the CRDT's
     * absorbing state filter that makes retraction-by-negation serve as
