@@ -36,6 +36,17 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       // probe-side pruning for selective dim joins (see ScaleJoinsSpec)
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // JOIN STRATEGY stays at Spark defaults. Round-11 measured both
+      // guide §3.1/§9 knobs (`preferSortMergeJoin=false`, AQE
+      // `maxShuffledHashJoinLocalMapThreshold=64m`) across the bench:
+      // isolated batch queries improved, but the streaming-gate
+      // pipelines REGRESSED hard (q_spatial_gate 1.9→3.3 s warm,
+      // q_substr_gate 3.7→5.1 s, full-bench warm +50 s) — the AQE
+      // rewrite re-plans the bucketed-state joins' build sides away
+      // from the hand-hinted increment-side builds. Join strategy is
+      // therefore pinned PER JOIN with explicit hints at the call
+      // sites that provably benefit (the gates already hint
+      // `shuffle_hash` on their increment sides), not session-wide.
       // graft_* SQL functions available in every session
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     if (cores > 0)

@@ -1889,12 +1889,17 @@ object SparkEntry {
     // per-customer frame is itself fact-scaled (hundreds of millions of
     // customers at 100 TB) -----
     "q_rfm" -> ((s, dir) => {
-      val cust = t(s, dir, "orders")
+      // persist barrier (opt guide §5): the first ntile's
+      // repartitionByRange SAMPLES its input before shuffling it, so an
+      // unpersisted cust ran the orders aggregation twice (sampling
+      // pass + data pass); the two later ntiles read their persisted
+      // predecessors already
+      val cust = Dedup.persistTracked(t(s, dir, "orders")
         .withColumn("t_us", expr("unix_micros(cast(o_orderdate as timestamp))"))
         .groupBy(col("o_custkey"))
         .agg(max(col("t_us")).as("last_us"),
           count(lit(1)).as("freq"),
-          sum(dec(col("o_totalprice"))).cast("double").as("monetary"))
+          sum(dec(col("o_totalprice"))).cast("double").as("monetary")))
       val r1 = graft.plans.ParallelRank.ntile(cust, "rq", 4, 32,
         col("last_us").desc, col("o_custkey"))
       val r2 = graft.plans.ParallelRank.ntile(r1, "fq", 4, 32,
@@ -2682,13 +2687,18 @@ object SparkEntry {
     // HAVING-against-a-correlated-scalar shape. The national totals are
     // group-sized → broadcast back; the fraction literal is e0 -----
     "q11_value_share" -> ((s, dir) => {
-      val value = t(s, dir, "lineitem")
+      // persist barrier (opt guide §5): `value` feeds BOTH the national
+      // totals and the final share join — unpersisted, the plan scanned
+      // lineitem and ran the (nationkey, partkey) aggregation TWICE
+      // (round-11 plan audit: two full agg chains under one join).
+      // Decimal sums are exact, so the barrier cannot perturb the hash.
+      val value = Dedup.persistTracked(t(s, dir, "lineitem")
         .join(broadcast(t(s, dir, "supplier")),
           col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_nationkey"), col("l_partkey"))
         .agg(expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * " +
           "CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,4))")
-          .as("val_dec"))
+          .as("val_dec")))
       val national = value.groupBy(col("s_nationkey"))
         .agg(sum(col("val_dec")).as("total_dec"))
       value.join(broadcast(national), Seq("s_nationkey"))
@@ -5495,7 +5505,10 @@ object SparkEntry {
       val dropped = Dedup.clusters(cand, "doc_a", "doc_b")
         .filter(col("cluster") =!= col("doc_a"))
         .select(col("doc_a").as("doc_id"))
-      docs.join(dropped, Seq("doc_id"), "left_semi")
+      // shuffle_hash: dropped = the duplicate fraction's ids (8 B/row,
+      // per-partition bounded) — hash-build it instead of sorting the
+      // whole docs side for the semi join (opt guide §3.1)
+      docs.join(dropped.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("docs_dropped"),
           sum(col("n_chars")).as("chars_saved"))
@@ -5852,8 +5865,10 @@ object SparkEntry {
         .select("doc_a", "doc_b")
       val cl = Dedup.clusters(pairs, "doc_a", "doc_b")
         .withColumnRenamed("doc_a", "doc_id")
+      // shuffle_hash: cl = cluster members only (id, label — 16 B/row);
+      // same sort-removal rationale as q_dedup_savings (guide §3.1)
       docs.select(col("doc_id"))
-        .join(cl, Seq("doc_id"), "left")
+        .join(cl.hint("shuffle_hash"), Seq("doc_id"), "left")
         .withColumn("rep", coalesce(col("cluster"), col("doc_id")))
         .withColumn("bucket", expr(
           s"(${XFormulas.sparkStrHash("concat('split#', CAST(rep AS STRING))")}) % 10"))

@@ -111,9 +111,16 @@ object CorpusPipeline {
         idCol, textCol)
       .select(idCol)
     // persist: tiny id list, but its subtree (n-gram explode + benchmark
-    // join) would otherwise re-execute once per downstream consumer
+    // join) would otherwise re-execute once per downstream consumer.
+    // shuffle_hash on the contaminated side (opt guide §3.1): the id
+    // list is the contaminated FRACTION of the corpus — small per
+    // partition at any scale — and the planner's estimate-driven
+    // sort-merge was sorting the whole gated side to anti-join it
+    // (round-11 measured: the SMJ here + the label join below cost
+    // q_corpus_clean3 ~0.3 s of pure sort).
     val cleanDocs = Dedup.persistTracked(
-      gated.join(contaminated, Seq(idCol), "left_anti"))
+      gated.join(contaminated.hint("shuffle_hash"), Seq(idCol),
+        "left_anti"))
     val keepers = cleanDocs.groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
     val survivors = Dedup.persistTracked(cleanDocs
       .join(keepers, Seq("fp", idCol))
@@ -124,8 +131,12 @@ object CorpusPipeline {
       .select(col("doc_a"), col("doc_b"))
     val labels = Dedup.clusters(pairs, "doc_a", "doc_b")
       .withColumnRenamed("doc_a", "__cid")
+    // shuffle_hash: labels = docs that belong to a near-dup cluster (a
+    // small fraction of survivors, per-partition bounded) — hash-build
+    // it instead of sorting the full survivor side (guide §3.1)
     val deduped = survivors
-      .join(labels, col(idCol) === col("__cid"), "left")
+      .join(labels.hint("shuffle_hash"), col(idCol) === col("__cid"),
+        "left")
       .filter(col("cluster").isNull || col("cluster") === col(idCol))
     Stages(gated, cleanDocs, keepers, deduped)
   }
@@ -184,8 +195,11 @@ object CorpusPipeline {
       .select(col("doc_a"), col("doc_b"))
     val labels = Dedup.clusters(pairs, "doc_a", "doc_b")
       .withColumnRenamed("doc_a", "__cid")
+    // shuffle_hash on the (cluster-member-sized) label side — same
+    // rationale as fullStages' dedup join (guide §3.1)
     survivors
-      .join(labels, col(idCol) === col("__cid"), "left")
+      .join(labels.hint("shuffle_hash"), col(idCol) === col("__cid"),
+        "left")
       .filter(col("cluster").isNull || col("cluster") === col(idCol))
       .select(col(idCol), col("fp"), col("quality"))
   }

@@ -54,10 +54,20 @@ object Dedup {
     * checkpoint blocks accumulate across a long session until they
     * evict useful blocks and stall the executors in GC (measured: a
     * 200-query bench pass inflated later iterative queries 3× through
-    * exactly this). Id capture diffs the context's persistent-RDD set
-    * around the (eager) checkpoint — under a concurrently-persisting
-    * foreign thread this can over-capture; graft's entry points build
-    * queries single-threaded. */
+    * exactly this). EAGER on purpose — round 11 measured the lazy form
+    * (`eager = false`, hoping to fold the per-round materialization
+    * job into the first consuming action): per-query wins were nil
+    * (AQE materializes the shuffle stages eagerly either way) and the
+    * FULL bench's warm pass degraded progressively with session age
+    * (+50–120 s over 368 queries; late-pass deciles 1.5–2.3× baseline)
+    * — a deferred checkpoint keeps its full lineage (and the shuffle
+    * state it references) live until materialization, and the sweep in
+    * [[releaseAll]] can then run before materialization ever happens.
+    * Eager keeps truncation and cleanup deterministic. Id capture
+    * diffs the context's persistent-RDD set around the (eager)
+    * checkpoint — under a concurrently-persisting foreign thread this
+    * can over-capture; graft's entry points build queries
+    * single-threaded. */
   def checkpointTracked(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet

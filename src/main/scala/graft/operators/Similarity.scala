@@ -352,8 +352,14 @@ object Similarity {
           col("id_a")).as("near"))
       .filter(col("near").isNotNull)
       .groupBy(col("id_b")).agg(min(col("near")).as("dup_of"))
+    // shuffle_hash on the dup-assignment side (opt guide §3.1): it is
+    // the near-duplicate FRACTION of the corpus (id pairs only, 16
+    // bytes/row), so a per-partition hash build is bounded at any
+    // scale, while the estimate-driven sort-merge sorted the full
+    // assignment side to probe it
     assigned
-      .join(pairs, col("vid") === col("id_b"), "left")
+      .join(pairs.hint("shuffle_hash"), col("vid") === col("id_b"),
+        "left")
       .select(col("vid").as(idCol), col("cell"), col("dup_of"),
         col("dup_of").isNull.as("keep"))
   }

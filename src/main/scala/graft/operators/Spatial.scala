@@ -307,8 +307,14 @@ object Spatial {
         col("cluster"))
       .unionAll(borders.select(col("id"), lit("border").as("role"),
         col("cluster")))
+    // shuffle_hash on the labeled side (guide §3.1): the anti-join only
+    // needs a per-partition hash of labeled ids — the planner's
+    // sort-merge sorted BOTH point-sized sides (round-11 measured
+    // ~0.5 s of q_spatial_dbscan); the build side is id-only (8
+    // bytes/row) so a partition's hash map stays small at any scale
     val noise = pts.select(col("id"))
-      .join(out.select(col("id")), Seq("id"), "leftanti")
+      .join(out.select(col("id")).hint("shuffle_hash"), Seq("id"),
+        "leftanti")
       .select(col("id"), lit("noise").as("role"),
         lit(-1L).as("cluster"))
     out.unionAll(noise)
