@@ -421,6 +421,9 @@ object BucketedState {
   private def reRegister(spark: SparkSession, path: String,
       l: Layout): Unit = {
     val name = tableNameG(path, l.gen)
+    // a FRESH state registers before its first insert (appendOnce's
+    // static-partition path): MSCK needs the location to exist
+    fs(spark, path).mkdirs(dataDir(path, l.gen))
     spark.sql(s"""CREATE TABLE $name (${l.ddl}, __bt BIGINT)
       USING parquet
       PARTITIONED BY (__bt)
@@ -570,7 +573,11 @@ object BucketedState {
       path: String, l: Layout): Unit = {
     val name = tableNameG(path, l.gen)
     if (spark.catalog.tableExists(name)) {
-      val have = spark.table(name).schema.fieldNames.toSet
+      // raw catalog metadata, not spark.table(name).schema — the latter
+      // runs a full analyzer pass per append just to list field names
+      val have = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(name))
+        .schema.fieldNames.toSet
       val want = org.apache.spark.sql.types.StructType
         .fromDDL(l.ddl).fieldNames
       if (!want.forall(have.contains)) {
@@ -647,6 +654,14 @@ object BucketedState {
     // the alignment partitioning)
     val ordered = org.apache.spark.sql.types.StructType
       .fromDDL(l.ddl).fieldNames.toSeq
+    // NOTE (round 12): a static-partition `INSERT INTO ... PARTITION
+    // (__bt=N)` via a temp view was tried here to make the insert's
+    // codegen batch-invariant and skip dynamic-partition bookkeeping —
+    // MEASURED SLOWER (q_substr_gate 4.3 → 6.4 s/run, every gate
+    // regressed ~1.5-2x: the SQL insert path re-analyzes the command
+    // against the catalog and manages the partition registry per call,
+    // costing more than the saveAsTable command it replaced). Keep the
+    // dynamic-partition saveAsTable append.
     aligned.select(ordered.map(col): _*)
       .withColumn("__bt", lit(batchId))
       .write.mode("append").format("parquet")
