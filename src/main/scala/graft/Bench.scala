@@ -53,6 +53,19 @@ object Bench {
       .asScala.map(_.getCollectionTime).sum
   }
 
+  /** Spark codegen (Janino) compile tally — the host-noise-proof
+    * evidence channel for codegen-cache sizing: compile COUNT and
+    * total compile TIME are work counters, not wall clock, so they
+    * A/B cleanly across differently-loaded runs. */
+  private def logCodegenMetrics(): Unit = {
+    import org.apache.spark.metrics.source.CodegenMetrics._
+    val h = METRIC_COMPILATION_TIME
+    System.err.println(s"[bench] codegen compiles: ${h.getCount}, " +
+      f"total ${h.getCount * h.getSnapshot.getMean / 1000.0}%.1f s " +
+      s"(generated ${METRIC_GENERATED_CLASS_BYTECODE_SIZE.getCount} " +
+      "classes)")
+  }
+
   private def logCodeCache(): Unit = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
@@ -305,6 +318,7 @@ object Bench {
     }.sum
     val warmTotal = warm.values.filter(_ >= 0).sum
     logCodeCache()
+    logCodegenMetrics()
     val errJson = errors
       .map { case (k, v) => "\"" + k + "\":\"" + jescape(v) + "\"" }
       .mkString("{", ",", "}")

@@ -49,6 +49,16 @@ object GraftSession {
       // `shuffle_hash` on their increment sides), not session-wide.
       // graft_* SQL functions available in every session
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // codegen COMPILED-CLASS cache (static conf, JVM-wide): the
+      // default 100 entries thrashes under a 368-query bench — every
+      // query evicts its predecessors' generated classes, so the warm
+      // pass re-pays the full Janino compile bill (~30+ s/run; Bench
+      // logs the compile histogram). 4096 keeps every distinct codegen
+      // unit of the whole query surface resident; cost is metaspace
+      // for generated classes only, and a long-lived production driver
+      // wants exactly the same (repeated micro-batch plans recompiling
+      // per batch is the same thrash at cluster scale).
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
     if (cores > 0)
       b.master(s"local[$cores]")
         .config("spark.sql.shuffle.partitions", cores.toString)

@@ -25,11 +25,30 @@ object Tables {
     * epoch-nanos — and TIMESTAMP(MICROS), which Spark reads as
     * TIMESTAMP_NTZ. [[normalizeEventTs]] folds both into the BIGINT
     * epoch-nanos shape the window operators consume (integer bucket
-    * math — no timestamp semantics needed downstream). */
+    * math — no timestamp semantics needed downstream).
+    *
+    * MEMOIZED per (session, dir, name) — round 12: `spark.read.parquet`
+    * re-infers the schema (a footer read + file listing) on EVERY call,
+    * a fixed driver-side cost paid once or more per query slot, ~10-40
+    * ms × ~700 table loads across a bench run. The memo caches the
+    * LOGICAL PLAN only (an immutable frame over immutable test
+    * parquet): every action still scans the files, so nothing about
+    * query results or timing semantics changes — only the repeated
+    * schema inference goes. Keyed on the session identity so a test
+    * JVM with many short-lived sessions cannot cross-wire plans. */
+  private val memo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") normalizeEventTs(df) else df
+    // bound the memo so a long-lived test JVM cycling many sessions
+    // cannot accumulate dead sessions through retained plans (a table
+    // registry is ≤ names.size entries per live (session, dir))
+    if (memo.size > 64) memo.clear()
+    memo.getOrElseUpdate((spark, dir, name), {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (name == "events") normalizeEventTs(df) else df
+    })
   }
 
   /** Rewrite a timestamp-typed `ts` to BIGINT epoch-nanos; leave an
