@@ -1387,8 +1387,13 @@ object Dedup {
       txt, txt, minLen)
     val ids = cand.select(col("doc_a").as("id"))
       .unionByName(cand.select(col("doc_b").as("id"))).distinct()
-    // dense recompute over the matched documents only
-    val dtxt = persistTracked(txt.join(ids, Seq("id"), "left_semi"))
+    // dense recompute over the matched documents only. shuffle_hash on
+    // the id side (opt guide §3.1, the round-11 semi-join idiom): ids =
+    // the matched-document fraction projected to 8 B/row, so a
+    // per-partition hash build is bounded at any scale — sort-merge was
+    // sorting the full corpus-sized txt side just to semi-join it.
+    val dtxt = persistTracked(
+      txt.join(ids.hint("shuffle_hash"), Seq("id"), "left_semi"))
     val dg = persistTracked(gramFrame(dtxt, minLen))
     val matches = verifyGramMatches(
       dg.select(col("h"), col("id").as("doc_a"), col("pos").as("pa"))
